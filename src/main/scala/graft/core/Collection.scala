@@ -1,0 +1,331 @@
+package graft.core
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.GraftFunctions._
+import graft.operators.{DocFilter, IvfBuilder, Search, SearchParams}
+
+/** Collection configuration — mirrors the served fields of the reference's
+  * `CollectionConfig` (rs/config/src/collection.rs:9-152; defaults
+  * :176-209). Posting-list encoding / WAL file knobs are no-ops here
+  * (Parquet encodings and Structured Streaming checkpoints replace them,
+  * SURVEY §2.8 V7 / §2.9 S5). */
+final case class AttrField(name: String, kind: String, lang: String = "english")
+
+final case class CollectionConfig(
+    name: String,
+    numFeatures: Int,
+    initialNumCentroids: Int = 10,
+    maxClustersPerVector: Int = 1,
+    clusteringDistanceThresholdPct: Double = 0.1,
+    maxPostingListSize: Long = Long.MaxValue,
+    clusteringSample: Int = 20000,
+    maxPendingOps: Long = 10000L,
+    maxNumberOfSegments: Int = 10,
+    attributeSchema: Seq[AttrField] = Nil) {
+  def textFields: Seq[AttrField] = attributeSchema.filter(f => f.kind == "text" || f.kind == "keyword")
+}
+
+/** Versioned table-of-contents manifest — the reference's `version_N` TOC
+  * (rs/index/src/collection/mod.rs:21-33): lists live segments and the last
+  * flushed ops batch. Written atomically (tmp + move); readers pin a
+  * version by reading it once (snapshot isolation for free — segment data
+  * is immutable Parquet). */
+final case class Toc(version: Long, segments: Seq[String], lastFlushedBatch: Long)
+
+object Toc {
+  private def tocDir(base: String) = Paths.get(base, "toc")
+
+  def latestVersion(base: String): Option[Long] = {
+    val d = tocDir(base)
+    if (!Files.exists(d)) None
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("version_") => s.stripPrefix("version_").toLong }
+      .maxOption
+  }
+
+  def read(base: String): Toc = latestVersion(base) match {
+    case None => Toc(-1L, Nil, -1L)
+    case Some(v) =>
+      val txt = Files.readString(tocDir(base).resolve(s"version_$v"))
+      // format: line1 = lastFlushedBatch, rest = segment names
+      val lines = txt.split("\n").filter(_.nonEmpty)
+      Toc(v, lines.drop(1).toSeq, lines.headOption.map(_.toLong).getOrElse(-1L))
+  }
+
+  def write(base: String, toc: Toc): Unit = {
+    Files.createDirectories(tocDir(base))
+    val tmp = tocDir(base).resolve(s".tmp_version_${toc.version}")
+    Files.writeString(tmp, (toc.lastFlushedBatch.toString +: toc.segments).mkString("\n"))
+    Files.move(tmp, tocDir(base).resolve(s"version_${toc.version}"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+/** A collection on disk:
+  * {{{
+  * <base>/<name>/
+  *   toc/version_N              (manifest: lastFlushedBatch + segment names)
+  *   ops/batch=K/               (WAL-ish append log of inserts, parquet)
+  *   tombstones/                (user_id, doc_id pairs; F10/R6)
+  *   segments/<seg>/{vectors,centroids,postings,terms}/
+  * }}}
+  * Ids are Long here (the u128 surface of the reference maps to a
+  * uuid<->2xlong shim at the API edge; SURVEY §7.4).
+  *
+  * Lifecycle mirrors the reference (§3.2): insert appends an ops batch
+  * (WAL, S5/R1); flush compacts un-flushed batches into an immutable
+  * segment with IVF + terms tables and bumps the TOC (S4/R4); searches
+  * union indexed segments with a brute-force scan of the unflushed tail
+  * (read-your-writes, R5); merge/vacuum rewrite segments (M1/M2).
+  */
+final class Collection(val spark: SparkSession, val path: String, val config: CollectionConfig) {
+
+  private def opsPath = s"$path/ops"
+  private def tombPath = s"$path/tombstones"
+  private def segPath(seg: String) = s"$path/segments/$seg"
+
+  def toc: Toc = Toc.read(path)
+
+  // ---- write path ----
+
+  /** Append one insert batch: rows `[user_id: long, doc_id: long,
+    * vector: array<double>, <attr columns...>]`. Returns the batch id. */
+  def insert(rows: DataFrame): Long = {
+    val next = nextBatchId()
+    rows.write.mode("overwrite").parquet(s"$opsPath/batch=$next")
+    next
+  }
+
+  private def nextBatchId(): Long = {
+    val d = Paths.get(opsPath)
+    if (!Files.exists(d)) 0L
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong }
+      .maxOption.map(_ + 1).getOrElse(0L)
+  }
+
+  /** Delete (user_id, doc_id) pairs -> tombstones (R6; anti-joined at read,
+    * physically dropped by vacuum). */
+  def delete(pairs: DataFrame): Unit =
+    pairs.select("user_id", "doc_id").write.mode("append").parquet(tombPath)
+
+  def tombstones: Option[DataFrame] =
+    if (Files.exists(Paths.get(tombPath))) Some(spark.read.parquet(tombPath)) else None
+
+  /** Un-flushed ops batches (the "mutable segment" tail). */
+  private def tail(t: Toc): Option[DataFrame] = {
+    val d = Paths.get(opsPath)
+    if (!Files.exists(d)) return None
+    val batches = Files.list(d).iterator().asScala.map(_.getFileName.toString)
+      .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong }
+      .filter(_ > t.lastFlushedBatch).toSeq.sorted
+    if (batches.isEmpty) None
+    else Some(batches.map(b => spark.read.parquet(s"$opsPath/batch=$b")).reduce(_ unionByName _))
+  }
+
+  /** Flush: build an immutable segment from all un-flushed batches
+    * (point-id assignment, IVF centroids+postings, term index), then
+    * atomically bump the TOC (core.rs:867-977 semantics). No-op when the
+    * tail is empty. */
+  def flush(): Option[String] = {
+    val t = toc
+    val df = tail(t).getOrElse(return None)
+    val lastBatch = nextBatchId() - 1
+    val seg = s"seg_${t.version + 1}"
+    buildSegment(df, seg)
+    Toc.write(path, Toc(t.version + 1, t.segments :+ seg, lastBatch))
+    Some(seg)
+  }
+
+  /** Build the four tables of one immutable segment from raw rows. */
+  private def buildSegment(rows: DataFrame, seg: String): Unit = {
+    // Dense per-user point ids (rs/index/src/multi_spann/builder.rs:56-70).
+    val w = Window.partitionBy("user_id").orderBy("doc_id")
+    val vectors = rows
+      .withColumn("point_id", row_number().over(w))
+      .persist()
+    vectors.select("user_id", "doc_id", "point_id", "vector")
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "point_id") // M4 locality reindex
+      .write.mode("overwrite").parquet(s"${segPath(seg)}/vectors")
+
+    val params = IvfBuilder.BuildParams(
+      numCentroids = config.initialNumCentroids,
+      maxClustersPerVector = config.maxClustersPerVector,
+      distanceThresholdPct = config.clusteringDistanceThresholdPct,
+      maxPostingListSize = config.maxPostingListSize,
+      sampleSize = config.clusteringSample)
+    val centroids = IvfBuilder.buildCentroids(vectors, params)
+    centroids.write.mode("overwrite").parquet(s"${segPath(seg)}/centroids")
+    val postings = IvfBuilder.buildPostings(
+      vectors, spark.read.parquet(s"${segPath(seg)}/centroids"), params)
+    postings
+      .repartition(col("centroid_id"))
+      .sortWithinPartitions("centroid_id", "point_id")
+      .write.mode("overwrite").parquet(s"${segPath(seg)}/postings")
+
+    // Term index: field:stemmedToken -> point ids (S9; mutable_segment.rs:73-103).
+    val textCols = config.textFields.filter(f => rows.columns.contains(f.name))
+    val terms =
+      if (textCols.isEmpty)
+        vectors.select(col("user_id"), lit("").as("term"), col("point_id")).limit(0)
+      else textCols.map { f =>
+        val toks =
+          if (f.kind == "keyword") array(lower(col(f.name)))
+          else analyze_text(col(f.name), lit(f.lang))
+        vectors.select(col("user_id"),
+          explode(term_keys(f.name, toks)).as("term"), col("point_id"))
+      }.reduce(_ unionByName _).dropDuplicates("user_id", "term", "point_id")
+    terms
+      .repartition(col("term"))
+      .sortWithinPartitions("term", "user_id", "point_id")
+      .write.mode("overwrite").parquet(s"${segPath(seg)}/terms")
+    vectors.unpersist()
+  }
+
+  // ---- read path ----
+
+  def snapshot(): Snapshot = {
+    val t = toc
+    new Snapshot(this, t, t.segments, tail(t))
+  }
+
+  // ---- maintenance (M1/M2) ----
+
+  /** Merge all live segments into one: union live rows (tombstones dropped
+    * — ids are remapped by rebuilding, J3), rebuild, swap TOC. */
+  def merge(): Option[String] = {
+    val t = toc
+    if (t.segments.size < 2) return None
+    var rows = t.segments.map { s =>
+      val attrs = spark.read.parquet(s"${segPath(s)}/vectors")
+      attrs.drop("point_id")
+    }.reduce(_ unionByName _)
+    for (tb <- tombstones)
+      rows = rows.join(tb.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti")
+    val seg = s"merged_${t.version + 1}"
+    buildSegment(rows, seg)
+    Toc.write(path, Toc(t.version + 1, Seq(seg), t.lastFlushedBatch))
+    Some(seg)
+  }
+
+  /** Vacuum one segment: rewrite it without tombstoned docs. */
+  def vacuum(segment: String): Unit = {
+    val tomb = tombstones.getOrElse(return)
+    val t = toc
+    val rows = spark.read.parquet(s"${segPath(segment)}/vectors")
+      .drop("point_id")
+      .join(tomb.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti")
+    val seg = s"${segment}_v"
+    buildSegment(rows, seg)
+    Toc.write(path, Toc(t.version + 1, t.segments.map(s => if (s == segment) seg else s),
+      t.lastFlushedBatch))
+  }
+
+  private[core] def segmentTable(seg: String, table: String): DataFrame =
+    spark.read.parquet(s"${segPath(seg)}/$table")
+}
+
+object Collection {
+  def create(spark: SparkSession, base: String, config: CollectionConfig): Collection = {
+    val p = s"$base/${config.name}"
+    Files.createDirectories(Paths.get(p))
+    Toc.write(p, Toc(0L, Nil, -1L))
+    new Collection(spark, p, config)
+  }
+
+  def open(spark: SparkSession, base: String, config: CollectionConfig): Collection =
+    new Collection(spark, s"$base/${config.name}", config)
+}
+
+/** A pinned view of the collection: the TOC version read at construction
+  * plus the unflushed tail. Searches union per-segment SPANN results with
+  * a brute-force scan of the tail (read-your-writes, R5) and take a global
+  * top-k (A5: sort (score, doc_id), truncate). */
+final class Snapshot(
+    coll: Collection, val toc: Toc, segments: Seq[String], tailRows: Option[DataFrame]) {
+
+  private def filterPoints(seg: String, filter: Option[DocFilter]): Option[DataFrame] =
+    filter.map { f =>
+      graft.operators.FilterCompiler.compile(
+        f,
+        coll.segmentTable(seg, "terms"),
+        coll.segmentTable(seg, "vectors").select("user_id", "point_id"))
+    }
+
+  def search(
+      query: Seq[Double],
+      params: SearchParams = SearchParams(),
+      userIds: Seq[Long] = Nil,
+      filter: Option[DocFilter] = None): DataFrame = {
+    val perSegment = segments.map { seg =>
+      Search.spann(
+        coll.segmentTable(seg, "vectors"),
+        coll.segmentTable(seg, "centroids"),
+        coll.segmentTable(seg, "postings"),
+        query, params, userIds,
+        filterPoints(seg, filter),
+        coll.tombstones)
+    }
+    val tailResult = tailRows.map { rows =>
+      // Brute-force over the unindexed tail; attribute filters evaluated
+      // directly on the raw rows (no term index yet).
+      var df = rows
+      if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
+      for (f <- filter) df = df.filter(compileRaw(f, df))
+      for (tb <- coll.tombstones)
+        df = df.join(tb.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti")
+      df.withColumn("score", l2_distance(col("vector"), vec(query)))
+        .select("user_id", "doc_id", "score")
+    }
+    (perSegment ++ tailResult)
+      .reduceOption(_ unionByName _)
+      .map(_.orderBy(col("score").asc, col("doc_id").asc).limit(params.topK))
+      .getOrElse(coll.spark.emptyDataFrame)
+  }
+
+  def termSearch(filter: DocFilter, limit: Int, userIds: Seq[Long] = Nil): DataFrame = {
+    val perSegment = segments.map { seg =>
+      Search.termSearch(
+        coll.segmentTable(seg, "terms"),
+        coll.segmentTable(seg, "vectors").select("user_id", "point_id", "doc_id"),
+        filter, limit, userIds, coll.tombstones)
+    }
+    val tailResult = tailRows.map { rows =>
+      var df = rows
+      if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
+      df.filter(compileRaw(filter, df)).select("user_id", "doc_id")
+    }
+    val all = (perSegment.map(_.select("user_id", "doc_id")) ++ tailResult)
+    all.reduceOption(_ unionByName _)
+      .map(_.dropDuplicates("user_id", "doc_id").orderBy("doc_id").limit(limit))
+      .getOrElse(coll.spark.emptyDataFrame)
+  }
+
+  /** Compile a DocFilter directly against raw attribute columns (tail path:
+    * no term index exists yet, so Contains tokenizes the text column). */
+  private def compileRaw(f: DocFilter, df: DataFrame): org.apache.spark.sql.Column = f match {
+    case DocFilter.And(cs) => cs.map(compileRaw(_, df)).reduceOption(_ && _).getOrElse(lit(true))
+    case DocFilter.Or(cs) => cs.map(compileRaw(_, df)).reduceOption(_ || _).getOrElse(lit(false))
+    case DocFilter.Ids(_) => lit(true) // point ids don't exist before flush
+    case DocFilter.Contains(field, value, kw) =>
+      val lang = coll.config.attributeSchema.find(_.name == field).map(_.lang).getOrElse("english")
+      val docToks =
+        if (kw) array(lower(col(field)))
+        else analyze_text(col(field), lit(lang))
+      val qts = graft.operators.FilterCompiler.queryTerms(field, value, kw)
+        .map(_.stripPrefix(s"$field:"))
+      if (qts.isEmpty) lit(false)
+      else qts.map(t => array_contains(docToks, t)).reduce(_ && _)
+    case DocFilter.NotContains(field, value, kw) =>
+      !compileRaw(DocFilter.Contains(field, value, kw), df)
+  }
+}

@@ -1,0 +1,204 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.functions._
+
+/** Public function surface of the engine: distance kernels, tokenization +
+  * stemming (term pipeline of the reference,
+  * rs/index/src/segment/mutable_segment.rs:73-103), and the training-data
+  * text/dedup primitives. Everything here returns `Column`s built from
+  * codegen-friendly native expressions; the only Scala UDFs are stemming
+  * and language-ID (per-row string work, invoked once per document).
+  */
+object GraftFunctions {
+  private def ex(c: Column) = ColumnBridge.expression(c)
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    ColumnBridge.column(e)
+
+  // ---- vector kernels (V1, V2; SURVEY §2.8) ----
+  def l2_distance(a: Column, b: Column): Column = col(L2Distance(ex(a), ex(b)))
+  def l2_distance_squared(a: Column, b: Column): Column = col(L2DistanceSquared(ex(a), ex(b)))
+  def dot_product(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
+  def cosine_similarity(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
+
+  /** Literal query vector as an array<double> column. */
+  def vec(values: Seq[Double]): Column = array(values.map(lit): _*)
+
+  // ---- tokenization / terms (T1-T4; SURVEY §2.7) ----
+
+  /** Whitespace tokenizer, lowercased; drops empty tokens.
+    * (rs/index/src/tokenizer/white_space_tokenizer.rs:5-60) */
+  def tokenize(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  private val stemUdf = udf { (tokens: Seq[String], lang: String) =>
+    if (tokens == null) null
+    else if (lang == null || lang == "english" || lang == "en") tokens.map(Porter2.stem)
+    else tokens.map(_.toLowerCase) // non-English: lowercase passthrough (SURVEY §7.4)
+  }
+
+  /** Stem an array of tokens (rs/index/src/tokenizer/stemming_tokenizer.rs:16-60). */
+  def stem_tokens(tokens: Column, lang: Column): Column = stemUdf(tokens, lang)
+  def stem_tokens(tokens: Column): Column = stemUdf(tokens, lit("english"))
+
+  /** Tokenize + stem a raw text column — the indexing-side term pipeline. */
+  def analyze_text(text: Column, lang: Column): Column = stem_tokens(tokenize(text), lang)
+  def analyze_text(text: Column): Column = stem_tokens(tokenize(text))
+
+  /** `"{field}:{token}"` term keys (rs/index/src/segment/mutable_segment.rs:92-99). */
+  def term_keys(field: String, tokens: Column): Column =
+    transform(tokens, t => concat(lit(field + ":"), t))
+
+  // ---- shingles / minhash / simhash (training-data dedup surface) ----
+
+  /** 64-bit hashes of word n-gram shingles of a token array. */
+  def shingle_hashes(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array(xxhash64(concat_ws(" ", tokens))))
+      .otherwise(transform(
+        sequence(lit(0), size(tokens) - n),
+        i => xxhash64(concat_ws(" ", slice(tokens, i + 1, lit(n))))))
+
+  /** k-slot MinHash signature of a shingle-hash array. */
+  def minhash_signature(shingles: Column, k: Int, seed: Long = 42L): Column =
+    col(MinHashSignature(ex(shingles), k, seed))
+
+  /** LSH band keys: split a k-slot signature into `bands` bands of
+    * `rowsPerBand` and hash each; docs sharing any band key are candidates. */
+  def lsh_band_keys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))))
+
+  /** 64-bit SimHash over token hashes. */
+  def simhash(tokens: Column): Column =
+    col(SimHash64(ex(transform(tokens, t => xxhash64(t)))))
+
+  /** Hamming distance between two 64-bit sketches (native bit_count). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Jaccard similarity of two arrays treated as sets (native). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
+  // ---- text analysis (training-data pipeline surface) ----
+
+  /** Whitespace token count (native, no UDF). */
+  def token_count_ws(text: Column): Column = size(tokenize(text))
+
+  /** BPE-ish token count: letter runs, digit runs, and single punctuation
+    * marks each count as one token (regex approximation of byte-pair
+    * pre-tokenization). */
+  def token_count_bpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]"), lit(0)))
+
+  private val englishStop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "for", "on", "with", "as", "was", "at", "by", "be")
+
+  /** Stopword ratio against a fixed English stopword list (native). */
+  def stopword_ratio(text: Column): Column = {
+    val toks = tokenize(text)
+    val stops = filter(toks, t => t.isInCollection(englishStop))
+    when(size(toks) === 0, 0.0).otherwise(size(stops).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Punctuation character ratio (native). */
+  def punct_ratio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /
+        length(text).cast("double"))
+
+  /** Alphabetic character ratio (native). */
+  def alpha_ratio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^\\p{L}]", "")).cast("double") /
+        length(text).cast("double"))
+
+  /** Mean token length (native). */
+  def mean_token_len(text: Column): Column = {
+    val toks = tokenize(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Heuristic document quality score in [0,1]: rewards mid-length docs,
+    * plain-language token shapes, and some stopword presence; punishes
+    * punctuation walls. Deterministic, native expressions only. */
+  def quality_score(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
+    val meanLen = mean_token_len(text)
+    val wordShape = when(meanLen.between(2.0, 12.0), 1.0).otherwise(0.3)
+    val punctPenalty = lit(1.0) - least(punct_ratio(text) * 4.0, lit(1.0))
+    val stopScore = least(stopword_ratio(text) * 5.0, lit(1.0)) * 0.5 + 0.5
+    round(lenScore * wordShape * punctPenalty * stopScore, 6)
+  }
+
+  /** Rolling-hash document fingerprint: polynomial hash (base 1000003,
+    * mod 2^64) over the lowercased, whitespace-normalized text — equal
+    * fingerprints ⇔ equal normalized content (modulo 64-bit collisions). */
+  def doc_fingerprint(text: Column): Column = {
+    val norm = concat_ws(" ", tokenize(text))
+    col(RollingHash(ex(norm)))
+  }
+
+  // ---- language ID (n-gram/stopword heuristic; training-data surface) ----
+  private val stopProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "a"),
+    "de" -> Set("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr" -> Set("le", "la", "de", "et", "les", "des", "une", "est", "dans", "que"),
+    "it" -> Set("il", "di", "che", "la", "per", "con", "una", "sono", "non", "del"),
+    "pt" -> Set("o", "de", "que", "e", "do", "da", "em", "um", "para", "com"))
+
+  private val langIdUdf = udf { (text: String) =>
+    if (text == null || text.isEmpty) "und"
+    else {
+      val counts = new scala.collection.mutable.HashMap[Character.UnicodeScript, Int]()
+      text.foreach { c =>
+        if (Character.isLetter(c)) {
+          val s = Character.UnicodeScript.of(c.toInt)
+          counts(s) = counts.getOrElse(s, 0) + 1
+        }
+      }
+      import Character.UnicodeScript._
+      val dominant = if (counts.isEmpty) LATIN else counts.maxBy(_._2)._1
+      dominant match {
+        case HAN => "zh"
+        case HIRAGANA | KATAKANA => "ja"
+        case HANGUL => "ko"
+        case CYRILLIC => "ru"
+        case ARABIC => "ar"
+        case DEVANAGARI => "hi"
+        case _ =>
+          val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          if (toks.isEmpty) "und"
+          else {
+            val scored = stopProfiles.map { case (lang, stops) =>
+              lang -> toks.count(stops.contains).toDouble / toks.length
+            }
+            val (best, score) = scored.maxBy { case (l, s) => (s, l) }
+            if (score > 0.05) best else "en"
+          }
+      }
+    }
+  }
+
+  /** Heuristic language identifier: Unicode-script vote, then stopword
+    * profiles for Latin-script languages. Returns ISO-639-1 code or "und". */
+  def lang_id(text: Column): Column = langIdUdf(text)
+
+  /** Register the SQL-callable subset with the session function registry. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("l2_distance", es => L2Distance(es(0), es(1)), "graft")
+    reg.createOrReplaceTempFunction("l2_distance_squared", es => L2DistanceSquared(es(0), es(1)), "graft")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "graft")
+    reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "graft")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es(0)), "graft")
+    reg.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es(0)), "graft")
+  }
+}

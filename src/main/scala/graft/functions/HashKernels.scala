@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+object HashKernels {
+  /** splitmix64 finalizer — the standard public-domain 64-bit mixer. */
+  @inline final def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/** MinHash signature of a set of 64-bit element hashes.
+  *
+  * For permutation j in [0, k): sig[j] = min over elements e of
+  * mix64(e ^ seed_j), with seed_j = mix64(seed + j). One pass over the
+  * input array computes all k signature slots (k*|set| mixes, no
+  * allocation per permutation). Empty input yields Long.MaxValue slots.
+  * Used by the MinHash+LSH near-duplicate operator (training-data
+  * pipeline surface; no reference counterpart — muopdb has no dedup).
+  */
+case class MinHashSignature(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k > 0 && k <= 1024, s"minhash k out of range: $k")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val elems = input.asInstanceOf[ArrayData].toLongArray()
+    val sig = Array.fill[Long](k)(Long.MaxValue)
+    var i = 0
+    while (i < elems.length) {
+      var j = 0
+      while (j < k) {
+        val h = HashKernels.mix64(elems(i) ^ HashKernels.mix64(seed + j))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      // static forwarder on the companion class resolves under Janino
+      val hk = "graft.functions.HashKernels"
+      val e = ctx.freshName("elems"); val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val h = ctx.freshName("h")
+      s"""
+         |long[] $e = $a.toLongArray();
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $e.length; $i++) {
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $h = $hk.mix64($e[$i] ^ $hk.mix64(${seed}L + $j));
+         |    if ($h < $sig[$j]) $sig[$j] = $h;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Polynomial rolling hash (base 1000003, wrap-around mod 2^64) over a
+  * string's UTF-8 bytes — the document-fingerprinting primitive of the
+  * training-data pipeline. */
+case class RollingHash(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 1000003L + (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val b = ctx.freshName("bytes"); val h = ctx.freshName("h"); val i = ctx.freshName("i")
+      s"""
+         |byte[] $b = $a.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $b.length; $i++) { $h = $h * 1000003L + ($b[$i] & 0xffL); }
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash of a bag of 64-bit element hashes: per bit, sum +1/-1
+  * votes across elements; the sign of each bit's total sets the output bit.
+  * (Charikar 2002 random-hyperplane sketch over token hashes.) */
+case class SimHash64(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val elems = input.asInstanceOf[ArrayData].toLongArray()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < elems.length) {
+      val h = elems(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L; var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val e = ctx.freshName("elems"); val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i"); val b = ctx.freshName("b"); val out = ctx.freshName("out")
+      s"""
+         |long[] $e = $a.toLongArray();
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $e.length; $i++) {
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($e[$i] >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) { if ($votes[$b] > 0) $out |= (1L << $b); }
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.GraftFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column —
+  * the training-data-pipeline face of the engine's vector core
+  * (same kernels; generic id/vector column names instead of the
+  * collection schema). */
+object Ann {
+
+  /** Exact top-k by L2 (baseline/oracle). Plans as TakeOrderedAndProject:
+    * per-partition heap + driver merge, no global sort. */
+  def bruteForceTopK(
+      embeddings: DataFrame, query: Seq[Double], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .withColumn("dist", l2_distance(col(vecCol), vec(query)))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("dist"))
+
+  /** Exact top-k per query for a (small, broadcast) query set: broadcast
+    * nested-loop join + per-query window top-k. For query sets too large
+    * to broadcast, build an IVF index instead. */
+  def knnJoin(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      qIdCol: String = "q_id", qVecCol: String = "q_vec",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .withColumn("dist", l2_distance(col(vecCol), col(qVecCol)))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("dist").asc, col(idCol).asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("dist"), col("rank"))
+  }
+
+  /** IVF index over a generic embedding table. Returns (centroids,
+    * postings) DataFrames; search with [[ivfTopK]]. The scale path:
+    * centroid training touches a bounded sample, assignment is one
+    * narrow pass, search probes nprobe posting lists only. */
+  def ivfIndex(
+      embeddings: DataFrame, numCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    val vectors = embeddings.select(
+      lit(0L).as("user_id"), col(idCol).as("point_id"), col(vecCol).as("vector"))
+    val params = IvfBuilder.BuildParams(numCentroids = numCentroids, seed = seed)
+    val centroids = IvfBuilder.buildCentroids(vectors, params)
+    val postings = IvfBuilder.buildPostings(vectors, centroids, params)
+    (centroids, postings.select("centroid_id", "point_id"))
+  }
+
+  /** Probe-based ANN top-k over a prebuilt IVF index: score centroids,
+    * take nprobe nearest, probe only their postings. */
+  def ivfTopK(
+      embeddings: DataFrame, centroids: DataFrame, postings: DataFrame,
+      query: Seq[Double], k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val chosen = centroids
+      .withColumn("cdist", l2_distance(col("vector"), vec(query)))
+      .orderBy(col("cdist").asc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select("centroid_id")
+    postings.join(broadcast(chosen), Seq("centroid_id"))
+      .select(col("point_id").as(idCol))
+      .dropDuplicates(idCol)
+      .join(embeddings, Seq(idCol))
+      .withColumn("dist", l2_distance(col(vecCol), vec(query)))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("dist"))
+  }
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  * All are pure DataFrame pipelines: candidate generation is always a
+  * bucket join (never an O(n^2) crossJoin), so each scales to 100 TB by
+  * partitioning on the bucket key.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash (hash-groupBy): one row per distinct
+    * normalized text, keeping the smallest id; `dup_count` = group size.
+    * Whitespace/case-normalized so trivially-reformatted copies collapse. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(concat_ws(" ", tokenize(col(textCol)))))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash+LSH near-duplicate pairs: shingle -> minhash signature ->
+    * band keys -> bucket self-join -> signature-estimated Jaccard filter.
+    * Returns `[a, b, est_jaccard]` with a < b.
+    *
+    * Scale: the only shuffle is the explode+groupBy on band keys; each
+    * bucket is tiny for honest thresholds. `bands * rowsPerBand = k`. */
+  def minhashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleLen: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val sigs = docs.select(
+      col(idCol).as("id"),
+      minhash_signature(shingle_hashes(tokenize(col(textCol)), shingleLen), k).as("sig"))
+    val banded = sigs
+      .select(col("id"), col("sig"), explode(lsh_band_keys(col("sig"), bands, rows)).as("band"))
+    val a = banded.select(col("band"), col("id").as("a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("id").as("b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "sig_a", "sig_b")
+      .dropDuplicates("a", "b")
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select("a", "b", "est_jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit sketch, banded into four 16-bit chunks
+    * (any pair within Hamming distance 3 shares at least one exact chunk),
+    * bucket join, exact Hamming verify. Returns `[a, b, hamming]`. */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    val sk = docs.select(col(idCol).as("id"), simhash(tokenize(col(textCol))).as("sk"))
+    val banded = sk.select(col("id"), col("sk"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"), shiftrightunsigned(col("sk"), i * 16)
+          .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("b"))
+      .select(col("id"), col("sk"), col("b.chunk"), col("b.key"))
+    val l = banded.select(col("chunk"), col("key"), col("id").as("a"), col("sk").as("sk_a"))
+    val r = banded.select(col("chunk"), col("key"), col("id").as("b"), col("sk").as("sk_b"))
+    l.join(r, Seq("chunk", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "sk_a", "sk_b")
+      .dropDuplicates("a", "b")
+      .withColumn("hamming", hamming64(col("sk_a"), col("sk_b")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard pairs: candidates share at least one shingle
+    * (inverted-index join on rare shingles), then exact Jaccard over the
+    * distinct shingle sets. Returns `[a, b, jaccard]`.
+    *
+    * `maxShinglePostings` drops ubiquitous shingles from candidate
+    * generation (they only add candidates, never change the verdict of the
+    * exact verify) — the standard scale guard against hot keys. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleLen: Int = 3,
+      threshold: Double = 0.5,
+      maxShinglePostings: Int = 1000): DataFrame = {
+    val sets = docs.select(
+      col(idCol).as("id"),
+      array_distinct(shingle_hashes(tokenize(col(textCol)), shingleLen)).as("shingles"))
+    val posting = sets.select(col("id"), explode(col("shingles")).as("sh"))
+    val rare = posting.groupBy("sh").count().filter(col("count") <= maxShinglePostings)
+    val pruned = posting.join(rare.select("sh"), Seq("sh"), "left_semi")
+    val cands = pruned.select(col("sh"), col("id").as("a"))
+      .join(pruned.select(col("sh"), col("id").as("b")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").dropDuplicates("a", "b")
+    cands
+      .join(sets.select(col("id").as("a"), col("shingles").as("sh_a")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("shingles").as("sh_b")), Seq("b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** Embedding near-duplicate pairs by cosine similarity.
+    *
+    * Candidate generation: sign-bit LSH — project each embedding onto
+    * `nPlanes` seeded pseudo-random hyperplanes (deterministic hash-mixed
+    * coefficients), bucket on the sign bitmask; near-identical vectors
+    * collide. Verify with exact cosine. Brute-force variant below is the
+    * oracle. Returns `[a, b, cosine]`. */
+  def embeddingNearDupPairs(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.95,
+      nPlanes: Int = 8,
+      nTables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = embeddings.select(size(col(vecCol))).as[Int].head()
+    // nTables independent sign-bit sketches of nPlanes each; a pair is a
+    // candidate if it collides in ANY table (standard multi-table LSH
+    // recall amplification: p_collide = 1-(1-c^planes)^tables).
+    val planes: Array[Array[Array[Double]]] = Array.tabulate(nTables) { t =>
+      Array.tabulate(nPlanes) { p =>
+        Array.tabulate(dim) { d =>
+          val h = graft.functions.HashKernels.mix64(seed + (t * 8209L + p) * 131071L + d)
+          h.toDouble / Long.MaxValue.toDouble
+        }
+      }
+    }
+    val bc = spark.sparkContext.broadcast(planes)
+    val sketchUdf = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      val ts = bc.value
+      Array.tabulate(ts.length) { t =>
+        var mask = 0L
+        var p = 0
+        while (p < ts(t).length) {
+          var dot = 0.0; var i = 0
+          val pl = ts(t)(p)
+          while (i < arr.length && i < pl.length) { dot += arr(i) * pl(i); i += 1 }
+          if (dot >= 0) mask |= (1L << p)
+          p += 1
+        }
+        (t.toLong << 32) | mask // table id disambiguates buckets
+      }
+    }
+    val sk = embeddings.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", explode(sketchUdf(col("v"))))
+    val l = sk.select(col("bucket"), col("id").as("a"), col("v").as("va"))
+    val r = sk.select(col("bucket"), col("id").as("b"), col("v").as("vb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "va", "vb")
+      .dropDuplicates("a", "b")
+      .withColumn("cosine", cosine_similarity(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+
+  /** Exact (brute-force) cosine pair scan — O(n^2), oracle for the LSH
+    * variant; only for tests/small inputs. */
+  def embeddingNearDupExact(
+      embeddings: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.95): DataFrame = {
+    val v = embeddings.select(col(idCol).as("a"), col(vecCol).cast("array<double>").as("va"))
+    val w = embeddings.select(col(idCol).as("b"), col(vecCol).cast("array<double>").as("vb"))
+    v.crossJoin(w).filter(col("a") < col("b"))
+      .withColumn("cosine", cosine_similarity(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+}

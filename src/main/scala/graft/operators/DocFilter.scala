@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Porter2
+
+/** Boolean document-filter tree — the engine's query IR for attribute
+  * filtering, mirroring the reference's `DocumentFilter` protobuf surface
+  * (rs/proto/proto/muopdb.proto:83-114) and its planner semantics
+  * (rs/index/src/query/planner.rs:63-129). `NotContains` is declared but
+  * `todo!()` in the reference (planner.rs:120-123); here it is implemented
+  * (anti-join), a strict superset. */
+sealed trait DocFilter
+object DocFilter {
+  final case class And(children: Seq[DocFilter]) extends DocFilter
+  final case class Or(children: Seq[DocFilter]) extends DocFilter
+  /** Text containment: tokenize+stem `value`, AND all token posting lists
+    * (planner.rs:70-119). For keyword fields the whole value is one term. */
+  final case class Contains(field: String, value: String, keyword: Boolean = false) extends DocFilter
+  final case class NotContains(field: String, value: String, keyword: Boolean = false) extends DocFilter
+  /** Literal point-id list (IdsIter; planner.rs:52-54 sorts+dedups at plan
+    * time — Catalyst's OptimizeIn does the same for us). */
+  final case class Ids(pointIds: Seq[Long]) extends DocFilter
+}
+
+/** Compiles a [[DocFilter]] tree against a terms table
+  * `[user_id, term, point_id]` into a DataFrame of matching
+  * `[user_id, point_id]` — the id-set algebra of the reference's iterator
+  * tree (And/Or/Ids/Term, rs/index/src/query/iters/mod.rs:22-27) expressed
+  * as joins/unions that Catalyst plans (hash joins replace galloping
+  * skip_to intersection; the right trade at batch scale, SURVEY §4). */
+object FilterCompiler {
+  private val cols = Seq("user_id", "point_id")
+
+  def queryTerms(field: String, value: String, keyword: Boolean): Seq[String] =
+    if (keyword) Seq(s"$field:$value")
+    else value.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      .map(t => s"$field:${Porter2.stem(t)}")
+
+  /** @param universe all live `[user_id, point_id]` — needed by negations. */
+  def compile(filter: DocFilter, terms: DataFrame, universe: DataFrame): DataFrame = {
+    val spark = terms.sparkSession
+    def empty: DataFrame = universe.limit(0).select(cols.map(col): _*)
+    def go(f: DocFilter): DataFrame = f match {
+      case DocFilter.Ids(ids) =>
+        universe.filter(col("point_id").isin(ids: _*)).select(cols.map(col): _*)
+      case DocFilter.Contains(field, value, kw) =>
+        val qts = queryTerms(field, value, kw)
+        if (qts.isEmpty) empty // empty token stream -> empty result (planner.rs:90-93)
+        else qts.map { t =>
+          terms.filter(col("term") === lit(t)).select(cols.map(col): _*)
+        }.reduce((a, b) => a.join(b, cols, "left_semi")) // AndIter (and_iter.rs:26)
+      case DocFilter.NotContains(field, value, kw) =>
+        universe.select(cols.map(col): _*)
+          .join(go(DocFilter.Contains(field, value, kw)), cols, "left_anti")
+      case DocFilter.And(children) =>
+        if (children.isEmpty) universe.select(cols.map(col): _*)
+        else children.map(go).reduce((a, b) => a.join(b, cols, "left_semi"))
+      case DocFilter.Or(children) =>
+        if (children.isEmpty) empty
+        else children.map(go).reduce(_ unionByName _).dropDuplicates(cols) // OrIter
+    }
+    go(filter).dropDuplicates(cols)
+  }
+}

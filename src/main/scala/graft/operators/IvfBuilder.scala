@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Offline IVF index construction (SURVEY §2.4 A1-A3) — the Spark-native
+  * rebuild of the reference's SpannBuilder path
+  * (rs/index/src/ivf/builder.rs): k-means over a bounded sample, recursive
+  * split of oversized clusters (builder.rs:420-459 `cluster_docs`), then
+  * multi-assignment of every vector to its nearest centroid(s) within
+  * `distance_threshold_pct` of the nearest (builder.rs:292-367).
+  *
+  * Scale posture: centroid training runs on a driver-bounded sample
+  * (reference does the same — `clustering sample` 20k default,
+  * rs/config/src/collection.rs:180); the full-data pass (assignment) is a
+  * single map over the vectors against a broadcast centroid array —
+  * no shuffle, no crossJoin blowup. Oversized-cluster splitting reclusters
+  * each cluster's members inside one task via flatMapGroups, so no cluster
+  * ever needs to fit on the driver.
+  */
+object IvfBuilder {
+
+  final case class BuildParams(
+      numCentroids: Int = 10,
+      maxClustersPerVector: Int = 1,
+      distanceThresholdPct: Double = 0.1,
+      maxPostingListSize: Long = Long.MaxValue,
+      sampleSize: Int = 20000,
+      seed: Long = 42L)
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Plain Lloyd k-means over an in-memory sample (driver/task local).
+    * Deterministic: seeded initial centers, fixed iteration count. */
+  private[operators] def localKMeans(
+      points: Array[Array[Double]], k: Int, seed: Long, iters: Int = 20): Array[Array[Double]] = {
+    if (points.isEmpty) return Array.empty
+    val kk = math.min(k, points.length)
+    val rnd = new scala.util.Random(seed)
+    // k-means++ style seeding, deterministic
+    val centers = new Array[Array[Double]](kk)
+    centers(0) = points(rnd.nextInt(points.length)).clone()
+    var c = 1
+    while (c < kk) {
+      val d2 = points.map(p => (0 until c).map(j => sqDist(p, centers(j))).min)
+      val total = d2.sum
+      var pick = if (total > 0) rnd.nextDouble() * total else 0.0
+      var idx = 0
+      while (idx < points.length - 1 && pick > d2(idx)) { pick -= d2(idx); idx += 1 }
+      centers(c) = points(idx).clone()
+      c += 1
+    }
+    val dim = points(0).length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      var i = 0
+      while (i < points.length) {
+        val p = points(i)
+        var best = 0; var bestD = Double.MaxValue; var j = 0
+        while (j < kk) { val d = sqDist(p, centers(j)); if (d < bestD) { bestD = d; best = j }; j += 1 }
+        val s = sums(best); var t = 0
+        while (t < dim) { s(t) += p(t); t += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < kk) {
+        if (counts(j) > 0) {
+          val s = sums(j); var t = 0
+          while (t < dim) { s(t) /= counts(j); t += 1 }
+          centers(j) = s
+        }
+        j += 1
+      }
+      it += 1
+    }
+    centers.filter(_ != null)
+  }
+
+  /** Nearest-centroid ids for one vector under the multi-assignment rule
+    * (builder.rs:292-367): all centroids with dist <= nearest * (1 + pct),
+    * capped at maxClustersPerVector, nearest first. */
+  private def assignOne(
+      v: Array[Double], centers: Array[Array[Double]], maxC: Int, pct: Double): Array[Int] = {
+    val dists = new Array[Double](centers.length)
+    var j = 0
+    while (j < centers.length) { dists(j) = sqDist(v, centers(j)); j += 1 }
+    val order = dists.zipWithIndex.sortBy { case (d, i) => (d, i) }
+    val lim = math.sqrt(order.head._1) * (1.0 + pct)
+    order.take(maxC).filter { case (d, _) => math.sqrt(d) <= lim }.map(_._2)
+  }
+
+  /** Train centroids: sample -> k-means -> iterative split of clusters
+    * whose posting list would exceed maxPostingListSize.
+    * Returns centroids DataFrame `[centroid_id, vector: array<double>]`. */
+  def buildCentroids(vectors: DataFrame, params: BuildParams): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+
+    val n = vectors.count()
+    if (n == 0)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("centroid_id", IntegerType, false),
+          StructField("vector", ArrayType(DoubleType, false), false))))
+
+    val frac = math.min(1.0, params.sampleSize.toDouble * 1.2 / n)
+    val sample = vectors.select(col("vector").cast("array<double>"))
+      .sample(withReplacement = false, frac, params.seed)
+      .limit(params.sampleSize)
+      .as[Seq[Double]].collect().map(_.toArray)
+
+    var centers: Array[Array[Double]] =
+      localKMeans(sample, params.numCentroids, params.seed)
+
+    // Balanced split loop (A2): any cluster with > maxPostingListSize
+    // members is re-clustered into ceil(size/max) parts from its own
+    // members, inside the task that holds that cluster's rows.
+    if (params.maxPostingListSize != Long.MaxValue) {
+      var rounds = 0
+      var done = false
+      while (!done && rounds < 8) {
+        val bc = spark.sparkContext.broadcast(centers)
+        val maxC = params.maxClustersPerVector
+        val pct = params.distanceThresholdPct
+        val seed = params.seed
+        val maxSize = params.maxPostingListSize
+        // nearest-only assignment for sizing
+        val assigned = vectors.select(col("vector").cast("array<double>").as("v"))
+          .as[Seq[Double]]
+          .map { v => (assignOne(v.toArray, bc.value, 1, 0.0).head, v) }
+          .toDF("cid", "v")
+        val sizes = assigned.groupBy("cid").count()
+        val oversized = sizes.filter(col("count") > maxSize).select("cid").as[Int].collect().toSet
+        if (oversized.isEmpty) done = true
+        else {
+          val replacement: Array[Array[Double]] = assigned
+            .filter(col("cid").isin(oversized.toSeq: _*))
+            .as[(Int, Seq[Double])]
+            .groupByKey(_._1)
+            .flatMapGroups { (cid, rows) =>
+              // Cluster members are bounded (they were one posting list);
+              // sample defensively to cap task memory.
+              val pts = rows.map(_._2.toArray).take(4 * maxSize.toInt).toArray
+              val parts = math.max(2, math.ceil(pts.length.toDouble / maxSize).toInt)
+              localKMeans(pts, parts, seed + cid).iterator.map(_.toSeq)
+            }.collect().map(_.toArray)
+          centers = centers.zipWithIndex.filterNot { case (_, i) => oversized(i) }.map(_._1) ++
+            replacement
+          rounds += 1
+        }
+        bc.destroy()
+      }
+    }
+
+    centers.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("centroid_id", "vector")
+  }
+
+  /** Full-data assignment pass: one narrow map against broadcast centroids,
+    * exploding to `[user_id, centroid_id, point_id]` postings. */
+  def buildPostings(vectors: DataFrame, centroids: DataFrame, params: BuildParams): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val centers = centroids.orderBy("centroid_id")
+      .select(col("vector").cast("array<double>")).as[Seq[Double]]
+      .collect().map(_.toArray)
+    val ids = centroids.orderBy("centroid_id").select("centroid_id").as[Int].collect()
+    val bc = spark.sparkContext.broadcast((centers, ids))
+    val maxC = params.maxClustersPerVector
+    val pct = params.distanceThresholdPct
+    val assignUdf = udf { (v: Seq[Double]) =>
+      val (cs, cids) = bc.value
+      if (cs.isEmpty) Array.empty[Int]
+      else assignOne(v.toArray, cs, maxC, pct).map(cids)
+    }
+    vectors
+      .withColumn("centroid_id",
+        explode(assignUdf(col("vector").cast("array<double>"))))
+      .select("user_id", "centroid_id", "point_id")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Search parameters (rs/config/src/search_params.rs:11-23): `nprobe`
+  * defaults to `topK` (num_explored_centroids), ratio pruning keeps
+  * centroids with dist <= min * (1 + centroidDistanceRatio). */
+final case class SearchParams(
+    topK: Int = 10,
+    numExploredCentroids: Option[Int] = None,
+    centroidDistanceRatio: Double = 0.1) {
+  def nprobe: Int = numExploredCentroids.getOrElse(topK)
+}
+
+/** The read-path pipelines of the engine.
+  *
+  * Result ordering everywhere: (score asc NaN-last, doc_id asc) — the
+  * reference's `IdWithScore: Ord` (rs/index/src/utils.rs:95-117). Spark
+  * treats NaN as greater than any double in ordering, which matches.
+  */
+object Search {
+
+  private def scoreOrder: Seq[Column] = Seq(col("score").asc, col("doc_id").asc)
+
+  /** Brute-force exact top-k (J5 — the mutable/pending-segment path,
+    * rs/index/src/segment/pending_segment.rs:286). Distributed partial
+    * top-k: Catalyst plans orderBy+limit as TakeOrderedAndProject
+    * (per-partition heap, then merge on the driver) — no full sort. */
+  def bruteForce(
+      vectors: DataFrame,
+      query: Seq[Double],
+      k: Int,
+      userIds: Seq[Long] = Nil,
+      filterPoints: Option[DataFrame] = None,
+      tombstones: Option[DataFrame] = None): DataFrame = {
+    var df = vectors
+    if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
+    for (t <- tombstones)
+      df = df.join(broadcast(t.select("user_id", "doc_id")), Seq("user_id", "doc_id"), "left_anti")
+    for (fp <- filterPoints)
+      df = df.join(fp.select("user_id", "point_id"), Seq("user_id", "point_id"), "left_semi")
+    df.withColumn("score", l2_distance(col("vector"), vec(query)))
+      .orderBy(scoreOrder: _*)
+      .limit(k)
+      .select("user_id", "doc_id", "score")
+  }
+
+  /** SPANN search (K2, rs/index/src/spann/index.rs:211-266):
+    * stage 1 — score the (small) centroid table, keep the nprobe nearest
+    * within the distance ratio (spann/index.rs:233-246);
+    * stage 2 — probe those posting lists (J2: broadcast join), fetch
+    * vectors (J1 remap), drop tombstones (F10), apply the attribute filter
+    * (F8/J4 semi-join), score, global top-k.
+    *
+    * The centroid stage replaces the reference's HNSW-over-centroids with
+    * an exact scan: centroid cardinality is ~sqrt(N) and the scan is a
+    * broadcast-size DataFrame, so exact beats approximate here (SURVEY
+    * §2.5 K1). `nprobe >= |centroids|` degrades to exact search — used as
+    * the oracle knob in tests. */
+  def spann(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      postings: DataFrame,
+      query: Seq[Double],
+      params: SearchParams = SearchParams(),
+      userIds: Seq[Long] = Nil,
+      filterPoints: Option[DataFrame] = None,
+      tombstones: Option[DataFrame] = None): DataFrame = {
+
+    // Stage 1: choose centroids. Small table -> single-stage local top-k.
+    val scored = centroids
+      .withColumn("cdist", l2_distance(col("vector"), vec(query)))
+      .orderBy(col("cdist").asc, col("centroid_id").asc)
+      .limit(params.nprobe)
+    val minDist = min(col("cdist")).over()
+    val chosen = scored
+      .withColumn("mind", minDist)
+      .filter(col("cdist") <= col("mind") * (1.0 + params.centroidDistanceRatio))
+      .select("centroid_id")
+
+    // Stage 2: probe posting lists of chosen centroids.
+    var cand = postings.join(broadcast(chosen), Seq("centroid_id"))
+    if (userIds.nonEmpty) cand = cand.filter(col("user_id").isin(userIds: _*))
+    var df = cand
+      .select("user_id", "point_id")
+      .dropDuplicates("user_id", "point_id") // multi-assignment lists overlap
+      .join(vectors, Seq("user_id", "point_id"))
+    for (t <- tombstones)
+      df = df.join(broadcast(t.select("user_id", "doc_id")), Seq("user_id", "doc_id"), "left_anti")
+    for (fp <- filterPoints)
+      df = df.join(fp.select("user_id", "point_id"), Seq("user_id", "point_id"), "left_semi")
+    df.withColumn("score", l2_distance(col("vector"), vec(query)))
+      .orderBy(scoreOrder: _*)
+      .limit(params.topK)
+      .select("user_id", "doc_id", "score")
+  }
+
+  /** Pure term/keyword search (§3.3): filter -> point ids -> doc ids,
+    * sort + dedup + limit (rs/index/src/collection/snapshot.rs:114-147). */
+  def termSearch(
+      terms: DataFrame,
+      idMap: DataFrame, // [user_id, point_id, doc_id]
+      filter: DocFilter,
+      limit: Int,
+      userIds: Seq[Long] = Nil,
+      tombstones: Option[DataFrame] = None): DataFrame = {
+    var t = terms
+    if (userIds.nonEmpty) t = t.filter(col("user_id").isin(userIds: _*))
+    val pts = FilterCompiler.compile(filter, t, idMap.select("user_id", "point_id"))
+    var docs = pts.join(idMap, Seq("user_id", "point_id")).select("user_id", "doc_id")
+    for (tb <- tombstones)
+      docs = docs.join(broadcast(tb.select("user_id", "doc_id")), Seq("user_id", "doc_id"), "left_anti")
+    docs.dropDuplicates("user_id", "doc_id").orderBy("doc_id").limit(limit)
+  }
+}

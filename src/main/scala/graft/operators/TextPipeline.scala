@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators over a documents table — the language-ID /
+  * quality / token-count / fingerprint surface of a training-data
+  * pipeline. All-native expressions except language-ID (per-row UDF). */
+object TextPipeline {
+
+  /** Per-document token statistics (all native, single pass). */
+  def tokenStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      token_count_ws(col(textCol)).as("n_tokens_ws"),
+      token_count_bpe(col(textCol)).as("n_tokens_bpe"),
+      round(mean_token_len(col(textCol)), 4).as("mean_token_len"),
+      round(alpha_ratio(col(textCol)), 4).as("alpha_ratio"),
+      round(punct_ratio(col(textCol)), 4).as("punct_ratio"),
+      round(stopword_ratio(col(textCol)), 4).as("stopword_ratio"))
+
+  /** Quality scoring: components + composite heuristic score. */
+  def qualityScores(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      quality_score(col(textCol)).as("quality"),
+      length(col(textCol)).as("n_chars"))
+
+  /** Language identification (script vote + stopword profiles). */
+  def languages(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), lang_id(col(textCol)).as("lang_pred"))
+
+  /** Content fingerprints: rolling hash (engine-native) + md5 of the
+    * normalized text (cross-engine checkable). */
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      doc_fingerprint(col(textCol)).as("fingerprint"),
+      md5(concat_ws(" ", tokenize(col(textCol)))).as("content_md5"))
+}
