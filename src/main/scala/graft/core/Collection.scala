@@ -152,7 +152,9 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     val vectors = rows
       .withColumn("point_id", row_number().over(w))
       .persist()
-    vectors.select("user_id", "doc_id", "point_id", "vector")
+    // Full rows (attrs included) persist in the vectors table so merge /
+    // vacuum can rebuild the term index without a separate attrs store.
+    vectors
       .repartition(col("user_id"))
       .sortWithinPartitions("user_id", "point_id") // M4 locality reindex
       .write.mode("overwrite").parquet(s"${segPath(seg)}/vectors")

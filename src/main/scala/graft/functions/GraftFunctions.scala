@@ -194,11 +194,11 @@ object GraftFunctions {
   /** Register the SQL-callable subset with the session function registry. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("l2_distance", es => L2Distance(es(0), es(1)), "graft")
-    reg.createOrReplaceTempFunction("l2_distance_squared", es => L2DistanceSquared(es(0), es(1)), "graft")
-    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "graft")
-    reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "graft")
-    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es(0)), "graft")
-    reg.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es(0)), "graft")
+    reg.createOrReplaceTempFunction("l2_distance", es => L2Distance(es(0), es(1)), "internal")
+    reg.createOrReplaceTempFunction("l2_distance_squared", es => L2DistanceSquared(es(0), es(1)), "internal")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "internal")
+    reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "internal")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es(0)), "internal")
+    reg.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es(0)), "internal")
   }
 }

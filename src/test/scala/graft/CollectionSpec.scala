@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.{AttrField, Collection, CollectionConfig, Toc}
+import graft.operators.{DocFilter, SearchParams}
+
+/** Collection lifecycle: insert -> flush -> search -> delete -> merge ->
+  * vacuum, with TOC versioning (reference write path §3.2; FIXTURES.md
+  * §1.2-§1.5). */
+class CollectionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpBase(): String =
+    Files.createTempDirectory("graft_coll").toString
+
+  private val config = CollectionConfig(
+    name = "c1", numFeatures = 4, initialNumCentroids = 10,
+    attributeSchema = Seq(AttrField("content", "text", "english")))
+
+  private def lineRows(n: Int) = (0 until n).map { i =>
+    val content =
+      if (i == 1) "long running connections with external services"
+      else if (i == 2) "running shoes and other gear"
+      else s"document number $i"
+    (0L, i.toLong, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble), content)
+  }.toDF("user_id", "doc_id", "vector", "content")
+
+  test("insert -> flush -> golden search; read-your-writes before flush") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    coll.insert(lineRows(1000))
+
+    // before flush: brute-force tail serves the query (R5)
+    val pre = coll.snapshot().search(Seq(2.4, 3.4, 4.4, 5.4), SearchParams(topK = 2))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(pre === Seq(4L, 3L))
+
+    assert(coll.flush().contains("seg_1"))
+    assert(coll.flush().isEmpty) // idempotent on empty tail
+
+    val post = coll.snapshot().search(Seq(2.4, 3.4, 4.4, 5.4),
+      SearchParams(topK = 2, numExploredCentroids = Some(10)))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(post === Seq(4L, 3L))
+  }
+
+  test("hybrid search with text filter; term search; NotContains") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    coll.insert(lineRows(100))
+    coll.flush()
+    val snap = coll.snapshot()
+
+    // hybrid: 'running connections' stems to run+connect -> only doc 1
+    val hybrid = snap.search(Seq(2.4, 3.4, 4.4, 5.4),
+      SearchParams(topK = 10, numExploredCentroids = Some(10)),
+      filter = Some(DocFilter.Contains("content", "running connections")))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(hybrid === Seq(1L))
+
+    val ts = snap.termSearch(DocFilter.Contains("content", "running"), limit = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ts === Seq(1L, 2L))
+
+    val not = snap.termSearch(DocFilter.And(Seq(
+      DocFilter.Contains("content", "running"),
+      DocFilter.NotContains("content", "connections"))), limit = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(not === Seq(2L))
+  }
+
+  test("delete excludes docs; vacuum rewrites; merge compacts two segments") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    coll.insert(lineRows(500))
+    coll.flush()
+    coll.insert((500 until 1000).map { i =>
+      (0L, i.toLong, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble), s"doc $i")
+    }.toDF("user_id", "doc_id", "vector", "content"))
+    coll.flush()
+    assert(coll.toc.segments.size === 2)
+    assert(coll.toc.version === 2L)
+
+    // delete doc 4 -> golden query returns [3,5]
+    coll.delete(Seq((0L, 4L)).toDF("user_id", "doc_id"))
+    def top2 = coll.snapshot().search(Seq(2.4, 3.4, 4.4, 5.4),
+      SearchParams(topK = 2, numExploredCentroids = Some(10)))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(top2 === Seq(3L, 5L))
+
+    // merge: one segment, same answers, version bumped
+    assert(coll.merge().isDefined)
+    assert(coll.toc.segments.size === 1)
+    assert(top2 === Seq(3L, 5L))
+    // cross-segment search result count preserved after merge
+    val all = coll.snapshot().search(Seq(700.0, 700.0, 700.0, 700.0),
+      SearchParams(topK = 3, numExploredCentroids = Some(10)))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(all === Seq(700L, 699L, 701L))
+  }
+
+  test("TOC versions are monotone and atomic") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    assert(coll.toc.version === 0L)
+    coll.insert(lineRows(50))
+    coll.flush()
+    val t = Toc.read(coll.path)
+    assert(t.version === 1L && t.segments === Seq("seg_1") && t.lastFlushedBatch === 0L)
+  }
+}

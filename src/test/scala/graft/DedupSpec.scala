@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup-family operator semantics on planted duplicates. */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base), // exact dup of 0
+    (2L, "  THE quick   brown fox jumps over the lazy dog again and again today "), // normalized dup
+    (3L, base.replace("dog", "cat")), // near dup
+    (4L, "completely unrelated content about spark query engines and columnar formats"),
+    (5L, "another text with no overlap whatsoever discussing benchmark results only")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates") {
+    val got = Dedup.exact(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap // keep_id -> dup_count
+    assert(got(0L) === 3L) // docs 0,1,2 collapse
+    assert(got.values.sum === 6L)
+  }
+
+  test("minhash LSH finds planted near-dups and not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, shingleLen = 2, k = 64, bands = 32, threshold = 0.3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || b == 5L || a == 4L || a == 5L })
+  }
+
+  test("simhash near-dup pairs: exact dups at distance 0") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((0L, 1L)) === 0)
+    assert(pairs((0L, 2L)) === 0) // same token bag after normalization
+  }
+
+  test("ngram jaccard: exact value for a hand-computable pair") {
+    val two = Seq((0L, "a b c d"), (1L, "a b c e")).toDF("doc_id", "text")
+    // 2-shingles: {ab,bc,cd} vs {ab,bc,ce}: intersection 2, union 4 -> 0.5
+    val got = Dedup.ngramJaccardPairs(two, shingleLen = 2, threshold = 0.4)
+      .select("jaccard").head().getDouble(0)
+    assert(math.abs(got - 0.5) < 1e-12)
+  }
+
+  test("embedding LSH near-dup recalls the exact pairs on clustered data") {
+    val emb = (0 until 60).map { i =>
+      val cluster = i % 3
+      val v = (0 until 16).map { d =>
+        val centre = if (d % 3 == cluster) 1.0 else 0.0
+        centre + 0.01 * ((i * 31 + d * 17) % 7 - 3) // tiny deterministic jitter
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupExact(emb, threshold = 0.99)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupPairs(emb, threshold = 0.99)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact)) // verify step guarantees precision
+    assert(lsh.size >= (exact.size * 9) / 10) // >=90% recall on near-identical vectors
+  }
+}

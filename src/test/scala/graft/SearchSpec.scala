@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Search-pipeline semantics on the reference's own fixture: line vectors
+  * [i,i,i,i], query [2.4,3.4,4.4,5.4] => doc_ids [4,3]
+  * (rs/index/src/spann/index.rs:330-365; FIXTURES.md §1.2). */
+class SearchSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val lineVectors = (0 until 1000).map { i =>
+    (0L, i.toLong, i.toLong + 1, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble))
+  }.toDF("user_id", "doc_id", "point_id", "vector")
+
+  private val query = Seq(2.4, 3.4, 4.4, 5.4)
+
+  test("brute force: golden neighbors [4,3]") {
+    val got = Search.bruteForce(lineVectors, query, k = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(4L, 3L))
+  }
+
+  test("IVF probe-all equals brute force (recall 1.0 oracle knob)") {
+    val params = IvfBuilder.BuildParams(numCentroids = 10, seed = 7L)
+    val centroids = IvfBuilder.buildCentroids(lineVectors, params)
+    val postings = IvfBuilder.buildPostings(lineVectors, centroids, params)
+    val nc = centroids.count().toInt
+    val got = Search.spann(lineVectors, centroids, postings, query,
+      SearchParams(topK = 10, numExploredCentroids = Some(nc), centroidDistanceRatio = 1e9))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val oracle = Search.bruteForce(lineVectors, query, k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === oracle)
+  }
+
+  test("SPANN with default pruning still finds the golden neighbors") {
+    val params = IvfBuilder.BuildParams(numCentroids = 10, seed = 7L)
+    val centroids = IvfBuilder.buildCentroids(lineVectors, params)
+    val postings = IvfBuilder.buildPostings(lineVectors, centroids, params)
+    val got = Search.spann(lineVectors, centroids, postings, query,
+      SearchParams(topK = 2, numExploredCentroids = Some(2)))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(4L, 3L))
+  }
+
+  test("every point lands in at least one posting list (builder invariant)") {
+    val params = IvfBuilder.BuildParams(numCentroids = 10, seed = 7L)
+    val centroids = IvfBuilder.buildCentroids(lineVectors, params)
+    val postings = IvfBuilder.buildPostings(lineVectors, centroids, params)
+    assert(postings.select("point_id").distinct().count() === 1000L)
+  }
+
+  test("balanced split caps posting-list size") {
+    val params = IvfBuilder.BuildParams(
+      numCentroids = 2, maxPostingListSize = 200, sampleSize = 1000, seed = 7L)
+    val centroids = IvfBuilder.buildCentroids(lineVectors, params)
+    val postings = IvfBuilder.buildPostings(lineVectors, centroids, params)
+    val maxSize = postings.groupBy("centroid_id").count()
+      .agg(max("count")).head().getLong(0)
+    // multi-assignment can overshoot slightly; nearest-only sizing is capped
+    assert(centroids.count() >= 5) // 1000/200
+    assert(maxSize <= 400) // 2x slack for threshold multi-assignment
+  }
+
+  test("tombstones excluded, filter semi-join applied, NaN-last ordering") {
+    val tomb = Seq((0L, 4L)).toDF("user_id", "doc_id")
+    val got = Search.bruteForce(lineVectors, query, k = 2, tombstones = Some(tomb))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(3L, 5L)) // 4 tombstoned; next best are 3 (8.24) then 5 (9.84)
+
+    val fp = Seq((0L, 8L), (0L, 9L)).toDF("user_id", "point_id") // docs 7,8
+    val got2 = Search.bruteForce(lineVectors, query, k = 2, filterPoints = Some(fp))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got2 === Seq(7L, 8L))
+  }
+
+  test("multi-user: results restricted to requested users") {
+    val mu = (0 until 100).map { i =>
+      ((i % 5).toLong, i.toLong, (i / 5).toLong + 1,
+        Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble))
+    }.toDF("user_id", "doc_id", "point_id", "vector")
+    val got = Search.bruteForce(mu, Seq(0.0, 0.0, 0.0, 0.0), k = 3, userIds = Seq(2L))
+      .select("user_id", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.forall(_._1 == 2L))
+    assert(got.map(_._2) === Seq(2L, 7L, 12L))
+  }
+}
