@@ -266,6 +266,14 @@ object SparkEntry {
       T(s, d, "documents").select(
         col("doc_id"), doc_fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
+    "q35_pq_ann" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val model = ProductQuantizer.train(emb, "embedding", numSubvectors = 16, numBits = 8)
+      val encoded = emb.withColumn("pq_codes",
+        ProductQuantizer.encodeCol(model, col("embedding")))
+      ProductQuantizer.topK(encoded, model, q0(s, d), k = 10, rerank = 100)
+        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+    }),
     "q34_multimodal" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 200))
         .select(col("media_id"), col("kind"),

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.{AttrField, Collection, CollectionConfig}
+import graft.operators.SearchParams
+import graft.streaming.StreamingIngest
+
+/** Streaming ingest: WAL-ish micro-batches, auto-flush policy,
+  * read-your-writes (SURVEY §2.9 R1-R7). */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("memory stream -> ingest -> auto-flush at maxPendingOps -> search") {
+    val base = Files.createTempDirectory("graft_stream").toString
+    val cp = Files.createTempDirectory("graft_cp").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "s1", numFeatures = 4, initialNumCentroids = 4,
+      maxPendingOps = 100L,
+      attributeSchema = Seq(AttrField("content", "text", "english"))))
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Seq[Double], String)]
+    val rows = stream.toDF().toDF("user_id", "doc_id", "vector", "content")
+    val q = StreamingIngest.start(rows, coll, cp, Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      def batch(from: Int, until: Int) = (from until until).map { i =>
+        (0L, i.toLong, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble), s"doc number $i")
+      }
+      stream.addData(batch(0, 80))
+      q.processAllAvailable()
+      // 80 < maxPendingOps: nothing flushed, but read-your-writes serves it
+      assert(coll.toc.segments.isEmpty)
+      val pre = coll.snapshot().search(Seq(2.4, 3.4, 4.4, 5.4), SearchParams(topK = 2))
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(pre === Seq(4L, 3L))
+
+      stream.addData(batch(80, 160))
+      q.processAllAvailable()
+      // 160 >= 100: auto-flush built a segment
+      assert(coll.toc.segments.size === 1)
+      val post = coll.snapshot().search(Seq(150.0, 150.0, 150.0, 150.0),
+        SearchParams(topK = 2, numExploredCentroids = Some(4)))
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(post === Seq(150L, 149L))
+    } finally q.stop()
+  }
+
+  test("event-time windowed aggregation with watermark (engine capability beyond reference)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = stream.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      stream.addData(Seq((t(1), "click", 1.0), (t(2), "click", 2.0), (t(7), "view", 5.0)))
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .select(col("window.start").cast("string"), col("event_type"), col("cnt"), col("sv"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === Set(
+        ("2024-01-01 10:00:00", "click", 2L, 3.0),
+        ("2024-01-01 10:05:00", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+}
