@@ -268,7 +268,8 @@ object SparkEntry {
         .orderBy("doc_id")),
     "q35_pq_ann" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
-      val model = ProductQuantizer.train(emb, "embedding", numSubvectors = 16, numBits = 8)
+      val model = ProductQuantizer.train(emb, "embedding", numSubvectors = 16,
+        numBits = 6, sampleSize = 5000)
       val encoded = emb.withColumn("pq_codes",
         ProductQuantizer.encodeCol(model, col("embedding")))
       ProductQuantizer.topK(encoded, model, q0(s, d), k = 10, rerank = 100)

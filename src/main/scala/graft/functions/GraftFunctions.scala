@@ -52,12 +52,10 @@ object GraftFunctions {
 
   // ---- shingles / minhash / simhash (training-data dedup surface) ----
 
-  /** 64-bit hashes of word n-gram shingles of a token array. */
+  /** 64-bit hashes of word n-gram shingles of a token array (one-pass
+    * codegen kernel; see [[ShingleHashes]]). */
   def shingle_hashes(tokens: Column, n: Int): Column =
-    when(size(tokens) < n, array(xxhash64(concat_ws(" ", tokens))))
-      .otherwise(transform(
-        sequence(lit(0), size(tokens) - n),
-        i => xxhash64(concat_ws(" ", slice(tokens, i + 1, lit(n))))))
+    col(ShingleHashes(ex(tokens), n))
 
   /** k-slot MinHash signature of a shingle-hash array. */
   def minhash_signature(shingles: Column, k: Int, seed: Long = 42L): Column =

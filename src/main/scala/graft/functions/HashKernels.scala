@@ -13,6 +13,34 @@ object HashKernels {
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
+
+  /** Polynomial byte hash (base 1000003). */
+  final def polyHash(bytes: Array[Byte]): Long = {
+    var h = 0L; var i = 0
+    while (i < bytes.length) { h = h * 1000003L + (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** Order-sensitive combine of each n-window of element hashes; one slot
+    * for the whole array when it is shorter than n. */
+  final def combineWindows(th: Array[Long], n: Int): Array[Long] = {
+    val len = th.length
+    if (len < n) {
+      var acc = 1125899906842597L; var i = 0
+      while (i < len) { acc = mix64(acc ^ (th(i) * 0x9e3779b97f4a7c15L)); i += 1 }
+      Array(acc)
+    } else {
+      val out = new Array[Long](len - n + 1)
+      var s = 0
+      while (s <= len - n) {
+        var acc = 1125899906842597L; var j = 0
+        while (j < n) { acc = mix64(acc ^ (th(s + j) * 0x9e3779b97f4a7c15L)); j += 1 }
+        out(s) = acc
+        s += 1
+      }
+      out
+    }
+  }
 }
 
 /** MinHash signature of a set of 64-bit element hashes.
@@ -65,6 +93,51 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** One-pass word n-gram shingle hasher: hash each token (polynomial over
+  * UTF-8 bytes + splitmix finalizer), then combine each window of n
+  * consecutive token hashes order-sensitively. Output has
+  * max(1, len - n + 1) slots. Replaces the compositional
+  * slice+concat+xxhash formulation, which is O(len * n) with per-position
+  * string allocation — this is O(len) with zero allocation per shingle. */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1 && n <= 64, s"shingle length out of range: $n")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val th = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      th(i) = HashKernels.mix64(HashKernels.polyHash(
+        arr.getUTF8String(i).getBytes))
+      i += 1
+    }
+    new GenericArrayData(HashKernels.combineWindows(th, n))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val hk = "graft.functions.HashKernels"
+      val len = ctx.freshName("len"); val th = ctx.freshName("th"); val i = ctx.freshName("i")
+      s"""
+         |int $len = $a.numElements();
+         |long[] $th = new long[$len];
+         |for (int $i = 0; $i < $len; $i++) {
+         |  $th[$i] = $hk.mix64($hk.polyHash($a.getUTF8String($i).getBytes()));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $hk.combineWindows($th, $n));
        """.stripMargin
     })
 

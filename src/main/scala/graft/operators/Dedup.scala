@@ -39,14 +39,19 @@ object Dedup {
     val sigs = docs.select(
       col(idCol).as("id"),
       minhash_signature(shingle_hashes(tokenize(col(textCol)), shingleLen), k).as("sig"))
+    // Bucket join on (id, band) only; signatures re-attached to the (much
+    // smaller) deduped candidate set afterwards instead of riding the
+    // band shuffle.
     val banded = sigs
-      .select(col("id"), col("sig"), explode(lsh_band_keys(col("sig"), bands, rows)).as("band"))
-    val a = banded.select(col("band"), col("id").as("a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("id").as("b"), col("sig").as("sig_b"))
+      .select(col("id"), explode(lsh_band_keys(col("sig"), bands, rows)).as("band"))
+    val a = banded.select(col("band"), col("id").as("a"))
+    val b = banded.select(col("band"), col("id").as("b"))
     a.join(b, Seq("band"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "sig_a", "sig_b")
+      .select("a", "b")
       .dropDuplicates("a", "b")
+      .join(sigs.select(col("id").as("a"), col("sig").as("sig_a")), Seq("a"))
+      .join(sigs.select(col("id").as("b"), col("sig").as("sig_b")), Seq("b"))
       .withColumn("est_jaccard",
         aggregate(
           zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
@@ -100,14 +105,21 @@ object Dedup {
     val posting = sets.select(col("id"), explode(col("shingles")).as("sh"))
     val rare = posting.groupBy("sh").count().filter(col("count") <= maxShinglePostings)
     val pruned = posting.join(rare.select("sh"), Seq("sh"), "left_semi")
-    val cands = pruned.select(col("sh"), col("id").as("a"))
+    // |A ∩ B| falls straight out of the posting join as a pair count — no
+    // need to ship the shingle arrays through the shuffle; with set sizes
+    // joined in afterwards, J = c / (|A| + |B| - c) exactly.
+    // Dropped shingles (> maxShinglePostings) shrink the computed overlap,
+    // never grow it — the guard trades recall on pathological hot keys.
+    val coCounts = pruned.select(col("sh"), col("id").as("a"))
       .join(pruned.select(col("sh"), col("id").as("b")), Seq("sh"))
       .filter(col("a") < col("b"))
-      .select("a", "b").dropDuplicates("a", "b")
-    cands
-      .join(sets.select(col("id").as("a"), col("shingles").as("sh_a")), Seq("a"))
-      .join(sets.select(col("id").as("b"), col("shingles").as("sh_b")), Seq("b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val sizes = sets.select(col("id"), size(col("shingles")).as("n"))
+    coCounts
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }

@@ -95,9 +95,12 @@ object ProductQuantizer {
     require(dim % numSubvectors == 0, s"dim $dim not divisible by m=$numSubvectors")
     val subDim = dim / numSubvectors
     val k = 1 << numBits
-    val codebooks = Array.tabulate(numSubvectors) { j =>
+    // subvector codebooks are independent -> train them in parallel
+    // (rayon par_iter in the reference, pq_builder.rs; here JDK streams)
+    val codebooks = new Array[Array[Array[Double]]](numSubvectors)
+    java.util.stream.IntStream.range(0, numSubvectors).parallel().forEach { j =>
       val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
-      IvfBuilder.localKMeans(subs, k, seed + j)
+      codebooks(j) = IvfBuilder.localKMeans(subs, k, seed + j, iters = 10)
     }
     Model(dim, numSubvectors, codebooks)
   }
