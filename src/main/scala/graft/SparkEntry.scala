@@ -266,6 +266,15 @@ object SparkEntry {
       T(s, d, "documents").select(
         col("doc_id"), doc_fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
+    "q36_sessionize" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = T(s, d, "events")
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"))
+      Sessionize.batch(ev, gapMinutes = 30)
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("start_us"), col("end_us"))
+        .orderBy("user_id", "session_idx")
+    }),
     "q35_pq_ann" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val model = ProductQuantizer.train(emb, "embedding", numSubvectors = 16,
@@ -400,6 +409,20 @@ object SparkEntry {
           WHERE a.doc_id < b.doc_id
             AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
           ORDER BY a, b""",
+    "q36_sessionize" ->
+      """SELECT user_id, session_idx, count(*) AS n_events,
+           min(us) AS start_us, max(us) AS end_us
+         FROM (
+           SELECT user_id, us,
+             CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+           FROM (
+             SELECT user_id, event_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+             FROM events) t1) t2
+         GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
     "q26_embed_neardup" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])::DOUBLE, 4) AS cosine

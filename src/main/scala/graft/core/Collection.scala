@@ -113,9 +113,31 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
   }
 
   /** Delete (user_id, doc_id) pairs -> tombstones (R6; anti-joined at read,
-    * physically dropped by vacuum). */
-  def delete(pairs: DataFrame): Unit =
-    pairs.select("user_id", "doc_id").write.mode("append").parquet(tombPath)
+    * physically dropped by vacuum). Pairs that no live segment's bloom
+    * filter may contain are dropped before writing — the reference's
+    * per-segment bloom short-circuit for deletes (F9,
+    * rs/index/src/segment/mod.rs:34-37). */
+  def delete(pairs: DataFrame): Unit = {
+    val blooms = toc.segments.flatMap(readBloom)
+    val filtered =
+      if (blooms.isEmpty) pairs
+      else {
+        val bc = spark.sparkContext.broadcast(blooms)
+        val mayContain = udf { (docId: Long) => bc.value.exists(_.mightContainLong(docId)) }
+        pairs.filter(mayContain(col("doc_id")))
+      }
+    filtered.select("user_id", "doc_id").write.mode("append").parquet(tombPath)
+  }
+
+  private def readBloom(seg: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val p = Paths.get(segPath(seg), "bloom.bin")
+    if (!Files.exists(p)) None
+    else {
+      val in = Files.newInputStream(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      finally in.close()
+    }
+  }
 
   def tombstones: Option[DataFrame] =
     if (Files.exists(Paths.get(tombPath))) Some(spark.read.parquet(tombPath)) else None
@@ -154,10 +176,20 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       .persist()
     // Full rows (attrs included) persist in the vectors table so merge /
     // vacuum can rebuild the term index without a separate attrs store.
+    // Parquet-level bloom on doc_id gives row-group skipping on top of the
+    // segment-level bloom below.
     vectors
       .repartition(col("user_id"))
       .sortWithinPartitions("user_id", "point_id") // M4 locality reindex
-      .write.mode("overwrite").parquet(s"${segPath(seg)}/vectors")
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .parquet(s"${segPath(seg)}/vectors")
+
+    // Segment-level blocked bloom over doc_id (F9; fpr from config mirror
+    // rs/config/src/collection.rs:146-149) for the delete short-circuit.
+    val bloom = vectors.stat.bloomFilter("doc_id", math.max(1000L, vectors.count()), 0.01)
+    val out = Files.newOutputStream(Paths.get(segPath(seg), "bloom.bin"))
+    try bloom.writeTo(out) finally out.close()
 
     val params = IvfBuilder.BuildParams(
       numCentroids = config.initialNumCentroids,
@@ -217,6 +249,16 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     buildSegment(rows, seg)
     Toc.write(path, Toc(t.version + 1, Seq(seg), t.lastFlushedBatch))
     Some(seg)
+  }
+
+  /** Auto-optimizer policy (M3, rs/index/src/optimizers/engine.rs:27-60;
+    * server loop rs/index_server/src/main.rs:202-222): merge when the
+    * segment count exceeds `maxNumberOfSegments`. Call from a scheduler
+    * (streaming trigger / cron); returns the action taken. */
+  def maybeCompact(): Option[String] = {
+    val t = toc
+    if (t.segments.size > config.maxNumberOfSegments) merge().map(s => s"merged -> $s")
+    else None
   }
 
   /** Vacuum one segment: rewrite it without tombstoned docs. */

@@ -25,6 +25,10 @@ object GraftFunctions {
   /** Literal query vector as an array<double> column. */
   def vec(values: Seq[Double]): Column = array(values.map(lit): _*)
 
+  /** Decode a little-endian packed-f32 binary column to array<float>
+    * (InsertPacked wire fast path, SURVEY §2.1 S2). */
+  def unpack_f32_le(bin: Column): Column = col(UnpackF32Le(ex(bin)))
+
   // ---- tokenization / terms (T1-T4; SURVEY §2.7) ----
 
   /** Whitespace tokenizer, lowercased; drops empty tokens.

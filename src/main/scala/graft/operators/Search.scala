@@ -97,6 +97,19 @@ object Search {
       .select("user_id", "doc_id", "score")
   }
 
+  /** Scatter-gather merge (A6/D2, rs/aggregator/src/aggregator.rs:41-146):
+    * union per-shard/per-collection result frames and take the global
+    * top-k. Ascending (score, doc_id) consistently — the reference
+    * aggregator's descending re-sort (aggregator.rs:135) is treated as a
+    * bug per SURVEY §2.4 A6. One Spark job over all partitions IS the
+    * scatter-gather; this helper exists for fan-in across collections. */
+  def scatterGather(shardResults: Seq[DataFrame], k: Int): DataFrame = {
+    require(shardResults.nonEmpty, "no shard results")
+    shardResults.reduce(_ unionByName _)
+      .orderBy(scoreOrder: _*)
+      .limit(k)
+  }
+
   /** Pure term/keyword search (§3.3): filter -> point ids -> doc ids,
     * sort + dedup + limit (rs/index/src/collection/snapshot.rs:114-147). */
   def termSearch(

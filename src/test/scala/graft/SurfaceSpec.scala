@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.{AttrField, Collection, CollectionConfig, Ids}
+import graft.functions.GraftFunctions._
+import graft.functions.PackKernels
+import graft.operators.{Search, SearchParams, Sessionize}
+
+/** Remaining reference-surface pieces: u128 id shim, packed ingest (S2),
+  * bloom delete short-circuit (F9), auto-compaction (M3), scatter-gather
+  * (A6/D2), sessionization. */
+class SurfaceSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("u128 ids: uuid <-> binary <-> hi/lo round trips, order-preserving") {
+    val df = Seq(
+      ("00000000-0000-0000-0000-000000000064", 0L, 100L),
+      ("ffffffff-ffff-ffff-ffff-ffffffffffff", -1L, -1L),
+      ("00000000-0000-0001-0000-000000000000", 1L, 0L)
+    ).toDF("uuid", "hi", "lo")
+    val rt = df.select(
+      col("uuid"),
+      Ids.toUuid(Ids.fromUuid(col("uuid"))).as("rt_uuid"),
+      Ids.toUuid(Ids.fromHiLo(col("hi"), col("lo"))).as("from_hilo"))
+    rt.collect().foreach { r =>
+      assert(r.getString(1) === r.getString(0))
+      assert(r.getString(2) === r.getString(0))
+    }
+    // lexicographic order on the binary == unsigned u128 order
+    val bins = df.select(Ids.fromUuid(col("uuid")).as("b")).orderBy("b")
+      .select(Ids.toUuid(col("b"))).collect().map(_.getString(0)).toSeq
+    assert(bins === Seq(
+      "00000000-0000-0000-0000-000000000064",
+      "00000000-0000-0001-0000-000000000000",
+      "ffffffff-ffff-ffff-ffff-ffffffffffff"))
+    // long fast path embeds at the low 64 bits
+    val l = Seq(100L).toDF("id").select(Ids.toUuid(Ids.fromLong(col("id")))).head().getString(0)
+    assert(l === "00000000-0000-0000-0000-000000000064")
+  }
+
+  test("packed f32 ingest (S2): pack -> unpack_f32_le round trip in codegen") {
+    val vecs = Seq(Seq(1.5f, -2.25f, 3.75f), Seq(0.0f, Float.MinPositiveValue, 1e30f))
+    val packed = vecs.map(v => Tuple1(PackKernels.packF32Le(v.toArray))).toDF("bin")
+    val got = packed.select(unpack_f32_le(col("bin"))).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    assert(got === vecs)
+  }
+
+  test("bloom short-circuit: deletes for absent docs are dropped; present docs survive") {
+    val base = Files.createTempDirectory("graft_bloom").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "b1", numFeatures = 4, initialNumCentroids = 4))
+    coll.insert((0 until 100).map(i =>
+      (0L, i.toLong, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble)))
+      .toDF("user_id", "doc_id", "vector"))
+    coll.flush()
+    // doc 5 exists, doc 100000 does not
+    coll.delete(Seq((0L, 5L), (0L, 100000L)).toDF("user_id", "doc_id"))
+    val tombs = coll.tombstones.get.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(tombs === Seq(5L)) // absent pair dropped by the bloom check
+  }
+
+  test("auto-compaction merges when over maxNumberOfSegments") {
+    val base = Files.createTempDirectory("graft_m3").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "m1", numFeatures = 4, initialNumCentroids = 2, maxNumberOfSegments = 2))
+    (0 until 3).foreach { b =>
+      coll.insert((0 until 30).map(i =>
+        (0L, (b * 30 + i).toLong, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble)))
+        .toDF("user_id", "doc_id", "vector"))
+      coll.flush()
+    }
+    assert(coll.toc.segments.size === 3)
+    assert(coll.maybeCompact().isDefined)
+    assert(coll.toc.segments.size === 1)
+    assert(coll.maybeCompact().isEmpty) // under the cap now
+    // all 90 docs still searchable
+    val n = coll.snapshot().search(Seq(0.0, 0.0, 0.0, 0.0),
+      SearchParams(topK = 1000, numExploredCentroids = Some(100),
+        centroidDistanceRatio = 1e9)).count()
+    assert(n === 90L)
+  }
+
+  test("scatter-gather: global top-k across shard results, ascending") {
+    val s1 = Seq((0L, 1L, 3.0), (0L, 2L, 1.0)).toDF("user_id", "doc_id", "score")
+    val s2 = Seq((0L, 3L, 2.0), (0L, 4L, 0.5)).toDF("user_id", "doc_id", "score")
+    val got = Search.scatterGather(Seq(s1, s2), k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(4L, 2L, 3L))
+  }
+
+  test("batch sessionization: gap splits sessions deterministically") {
+    val us = (m: Long) => m * 60L * 1000000L
+    val ev = Seq(
+      (1L, 1L, us(0)), (1L, 2L, us(10)), (1L, 3L, us(50)), // gap 40 > 30 -> split
+      (2L, 4L, us(5))
+    ).toDF("user_id", "event_id", "us")
+    val got = Sessionize.batch(ev, gapMinutes = 30)
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("streaming sessionization closes sessions on gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Sessionize.SessionEvent]
+    val out = Sessionize.streaming(stream.toDS(), gapMinutes = 30)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    try {
+      val us = (m: Long) => m * 60L * 1000000L
+      stream.addData(Sessionize.SessionEvent(1L, us(0)), Sessionize.SessionEvent(1L, us(10)))
+      q.processAllAvailable()
+      stream.addData(Sessionize.SessionEvent(1L, us(60))) // gap 50 min -> closes first
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").as[Sessionize.ClosedSession].collect()
+      assert(closed.length === 1)
+      assert(closed(0) === Sessionize.ClosedSession(1L, us(0), us(10), 2L))
+    } finally q.stop()
+  }
+}
