@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions entry point: injects the engine's SQL functions
+  * at session build time — the idiomatic deployment hook
+  * (`spark.sql.extensions=graft.GraftExtensions`), so pure-SQL users get
+  * the kernel surface without touching the Scala API.
+  *
+  * No custom rules/strategies are injected: SURVEY §4 — the DataFrame
+  * slice needs zero custom Catalyst rules; every reference optimization is
+  * either a built-in (pushdown, IN-dedup, empty-relation propagation,
+  * top-k) or plain DataFrame logic (centroid ratio pruning). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+    inject("l2_distance", "l2_distance(a, b) - Euclidean distance of two double arrays") {
+      es => L2Distance(es(0), es(1))
+    }
+    inject("l2_distance_squared", "l2_distance_squared(a, b) - squared L2") {
+      es => L2DistanceSquared(es(0), es(1))
+    }
+    inject("dot_product", "dot_product(a, b) - inner product") {
+      es => DotProduct(es(0), es(1))
+    }
+    inject("cosine_similarity", "cosine_similarity(a, b) - cosine similarity") {
+      es => CosineSimilarity(es(0), es(1))
+    }
+    inject("simhash64", "simhash64(hashes) - 64-bit SimHash of an array<long>") {
+      es => SimHash64(es(0))
+    }
+    inject("rolling_hash", "rolling_hash(str) - polynomial content fingerprint") {
+      es => RollingHash(es(0))
+    }
+    inject("unpack_f32_le", "unpack_f32_le(bin) - decode packed little-endian f32s") {
+      es => UnpackF32Le(es(0))
+    }
+  }
+}

@@ -266,6 +266,16 @@ object SparkEntry {
       T(s, d, "documents").select(
         col("doc_id"), doc_fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
+    "q37_preprocess" -> ((s, d) =>
+      TextPipeline.preprocess(T(s, d, "documents"),
+        minTokens = 10, maxTokens = 100000, maxStopwordRatio = 0.9)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    "q38_rollup" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
     "q36_sessionize" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = T(s, d, "events")
@@ -409,6 +419,22 @@ object SparkEntry {
           WHERE a.doc_id < b.doc_id
             AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
           ORDER BY a, b""",
+    "q37_preprocess" ->
+      s"""WITH s AS (
+            SELECT doc_id,
+                   md5(array_to_string(toks, ' ')) AS content_hash,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(toks) = 0 THEN 0 ELSE len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be'], t)))::DOUBLE / len(toks) END AS swr
+            FROM (SELECT doc_id, $docToksSql AS toks FROM documents) d)
+          SELECT doc_id, n_tokens FROM s
+          JOIN (SELECT content_hash, min(doc_id) AS doc_id FROM s GROUP BY content_hash) k
+            USING (content_hash, doc_id)
+          WHERE n_tokens BETWEEN 10 AND 100000 AND swr < 0.9
+          ORDER BY doc_id""",
+    "q38_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q36_sessionize" ->
       """SELECT user_id, session_idx, count(*) AS n_events,
            min(us) AS start_us, max(us) AS end_us

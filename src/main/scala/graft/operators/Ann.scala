@@ -45,10 +45,15 @@ object Ann {
   def ivfIndex(
       embeddings: DataFrame, numCentroids: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
+      maxClustersPerVector: Int = 2, distanceThresholdPct: Double = 0.2,
       seed: Long = 42L): (DataFrame, DataFrame) = {
     val vectors = embeddings.select(
       lit(0L).as("user_id"), col(idCol).as("point_id"), col(vecCol).as("vector"))
-    val params = IvfBuilder.BuildParams(numCentroids = numCentroids, seed = seed)
+    // multi-assignment (vectors near list boundaries land in both lists) is
+    // the reference's recall lever (builder.rs:292-367); default 2x here
+    val params = IvfBuilder.BuildParams(numCentroids = numCentroids,
+      maxClustersPerVector = maxClustersPerVector,
+      distanceThresholdPct = distanceThresholdPct, seed = seed)
     val centroids = IvfBuilder.buildCentroids(vectors, params)
     val postings = IvfBuilder.buildPostings(vectors, centroids, params)
     (centroids, postings.select("centroid_id", "point_id"))

@@ -38,4 +38,28 @@ object TextPipeline {
       col(idCol),
       doc_fingerprint(col(textCol)).as("fingerprint"),
       md5(concat_ws(" ", tokenize(col(textCol)))).as("content_md5"))
+
+  /** Composite preprocessing pass — the canonical training-data cleaning
+    * pipeline, one distributed job: exact-dedup (keep smallest id per
+    * normalized-content group) then token-count and stopword-ratio gates.
+    * Returns the surviving `[id, n_tokens]` rows. */
+  def preprocess(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minTokens: Int = 10,
+      maxTokens: Int = 100000,
+      maxStopwordRatio: Double = 0.9): DataFrame = {
+    val withStats = docs.select(
+      col(idCol).as("id"),
+      md5(concat_ws(" ", tokenize(col(textCol)))).as("content_hash"),
+      token_count_ws(col(textCol)).cast("long").as("n_tokens"),
+      stopword_ratio(col(textCol)).as("swr"))
+    val keep = withStats.groupBy("content_hash").agg(min(col("id")).as("id"))
+    withStats
+      .join(keep, Seq("content_hash", "id"), "left_semi")
+      .filter(col("n_tokens").between(minTokens, maxTokens) &&
+        col("swr") < maxStopwordRatio)
+      .select(col("id"), col("n_tokens"))
+  }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+
+/** ANN quality harness (BASELINE.md: recall@10 vs brute-force oracle) on
+  * the driver's real embedding table. */
+class RecallSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("IVF recall@10 on sf0.001 embeddings: probe-all exact, nprobe>=4 over 0.8") {
+    val (centroids, postings) = Ann.ivfIndex(emb, numCentroids = 16)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    def recallAt(nprobe: Int): Double = {
+      val scores = queries.map { case (qid, q) =>
+        val oracle = Ann.bruteForceTopK(emb, q, 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val got = Ann.ivfTopK(emb, centroids, postings, q, 10, nprobe)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        oracle.intersect(got).size.toDouble / 10.0
+      }
+      scores.sum / scores.length
+    }
+    assert(recallAt(16) === 1.0) // probe-all == exact
+    val r4 = recallAt(4)
+    assert(r4 >= 0.8, s"recall@10 with nprobe=4 was $r4")
+  }
+
+  test("extensions: SQL functions available in a session built with GraftExtensions") {
+    val prev = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .withExtensions(new GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT l2_distance(array(1.0d, 2.0d), array(4.0d, 6.0d)) AS d," +
+          " rolling_hash('abc') AS h").head()
+      assert(r.getDouble(0) === 5.0)
+      assert(r.getLong(1) === ((('a' * 1000003L) + 'b') * 1000003L) + 'c')
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setActiveSession(p)
+        SparkSession.setDefaultSession(p)
+      }
+    }
+  }
+}
