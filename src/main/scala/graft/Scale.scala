@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, ProductQuantizer}
+
+/** Demo-scale measurement harness (BASELINE.md): synthetic N x 768
+  * vectors in the reference's 1M-demo shape (py/collection_config.json:
+  * 1500 clusters, scaled proportionally), measuring IVF index build,
+  * batch query throughput, and recall@10 vs brute force.
+  *
+  * `runMain graft.Scale [N] [numQueries]` — defaults 100000, 100.
+  */
+object Scale {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 100000
+    val nq = if (args.length > 1) args(1).toInt else 100
+    val dim = 768
+    val clusters = math.max(16, (1500.0 * n / 1000000.0).toInt) // demo ratio
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // deterministic synthetic embeddings: hash-mixed pseudo-gaussian-ish,
+    // 64 planted cluster directions (recall is meaningful, not degenerate)
+    val genUdf = udf { (id: Long) =>
+      val c = (id % 64).toInt
+      Array.tabulate(dim) { d =>
+        val base = if (d % 64 == c) 4.0 else 0.0
+        val h = graft.functions.HashKernels.mix64(id * 131071L + d)
+        base + (h.toDouble / Long.MaxValue.toDouble)
+      }
+    }
+    val emb = spark.range(n.toLong).select(col("id").as("vec_id"),
+      genUdf(col("id")).as("embedding"))
+      .repartition(cpus.toInt).persist()
+    emb.count() // materialize generation outside the timed section
+
+    val t0 = System.nanoTime()
+    val (centroids, postings) = Ann.ivfIndex(emb, numCentroids = clusters)
+    val nPostings = postings.persist().count()
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    val nprobe = math.max(8, clusters / 16)
+    val queryDf = emb.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+    // batch path: whole query set in one job (the throughput number)
+    val t1 = System.nanoTime()
+    val batchRows = Ann.ivfTopKBatch(queryDf, emb, centroids, postings,
+      k = 10, nprobe = nprobe).count()
+    val querySec = (System.nanoTime() - t1) / 1e9
+
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+
+    // recall vs brute force on a subsample of queries
+    val sample = queries
+    val recall = sample.map { case (qid, q) =>
+      val oracle = Ann.bruteForceTopK(emb, q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val got = Ann.ivfTopK(emb, centroids, postings, q, 10, nprobe)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      oracle.intersect(got).size / 10.0
+    }.sum / sample.length
+
+    // PQ at the demo compression point (768 dims -> 96 bytes)
+    val t2 = System.nanoTime()
+    val model = ProductQuantizer.train(emb, "embedding", numSubvectors = 96,
+      numBits = 8, sampleSize = 10000)
+    val pqTrainSec = (System.nanoTime() - t2) / 1e9
+
+    println(s"""{"n":$n,"dim":$dim,"clusters":$clusters,"postings":$nPostings,""" +
+      s""""build_sec":${f"$buildSec%.1f"},"batch_${nq}q_sec":${f"$querySec%.1f"},""" +
+      s""""qps":${f"${nq / querySec}%.1f"},"recall_at10_nprobe$nprobe":${f"$recall%.3f"},""" +
+      s""""pq_train_sec":${f"$pqTrainSec%.1f"}}""")
+    spark.stop()
+  }
+}

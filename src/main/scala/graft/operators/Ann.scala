@@ -59,6 +59,41 @@ object Ann {
     (centroids, postings.select("centroid_id", "point_id"))
   }
 
+  /** Batched IVF search: the whole query set in ONE distributed job —
+    * the throughput path for batch workloads (SURVEY §7.4: parity target
+    * is throughput at scale, not per-query latency).
+    *
+    * Plan shape: queries x centroids (broadcast queries) -> per-query
+    * nprobe window -> join postings on centroid_id (shuffle keyed by
+    * centroid) -> join embeddings -> score -> per-query top-k window.
+    * Queries must be broadcast-size; for larger sets, chunk the calls. */
+  def ivfTopKBatch(
+      queries: DataFrame, embeddings: DataFrame,
+      centroids: DataFrame, postings: DataFrame,
+      k: Int, nprobe: Int,
+      qIdCol: String = "q_id", qVecCol: String = "q_vec",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val wq = Window.partitionBy(qIdCol).orderBy(col("cdist").asc, col("centroid_id").asc)
+    val chosen = centroids.crossJoin(broadcast(queries))
+      .withColumn("cdist", l2_distance(col("vector"), col(qVecCol)))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select(col(qIdCol), col("centroid_id"))
+    // candidates carry only (q_id, vec_id) through the shuffles; the
+    // query vector re-attaches from the broadcast at scoring time, so no
+    // 768-dim payload is duplicated per candidate through an exchange.
+    val cands = postings.join(broadcast(chosen), Seq("centroid_id"))
+      .select(col(qIdCol), col("point_id").as(idCol))
+      .dropDuplicates(qIdCol, idCol)
+    val wk = Window.partitionBy(qIdCol).orderBy(col("dist").asc, col(idCol).asc)
+    cands.join(embeddings, Seq(idCol))
+      .join(broadcast(queries), Seq(qIdCol))
+      .withColumn("dist", l2_distance(col(vecCol), col(qVecCol)))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("dist"), col("rank"))
+  }
+
   /** Probe-based ANN top-k over a prebuilt IVF index: score centroids,
     * take nprobe nearest, probe only their postings. */
   def ivfTopK(

@@ -42,33 +42,60 @@ object IvfBuilder {
     if (points.isEmpty) return Array.empty
     val kk = math.min(k, points.length)
     val rnd = new scala.util.Random(seed)
-    // k-means++ style seeding, deterministic
+    // k-means++ seeding, deterministic, with the running-min-distance
+    // formulation (O(k*n*d), not O(k^2*n*d))
     val centers = new Array[Array[Double]](kk)
     centers(0) = points(rnd.nextInt(points.length)).clone()
+    val d2 = points.map(p => sqDist(p, centers(0)))
     var c = 1
     while (c < kk) {
-      val d2 = points.map(p => (0 until c).map(j => sqDist(p, centers(j))).min)
       val total = d2.sum
       var pick = if (total > 0) rnd.nextDouble() * total else 0.0
       var idx = 0
       while (idx < points.length - 1 && pick > d2(idx)) { pick -= d2(idx); idx += 1 }
       centers(c) = points(idx).clone()
+      // fold the new center into the running min distances (parallel)
+      val cc = centers(c)
+      java.util.stream.IntStream.range(0, points.length).parallel().forEach { i =>
+        val d = sqDist(points(i), cc)
+        if (d < d2(i)) d2(i) = d
+      }
       c += 1
     }
     val dim = points(0).length
+    val nThreads = math.max(1, Runtime.getRuntime.availableProcessors())
     var it = 0
     while (it < iters) {
+      // parallel assignment: per-thread partial sums, merged after
+      // (rayon-parallel in the reference, kmeans_builder.rs:116)
+      val chunk = math.max(1, (points.length + nThreads - 1) / nThreads)
+      val partials = java.util.stream.IntStream.range(0, nThreads).parallel().mapToObj[
+        (Array[Array[Double]], Array[Long])] { t =>
+        val sums = Array.fill(kk)(new Array[Double](dim))
+        val counts = new Array[Long](kk)
+        var i = t * chunk
+        val end = math.min(points.length, (t + 1) * chunk)
+        while (i < end) {
+          val p = points(i)
+          var best = 0; var bestD = Double.MaxValue; var j = 0
+          while (j < kk) { val d = sqDist(p, centers(j)); if (d < bestD) { bestD = d; best = j }; j += 1 }
+          val s = sums(best); var c = 0
+          while (c < dim) { s(c) += p(c); c += 1 }
+          counts(best) += 1
+          i += 1
+        }
+        (sums, counts)
+      }.toList
       val sums = Array.fill(kk)(new Array[Double](dim))
       val counts = new Array[Long](kk)
-      var i = 0
-      while (i < points.length) {
-        val p = points(i)
-        var best = 0; var bestD = Double.MaxValue; var j = 0
-        while (j < kk) { val d = sqDist(p, centers(j)); if (d < bestD) { bestD = d; best = j }; j += 1 }
-        val s = sums(best); var t = 0
-        while (t < dim) { s(t) += p(t); t += 1 }
-        counts(best) += 1
-        i += 1
+      partials.forEach { case (ps, pc) =>
+        var j = 0
+        while (j < kk) {
+          val s = sums(j); val p = ps(j); var c = 0
+          while (c < dim) { s(c) += p(c); c += 1 }
+          counts(j) += pc(j)
+          j += 1
+        }
       }
       var j = 0
       while (j < kk) {

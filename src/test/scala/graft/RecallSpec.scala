@@ -31,6 +31,23 @@ class RecallSpec extends SparkSuite {
     assert(r4 >= 0.8, s"recall@10 with nprobe=4 was $r4")
   }
 
+  test("batched IVF search matches the per-query path") {
+    val (centroids, postings) = Ann.ivfIndex(emb, numCentroids = 16)
+    val queryDf = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val batch = Ann.ivfTopKBatch(queryDf, emb, centroids, postings, k = 5, nprobe = 4)
+      .select("q_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val single = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .flatMap { r =>
+        Ann.ivfTopK(emb, centroids, postings, r.getSeq[Double](1), 5, 4)
+          .select("vec_id").collect().map(_.getLong(0))
+          .zipWithIndex.map { case (v, i) => (r.getLong(0), v, i + 1) }
+      }.toSet
+    assert(batch === single)
+  }
+
   test("extensions: SQL functions available in a session built with GraftExtensions") {
     val prev = SparkSession.getActiveSession
     SparkSession.clearActiveSession()
