@@ -297,12 +297,16 @@ object Collection {
 final class Snapshot(
     coll: Collection, val toc: Toc, segments: Seq[String], tailRows: Option[DataFrame]) {
 
+  private def fieldLang: Map[String, String] =
+    coll.config.attributeSchema.map(f => f.name -> f.lang).toMap
+
   private def filterPoints(seg: String, filter: Option[DocFilter]): Option[DataFrame] =
     filter.map { f =>
       graft.operators.FilterCompiler.compile(
         f,
         coll.segmentTable(seg, "terms"),
-        coll.segmentTable(seg, "vectors").select("user_id", "point_id"))
+        coll.segmentTable(seg, "vectors").select("user_id", "point_id"),
+        fieldLang)
     }
 
   def search(
@@ -341,7 +345,7 @@ final class Snapshot(
       Search.termSearch(
         coll.segmentTable(seg, "terms"),
         coll.segmentTable(seg, "vectors").select("user_id", "point_id", "doc_id"),
-        filter, limit, userIds, coll.tombstones)
+        filter, limit, userIds, coll.tombstones, fieldLang)
     }
     val tailResult = tailRows.map { rows =>
       var df = rows
@@ -365,7 +369,7 @@ final class Snapshot(
       val docToks =
         if (kw) array(lower(col(field)))
         else analyze_text(col(field), lit(lang))
-      val qts = graft.operators.FilterCompiler.queryTerms(field, value, kw)
+      val qts = graft.operators.FilterCompiler.queryTerms(field, value, kw, lang)
         .map(_.stripPrefix(s"$field:"))
       if (qts.isEmpty) lit(false)
       else qts.map(t => array_contains(docToks, t)).reduce(_ && _)

@@ -32,20 +32,29 @@ object DocFilter {
 object FilterCompiler {
   private val cols = Seq("user_id", "point_id")
 
-  def queryTerms(field: String, value: String, keyword: Boolean): Seq[String] =
-    if (keyword) Seq(s"$field:$value")
+  /** Query-side term keys must run the SAME analyzer as the index side:
+    * Porter2 for English fields, lowercase passthrough otherwise
+    * (mutable_segment.rs:92-99 symmetry). `lang` comes from the
+    * collection's attribute schema. */
+  def queryTerms(field: String, value: String, keyword: Boolean,
+      lang: String = "english"): Seq[String] = {
+    val english = lang == "english" || lang == "en"
+    if (keyword) Seq(s"$field:${value.toLowerCase}")
     else value.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-      .map(t => s"$field:${Porter2.stem(t)}")
+      .map(t => s"$field:${if (english) Porter2.stem(t) else t}")
+  }
 
-  /** @param universe all live `[user_id, point_id]` — needed by negations. */
-  def compile(filter: DocFilter, terms: DataFrame, universe: DataFrame): DataFrame = {
+  /** @param universe all live `[user_id, point_id]` — needed by negations.
+    * @param fieldLang text-field language map (defaults to English). */
+  def compile(filter: DocFilter, terms: DataFrame, universe: DataFrame,
+      fieldLang: Map[String, String] = Map.empty): DataFrame = {
     val spark = terms.sparkSession
     def empty: DataFrame = universe.limit(0).select(cols.map(col): _*)
     def go(f: DocFilter): DataFrame = f match {
       case DocFilter.Ids(ids) =>
         universe.filter(col("point_id").isin(ids: _*)).select(cols.map(col): _*)
       case DocFilter.Contains(field, value, kw) =>
-        val qts = queryTerms(field, value, kw)
+        val qts = queryTerms(field, value, kw, fieldLang.getOrElse(field, "english"))
         if (qts.isEmpty) empty // empty token stream -> empty result (planner.rs:90-93)
         else qts.map { t =>
           terms.filter(col("term") === lit(t)).select(cols.map(col): _*)

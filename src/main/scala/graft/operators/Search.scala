@@ -118,10 +118,11 @@ object Search {
       filter: DocFilter,
       limit: Int,
       userIds: Seq[Long] = Nil,
-      tombstones: Option[DataFrame] = None): DataFrame = {
+      tombstones: Option[DataFrame] = None,
+      fieldLang: Map[String, String] = Map.empty): DataFrame = {
     var t = terms
     if (userIds.nonEmpty) t = t.filter(col("user_id").isin(userIds: _*))
-    val pts = FilterCompiler.compile(filter, t, idMap.select("user_id", "point_id"))
+    val pts = FilterCompiler.compile(filter, t, idMap.select("user_id", "point_id"), fieldLang)
     var docs = pts.join(idMap, Seq("user_id", "point_id")).select("user_id", "doc_id")
     for (tb <- tombstones)
       docs = docs.join(broadcast(tb.select("user_id", "doc_id")), Seq("user_id", "doc_id"), "left_anti")

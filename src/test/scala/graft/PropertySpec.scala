@@ -1,0 +1,94 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashKernels, Porter2}
+import graft.operators.{DocFilter, FilterCompiler}
+
+/** Property-based invariants (SURVEY §5: iterator algebra, minhash
+  * estimator, stemmer safety). */
+class PropertySpec extends SparkSuite {
+  private def check(prop: Prop, minSuccessful: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minSuccessful).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+  import spark.implicits._
+
+  private val idList = Gen.listOf(Gen.chooseNum(1L, 40L)).map(_.distinct.sorted)
+
+  test("intersection is a subset of each input; union is sorted dedup of both") {
+    check(Prop.forAll(idList, idList) { (a: List[Long], b: List[Long]) =>
+      val terms = (a.map(("f:a", _)) ++ b.map(("f:b", _)))
+        .map { case (t, p) => (0L, t, p) }.toDF("user_id", "term", "point_id")
+      val universe = (1L to 40L).map((0L, _)).toDF("user_id", "point_id")
+      def run(f: DocFilter): Seq[Long] =
+        FilterCompiler.compile(f, terms, universe)
+          .select("point_id").collect().map(_.getLong(0)).sorted.toSeq
+      val inter = run(DocFilter.And(Seq(
+        DocFilter.Contains("f", "a", keyword = true),
+        DocFilter.Contains("f", "b", keyword = true))))
+      val union = run(DocFilter.Or(Seq(
+        DocFilter.Contains("f", "a", keyword = true),
+        DocFilter.Contains("f", "b", keyword = true))))
+      inter == a.toSet.intersect(b.toSet).toSeq.sorted &&
+        union == (a ++ b).distinct.sorted
+    }, 20)
+  }
+
+  test("minhash signature equality fraction tracks true Jaccard (+/- 0.25 at k=128)") {
+    val sets = Gen.chooseNum(0, 1000).flatMap { base =>
+      Gen.chooseNum(20, 60).map { n => (base.toLong until (base + n).toLong).toSet }
+    }
+    check(Prop.forAll(sets, sets) { (a: Set[Long], b: Set[Long]) =>
+      val trueJ = a.intersect(b).size.toDouble / a.union(b).size
+      def sig(s: Set[Long]): Array[Long] = {
+        val out = Array.fill(128)(Long.MaxValue)
+        s.foreach { e =>
+          var j = 0
+          while (j < 128) {
+            val h = HashKernels.mix64(e ^ HashKernels.mix64(42L + j))
+            if (h < out(j)) out(j) = h
+            j += 1
+          }
+        }
+        out
+      }
+      val est = sig(a).zip(sig(b)).count { case (x, y) => x == y } / 128.0
+      math.abs(est - trueJ) <= 0.25
+    }, 30)
+  }
+
+  test("Porter2 never crashes and never lengthens beyond input+1") {
+    check(Prop.forAll(Gen.alphaLowerStr.suchThat(_.length <= 30)) { (w: String) =>
+      val s = Porter2.stem(w)
+      s.length <= w.length + 1 && s.nonEmpty == w.nonEmpty
+    }, 200)
+  }
+
+  test("top-k == sort-take for any score assignment") {
+    val rows = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 100L), Gen.chooseNum(0.0, 10.0)))
+    check(Prop.forAll(rows) { (xs: List[(Long, Double)]) =>
+      val distinctDocs = xs.zipWithIndex.map { case ((d, s), i) => (0L, i.toLong, s) }
+      val df = distinctDocs.toDF("user_id", "doc_id", "score")
+      val k = 7
+      val got = df.orderBy(col("score").asc, col("doc_id").asc).limit(k)
+        .collect().map(r => (r.getDouble(2), r.getLong(1))).toSeq
+      val expect = distinctDocs.map(t => (t._3, t._2)).sorted.take(k)
+      got == expect
+    }, 20)
+  }
+
+  test("non-English fields: query analyzer matches index analyzer (no stemming)") {
+    // index side: lowercase passthrough for lang != english
+    val terms = Seq((0L, "t:running", 1L), (0L, "t:connections", 1L))
+      .toDF("user_id", "term", "point_id")
+    val universe = Seq((0L, 1L)).toDF("user_id", "point_id")
+    val got = FilterCompiler.compile(
+      DocFilter.Contains("t", "Running Connections"), terms, universe,
+      fieldLang = Map("t" -> "german"))
+      .select("point_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L)) // would be empty if the query side stemmed
+  }
+}
