@@ -27,6 +27,11 @@ final case class CollectionConfig(
     clusteringSample: Int = 20000,
     maxPendingOps: Long = 10000L,
     maxNumberOfSegments: Int = 10,
+    /** >0: segment vector tables are physically partitioned into this many
+      * user-hash buckets; per-user queries prune to one directory (F11 —
+      * the reference opens only the named users' indexes,
+      * rs/index/src/collection/snapshot.rs:69-110). */
+    userBuckets: Int = 16,
     attributeSchema: Seq[AttrField] = Nil) {
   def textFields: Seq[AttrField] = attributeSchema.filter(f => f.kind == "text" || f.kind == "keyword")
 }
@@ -177,12 +182,16 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     // Full rows (attrs included) persist in the vectors table so merge /
     // vacuum can rebuild the term index without a separate attrs store.
     // Parquet-level bloom on doc_id gives row-group skipping on top of the
-    // segment-level bloom below.
-    vectors
-      .repartition(col("user_id"))
-      .sortWithinPartitions("user_id", "point_id") // M4 locality reindex
+    // segment-level bloom below. With userBuckets > 0 the table is
+    // physically partitioned by user-hash bucket: per-user searches prune
+    // to one directory (F11).
+    val w0 = vectors
+      .withColumn("user_bucket", userBucket(col("user_id")))
+      .repartition(col("user_bucket"), col("user_id"))
+      .sortWithinPartitions("user_bucket", "user_id", "point_id") // M4 locality
       .write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#doc_id", "true")
+    (if (config.userBuckets > 0) w0.partitionBy("user_bucket") else w0)
       .parquet(s"${segPath(seg)}/vectors")
 
     // Segment-level blocked bloom over doc_id (F9; fpr from config mirror
@@ -241,7 +250,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     if (t.segments.size < 2) return None
     var rows = t.segments.map { s =>
       val attrs = spark.read.parquet(s"${segPath(s)}/vectors")
-      attrs.drop("point_id")
+      attrs.drop("point_id", "user_bucket")
     }.reduce(_ unionByName _)
     for (tb <- tombstones)
       rows = rows.join(tb.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti")
@@ -266,7 +275,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     val tomb = tombstones.getOrElse(return)
     val t = toc
     val rows = spark.read.parquet(s"${segPath(segment)}/vectors")
-      .drop("point_id")
+      .drop("point_id", "user_bucket")
       .join(tomb.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti")
     val seg = s"${segment}_v"
     buildSegment(rows, seg)
@@ -274,8 +283,29 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       t.lastFlushedBatch))
   }
 
+  /** Hash bucket for partition pruning (stable across writes/reads). */
+  private[core] def userBucket(userId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (config.userBuckets > 0) pmod(xxhash64(userId), lit(config.userBuckets.toLong))
+    else lit(0L)
+
   private[core] def segmentTable(seg: String, table: String): DataFrame =
     spark.read.parquet(s"${segPath(seg)}/$table")
+
+  /** Vectors table with a partition-pruning predicate for the given users:
+    * the filter is on the `user_bucket` PARTITION column, so Catalyst
+    * prunes bucket directories before the scan. Bucket values for the
+    * requested users are evaluated with the identical expression on a
+    * 1-row frame (guaranteed same hashing as the write side). */
+  private[core] def vectorsFor(seg: String, userIds: Seq[Long]): DataFrame = {
+    val df = segmentTable(seg, "vectors")
+    if (userIds.isEmpty || config.userBuckets <= 0) df
+    else {
+      val buckets = spark.range(1)
+        .select(explode(array(userIds.map(u => userBucket(lit(u))): _*)).as("b"))
+        .collect().map(_.getLong(0)).distinct.toSeq
+      df.filter(col("user_bucket").isin(buckets: _*))
+    }
+  }
 }
 
 object Collection {
@@ -316,7 +346,7 @@ final class Snapshot(
       filter: Option[DocFilter] = None): DataFrame = {
     val perSegment = segments.map { seg =>
       Search.spann(
-        coll.segmentTable(seg, "vectors"),
+        coll.vectorsFor(seg, userIds), // bucket-pruned scan for named users
         coll.segmentTable(seg, "centroids"),
         coll.segmentTable(seg, "postings"),
         query, params, userIds,
@@ -344,7 +374,7 @@ final class Snapshot(
     val perSegment = segments.map { seg =>
       Search.termSearch(
         coll.segmentTable(seg, "terms"),
-        coll.segmentTable(seg, "vectors").select("user_id", "point_id", "doc_id"),
+        coll.vectorsFor(seg, userIds).select("user_id", "point_id", "doc_id"),
         filter, limit, userIds, coll.tombstones, fieldLang)
     }
     val tailResult = tailRows.map { rows =>

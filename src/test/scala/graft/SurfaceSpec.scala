@@ -82,6 +82,27 @@ class SurfaceSpec extends SparkSuite {
     assert(n === 90L)
   }
 
+  test("user-bucket partition pruning: per-user search scans a pruned table") {
+    val base = Files.createTempDirectory("graft_bucket").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "p1", numFeatures = 4, initialNumCentroids = 4, userBuckets = 8))
+    coll.insert((0 until 200).map { i =>
+      ((i % 5).toLong, i.toLong, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble))
+    }.toDF("user_id", "doc_id", "vector"))
+    coll.flush()
+    // physically partitioned layout on disk
+    val segDir = new java.io.File(s"${coll.path}/segments/seg_1/vectors")
+    assert(segDir.listFiles().exists(_.getName.startsWith("user_bucket=")))
+    // per-user query: correct results through the pruned scan
+    val got = coll.snapshot().search(Seq(7.0, 7.0, 7.0, 7.0),
+      SearchParams(topK = 3, numExploredCentroids = Some(4), centroidDistanceRatio = 1e9),
+      userIds = Seq(2L))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("user_bucket"), "expected a partition filter on user_bucket")
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(7L, 2L, 12L)) // user 2 docs: 2,7,12,... nearest to 7
+  }
+
   test("scatter-gather: global top-k across shard results, ascending") {
     val s1 = Seq((0L, 1L, 3.0), (0L, 2L, 1.0)).toDF("user_id", "doc_id", "score")
     val s2 = Seq((0L, 3L, 2.0), (0L, 4L, 0.5)).toDF("user_id", "doc_id", "score")
