@@ -1,0 +1,126 @@
+package graft.api
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Collection, CollectionConfig, Ids}
+import graft.functions.PackKernels
+import graft.operators.{DocFilter, SearchParams}
+
+/** Typed request/response surface mirroring the reference's gRPC service
+  * (rs/proto/proto/muopdb.proto; handlers rs/index_server/src/
+  * index_server.rs) so a muopdb client's calls map 1:1:
+  * CreateCollection, Insert, InsertPacked, Remove, Flush, Search,
+  * TermSearch (via DocFilter), GetSegments, MergeSegments.
+  *
+  * Ids are uuid strings at this edge (u128 surface, muopdb.proto:72-81);
+  * vectors arrive flattened with `numFeatures` stride
+  * (muopdb.proto:159-162). The catalog maps collection name ->
+  * [[Collection]] (CollectionManager, rs/index_server/src/
+  * collection_manager.rs:27-52).
+  */
+final case class SearchRequest(
+    collectionName: String,
+    vector: Seq[Float],
+    topK: Int = 10,
+    userIds: Seq[String] = Nil, // uuids
+    filter: Option[DocFilter] = None,
+    numExploredCentroids: Option[Int] = None,
+    centroidDistanceRatio: Double = 0.1)
+
+final case class SearchResponse(docIds: Seq[String], scores: Seq[Double])
+
+final case class InsertRequest(
+    collectionName: String,
+    docIds: Seq[String], // uuids
+    userIds: Seq[String], // one per doc, or a single uuid for all
+    vectors: Seq[Float], // flattened, stride = numFeatures
+    attributes: Map[String, Seq[String]] = Map.empty) // columnar text attrs
+
+final case class InsertPackedRequest(
+    collectionName: String,
+    docIds: Seq[String],
+    userIds: Seq[String],
+    packedVectors: Array[Byte]) // little-endian f32s (muopdb.proto:199-213)
+
+class GraftService(spark: SparkSession, basePath: String) {
+  import spark.implicits._
+
+  private val catalog = TrieMap.empty[String, Collection]
+
+  def createCollection(config: CollectionConfig): Unit =
+    catalog.put(config.name, Collection.create(spark, basePath, config))
+
+  def collection(name: String): Collection =
+    catalog.getOrElseUpdate(name, sys.error(s"unknown collection: $name"))
+
+  /** uuid string -> internal long id (low 64 bits; full u128 binary form
+    * available via [[Ids]] when collections need it). */
+  private def toLong(uuid: String): Long =
+    java.lang.Long.parseUnsignedLong(uuid.replace("-", "").takeRight(16), 16)
+
+  private def fromLong(id: Long): String =
+    f"00000000-0000-0000-${(id >>> 48) & 0xffffL}%04x-${id & 0xffffffffffffL}%012x"
+
+  def insert(req: InsertRequest): Long = {
+    val coll = collection(req.collectionName)
+    val d = coll.config.numFeatures
+    require(req.vectors.length == req.docIds.length * d,
+      s"flattened vector length ${req.vectors.length} != ${req.docIds.length} x $d")
+    val users =
+      if (req.userIds.length == 1) Seq.fill(req.docIds.length)(req.userIds.head)
+      else req.userIds
+    val rows = req.docIds.indices.map { i =>
+      (toLong(users(i)), toLong(req.docIds(i)),
+        req.vectors.slice(i * d, (i + 1) * d).map(_.toDouble))
+    }
+    var df = rows.toDF("user_id", "doc_id", "vector")
+    req.attributes.foreach { case (field, values) =>
+      require(values.length == req.docIds.length, s"attr $field length mismatch")
+      val attrDf = req.docIds.indices.map(i => (toLong(req.docIds(i)), values(i)))
+        .toDF("doc_id", field)
+      df = df.join(attrDf, Seq("doc_id"))
+    }
+    coll.insert(df)
+    req.docIds.length.toLong
+  }
+
+  def insertPacked(req: InsertPackedRequest): Long = {
+    val floats = PackKernels.unpackF32Le(req.packedVectors)
+    insert(InsertRequest(req.collectionName, req.docIds, req.userIds, floats.toSeq))
+  }
+
+  def remove(collectionName: String, userIds: Seq[String], docIds: Seq[String]): Unit = {
+    val pairs = userIds.zip(docIds).map { case (u, dId) => (toLong(u), toLong(dId)) }
+    collection(collectionName).delete(pairs.toDF("user_id", "doc_id"))
+  }
+
+  def flush(collectionName: String): Option[String] =
+    collection(collectionName).flush()
+
+  def search(req: SearchRequest): SearchResponse = {
+    val coll = collection(req.collectionName)
+    val params = SearchParams(req.topK, req.numExploredCentroids, req.centroidDistanceRatio)
+    val rows = coll.snapshot()
+      .search(req.vector.map(_.toDouble), params, req.userIds.map(toLong), req.filter)
+      .select("doc_id", "score").collect()
+    SearchResponse(
+      rows.map(r => fromLong(r.getLong(0))).toSeq,
+      rows.map(_.getDouble(1)).toSeq)
+  }
+
+  def termSearch(collectionName: String, filter: DocFilter, limit: Int,
+      userIds: Seq[String] = Nil): Seq[String] =
+    collection(collectionName).snapshot()
+      .termSearch(filter, limit, userIds.map(toLong))
+      .select("doc_id").collect().map(r => fromLong(r.getLong(0))).toSeq
+
+  /** Admin surface (rs/proto/proto/admin.proto:4-8). */
+  def getSegments(collectionName: String): Seq[String] =
+    collection(collectionName).toc.segments
+
+  def mergeSegments(collectionName: String): Option[String] =
+    collection(collectionName).merge()
+}

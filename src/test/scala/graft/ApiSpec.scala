@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import graft.api._
+import graft.core.{AttrField, CollectionConfig}
+import graft.functions.PackKernels
+import graft.operators.DocFilter
+
+/** The reference's README quick-start scenario through the typed API
+  * (FIXTURES.md §1.5): create a 10-dim collection with text attributes,
+  * insert doc uuid ...0064 for user ...0000 with vector [100..109],
+  * search it back, hybrid-filter it, remove it. */
+class ApiSpec extends SparkSuite {
+
+  private def uuid(n: Long): String = f"00000000-0000-0000-0000-$n%012x"
+
+  test("quick-start: create -> insert -> flush -> search -> hybrid -> remove") {
+    val svc = new GraftService(spark, Files.createTempDirectory("graft_api").toString)
+    svc.createCollection(CollectionConfig(
+      name = "test-collection-2", numFeatures = 10, initialNumCentroids = 4,
+      attributeSchema = Seq(
+        AttrField("title", "text", "english"),
+        AttrField("content", "text", "english"))))
+
+    val docs = (0 until 20).map(i => uuid(100 + i))
+    val vectors = (0 until 20).flatMap(i => (0 until 10).map(d => (i * 10 + d + 100).toFloat))
+    val n = svc.insert(InsertRequest(
+      "test-collection-2",
+      docIds = docs,
+      userIds = Seq(uuid(0)),
+      vectors = vectors,
+      attributes = Map(
+        "title" -> (0 until 20).map(i => if (i == 0) "Example Document" else s"Title $i"),
+        "content" -> (0 until 20).map(i =>
+          if (i == 0) "This is an example document for search demonstration"
+          else s"plain content number $i"))))
+    assert(n === 20L)
+    svc.flush("test-collection-2")
+    assert(svc.getSegments("test-collection-2") === Seq("seg_1"))
+
+    // nearest to doc 0's vector is doc 0
+    val res = svc.search(SearchRequest(
+      "test-collection-2", vector = (0 until 10).map(d => (d + 100).toFloat),
+      topK = 3, userIds = Seq(uuid(0)), numExploredCentroids = Some(4)))
+    assert(res.docIds.head === uuid(100))
+    assert(res.scores.head === 0.0)
+
+    // hybrid: only doc 0 contains "example demonstration"
+    val hybrid = svc.search(SearchRequest(
+      "test-collection-2", vector = (0 until 10).map(d => (d + 150).toFloat),
+      topK = 10, userIds = Seq(uuid(0)), numExploredCentroids = Some(4),
+      filter = Some(DocFilter.Contains("content", "example demonstration")),
+      centroidDistanceRatio = 1e9))
+    assert(hybrid.docIds === Seq(uuid(100)))
+
+    // term search
+    assert(svc.termSearch("test-collection-2",
+      DocFilter.Contains("title", "Example"), limit = 5) === Seq(uuid(100)))
+
+    // remove and verify gone
+    svc.remove("test-collection-2", Seq(uuid(0)), Seq(uuid(100)))
+    val after = svc.search(SearchRequest(
+      "test-collection-2", vector = (0 until 10).map(d => (d + 100).toFloat),
+      topK = 3, userIds = Seq(uuid(0)), numExploredCentroids = Some(4)))
+    assert(!after.docIds.contains(uuid(100)))
+  }
+
+  test("insertPacked decodes the little-endian wire format") {
+    val svc = new GraftService(spark, Files.createTempDirectory("graft_api2").toString)
+    svc.createCollection(CollectionConfig(
+      name = "packed", numFeatures = 4, initialNumCentroids = 2))
+    val packed = PackKernels.packF32Le(Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f))
+    svc.insertPacked(InsertPackedRequest(
+      "packed", docIds = Seq(uuid(1), uuid(2)), userIds = Seq(uuid(0)),
+      packedVectors = packed))
+    svc.flush("packed")
+    val res = svc.search(SearchRequest("packed", Seq(1f, 2f, 3f, 4f), topK = 1,
+      numExploredCentroids = Some(2)))
+    assert(res.docIds === Seq(uuid(1)))
+    assert(res.scores === Seq(0.0))
+  }
+}
