@@ -183,6 +183,40 @@ object Dedup {
       .select("a", "b", "cosine")
   }
 
+  /** Collapse a near-duplicate pair graph `[a, b]` into duplicate groups
+    * via distributed connected components (iterative min-label
+    * propagation — Spark-idiomatic label prop, converges in
+    * O(log(diameter)) rounds; near-dup clusters are shallow so `maxIters`
+    * of 10 is ample). Returns `[id, keep_id]` for every id that appears
+    * in a pair, with keep_id = the smallest id of its component: drop
+    * rows where id != keep_id for a canonical dedup. */
+  def keepList(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
+    // undirected adjacency incl. self-loops so isolated members keep labels
+    val adj = edges.select(col("a").as("id"), col("b").as("nb"))
+      .union(edges.select(col("b").as("id"), col("a").as("nb")))
+      .union(edges.select(col("a").as("id"), col("a").as("nb")))
+      .union(edges.select(col("b").as("id"), col("b").as("nb")))
+      .distinct()
+      .persist()
+    var labels = adj.groupBy("id").agg(min(col("nb")).as("label"))
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIters && changed > 0) {
+      val next = adj.join(labels.withColumnRenamed("id", "nb"), Seq("nb"))
+        .groupBy("id").agg(min(col("label")).as("next_label"))
+      val joined = labels.join(next, Seq("id"))
+        .select(col("id"), least(col("label"), col("next_label")).as("next_label"),
+          col("label"))
+        .persist()
+      changed = joined.filter(col("next_label") < col("label")).count()
+      labels = joined.select(col("id"), col("next_label").as("label"))
+      iter += 1
+    }
+    adj.unpersist()
+    labels.select(col("id"), col("label").as("keep_id"))
+  }
+
   /** Exact (brute-force) cosine pair scan — O(n^2), oracle for the LSH
     * variant; only for tests/small inputs. */
   def embeddingNearDupExact(

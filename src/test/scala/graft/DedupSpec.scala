@@ -48,6 +48,24 @@ class DedupSpec extends SparkSuite {
     assert(math.abs(got - 0.5) < 1e-12)
   }
 
+  test("keepList: connected components collapse chained duplicate pairs") {
+    // components: {1,2,3,4} (chain), {7,9}, singleton self-pairs absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L)).toDF("a", "b")
+    val got = Dedup.keepList(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("end-to-end dedup: minhash pairs -> keepList drops the planted dups") {
+    val pairs = Dedup.minhashPairs(docs, shingleLen = 2, k = 64, bands = 32, threshold = 0.3)
+    val keep = Dedup.keepList(pairs)
+    val dropped = keep.filter(col("id") =!= col("keep_id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // 0 kept as canonical; 1,2 exact dups, 3 a one-word near-dup
+    // (true 2-gram jaccard vs 0 is ~0.71); 4,5 unrelated survive
+    assert(dropped === Set(1L, 2L, 3L))
+  }
+
   test("embedding LSH near-dup recalls the exact pairs on clustered data") {
     val emb = (0 until 60).map { i =>
       val cluster = i % 3
