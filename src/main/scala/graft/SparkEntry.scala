@@ -266,6 +266,16 @@ object SparkEntry {
       T(s, d, "documents").select(
         col("doc_id"), doc_fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
+    "q39_cube" -> ((s, d) =>
+      T(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+    "q40_dedup_keep" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(T(s, d, "documents"),
+        shingleLen = 3, threshold = 0.3, maxShinglePostings = 1000000)
+      Dedup.keepList(pairs).orderBy("id")
+    }),
     "q37_preprocess" -> ((s, d) =>
       TextPipeline.preprocess(T(s, d, "documents"),
         minTokens = 10, maxTokens = 100000, maxStopwordRatio = 0.9)
@@ -419,6 +429,10 @@ object SparkEntry {
           WHERE a.doc_id < b.doc_id
             AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
           ORDER BY a, b""",
+    "q39_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total, count(*) AS cnt
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q37_preprocess" ->
       s"""WITH s AS (
             SELECT doc_id,
