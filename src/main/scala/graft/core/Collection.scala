@@ -262,12 +262,23 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
 
   /** Auto-optimizer policy (M3, rs/index/src/optimizers/engine.rs:27-60;
     * server loop rs/index_server/src/main.rs:202-222): merge when the
-    * segment count exceeds `maxNumberOfSegments`. Call from a scheduler
-    * (streaming trigger / cron); returns the action taken. */
-  def maybeCompact(): Option[String] = {
+    * segment count exceeds `maxNumberOfSegments`; otherwise vacuum the
+    * first segment whose tombstone fraction crosses the auto-vacuum
+    * threshold (should_auto_vacuum, rs/index/src/segment/mod.rs:110-117).
+    * Call from a scheduler; returns the action taken. */
+  def maybeCompact(vacuumTombstoneFraction: Double = 0.1): Option[String] = {
     val t = toc
     if (t.segments.size > config.maxNumberOfSegments) merge().map(s => s"merged -> $s")
-    else None
+    else tombstones.flatMap { tomb =>
+      val tombCount = tomb.count()
+      if (tombCount == 0) None
+      else t.segments.find { seg =>
+        val v = segmentTable(seg, "vectors")
+        val dead = v.join(tomb.select("user_id", "doc_id"),
+          Seq("user_id", "doc_id"), "left_semi").count()
+        dead.toDouble > vacuumTombstoneFraction * math.max(1L, v.count())
+      }.map { seg => vacuum(seg); s"vacuumed $seg" }
+    }
   }
 
   /** Vacuum one segment: rewrite it without tombstoned docs. */

@@ -37,9 +37,13 @@ object GraftFunctions {
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   private val stemUdf = udf { (tokens: Seq[String], lang: String) =>
+    // Vietnamese falls back to the English stemmer exactly as the
+    // reference does (stemming_tokenizer.rs:26); other languages are
+    // lowercase passthrough (SURVEY §7.4 deviation note).
     if (tokens == null) null
-    else if (lang == null || lang == "english" || lang == "en") tokens.map(Porter2.stem)
-    else tokens.map(_.toLowerCase) // non-English: lowercase passthrough (SURVEY §7.4)
+    else if (lang == null || lang == "english" || lang == "en" ||
+      lang == "vietnamese" || lang == "vi") tokens.map(Porter2.stem)
+    else tokens.map(_.toLowerCase)
   }
 
   /** Stem an array of tokens (rs/index/src/tokenizer/stemming_tokenizer.rs:16-60). */

@@ -38,7 +38,8 @@ object FilterCompiler {
     * collection's attribute schema. */
   def queryTerms(field: String, value: String, keyword: Boolean,
       lang: String = "english"): Seq[String] = {
-    val english = lang == "english" || lang == "en"
+    val english = lang == "english" || lang == "en" ||
+      lang == "vietnamese" || lang == "vi" // vi->en fallback, as reference
     if (keyword) Seq(s"$field:${value.toLowerCase}")
     else value.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
       .map(t => s"$field:${if (english) Porter2.stem(t) else t}")

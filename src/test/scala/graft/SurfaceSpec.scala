@@ -74,12 +74,18 @@ class SurfaceSpec extends SparkSuite {
     assert(coll.toc.segments.size === 3)
     assert(coll.maybeCompact().isDefined)
     assert(coll.toc.segments.size === 1)
-    assert(coll.maybeCompact().isEmpty) // under the cap now
-    // all 90 docs still searchable
-    val n = coll.snapshot().search(Seq(0.0, 0.0, 0.0, 0.0),
+    assert(coll.maybeCompact().isEmpty) // under the cap, no tombstones
+    // all 90 docs still searchable after the merge
+    def live(): Long = coll.snapshot().search(Seq(0.0, 0.0, 0.0, 0.0),
       SearchParams(topK = 1000, numExploredCentroids = Some(100),
         centroidDistanceRatio = 1e9)).count()
-    assert(n === 90L)
+    assert(live() === 90L)
+
+    // auto-vacuum: tombstones >10% of the merged segment trigger a rewrite
+    coll.delete((0 until 20).map(i => (0L, i.toLong)).toDF("user_id", "doc_id"))
+    val action = coll.maybeCompact()
+    assert(action.exists(_.startsWith("vacuumed")))
+    assert(live() === 70L)
   }
 
   test("user-bucket partition pruning: per-user search scans a pruned table") {
