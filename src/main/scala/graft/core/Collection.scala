@@ -101,7 +101,13 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
   // ---- write path ----
 
   /** Append one insert batch: rows `[user_id: long, doc_id: long,
-    * vector: array<double>, <attr columns...>]`. Returns the batch id. */
+    * vector: array<double>, <attr columns...>]`. Returns the batch id.
+    *
+    * Single-writer per collection, like the reference's WAL group leader
+    * (core.rs:41-90): concurrent writers race on batch-id allocation.
+    * Streaming ingest ([[graft.streaming.StreamingIngest]]) serializes
+    * writes through its micro-batch loop, which is the supported
+    * multi-producer path. */
   def insert(rows: DataFrame): Long = {
     val next = nextBatchId()
     rows.write.mode("overwrite").parquet(s"$opsPath/batch=$next")

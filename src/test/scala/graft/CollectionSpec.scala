@@ -93,6 +93,12 @@ class CollectionSpec extends SparkSuite {
     assert(coll.merge().isDefined)
     assert(coll.toc.segments.size === 1)
     assert(top2 === Seq(3L, 5L))
+    // term index rebuilt with remapped point ids (J3): hybrid text search
+    // still resolves to the right docs after the merge
+    val ts = coll.snapshot()
+      .termSearch(DocFilter.Contains("content", "running"), limit = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ts === Seq(1L, 2L))
     // cross-segment search result count preserved after merge
     val all = coll.snapshot().search(Seq(700.0, 700.0, 700.0, 700.0),
       SearchParams(topK = 3, numExploredCentroids = Some(10)))

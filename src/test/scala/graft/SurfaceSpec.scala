@@ -37,6 +37,13 @@ class SurfaceSpec extends SparkSuite {
     // long fast path embeds at the low 64 bits
     val l = Seq(100L).toDF("id").select(Ids.toUuid(Ids.fromLong(col("id")))).head().getString(0)
     assert(l === "00000000-0000-0000-0000-000000000064")
+    // hi/lo extraction round-trips (unsigned decimal semantics)
+    val hilo = df.select(
+      Ids.toHi(Ids.fromHiLo(col("hi"), col("lo"))).cast("string"),
+      Ids.toLo(Ids.fromHiLo(col("hi"), col("lo"))).cast("string")).collect()
+    assert(hilo(0).getString(0) === "0" && hilo(0).getString(1) === "100")
+    assert(hilo(1).getString(0) === "18446744073709551615") // unsigned -1
+    assert(hilo(2).getString(0) === "1" && hilo(2).getString(1) === "0")
   }
 
   test("packed f32 ingest (S2): pack -> unpack_f32_le round trip in codegen") {
