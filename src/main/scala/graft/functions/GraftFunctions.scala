@@ -29,6 +29,11 @@ object GraftFunctions {
     * (InsertPacked wire fast path, SURVEY §2.1 S2). */
   def unpack_f32_le(bin: Column): Column = col(UnpackF32Le(ex(bin)))
 
+  /** Multi-assignment nearest-centroid indices (index-build kernel). */
+  def nearest_centroids(vector: Column, flatCentroids: Array[Double],
+      dim: Int, maxC: Int, pct: Double): Column =
+    col(NearestCentroids(ex(vector.cast("array<double>")), flatCentroids, dim, maxC, pct))
+
   // ---- tokenization / terms (T1-T4; SURVEY §2.7) ----
 
   /** Whitespace tokenizer, lowercased; drops empty tokens.

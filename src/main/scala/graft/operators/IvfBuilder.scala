@@ -192,26 +192,32 @@ object IvfBuilder {
       .toDF("centroid_id", "vector")
   }
 
-  /** Full-data assignment pass: one narrow map against broadcast centroids,
-    * exploding to `[user_id, centroid_id, point_id]` postings. */
+  /** Full-data assignment pass: one narrow map against the centroid
+    * matrix (codegen kernel, zero boxing — the build's dominant cost at
+    * scale), exploding to `[user_id, centroid_id, point_id]` postings. */
   def buildPostings(vectors: DataFrame, centroids: DataFrame, params: BuildParams): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val centers = centroids.orderBy("centroid_id")
-      .select(col("vector").cast("array<double>")).as[Seq[Double]]
-      .collect().map(_.toArray)
-    val ids = centroids.orderBy("centroid_id").select("centroid_id").as[Int].collect()
-    val bc = spark.sparkContext.broadcast((centers, ids))
-    val maxC = params.maxClustersPerVector
-    val pct = params.distanceThresholdPct
-    val assignUdf = udf { (v: Seq[Double]) =>
-      val (cs, cids) = bc.value
-      if (cs.isEmpty) Array.empty[Int]
-      else assignOne(v.toArray, cs, maxC, pct).map(cids)
+    val ordered = centroids.orderBy("centroid_id")
+      .select(col("centroid_id").cast("int"), col("vector").cast("array<double>"))
+      .as[(Int, Seq[Double])].collect()
+    if (ordered.isEmpty)
+      return vectors.select(col("user_id"), lit(0).as("centroid_id"), col("point_id")).limit(0)
+    val ids = ordered.map(_._1)
+    val dim = ordered.head._2.length
+    val flat = new Array[Double](ordered.length * dim)
+    ordered.zipWithIndex.foreach { case ((_, v), i) =>
+      var d = 0
+      while (d < dim) { flat(i * dim + d) = v(d); d += 1 }
     }
+    val assigned = graft.functions.GraftFunctions.nearest_centroids(
+      col("vector"), flat, dim, params.maxClustersPerVector, params.distanceThresholdPct)
+    val remap = ids.zipWithIndex.map { case (cid, i) => (i, cid) }.toMap
+    val remapUdf = udf { (i: Int) => remap(i) }
     vectors
+      .withColumn("cidx", explode(assigned))
       .withColumn("centroid_id",
-        explode(assignUdf(col("vector").cast("array<double>"))))
+        if (remap.forall { case (i, cid) => i == cid }) col("cidx") else remapUdf(col("cidx")))
       .select("user_id", "centroid_id", "point_id")
   }
 }
