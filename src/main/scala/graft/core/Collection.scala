@@ -347,12 +347,15 @@ final class Snapshot(
   private def fieldLang: Map[String, String] =
     coll.config.attributeSchema.map(f => f.name -> f.lang).toMap
 
-  private def filterPoints(seg: String, filter: Option[DocFilter]): Option[DataFrame] =
+  private def filterPoints(seg: String, filter: Option[DocFilter],
+      userIds: Seq[Long]): Option[DataFrame] =
     filter.map { f =>
+      // the negation universe only needs the searched users' points, so it
+      // rides the same bucket-pruned scan as the search itself
       graft.operators.FilterCompiler.compile(
         f,
         coll.segmentTable(seg, "terms"),
-        coll.segmentTable(seg, "vectors").select("user_id", "point_id"),
+        coll.vectorsFor(seg, userIds).select("user_id", "point_id"),
         fieldLang)
     }
 
@@ -367,7 +370,7 @@ final class Snapshot(
         coll.segmentTable(seg, "centroids"),
         coll.segmentTable(seg, "postings"),
         query, params, userIds,
-        filterPoints(seg, filter),
+        filterPoints(seg, filter, userIds),
         coll.tombstones)
     }
     val tailResult = tailRows.map { rows =>
