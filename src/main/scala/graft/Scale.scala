@@ -43,7 +43,9 @@ object Scale {
     emb.count() // materialize generation outside the timed section
 
     val t0 = System.nanoTime()
-    val (centroids, postings) = Ann.ivfIndex(emb, numCentroids = clusters)
+    // two-level pruned assignment (ROADMAP #1): probe 8 super-groups
+    val (centroids, postings) = Ann.ivfIndex(emb, numCentroids = clusters,
+      assignProbeGroups = 8)
     val nPostings = postings.persist().count()
     val buildSec = (System.nanoTime() - t0) / 1e9
 

@@ -49,7 +49,115 @@ case class NearestCentroids(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Two-level pruned variant: centroids are pre-grouped (super-clusters);
+  * a vector scans all group centers, then only the member centroids of the
+  * `probeGroups` nearest groups — ~sqrt(k)-fold fewer distance evals on
+  * the build's full-data pass (ROADMAP #1; SPANN-style hierarchy).
+  * Near-exact: the true nearest centroid is outside the probed groups only
+  * for points deep in a Voronoi corner; multi-assignment makes that
+  * harmless for search recall (every point still lands in >=1 list). */
+case class NearestCentroidsPruned(
+    child: Expression,
+    flatCentroids: Array[Double],
+    groupFlat: Array[Double], // g x dim group centers
+    memberOffsets: Array[Int], // group -> [start, end) into memberIdx
+    memberIdx: Array[Int], // centroid indices grouped by group
+    dim: Int,
+    maxC: Int,
+    pct: Double,
+    probeGroups: Int) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroids_pruned"
+  override lazy val canonicalized: Expression = this
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    new GenericArrayData(CentroidKernels.assignPruned(
+      v, flatCentroids, groupFlat, memberOffsets, memberIdx, dim, maxC, pct, probeGroups))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cRef = ctx.addReferenceObj("flatCentroids", flatCentroids, "double[]")
+      val gRef = ctx.addReferenceObj("groupFlat", groupFlat, "double[]")
+      val oRef = ctx.addReferenceObj("memberOffsets", memberOffsets, "int[]")
+      val mRef = ctx.addReferenceObj("memberIdx", memberIdx, "int[]")
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.CentroidKernels.assignPruned(
+         |    $a.toDoubleArray(), $cRef, $gRef, $oRef, $mRef, $dim, $maxC, $pct, $probeGroups));""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object CentroidKernels {
+  @inline private def sq(v: Array[Double], flat: Array[Double], off: Int, dim: Int): Double = {
+    var acc = 0.0; var i = 0
+    val n = math.min(dim, v.length)
+    while (i < n) { val d = v(i) - flat(off + i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Pruned two-level assignment; see [[NearestCentroidsPruned]]. */
+  final def assignPruned(v: Array[Double], flat: Array[Double],
+      groupFlat: Array[Double], memberOffsets: Array[Int], memberIdx: Array[Int],
+      dim: Int, maxC: Int, pct: Double, probeGroups: Int): Array[Int] = {
+    val g = groupFlat.length / dim
+    if (g == 0) return Array.emptyIntArray
+    // nearest probeGroups groups by center distance (partial selection)
+    val gd = new Array[Double](g)
+    var i = 0
+    while (i < g) { gd(i) = sq(v, groupFlat, i * dim, dim); i += 1 }
+    val order = Array.tabulate(g)(identity)
+    val m = math.min(probeGroups, g)
+    var s = 0
+    while (s < m) {
+      var best = s; var j = s + 1
+      while (j < g) { if (gd(order(j)) < gd(order(best))) best = j; j += 1 }
+      val t = order(s); order(s) = order(best); order(best) = t
+      s += 1
+    }
+    // candidate centroids = members of the probed groups
+    var total = 0
+    var p = 0
+    while (p < m) { total += memberOffsets(order(p) + 1) - memberOffsets(order(p)); p += 1 }
+    val candIdx = new Array[Int](total)
+    val candD = new Array[Double](total)
+    var w = 0
+    p = 0
+    while (p < m) {
+      val grp = order(p)
+      var q = memberOffsets(grp)
+      while (q < memberOffsets(grp + 1)) {
+        val ci = memberIdx(q)
+        candIdx(w) = ci
+        candD(w) = sq(v, flat, ci * dim, dim)
+        w += 1
+        q += 1
+      }
+      p += 1
+    }
+    // multi-assignment rule over candidates
+    val sel = math.min(maxC, total)
+    var s2 = 0
+    while (s2 < sel) {
+      var best = s2; var j = s2 + 1
+      while (j < total) {
+        if (candD(j) < candD(best) || (candD(j) == candD(best) && candIdx(j) < candIdx(best))) best = j
+        j += 1
+      }
+      var td = candD(s2); candD(s2) = candD(best); candD(best) = td
+      var ti = candIdx(s2); candIdx(s2) = candIdx(best); candIdx(best) = ti
+      s2 += 1
+    }
+    val lim = math.sqrt(candD(0)) * (1.0 + pct)
+    var cnt = 0
+    while (cnt < sel && math.sqrt(candD(cnt)) <= lim) cnt += 1
+    java.util.Arrays.copyOfRange(candIdx, 0, cnt)
+  }
+
   /** Shared scalar kernel: squared distances against the flattened matrix,
     * then the multi-assignment rule. Returns centroid indices. */
   final def assign(v: Array[Double], flat: Array[Double], dim: Int,

@@ -34,6 +34,13 @@ object GraftFunctions {
       dim: Int, maxC: Int, pct: Double): Column =
     col(NearestCentroids(ex(vector.cast("array<double>")), flatCentroids, dim, maxC, pct))
 
+  /** Two-level pruned variant (see [[NearestCentroidsPruned]]). */
+  def nearest_centroids_pruned(vector: Column, flatCentroids: Array[Double],
+      groupFlat: Array[Double], memberOffsets: Array[Int], memberIdx: Array[Int],
+      dim: Int, maxC: Int, pct: Double, probeGroups: Int): Column =
+    col(NearestCentroidsPruned(ex(vector.cast("array<double>")), flatCentroids,
+      groupFlat, memberOffsets, memberIdx, dim, maxC, pct, probeGroups))
+
   // ---- tokenization / terms (T1-T4; SURVEY §2.7) ----
 
   /** Whitespace tokenizer, lowercased; drops empty tokens.

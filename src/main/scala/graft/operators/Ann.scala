@@ -46,6 +46,7 @@ object Ann {
       embeddings: DataFrame, numCentroids: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxClustersPerVector: Int = 2, distanceThresholdPct: Double = 0.2,
+      assignProbeGroups: Int = 0,
       seed: Long = 42L): (DataFrame, DataFrame) = {
     val vectors = embeddings.select(
       lit(0L).as("user_id"), col(idCol).as("point_id"), col(vecCol).as("vector"))
@@ -53,7 +54,8 @@ object Ann {
     // the reference's recall lever (builder.rs:292-367); default 2x here
     val params = IvfBuilder.BuildParams(numCentroids = numCentroids,
       maxClustersPerVector = maxClustersPerVector,
-      distanceThresholdPct = distanceThresholdPct, seed = seed)
+      distanceThresholdPct = distanceThresholdPct,
+      assignProbeGroups = assignProbeGroups, seed = seed)
     val centroids = IvfBuilder.buildCentroids(vectors, params)
     val postings = IvfBuilder.buildPostings(vectors, centroids, params)
     (centroids, postings.select("centroid_id", "point_id"))

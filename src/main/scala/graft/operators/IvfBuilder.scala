@@ -27,6 +27,10 @@ object IvfBuilder {
       distanceThresholdPct: Double = 0.1,
       maxPostingListSize: Long = Long.MaxValue,
       sampleSize: Int = 20000,
+      /** >0: two-level pruned assignment — scan only the member centroids
+        * of this many nearest super-groups per vector (~sqrt(k)-fold
+        * fewer distance evals; near-exact). 0 = exact full scan. */
+      assignProbeGroups: Int = 0,
       seed: Long = 42L)
 
   private def sqDist(a: Array[Double], b: Array[Double]): Double = {
@@ -210,8 +214,42 @@ object IvfBuilder {
       var d = 0
       while (d < dim) { flat(i * dim + d) = v(d); d += 1 }
     }
-    val assigned = graft.functions.GraftFunctions.nearest_centroids(
-      col("vector"), flat, dim, params.maxClustersPerVector, params.distanceThresholdPct)
+    val k = ordered.length
+    val assigned =
+      if (params.assignProbeGroups > 0 && k >= 64) {
+        // group centroids into ~sqrt(k) super-clusters (driver-local; the
+        // centroid set is small by construction)
+        val g = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+        val centroidVecs = ordered.map(_._2.toArray)
+        val groupCenters = localKMeans(centroidVecs, g, params.seed + 7, iters = 10)
+        val groupFlat = new Array[Double](groupCenters.length * dim)
+        groupCenters.zipWithIndex.foreach { case (gc, i) =>
+          System.arraycopy(gc, 0, groupFlat, i * dim, dim)
+        }
+        val membership = centroidVecs.map { cv =>
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < groupCenters.length) {
+            val d = sqDist(cv, groupCenters(j)); if (d < bestD) { bestD = d; best = j }; j += 1
+          }
+          best
+        }
+        val byGroup = membership.zipWithIndex.groupBy(_._1)
+        val offsets = new Array[Int](groupCenters.length + 1)
+        val memberIdx = new Array[Int](k)
+        var w = 0
+        (0 until groupCenters.length).foreach { grp =>
+          offsets(grp) = w
+          byGroup.getOrElse(grp, Array.empty).foreach { case (_, ci) =>
+            memberIdx(w) = ci; w += 1
+          }
+        }
+        offsets(groupCenters.length) = w
+        graft.functions.GraftFunctions.nearest_centroids_pruned(
+          col("vector"), flat, groupFlat, offsets, memberIdx, dim,
+          params.maxClustersPerVector, params.distanceThresholdPct, params.assignProbeGroups)
+      } else graft.functions.GraftFunctions.nearest_centroids(
+        col("vector"), flat, dim, params.maxClustersPerVector, params.distanceThresholdPct)
     val remap = ids.zipWithIndex.map { case (cid, i) => (i, cid) }.toMap
     val remapUdf = udf { (i: Int) => remap(i) }
     vectors

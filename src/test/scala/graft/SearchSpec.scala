@@ -63,6 +63,23 @@ class SearchSpec extends SparkSuite {
     assert(maxSize <= 400) // 2x slack for threshold multi-assignment
   }
 
+  test("pruned two-level assignment: full coverage and high agreement with exact") {
+    val params = IvfBuilder.BuildParams(numCentroids = 64, sampleSize = 1000, seed = 7L)
+    val centroids = IvfBuilder.buildCentroids(lineVectors, params)
+    val exact = IvfBuilder.buildPostings(lineVectors, centroids, params)
+    val pruned = IvfBuilder.buildPostings(lineVectors, centroids,
+      params.copy(assignProbeGroups = 4))
+    // invariant: every point still assigned
+    assert(pruned.select("point_id").distinct().count() === 1000L)
+    // near-exact: overwhelming agreement with the exact assignment
+    val e = exact.select("centroid_id", "point_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val p = pruned.select("centroid_id", "point_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val agree = e.intersect(p).size.toDouble / e.size
+    assert(agree >= 0.95, s"pruned assignment agreement $agree")
+  }
+
   test("tombstones excluded, filter semi-join applied, NaN-last ordering") {
     val tomb = Seq((0L, 4L)).toDF("user_id", "doc_id")
     val got = Search.bruteForce(lineVectors, query, k = 2, tombstones = Some(tomb))
