@@ -49,6 +49,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming over the driver's events table -> windowed agg matches batch") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Files.createTempDirectory("graft_events_src")
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      src.resolve("events.parquet"))
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("ev_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ev_out").agg(sum("cnt")).head().getLong(0)
+      val batch = spark.read.parquet(src.toString).count()
+      assert(streamed === batch) // every event lands in exactly one window
+      assert(spark.table("ev_out").count() > 10) // real windows materialized
+    } finally q.stop()
+  }
+
   test("event-time windowed aggregation with watermark (engine capability beyond reference)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
