@@ -200,6 +200,7 @@ object Dedup {
       .distinct()
       .persist()
     var labels = adj.groupBy("id").agg(min(col("nb")).as("label"))
+    var cached: List[DataFrame] = Nil
     var iter = 0
     var changed = 1L
     while (iter < maxIters && changed > 0) {
@@ -209,12 +210,17 @@ object Dedup {
         .select(col("id"), least(col("label"), col("next_label")).as("next_label"),
           col("label"))
         .persist()
+      cached ::= joined
       changed = joined.filter(col("next_label") < col("label")).count()
       labels = joined.select(col("id"), col("next_label").as("label"))
       iter += 1
     }
-    adj.unpersist()
-    labels.select(col("id"), col("label").as("keep_id"))
+    // materialize the final labels, then release every iteration cache
+    val out = labels.select(col("id"), col("label").as("keep_id")).persist()
+    out.count()
+    cached.foreach(_.unpersist(blocking = false))
+    adj.unpersist(blocking = false)
+    out
   }
 
   /** Exact (brute-force) cosine pair scan — O(n^2), oracle for the LSH
