@@ -32,7 +32,15 @@ final case class CollectionConfig(
       * the reference opens only the named users' indexes,
       * rs/index/src/collection/snapshot.rs:69-110). */
     userBuckets: Int = 16,
+    /** "noq" (identity, default) or "pq" — the two served quantizers
+      * (rs/config/src/enums.rs:4-9; rs/index_server/src/
+      * collection_manager.rs:72-94). With "pq", segments carry byte codes
+      * and searches score candidates via ADC with exact re-ranking. */
+    quantizer: String = "noq",
+    pqSubvectors: Int = 8,
+    pqBits: Int = 8,
     attributeSchema: Seq[AttrField] = Nil) {
+  require(quantizer == "noq" || quantizer == "pq", s"unknown quantizer: $quantizer")
   def textFields: Seq[AttrField] = attributeSchema.filter(f => f.kind == "text" || f.kind == "keyword")
 }
 
@@ -140,6 +148,16 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     filtered.select("user_id", "doc_id").write.mode("append").parquet(tombPath)
   }
 
+  def readPqModel(seg: String): Option[graft.operators.ProductQuantizer.Model] = {
+    val p = Paths.get(segPath(seg), "pq_model.bin")
+    if (!Files.exists(p)) None
+    else {
+      val ois = new java.io.ObjectInputStream(Files.newInputStream(p))
+      try Some(ois.readObject().asInstanceOf[graft.operators.ProductQuantizer.Model])
+      finally ois.close()
+    }
+  }
+
   private def readBloom(seg: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
     val p = Paths.get(segPath(seg), "bloom.bin")
     if (!Files.exists(p)) None
@@ -182,9 +200,24 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
   private def buildSegment(rows: DataFrame, seg: String): Unit = {
     // Dense per-user point ids (rs/index/src/multi_spann/builder.rs:56-70).
     val w = Window.partitionBy("user_id").orderBy("doc_id")
-    val vectors = rows
+    var vectors = rows
       .withColumn("point_id", row_number().over(w))
       .persist()
+
+    // PQ quantizer: train a per-segment codebook, persist it, and store
+    // byte codes alongside (V3; rs/quantization/src/pq/pq_builder.rs).
+    if (config.quantizer == "pq") {
+      val model = graft.operators.ProductQuantizer.train(
+        vectors, "vector", config.pqSubvectors, config.pqBits,
+        sampleSize = config.clusteringSample)
+      Files.createDirectories(Paths.get(segPath(seg)))
+      val oos = new java.io.ObjectOutputStream(
+        Files.newOutputStream(Paths.get(segPath(seg), "pq_model.bin")))
+      try oos.writeObject(model) finally oos.close()
+      vectors = vectors.withColumn("pq_codes",
+        graft.operators.ProductQuantizer.encodeCol(model, col("vector")))
+        .persist()
+    }
     // Full rows (attrs included) persist in the vectors table so merge /
     // vacuum can rebuild the term index without a separate attrs store.
     // Parquet-level bloom on doc_id gives row-group skipping on top of the
@@ -256,7 +289,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     if (t.segments.size < 2) return None
     var rows = t.segments.map { s =>
       val attrs = spark.read.parquet(s"${segPath(s)}/vectors")
-      attrs.drop("point_id", "user_bucket")
+      attrs.drop("point_id", "user_bucket", "pq_codes")
     }.reduce(_ unionByName _)
     for (tb <- tombstones)
       rows = rows.join(tb.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti")
@@ -292,7 +325,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     val tomb = tombstones.getOrElse(return)
     val t = toc
     val rows = spark.read.parquet(s"${segPath(segment)}/vectors")
-      .drop("point_id", "user_bucket")
+      .drop("point_id", "user_bucket", "pq_codes")
       .join(tomb.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti")
     val seg = s"${segment}_v"
     buildSegment(rows, seg)
@@ -365,13 +398,24 @@ final class Snapshot(
       userIds: Seq[Long] = Nil,
       filter: Option[DocFilter] = None): DataFrame = {
     val perSegment = segments.map { seg =>
-      Search.spann(
-        coll.vectorsFor(seg, userIds), // bucket-pruned scan for named users
-        coll.segmentTable(seg, "centroids"),
-        coll.segmentTable(seg, "postings"),
-        query, params, userIds,
-        filterPoints(seg, filter, userIds),
-        coll.tombstones)
+      coll.readPqModel(seg) match {
+        case Some(model) if coll.config.quantizer == "pq" =>
+          Search.spannAdc(
+            coll.vectorsFor(seg, userIds),
+            coll.segmentTable(seg, "centroids"),
+            coll.segmentTable(seg, "postings"),
+            model, query, params, userIds,
+            filterPoints(seg, filter, userIds),
+            coll.tombstones)
+        case _ =>
+          Search.spann(
+            coll.vectorsFor(seg, userIds), // bucket-pruned scan for named users
+            coll.segmentTable(seg, "centroids"),
+            coll.segmentTable(seg, "postings"),
+            query, params, userIds,
+            filterPoints(seg, filter, userIds),
+            coll.tombstones)
+      }
     }
     val tailResult = tailRows.map { rows =>
       // Brute-force over the unindexed tail; attribute filters evaluated

@@ -97,6 +97,50 @@ object Search {
       .select("user_id", "doc_id", "score")
   }
 
+  /** SPANN search over a PQ-quantized segment (K2 + V4): identical probe
+    * pipeline, but candidates are first ranked by codegen ADC distance
+    * over their byte codes (one LUT per query) and only the best `rerank`
+    * are re-scored exactly — the reference's served ProductQuantizerL2
+    * path (rs/index_server/src/collection_manager.rs:72-94) with the
+    * standard re-ranking recall guard on top. */
+  def spannAdc(
+      vectors: DataFrame, // must carry pq_codes
+      centroids: DataFrame,
+      postings: DataFrame,
+      model: ProductQuantizer.Model,
+      query: Seq[Double],
+      params: SearchParams = SearchParams(),
+      userIds: Seq[Long] = Nil,
+      filterPoints: Option[DataFrame] = None,
+      tombstones: Option[DataFrame] = None,
+      rerank: Int = 100): DataFrame = {
+    val scored = centroids
+      .withColumn("cdist", l2_distance(col("vector"), vec(query)))
+      .orderBy(col("cdist").asc, col("centroid_id").asc)
+      .limit(params.nprobe)
+    val chosen = scored
+      .withColumn("mind", min(col("cdist")).over())
+      .filter(col("cdist") <= col("mind") * (1.0 + params.centroidDistanceRatio))
+      .select("centroid_id")
+    var cand = postings.join(broadcast(chosen), Seq("centroid_id"))
+    if (userIds.nonEmpty) cand = cand.filter(col("user_id").isin(userIds: _*))
+    var df = cand
+      .select("user_id", "point_id")
+      .dropDuplicates("user_id", "point_id")
+      .join(vectors, Seq("user_id", "point_id"))
+    for (t <- tombstones)
+      df = df.join(broadcast(t.select("user_id", "doc_id")), Seq("user_id", "doc_id"), "left_anti")
+    for (fp <- filterPoints)
+      df = df.join(fp.select("user_id", "point_id"), Seq("user_id", "point_id"), "left_semi")
+    df.withColumn("adc", ProductQuantizer.adcDistance(model, col("pq_codes"), query))
+      .orderBy(col("adc").asc, col("doc_id").asc)
+      .limit(math.max(params.topK, rerank))
+      .withColumn("score", l2_distance(col("vector"), vec(query)))
+      .orderBy(scoreOrder: _*)
+      .limit(params.topK)
+      .select("user_id", "doc_id", "score")
+  }
+
   /** Scatter-gather merge (A6/D2, rs/aggregator/src/aggregator.rs:41-146):
     * union per-shard/per-collection result frames and take the global
     * top-k. Ascending (score, doc_id) consistently — the reference

@@ -106,6 +106,22 @@ class CollectionSpec extends SparkSuite {
     assert(all === Seq(700L, 699L, 701L))
   }
 
+  test("PQ-quantized collection: ADC + exact re-rank returns the golden neighbors") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config.copy(
+      name = "cpq", quantizer = "pq", pqSubvectors = 2, pqBits = 6))
+    coll.insert(lineRows(1000))
+    coll.flush()
+    // codebook persisted per segment, codes stored in the vectors table
+    assert(coll.readPqModel("seg_1").isDefined)
+    assert(spark.read.parquet(s"${coll.path}/segments/seg_1/vectors")
+      .columns.contains("pq_codes"))
+    val got = coll.snapshot().search(Seq(2.4, 3.4, 4.4, 5.4),
+      SearchParams(topK = 2, numExploredCentroids = Some(10)))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(4L, 3L)) // exact re-rank recovers the golden answer
+  }
+
   test("TOC versions are monotone and atomic") {
     val base = tmpBase()
     val coll = Collection.create(spark, base, config)
