@@ -45,6 +45,10 @@ object StreamingIngest {
           if (n >= coll.config.maxPendingOps) {
             coll.flush()
             pending.set(0L)
+            // background optimizer cadence (M3): compact opportunistically
+            // after each flush, like the reference's auto-optimizer loop
+            // (rs/index_server/src/main.rs:202-222)
+            coll.maybeCompact()
           }
         }
         ()
