@@ -31,6 +31,12 @@ class RecallSpec extends SparkSuite {
     assert(r4 >= 0.8, s"recall@10 with nprobe=4 was $r4")
   }
 
+  test("flagship entry() returns rows (the driver's t1 smoke contract)") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length === 10)
+    assert(rows.head.schema.fieldNames.contains("vec_id"))
+  }
+
   test("batched IVF search matches the per-query path") {
     val (centroids, postings) = Ann.ivfIndex(emb, numCentroids = 16)
     val queryDf = emb.filter(col("vec_id") < 5)
