@@ -123,6 +123,7 @@ object CentroidKernels {
     var total = 0
     var p = 0
     while (p < m) { total += memberOffsets(order(p) + 1) - memberOffsets(order(p)); p += 1 }
+    if (total == 0) return assign(v, flat, dim, maxC, pct) // all probed groups empty
     val candIdx = new Array[Int](total)
     val candD = new Array[Double](total)
     var w = 0

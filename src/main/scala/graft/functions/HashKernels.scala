@@ -3,9 +3,35 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 object HashKernels {
+  /** Sign-bit hyperplane sketch: for each of `tables` tables, project the
+    * vector onto that table's `planes` hyperplanes (rows of the flattened
+    * `tables*planes x dim` matrix) and pack the sign bits into a mask;
+    * the table id rides in the top 32 bits so buckets from different
+    * tables never collide. Kernel for [[HyperplaneSketch]]. */
+  final def hyperplaneBuckets(
+      v: Array[Double], flat: Array[Double], tables: Int, planes: Int, dim: Int): Array[Long] = {
+    val out = new Array[Long](tables)
+    val n = math.min(dim, v.length)
+    var t = 0
+    while (t < tables) {
+      var mask = 0L
+      var p = 0
+      while (p < planes) {
+        val off = (t * planes + p) * dim
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += v(i) * flat(off + i); i += 1 }
+        if (dot >= 0) mask |= (1L << p)
+        p += 1
+      }
+      out(t) = (t.toLong << 32) | mask
+      t += 1
+    }
+    out
+  }
   /** splitmix64 finalizer — the standard public-domain 64-bit mixer. */
   @inline final def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -170,6 +196,43 @@ case class RollingHash(child: Expression) extends UnaryExpression with ImplicitC
          |for (int $i = 0; $i < $b.length; $i++) { $h = $h * 1000003L + ($b[$i] & 0xffL); }
          |${ev.value} = $h;
        """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Multi-table sign-bit LSH sketch of an embedding (Charikar 2002 over the
+  * raw vector): one bucket key per table, `(table << 32) | signMask`.
+  * The plane matrix rides in the expression as one flattened row-major
+  * `double[]` (same pattern as [[graft.functions.NearestCentroids]]) so the
+  * sketch runs inside whole-stage codegen with zero boxing — this is the
+  * full-data pass of embedding near-dup candidate generation. */
+case class HyperplaneSketch(
+    child: Expression,
+    flatPlanes: Array[Double],
+    tables: Int,
+    planes: Int,
+    dim: Int) extends UnaryExpression with ImplicitCastInputTypes {
+  require(tables > 0 && planes > 0 && planes <= 32, s"bad sketch shape: $tables x $planes")
+  require(flatPlanes.length == tables * planes * dim, "bad plane matrix shape")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_sketch"
+  // matrix compares by reference only (immutable per run) — see NearestCentroids
+  override lazy val canonicalized: Expression = this
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    new GenericArrayData(HashKernels.hyperplaneBuckets(v, flatPlanes, tables, planes, dim))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val pRef = ctx.addReferenceObj("flatPlanes", flatPlanes, "double[]")
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.HashKernels.hyperplaneBuckets(
+         |    $a.toDoubleArray(), $pRef, $tables, $planes, $dim));""".stripMargin
     })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -60,19 +60,59 @@ object Dedup {
       .select("a", "b", "est_jaccard")
   }
 
-  /** SimHash near-dup pairs: 64-bit sketch, banded into four 16-bit chunks
-    * (any pair within Hamming distance 3 shares at least one exact chunk),
-    * bucket join, exact Hamming verify. Returns `[a, b, hamming]`. */
+  /** SimHash near-dup pairs: 64-bit sketch, blocked LSH with a recall
+    * guarantee derived from the radius, bucket join, exact Hamming verify.
+    * Returns `[a, b, hamming]`.
+    *
+    * Guarantee (pigeonhole, Manku et al. WWW'07): split the 64 bits into
+    * `c` blocks; flipping at most `h` bits touches at most `h` blocks, so
+    * at least `c - h` blocks are identical. Keys are every combination of
+    * `t` blocks with `t <= c - h`, so any pair within Hamming distance
+    * `maxHamming` shares at least one exact key — recall is 1.0 by
+    * construction, for ANY radius (the verify step makes precision exact).
+    *
+    * Scale: `t = 1` gives `h+1` tables with `64/(h+1)`-bit keys — fine for
+    * small radii, but keys get unselective as `h` grows (6-bit keys at
+    * h=10 ⇒ quadratic buckets). For larger radii we default to `t = 2`:
+    * `C(h+2, 2)` tables keyed on ~`2*64/(h+2)` bits — ~6x the candidate
+    * rows but ~64x more selective buckets, the standard precision/table
+    * trade. Only (id, 2 longs) ride the band shuffle. */
   def simhashPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
-    val sk = docs.select(col(idCol).as("id"), simhash(tokenize(col(textCol))).as("sk"))
-    val banded = sk.select(col("id"), col("sk"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("chunk"), shiftrightunsigned(col("sk"), i * 16)
-          .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("b"))
+      maxHamming: Int = 3,
+      blocksPerKey: Int = 0): DataFrame =
+    simhashPairsFromSketches(
+      docs.select(col(idCol).as("id"), simhash(tokenize(col(textCol))).as("sk")),
+      maxHamming, blocksPerKey)
+
+  /** Sketch-level simhashPairs: input is `[id, sk: long]`. Split out so the
+    * recall guarantee is testable on planted sketches at exact distances. */
+  def simhashPairsFromSketches(
+      sketches: DataFrame,
+      maxHamming: Int,
+      blocksPerKey: Int = 0): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val t = if (blocksPerKey > 0) blocksPerKey else if (maxHamming <= 5) 1 else 2
+    val c = maxHamming + t // minimal block count satisfying t <= c - maxHamming
+    require(t <= c - maxHamming, s"blocksPerKey=$t needs >= ${maxHamming + t} blocks")
+    val widths = Array.tabulate(c)(i => 64 / c + (if (i < 64 % c) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(i: Int) = {
+      val shifted = shiftrightunsigned(col("sk"), offsets(i))
+      if (widths(i) >= 64) shifted else shifted.bitwiseAND(lit((1L << widths(i)) - 1L))
+    }
+    val bandStructs = (0 until c).combinations(t).toArray.zipWithIndex.map {
+      case (s, si) =>
+        val key = s.foldLeft(lit(0L)) { (acc, i) =>
+          shiftleft(acc, widths(i)).bitwiseOR(block(i))
+        }
+        struct(lit(si).as("chunk"), key.as("key"))
+    }
+    val sk = sketches.select(col("id"), col("sk"))
+    val banded = sk
+      .select(col("id"), col("sk"), explode(array(bandStructs: _*)).as("b"))
       .select(col("id"), col("sk"), col("b.chunk"), col("b.key"))
     val l = banded.select(col("chunk"), col("key"), col("id").as("a"), col("sk").as("sk_a"))
     val r = banded.select(col("chunk"), col("key"), col("id").as("b"), col("sk").as("sk_b"))
@@ -145,81 +185,98 @@ object Dedup {
     // nTables independent sign-bit sketches of nPlanes each; a pair is a
     // candidate if it collides in ANY table (standard multi-table LSH
     // recall amplification: p_collide = 1-(1-c^planes)^tables).
-    val planes: Array[Array[Array[Double]]] = Array.tabulate(nTables) { t =>
-      Array.tabulate(nPlanes) { p =>
-        Array.tabulate(dim) { d =>
-          val h = graft.functions.HashKernels.mix64(seed + (t * 8209L + p) * 131071L + d)
-          h.toDouble / Long.MaxValue.toDouble
-        }
-      }
+    // The plane matrix is flattened into a codegen Expression (same
+    // pattern as NearestCentroids) — no per-row boxing, and the sketch
+    // runs inside whole-stage codegen.
+    val flatPlanes = new Array[Double](nTables * nPlanes * dim)
+    var w = 0
+    for (t <- 0 until nTables; p <- 0 until nPlanes; d <- 0 until dim) {
+      val h = graft.functions.HashKernels.mix64(seed + (t * 8209L + p) * 131071L + d)
+      flatPlanes(w) = h.toDouble / Long.MaxValue.toDouble
+      w += 1
     }
-    val bc = spark.sparkContext.broadcast(planes)
-    val sketchUdf = udf { (v: Seq[Double]) =>
-      val arr = v.toArray
-      val ts = bc.value
-      Array.tabulate(ts.length) { t =>
-        var mask = 0L
-        var p = 0
-        while (p < ts(t).length) {
-          var dot = 0.0; var i = 0
-          val pl = ts(t)(p)
-          while (i < arr.length && i < pl.length) { dot += arr(i) * pl(i); i += 1 }
-          if (dot >= 0) mask |= (1L << p)
-          p += 1
-        }
-        (t.toLong << 32) | mask // table id disambiguates buckets
-      }
-    }
-    val sk = embeddings.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("bucket", explode(sketchUdf(col("v"))))
-    val l = sk.select(col("bucket"), col("id").as("a"), col("v").as("va"))
-    val r = sk.select(col("bucket"), col("id").as("b"), col("v").as("vb"))
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    // Only (bucket, id) rides the band-join shuffle; the wide vectors are
+    // joined back onto the (much smaller) deduped candidate set, exactly
+    // as minhashPairs re-attaches signatures.
+    val sk = vecs.select(col("id"),
+      explode(hyperplane_sketch(col("v"), flatPlanes, nTables, nPlanes, dim)).as("bucket"))
+    val l = sk.select(col("bucket"), col("id").as("a"))
+    val r = sk.select(col("bucket"), col("id").as("b"))
     l.join(r, Seq("bucket"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "va", "vb")
+      .select("a", "b")
       .dropDuplicates("a", "b")
+      .join(vecs.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+      .join(vecs.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
       .withColumn("cosine", cosine_similarity(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")
   }
 
   /** Collapse a near-duplicate pair graph `[a, b]` into duplicate groups
-    * via distributed connected components (iterative min-label
-    * propagation — Spark-idiomatic label prop, converges in
-    * O(log(diameter)) rounds; near-dup clusters are shallow so `maxIters`
-    * of 10 is ample). Returns `[id, keep_id]` for every id that appears
-    * in a pair, with keep_id = the smallest id of its component: drop
-    * rows where id != keep_id for a canonical dedup. */
-  def keepList(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
-    // undirected adjacency incl. self-loops so isolated members keep labels
-    val adj = edges.select(col("a").as("id"), col("b").as("nb"))
-      .union(edges.select(col("b").as("id"), col("a").as("nb")))
-      .union(edges.select(col("a").as("id"), col("a").as("nb")))
-      .union(edges.select(col("b").as("id"), col("b").as("nb")))
+    * via distributed connected components — the alternating
+    * large-star/small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round rewires
+    * every node's larger neighbors (large-star) then its smaller
+    * neighbors (small-star) to the neighborhood minimum, converging to
+    * per-component stars in O(log^2 n) rounds even on path graphs —
+    * unlike one-hop min-label propagation, whose round count grows with
+    * the graph diameter. Every round `localCheckpoint`s the edge set so
+    * lineage stays flat regardless of iteration count.
+    *
+    * Returns `[id, keep_id]` for every id that appears in a pair, with
+    * keep_id = the smallest id of its component: drop rows where
+    * id != keep_id for a canonical dedup. */
+  def keepList(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val init = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+    val nodes = init.select(col("u").as("id")).union(init.select(col("v").as("id"))).distinct()
+    // canonical child->parent orientation: (larger, smaller), no self-loops
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
-      .persist()
-    var labels = adj.groupBy("id").agg(min(col("nb")).as("label"))
-    var cached: List[DataFrame] = Nil
+    def neighborMins(e: DataFrame): (DataFrame, DataFrame) = {
+      val nbr = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbr.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      (nbr, mins)
+    }
+    var edges = canon(init).localCheckpoint()
+    var cached: List[DataFrame] = edges :: Nil
+    var prev: (Long, Option[Long]) = (-1L, None)
     var iter = 0
-    var changed = 1L
-    while (iter < maxIters && changed > 0) {
-      val next = adj.join(labels.withColumnRenamed("id", "nb"), Seq("nb"))
-        .groupBy("id").agg(min(col("label")).as("next_label"))
-      val joined = labels.join(next, Seq("id"))
-        .select(col("id"), least(col("label"), col("next_label")).as("next_label"),
-          col("label"))
-        .persist()
-      cached ::= joined
-      changed = joined.filter(col("next_label") < col("label")).count()
-      labels = joined.select(col("id"), col("next_label").as("label"))
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // large-star: connect larger neighbors of u to min(Γ(u) ∪ {u})
+      val (nbrL, minsL) = neighborMins(edges)
+      val afterLarge = canon(
+        nbrL.join(minsL, Seq("u")).where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v")))
+      // small-star: connect smaller neighbors (and u itself) to the min
+      val (nbrS, minsS) = neighborMins(afterLarge)
+      edges = canon(
+        nbrS.join(minsS, Seq("u")).where(col("v") < col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(minsS.select(col("u"), col("m").as("v"))))
+        .localCheckpoint()
+      cached ::= edges
+      // convergence = edge set unchanged (count + order-free xor of hashes;
+      // xor never overflows under ANSI and distinct edges can't cancel)
+      val row = edges.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      val sig = (row.getLong(0), if (row.isNullAt(1)) None else Some(row.getLong(1)))
+      converged = sig == prev
+      prev = sig
       iter += 1
     }
-    // materialize the final labels, then release every iteration cache
-    val out = labels.select(col("id"), col("label").as("keep_id")).persist()
+    // converged edges are stars (child -> component min); centers map to self
+    val mapping = edges.select(col("u").as("id"), col("v").as("keep_id"))
+      .groupBy("id").agg(min(col("keep_id")).as("keep_id"))
+    val out = nodes.join(mapping, Seq("id"), "left")
+      .select(col("id"), coalesce(col("keep_id"), col("id")).as("keep_id"))
+      .persist()
     out.count()
     cached.foreach(_.unpersist(blocking = false))
-    adj.unpersist(blocking = false)
     out
   }
 

@@ -40,6 +40,32 @@ class DedupSpec extends SparkSuite {
     assert(pairs((0L, 2L)) === 0) // same token bag after normalization
   }
 
+  test("simhash recall: planted sketch pairs at exactly maxHamming are found") {
+    // For each radius, plant pairs at distance == maxHamming (the worst
+    // case for blocked LSH) with flips spread to straddle as many blocks
+    // as possible, plus a just-outside pair that must be excluded.
+    val rng = new scala.util.Random(7)
+    for (h <- Seq(3, 6, 10, 16)) {
+      val rows = (0 until 20).flatMap { p =>
+        val base = rng.nextLong()
+        // flip exactly h distinct bit positions
+        val bits = rng.shuffle((0 until 64).toList).take(h + 1)
+        val at = bits.take(h).foldLeft(base)((v, b) => v ^ (1L << b))
+        val outside = bits.foldLeft(base)((v, b) => v ^ (1L << b))
+        Seq((p * 3L, base), (p * 3L + 1, at), (p * 3L + 2, outside))
+      }
+      val got = Dedup
+        .simhashPairsFromSketches(rows.toDF("id", "sk"), maxHamming = h)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+      for (p <- 0 until 20) {
+        assert(got.get((p * 3L, p * 3L + 1)).contains(h),
+          s"h=$h: pair at exactly $h bits missed for plant $p")
+        assert(!got.contains((p * 3L, p * 3L + 2)),
+          s"h=$h: pair at ${h + 1} bits wrongly included")
+      }
+    }
+  }
+
   test("ngram jaccard: exact value for a hand-computable pair") {
     val two = Seq((0L, "a b c d"), (1L, "a b c e")).toDF("doc_id", "text")
     // 2-shingles: {ab,bc,cd} vs {ab,bc,ce}: intersection 2, union 4 -> 0.5
@@ -54,6 +80,15 @@ class DedupSpec extends SparkSuite {
     val got = Dedup.keepList(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("keepList: 1000-edge chain (worst-case diameter) converges to one component") {
+    // one-hop label propagation needs ~1000 rounds here; large/small-star
+    // must collapse it within the default iteration budget
+    val pairs = (0 until 1000).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    val got = Dedup.keepList(pairs).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 1001)
+    assert(got.forall(_._2 == 0L), "all chain nodes must map to component min 0")
   }
 
   test("end-to-end dedup: minhash pairs -> keepList drops the planted dups") {
