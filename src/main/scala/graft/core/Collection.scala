@@ -118,11 +118,18 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     * multi-producer path. */
   def insert(rows: DataFrame): Long = {
     val next = nextBatchId()
-    rows.write.mode("overwrite").parquet(s"$opsPath/batch=$next")
+    insertAt(next, rows)
     next
   }
 
-  private def nextBatchId(): Long = {
+  /** Write one ops batch at a caller-chosen id (overwrite). Streaming
+    * ingest keys this by its epoch id so a retried epoch overwrites its
+    * own output instead of appending a duplicate batch (R7 exactly-once).
+    * Callers must hand out monotonically increasing ids. */
+  def insertAt(batchId: Long, rows: DataFrame): Unit =
+    rows.write.mode("overwrite").parquet(s"$opsPath/batch=$batchId")
+
+  private[graft] def nextBatchId(): Long = {
     val d = Paths.get(opsPath)
     if (!Files.exists(d)) 0L
     else Files.list(d).iterator().asScala
@@ -132,20 +139,30 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
   }
 
   /** Delete (user_id, doc_id) pairs -> tombstones (R6; anti-joined at read,
-    * physically dropped by vacuum). Pairs that no live segment's bloom
-    * filter may contain are dropped before writing — the reference's
-    * per-segment bloom short-circuit for deletes (F9,
-    * rs/index/src/segment/mod.rs:34-37). */
+    * physically dropped by vacuum). The per-segment bloom short-circuit
+    * (F9, rs/index/src/segment/mod.rs:34-37) only drops pairs that no
+    * LIVE data may contain: a pair passes if any segment bloom may hold
+    * its doc_id OR it matches the unflushed ops tail exactly — dropping a
+    * tail-only delete would resurrect the doc at the next flush. */
   def delete(pairs: DataFrame): Unit = {
-    val blooms = toc.segments.flatMap(readBloom)
+    val t = toc
+    val blooms = t.segments.flatMap(readBloom)
+    val base = pairs.select("user_id", "doc_id")
     val filtered =
-      if (blooms.isEmpty) pairs
+      if (blooms.isEmpty) base // no segments: keep everything (tail-only state)
       else {
         val bc = spark.sparkContext.broadcast(blooms)
         val mayContain = udf { (docId: Long) => bc.value.exists(_.mightContainLong(docId)) }
-        pairs.filter(mayContain(col("doc_id")))
+        val fromSegments = base.filter(mayContain(col("doc_id")))
+        tail(t) match {
+          case None => fromSegments
+          case Some(rows) =>
+            val inTail = base.join(
+              rows.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_semi")
+            fromSegments.union(inTail).dropDuplicates("user_id", "doc_id")
+        }
       }
-    filtered.select("user_id", "doc_id").write.mode("append").parquet(tombPath)
+    filtered.write.mode("append").parquet(tombPath)
   }
 
   def readPqModel(seg: String): Option[graft.operators.ProductQuantizer.Model] = {
@@ -200,9 +217,10 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
   private def buildSegment(rows: DataFrame, seg: String): Unit = {
     // Dense per-user point ids (rs/index/src/multi_spann/builder.rs:56-70).
     val w = Window.partitionBy("user_id").orderBy("doc_id")
-    var vectors = rows
+    val preEncode = rows
       .withColumn("point_id", row_number().over(w))
       .persist()
+    var vectors = preEncode
 
     // PQ quantizer: train a per-segment codebook, persist it, and store
     // byte codes alongside (V3; rs/quantization/src/pq/pq_builder.rs).
@@ -271,6 +289,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       .sortWithinPartitions("term", "user_id", "point_id")
       .write.mode("overwrite").parquet(s"${segPath(seg)}/terms")
     vectors.unpersist()
+    if (vectors ne preEncode) preEncode.unpersist() // pq path caches two frames
   }
 
   // ---- read path ----
@@ -457,7 +476,9 @@ final class Snapshot(
   private def compileRaw(f: DocFilter, df: DataFrame): org.apache.spark.sql.Column = f match {
     case DocFilter.And(cs) => cs.map(compileRaw(_, df)).reduceOption(_ && _).getOrElse(lit(true))
     case DocFilter.Or(cs) => cs.map(compileRaw(_, df)).reduceOption(_ || _).getOrElse(lit(false))
-    case DocFilter.Ids(_) => lit(true) // point ids don't exist before flush
+    // point ids are assigned at flush, so an Ids filter can never match the
+    // unflushed tail — exclude it (was lit(true): superset semantics bug)
+    case DocFilter.Ids(_) => lit(false)
     case DocFilter.Contains(field, value, kw) =>
       val lang = coll.config.attributeSchema.find(_.name == field).map(_.lang).getOrElse("english")
       val docToks =

@@ -38,7 +38,7 @@ object Search {
     var df = vectors
     if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
     for (t <- tombstones)
-      df = df.join(broadcast(t.select("user_id", "doc_id")), Seq("user_id", "doc_id"), "left_anti")
+      df = df.join(t.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti")
     for (fp <- filterPoints)
       df = df.join(fp.select("user_id", "point_id"), Seq("user_id", "point_id"), "left_semi")
     df.withColumn("score", l2_distance(col("vector"), vec(query)))
@@ -88,7 +88,7 @@ object Search {
       .dropDuplicates("user_id", "point_id") // multi-assignment lists overlap
       .join(vectors, Seq("user_id", "point_id"))
     for (t <- tombstones)
-      df = df.join(broadcast(t.select("user_id", "doc_id")), Seq("user_id", "doc_id"), "left_anti")
+      df = df.join(t.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti")
     for (fp <- filterPoints)
       df = df.join(fp.select("user_id", "point_id"), Seq("user_id", "point_id"), "left_semi")
     df.withColumn("score", l2_distance(col("vector"), vec(query)))
@@ -129,7 +129,7 @@ object Search {
       .dropDuplicates("user_id", "point_id")
       .join(vectors, Seq("user_id", "point_id"))
     for (t <- tombstones)
-      df = df.join(broadcast(t.select("user_id", "doc_id")), Seq("user_id", "doc_id"), "left_anti")
+      df = df.join(t.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti")
     for (fp <- filterPoints)
       df = df.join(fp.select("user_id", "point_id"), Seq("user_id", "point_id"), "left_semi")
     df.withColumn("adc", ProductQuantizer.adcDistance(model, col("pq_codes"), query))
@@ -169,7 +169,7 @@ object Search {
     val pts = FilterCompiler.compile(filter, t, idMap.select("user_id", "point_id"), fieldLang)
     var docs = pts.join(idMap, Seq("user_id", "point_id")).select("user_id", "doc_id")
     for (tb <- tombstones)
-      docs = docs.join(broadcast(tb.select("user_id", "doc_id")), Seq("user_id", "doc_id"), "left_anti")
+      docs = docs.join(tb.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti")
     docs.dropDuplicates("user_id", "doc_id").orderBy("doc_id").limit(limit)
   }
 }

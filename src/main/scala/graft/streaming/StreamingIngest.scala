@@ -19,8 +19,10 @@ import graft.core.Collection
   *    (atomic TOC bump; readers on old snapshots unaffected)
   *  - read-your-writes (R5)                   -> un-flushed batches are
   *    served by the snapshot's brute-force tail
-  * Exactly-once: foreachBatch may retry a batch after a crash; the ops
-  * batch id makes the append idempotent per epoch (overwrite-by-batch).
+  * Exactly-once: foreachBatch may retry an epoch after a crash. The ops
+  * batch id is `base + epochId`, where `base` is allocated once per
+  * checkpoint (persisted next to it), so a retried epoch overwrites its
+  * own batch directory — idempotent replay, not append-duplication.
   */
 object StreamingIngest {
 
@@ -31,6 +33,20 @@ object StreamingIngest {
       coll: Collection,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    // Allocate the ops-batch base ONCE per checkpoint and persist it there:
+    // a restarted query re-reads the same base, so epoch N always maps to
+    // the same ops/batch=<base+N> directory across retries.
+    val ckDir = java.nio.file.Paths.get(checkpoint)
+    java.nio.file.Files.createDirectories(ckDir)
+    val baseFile = ckDir.resolve("graft_ops_base")
+    val base: Long =
+      if (java.nio.file.Files.exists(baseFile))
+        java.nio.file.Files.readString(baseFile).trim.toLong
+      else {
+        val b = coll.nextBatchId()
+        java.nio.file.Files.writeString(baseFile, b.toString)
+        b
+      }
     // pending-op counter for the auto-flush policy (R3); process-local is
     // fine — a restart just flushes early.
     val pending = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -38,9 +54,9 @@ object StreamingIngest {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!batch.isEmpty) {
-          coll.insert(batch)
+          coll.insertAt(base + epochId, batch)
           val n = pending.addAndGet(batch.count())
           if (n >= coll.config.maxPendingOps) {
             coll.flush()

@@ -106,6 +106,39 @@ class CollectionSpec extends SparkSuite {
     assert(all === Seq(700L, 699L, 701L))
   }
 
+  test("delete of a tail-only doc survives the bloom short-circuit") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    coll.insert(lineRows(100))
+    coll.flush() // a segment (and its bloom) now exists
+    // doc 9999 lives only in the unflushed tail
+    coll.insert(Seq((0L, 9999L, Seq(9999.0, 9999.0, 9999.0, 9999.0), "tail doc"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    coll.delete(Seq((0L, 9999L)).toDF("user_id", "doc_id"))
+    // deleted before flush: must not resurface after the flush
+    coll.flush()
+    val got = coll.snapshot().search(Seq(9999.0, 9999.0, 9999.0, 9999.0),
+      SearchParams(topK = 1, numExploredCentroids = Some(20)))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(!got.contains(9999L), s"tail-only delete dropped; got $got")
+  }
+
+  test("Ids filter never matches the unflushed tail (ids exist post-flush)") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    coll.insert(lineRows(10))
+    coll.flush()
+    // tail doc very close to the query; an Ids filter must still exclude it
+    coll.insert(Seq((0L, 500L, Seq(4.0, 4.0, 4.0, 4.0), "tail doc"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    // query offset from any centroid: min cdist > 0 so ratio 1e9 probes all
+    val got = coll.snapshot().search(Seq(4.1, 4.1, 4.1, 4.1),
+      SearchParams(topK = 5, numExploredCentroids = Some(20), centroidDistanceRatio = 1e9),
+      filter = Some(DocFilter.Ids(Seq(3L, 5L)))) // point ids of docs 2 and 4
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(4L, 2L)) // id-matched flushed docs only, no tail rows
+  }
+
   test("PQ-quantized collection: ADC + exact re-rank returns the golden neighbors") {
     val base = tmpBase()
     val coll = Collection.create(spark, base, config.copy(

@@ -92,6 +92,20 @@ class SearchSpec extends SparkSuite {
     assert(got2 === Seq(7L, 8L))
   }
 
+  test("tombstone anti-join is not forced broadcast (AQE decides)") {
+    // an unbounded tombstone table must never carry a broadcast hint —
+    // with the auto threshold off, the plan must contain no
+    // BroadcastExchange (AQE may still choose one at runtime from stats)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val tomb = Seq((0L, 4L)).toDF("user_id", "doc_id")
+      val df = Search.bruteForce(lineVectors, query, k = 2, tombstones = Some(tomb))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"), s"forced broadcast in plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("multi-user: results restricted to requested users") {
     val mu = (0 until 100).map { i =>
       ((i % 5).toLong, i.toLong, (i / 5).toLong + 1,

@@ -49,6 +49,20 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("epoch replay is idempotent: retried batch overwrites its own ops dir") {
+    val base = Files.createTempDirectory("graft_epoch").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "e1", numFeatures = 4, initialNumCentroids = 4))
+    val rows = (0 until 10).map { i =>
+      (0L, i.toLong, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble))
+    }.toDF("user_id", "doc_id", "vector")
+    // simulate a foreachBatch retry of the same epoch after a crash
+    coll.insertAt(0L, rows)
+    coll.insertAt(0L, rows)
+    val tail = coll.snapshot().search(Seq(0.0, 0.0, 0.0, 0.0), SearchParams(topK = 100))
+    assert(tail.count() === 10L, "retried epoch must not duplicate rows")
+  }
+
   test("file-source streaming over the driver's events table -> windowed agg matches batch") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = Files.createTempDirectory("graft_events_src")
