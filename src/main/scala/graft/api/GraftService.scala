@@ -56,13 +56,21 @@ class GraftService(spark: SparkSession, basePath: String) {
   def collection(name: String): Collection =
     catalog.getOrElseUpdate(name, sys.error(s"unknown collection: $name"))
 
-  /** uuid string -> internal long id (low 64 bits; full u128 binary form
-    * available via [[Ids]] when collections need it). */
-  private def toLong(uuid: String): Long =
-    java.lang.Long.parseUnsignedLong(uuid.replace("-", "").takeRight(16), 16)
+  /** uuid string -> 16-byte big-endian binary — the full u128 id travels
+    * through the engine (no truncation: two uuids sharing low-64 bits stay
+    * distinct docs; ordering = unsigned u128, rs/index/src/utils.rs:95-117). */
+  private def toBytes(uuid: String): Array[Byte] = {
+    val hex = uuid.replace("-", "").toLowerCase
+    require(hex.length == 32 && hex.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"bad uuid: $uuid")
+    Array.tabulate(16)(i => Integer.parseInt(hex.substring(i * 2, i * 2 + 2), 16).toByte)
+  }
 
-  private def fromLong(id: Long): String =
-    f"00000000-0000-0000-${(id >>> 48) & 0xffffL}%04x-${id & 0xffffffffffffL}%012x"
+  private def toUuidStr(b: Array[Byte]): String = {
+    val h = b.map(x => f"${x & 0xff}%02x").mkString
+    s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+      s"${h.substring(16, 20)}-${h.substring(20, 32)}"
+  }
 
   def insert(req: InsertRequest): Long = {
     val coll = collection(req.collectionName)
@@ -73,13 +81,13 @@ class GraftService(spark: SparkSession, basePath: String) {
       if (req.userIds.length == 1) Seq.fill(req.docIds.length)(req.userIds.head)
       else req.userIds
     val rows = req.docIds.indices.map { i =>
-      (toLong(users(i)), toLong(req.docIds(i)),
+      (toBytes(users(i)), toBytes(req.docIds(i)),
         req.vectors.slice(i * d, (i + 1) * d).map(_.toDouble))
     }
     var df = rows.toDF("user_id", "doc_id", "vector")
     req.attributes.foreach { case (field, values) =>
       require(values.length == req.docIds.length, s"attr $field length mismatch")
-      val attrDf = req.docIds.indices.map(i => (toLong(req.docIds(i)), values(i)))
+      val attrDf = req.docIds.indices.map(i => (toBytes(req.docIds(i)), values(i)))
         .toDF("doc_id", field)
       df = df.join(attrDf, Seq("doc_id"))
     }
@@ -93,7 +101,7 @@ class GraftService(spark: SparkSession, basePath: String) {
   }
 
   def remove(collectionName: String, userIds: Seq[String], docIds: Seq[String]): Unit = {
-    val pairs = userIds.zip(docIds).map { case (u, dId) => (toLong(u), toLong(dId)) }
+    val pairs = userIds.zip(docIds).map { case (u, dId) => (toBytes(u), toBytes(dId)) }
     collection(collectionName).delete(pairs.toDF("user_id", "doc_id"))
   }
 
@@ -104,18 +112,18 @@ class GraftService(spark: SparkSession, basePath: String) {
     val coll = collection(req.collectionName)
     val params = SearchParams(req.topK, req.numExploredCentroids, req.centroidDistanceRatio)
     val rows = coll.snapshot()
-      .search(req.vector.map(_.toDouble), params, req.userIds.map(toLong), req.filter)
+      .search(req.vector.map(_.toDouble), params, req.userIds.map(toBytes), req.filter)
       .select("doc_id", "score").collect()
     SearchResponse(
-      rows.map(r => fromLong(r.getLong(0))).toSeq,
+      rows.map(r => toUuidStr(r.getAs[Array[Byte]](0))).toSeq,
       rows.map(_.getDouble(1)).toSeq)
   }
 
   def termSearch(collectionName: String, filter: DocFilter, limit: Int,
       userIds: Seq[String] = Nil): Seq[String] =
     collection(collectionName).snapshot()
-      .termSearch(filter, limit, userIds.map(toLong))
-      .select("doc_id").collect().map(r => fromLong(r.getLong(0))).toSeq
+      .termSearch(filter, limit, userIds.map(toBytes))
+      .select("doc_id").collect().map(r => toUuidStr(r.getAs[Array[Byte]](0))).toSeq
 
   /** Admin surface (rs/proto/proto/admin.proto:4-8). */
   def getSegments(collectionName: String): Seq[String] =

@@ -89,8 +89,12 @@ object Toc {
   *   tombstones/                (user_id, doc_id pairs; F10/R6)
   *   segments/<seg>/{vectors,centroids,postings,terms}/
   * }}}
-  * Ids are Long here (the u128 surface of the reference maps to a
-  * uuid<->2xlong shim at the API edge; SURVEY §7.4).
+  * Id columns (user_id, doc_id) may be LongType (the 64-bit fast path) or
+  * BinaryType(16) big-endian (the reference's u128 surface,
+  * muopdb.proto:72-81) — the engine is id-type agnostic: joins, ordering
+  * (binary sorts as unsigned u128), bucketing (xxhash64) and the delete
+  * bloom (over xxhash64(doc_id)) all work on either. [[graft.api.GraftService]]
+  * feeds binary ids; per-segment point ids stay dense Ints either way.
   *
   * Lifecycle mirrors the reference (§3.2): insert appends an ops batch
   * (WAL, S5/R1); flush compacts un-flushed batches into an immutable
@@ -152,8 +156,9 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       if (blooms.isEmpty) base // no segments: keep everything (tail-only state)
       else {
         val bc = spark.sparkContext.broadcast(blooms)
-        val mayContain = udf { (docId: Long) => bc.value.exists(_.mightContainLong(docId)) }
-        val fromSegments = base.filter(mayContain(col("doc_id")))
+        // blooms hold xxhash64(doc_id) — id-type agnostic (long or u128 binary)
+        val mayContain = udf { (h: Long) => bc.value.exists(_.mightContainLong(h)) }
+        val fromSegments = base.filter(mayContain(xxhash64(col("doc_id"))))
         tail(t) match {
           case None => fromSegments
           case Some(rows) =>
@@ -251,9 +256,12 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     (if (config.userBuckets > 0) w0.partitionBy("user_bucket") else w0)
       .parquet(s"${segPath(seg)}/vectors")
 
-    // Segment-level blocked bloom over doc_id (F9; fpr from config mirror
-    // rs/config/src/collection.rs:146-149) for the delete short-circuit.
-    val bloom = vectors.stat.bloomFilter("doc_id", math.max(1000L, vectors.count()), 0.01)
+    // Segment-level blocked bloom over xxhash64(doc_id) (F9; fpr from config
+    // mirror rs/config/src/collection.rs:146-149) for the delete
+    // short-circuit. Hashing first keeps the bloom id-type agnostic:
+    // doc_id may be LongType (fast path) or BinaryType(16) (u128 surface).
+    val bloom = vectors.select(xxhash64(col("doc_id")).as("h"))
+      .stat.bloomFilter("h", math.max(1000L, vectors.count()), 0.01)
     val out = Files.newOutputStream(Paths.get(segPath(seg), "bloom.bin"))
     try bloom.writeTo(out) finally out.close()
 
@@ -365,7 +373,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     * prunes bucket directories before the scan. Bucket values for the
     * requested users are evaluated with the identical expression on a
     * 1-row frame (guaranteed same hashing as the write side). */
-  private[core] def vectorsFor(seg: String, userIds: Seq[Long]): DataFrame = {
+  private[core] def vectorsFor(seg: String, userIds: Seq[Any]): DataFrame = {
     val df = segmentTable(seg, "vectors")
     if (userIds.isEmpty || config.userBuckets <= 0) df
     else {
@@ -400,7 +408,7 @@ final class Snapshot(
     coll.config.attributeSchema.map(f => f.name -> f.lang).toMap
 
   private def filterPoints(seg: String, filter: Option[DocFilter],
-      userIds: Seq[Long]): Option[DataFrame] =
+      userIds: Seq[Any]): Option[DataFrame] =
     filter.map { f =>
       // the negation universe only needs the searched users' points, so it
       // rides the same bucket-pruned scan as the search itself
@@ -414,7 +422,7 @@ final class Snapshot(
   def search(
       query: Seq[Double],
       params: SearchParams = SearchParams(),
-      userIds: Seq[Long] = Nil,
+      userIds: Seq[Any] = Nil,
       filter: Option[DocFilter] = None): DataFrame = {
     val perSegment = segments.map { seg =>
       coll.readPqModel(seg) match {
@@ -453,7 +461,7 @@ final class Snapshot(
       .getOrElse(coll.spark.emptyDataFrame)
   }
 
-  def termSearch(filter: DocFilter, limit: Int, userIds: Seq[Long] = Nil): DataFrame = {
+  def termSearch(filter: DocFilter, limit: Int, userIds: Seq[Any] = Nil): DataFrame = {
     val perSegment = segments.map { seg =>
       Search.termSearch(
         coll.segmentTable(seg, "terms"),

@@ -32,7 +32,7 @@ object Search {
       vectors: DataFrame,
       query: Seq[Double],
       k: Int,
-      userIds: Seq[Long] = Nil,
+      userIds: Seq[Any] = Nil,
       filterPoints: Option[DataFrame] = None,
       tombstones: Option[DataFrame] = None): DataFrame = {
     var df = vectors
@@ -65,7 +65,7 @@ object Search {
       postings: DataFrame,
       query: Seq[Double],
       params: SearchParams = SearchParams(),
-      userIds: Seq[Long] = Nil,
+      userIds: Seq[Any] = Nil,
       filterPoints: Option[DataFrame] = None,
       tombstones: Option[DataFrame] = None): DataFrame = {
 
@@ -110,7 +110,7 @@ object Search {
       model: ProductQuantizer.Model,
       query: Seq[Double],
       params: SearchParams = SearchParams(),
-      userIds: Seq[Long] = Nil,
+      userIds: Seq[Any] = Nil,
       filterPoints: Option[DataFrame] = None,
       tombstones: Option[DataFrame] = None,
       rerank: Int = 100): DataFrame = {
@@ -161,7 +161,7 @@ object Search {
       idMap: DataFrame, // [user_id, point_id, doc_id]
       filter: DocFilter,
       limit: Int,
-      userIds: Seq[Long] = Nil,
+      userIds: Seq[Any] = Nil,
       tombstones: Option[DataFrame] = None,
       fieldLang: Map[String, String] = Map.empty): DataFrame = {
     var t = terms

@@ -65,6 +65,27 @@ class ApiSpec extends SparkSuite {
     assert(!after.docIds.contains(uuid(100)))
   }
 
+  test("u128 ids: uuids sharing the low 64 bits stay distinct docs, u128-ordered") {
+    val svc = new GraftService(spark, Files.createTempDirectory("graft_api3").toString)
+    svc.createCollection(CollectionConfig(
+      name = "u128", numFeatures = 4, initialNumCentroids = 2))
+    // identical low 64 bits, different high halves (a truncating shim
+    // would collapse these into one doc)
+    val lowDup = Seq(
+      "00000000-0000-0001-dead-beefdeadbeef",
+      "00000000-0000-0002-dead-beefdeadbeef")
+    svc.insert(InsertRequest("u128",
+      docIds = lowDup, userIds = Seq(uuid(0)),
+      vectors = Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f))) // identical vectors
+    svc.flush("u128")
+    val res = svc.search(SearchRequest("u128", Seq(1f, 1f, 1f, 1f), topK = 5,
+      numExploredCentroids = Some(2), centroidDistanceRatio = 1e9))
+    // both retrieved; equal scores tiebreak on the binary id = unsigned
+    // u128 order (rs/index/src/utils.rs:95-117)
+    assert(res.docIds === lowDup)
+    assert(res.scores === Seq(0.0, 0.0))
+  }
+
   test("insertPacked decodes the little-endian wire format") {
     val svc = new GraftService(spark, Files.createTempDirectory("graft_api2").toString)
     svc.createCollection(CollectionConfig(
