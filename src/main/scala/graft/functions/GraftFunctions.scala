@@ -50,11 +50,14 @@ object GraftFunctions {
 
   private val stemUdf = udf { (tokens: Seq[String], lang: String) =>
     // Vietnamese falls back to the English stemmer exactly as the
-    // reference does (stemming_tokenizer.rs:26); other languages are
-    // lowercase passthrough (SURVEY §7.4 deviation note).
+    // reference does (stemming_tokenizer.rs:26). German, French, Spanish,
+    // Portuguese, Italian and Russian get real Snowball stemmers
+    // ([[Snowball]]); the remaining reference languages are lowercase
+    // passthrough (SURVEY §7.4 deviation note).
     if (tokens == null) null
     else if (lang == null || lang == "english" || lang == "en" ||
       lang == "vietnamese" || lang == "vi") tokens.map(Porter2.stem)
+    else if (Snowball.supported(lang)) tokens.map(t => Snowball.stem(lang, t.toLowerCase))
     else tokens.map(_.toLowerCase)
   }
 

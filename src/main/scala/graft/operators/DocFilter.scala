@@ -33,16 +33,21 @@ object FilterCompiler {
   private val cols = Seq("user_id", "point_id")
 
   /** Query-side term keys must run the SAME analyzer as the index side:
-    * Porter2 for English fields, lowercase passthrough otherwise
+    * Porter2 for English (vi->en fallback as the reference), [[Snowball]]
+    * for de/fr/es/pt/it/ru, lowercase passthrough otherwise
     * (mutable_segment.rs:92-99 symmetry). `lang` comes from the
     * collection's attribute schema. */
   def queryTerms(field: String, value: String, keyword: Boolean,
       lang: String = "english"): Seq[String] = {
     val english = lang == "english" || lang == "en" ||
-      lang == "vietnamese" || lang == "vi" // vi->en fallback, as reference
+      lang == "vietnamese" || lang == "vi"
+    def stem1(t: String): String =
+      if (english) Porter2.stem(t)
+      else if (graft.functions.Snowball.supported(lang)) graft.functions.Snowball.stem(lang, t)
+      else t
     if (keyword) Seq(s"$field:${value.toLowerCase}")
     else value.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-      .map(t => s"$field:${if (english) Porter2.stem(t) else t}")
+      .map(t => s"$field:${stem1(t)}")
   }
 
   /** @param universe all live `[user_id, point_id]` — needed by negations.

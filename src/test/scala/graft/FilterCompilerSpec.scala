@@ -41,6 +41,65 @@ class FilterCompilerSpec extends SparkSuite {
     assert(pts(got) === Seq(1L))
   }
 
+  test("Snowball goldens: de/fr/es/pt/it/ru stem inflections to one term") {
+    import graft.functions.Snowball
+    // per-language golden stems (hand-traced against the published
+    // snowballstem.org algorithm descriptions)
+    val goldens = Seq(
+      ("de", Seq("laufen" -> "lauf", "laufst" -> "lauf", "katzen" -> "katz",
+        "häuser" -> "haus", "bedeutung" -> "bedeut", "aufregend" -> "aufreg",
+        "kategorien" -> "kategori")),
+      ("fr", Seq("chanter" -> "chant", "chantez" -> "chant",
+        "chantant" -> "chant", "nationale" -> "national",
+        "nationaux" -> "national", "continuité" -> "continu",
+        "importance" -> "import")),
+      ("es", Seq("cantando" -> "cant", "cantar" -> "cant",
+        "canciones" -> "cancion", "canción" -> "cancion",
+        "importancia" -> "import", "niñas" -> "niñ",
+        "rápidamente" -> "rapid")),
+      ("pt", Seq("cantando" -> "cant", "cantar" -> "cant",
+        "meninas" -> "menin", "menino" -> "menin",
+        "felicidade" -> "felic", "rapidamente" -> "rapid")),
+      ("it", Seq("cantando" -> "cant", "cantare" -> "cant",
+        "nazionale" -> "nazional", "nazionali" -> "nazional",
+        "abilità" -> "abil", "felicità" -> "felic")),
+      ("ru", Seq("книгами" -> "книг", "книга" -> "книг", "книги" -> "книг",
+        "красивые" -> "красив", "красивый" -> "красив",
+        "делают" -> "дела", "делать" -> "дела", "важность" -> "важност")))
+    for ((lang, cases) <- goldens; (word, want) <- cases)
+      assert(Snowball.stem(lang, word) === want, s"$lang: $word")
+  }
+
+  test("Snowball index/query symmetry per field lang (de and ru fields)") {
+    // index side: analyze_text builds field:stem terms; query side:
+    // queryTerms must produce the identical keys for each language
+    import graft.functions.GraftFunctions._
+    val docs = Seq(
+      (0L, 1L, "Katzen laufen"), // german doc
+      (0L, 2L, "Hunde bellen")).toDF("user_id", "point_id", "text")
+    val t = docs.select(col("user_id"),
+      explode(term_keys("text", analyze_text(col("text"), lit("german")))).as("term"),
+      col("point_id"))
+    val u = universe(1L, 2L)
+    // query with a differently-inflected form: "katze läufst"? use
+    // singular-ish inflections that share the stems katz/lauf
+    val got = FilterCompiler.compile(
+      DocFilter.Contains("text", "laufen katzen"), t, u,
+      fieldLang = Map("text" -> "german"))
+    assert(pts(got) === Seq(1L))
+
+    val ruDocs = Seq(
+      (0L, 1L, "красивые книги"),
+      (0L, 2L, "другие вещи")).toDF("user_id", "point_id", "text")
+    val rt = ruDocs.select(col("user_id"),
+      explode(term_keys("text", analyze_text(col("text"), lit("russian")))).as("term"),
+      col("point_id"))
+    val got2 = FilterCompiler.compile(
+      DocFilter.Contains("text", "красивый книга"), rt, u,
+      fieldLang = Map("text" -> "russian"))
+    assert(pts(got2) === Seq(1L))
+  }
+
   test("unknown term and empty value yield empty results") {
     val t = terms("field:run" -> 1L)
     val u = universe(1L, 2L)
