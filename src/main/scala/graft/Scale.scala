@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, ProductQuantizer}
+import graft.operators.{Ann, ProductQuantizer, ServedIvfIndex}
 
 /** Demo-scale measurement harness (BASELINE.md): synthetic N x 768
   * vectors in the reference's 1M-demo shape (py/collection_config.json:
@@ -73,6 +73,29 @@ object Scale {
       oracle.intersect(got).size / 10.0
     }.sum / sample.length
 
+    // served per-query path (ROADMAP #2): load the index into serving
+    // memory once, then measure single-query latency with zero Spark jobs
+    val t3 = System.nanoTime()
+    val served = ServedIvfIndex.build(emb, centroids, postings)
+    val servedLoadSec = (System.nanoTime() - t3) / 1e9
+    val latQueries = queries.map(_._2.toArray)
+    served.search(latQueries.head, 10, nprobe) // warm-up
+    val lats = latQueries.flatMap { q =>
+      Seq.fill(5) {
+        val s = System.nanoTime()
+        served.search(q, 10, nprobe)
+        (System.nanoTime() - s) / 1e6
+      }
+    }.sorted
+    val servedP50 = lats(lats.length / 2)
+    val servedP99 = lats(math.min(lats.length - 1, (lats.length * 99) / 100))
+    // parity: served results must equal the distributed probe path
+    val servedParity = queries.take(5).forall { case (_, q) =>
+      val oracle = Ann.ivfTopK(emb, centroids, postings, q, 10, nprobe)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      served.search(q.toArray, 10, nprobe).map(_._1).toSeq == oracle
+    }
+
     // PQ at the demo compression point (768 dims -> 96 bytes)
     val t2 = System.nanoTime()
     val model = ProductQuantizer.train(emb, "embedding", numSubvectors = 96,
@@ -82,6 +105,8 @@ object Scale {
     println(s"""{"n":$n,"dim":$dim,"clusters":$clusters,"postings":$nPostings,""" +
       s""""build_sec":${f"$buildSec%.1f"},"batch_${nq}q_sec":${f"$querySec%.1f"},""" +
       s""""qps":${f"${nq / querySec}%.1f"},"recall_at10_nprobe$nprobe":${f"$recall%.3f"},""" +
+      s""""served_load_sec":${f"$servedLoadSec%.1f"},"served_p50_ms":${f"$servedP50%.2f"},""" +
+      s""""served_p99_ms":${f"$servedP99%.2f"},"served_parity":$servedParity,""" +
       s""""pq_train_sec":${f"$pqTrainSec%.1f"}}""")
     spark.stop()
   }

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-query online serving path (SURVEY §7.4, ROADMAP #2).
+  *
+  * The distributed engine answers single queries at Spark-job latency
+  * (~0.5-1s scheduling floor); the reference serves single-digit-ms ANN
+  * from an in-memory index (rs/index/src/hnsw/block_based/index.rs:159-288,
+  * loaded per segment into RAM). [[ServedIvfIndex]] is the same serving
+  * posture rebuilt over the IVF structure: centroids, posting lists and
+  * vectors are loaded ONCE into flat primitive arrays on the serving
+  * process, and each query is answered with zero Spark jobs — an exact
+  * centroid scan (centroid count ~sqrt(N), same rationale as
+  * Search.spann's stage 1) followed by an in-memory probe of nprobe
+  * posting lists.
+  *
+  * Results are bit-identical to [[Ann.ivfTopK]] (same nprobe choice with
+  * (cdist, centroid_id) tiebreak, same candidate dedup, same
+  * (dist, id) result order), so the distributed path remains the oracle.
+  *
+  * Scale posture: the structure is per-serving-shard, not per-corpus — at
+  * cluster scale each serving replica loads one user/centroid-range shard
+  * (the reference's collection/segment layout does the same); batch
+  * workloads stay on the distributed [[Ann.ivfTopKBatch]] path.
+  */
+final class ServedIvfIndex private (
+    dim: Int,
+    centroidIds: Array[Int],
+    centFlat: Array[Double], // |centroids| x dim, row-major, sorted by centroid_id
+    postOffsets: Array[Int], // centroid idx -> [start, end) into postPoints
+    postPoints: Array[Int], // indices into the point store
+    pointIds: Array[Long],
+    vecFlat: Array[Double]) { // |points| x dim, row-major
+
+  /** points touched in the current query (epoch-stamped visited set:
+    * no per-query allocation) */
+  private val visited = new Array[Int](pointIds.length)
+  private var epoch = 0
+
+  def numCentroids: Int = centroidIds.length
+  def numPoints: Int = pointIds.length
+
+  private def sq(q: Array[Double], flat: Array[Double], off: Int): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(dim, q.length)
+    while (i < n) { val d = q(i) - flat(off + i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Single-query top-k: returns (id, l2 distance) ordered by
+    * (dist asc, id asc) — identical to Ann.ivfTopK on the same index. */
+  def search(query: Array[Double], k: Int, nprobe: Int): Array[(Long, Double)] = synchronized {
+    val nc = centroidIds.length
+    if (nc == 0 || k <= 0) return Array.empty
+    // stage 1: exact centroid scan, nprobe smallest by (cdist, centroid_id)
+    val cd = new Array[Double](nc)
+    var c = 0
+    while (c < nc) { cd(c) = sq(query, centFlat, c * dim); c += 1 }
+    val order = Array.tabulate(nc)(identity)
+    val m = math.min(nprobe, nc)
+    var s = 0
+    while (s < m) {
+      var best = s
+      var j = s + 1
+      while (j < nc) {
+        val a = order(j); val b = order(best)
+        if (cd(a) < cd(b) || (cd(a) == cd(b) && centroidIds(a) < centroidIds(b))) best = j
+        j += 1
+      }
+      val t = order(s); order(s) = order(best); order(best) = t
+      s += 1
+    }
+    // stage 2: probe posting lists; dedupe via epoch-stamped visited set
+    epoch += 1
+    // bounded top-k selection: simple insertion into parallel arrays
+    // (k is small; O(cand * k) worst case, effectively O(cand) for random order)
+    val topD = Array.fill(k)(Double.PositiveInfinity)
+    val topI = Array.fill(k)(Long.MaxValue)
+    var filled = 0
+    def offer(id: Long, d: Double): Unit = {
+      val worst = if (filled < k) Double.PositiveInfinity else topD(k - 1)
+      if (d > worst || (d == worst && filled == k && id >= topI(k - 1))) return
+      var pos = math.min(filled, k - 1)
+      while (pos > 0 && (topD(pos - 1) > d || (topD(pos - 1) == d && topI(pos - 1) > id))) {
+        topD(pos) = topD(pos - 1); topI(pos) = topI(pos - 1); pos -= 1
+      }
+      topD(pos) = d; topI(pos) = id
+      if (filled < k) filled += 1
+    }
+    var p = 0
+    while (p < m) {
+      val ci = order(p)
+      var q = postOffsets(ci)
+      val end = postOffsets(ci + 1)
+      while (q < end) {
+        val pt = postPoints(q)
+        if (visited(pt) != epoch) {
+          visited(pt) = epoch
+          offer(pointIds(pt), sq(query, vecFlat, pt * dim))
+        }
+        q += 1
+      }
+      p += 1
+    }
+    Array.tabulate(filled)(i => (topI(i), math.sqrt(topD(i))))
+  }
+}
+
+object ServedIvfIndex {
+
+  /** Load an IVF index (as built by [[Ann.ivfIndex]] or read from a
+    * collection segment) into serving memory. One-time cost, bounded by
+    * the shard size — mirrors the reference's segment load. */
+  def build(
+      embeddings: DataFrame, centroids: DataFrame, postings: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): ServedIvfIndex = {
+    val cRows = centroids
+      .select(col("centroid_id").cast("int"), col("vector").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val dim = if (cRows.isEmpty) 0 else cRows.head._2.length
+    val centroidIds = cRows.map(_._1)
+    val centFlat = new Array[Double](cRows.length * dim)
+    cRows.zipWithIndex.foreach { case ((_, v), i) =>
+      System.arraycopy(v, 0, centFlat, i * dim, math.min(dim, v.length))
+    }
+    val cIdToIdx = centroidIds.zipWithIndex.toMap
+
+    val pRows = embeddings
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val pointIds = pRows.map(_._1)
+    val vecFlat = new Array[Double](pRows.length * dim)
+    pRows.zipWithIndex.foreach { case ((_, v), i) =>
+      System.arraycopy(v, 0, vecFlat, i * dim, math.min(dim, v.length))
+    }
+    val pIdToIdx = new java.util.HashMap[Long, Integer](pointIds.length * 2)
+    pointIds.zipWithIndex.foreach { case (id, i) => pIdToIdx.put(id, i) }
+
+    val postRows = postings
+      .select(col("centroid_id").cast("int"), col("point_id").cast("long"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .filter { case (_, pid) => pIdToIdx.containsKey(pid) } // drop dangling refs
+    val byCentroid = postRows.groupBy(_._1)
+    val postOffsets = new Array[Int](centroidIds.length + 1)
+    var total = 0
+    centroidIds.zipWithIndex.foreach { case (cid, i) =>
+      postOffsets(i) = total
+      total += byCentroid.get(cid).map(_.length).getOrElse(0)
+    }
+    postOffsets(centroidIds.length) = total
+    val postPoints = new Array[Int](total)
+    centroidIds.zipWithIndex.foreach { case (cid, i) =>
+      var w = postOffsets(i)
+      byCentroid.getOrElse(cid, Array.empty).foreach { case (_, pid) =>
+        val idx = pIdToIdx.get(pid)
+        if (idx != null) { postPoints(w) = idx; w += 1 }
+      }
+    }
+    val _ = cIdToIdx // ids are dense post-sort; map kept for clarity
+    new ServedIvfIndex(dim, centroidIds, centFlat, postOffsets, postPoints,
+      pointIds, vecFlat)
+  }
+}

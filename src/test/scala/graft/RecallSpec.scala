@@ -54,6 +54,33 @@ class RecallSpec extends SparkSuite {
     assert(batch === single)
   }
 
+  test("served per-query path matches Ann.ivfTopK exactly, at sub-Spark latency") {
+    import graft.operators.ServedIvfIndex
+    val (centroids, postings) = Ann.ivfIndex(emb, numCentroids = 16)
+    val served = ServedIvfIndex.build(emb, centroids, postings)
+    assert(served.numPoints === emb.count())
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    for ((qid, q) <- queries) {
+      val oracle = Ann.ivfTopK(emb, centroids, postings, q.toSeq, 10, 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val got = served.search(q, 10, 4)
+      assert(got.map(_._1).toSeq === oracle.map(_._1).toSeq, s"query $qid ids")
+      got.zip(oracle).foreach { case ((_, d), (_, od)) =>
+        assert(math.abs(d - od) < 1e-9, s"query $qid dist")
+      }
+    }
+    // latency: the point of the serving path — well under the Spark job floor
+    val warm = queries.head._2
+    served.search(warm, 10, 4)
+    val t0 = System.nanoTime()
+    val reps = 50
+    for (_ <- 0 until reps) served.search(warm, 10, 4)
+    val perQueryMs = (System.nanoTime() - t0) / 1e6 / reps
+    assert(perQueryMs < 100.0, s"served p50 ~${perQueryMs}ms; must be far below 1s")
+  }
+
   test("extensions: SQL functions available in a session built with GraftExtensions") {
     val prev = SparkSession.getActiveSession
     SparkSession.clearActiveSession()
