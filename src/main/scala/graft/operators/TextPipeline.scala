@@ -25,7 +25,7 @@ object TextPipeline {
     docs.select(
       col(idCol),
       quality_score(col(textCol)).as("quality"),
-      length(col(textCol)).as("n_chars"))
+      length(col(textCol)).cast("long").as("n_chars"))
 
   /** Language identification (script vote + stopword profiles). */
   def languages(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
