@@ -31,4 +31,42 @@ class MultimodalSpec extends SparkSuite {
     assert(frames.select("media_id").distinct().count() === 10)
     assert(frames.groupBy("media_id").count().agg(max("count")).head().getLong(0) <= 4)
   }
+
+  test("golden batch shape: exact features, empty partitions, frame edge cases") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // hand-built rows against the canonical schema, over-partitioned so
+    // most partitions are EMPTY (the batch iterator must tolerate that);
+    // a future codec swap must preserve exactly these contract shapes
+    val rows = Seq(
+      Row(1L, "image", Array[Byte](0, -1, Byte.MinValue), Row("image/png", 2, 2, null)),
+      Row(2L, "image", null, null), // null payload AND null meta
+      Row(3L, "video", Array[Byte](1, 2, 3), Row("video/mp4", null, null, 99L)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8), Multimodal.mediaSchema)
+
+    val feats = Multimodal.extractFeatures(media, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    // golden: payload [0x00, 0xff, 0x80], dim 4, n = ceil(3/4) = 1
+    // -> [0/255, 255/255, 128/255, 0]
+    val g = feats(1L)
+    assert(g(0) === 0.0 && g(1) === 1.0 && g(3) === 0.0)
+    assert(math.abs(g(2) - 128.0 / 255.0) < 1e-12)
+    // null payload -> zero vector of the requested dim, not null/crash
+    assert(feats(2L) === Seq(0.0, 0.0, 0.0, 0.0))
+
+    // frame sampling with n far beyond payload length: one frame per
+    // available byte, never empty frames, never an index out of range
+    val frames = Multimodal.sampleFrames(media, n = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
+    assert(frames.forall(_._1 == 3L)) // only the video row explodes
+    assert(frames.length === 3) // min(n, payload length)
+    assert(frames.map(_._2).sorted.toSeq === Seq(0, 1, 2))
+    assert(frames.forall(_._3.length == 1))
+    // null-payload videos produce no frames (not a crash)
+    val nullVideo = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(9L, "video", null, null)), 4),
+      Multimodal.mediaSchema)
+    assert(Multimodal.sampleFrames(nullVideo, n = 5).count() === 0L)
+  }
 }
