@@ -23,6 +23,10 @@ object Snowball {
     case "portuguese" | "pt" => Portuguese.stem(token)
     case "italian" | "it" => Italian.stem(token)
     case "russian" | "ru" => Russian.stem(token)
+    case "danish" | "da" => Danish.stem(token)
+    case "norwegian" | "no" => Norwegian.stem(token)
+    case "swedish" | "sv" => Swedish.stem(token)
+    case "dutch" | "nl" => Dutch.stem(token)
     case _ => token
   }
 
@@ -30,7 +34,8 @@ object Snowball {
     * passthrough for the rest and record the deviation). */
   val supported: Set[String] = Set(
     "german", "de", "french", "fr", "spanish", "es",
-    "portuguese", "pt", "italian", "it", "russian", "ru")
+    "portuguese", "pt", "italian", "it", "russian", "ru",
+    "danish", "da", "norwegian", "no", "swedish", "sv", "dutch", "nl")
 
   private[functions] def standardR1(w: String, isVowel: Char => Boolean): Int = {
     var i = 1
@@ -818,6 +823,243 @@ object Snowball {
 
       w.map { case 'I' => 'i'; case 'U' => 'u'; case 'Y' => 'y'; case c => c }
     }
+  }
+
+  // ==================================================================
+  // Danish — snowballstem.org/algorithms/danish/stemmer.html
+  // ==================================================================
+  object Danish {
+    private val vowels = "aeiouyæåø".toSet
+    private def isV(c: Char) = vowels(c)
+    private val sEnding = "abcdfghjklmnoprtvyzå".toSet
+
+    private val step1 = Seq("erendes", "erende", "hedens", "ethed", "erede",
+      "heden", "heder", "endes", "ernes", "erens", "erets", "ered", "ende",
+      "erne", "eren", "erer", "heds", "enes", "eres", "ens", "ere", "ene",
+      "ers", "ets", "eret", "hed", "en", "er", "es", "et", "e").sortBy(-_.length)
+
+    def stem(input: String): String = {
+      var w = input.toLowerCase
+      if (w.length < 3) return w
+      var r1 = standardR1(w, isV)
+      if (r1 < 3) r1 = math.min(3, w.length)
+      def inR1(s: String, suf: Int) = s.length - suf >= r1
+
+      // Step 1
+      step1.find(w.endsWith) match {
+        case Some(s) if inR1(w, s.length) => w = w.dropRight(s.length)
+        case Some(_) => // longest match consumed, region test failed
+        case None =>
+          if (w.endsWith("s") && inR1(w, 1) && w.length >= 2 &&
+            sEnding(w.charAt(w.length - 2))) w = w.dropRight(1)
+      }
+      // Step 2: gd dt gt kt -> drop last letter
+      def step2(): Unit =
+        if (Seq("gd", "dt", "gt", "kt").exists(w.endsWith) && inR1(w, 1))
+          w = w.dropRight(1)
+      step2()
+      // Step 3
+      if (w.endsWith("igst")) w = w.dropRight(2)
+      if (w.endsWith("løst") && inR1(w, 1)) w = w.dropRight(1)
+      else Seq("elig", "lig", "els", "ig").sortBy(-_.length).find(w.endsWith) match {
+        case Some(s) if inR1(w, s.length) => w = w.dropRight(s.length); step2()
+        case _ =>
+      }
+      // Step 4: undouble a final double consonant in R1
+      if (w.length >= 2 && inR1(w, 1) && !isV(w.last) &&
+        w.charAt(w.length - 1) == w.charAt(w.length - 2)) w = w.dropRight(1)
+      w
+    }
+  }
+
+  // ==================================================================
+  // Norwegian — snowballstem.org/algorithms/norwegian/stemmer.html
+  // ==================================================================
+  object Norwegian {
+    private val vowels = "aeiouyæåø".toSet
+    private def isV(c: Char) = vowels(c)
+    private val sEnding = "bcdfghjlmnoprtvyz".toSet
+
+    private val step1 = Seq("hetenes", "hetene", "hetens", "heten", "heter",
+      "endes", "edes", "enes", "hets", "erte", "ande", "ende", "ane", "ene",
+      "ens", "ers", "ets", "het", "ast", "ert", "ede", "en", "ar", "er",
+      "as", "es", "et", "a", "e").sortBy(-_.length)
+
+    def stem(input: String): String = {
+      var w = input.toLowerCase
+      if (w.length < 3) return w
+      var r1 = standardR1(w, isV)
+      if (r1 < 3) r1 = math.min(3, w.length)
+      def inR1(s: String, suf: Int) = s.length - suf >= r1
+
+      // Step 1 (erte/ert -> er; s needs a valid s-ending)
+      step1.find(w.endsWith) match {
+        case Some(s) if (s == "erte" || s == "ert") && inR1(w, s.length) =>
+          w = w.dropRight(s.length) + "er"
+        case Some(s) if inR1(w, s.length) => w = w.dropRight(s.length)
+        case Some(_) =>
+        case None =>
+          if (w.endsWith("s") && inR1(w, 1) && w.length >= 2) {
+            val p = w.charAt(w.length - 2)
+            val ok = sEnding(p) ||
+              (p == 'k' && (w.length < 3 || !isV(w.charAt(w.length - 3))))
+            if (ok) w = w.dropRight(1)
+          }
+      }
+      // Step 2: dt vt -> drop last letter
+      if ((w.endsWith("dt") || w.endsWith("vt")) && inR1(w, 1)) w = w.dropRight(1)
+      // Step 3
+      Seq("hetslov", "eleg", "elig", "elov", "slov", "leg", "eig", "lig",
+        "els", "lov", "ig").sortBy(-_.length).find(w.endsWith) match {
+        case Some(s) if inR1(w, s.length) => w = w.dropRight(s.length)
+        case _ =>
+      }
+      w
+    }
+  }
+
+  // ==================================================================
+  // Swedish — snowballstem.org/algorithms/swedish/stemmer.html
+  // ==================================================================
+  object Swedish {
+    private val vowels = "aeiouyäåö".toSet
+    private def isV(c: Char) = vowels(c)
+    private val sEnding = "bcdfghjklmnoprtvy".toSet
+
+    private val step1 = Seq("heterna", "hetens", "anden", "heten", "heter",
+      "arnas", "ernas", "ornas", "arens", "andes", "arna", "erna", "orna",
+      "ande", "arne", "aste", "aren", "ades", "erns", "ade", "are", "ern",
+      "ens", "het", "ast", "andet", "ad", "en", "ar", "er", "or", "as",
+      "es", "at", "a", "e").sortBy(-_.length)
+
+    def stem(input: String): String = {
+      var w = input.toLowerCase
+      if (w.length < 3) return w
+      var r1 = standardR1(w, isV)
+      if (r1 < 3) r1 = math.min(3, w.length)
+      def inR1(s: String, suf: Int) = s.length - suf >= r1
+
+      // Step 1
+      step1.find(w.endsWith) match {
+        case Some(s) if inR1(w, s.length) => w = w.dropRight(s.length)
+        case Some(_) =>
+        case None =>
+          if (w.endsWith("s") && inR1(w, 1) && w.length >= 2 &&
+            sEnding(w.charAt(w.length - 2))) w = w.dropRight(1)
+      }
+      // Step 2: dd gd nn dt gt kt tt -> drop last letter
+      if (Seq("dd", "gd", "nn", "dt", "gt", "kt", "tt").exists(w.endsWith) &&
+        inR1(w, 1)) w = w.dropRight(1)
+      // Step 3
+      if (w.endsWith("fullt") && inR1(w, 1)) w = w.dropRight(1)
+      else if (w.endsWith("löst") && inR1(w, 1)) w = w.dropRight(1)
+      else Seq("lig", "els", "ig").sortBy(-_.length).find(w.endsWith) match {
+        case Some(s) if inR1(w, s.length) => w = w.dropRight(s.length)
+        case _ =>
+      }
+      w
+    }
+  }
+
+  // ==================================================================
+  // Dutch — snowballstem.org/algorithms/dutch/stemmer.html
+  // ==================================================================
+  object Dutch {
+    private val vowels = "aeiouyè".toSet
+    private def isV(c: Char) = vowels(c)
+
+    def stem(input: String): String = {
+      var w = input.toLowerCase.map {
+        case 'ä' | 'á' => 'a'; case 'ë' | 'é' => 'e'; case 'ï' | 'í' => 'i'
+        case 'ö' | 'ó' => 'o'; case 'ü' | 'ú' => 'u'; case c => c
+      }
+      if (w.length < 3) return finish(w)
+      // mark y at start / after vowel, and i between vowels, as consonants
+      val sb = new StringBuilder(w)
+      if (sb.charAt(0) == 'y') sb.setCharAt(0, 'Y')
+      var i = 1
+      while (i < sb.length) {
+        val c = sb.charAt(i)
+        if (c == 'y' && isV(sb.charAt(i - 1))) sb.setCharAt(i, 'Y')
+        else if (c == 'i' && i < sb.length - 1 && isV(sb.charAt(i - 1)) &&
+          isV(sb.charAt(i + 1))) sb.setCharAt(i, 'I')
+        i += 1
+      }
+      w = sb.toString
+      var r1 = standardR1(w, isV)
+      if (r1 < 3) r1 = math.min(3, w.length)
+      val r2 = standardR2(w, standardR1(w, isV), isV)
+      def inR1(s: String, suf: Int) = s.length - suf >= r1
+      def inR2(s: String, suf: Int) = s.length - suf >= r2
+      def undouble(): Unit =
+        if (Seq("kk", "dd", "tt").exists(w.endsWith)) w = w.dropRight(1)
+
+      // Step 1
+      if (w.endsWith("heden") && inR1(w, 5)) w = w.dropRight(5) + "heid"
+      else if ((w.endsWith("ene") || w.endsWith("en")) &&
+        inR1(w, if (w.endsWith("ene")) 3 else 2)) {
+        val n = if (w.endsWith("ene")) 3 else 2
+        val stemPart = w.dropRight(n)
+        if (stemPart.nonEmpty && !isV(stemPart.last) && !stemPart.endsWith("gem")) {
+          w = stemPart; undouble()
+        }
+      } else if ((w.endsWith("se") || w.endsWith("s")) &&
+        inR1(w, if (w.endsWith("se")) 2 else 1)) {
+        val n = if (w.endsWith("se")) 2 else 1
+        val stemPart = w.dropRight(n)
+        if (stemPart.nonEmpty && !isV(stemPart.last) && stemPart.last != 'j')
+          w = stemPart
+      }
+
+      // Step 2: final e after a non-vowel
+      var eRemoved = false
+      if (w.endsWith("e") && inR1(w, 1) && w.length >= 2 && !isV(w.charAt(w.length - 2))) {
+        w = w.dropRight(1); eRemoved = true; undouble()
+      }
+
+      // Step 3a: heid
+      if (w.endsWith("heid") && inR2(w, 4) &&
+        !(w.length >= 5 && w.charAt(w.length - 5) == 'c')) {
+        w = w.dropRight(4)
+        if (w.endsWith("en") && inR1(w, 2)) {
+          val stemPart = w.dropRight(2)
+          if (stemPart.nonEmpty && !isV(stemPart.last) && !stemPart.endsWith("gem")) {
+            w = stemPart; undouble()
+          }
+        }
+      }
+
+      // Step 3b: d-suffixes
+      if ((w.endsWith("end") || w.endsWith("ing")) && inR2(w, 3)) {
+        w = w.dropRight(3)
+        if (w.endsWith("ig") && inR2(w, 2) &&
+          !(w.length >= 3 && w.charAt(w.length - 3) == 'e')) w = w.dropRight(2)
+        else undouble()
+      } else if (w.endsWith("ig") && inR2(w, 2) &&
+        !(w.length >= 3 && w.charAt(w.length - 3) == 'e')) {
+        w = w.dropRight(2)
+      } else if (w.endsWith("lijk") && inR2(w, 4)) {
+        w = w.dropRight(4)
+        if (w.endsWith("e") && inR1(w, 1) && w.length >= 2 &&
+          !isV(w.charAt(w.length - 2))) { w = w.dropRight(1); undouble() }
+      } else if (w.endsWith("baar") && inR2(w, 4)) {
+        w = w.dropRight(4)
+      } else if (w.endsWith("bar") && inR2(w, 3) && eRemoved) {
+        w = w.dropRight(3)
+      }
+
+      // Step 4: undouble vowel — C + double a/e/o/u + non-I consonant
+      if (w.length >= 4) {
+        val d = w.last; val v2 = w.charAt(w.length - 2)
+        val v1 = w.charAt(w.length - 3); val c0 = w.charAt(w.length - 4)
+        if (!isV(c0) && v1 == v2 && "aeou".contains(v1) && !isV(d) && d != 'I')
+          w = w.substring(0, w.length - 2) + d
+      }
+      finish(w)
+    }
+
+    private def finish(w: String): String =
+      w.map { case 'I' => 'i'; case 'Y' => 'y'; case c => c }
   }
 
   // ==================================================================

@@ -65,7 +65,15 @@ class FilterCompilerSpec extends SparkSuite {
         "abilità" -> "abil", "felicità" -> "felic")),
       ("ru", Seq("книгами" -> "книг", "книга" -> "книг", "книги" -> "книг",
         "красивые" -> "красив", "красивый" -> "красив",
-        "делают" -> "дела", "делать" -> "дела", "важность" -> "важност")))
+        "делают" -> "дела", "делать" -> "дела", "важность" -> "важност")),
+      ("da", Seq("bilerne" -> "bil", "huset" -> "hus", "hunden" -> "hund",
+        "hundene" -> "hund", "løst" -> "løs", "bestemmelse" -> "bestem")),
+      ("no", Seq("huset" -> "hus", "bilene" -> "bil", "katter" -> "katt",
+        "vakkert" -> "vakker", "trygghet" -> "trygg")),
+      ("sv", Seq("bilarna" -> "bil", "flickorna" -> "flick",
+        "skönhet" -> "skön", "möjligheterna" -> "möj")),
+      ("nl", Seq("katten" -> "kat", "boeken" -> "boek", "huizen" -> "huiz",
+        "mogelijkheden" -> "mogelijk", "kleinste" -> "kleinst")))
     for ((lang, cases) <- goldens; (word, want) <- cases)
       assert(Snowball.stem(lang, word) === want, s"$lang: $word")
   }
