@@ -292,10 +292,17 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
         vectors.select(col("user_id"),
           explode(term_keys(f.name, toks)).as("term"), col("point_id"))
       }.reduce(_ unionByName _).dropDuplicates("user_id", "term", "point_id")
+    // Physically partitioned by term-hash bucket (same pattern as the
+    // user-bucket pruning on vectors, F11): a term lookup prunes to one
+    // directory of ~1/64 of the index before the scan; row-group min/max
+    // on the sorted term column prunes further within the bucket.
     terms
-      .repartition(col("term"))
-      .sortWithinPartitions("term", "user_id", "point_id")
-      .write.mode("overwrite").parquet(s"${segPath(seg)}/terms")
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(Collection.termBuckets)))
+      .repartition(col("term_bucket"), col("term"))
+      .sortWithinPartitions("term_bucket", "term", "user_id", "point_id")
+      .write.mode("overwrite")
+      .partitionBy("term_bucket")
+      .parquet(s"${segPath(seg)}/terms")
     vectors.unpersist()
     if (vectors ne preEncode) preEncode.unpersist() // pq path caches two frames
   }
@@ -386,6 +393,10 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
 }
 
 object Collection {
+  /** Term-hash partition count for segment term indexes (fixed so readers
+    * can recompute the bucket of a query term without segment metadata). */
+  val termBuckets: Long = 64L
+
   def create(spark: SparkSession, base: String, config: CollectionConfig): Collection = {
     val p = s"$base/${config.name}"
     Files.createDirectories(Paths.get(p))

@@ -61,9 +61,18 @@ object FilterCompiler {
         universe.filter(col("point_id").isin(ids: _*)).select(cols.map(col): _*)
       case DocFilter.Contains(field, value, kw) =>
         val qts = queryTerms(field, value, kw, fieldLang.getOrElse(field, "english"))
+        val bucketed = terms.columns.contains("term_bucket")
         if (qts.isEmpty) empty // empty token stream -> empty result (planner.rs:90-93)
         else qts.map { t =>
-          terms.filter(col("term") === lit(t)).select(cols.map(col): _*)
+          // collection term indexes are term-hash partitioned: the bucket
+          // predicate constant-folds and prunes directories pre-scan
+          val scan =
+            if (bucketed) terms.filter(
+              col("term_bucket") ===
+                pmod(xxhash64(lit(t)), lit(graft.core.Collection.termBuckets)) &&
+                col("term") === lit(t))
+            else terms.filter(col("term") === lit(t))
+          scan.select(cols.map(col): _*)
         }.reduce((a, b) => a.join(b, cols, "left_semi")) // AndIter (and_iter.rs:26)
       case DocFilter.NotContains(field, value, kw) =>
         universe.select(cols.map(col): _*)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{AttrField, Collection, CollectionConfig, Ids}
 import graft.functions.GraftFunctions._
 import graft.functions.PackKernels
-import graft.operators.{Search, SearchParams, Sessionize}
+import graft.operators.{DocFilter, Search, SearchParams, Sessionize}
 
 /** Remaining reference-surface pieces: u128 id shim, packed ingest (S2),
   * bloom delete short-circuit (F9), auto-compaction (M3), scatter-gather
@@ -114,6 +114,27 @@ class SurfaceSpec extends SparkSuite {
     assert(plan.contains("user_bucket"), "expected a partition filter on user_bucket")
     val ids = got.select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(ids === Seq(7L, 2L, 12L)) // user 2 docs: 2,7,12,... nearest to 7
+  }
+
+  test("term index is term-bucket partitioned and term search prunes to one bucket") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tb").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "tb1", numFeatures = 4, initialNumCentroids = 4,
+      attributeSchema = Seq(AttrField("content", "text", "english"))))
+    coll.insert((0 until 100).map { i =>
+      val content = if (i == 7) "zebra crossing ahead" else s"document number $i"
+      (0L, i.toLong, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble), content)
+    }.toDF("user_id", "doc_id", "vector", "content"))
+    coll.flush()
+    // physically partitioned layout on disk
+    val termDir = new java.io.File(s"${coll.path}/segments/seg_1/terms")
+    assert(termDir.listFiles().exists(_.getName.startsWith("term_bucket=")))
+    // term search: correct result through the bucket-pruned scan
+    val got = coll.snapshot().termSearch(
+      DocFilter.Contains("content", "zebra"), limit = 10)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("term_bucket"), "expected a partition filter on term_bucket")
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(7L))
   }
 
   test("scatter-gather: global top-k across shard results, ascending") {
