@@ -305,11 +305,15 @@ object SparkEntry {
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     }),
     "q34_multimodal" -> ((s, d) =>
+      // features exploded to one row per slot so the deterministic stub
+      // (byte histogram over the sha256-hex payload) is DuckDB-replayable
       Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 200))
         .select(col("media_id"), col("kind"),
-          round(element_at(col("features"), 1), 4).as("f0"),
-          round(element_at(col("features"), 16), 4).as("f15"))
-        .orderBy("media_id"))
+          posexplode(col("features")).as(Seq("feat_idx", "feature")))
+        .select(col("media_id"), col("kind"),
+          col("feat_idx").cast("long").as("feat_idx"),
+          round(col("feature"), 4).as("feature"))
+        .orderBy("media_id", "feat_idx"))
   )
 
   private val docToksSql =
@@ -503,6 +507,17 @@ object SparkEntry {
             , 6) AS quality,
             CAST(length(text) AS BIGINT) AS n_chars
           FROM toks ORDER BY doc_id""",
+    // multimodal stub features: payload = utf8 bytes of the sha256 hex
+    // digest of the id; feature j = mean over hex positions i≡j (mod 16)
+    // of byte/255 — byte-for-byte replayable in DuckDB
+    "q34_multimodal" ->
+      """WITH m AS (SELECT r AS media_id, sha256(r::VARCHAR) AS hex FROM range(200) t(r)),
+           b AS (SELECT media_id, (i - 1) % 16 AS feat_idx,
+                        ord(substr(hex, i::INT, 1))::DOUBLE / 255.0 AS v
+                 FROM m, range(1, 65) t2(i))
+         SELECT media_id, 'image' AS kind, CAST(feat_idx AS BIGINT) AS feat_idx,
+                round(sum(v) / 4.0, 4) AS feature
+         FROM b GROUP BY media_id, feat_idx ORDER BY media_id, feat_idx""",
     // polynomial rolling hash (base 1000003 mod 2^64) replayed via
     // HUGEINT list_reduce; ASCII corpus makes ord(char) == utf8 byte
     "q33_rolling_fp" ->
