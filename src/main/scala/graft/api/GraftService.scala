@@ -125,6 +125,23 @@ class GraftService(spark: SparkSession, basePath: String) {
       .termSearch(filter, limit, userIds.map(toBytes))
       .select("doc_id").collect().map(r => toUuidStr(r.getAs[Array[Byte]](0))).toSeq
 
+  /** Per-user online serving session (collection_manager.rs:27-94 — the
+    * reference serves searches from per-user in-memory indexes). Loads
+    * the user's data once; `search` then answers at in-memory latency
+    * with zero Spark jobs. Rebuild after flush/remove to see newer data. */
+  def serveUser(collectionName: String, userUuid: String): ServedUserSearch =
+    new ServedUserSearch(collection(collectionName).serveUser(toBytes(userUuid)))
+
+  final class ServedUserSearch private[GraftService] (
+      view: graft.core.ServedUserView) {
+    def search(vector: Seq[Float], topK: Int = 10, nprobe: Int = 10): SearchResponse = {
+      val rows = view.search(vector.map(_.toDouble).toArray, topK, nprobe)
+      SearchResponse(
+        rows.map { case (id, _) => toUuidStr(id.asInstanceOf[Array[Byte]]) },
+        rows.map(_._2))
+    }
+  }
+
   /** Admin surface (rs/proto/proto/admin.proto:4-8). */
   def getSegments(collectionName: String): Seq[String] =
     collection(collectionName).toc.segments

@@ -314,6 +314,14 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     new Snapshot(this, t, t.segments, tail(t))
   }
 
+  private[core] def tailFor(t: Toc): Option[DataFrame] = tail(t)
+
+  /** Load one user's slice of the collection into a driver-memory serving
+    * view (see [[ServedUserView]]): single queries at in-memory latency,
+    * zero Spark jobs per query. Rebuild after flush/merge/delete to see
+    * newer data — the view pins this TOC like a snapshot. */
+  def serveUser(userId: Any): ServedUserView = ServedUserView.build(this, userId)
+
   // ---- maintenance (M1/M2) ----
 
   /** Merge all live segments into one: union live rows (tombstones dropped

@@ -1,0 +1,102 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ServedIvfIndex
+
+/** Per-user online serving view of a collection — the engine-level
+  * analogue of the reference's per-user index loading
+  * (rs/index_server/src/collection_manager.rs:27-94: a search names its
+  * users and the server serves from their in-memory indexes).
+  *
+  * `Collection.serveUser` pins the current TOC and loads, ONCE, the named
+  * user's slice of every segment (bucket-pruned scans) into driver-memory
+  * [[ServedIvfIndex]] structures, plus the user's unflushed tail rows and
+  * tombstones. Single queries are then answered with zero Spark jobs:
+  * per-segment in-memory probes + a brute-force scan of the tail
+  * (read-your-writes, R5), tombstones dropped, merged by the engine's
+  * (score asc, doc_id asc) order. Memory is bounded by one user's data —
+  * the per-shard posture of the reference, not corpus-sized.
+  */
+final class ServedUserView private[core] (
+    segments: Seq[(ServedIvfIndex, Map[Long, Any])], // index + pointId -> docId
+    tailRows: Array[(Any, Array[Double])], // (docId, vector)
+    tombstoned: Set[Any]) {
+
+  /** Unsigned-lexicographic for BinaryType ids, natural for Long ids —
+    * matches Spark's sort order on the corresponding column types. */
+  private def idLess(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: Array[Byte], y: Array[Byte]) =>
+      java.util.Arrays.compareUnsigned(x, y) < 0
+    case _ => a.toString < b.toString
+  }
+
+  private def l2(q: Array[Double], v: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(q.length, v.length)
+    while (i < n) { val d = q(i) - v(i); acc += d * d; i += 1 }
+    math.sqrt(acc)
+  }
+
+  private def key(id: Any): Any = id match {
+    case b: Array[Byte] => b.toSeq // value equality for set membership
+    case x => x
+  }
+
+  /** Single-query top-k over segments + tail, zero Spark jobs. */
+  def search(query: Array[Double], k: Int, nprobe: Int): Seq[(Any, Double)] = {
+    val fromSegments = segments.iterator.flatMap { case (idx, docOf) =>
+      idx.search(query, k, nprobe).iterator.flatMap { case (pid, dist) =>
+        docOf.get(pid).map(doc => (doc, dist))
+      }
+    }
+    val fromTail = tailRows.iterator.map { case (doc, v) => (doc, l2(query, v)) }
+    (fromSegments ++ fromTail)
+      .filterNot { case (doc, _) => tombstoned.contains(key(doc)) }
+      .toArray
+      .sortWith { case ((da, sa), (db, sb)) => sa < sb || (sa == sb && idLess(da, db)) }
+      .take(k)
+      .toSeq
+  }
+}
+
+object ServedUserView {
+
+  private[core] def build(coll: Collection, userId: Any): ServedUserView = {
+    val t = coll.toc
+    val uid = lit(userId)
+    val segs = t.segments.map { seg =>
+      val userVecs = coll.vectorsFor(seg, Seq(userId))
+        .filter(col("user_id") === uid)
+        .select(col("point_id").cast("long").as("vec_id"),
+          col("doc_id"), col("vector").cast("array<double>").as("embedding"))
+      val served = ServedIvfIndex.build(
+        userVecs.select("vec_id", "embedding"),
+        coll.segmentTable(seg, "centroids"),
+        coll.segmentTable(seg, "postings").filter(col("user_id") === uid))
+      val docOf: Map[Long, Any] = userVecs.select("vec_id", "doc_id").collect()
+        .map(r => r.getLong(0) -> r.get(1)).toMap
+      (served, docOf)
+    }
+    val tailRows: Array[(Any, Array[Double])] = coll.tailFor(t) match {
+      case None => Array.empty
+      case Some(rows) =>
+        rows.filter(col("user_id") === uid)
+          .select(col("doc_id"), col("vector").cast("array<double>"))
+          .collect()
+          .map(r => (r.get(0), r.getSeq[Double](1).toArray))
+    }
+    val tomb: Set[Any] = coll.tombstones match {
+      case None => Set.empty
+      case Some(tb) =>
+        tb.filter(col("user_id") === uid).select("doc_id").collect()
+          .map(r => r.get(0) match {
+            case b: Array[Byte] => b.toSeq: Any
+            case x => x
+          }).toSet
+    }
+    new ServedUserView(segs, tailRows, tomb)
+  }
+}

@@ -86,6 +86,30 @@ class ApiSpec extends SparkSuite {
     assert(res.scores === Seq(0.0, 0.0))
   }
 
+  test("served per-user search matches the distributed path, zero jobs per query") {
+    val svc = new GraftService(spark, Files.createTempDirectory("graft_api4").toString)
+    svc.createCollection(CollectionConfig(
+      name = "served", numFeatures = 4, initialNumCentroids = 4))
+    val docs = (0 until 50).map(i => uuid(100 + i))
+    svc.insert(InsertRequest("served", docIds = docs, userIds = Seq(uuid(0)),
+      vectors = (0 until 50).flatMap(i => Seq.fill(4)(i.toFloat))))
+    svc.flush("served")
+    // unflushed tail row + a tombstone, both visible to the served view
+    svc.insert(InsertRequest("served", docIds = Seq(uuid(500)), userIds = Seq(uuid(0)),
+      vectors = Seq(7.2f, 7.2f, 7.2f, 7.2f)))
+    svc.remove("served", Seq(uuid(0)), Seq(uuid(107)))
+
+    val served = svc.serveUser("served", uuid(0))
+    val got = served.search(Seq(7.1f, 7.1f, 7.1f, 7.1f), topK = 4, nprobe = 4)
+    val dist = svc.search(SearchRequest("served",
+      vector = Seq(7.1f, 7.1f, 7.1f, 7.1f), topK = 4, userIds = Seq(uuid(0)),
+      numExploredCentroids = Some(4), centroidDistanceRatio = 1e9))
+    assert(got.docIds === dist.docIds)
+    got.scores.zip(dist.scores).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    assert(got.docIds.contains(uuid(500))) // read-your-writes from the tail
+    assert(!got.docIds.contains(uuid(107))) // tombstone honored
+  }
+
   test("insertPacked decodes the little-endian wire format") {
     val svc = new GraftService(spark, Files.createTempDirectory("graft_api2").toString)
     svc.createCollection(CollectionConfig(
