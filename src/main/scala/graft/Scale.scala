@@ -74,7 +74,10 @@ object Scale {
     }.sum / sample.length
 
     // served per-query path (ROADMAP #2): load the index into serving
-    // memory once, then measure single-query latency with zero Spark jobs
+    // memory once, then measure single-query latency with zero Spark jobs.
+    // NOTE: ServedIvfIndex.build collects the shard it serves — bounded by
+    // the serving-shard size (here the whole demo corpus; ~n*dim*8 bytes
+    // of driver memory), NOT a distributed operator
     val t3 = System.nanoTime()
     val served = ServedIvfIndex.build(emb, centroids, postings)
     val servedLoadSec = (System.nanoTime() - t3) / 1e9

@@ -479,7 +479,7 @@ object SparkEntry {
     // in SQL (argmax with (score, lang-desc) tiebreak as in the Scala)
     "q31_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, $docToksSql AS t FROM documents),
-          scores AS (SELECT doc_id,
+          scores AS (SELECT doc_id, coalesce(len(t), 0) AS nt,
             CASE WHEN len(t)=0 THEN 0.0 ELSE len(list_filter(t, x -> x IN ('the','and','of','to','in','is','that','it','was','for','a')))::DOUBLE / len(t) END AS s_en,
             CASE WHEN len(t)=0 THEN 0.0 ELSE len(list_filter(t, x -> x IN ('der','die','und','das','ist','nicht','mit','ein','zu','den')))::DOUBLE / len(t) END AS s_de,
             CASE WHEN len(t)=0 THEN 0.0 ELSE len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','es','se','no')))::DOUBLE / len(t) END AS s_es,
@@ -488,7 +488,8 @@ object SparkEntry {
             CASE WHEN len(t)=0 THEN 0.0 ELSE len(list_filter(t, x -> x IN ('o','de','que','e','do','da','em','um','para','com')))::DOUBLE / len(t) END AS s_pt
             FROM toks)
           SELECT doc_id,
-            CASE WHEN greatest(s_en,s_de,s_es,s_fr,s_it,s_pt) <= 0.05 THEN 'en'
+            CASE WHEN nt = 0 THEN 'und' -- null/empty/whitespace-only text
+                 WHEN greatest(s_en,s_de,s_es,s_fr,s_it,s_pt) <= 0.05 THEN 'en'
                  WHEN s_pt = greatest(s_en,s_de,s_es,s_fr,s_it,s_pt) THEN 'pt'
                  WHEN s_it = greatest(s_en,s_de,s_es,s_fr,s_it,s_pt) THEN 'it'
                  WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_it,s_pt) THEN 'fr'

@@ -81,17 +81,20 @@ class GraftService(spark: SparkSession, basePath: String) {
       if (req.userIds.length == 1) Seq.fill(req.docIds.length)(req.userIds.head)
       else req.userIds
     val rows = req.docIds.indices.map { i =>
-      (toBytes(users(i)), toBytes(req.docIds(i)),
+      (i.toLong, toBytes(users(i)), toBytes(req.docIds(i)),
         req.vectors.slice(i * d, (i + 1) * d).map(_.toDouble))
     }
-    var df = rows.toDF("user_id", "doc_id", "vector")
+    var df = rows.toDF("row_idx", "user_id", "doc_id", "vector")
     req.attributes.foreach { case (field, values) =>
       require(values.length == req.docIds.length, s"attr $field length mismatch")
-      val attrDf = req.docIds.indices.map(i => (toBytes(req.docIds(i)), values(i)))
-        .toDF("doc_id", field)
-      df = df.join(attrDf, Seq("doc_id"))
+      // joined on the request row POSITION, not doc_id: doc ids are only
+      // unique per user, so the same doc id under two users must not
+      // cross-multiply attribute rows
+      val attrDf = req.docIds.indices.map(i => (i.toLong, values(i)))
+        .toDF("row_idx", field)
+      df = df.join(attrDf, Seq("row_idx"))
     }
-    coll.insert(df)
+    coll.insert(df.drop("row_idx"))
     req.docIds.length.toLong
   }
 

@@ -129,17 +129,33 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
   /** Write one ops batch at a caller-chosen id (overwrite). Streaming
     * ingest keys this by its epoch id so a retried epoch overwrites its
     * own output instead of appending a duplicate batch (R7 exactly-once).
-    * Callers must hand out monotonically increasing ids. */
+    *
+    * Id lanes: manual [[insert]] allocates EVEN ids; streaming ingest
+    * allocates ODD ids (`base + 2*epoch`) — the lanes can never collide,
+    * so an epoch overwrite can only ever replace its own prior attempt,
+    * never a manually inserted batch. */
   def insertAt(batchId: Long, rows: DataFrame): Unit =
     rows.write.mode("overwrite").parquet(s"$opsPath/batch=$batchId")
 
-  private[graft] def nextBatchId(): Long = {
+  private def maxBatchId(): Option[Long] = {
     val d = Paths.get(opsPath)
-    if (!Files.exists(d)) 0L
+    if (!Files.exists(d)) None
     else Files.list(d).iterator().asScala
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong }
-      .maxOption.map(_ + 1).getOrElse(0L)
+      .maxOption
+  }
+
+  /** Next id in the manual (even) lane. */
+  private[graft] def nextBatchId(): Long = {
+    val next = maxBatchId().map(_ + 1).getOrElse(0L)
+    if (next % 2 == 0) next else next + 1
+  }
+
+  /** First id in the streaming (odd) lane at or after the current max. */
+  private[graft] def nextStreamingBase(): Long = {
+    val next = maxBatchId().map(_ + 1).getOrElse(0L)
+    if (next % 2 == 1) next else next + 1
   }
 
   /** Delete (user_id, doc_id) pairs -> tombstones (R6; anti-joined at read,
@@ -211,7 +227,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
   def flush(): Option[String] = {
     val t = toc
     val df = tail(t).getOrElse(return None)
-    val lastBatch = nextBatchId() - 1
+    val lastBatch = maxBatchId().getOrElse(-1L)
     val seg = s"seg_${t.version + 1}"
     buildSegment(df, seg)
     Toc.write(path, Toc(t.version + 1, t.segments :+ seg, lastBatch))
@@ -490,7 +506,10 @@ final class Snapshot(
     val tailResult = tailRows.map { rows =>
       var df = rows
       if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
-      df.filter(compileRaw(filter, df)).select("user_id", "doc_id")
+      df = df.filter(compileRaw(filter, df))
+      for (tb <- coll.tombstones) // deleted tail docs stay hidden (R6)
+        df = df.join(tb.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti")
+      df.select("user_id", "doc_id")
     }
     val all = (perSegment.map(_.select("user_id", "doc_id")) ++ tailResult)
     all.reduceOption(_ unionByName _)

@@ -53,10 +53,22 @@ final class ServedUserView private[core] (
       }
     }
     val fromTail = tailRows.iterator.map { case (doc, v) => (doc, l2(query, v)) }
+    // java.lang.Double.compare gives the total order with NaN greatest —
+    // the engine's (score asc NaN-last, doc_id asc) invariant — and keeps
+    // the comparator a strict weak ordering (a raw < on NaN is not)
+    val ord = new Ordering[(Any, Double)] {
+      def compare(x: (Any, Double), y: (Any, Double)): Int = {
+        val c = java.lang.Double.compare(x._2, y._2)
+        if (c != 0) c
+        else if (idLess(x._1, y._1)) -1
+        else if (idLess(y._1, x._1)) 1
+        else 0
+      }
+    }
     (fromSegments ++ fromTail)
       .filterNot { case (doc, _) => tombstoned.contains(key(doc)) }
       .toArray
-      .sortWith { case ((da, sa), (db, sb)) => sa < sb || (sa == sb && idLess(da, db)) }
+      .sorted(ord)
       .take(k)
       .toSeq
   }

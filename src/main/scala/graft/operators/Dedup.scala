@@ -117,13 +117,6 @@ object Dedup {
       .select(col("id"), col("sk"), col("b.chunk"), col("b.key"))
     val l = banded.select(col("chunk"), col("key"), col("id").as("a"), col("sk").as("sk_a"))
     val r = banded.select(col("chunk"), col("key"), col("id").as("b"), col("sk").as("sk_b"))
-    // A close pair collides in MANY of the tables (a pair at distance h
-    // shares C(c-h, t) keys), so instead of a dropDuplicates shuffle over
-    // the duplicated candidates, each pair is emitted from exactly ONE
-    // canonical table: the first combo whose blocks are all untouched in
-    // x = sk_a ^ sk_b — decidable per-row with bit masks, entirely
-    // map-side. Every true pair has >= 1 untouched combo (pigeonhole), so
-    // recall is unchanged and the output needs no dedup at all.
     // Hamming verify BEFORE the pair-dedup shuffle: the 2-op bit_count
     // test runs inside the join stage and kills ~all false candidates
     // map-side, so only true pairs — not the full candidate volume —

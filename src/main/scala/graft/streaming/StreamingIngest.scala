@@ -20,9 +20,11 @@ import graft.core.Collection
   *  - read-your-writes (R5)                   -> un-flushed batches are
   *    served by the snapshot's brute-force tail
   * Exactly-once: foreachBatch may retry an epoch after a crash. The ops
-  * batch id is `base + epochId`, where `base` is allocated once per
-  * checkpoint (persisted next to it), so a retried epoch overwrites its
-  * own batch directory — idempotent replay, not append-duplication.
+  * batch id is `base + 2*epochId` in the odd (streaming-reserved) id
+  * lane, with `base` allocated once per checkpoint (persisted next to
+  * it), so a retried epoch overwrites its own batch directory —
+  * idempotent replay, never append-duplication, and never a collision
+  * with a manually inserted (even-lane) batch.
   */
 object StreamingIngest {
 
@@ -35,7 +37,9 @@ object StreamingIngest {
       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
     // Allocate the ops-batch base ONCE per checkpoint and persist it there:
     // a restarted query re-reads the same base, so epoch N always maps to
-    // the same ops/batch=<base+N> directory across retries.
+    // the same ops/batch=<base + 2N> directory across retries. The odd id
+    // lane is reserved for streaming (manual inserts use even ids), so an
+    // epoch overwrite can never clobber a manually inserted batch.
     val ckDir = java.nio.file.Paths.get(checkpoint)
     java.nio.file.Files.createDirectories(ckDir)
     val baseFile = ckDir.resolve("graft_ops_base")
@@ -43,7 +47,7 @@ object StreamingIngest {
       if (java.nio.file.Files.exists(baseFile))
         java.nio.file.Files.readString(baseFile).trim.toLong
       else {
-        val b = coll.nextBatchId()
+        val b = coll.nextStreamingBase()
         java.nio.file.Files.writeString(baseFile, b.toString)
         b
       }
@@ -56,7 +60,7 @@ object StreamingIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!batch.isEmpty) {
-          coll.insertAt(base + epochId, batch)
+          coll.insertAt(base + 2 * epochId, batch)
           val n = pending.addAndGet(batch.count())
           if (n >= coll.config.maxPendingOps) {
             coll.flush()

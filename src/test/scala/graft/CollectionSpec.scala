@@ -123,6 +123,23 @@ class CollectionSpec extends SparkSuite {
     assert(!got.contains(9999L), s"tail-only delete dropped; got $got")
   }
 
+  test("termSearch hides tombstoned docs in the unflushed tail") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    coll.insert(lineRows(50))
+    coll.flush()
+    coll.insert(Seq((0L, 777L, Seq(1.0, 1.0, 1.0, 1.0), "unique zebra phrase"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    // visible pre-delete via the tail scan
+    val before = coll.snapshot().termSearch(DocFilter.Contains("content", "zebra"), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(before === Seq(777L))
+    coll.delete(Seq((0L, 777L)).toDF("user_id", "doc_id"))
+    val after = coll.snapshot().termSearch(DocFilter.Contains("content", "zebra"), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(after.isEmpty, s"tombstoned tail doc leaked through termSearch: $after")
+  }
+
   test("Ids filter never matches the unflushed tail (ids exist post-flush)") {
     val base = tmpBase()
     val coll = Collection.create(spark, base, config)
