@@ -130,15 +130,28 @@ object ServedIvfIndex {
     }
     val cIdToIdx = centroidIds.zipWithIndex.toMap
 
-    val pRows = embeddings
+    // The vector store is the big load: stream it into the flat array via
+    // a sorted toLocalIterator (one partition of boxed rows in memory at a
+    // time) instead of collect(), so peak driver memory is the flat
+    // primitive array itself — 1M x 768 loads in ~6 GB, not ~24 GB.
+    val sortedVecs = embeddings
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val pointIds = pRows.map(_._1)
-    val vecFlat = new Array[Double](pRows.length * dim)
-    pRows.zipWithIndex.foreach { case ((_, v), i) =>
-      System.arraycopy(v, 0, vecFlat, i * dim, math.min(dim, v.length))
+      .orderBy(idCol)
+    val nPoints = sortedVecs.count()
+    require(nPoints <= Int.MaxValue / math.max(1, dim),
+      s"serving shard too large: $nPoints x $dim — shard the index across replicas")
+    val pointIds = new Array[Long](nPoints.toInt)
+    val vecFlat = new Array[Double](nPoints.toInt * dim)
+    var w2 = 0
+    val it = sortedVecs.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      pointIds(w2) = r.getLong(0)
+      val v = r.getSeq[Double](1)
+      var d2 = 0
+      val n2 = math.min(dim, v.length)
+      while (d2 < n2) { vecFlat(w2 * dim + d2) = v(d2); d2 += 1 }
+      w2 += 1
     }
     val pIdToIdx = new java.util.HashMap[Long, Integer](pointIds.length * 2)
     pointIds.zipWithIndex.foreach { case (id, i) => pIdToIdx.put(id, i) }

@@ -1,0 +1,77 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.api.{GraftHttpServer, GraftService, Json}
+
+/** Network service surface: the reference's quick-start driven over HTTP
+  * (muopdb.proto route-for-route; FIXTURES.md §1.5). */
+class HttpServerSpec extends SparkSuite {
+
+  private def uuid(n: Long): String = f"00000000-0000-0000-0000-$n%012x"
+
+  test("quick-start over the wire: create -> insert -> flush -> search -> remove") {
+    val svc = new GraftService(spark, Files.createTempDirectory("graft_http").toString)
+    val server = new GraftHttpServer(svc).start()
+    val client = HttpClient.newHttpClient()
+    def post(route: String, body: String): Map[String, Any] = {
+      val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.boundPort}$route"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200, s"$route -> ${resp.statusCode()}: ${resp.body()}")
+      Json.obj(Json.parse(resp.body()))
+    }
+    def get(route: String): Map[String, Any] = {
+      val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.boundPort}$route"))
+        .GET().build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200, resp.body())
+      Json.obj(Json.parse(resp.body()))
+    }
+    try {
+      post("/create_collection", Json.write(Map(
+        "name" -> "wire", "num_features" -> 4, "initial_num_centroids" -> 2,
+        "attribute_schema" -> Seq(Map("name" -> "content", "kind" -> "text")))))
+      val inserted = post("/insert", Json.write(Map(
+        "collection_name" -> "wire",
+        "doc_ids" -> Seq(uuid(1), uuid(2)),
+        "user_ids" -> Seq(uuid(0)),
+        "vectors" -> Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0),
+        "attributes" -> Map("content" -> Seq("hello world", "searchable document")))))
+      assert(inserted("inserted") === 2.0)
+      val flushed = post("/flush", Json.write(Map("collection_name" -> "wire")))
+      assert(flushed("flushed_segment") === "seg_1")
+      assert(get("/segments?collection=wire")("segments") === Vector("seg_1"))
+
+      val res = post("/search", Json.write(Map(
+        "collection_name" -> "wire", "vector" -> Seq(1.0, 2.0, 3.0, 4.0),
+        "top_k" -> 1, "num_explored_centroids" -> 2)))
+      assert(res("doc_ids") === Vector(uuid(1)))
+      assert(res("scores") === Vector(0.0))
+
+      // hybrid search with a text filter over the wire
+      val hybrid = post("/search", Json.write(Map(
+        "collection_name" -> "wire", "vector" -> Seq(1.1, 2.1, 3.1, 4.1),
+        "top_k" -> 5, "num_explored_centroids" -> 2,
+        "centroid_distance_ratio" -> 1e9,
+        "filter" -> Map("field" -> "content", "value" -> "searchable"))))
+      assert(hybrid("doc_ids") === Vector(uuid(2)))
+
+      post("/remove", Json.write(Map(
+        "collection_name" -> "wire",
+        "user_ids" -> Seq(uuid(0)), "doc_ids" -> Seq(uuid(1)))))
+      val after = post("/search", Json.write(Map(
+        "collection_name" -> "wire", "vector" -> Seq(1.1, 2.1, 3.1, 4.1),
+        "top_k" -> 5, "num_explored_centroids" -> 2,
+        "centroid_distance_ratio" -> 1e9)))
+      assert(after("doc_ids") === Vector(uuid(2)))
+
+      // malformed request -> 400 with an error body, server stays up
+      val bad = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.boundPort}/search"))
+        .POST(HttpRequest.BodyPublishers.ofString("{not json")).build()
+      assert(client.send(bad, HttpResponse.BodyHandlers.ofString()).statusCode() === 400)
+    } finally server.stop()
+  }
+}
