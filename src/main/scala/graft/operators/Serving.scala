@@ -34,11 +34,6 @@ final class ServedIvfIndex private (
     pointIds: Array[Long],
     vecFlat: Array[Double]) { // |points| x dim, row-major
 
-  /** points touched in the current query (epoch-stamped visited set:
-    * no per-query allocation) */
-  private val visited = new Array[Int](pointIds.length)
-  private var epoch = 0
-
   def numCentroids: Int = centroidIds.length
   def numPoints: Int = pointIds.length
 
@@ -50,9 +45,36 @@ final class ServedIvfIndex private (
     acc
   }
 
+  /** Bounded top-k by (squared dist asc, id asc): insertion into parallel
+    * arrays — k is small, so O(cand * k) worst case, ~O(cand) typical. */
+  private final class TopK(k: Int) {
+    val topD: Array[Double] = Array.fill(k)(Double.PositiveInfinity)
+    val topI: Array[Long] = Array.fill(k)(Long.MaxValue)
+    var filled = 0
+    def offer(id: Long, d: Double): Unit = {
+      val worst = if (filled < k) Double.PositiveInfinity else topD(k - 1)
+      if (d > worst || (d == worst && filled == k && id >= topI(k - 1))) return
+      var pos = math.min(filled, k - 1)
+      while (pos > 0 && (topD(pos - 1) > d || (topD(pos - 1) == d && topI(pos - 1) > id))) {
+        topD(pos) = topD(pos - 1); topI(pos) = topI(pos - 1); pos -= 1
+      }
+      topD(pos) = d; topI(pos) = id
+      if (filled < k) filled += 1
+    }
+  }
+
+  /** Parallelism for the probe stage. Posting lists are scored by a
+    * fork-join task per stripe; multi-assignment duplicates are dropped
+    * per-stripe (HashSet) and again at the merge, so results are
+    * deterministic regardless of the stripe split. */
+  private val probeThreads =
+    math.max(1, math.min(16, Runtime.getRuntime.availableProcessors() / 2))
+
   /** Single-query top-k: returns (id, l2 distance) ordered by
-    * (dist asc, id asc) — identical to Ann.ivfTopK on the same index. */
-  def search(query: Array[Double], k: Int, nprobe: Int): Array[(Long, Double)] = synchronized {
+    * (dist asc, id asc) — identical to Ann.ivfTopK on the same index.
+    * Thread-safe; the probe stage fans out across posting lists when the
+    * candidate volume is large enough to pay for coordination. */
+  def search(query: Array[Double], k: Int, nprobe: Int): Array[(Long, Double)] = {
     val nc = centroidIds.length
     if (nc == 0 || k <= 0) return Array.empty
     // stage 1: exact centroid scan, nprobe smallest by (cdist, centroid_id)
@@ -73,43 +95,65 @@ final class ServedIvfIndex private (
       val t = order(s); order(s) = order(best); order(best) = t
       s += 1
     }
-    // stage 2: probe posting lists; dedupe via epoch-stamped visited set
-    epoch += 1
-    // bounded top-k selection: simple insertion into parallel arrays
-    // (k is small; O(cand * k) worst case, effectively O(cand) for random order)
-    val topD = Array.fill(k)(Double.PositiveInfinity)
-    val topI = Array.fill(k)(Long.MaxValue)
-    var filled = 0
-    def offer(id: Long, d: Double): Unit = {
-      val worst = if (filled < k) Double.PositiveInfinity else topD(k - 1)
-      if (d > worst || (d == worst && filled == k && id >= topI(k - 1))) return
-      var pos = math.min(filled, k - 1)
-      while (pos > 0 && (topD(pos - 1) > d || (topD(pos - 1) == d && topI(pos - 1) > id))) {
-        topD(pos) = topD(pos - 1); topI(pos) = topI(pos - 1); pos -= 1
-      }
-      topD(pos) = d; topI(pos) = id
-      if (filled < k) filled += 1
-    }
-    var p = 0
-    while (p < m) {
-      val ci = order(p)
-      var q = postOffsets(ci)
-      val end = postOffsets(ci + 1)
-      while (q < end) {
-        val pt = postPoints(q)
-        if (visited(pt) != epoch) {
-          visited(pt) = epoch
-          offer(pointIds(pt), sq(query, vecFlat, pt * dim))
+    // stage 2: probe the chosen posting lists
+    def scoreLists(listIdxs: Seq[Int]): TopK = {
+      val top = new TopK(k)
+      val seen = new java.util.HashSet[Integer]()
+      listIdxs.foreach { ci =>
+        var q = postOffsets(ci)
+        val end = postOffsets(ci + 1)
+        while (q < end) {
+          val pt = postPoints(q)
+          if (seen.add(pt)) top.offer(pointIds(pt), sq(query, vecFlat, pt * dim))
+          q += 1
         }
-        q += 1
       }
-      p += 1
+      top
     }
-    Array.tabulate(filled)(i => (topI(i), math.sqrt(topD(i))))
+    val chosen = order.take(m).toSeq
+    val totalCand = chosen.map(ci => postOffsets(ci + 1) - postOffsets(ci)).sum
+    val parts: Seq[TopK] =
+      if (probeThreads == 1 || totalCand < 4096) Seq(scoreLists(chosen))
+      else {
+        // round-robin by descending list size balances the stripes
+        val bySize = chosen.sortBy(ci => -(postOffsets(ci + 1) - postOffsets(ci)))
+        val stripes = Array.fill(probeThreads)(Seq.newBuilder[Int])
+        bySize.zipWithIndex.foreach { case (ci, i) => stripes(i % probeThreads) += ci }
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ServedIvfIndex.probePool
+        Await.result(
+          Future.sequence(stripes.toSeq.map(b => Future(scoreLists(b.result())))),
+          Duration.Inf)
+      }
+    // merge stripes: same point may surface in several stripes (multi-
+    // assignment overlap) with an identical distance — first offer wins
+    val merged = new TopK(k)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    parts.foreach { t =>
+      var i = 0
+      while (i < t.filled) {
+        if (seen.add(t.topI(i))) merged.offer(t.topI(i), t.topD(i))
+        i += 1
+      }
+    }
+    Array.tabulate(merged.filled)(i => (merged.topI(i), math.sqrt(merged.topD(i))))
   }
 }
 
 object ServedIvfIndex {
+
+  /** Shared fixed pool for probe fan-out (bounded; serving processes host
+    * many indexes — a pool per index would leak threads). */
+  private[operators] lazy val probePool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(16, Runtime.getRuntime.availableProcessors() / 2)),
+        r => {
+          val t = new Thread(r, "graft-serving-probe")
+          t.setDaemon(true)
+          t
+        }))
 
   /** Load an IVF index (as built by [[Ann.ivfIndex]] or read from a
     * collection segment) into serving memory. One-time cost, bounded by
