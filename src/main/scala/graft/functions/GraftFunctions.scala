@@ -98,11 +98,12 @@ object GraftFunctions {
   /** Hamming distance between two 64-bit sketches (native bit_count). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Multi-table hyperplane sign-bit LSH buckets of an embedding
-    * (codegen kernel; see [[HyperplaneSketch]]). */
+  /** Multi-table hyperplane sign-bit LSH buckets of an embedding, with
+    * optional multi-probe keys (codegen kernel; see [[HyperplaneSketch]]). */
   def hyperplane_sketch(vector: Column, flatPlanes: Array[Double],
-      tables: Int, planes: Int, dim: Int): Column =
-    col(HyperplaneSketch(ex(vector.cast("array<double>")), flatPlanes, tables, planes, dim))
+      tables: Int, planes: Int, dim: Int, probes: Int = 0): Column =
+    col(HyperplaneSketch(ex(vector.cast("array<double>")), flatPlanes,
+      tables, planes, dim, probes))
 
   /** Jaccard similarity of two arrays treated as sets (native). */
   def jaccard(a: Column, b: Column): Column = {

@@ -10,11 +10,21 @@ object HashKernels {
     * vector onto that table's `planes` hyperplanes (rows of the flattened
     * `tables*planes x dim` matrix) and pack the sign bits into a mask;
     * the table id rides in the top 32 bits so buckets from different
-    * tables never collide. Kernel for [[HyperplaneSketch]]. */
+    * tables never collide.
+    *
+    * `probes` > 0 adds multi-probe buckets (Lv et al., VLDB'07): per
+    * table, also emit the masks with the 1..probes least-confident sign
+    * bits (smallest |dot|) flipped one at a time — a vector near a
+    * hyperplane then lands on both sides, so near-threshold pairs collide
+    * without adding tables. Output has `tables * (1 + probes)` keys.
+    * Kernel for [[HyperplaneSketch]]. */
   final def hyperplaneBuckets(
-      v: Array[Double], flat: Array[Double], tables: Int, planes: Int, dim: Int): Array[Long] = {
-    val out = new Array[Long](tables)
+      v: Array[Double], flat: Array[Double], tables: Int, planes: Int, dim: Int,
+      probes: Int = 0): Array[Long] = {
+    val out = new Array[Long](tables * (1 + probes))
+    val dots = new Array[Double](planes)
     val n = math.min(dim, v.length)
+    var w = 0
     var t = 0
     while (t < tables) {
       var mask = 0L
@@ -24,10 +34,31 @@ object HashKernels {
         var dot = 0.0
         var i = 0
         while (i < n) { dot += v(i) * flat(off + i); i += 1 }
+        dots(p) = dot
         if (dot >= 0) mask |= (1L << p)
         p += 1
       }
-      out(t) = (t.toLong << 32) | mask
+      out(w) = (t.toLong << 32) | mask
+      w += 1
+      var done = 0
+      var usedMask = 0L
+      while (done < probes) {
+        var best = -1
+        var bestAbs = Double.MaxValue
+        var i = 0
+        while (i < planes) {
+          if ((usedMask & (1L << i)) == 0 && math.abs(dots(i)) < bestAbs) {
+            best = i; bestAbs = math.abs(dots(i))
+          }
+          i += 1
+        }
+        // probes > planes degenerates to repeating the true mask
+        out(w) =
+          if (best < 0) (t.toLong << 32) | mask
+          else { usedMask |= (1L << best); (t.toLong << 32) | (mask ^ (1L << best)) }
+        w += 1
+        done += 1
+      }
       t += 1
     }
     out
@@ -212,8 +243,10 @@ case class HyperplaneSketch(
     flatPlanes: Array[Double],
     tables: Int,
     planes: Int,
-    dim: Int) extends UnaryExpression with ImplicitCastInputTypes {
+    dim: Int,
+    probes: Int = 0) extends UnaryExpression with ImplicitCastInputTypes {
   require(tables > 0 && planes > 0 && planes <= 32, s"bad sketch shape: $tables x $planes")
+  require(probes >= 0, s"bad probe count: $probes")
   require(flatPlanes.length == tables * planes * dim, "bad plane matrix shape")
   override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -224,7 +257,8 @@ case class HyperplaneSketch(
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData].toDoubleArray()
-    new GenericArrayData(HashKernels.hyperplaneBuckets(v, flatPlanes, tables, planes, dim))
+    new GenericArrayData(
+      HashKernels.hyperplaneBuckets(v, flatPlanes, tables, planes, dim, probes))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -232,7 +266,7 @@ case class HyperplaneSketch(
       val pRef = ctx.addReferenceObj("flatPlanes", flatPlanes, "double[]")
       s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |  graft.functions.HashKernels.hyperplaneBuckets(
-         |    $a.toDoubleArray(), $pRef, $tables, $planes, $dim));""".stripMargin
+         |    $a.toDoubleArray(), $pRef, $tables, $planes, $dim, $probes));""".stripMargin
     })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

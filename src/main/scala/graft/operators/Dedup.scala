@@ -177,8 +177,12 @@ object Dedup {
     * Candidate generation: sign-bit LSH — project each embedding onto
     * `nPlanes` seeded pseudo-random hyperplanes (deterministic hash-mixed
     * coefficients), bucket on the sign bitmask; near-identical vectors
-    * collide. Verify with exact cosine. Brute-force variant below is the
-    * oracle. Returns `[a, b, cosine]`. */
+    * collide. `multiprobe` additionally buckets each vector under the
+    * masks with its least-confident sign bits flipped (Lv et al.,
+    * VLDB'07), recovering near-threshold pairs that straddle a
+    * hyperplane. Verify with exact cosine — precision is exact; the
+    * knobs trade recall against candidate volume. Brute-force variant
+    * below is the oracle. Returns `[a, b, cosine]`. */
   def embeddingNearDupPairs(
       embeddings: DataFrame,
       idCol: String = "vec_id",
@@ -186,6 +190,7 @@ object Dedup {
       threshold: Double = 0.95,
       nPlanes: Int = 8,
       nTables: Int = 8,
+      multiprobe: Int = 2,
       seed: Long = 42L): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -207,8 +212,11 @@ object Dedup {
     // Only (bucket, id) rides the band-join shuffle; the wide vectors are
     // joined back onto the (much smaller) deduped candidate set, exactly
     // as minhashPairs re-attaches signatures.
+    // multiprobe flips the least-confident sign bits, so near-threshold
+    // pairs collide without extra tables (recall up, candidates ~(1+p)x)
     val sk = vecs.select(col("id"),
-      explode(hyperplane_sketch(col("v"), flatPlanes, nTables, nPlanes, dim)).as("bucket"))
+      explode(hyperplane_sketch(col("v"), flatPlanes, nTables, nPlanes, dim, multiprobe))
+        .as("bucket"))
     val l = sk.select(col("bucket"), col("id").as("a"))
     val r = sk.select(col("bucket"), col("id").as("b"))
     l.join(r, Seq("bucket"))

@@ -101,6 +101,29 @@ class DedupSpec extends SparkSuite {
     assert(dropped === Set(1L, 2L, 3L))
   }
 
+  test("multiprobe LSH: superset of single-probe candidates, still exact precision") {
+    // moderate-similarity clusters where single-probe misses some pairs
+    val emb = (0 until 100).map { i =>
+      val cl = i % 10
+      val v = (0 until 24).map { d =>
+        val base = if (d % 10 == cl) 1.0 else 0.0
+        base + 0.15 * (((i * 31 + d * 17) % 11) - 5) / 5.0
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    def pairs(probe: Int) =
+      Dedup.embeddingNearDupPairs(emb, threshold = 0.8, multiprobe = probe)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.embeddingNearDupExact(emb, threshold = 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(0)
+    val multi = pairs(2)
+    assert(multi.subsetOf(exact)) // verify step keeps precision exact
+    assert(single.subsetOf(multi)) // probe buckets are a strict superset
+    assert(multi.size > single.size || single == exact,
+      s"multiprobe gained nothing: single=${single.size} multi=${multi.size} exact=${exact.size}")
+  }
+
   test("embedding LSH near-dup recalls the exact pairs on clustered data") {
     val emb = (0 until 60).map { i =>
       val cluster = i % 3
