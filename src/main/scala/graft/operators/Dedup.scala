@@ -88,11 +88,19 @@ object Dedup {
       maxHamming, blocksPerKey)
 
   /** Sketch-level simhashPairs: input is `[id, sk: long]`. Split out so the
-    * recall guarantee is testable on planted sketches at exact distances. */
+    * recall guarantee is testable on planted sketches at exact distances.
+    *
+    * `maxBucket` > 0 drops band keys whose bucket exceeds the cap before
+    * the self-join — the hot-key guard for template-heavy corpora where
+    * one shared block value would otherwise go quadratic (same trade as
+    * `maxShinglePostings`: recall on pairs that ONLY collide in a hot
+    * bucket is sacrificed; pairs sharing any surviving key are kept).
+    * Off (0) by default, which preserves the recall-1.0 guarantee. */
   def simhashPairsFromSketches(
       sketches: DataFrame,
       maxHamming: Int,
-      blocksPerKey: Int = 0): DataFrame = {
+      blocksPerKey: Int = 0,
+      maxBucket: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val t = if (blocksPerKey > 0) blocksPerKey else if (maxHamming <= 5) 1 else 2
     val c = maxHamming + t // minimal block count satisfying t <= c - maxHamming
@@ -112,9 +120,14 @@ object Dedup {
         struct(lit(si).as("chunk"), key.as("key"))
     }
     val sk = sketches.select(col("id"), col("sk"))
-    val banded = sk
+    var banded = sk
       .select(col("id"), col("sk"), explode(array(bandStructs: _*)).as("b"))
       .select(col("id"), col("sk"), col("b.chunk"), col("b.key"))
+    if (maxBucket > 0) {
+      val cool = banded.groupBy("chunk", "key").count()
+        .filter(col("count") <= maxBucket).select("chunk", "key")
+      banded = banded.join(cool, Seq("chunk", "key"), "left_semi")
+    }
     val l = banded.select(col("chunk"), col("key"), col("id").as("a"), col("sk").as("sk_a"))
     val r = banded.select(col("chunk"), col("key"), col("id").as("b"), col("sk").as("sk_b"))
     // Hamming verify BEFORE the pair-dedup shuffle: the 2-op bit_count

@@ -66,6 +66,24 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("simhash maxBucket guard: subset of unguarded, small buckets unaffected") {
+    // 40 identical sketches (one hot bucket everywhere) + 2 planted
+    // near-pairs with distinctive sketches living in small buckets
+    val rows = (0 until 40).map(i => (i.toLong, 0L)) ++
+      Seq((100L, 0x5a5a5a5a5a5a5a5aL), (101L, 0x5a5a5a5a5a5a5a5bL),
+        (200L, 0x1234567812345678L), (201L, 0x1234567812345679L))
+    val df = rows.toDF("id", "sk")
+    val unguarded = Dedup.simhashPairsFromSketches(df, maxHamming = 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Dedup.simhashPairsFromSketches(df, maxHamming = 3, maxBucket = 10)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded.subsetOf(unguarded))
+    // hot-bucket (identical-sketch) pairs sacrificed, small buckets kept
+    assert(guarded.contains((100L, 101L)) && guarded.contains((200L, 201L)))
+    assert(!guarded.exists { case (a, b) => a < 40L && b < 40L })
+    assert(unguarded.exists { case (a, b) => a < 40L && b < 40L })
+  }
+
   test("ngram jaccard: exact value for a hand-computable pair") {
     val two = Seq((0L, "a b c d"), (1L, "a b c e")).toDF("doc_id", "text")
     // 2-shingles: {ab,bc,cd} vs {ab,bc,ce}: intersection 2, union 4 -> 0.5
