@@ -103,8 +103,11 @@ class GraftService(spark: SparkSession, basePath: String) {
     insert(InsertRequest(req.collectionName, req.docIds, req.userIds, floats.toSeq))
   }
 
+  /** Remove every doc_id for every user_id — the reference loops each user
+    * over ALL doc ids (rs/index_server/src/index_server.rs:454-510), and
+    * this matches insert's 1-user-to-N-docs broadcast convention. */
   def remove(collectionName: String, userIds: Seq[String], docIds: Seq[String]): Unit = {
-    val pairs = userIds.zip(docIds).map { case (u, dId) => (toBytes(u), toBytes(dId)) }
+    val pairs = for { u <- userIds; dId <- docIds } yield (toBytes(u), toBytes(dId))
     collection(collectionName).delete(pairs.toDF("user_id", "doc_id"))
   }
 

@@ -111,6 +111,10 @@ object Json {
   def write(v: Any): String = v match {
     case null => "null"
     case b: Boolean => b.toString
+    // NaN/Infinity are not valid JSON tokens — render as null so a search
+    // response carrying a NaN score (NaN-last ordering makes them
+    // representable) stays parseable
+    case d: Double if java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d) => "null"
     case d: Double => if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString else d.toString
     case n: Long => n.toString
     case n: Int => n.toString

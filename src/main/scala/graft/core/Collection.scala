@@ -209,28 +209,40 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
   def tombstones: Option[DataFrame] =
     if (Files.exists(Paths.get(tombPath))) Some(spark.read.parquet(tombPath)) else None
 
-  /** Un-flushed ops batches (the "mutable segment" tail). */
-  private def tail(t: Toc): Option[DataFrame] = {
+  /** Un-flushed batch ids under this TOC — the single listing both tail()
+    * and flush() work from, so "what flush read" and "what flush records
+    * as flushed" can never diverge. */
+  private def tailBatchIds(t: Toc): Seq[Long] = {
     val d = Paths.get(opsPath)
-    if (!Files.exists(d)) return None
-    val batches = Files.list(d).iterator().asScala.map(_.getFileName.toString)
+    if (!Files.exists(d)) Nil
+    else Files.list(d).iterator().asScala.map(_.getFileName.toString)
       .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong }
       .filter(_ > t.lastFlushedBatch).toSeq.sorted
+  }
+
+  private def tailFrom(batches: Seq[Long]): Option[DataFrame] =
     if (batches.isEmpty) None
     else Some(batches.map(b => spark.read.parquet(s"$opsPath/batch=$b")).reduce(_ unionByName _))
-  }
+
+  /** Un-flushed ops batches (the "mutable segment" tail). */
+  private def tail(t: Toc): Option[DataFrame] = tailFrom(tailBatchIds(t))
 
   /** Flush: build an immutable segment from all un-flushed batches
     * (point-id assignment, IVF centroids+postings, term index), then
     * atomically bump the TOC (core.rs:867-977 semantics). No-op when the
-    * tail is empty. */
+    * tail is empty.
+    *
+    * lastFlushedBatch is the max of the batch ids this flush actually READ
+    * (one listing feeds both the segment build and the TOC record) — a
+    * batch appended between two listings can therefore never be marked
+    * flushed without its rows landing in the segment. */
   def flush(): Option[String] = {
     val t = toc
-    val df = tail(t).getOrElse(return None)
-    val lastBatch = maxBatchId().getOrElse(-1L)
+    val batches = tailBatchIds(t)
+    val df = tailFrom(batches).getOrElse(return None)
     val seg = s"seg_${t.version + 1}"
     buildSegment(df, seg)
-    Toc.write(path, Toc(t.version + 1, t.segments :+ seg, lastBatch))
+    Toc.write(path, Toc(t.version + 1, t.segments :+ seg, batches.max))
     Some(seg)
   }
 

@@ -79,11 +79,22 @@ object ServedUserView {
   private[core] def build(coll: Collection, userId: Any): ServedUserView = {
     val t = coll.toc
     val uid = lit(userId)
+    // Tombstones are removed BEFORE the per-segment indexes are built:
+    // ServedIvfIndex.search truncates to k per segment, so a deleted doc
+    // left in the index would silently displace a live doc ranked k+1 —
+    // the distributed path (Search.spann) anti-joins before ranking and
+    // this view must stay in parity with it.
+    val userTombs = coll.tombstones.map(
+      _.filter(col("user_id") === uid).select("doc_id"))
+    def dropTombs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      userTombs.fold(df)(tb => df.join(tb, Seq("doc_id"), "left_anti"))
     val segs = t.segments.map { seg =>
-      val userVecs = coll.vectorsFor(seg, Seq(userId))
+      val userVecs = dropTombs(coll.vectorsFor(seg, Seq(userId))
         .filter(col("user_id") === uid)
         .select(col("point_id").cast("long").as("vec_id"),
-          col("doc_id"), col("vector").cast("array<double>").as("embedding"))
+          col("doc_id"), col("vector").cast("array<double>").as("embedding")))
+      // postings referencing dropped points are dangling; ServedIvfIndex
+      // .build discards posting entries with no backing vector
       val served = ServedIvfIndex.build(
         userVecs.select("vec_id", "embedding"),
         coll.segmentTable(seg, "centroids"),
@@ -95,7 +106,7 @@ object ServedUserView {
     val tailRows: Array[(Any, Array[Double])] = coll.tailFor(t) match {
       case None => Array.empty
       case Some(rows) =>
-        rows.filter(col("user_id") === uid)
+        dropTombs(rows.filter(col("user_id") === uid))
           .select(col("doc_id"), col("vector").cast("array<double>"))
           .collect()
           .map(r => (r.get(0), r.getSeq[Double](1).toArray))

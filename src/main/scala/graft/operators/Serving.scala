@@ -46,16 +46,26 @@ final class ServedIvfIndex private (
   }
 
   /** Bounded top-k by (squared dist asc, id asc): insertion into parallel
-    * arrays — k is small, so O(cand * k) worst case, ~O(cand) typical. */
+    * arrays — k is small, so O(cand * k) worst case, ~O(cand) typical.
+    * Comparisons go through java.lang.Double.compare so NaN distances sort
+    * GREATEST (a raw < / > is always false on NaN, which would let NaN
+    * entries lodge mid-array ahead of real distances) — preserving the
+    * engine-wide (score asc NaN-last, doc_id asc) invariant that the
+    * serving merge comparator also uses. */
   private final class TopK(k: Int) {
     val topD: Array[Double] = Array.fill(k)(Double.PositiveInfinity)
     val topI: Array[Long] = Array.fill(k)(Long.MaxValue)
     var filled = 0
     def offer(id: Long, d: Double): Unit = {
-      val worst = if (filled < k) Double.PositiveInfinity else topD(k - 1)
-      if (d > worst || (d == worst && filled == k && id >= topI(k - 1))) return
+      if (filled == k) {
+        val c = java.lang.Double.compare(d, topD(k - 1))
+        if (c > 0 || (c == 0 && id >= topI(k - 1))) return
+      }
       var pos = math.min(filled, k - 1)
-      while (pos > 0 && (topD(pos - 1) > d || (topD(pos - 1) == d && topI(pos - 1) > id))) {
+      while (pos > 0 && {
+        val c = java.lang.Double.compare(topD(pos - 1), d)
+        c > 0 || (c == 0 && topI(pos - 1) > id)
+      }) {
         topD(pos) = topD(pos - 1); topI(pos) = topI(pos - 1); pos -= 1
       }
       topD(pos) = d; topI(pos) = id

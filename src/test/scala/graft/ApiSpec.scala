@@ -110,6 +110,43 @@ class ApiSpec extends SparkSuite {
     assert(!got.docIds.contains(uuid(107))) // tombstone honored
   }
 
+  test("remove broadcasts each user over ALL doc ids (no zip truncation)") {
+    val svc = new GraftService(spark, Files.createTempDirectory("graft_api5").toString)
+    svc.createCollection(CollectionConfig(
+      name = "rm", numFeatures = 4, initialNumCentroids = 2))
+    val docs = Seq(uuid(300), uuid(301), uuid(302))
+    svc.insert(InsertRequest("rm", docIds = docs, userIds = Seq(uuid(1)),
+      vectors = (0 until 3).flatMap(i => Seq.fill(4)(i.toFloat))))
+    svc.flush("rm")
+    // one user, three doc ids: the reference removes all three
+    // (rs/index_server/src/index_server.rs:454-510), not just the zipped head
+    svc.remove("rm", Seq(uuid(1)), docs)
+    val res = svc.search(SearchRequest("rm", Seq(0f, 0f, 0f, 0f), topK = 10,
+      userIds = Seq(uuid(1)), numExploredCentroids = Some(2),
+      centroidDistanceRatio = 1e9))
+    assert(res.docIds.isEmpty, s"expected all docs removed, got ${res.docIds}")
+  }
+
+  test("served view: deleted doc in a segment's top-k does not displace live docs") {
+    val svc = new GraftService(spark, Files.createTempDirectory("graft_api6").toString)
+    svc.createCollection(CollectionConfig(
+      name = "served2", numFeatures = 4, initialNumCentroids = 4))
+    val docs = (0 until 10).map(i => uuid(100 + i))
+    svc.insert(InsertRequest("served2", docIds = docs, userIds = Seq(uuid(0)),
+      vectors = (0 until 10).flatMap(i => Seq.fill(4)(i.toFloat))))
+    svc.flush("served2")
+    // delete the doc NEAREST the query: if tombstones were filtered after
+    // per-segment top-k truncation, the k+1-ranked live doc would go missing
+    svc.remove("served2", Seq(uuid(0)), Seq(uuid(100)))
+    val q = Seq(0.05f, 0.05f, 0.05f, 0.05f)
+    val served = svc.serveUser("served2", uuid(0)).search(q, topK = 3, nprobe = 4)
+    val dist = svc.search(SearchRequest("served2", vector = q, topK = 3,
+      userIds = Seq(uuid(0)), numExploredCentroids = Some(4),
+      centroidDistanceRatio = 1e9))
+    assert(dist.docIds === Seq(uuid(101), uuid(102), uuid(103)))
+    assert(served.docIds === dist.docIds)
+  }
+
   test("insertPacked decodes the little-endian wire format") {
     val svc = new GraftService(spark, Files.createTempDirectory("graft_api2").toString)
     svc.createCollection(CollectionConfig(

@@ -74,4 +74,11 @@ class HttpServerSpec extends SparkSuite {
       assert(client.send(bad, HttpResponse.BodyHandlers.ofString()).statusCode() === 400)
     } finally server.stop()
   }
+
+  test("Json.write keeps non-finite doubles parseable (null, not bare NaN)") {
+    val body = Json.write(Map(
+      "scores" -> Seq(1.5, Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)))
+    assert(body === """{"scores":[1.5,null,null,null]}""")
+    assert(Json.parse(body) === Map("scores" -> Vector(1.5, null, null, null)))
+  }
 }

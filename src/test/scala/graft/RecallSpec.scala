@@ -81,6 +81,23 @@ class RecallSpec extends SparkSuite {
     assert(perQueryMs < 100.0, s"served p50 ~${perQueryMs}ms; must be far below 1s")
   }
 
+  test("served TopK sorts NaN distances last (engine-wide NaN-last invariant)") {
+    import graft.operators.ServedIvfIndex
+    val embNaN = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(2.0, 0.0)),
+      (3L, Seq(Double.NaN, 0.0)), (4L, Seq(3.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(0.0, 0.0))).toDF("centroid_id", "vector")
+    val posts = Seq((0, 1L), (0, 2L), (0, 3L), (0, 4L)).toDF("centroid_id", "point_id")
+    val idx = ServedIvfIndex.build(embNaN, cents, posts)
+    val got = idx.search(Array(0.0, 0.0), k = 4, nprobe = 1)
+    // a raw < / > comparator would let the NaN entry lodge ahead of real
+    // distances; NaN must rank greatest, after every finite distance
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 4L, 3L))
+    assert(got.last._2.isNaN)
+    assert(got.init.forall(!_._2.isNaN))
+  }
+
   test("extensions: SQL functions available in a session built with GraftExtensions") {
     val prev = SparkSession.getActiveSession
     SparkSession.clearActiveSession()
