@@ -107,8 +107,13 @@ class GraftService(spark: SparkSession, basePath: String) {
     * over ALL doc ids (rs/index_server/src/index_server.rs:454-510), and
     * this matches insert's 1-user-to-N-docs broadcast convention. */
   def remove(collectionName: String, userIds: Seq[String], docIds: Seq[String]): Unit = {
-    val pairs = for { u <- userIds; dId <- docIds } yield (toBytes(u), toBytes(dId))
-    collection(collectionName).delete(pairs.toDF("user_id", "doc_id"))
+    // The user x doc cross product is built as a crossJoin of two small
+    // frames, not a driver-side Seq — a 10k x 10k request stays 20k rows
+    // on the driver instead of 100M tuples. Duplicate ids are dropped
+    // up front (Collection.delete also dedups the written tombstones).
+    val u = userIds.distinct.map(toBytes).toDF("user_id")
+    val d = docIds.distinct.map(toBytes).toDF("doc_id")
+    collection(collectionName).delete(u.crossJoin(d))
   }
 
   def flush(collectionName: String): Option[String] =

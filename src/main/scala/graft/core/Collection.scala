@@ -180,10 +180,16 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
           case Some(rows) =>
             val inTail = base.join(
               rows.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_semi")
-            fromSegments.union(inTail).dropDuplicates("user_id", "doc_id")
+            fromSegments.union(inTail)
         }
       }
-    filtered.write.mode("append").parquet(tombPath)
+    // Watermark = newest batch visible to this delete: rows inserted in
+    // LATER batches are not hidden (re-insert-after-delete revives the doc,
+    // matching the reference's seq_no-ordered WAL replay). Dedup is
+    // unconditional so duplicate ids in a request add no tombstone rows.
+    filtered.dropDuplicates("user_id", "doc_id")
+      .withColumn("tomb_batch", lit(maxBatchId().getOrElse(-1L)))
+      .write.mode("append").parquet(tombPath)
   }
 
   def readPqModel(seg: String): Option[graft.operators.ProductQuantizer.Model] = {
@@ -206,8 +212,17 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     }
   }
 
+  /** Tombstones normalized to carry a `tomb_batch` watermark (legacy files
+    * without one hide all batches — the old unsequenced semantics). */
   def tombstones: Option[DataFrame] =
-    if (Files.exists(Paths.get(tombPath))) Some(spark.read.parquet(tombPath)) else None
+    if (!Files.exists(Paths.get(tombPath))) None
+    else {
+      val df = spark.read.parquet(tombPath)
+      Some(
+        if (df.columns.contains("tomb_batch"))
+          df.withColumn("tomb_batch", coalesce(col("tomb_batch"), lit(Long.MaxValue)))
+        else df.withColumn("tomb_batch", lit(Long.MaxValue)))
+    }
 
   /** Un-flushed batch ids under this TOC — the single listing both tail()
     * and flush() work from, so "what flush read" and "what flush records
@@ -220,9 +235,15 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       .filter(_ > t.lastFlushedBatch).toSeq.sorted
   }
 
+  /** Each tail row is stamped with its source batch id (`src_batch`); the
+    * column persists through flush into segment vector tables, giving every
+    * row a WAL position that the sequenced tombstone anti-join
+    * ([[Search.dropTombstoned]]) compares against delete watermarks. */
   private def tailFrom(batches: Seq[Long]): Option[DataFrame] =
     if (batches.isEmpty) None
-    else Some(batches.map(b => spark.read.parquet(s"$opsPath/batch=$b")).reduce(_ unionByName _))
+    else Some(batches.map(b =>
+      spark.read.parquet(s"$opsPath/batch=$b").withColumn("src_batch", lit(b)))
+      .reduce(_ unionByName _))
 
   /** Un-flushed ops batches (the "mutable segment" tail). */
   private def tail(t: Toc): Option[DataFrame] = tailFrom(tailBatchIds(t))
@@ -361,8 +382,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       val attrs = spark.read.parquet(s"${segPath(s)}/vectors")
       attrs.drop("point_id", "user_bucket", "pq_codes")
     }.reduce(_ unionByName _)
-    for (tb <- tombstones)
-      rows = rows.join(tb.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti")
+    for (tb <- tombstones) rows = Search.dropTombstoned(rows, tb)
     val seg = s"merged_${t.version + 1}"
     buildSegment(rows, seg)
     Toc.write(path, Toc(t.version + 1, Seq(seg), t.lastFlushedBatch))
@@ -383,9 +403,9 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       if (tombCount == 0) None
       else t.segments.find { seg =>
         val v = segmentTable(seg, "vectors")
-        val dead = v.join(tomb.select("user_id", "doc_id"),
-          Seq("user_id", "doc_id"), "left_semi").count()
-        dead.toDouble > vacuumTombstoneFraction * math.max(1L, v.count())
+        val total = v.count()
+        val dead = total - Search.dropTombstoned(v, tomb).count()
+        dead.toDouble > vacuumTombstoneFraction * math.max(1L, total)
       }.map { seg => vacuum(seg); s"vacuumed $seg" }
     }
   }
@@ -394,9 +414,10 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
   def vacuum(segment: String): Unit = {
     val tomb = tombstones.getOrElse(return)
     val t = toc
-    val rows = spark.read.parquet(s"${segPath(segment)}/vectors")
-      .drop("point_id", "user_bucket", "pq_codes")
-      .join(tomb.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti")
+    val rows = Search.dropTombstoned(
+      spark.read.parquet(s"${segPath(segment)}/vectors")
+        .drop("point_id", "user_bucket", "pq_codes"),
+      tomb)
     val seg = s"${segment}_v"
     buildSegment(rows, seg)
     Toc.write(path, Toc(t.version + 1, t.segments.map(s => if (s == segment) seg else s),
@@ -497,8 +518,7 @@ final class Snapshot(
       var df = rows
       if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
       for (f <- filter) df = df.filter(compileRaw(f, df))
-      for (tb <- coll.tombstones)
-        df = df.join(tb.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti")
+      for (tb <- coll.tombstones) df = Search.dropTombstoned(df, tb)
       df.withColumn("score", l2_distance(col("vector"), vec(query)))
         .select("user_id", "doc_id", "score")
     }
@@ -510,9 +530,12 @@ final class Snapshot(
 
   def termSearch(filter: DocFilter, limit: Int, userIds: Seq[Any] = Nil): DataFrame = {
     val perSegment = segments.map { seg =>
+      val v = coll.vectorsFor(seg, userIds)
+      val idCols = Seq("user_id", "point_id", "doc_id") ++
+        (if (v.columns.contains("src_batch")) Seq("src_batch") else Nil)
       Search.termSearch(
         coll.segmentTable(seg, "terms"),
-        coll.vectorsFor(seg, userIds).select("user_id", "point_id", "doc_id"),
+        v.select(idCols.map(col): _*),
         filter, limit, userIds, coll.tombstones, fieldLang)
     }
     val tailResult = tailRows.map { rows =>
@@ -520,7 +543,7 @@ final class Snapshot(
       if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
       df = df.filter(compileRaw(filter, df))
       for (tb <- coll.tombstones) // deleted tail docs stay hidden (R6)
-        df = df.join(tb.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti")
+        df = Search.dropTombstoned(df, tb)
       df.select("user_id", "doc_id")
     }
     val all = (perSegment.map(_.select("user_id", "doc_id")) ++ tailResult)

@@ -20,8 +20,7 @@ import graft.operators.ServedIvfIndex
   */
 final class ServedUserView private[core] (
     segments: Seq[(ServedIvfIndex, Map[Long, Any])], // index + pointId -> docId
-    tailRows: Array[(Any, Array[Double])], // (docId, vector)
-    tombstoned: Set[Any]) {
+    tailRows: Array[(Any, Array[Double])]) { // (docId, vector)
 
   /** Unsigned-lexicographic for BinaryType ids, natural for Long ids —
     * matches Spark's sort order on the corresponding column types. */
@@ -38,11 +37,6 @@ final class ServedUserView private[core] (
     val n = math.min(q.length, v.length)
     while (i < n) { val d = q(i) - v(i); acc += d * d; i += 1 }
     math.sqrt(acc)
-  }
-
-  private def key(id: Any): Any = id match {
-    case b: Array[Byte] => b.toSeq // value equality for set membership
-    case x => x
   }
 
   /** Single-query top-k over segments + tail, zero Spark jobs. */
@@ -66,7 +60,6 @@ final class ServedUserView private[core] (
       }
     }
     (fromSegments ++ fromTail)
-      .filterNot { case (doc, _) => tombstoned.contains(key(doc)) }
       .toArray
       .sorted(ord)
       .take(k)
@@ -83,16 +76,17 @@ object ServedUserView {
     // ServedIvfIndex.search truncates to k per segment, so a deleted doc
     // left in the index would silently displace a live doc ranked k+1 —
     // the distributed path (Search.spann) anti-joins before ranking and
-    // this view must stay in parity with it.
-    val userTombs = coll.tombstones.map(
-      _.filter(col("user_id") === uid).select("doc_id"))
+    // this view must stay in parity with it. The anti-join is SEQUENCED
+    // (Search.dropTombstoned): a doc re-inserted after its delete is live,
+    // so it must run while rows still carry src_batch (before the select).
+    val userTombs = coll.tombstones.map(_.filter(col("user_id") === uid))
     def dropTombs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      userTombs.fold(df)(tb => df.join(tb, Seq("doc_id"), "left_anti"))
+      userTombs.fold(df)(tb => graft.operators.Search.dropTombstoned(df, tb))
     val segs = t.segments.map { seg =>
       val userVecs = dropTombs(coll.vectorsFor(seg, Seq(userId))
-        .filter(col("user_id") === uid)
+        .filter(col("user_id") === uid))
         .select(col("point_id").cast("long").as("vec_id"),
-          col("doc_id"), col("vector").cast("array<double>").as("embedding")))
+          col("doc_id"), col("vector").cast("array<double>").as("embedding"))
       // postings referencing dropped points are dangling; ServedIvfIndex
       // .build discards posting entries with no backing vector
       val served = ServedIvfIndex.build(
@@ -111,15 +105,6 @@ object ServedUserView {
           .collect()
           .map(r => (r.get(0), r.getSeq[Double](1).toArray))
     }
-    val tomb: Set[Any] = coll.tombstones match {
-      case None => Set.empty
-      case Some(tb) =>
-        tb.filter(col("user_id") === uid).select("doc_id").collect()
-          .map(r => r.get(0) match {
-            case b: Array[Byte] => b.toSeq: Any
-            case x => x
-          }).toSet
-    }
-    new ServedUserView(segs, tailRows, tomb)
+    new ServedUserView(segs, tailRows)
   }
 }

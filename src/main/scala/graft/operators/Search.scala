@@ -24,6 +24,28 @@ object Search {
 
   private def scoreOrder: Seq[Column] = Seq(col("score").asc, col("doc_id").asc)
 
+  /** Sequenced tombstone anti-join (R6). A tombstone carries the batch
+    * watermark (`tomb_batch`) current when the delete was issued; a row is
+    * hidden only when its source batch (`src_batch`, stamped on tail reads
+    * and persisted through flush into segment vector tables) is at or
+    * before that watermark. A doc re-inserted AFTER a delete therefore
+    * comes back — the reference replays WAL ops in seq_no order, so a
+    * later insert revives the doc (rs/index/src/collection/core.rs WAL
+    * replay). Rows with no batch lineage are treated as predating every
+    * tombstone; tombstones with no watermark column hide everything. */
+  private[graft] def dropTombstoned(df: DataFrame, tomb: DataFrame): DataFrame = {
+    val tb = tomb.select(
+      col("user_id").as("_t_uid"),
+      col("doc_id").as("_t_did"),
+      (if (tomb.columns.contains("tomb_batch")) col("tomb_batch")
+       else lit(Long.MaxValue)).as("_t_batch"))
+    val src =
+      if (df.columns.contains("src_batch")) df("src_batch") else lit(Long.MinValue)
+    df.join(tb,
+      df("user_id") === tb("_t_uid") && df("doc_id") === tb("_t_did") && src <= tb("_t_batch"),
+      "left_anti")
+  }
+
   /** Brute-force exact top-k (J5 — the mutable/pending-segment path,
     * rs/index/src/segment/pending_segment.rs:286). Distributed partial
     * top-k: Catalyst plans orderBy+limit as TakeOrderedAndProject
@@ -37,8 +59,7 @@ object Search {
       tombstones: Option[DataFrame] = None): DataFrame = {
     var df = vectors
     if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
-    for (t <- tombstones)
-      df = df.join(t.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti")
+    for (t <- tombstones) df = dropTombstoned(df, t)
     for (fp <- filterPoints)
       df = df.join(fp.select("user_id", "point_id"), Seq("user_id", "point_id"), "left_semi")
     df.withColumn("score", l2_distance(col("vector"), vec(query)))
@@ -87,8 +108,7 @@ object Search {
       .select("user_id", "point_id")
       .dropDuplicates("user_id", "point_id") // multi-assignment lists overlap
       .join(vectors, Seq("user_id", "point_id"))
-    for (t <- tombstones)
-      df = df.join(t.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti")
+    for (t <- tombstones) df = dropTombstoned(df, t)
     for (fp <- filterPoints)
       df = df.join(fp.select("user_id", "point_id"), Seq("user_id", "point_id"), "left_semi")
     df.withColumn("score", l2_distance(col("vector"), vec(query)))
@@ -128,8 +148,7 @@ object Search {
       .select("user_id", "point_id")
       .dropDuplicates("user_id", "point_id")
       .join(vectors, Seq("user_id", "point_id"))
-    for (t <- tombstones)
-      df = df.join(t.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti")
+    for (t <- tombstones) df = dropTombstoned(df, t)
     for (fp <- filterPoints)
       df = df.join(fp.select("user_id", "point_id"), Seq("user_id", "point_id"), "left_semi")
     df.withColumn("adc", ProductQuantizer.adcDistance(model, col("pq_codes"), query))
@@ -167,9 +186,13 @@ object Search {
     var t = terms
     if (userIds.nonEmpty) t = t.filter(col("user_id").isin(userIds: _*))
     val pts = FilterCompiler.compile(filter, t, idMap.select("user_id", "point_id"), fieldLang)
-    var docs = pts.join(idMap, Seq("user_id", "point_id")).select("user_id", "doc_id")
-    for (tb <- tombstones)
-      docs = docs.join(tb.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti")
-    docs.dropDuplicates("user_id", "doc_id").orderBy("doc_id").limit(limit)
+    // keep src_batch (when idMap carries it) through the remap so the
+    // tombstone anti-join stays sequenced
+    val keep = Seq("user_id", "doc_id") ++
+      (if (idMap.columns.contains("src_batch")) Seq("src_batch") else Nil)
+    var docs = pts.join(idMap, Seq("user_id", "point_id")).select(keep.map(col): _*)
+    for (tb <- tombstones) docs = dropTombstoned(docs, tb)
+    docs.select("user_id", "doc_id")
+      .dropDuplicates("user_id", "doc_id").orderBy("doc_id").limit(limit)
   }
 }

@@ -99,7 +99,11 @@ final class ServedIvfIndex private (
       var j = s + 1
       while (j < nc) {
         val a = order(j); val b = order(best)
-        if (cd(a) < cd(b) || (cd(a) == cd(b) && centroidIds(a) < centroidIds(b))) best = j
+        // Double.compare so a NaN centroid distance ranks LAST (raw < is
+        // always false on NaN, which would pin a NaN centroid as "best"),
+        // matching the TopK and merge comparators.
+        val cc = java.lang.Double.compare(cd(a), cd(b))
+        if (cc < 0 || (cc == 0 && centroidIds(a) < centroidIds(b))) best = j
         j += 1
       }
       val t = order(s); order(s) = order(best); order(best) = t

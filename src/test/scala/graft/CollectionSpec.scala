@@ -172,6 +172,39 @@ class CollectionSpec extends SparkSuite {
     assert(got === Seq(4L, 3L)) // exact re-rank recovers the golden answer
   }
 
+  test("re-insert after delete revives the doc (sequenced tombstones)") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    coll.insert(lineRows(50))
+    coll.flush()
+    // delete doc 4, then re-insert it in a LATER batch: the reference
+    // replays WAL ops in seq_no order, so the later insert wins
+    coll.delete(Seq((0L, 4L)).toDF("user_id", "doc_id"))
+    coll.insert(Seq((0L, 4L, Seq(4.0, 4.0, 4.0, 4.0), "revived zebra document"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    def top1 = coll.snapshot().search(Seq(4.0, 4.0, 4.0, 4.0),
+      SearchParams(topK = 1, numExploredCentroids = Some(20), centroidDistanceRatio = 1e9))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(top1 === Seq(4L), "revived doc must be visible from the tail")
+    // the revival survives the flush (src_batch rides into the segment)
+    coll.flush()
+    assert(top1 === Seq(4L), "revived doc must stay visible after flush")
+    // term path sees the revived doc's new content, not the tombstone
+    val ts = coll.snapshot().termSearch(DocFilter.Contains("content", "zebra"), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ts === Seq(4L))
+    // served view parity: the revived doc is served too
+    val served = coll.serveUser(0L).search(Array(4.0, 4.0, 4.0, 4.0), k = 1, nprobe = 50)
+    assert(served.map(_._1) === Seq(4L))
+    // and merge keeps the revived row while dropping the tombstoned one
+    coll.insert((1000 until 1050).map { i => // second segment so merge() has work
+      (0L, i.toLong, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble), s"doc $i")
+    }.toDF("user_id", "doc_id", "vector", "content"))
+    coll.flush()
+    assert(coll.merge().isDefined)
+    assert(top1 === Seq(4L), "revived doc must survive merge")
+  }
+
   test("TOC versions are monotone and atomic") {
     val base = tmpBase()
     val coll = Collection.create(spark, base, config)
