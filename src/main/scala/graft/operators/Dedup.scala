@@ -256,9 +256,58 @@ object Dedup {
     *
     * Returns `[id, keep_id]` for every id that appears in a pair, with
     * keep_id = the smallest id of its component: drop rows where
-    * id != keep_id for a canonical dedup. */
-  def keepList(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    * id != keep_id for a canonical dedup.
+    *
+    * Near-dup pair graphs are usually TINY relative to the corpus (the
+    * near-dup subset), so edge sets at or below `localEdgeLimit` take a
+    * bounded-collect fast path: one job materializes the edges, and a
+    * driver-side union-find labels them in O(E α(E)) — no per-round job
+    * overhead. Larger graphs run the distributed star rounds unchanged;
+    * both paths produce the identical component-minimum labeling. */
+  def keepList(
+      pairs: DataFrame,
+      maxIters: Int = 50,
+      localEdgeLimit: Long = 1000000L): DataFrame = {
     val init = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+    if (localEdgeLimit > 0) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      // self-loops stay in: they register the node (it appears in the
+      // output mapped to itself) without merging anything — same node
+      // universe as the distributed path's `nodes` union
+      val dedupEdges = init.distinct().persist()
+      val ecount = dedupEdges.count()
+      if (ecount <= localEdgeLimit) {
+        val edges = dedupEdges.as[(Long, Long)].collect()
+        dedupEdges.unpersist(blocking = false)
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+          var cur = x // path compression
+          while (cur != r) { val nxt = parent.get(cur); parent.put(cur, r); cur = nxt }
+          r
+        }
+        edges.foreach { case (u, v) =>
+          parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) { if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv) }
+        }
+        val out = parent.keySet().iterator()
+        val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        while (out.hasNext) { val id = out.next(); rows += ((id, find(id))) }
+        return rows.toSeq.toDF("id", "keep_id")
+      }
+      // too big for the driver: fall through to the distributed rounds,
+      // reusing the materialized edge set
+      val res = keepListDistributed(dedupEdges, maxIters)
+      dedupEdges.unpersist(blocking = false)
+      return res
+    }
+    keepListDistributed(init, maxIters)
+  }
+
+  private def keepListDistributed(init: DataFrame, maxIters: Int): DataFrame = {
     val nodes = init.select(col("u").as("id")).union(init.select(col("v").as("id"))).distinct()
     // canonical child->parent orientation: (larger, smaller), no self-loops
     def canon(e: DataFrame): DataFrame = e

@@ -102,11 +102,25 @@ class DedupSpec extends SparkSuite {
 
   test("keepList: 1000-edge chain (worst-case diameter) converges to one component") {
     // one-hop label propagation needs ~1000 rounds here; large/small-star
-    // must collapse it within the default iteration budget
+    // must collapse it within the default iteration budget. localEdgeLimit=0
+    // forces the DISTRIBUTED star rounds (the small graph would otherwise
+    // take the driver union-find fast path).
     val pairs = (0 until 1000).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
-    val got = Dedup.keepList(pairs).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val got = Dedup.keepList(pairs, localEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(got.length === 1001)
     assert(got.forall(_._2 == 0L), "all chain nodes must map to component min 0")
+  }
+
+  test("keepList: driver union-find path matches the distributed star rounds") {
+    val pairs = Seq((5L, 2L), (2L, 9L), (11L, 12L), (12L, 11L), (3L, 3L))
+      .toDF("a", "b")
+    val local = Dedup.keepList(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.keepList(pairs, localEdgeLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === Map(5L -> 2L, 2L -> 2L, 9L -> 2L, 11L -> 11L, 12L -> 11L, 3L -> 3L))
+    assert(dist === local)
   }
 
   test("end-to-end dedup: minhash pairs -> keepList drops the planted dups") {
