@@ -50,10 +50,9 @@ object GraftFunctions {
 
   private val stemUdf = udf { (tokens: Seq[String], lang: String) =>
     // Vietnamese falls back to the English stemmer exactly as the
-    // reference does (stemming_tokenizer.rs:26). German, French, Spanish,
-    // Portuguese, Italian and Russian get real Snowball stemmers
-    // ([[Snowball]]); the remaining reference languages are lowercase
-    // passthrough (SURVEY §7.4 deviation note).
+    // reference does (stemming_tokenizer.rs:26). All 18 other reference
+    // languages dispatch to a Snowball stemmer ([[Snowball]] /
+    // [[SnowballMore]]); unknown languages are lowercase passthrough.
     if (tokens == null) null
     else if (lang == null || lang == "english" || lang == "en" ||
       lang == "vietnamese" || lang == "vi") tokens.map(Porter2.stem)

@@ -27,6 +27,13 @@ object Snowball {
     case "norwegian" | "no" => Norwegian.stem(token)
     case "swedish" | "sv" => Swedish.stem(token)
     case "dutch" | "nl" => Dutch.stem(token)
+    case "romanian" | "ro" => SnowballMore.Romanian.stem(token)
+    case "finnish" | "fi" => SnowballMore.Finnish.stem(token)
+    case "hungarian" | "hu" => SnowballMore.Hungarian.stem(token)
+    case "turkish" | "tr" => SnowballMore.Turkish.stem(token)
+    case "greek" | "el" => SnowballMore.Greek.stem(token)
+    case "arabic" | "ar" => SnowballMore.Arabic.stem(token)
+    case "tamil" | "ta" => SnowballMore.Tamil.stem(token)
     case _ => token
   }
 
@@ -35,7 +42,9 @@ object Snowball {
   val supported: Set[String] = Set(
     "german", "de", "french", "fr", "spanish", "es",
     "portuguese", "pt", "italian", "it", "russian", "ru",
-    "danish", "da", "norwegian", "no", "swedish", "sv", "dutch", "nl")
+    "danish", "da", "norwegian", "no", "swedish", "sv", "dutch", "nl",
+    "romanian", "ro", "finnish", "fi", "hungarian", "hu", "turkish", "tr",
+    "greek", "el", "arabic", "ar", "tamil", "ta")
 
   private[functions] def standardR1(w: String, isVowel: Char => Boolean): Int = {
     var i = 1

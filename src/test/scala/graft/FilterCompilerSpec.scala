@@ -78,6 +78,28 @@ class FilterCompilerSpec extends SparkSuite {
       assert(Snowball.stem(lang, word) === want, s"$lang: $word")
   }
 
+  test("Snowball goldens: ro/fi/hu/tr/el/ar/ta stem inflections to one term") {
+    import graft.functions.Snowball
+    val goldens = Seq(
+      ("ro", Seq("copiilor" -> "cop", "cartea" -> "cart", "cărţile" -> "cărţ",
+        "lucrează" -> "lucr", "frumoasă" -> "frumoas", "românilor" -> "român")),
+      ("fi", Seq("taloissa" -> "talo", "taloja" -> "talo", "kirjoissa" -> "kirj",
+        "kirjat" -> "kirj")),
+      ("hu", Seq("házakat" -> "ház", "gyermekeknek" -> "gyermek",
+        "házban" -> "ház", "kertekben" -> "kert")),
+      ("tr", Seq("kitapları" -> "kitap", "kitabı" -> "kitap", "evinde" -> "ev",
+        "arabalar" -> "araba", "evlerinden" -> "ev")),
+      ("el", Seq("βιβλία" -> "βιβλι", "βιβλίο" -> "βιβλι",
+        "άνθρωποι" -> "ανθρωπ", "ανθρώπων" -> "ανθρωπ",
+        "γεγονότα" -> "γεγον", "ονόματα" -> "ονομα")),
+      ("ar", Seq("الكتاب" -> "كتاب", "كتابها" -> "كتاب",
+        "المعلمون" -> "معلم", "مدرسة" -> "مدرس")),
+      ("ta", Seq("புத்தகங்கள்" -> "புத்தக", "வீடுகள்" -> "வீடு",
+        "வீட்டில்" -> "வீட்ட")))
+    for ((lang, cases) <- goldens; (word, want) <- cases)
+      assert(Snowball.stem(lang, word) === want, s"$lang: $word -> ${Snowball.stem(lang, word)}")
+  }
+
   test("Snowball index/query symmetry per field lang (de and ru fields)") {
     // index side: analyze_text builds field:stem terms; query side:
     // queryTerms must produce the identical keys for each language
