@@ -136,12 +136,31 @@ class GraftService(spark: SparkSession, basePath: String) {
       .termSearch(filter, limit, userIds.map(toBytes))
       .select("doc_id").collect().map(r => toUuidStr(r.getAs[Array[Byte]](0))).toSeq
 
+  private val servedCache = TrieMap.empty[(String, String), (String, ServedUserSearch)]
+
   /** Per-user online serving session (collection_manager.rs:27-94 — the
     * reference serves searches from per-user in-memory indexes). Loads
     * the user's data once; `search` then answers at in-memory latency
-    * with zero Spark jobs. Rebuild after flush/remove to see newer data. */
-  def serveUser(collectionName: String, userUuid: String): ServedUserSearch =
-    new ServedUserSearch(collection(collectionName).serveUser(toBytes(userUuid)))
+    * with zero Spark jobs.
+    *
+    * Views are cached per (collection, user) and keyed on the collection's
+    * state fingerprint (TOC version + unflushed batches + tombstone
+    * files), so repeated calls are free while the state is unchanged and
+    * any insert/flush/remove/merge transparently rebuilds — the
+    * reference's CollectionManager keeps long-lived per-user indexes the
+    * same way. */
+  def serveUser(collectionName: String, userUuid: String): ServedUserSearch = {
+    val coll = collection(collectionName)
+    val fp = coll.stateFingerprint()
+    val key = (collectionName, userUuid)
+    servedCache.get(key) match {
+      case Some((cachedFp, view)) if cachedFp == fp => view
+      case _ =>
+        val view = new ServedUserSearch(coll.serveUser(toBytes(userUuid)))
+        servedCache.put(key, (fp, view))
+        view
+    }
+  }
 
   final class ServedUserSearch private[GraftService] (
       view: graft.core.ServedUserView) {

@@ -371,6 +371,23 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     * newer data — the view pins this TOC like a snapshot. */
   def serveUser(userId: Any): ServedUserView = ServedUserView.build(this, userId)
 
+  /** Cheap fingerprint of all serving-relevant state: TOC version, the
+    * unflushed batch ids, and the tombstone file listing (name, size,
+    * mtime — append and overwrite both change it). Equal fingerprints
+    * imply a [[ServedUserView]] built under the old one is still
+    * current; [[graft.api.GraftService]] keys its served-view cache on
+    * this (TOC version alone would miss unflushed inserts/deletes). */
+  def stateFingerprint(): String = {
+    val t = toc
+    val tailIds = tailBatchIds(t).mkString(",")
+    val tombs =
+      if (!Files.exists(Paths.get(tombPath))) ""
+      else Files.list(Paths.get(tombPath)).iterator().asScala
+        .map(p => s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+        .toSeq.sorted.mkString(",")
+    s"v${t.version};b[$tailIds];t[${tombs.hashCode}]"
+  }
+
   // ---- maintenance (M1/M2) ----
 
   /** Merge all live segments into one: union live rows (tombstones dropped

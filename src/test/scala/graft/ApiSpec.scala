@@ -147,6 +147,28 @@ class ApiSpec extends SparkSuite {
     assert(served.docIds === dist.docIds)
   }
 
+  test("served view cache: reused while state unchanged, rebuilt on write") {
+    val svc = new GraftService(spark, Files.createTempDirectory("graft_api7").toString)
+    svc.createCollection(CollectionConfig(
+      name = "cache", numFeatures = 4, initialNumCentroids = 2))
+    svc.insert(InsertRequest("cache", docIds = Seq(uuid(1), uuid(2)),
+      userIds = Seq(uuid(0)), vectors = Seq(1f, 1f, 1f, 1f, 2f, 2f, 2f, 2f)))
+    svc.flush("cache")
+    val v1 = svc.serveUser("cache", uuid(0))
+    assert(svc.serveUser("cache", uuid(0)) eq v1, "unchanged state must reuse the view")
+    // an unflushed insert must invalidate (TOC version alone would miss it)
+    svc.insert(InsertRequest("cache", docIds = Seq(uuid(3)), userIds = Seq(uuid(0)),
+      vectors = Seq(3f, 3f, 3f, 3f)))
+    val v2 = svc.serveUser("cache", uuid(0))
+    assert(!(v2 eq v1), "unflushed insert must rebuild the served view")
+    assert(v2.search(Seq(3f, 3f, 3f, 3f), topK = 1, nprobe = 4).docIds === Seq(uuid(3)))
+    // a remove must invalidate too (tombstone file listing in the key)
+    svc.remove("cache", Seq(uuid(0)), Seq(uuid(3)))
+    val v3 = svc.serveUser("cache", uuid(0))
+    assert(!(v3 eq v2), "remove must rebuild the served view")
+    assert(!v3.search(Seq(3f, 3f, 3f, 3f), topK = 3, nprobe = 4).docIds.contains(uuid(3)))
+  }
+
   test("insertPacked decodes the little-endian wire format") {
     val svc = new GraftService(spark, Files.createTempDirectory("graft_api2").toString)
     svc.createCollection(CollectionConfig(
