@@ -32,15 +32,18 @@ final case class CollectionConfig(
       * the reference opens only the named users' indexes,
       * rs/index/src/collection/snapshot.rs:69-110). */
     userBuckets: Int = 16,
-    /** "noq" (identity, default) or "pq" — the two served quantizers
-      * (rs/config/src/enums.rs:4-9; rs/index_server/src/
-      * collection_manager.rs:72-94). With "pq", segments carry byte codes
-      * and searches score candidates via ADC with exact re-ranking. */
+    /** "noq" (identity, default), "pq", or "rabitq" — the reference's
+      * quantizer enum (rs/config/src/enums.rs:4-9; rs/index_server/src/
+      * collection_manager.rs:72-94; RaBitQ present there but unwired in
+      * the served config — wired here). With "pq" segments carry byte
+      * codes scored via ADC; with "rabitq" they carry 1-bit sign codes
+      * scored via the RaBitQ estimator; both re-rank exactly. */
     quantizer: String = "noq",
     pqSubvectors: Int = 8,
     pqBits: Int = 8,
     attributeSchema: Seq[AttrField] = Nil) {
-  require(quantizer == "noq" || quantizer == "pq", s"unknown quantizer: $quantizer")
+  require(quantizer == "noq" || quantizer == "pq" || quantizer == "rabitq",
+    s"unknown quantizer: $quantizer")
   def textFields: Seq[AttrField] = attributeSchema.filter(f => f.kind == "text" || f.kind == "keyword")
 }
 
@@ -202,6 +205,16 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     }
   }
 
+  def readRabitqModel(seg: String): Option[graft.operators.RaBitQ.Model] = {
+    val p = Paths.get(segPath(seg), "rabitq_model.bin")
+    if (!Files.exists(p)) None
+    else {
+      val ois = new java.io.ObjectInputStream(Files.newInputStream(p))
+      try Some(ois.readObject().asInstanceOf[graft.operators.RaBitQ.Model])
+      finally ois.close()
+    }
+  }
+
   private def readBloom(seg: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
     val p = Paths.get(segPath(seg), "bloom.bin")
     if (!Files.exists(p)) None
@@ -288,6 +301,23 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       try oos.writeObject(model) finally oos.close()
       vectors = vectors.withColumn("pq_codes",
         graft.operators.ProductQuantizer.encodeCol(model, col("vector")))
+        .persist()
+    }
+    // RaBitQ quantizer: sign-bit codes + per-vector factor/norm (V6;
+    // rs/quantization/src/rabitq/, unwired in the reference's server).
+    if (config.quantizer == "rabitq") {
+      val model = graft.operators.RaBitQ.train(
+        vectors, "vector", sampleSize = config.clusteringSample)
+      Files.createDirectories(Paths.get(segPath(seg)))
+      val oos = new java.io.ObjectOutputStream(
+        Files.newOutputStream(Paths.get(segPath(seg), "rabitq_model.bin")))
+      try oos.writeObject(model) finally oos.close()
+      vectors = vectors
+        .withColumn("rq", graft.operators.RaBitQ.encodeCols(model, col("vector")))
+        .withColumn("rq_code", col("rq._1"))
+        .withColumn("rq_f", col("rq._2"))
+        .withColumn("rq_norm", col("rq._3"))
+        .drop("rq")
         .persist()
     }
     // Full rows (attrs included) persist in the vectors table so merge /
@@ -397,7 +427,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     if (t.segments.size < 2) return None
     var rows = t.segments.map { s =>
       val attrs = spark.read.parquet(s"${segPath(s)}/vectors")
-      attrs.drop("point_id", "user_bucket", "pq_codes")
+      attrs.drop("point_id", "user_bucket", "pq_codes", "rq_code", "rq_f", "rq_norm")
     }.reduce(_ unionByName _)
     for (tb <- tombstones) rows = Search.dropTombstoned(rows, tb)
     val seg = s"merged_${t.version + 1}"
@@ -433,7 +463,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     val t = toc
     val rows = Search.dropTombstoned(
       spark.read.parquet(s"${segPath(segment)}/vectors")
-        .drop("point_id", "user_bucket", "pq_codes"),
+        .drop("point_id", "user_bucket", "pq_codes", "rq_code", "rq_f", "rq_norm"),
       tomb)
     val seg = s"${segment}_v"
     buildSegment(rows, seg)
@@ -510,24 +540,27 @@ final class Snapshot(
       userIds: Seq[Any] = Nil,
       filter: Option[DocFilter] = None): DataFrame = {
     val perSegment = segments.map { seg =>
-      coll.readPqModel(seg) match {
-        case Some(model) if coll.config.quantizer == "pq" =>
-          Search.spannAdc(
-            coll.vectorsFor(seg, userIds),
+      (coll.config.quantizer match {
+        case "pq" => coll.readPqModel(seg).map(m => (df: DataFrame) =>
+          Search.spannAdc(df,
             coll.segmentTable(seg, "centroids"),
             coll.segmentTable(seg, "postings"),
-            model, query, params, userIds,
-            filterPoints(seg, filter, userIds),
-            coll.tombstones)
-        case _ =>
-          Search.spann(
-            coll.vectorsFor(seg, userIds), // bucket-pruned scan for named users
+            m, query, params, userIds,
+            filterPoints(seg, filter, userIds), coll.tombstones))
+        case "rabitq" => coll.readRabitqModel(seg).map(m => (df: DataFrame) =>
+          Search.spannRabitq(df,
             coll.segmentTable(seg, "centroids"),
             coll.segmentTable(seg, "postings"),
-            query, params, userIds,
-            filterPoints(seg, filter, userIds),
-            coll.tombstones)
-      }
+            m, query, params, userIds,
+            filterPoints(seg, filter, userIds), coll.tombstones))
+        case _ => None
+      }).getOrElse((df: DataFrame) =>
+        Search.spann(df,
+          coll.segmentTable(seg, "centroids"),
+          coll.segmentTable(seg, "postings"),
+          query, params, userIds,
+          filterPoints(seg, filter, userIds), coll.tombstones))
+        .apply(coll.vectorsFor(seg, userIds)) // bucket-pruned scan for named users
     }
     val tailResult = tailRows.map { rows =>
       // Brute-force over the unindexed tail; attribute filters evaluated

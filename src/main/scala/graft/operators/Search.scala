@@ -160,6 +160,48 @@ object Search {
       .select("user_id", "doc_id", "score")
   }
 
+  /** SPANN search over a RaBitQ-quantized segment (K2 + V6): identical
+    * probe pipeline to [[spannAdc]], but candidates are ranked by the
+    * RaBitQ estimated distance over their 1-bit sign codes (one rotated
+    * query per search) and only the best `rerank` are re-scored exactly. */
+  def spannRabitq(
+      vectors: DataFrame, // must carry rq_code, rq_f, rq_norm
+      centroids: DataFrame,
+      postings: DataFrame,
+      model: RaBitQ.Model,
+      query: Seq[Double],
+      params: SearchParams = SearchParams(),
+      userIds: Seq[Any] = Nil,
+      filterPoints: Option[DataFrame] = None,
+      tombstones: Option[DataFrame] = None,
+      rerank: Int = 100): DataFrame = {
+    val scored = centroids
+      .withColumn("cdist", l2_distance(col("vector"), vec(query)))
+      .orderBy(col("cdist").asc, col("centroid_id").asc)
+      .limit(params.nprobe)
+    val chosen = scored
+      .withColumn("mind", min(col("cdist")).over())
+      .filter(col("cdist") <= col("mind") * (1.0 + params.centroidDistanceRatio))
+      .select("centroid_id")
+    var cand = postings.join(broadcast(chosen), Seq("centroid_id"))
+    if (userIds.nonEmpty) cand = cand.filter(col("user_id").isin(userIds: _*))
+    var df = cand
+      .select("user_id", "point_id")
+      .dropDuplicates("user_id", "point_id")
+      .join(vectors, Seq("user_id", "point_id"))
+    for (t <- tombstones) df = dropTombstoned(df, t)
+    for (fp <- filterPoints)
+      df = df.join(fp.select("user_id", "point_id"), Seq("user_id", "point_id"), "left_semi")
+    df.withColumn("est", RaBitQ.estDistance(
+        model, col("rq_code"), col("rq_f"), col("rq_norm"), query))
+      .orderBy(col("est").asc, col("doc_id").asc)
+      .limit(math.max(params.topK, rerank))
+      .withColumn("score", l2_distance(col("vector"), vec(query)))
+      .orderBy(scoreOrder: _*)
+      .limit(params.topK)
+      .select("user_id", "doc_id", "score")
+  }
+
   /** Scatter-gather merge (A6/D2, rs/aggregator/src/aggregator.rs:41-146):
     * union per-shard/per-collection result frames and take the global
     * top-k. Ascending (score, doc_id) consistently — the reference
