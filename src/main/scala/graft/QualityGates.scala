@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, Dedup, ProductQuantizer}
+import graft.operators.{Ann, Dedup, ProductQuantizer, RaBitQ}
 
 /** Driver-visible quality gates for the queries the DuckDB oracle cannot
   * express (LSH candidate generation, ANN, PQ, connected components).
@@ -118,6 +118,28 @@ object QualityGates {
       }
       val recall = recalls.sum / recalls.length
       out += s""""q35_pq":{"recall_at10_rerank100":${jd(recall)},"pass":${jb(recall >= 0.9)}}"""
+    }
+
+    // q41: RaBitQ 1-bit estimator + exact re-rank (rerank 100) — recall@10
+    // vs exact brute force (the RabitqSpec gate, on the verify data)
+    {
+      val model = RaBitQ.train(emb, "embedding", sampleSize = 5000)
+      val encoded = emb
+        .withColumn("rq", RaBitQ.encodeCols(model, col("embedding")))
+        .select(col("vec_id"), col("embedding"),
+          col("rq._1").as("rq_code"), col("rq._2").as("rq_f"), col("rq._3").as("rq_norm"))
+      val queries = emb.orderBy("vec_id").limit(3)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+      val recalls = queries.map { case (_, q) =>
+        val oracle = Ann.bruteForceTopK(emb, q, 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val got = RaBitQ.topK(encoded, model, q, k = 10, rerank = 100)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        oracle.intersect(got).size / 10.0
+      }
+      val recall = recalls.sum / recalls.length
+      out += s""""q41_rabitq":{"recall_at10_rerank100":${jd(recall)},"pass":${jb(recall >= 0.9)}}"""
     }
 
     // q40: keep-list validity — canonical labels are component minima:

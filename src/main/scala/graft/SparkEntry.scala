@@ -310,6 +310,16 @@ object SparkEntry {
       ProductQuantizer.topK(encoded, model, q0(s, d), k = 10, rerank = 100)
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     }),
+    "q41_rabitq_ann" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val model = RaBitQ.train(emb, "embedding", sampleSize = 5000)
+      val encoded = emb
+        .withColumn("rq", RaBitQ.encodeCols(model, col("embedding")))
+        .select(col("vec_id"), col("embedding"),
+          col("rq._1").as("rq_code"), col("rq._2").as("rq_f"), col("rq._3").as("rq_norm"))
+      RaBitQ.topK(encoded, model, q0(s, d), k = 10, rerank = 100)
+        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+    }),
     "q34_multimodal" -> ((s, d) =>
       // features exploded to one row per slot so the deterministic stub
       // (byte histogram over the sha256-hex payload) is DuckDB-replayable
