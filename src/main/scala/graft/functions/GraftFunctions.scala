@@ -48,6 +48,26 @@ object GraftFunctions {
   def tokenize(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
+  // Per-executor stem memo: corpora repeat tokens far more often than the
+  // vocabulary grows, and the stemmers are pure, so a vocabulary-sized
+  // cache turns the dominant cost of the term pipeline into a hash probe.
+  // Bounded (clear-on-full) so an adversarial vocabulary can't grow it
+  // past ~tens of MB per executor.
+  private val stemCacheCap = 1 << 20
+  private val stemCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // key = "<lang> <token>": tokens are whitespace-split upstream, so the
+  // space separator cannot occur inside a token and keys never collide
+  @inline private def memoStem(key: String)(f: => String): String = {
+    val hit = stemCache.get(key)
+    if (hit != null) hit
+    else {
+      val v = f
+      if (stemCache.size >= stemCacheCap) stemCache.clear()
+      stemCache.put(key, v)
+      v
+    }
+  }
+
   private val stemUdf = udf { (tokens: Seq[String], lang: String) =>
     // Vietnamese falls back to the English stemmer exactly as the
     // reference does (stemming_tokenizer.rs:26). All 18 other reference
@@ -55,8 +75,10 @@ object GraftFunctions {
     // [[SnowballMore]]); unknown languages are lowercase passthrough.
     if (tokens == null) null
     else if (lang == null || lang == "english" || lang == "en" ||
-      lang == "vietnamese" || lang == "vi") tokens.map(Porter2.stem)
-    else if (Snowball.supported(lang)) tokens.map(t => Snowball.stem(lang, t.toLowerCase))
+      lang == "vietnamese" || lang == "vi")
+      tokens.map(t => memoStem(s"en $t")(Porter2.stem(t)))
+    else if (Snowball.supported(lang))
+      tokens.map(t => memoStem(s"$lang $t")(Snowball.stem(lang, t.toLowerCase)))
     else tokens.map(_.toLowerCase)
   }
 
@@ -103,6 +125,15 @@ object GraftFunctions {
       tables: Int, planes: Int, dim: Int, probes: Int = 0): Column =
     col(HyperplaneSketch(ex(vector.cast("array<double>")), flatPlanes,
       tables, planes, dim, probes))
+
+  /** All a < b id pairs within an LSH bucket (in-task expansion; see
+    * [[PairKernels]]). */
+  def sorted_pairs(ids: Column): Column = col(SortedPairs(ex(ids)))
+
+  /** SimHash bucket pair expansion with the Hamming verify fused in:
+    * input `array<struct<id, sk>>`, output pairs within `maxHamming`. */
+  def hamming_pairs(entries: Column, maxHamming: Int): Column =
+    col(HammingPairs(ex(entries), maxHamming))
 
   /** Jaccard similarity of two arrays treated as sets (native). */
   def jaccard(a: Column, b: Column): Column = {

@@ -25,7 +25,10 @@ object Dedup {
     * Returns `[a, b, est_jaccard]` with a < b.
     *
     * Scale: the only shuffle is the explode+groupBy on band keys; each
-    * bucket is tiny for honest thresholds. `bands * rowsPerBand = k`. */
+    * bucket is tiny for honest thresholds. `bands * rowsPerBand = k`.
+    * Pair candidates are expanded in-task from each bucket's collected id
+    * list ([[graft.functions.PairKernels]]) — one shuffle of (band, id)
+    * rows, no self-join. */
   def minhashPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -39,16 +42,13 @@ object Dedup {
     val sigs = docs.select(
       col(idCol).as("id"),
       minhash_signature(shingle_hashes(tokenize(col(textCol)), shingleLen), k).as("sig"))
-    // Bucket join on (id, band) only; signatures re-attached to the (much
-    // smaller) deduped candidate set afterwards instead of riding the
-    // band shuffle.
-    val banded = sigs
+    // Only (band, id) rides the shuffle; signatures re-attached to the
+    // (much smaller) deduped candidate set afterwards.
+    sigs
       .select(col("id"), explode(lsh_band_keys(col("sig"), bands, rows)).as("band"))
-    val a = banded.select(col("band"), col("id").as("a"))
-    val b = banded.select(col("band"), col("id").as("b"))
-    a.join(b, Seq("band"))
-      .filter(col("a") < col("b"))
-      .select("a", "b")
+      .groupBy("band").agg(collect_list(col("id")).as("ids"))
+      .select(explode(sorted_pairs(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .dropDuplicates("a", "b")
       .join(sigs.select(col("id").as("a"), col("sig").as("sig_a")), Seq("a"))
       .join(sigs.select(col("id").as("b"), col("sig").as("sig_b")), Seq("b"))
@@ -120,30 +120,23 @@ object Dedup {
         struct(lit(si).as("chunk"), key.as("key"))
     }
     val sk = sketches.select(col("id"), col("sk"))
-    var banded = sk
+    // One shuffle of (chunk, key, id, sk); each bucket's pairs are
+    // expanded in-task with the exact Hamming verify fused into the
+    // expansion loop ([[graft.functions.PairKernels.hammingPairs]]), so
+    // false candidates never leave the task and only true pairs ride the
+    // dropDuplicates exchange. The hot-bucket guard is a free
+    // size(entries) filter on the collected bucket — no extra
+    // count+semi-join pass.
+    val buckets = sk
       .select(col("id"), col("sk"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("id"), col("sk"), col("b.chunk"), col("b.key"))
-    if (maxBucket > 0) {
-      val cool = banded.groupBy("chunk", "key").count()
-        .filter(col("count") <= maxBucket).select("chunk", "key")
-      banded = banded.join(cool, Seq("chunk", "key"), "left_semi")
-    }
-    val l = banded.select(col("chunk"), col("key"), col("id").as("a"), col("sk").as("sk_a"))
-    val r = banded.select(col("chunk"), col("key"), col("id").as("b"), col("sk").as("sk_b"))
-    // Hamming verify BEFORE the pair-dedup shuffle: the 2-op bit_count
-    // test runs inside the join stage and kills ~all false candidates
-    // map-side, so only true pairs — not the full candidate volume —
-    // ride the dropDuplicates exchange. (A per-row "canonical table"
-    // filter could remove the dedup shuffle entirely, but its ~50-op
-    // expression ends up evaluated on every joined candidate once
-    // Catalyst pushes it into the join, which measures 4-7x slower than
-    // shuffling the small true-pair set.)
-    l.join(r, Seq("chunk", "key"))
-      .filter(col("a") < col("b"))
-      .withColumn("hamming", hamming64(col("sk_a"), col("sk_b")).cast("int"))
-      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("b.chunk").as("chunk"), col("b.key").as("key"))
+      .agg(collect_list(struct(col("id"), col("sk"))).as("entries"))
+    val guarded =
+      if (maxBucket > 0) buckets.filter(size(col("entries")) <= maxBucket) else buckets
+    guarded
+      .select(explode(hamming_pairs(col("entries"), maxHamming)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
       .dropDuplicates("a", "b")
-      .select("a", "b", "hamming")
   }
 
   /** Exact n-gram Jaccard pairs: candidates share at least one shingle
@@ -164,16 +157,19 @@ object Dedup {
       col(idCol).as("id"),
       array_distinct(shingle_hashes(tokenize(col(textCol)), shingleLen)).as("shingles"))
     val posting = sets.select(col("id"), explode(col("shingles")).as("sh"))
-    val rare = posting.groupBy("sh").count().filter(col("count") <= maxShinglePostings)
-    val pruned = posting.join(rare.select("sh"), Seq("sh"), "left_semi")
-    // |A ∩ B| falls straight out of the posting join as a pair count — no
+    // |A ∩ B| falls straight out of the posting lists as a pair count — no
     // need to ship the shingle arrays through the shuffle; with set sizes
-    // joined in afterwards, J = c / (|A| + |B| - c) exactly.
-    // Dropped shingles (> maxShinglePostings) shrink the computed overlap,
-    // never grow it — the guard trades recall on pathological hot keys.
-    val coCounts = pruned.select(col("sh"), col("id").as("a"))
-      .join(pruned.select(col("sh"), col("id").as("b")), Seq("sh"))
-      .filter(col("a") < col("b"))
+    // joined in afterwards, J = c / (|A| + |B| - c) exactly. One shuffle
+    // groups postings by shingle; pairs expand in-task from each list
+    // ([[graft.functions.PairKernels]]), and the hot-shingle guard is a
+    // free size filter on the collected list (dropped shingles shrink the
+    // computed overlap, never grow it — the guard trades recall on
+    // pathological hot keys).
+    val coCounts = posting
+      .groupBy("sh").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) <= maxShinglePostings)
+      .select(explode(sorted_pairs(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
     val sizes = sets.select(col("id"), size(col("shingles")).as("n"))
     coCounts
@@ -227,14 +223,12 @@ object Dedup {
     // as minhashPairs re-attaches signatures.
     // multiprobe flips the least-confident sign bits, so near-threshold
     // pairs collide without extra tables (recall up, candidates ~(1+p)x)
-    val sk = vecs.select(col("id"),
+    vecs.select(col("id"),
       explode(hyperplane_sketch(col("v"), flatPlanes, nTables, nPlanes, dim, multiprobe))
         .as("bucket"))
-    val l = sk.select(col("bucket"), col("id").as("a"))
-    val r = sk.select(col("bucket"), col("id").as("b"))
-    l.join(r, Seq("bucket"))
-      .filter(col("a") < col("b"))
-      .select("a", "b")
+      .groupBy("bucket").agg(collect_list(col("id")).as("ids"))
+      .select(explode(sorted_pairs(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .dropDuplicates("a", "b")
       .join(vecs.select(col("id").as("a"), col("v").as("va")), Seq("a"))
       .join(vecs.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
