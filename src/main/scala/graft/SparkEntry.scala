@@ -320,6 +320,28 @@ object SparkEntry {
       RaBitQ.topK(encoded, model, q0(s, d), k = 10, rerank = 100)
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     }),
+    "q42_decontaminate" -> ((s, d) => {
+      // benchmark set = every 20th doc; flag the rest on >= 3 shared
+      // distinct 3-gram shingles (postings guard off for the exact oracle,
+      // as q25 — the operator default 10000 is the scale setting)
+      val docs = T(s, d, "documents")
+      Decontaminate.overlapReport(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        shingleLen = 3, minOverlap = 3, maxShinglePostings = 1000000)
+        .select(col("doc_id"), col("max_overlap").cast("long").as("max_overlap"),
+          col("n_bench_hits").cast("long").as("n_bench_hits"))
+        .orderBy("doc_id")
+    }),
+    "q43_tfidf_topterms" -> ((s, d) =>
+      TextPipeline.topTermsTfIdf(T(s, d, "documents"), k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank")),
+    "q44_stratified_sample" -> ((s, d) =>
+      TextPipeline.stratifiedSample(T(s, d, "documents"), "source", col("doc_id"),
+        Map("src0" -> "40", "src1" -> "40", "src2" -> "40"), default = "80")
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
     "q34_multimodal" -> ((s, d) =>
       // features exploded to one row per slot so the deterministic stub
       // (byte histogram over the sha256-hex payload) is DuckDB-replayable
@@ -535,6 +557,36 @@ object SparkEntry {
          SELECT media_id, 'image' AS kind, CAST(feat_idx AS BIGINT) AS feat_idx,
                 round(sum(v) / 4.0, 4) AS feature
          FROM b GROUP BY media_id, feat_idx ORDER BY media_id, feat_idx""",
+    // decontamination: string shingles stand in for the engine's hashed
+    // shingles (distinct-count equivalent, as q25)
+    "q42_decontaminate" ->
+      s"""WITH t AS (
+            SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) AS sh
+            FROM (SELECT doc_id, $docToksSql AS toks FROM documents) d)
+          SELECT a.doc_id AS doc_id,
+                 CAST(max(len(list_intersect(a.sh, b.sh))) AS BIGINT) AS max_overlap,
+                 count(*) AS n_bench_hits
+          FROM t a, t b
+          WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+            AND len(list_intersect(a.sh, b.sh)) >= 3
+          GROUP BY a.doc_id ORDER BY doc_id""",
+    "q43_tfidf_topterms" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($docToksSql) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          n AS (SELECT count(*) AS n FROM documents)
+          SELECT doc_id, term, round(tf * (ln((n + 1.0) / (df + 1.0)) + 1), 4) AS tfidf, rank
+          FROM (SELECT doc_id, term, tf, df, n,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tf * (ln((n + 1.0) / (df + 1.0)) + 1) DESC, term) AS rank
+                FROM tf JOIN dfq USING (term), n) t
+          WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "q44_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE substr(md5(doc_id::VARCHAR), 1, 2) <
+           (CASE WHEN source IN ('src0', 'src1', 'src2') THEN '40' ELSE '80' END)
+         ORDER BY doc_id""",
     // polynomial rolling hash (base 1000003 mod 2^64) replayed via
     // HUGEINT list_reduce; ASCII corpus makes ord(char) == utf8 byte
     "q33_rolling_fp" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
@@ -38,6 +39,57 @@ object TextPipeline {
       col(idCol),
       doc_fingerprint(col(textCol)).as("fingerprint"),
       md5(concat_ws(" ", tokenize(col(textCol)))).as("content_md5"))
+
+  /** Per-document top-`k` terms by TF-IDF — the corpus-statistics pass of
+    * a training-data pipeline (topic/keyword profiling, boilerplate
+    * spotting). Classic two-aggregation formulation, all shuffles on
+    * bounded keys: term frequencies partial-aggregate map-side by
+    * (doc, term); document frequencies by term; the per-doc top-k is a
+    * rank window over at most |vocab-per-doc| rows.
+    * `idf = ln((N + 1) / (df + 1)) + 1` (smoothed), ties broken by term
+    * ascending. Returns `[id, term, tfidf, rank]`. */
+  def topTermsTfIdf(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), explode(tokenize(col(textCol))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus size: single-row aggregate, broadcast into the score expr
+    val n = docs.select(count(lit(1)).as("n"))
+    val score = col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))
+    val w = Window.partitionBy("id").orderBy(score.desc, col("term").asc)
+    tf.join(dfq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("term"), round(score, 4).as("tfidf"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic stratified sampling: keep a row iff the first two hex
+    * chars of `md5(key)` fall under the stratum's threshold — rates are
+    * expressed in 256ths ("40" = 64/256 = 25%). Content-hash gating makes
+    * the sample reproducible across engines and runs (no RNG state), a
+    * map-only pass at any scale, and consistent under re-partitioning —
+    * the properties a 100 TB pipeline needs from its sampler.
+    *
+    * @param rates   stratum value -> 2-hex-digit threshold ("00".."ff")
+    * @param default threshold for strata not in `rates` */
+  def stratifiedSample(
+      docs: DataFrame,
+      strataCol: String,
+      keyCol: Column,
+      rates: Map[String, String],
+      default: String = "80"): DataFrame = {
+    require((rates.values.toSeq :+ default).forall(_.matches("[0-9a-f]{2}")),
+      "thresholds must be 2 lowercase hex digits")
+    val th = rates.foldLeft(lit(default)) { case (acc, (stratum, t)) =>
+      when(col(strataCol) === stratum, lit(t)).otherwise(acc)
+    }
+    docs.filter(substring(md5(keyCol.cast("string").cast("binary")), 1, 2) < th)
+  }
 
   /** Composite preprocessing pass — the canonical training-data cleaning
     * pipeline, one distributed job: exact-dedup (keep smallest id per

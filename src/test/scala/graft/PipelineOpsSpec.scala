@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Decontaminate, TextPipeline}
+
+/** Decontamination, TF-IDF profiling, and deterministic stratified
+  * sampling — the round-4 training-data pipeline additions. */
+class PipelineOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("decontamination flags exactly the docs sharing enough shingles") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta oops different tail here"), // 5 shared 3-grams
+      (1L, "alpha beta gamma nothing else in common at all"), // 1 shared 3-gram
+      (2L, "completely disjoint text about spark executors and shuffles")
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.overlapReport(train, bench, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 4L, 1L))) // "alpha..zeta" = 6 toks -> 4 shared 3-grams
+    val cleaned = Decontaminate.clean(train, bench, minOverlap = 2)
+      .select("doc_id").as[Long].collect().sorted
+    assert(cleaned.toSeq === Seq(1L, 2L))
+  }
+
+  test("decontamination bench-side hot-shingle guard drops ubiquitous n-grams") {
+    val bench = Seq(
+      (100L, "common boiler plate text one"),
+      (101L, "common boiler plate text two"),
+      (102L, "common boiler plate text three")
+    ).toDF("doc_id", "text")
+    val train = Seq((0L, "common boiler plate text zero")).toDF("doc_id", "text")
+    // every shared shingle sits in all 3 bench docs; cap at 2 removes them all
+    val flagged = Decontaminate.overlapReport(train, bench,
+      minOverlap = 1, maxShinglePostings = 2).count()
+    assert(flagged === 0L)
+    val unguarded = Decontaminate.overlapReport(train, bench,
+      minOverlap = 1, maxShinglePostings = 0).count()
+    assert(unguarded === 1L)
+  }
+
+  test("tf-idf top terms: rare term outranks frequent-everywhere term") {
+    val docs = Seq(
+      (0L, "spark spark spark unicorn"),
+      (1L, "spark flink trino"),
+      (2L, "spark beam dataflow")
+    ).toDF("doc_id", "text")
+    val top = TextPipeline.topTermsTfIdf(docs, k = 2)
+    val d0 = top.filter(col("id") === 0L).orderBy("rank")
+      .select("term").as[String].collect()
+    // "spark" df=3 -> idf = ln(4/4)+1 = 1, tf=3 -> 3.0
+    // "unicorn" df=1 -> idf = ln(4/2)+1 ~ 1.693, tf=1 -> 1.693 (rank 2)
+    assert(d0.toSeq === Seq("spark", "unicorn"))
+    val scores = top.filter(col("id") === 0L).orderBy("rank")
+      .select("tfidf").as[Double].collect()
+    assert(math.abs(scores(0) - 3.0) < 1e-9)
+    assert(math.abs(scores(1) - (math.log(2.0) + 1.0)) < 1e-3)
+    // every doc gets at most k rows, rank starts at 1
+    val byDoc = top.groupBy("id").agg(count(lit(1)).as("c"), min("rank").as("mn"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(byDoc.forall { case (c, mn) => c <= 2 && mn == 1L })
+  }
+
+  test("stratified sample is deterministic, honors per-stratum rates") {
+    val docs = (0L until 2000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val sampled = TextPipeline.stratifiedSample(docs, "source", col("doc_id"),
+      Map("src0" -> "20", "src1" -> "80"), default = "ff")
+    val counts = sampled.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 500 per stratum; expected keep: src0 ~ 32/256 (12.5%), src1 ~ 50%,
+    // src2/src3 ~ 255/256 (the "ff" threshold excludes only md5 prefix "ff")
+    assert(counts("src0") > 30 && counts("src0") < 110)
+    assert(counts("src1") > 190 && counts("src1") < 310)
+    assert(counts("src2") > 480)
+    // deterministic: same call, same rows
+    val again = TextPipeline.stratifiedSample(docs, "source", col("doc_id"),
+      Map("src0" -> "20", "src1" -> "80"), default = "ff")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === sampled.select("doc_id").as[Long].collect().toSet)
+  }
+}
