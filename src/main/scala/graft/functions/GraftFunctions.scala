@@ -126,6 +126,12 @@ object GraftFunctions {
     col(HyperplaneSketch(ex(vector.cast("array<double>")), flatPlanes,
       tables, planes, dim, probes))
 
+  /** Bounded per-group top-k aggregate with map-side partial aggregation
+    * (see [[TopKByScore]]): each task ships at most k (score, id) entries
+    * per group instead of the group's full candidate set. */
+  def topk_by_score(score: Column, id: Column, k: Int): Column =
+    col(TopKByScore(ex(score), ex(id), k).toAggregateExpression())
+
   /** All a < b id pairs within an LSH bucket (in-task expansion; see
     * [[PairKernels]]). */
   def sorted_pairs(ids: Column): Column = col(SortedPairs(ex(ids)))

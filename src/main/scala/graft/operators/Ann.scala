@@ -23,20 +23,30 @@ object Ann {
       .select(col(idCol), col("dist"))
 
   /** Exact top-k per query for a (small, broadcast) query set: broadcast
-    * nested-loop join + per-query window top-k. For query sets too large
-    * to broadcast, build an IVF index instead. */
+    * nested-loop join + bounded top-k aggregate. Each map task keeps only
+    * k candidates per query ([[graft.functions.TopKByScore]] partial
+    * aggregation), so the per-query shuffle carries tasks x k rows — not
+    * the full corpus x queries candidate volume a rank window would sort.
+    * For query sets too large to broadcast, build an IVF index instead. */
   def knnJoin(
       queries: DataFrame, corpus: DataFrame, k: Int,
       qIdCol: String = "q_id", qVecCol: String = "q_vec",
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
-      .withColumn("dist", l2_distance(col(vecCol), col(qVecCol)))
-    val w = Window.partitionBy(col(qIdCol)).orderBy(col("dist").asc, col(idCol).asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qIdCol), col(idCol), col("dist"), col("rank"))
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    topKPerGroup(
+      corpus.crossJoin(broadcast(queries))
+        .withColumn("dist", l2_distance(col(vecCol), col(qVecCol))),
+      qIdCol, idCol, k)
+
+  /** Per-group bounded top-k by (dist asc NaN-last, id asc), rank 1-based.
+    * Requires `idCol` long-castable. */
+  private def topKPerGroup(
+      scored: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame =
+    scored
+      .groupBy(col(groupCol))
+      .agg(topk_by_score(col("dist"), col(idCol).cast("long"), k).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col(groupCol), col("p.id").as(idCol), col("p.score").as("dist"),
+        (col("pos") + 1).cast("int").as("rank"))
 
   /** IVF index over a generic embedding table. Returns (centroids,
     * postings) DataFrames; search with [[ivfTopK]]. The scale path:
@@ -66,8 +76,10 @@ object Ann {
     * is throughput at scale, not per-query latency).
     *
     * Plan shape: queries x centroids (broadcast queries) -> per-query
-    * nprobe window -> join postings on centroid_id (shuffle keyed by
-    * centroid) -> join embeddings -> score -> per-query top-k window.
+    * nprobe window -> join postings on centroid_id (broadcast the chosen
+    * (query, centroid) picks) -> join embeddings -> score -> per-query
+    * bounded top-k aggregate (map-side partial: tasks x k rows per query
+    * ride the final shuffle, not the full candidate volume).
     * Queries must be broadcast-size; for larger sets, chunk the calls. */
   def ivfTopKBatch(
       queries: DataFrame, embeddings: DataFrame,
@@ -87,13 +99,11 @@ object Ann {
     val cands = postings.join(broadcast(chosen), Seq("centroid_id"))
       .select(col(qIdCol), col("point_id").as(idCol))
       .dropDuplicates(qIdCol, idCol)
-    val wk = Window.partitionBy(qIdCol).orderBy(col("dist").asc, col(idCol).asc)
-    cands.join(embeddings, Seq(idCol))
-      .join(broadcast(queries), Seq(qIdCol))
-      .withColumn("dist", l2_distance(col(vecCol), col(qVecCol)))
-      .withColumn("rank", row_number().over(wk))
-      .filter(col("rank") <= k)
-      .select(col(qIdCol), col(idCol), col("dist"), col("rank"))
+    topKPerGroup(
+      cands.join(embeddings, Seq(idCol))
+        .join(broadcast(queries), Seq(qIdCol))
+        .withColumn("dist", l2_distance(col(vecCol), col(qVecCol))),
+      qIdCol, idCol, k)
   }
 
   /** Probe-based ANN top-k over a prebuilt IVF index: score centroids,

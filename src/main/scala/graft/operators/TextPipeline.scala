@@ -107,10 +107,13 @@ object TextPipeline {
       md5(concat_ws(" ", tokenize(col(textCol)))).as("content_hash"),
       token_count_ws(col(textCol)).cast("long").as("n_tokens"),
       stopword_ratio(col(textCol)).as("swr"))
-    val keep = withStats.groupBy("content_hash").agg(min(col("id")).as("id"))
+    // "keep smallest id per content group" as one window pass: a single
+    // shuffle by content_hash, vs the groupBy+semi-join formulation's two
+    // (and its second computation of the text stats)
     withStats
-      .join(keep, Seq("content_hash", "id"), "left_semi")
-      .filter(col("n_tokens").between(minTokens, maxTokens) &&
+      .withColumn("min_id", min(col("id")).over(Window.partitionBy("content_hash")))
+      .filter(col("id") === col("min_id") &&
+        col("n_tokens").between(minTokens, maxTokens) &&
         col("swr") < maxStopwordRatio)
       .select(col("id"), col("n_tokens"))
   }
