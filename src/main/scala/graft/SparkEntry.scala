@@ -36,7 +36,7 @@ object SparkEntry {
   /** Terms table built on the fly from documents (point_id = doc_id,
     * single user 0) — the §3.3 term-search path without segment I/O. */
   private def docTerms(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents").select(
+    Par.ensure(T(s, dir, "documents")).select(
       lit(0L).as("user_id"),
       col("doc_id").as("point_id"),
       explode(term_keys("text", analyze_text(col("text")))).as("term"))
@@ -302,7 +302,7 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     }),
     "q35_pq_ann" -> ((s, d) => {
-      val emb = T(s, d, "embeddings")
+      val emb = Par.ensure(T(s, d, "embeddings"))
       val model = ProductQuantizer.train(emb, "embedding", numSubvectors = 16,
         numBits = 6, sampleSize = 5000)
       val encoded = emb.withColumn("pq_codes",
@@ -311,7 +311,7 @@ object SparkEntry {
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     }),
     "q41_rabitq_ann" -> ((s, d) => {
-      val emb = T(s, d, "embeddings")
+      val emb = Par.ensure(T(s, d, "embeddings"))
       val model = RaBitQ.train(emb, "embedding", sampleSize = 5000)
       val encoded = emb
         .withColumn("rq", RaBitQ.encodeCols(model, col("embedding")))

@@ -33,7 +33,7 @@ object Ann {
       qIdCol: String = "q_id", qVecCol: String = "q_vec",
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     topKPerGroup(
-      corpus.crossJoin(broadcast(queries))
+      Par.ensure(corpus).crossJoin(broadcast(queries))
         .withColumn("dist", l2_distance(col(vecCol), col(qVecCol))),
       qIdCol, idCol, k)
 
@@ -60,6 +60,10 @@ object Ann {
       seed: Long = 42L): (DataFrame, DataFrame) = {
     val vectors = embeddings.select(
       lit(0L).as("user_id"), col(idCol).as("point_id"), col(vecCol).as("vector"))
+    // centroid training samples from `vectors` unchanged (the sample is
+    // partition-order sensitive, so keep it bit-stable); only the wide
+    // assignment pass gets the parallelism guard
+    val assignVectors = Par.ensure(vectors)
     // multi-assignment (vectors near list boundaries land in both lists) is
     // the reference's recall lever (builder.rs:292-367); default 2x here
     val params = IvfBuilder.BuildParams(numCentroids = numCentroids,
@@ -67,7 +71,7 @@ object Ann {
       distanceThresholdPct = distanceThresholdPct,
       assignProbeGroups = assignProbeGroups, seed = seed)
     val centroids = IvfBuilder.buildCentroids(vectors, params)
-    val postings = IvfBuilder.buildPostings(vectors, centroids, params)
+    val postings = IvfBuilder.buildPostings(assignVectors, centroids, params)
     (centroids, postings.select("centroid_id", "point_id"))
   }
 

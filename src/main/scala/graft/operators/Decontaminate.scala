@@ -36,7 +36,7 @@ object Decontaminate {
       shingleLen: Int = 3,
       minOverlap: Int = 5,
       maxShinglePostings: Int = 10000): DataFrame = {
-    def postings(docs: DataFrame, as: String) = docs
+    def postings(docs: DataFrame, as: String) = Par.ensure(docs)
       .select(col(idCol).as(as),
         explode(array_distinct(shingle_hashes(tokenize(col(textCol)), shingleLen))).as("sh"))
     val trainPost = postings(train, "doc_id")

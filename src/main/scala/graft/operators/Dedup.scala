@@ -15,7 +15,7 @@ object Dedup {
     * normalized text, keeping the smallest id; `dup_count` = group size.
     * Whitespace/case-normalized so trivially-reformatted copies collapse. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs
+    Par.ensure(docs)
       .withColumn("content_hash", md5(concat_ws(" ", tokenize(col(textCol)))))
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
@@ -39,7 +39,7 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    val sigs = docs.select(
+    val sigs = Par.ensure(docs).select(
       col(idCol).as("id"),
       minhash_signature(shingle_hashes(tokenize(col(textCol)), shingleLen), k).as("sig"))
     // Only (band, id) rides the shuffle; signatures re-attached to the
@@ -84,7 +84,7 @@ object Dedup {
       maxHamming: Int = 3,
       blocksPerKey: Int = 0): DataFrame =
     simhashPairsFromSketches(
-      docs.select(col(idCol).as("id"), simhash(tokenize(col(textCol))).as("sk")),
+      Par.ensure(docs).select(col(idCol).as("id"), simhash(tokenize(col(textCol))).as("sk")),
       maxHamming, blocksPerKey)
 
   /** Sketch-level simhashPairs: input is `[id, sk: long]`. Split out so the
@@ -153,7 +153,7 @@ object Dedup {
       shingleLen: Int = 3,
       threshold: Double = 0.5,
       maxShinglePostings: Int = 1000): DataFrame = {
-    val sets = docs.select(
+    val sets = Par.ensure(docs).select(
       col(idCol).as("id"),
       array_distinct(shingle_hashes(tokenize(col(textCol)), shingleLen)).as("shingles"))
     val posting = sets.select(col("id"), explode(col("shingles")).as("sh"))
@@ -217,7 +217,8 @@ object Dedup {
       flatPlanes(w) = h.toDouble / Long.MaxValue.toDouble
       w += 1
     }
-    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val vecs = Par.ensure(embeddings)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     // Only (bucket, id) rides the band-join shuffle; the wide vectors are
     // joined back onto the (much smaller) deduped candidate set, exactly
     // as minhashPairs re-attaches signatures.
@@ -357,8 +358,11 @@ object Dedup {
   def embeddingNearDupExact(
       embeddings: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.95): DataFrame = {
-    val v = embeddings.select(col(idCol).as("a"), col(vecCol).cast("array<double>").as("va"))
-    val w = embeddings.select(col(idCol).as("b"), col(vecCol).cast("array<double>").as("vb"))
+    // the quadratic scan is the stream side of a nested-loop join: spread
+    // it across the cluster even when the input is one parquet split
+    val base = Par.ensure(embeddings)
+    val v = base.select(col(idCol).as("a"), col(vecCol).cast("array<double>").as("va"))
+    val w = base.select(col(idCol).as("b"), col(vecCol).cast("array<double>").as("vb"))
     v.crossJoin(w).filter(col("a") < col("b"))
       .withColumn("cosine", cosine_similarity(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)

@@ -53,7 +53,8 @@ object TextPipeline {
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 3): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"), explode(tokenize(col(textCol))).as("term"))
+    val toks = Par.ensure(docs)
+      .select(col(idCol).as("id"), explode(tokenize(col(textCol))).as("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // corpus size: single-row aggregate, broadcast into the score expr
@@ -102,7 +103,7 @@ object TextPipeline {
       minTokens: Int = 10,
       maxTokens: Int = 100000,
       maxStopwordRatio: Double = 0.9): DataFrame = {
-    val withStats = docs.select(
+    val withStats = Par.ensure(docs).select(
       col(idCol).as("id"),
       md5(concat_ws(" ", tokenize(col(textCol)))).as("content_hash"),
       token_count_ws(col(textCol)).cast("long").as("n_tokens"),
