@@ -142,6 +142,21 @@ object QualityGates {
       out += s""""q41_rabitq":{"recall_at10_rerank100":${jd(recall)},"pass":${jb(recall >= 0.9)}}"""
     }
 
+    // q45: the driver entry runs knnGraph in exact mode (oracle-checked);
+    // this gate measures the approximate-nprobe setting actually used at
+    // scale — edge recall of nprobe=4 vs the probe-all exact graph
+    {
+      val exact = Ann.knnGraph(emb, k = 3, numCentroids = 16, nprobe = 16)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = Ann.knnGraph(emb, k = 3, numCentroids = 16, nprobe = 4)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = if (exact.isEmpty) Double.NaN else
+        exact.intersect(approx).size.toDouble / exact.size
+      out += s""""q45_knn_graph":{"exact_edges":${exact.size},"recall_nprobe4":${jd(recall)},"pass":${jb(exact.isEmpty || recall >= 0.8)}}"""
+    }
+
     // q40: keep-list validity — canonical labels are component minima:
     // keep_id <= id everywhere and the mapping is idempotent
     {

@@ -342,6 +342,15 @@ object SparkEntry {
         Map("src0" -> "40", "src1" -> "40", "src2" -> "40"), default = "80")
         .select("doc_id", "source")
         .orderBy("doc_id")),
+    "q45_knn_graph" -> ((s, d) =>
+      // exact mode (nprobe = numCentroids probes every list) so the full
+      // co-partitioned machinery — canonical-site dedup, bounded top-k
+      // aggregate — is oracle-checked end-to-end; the approximate-nprobe
+      // recall is gated separately in quality_gates.json
+      Ann.knnGraph(T(s, d, "embeddings"), k = 3, numCentroids = 16, nprobe = 16)
+        .select(col("q_id"), col("vec_id"), round(col("dist"), 4).as("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")),
     "q34_multimodal" -> ((s, d) =>
       // features exploded to one row per slot so the deterministic stub
       // (byte histogram over the sha256-hex payload) is DuckDB-replayable
@@ -587,6 +596,14 @@ object SparkEntry {
          WHERE substr(md5(doc_id::VARCHAR), 1, 2) <
            (CASE WHEN source IN ('src0', 'src1', 'src2') THEN '40' ELSE '80' END)
          ORDER BY doc_id""",
+    "q45_knn_graph" ->
+      """SELECT q_id, vec_id, dist, rank FROM (
+           SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+                  round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[])::DOUBLE, 4) AS dist,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[])::DOUBLE, b.vec_id) AS rank
+           FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id) t
+         WHERE rank <= 3 ORDER BY q_id, rank""",
     // polynomial rolling hash (base 1000003 mod 2^64) replayed via
     // HUGEINT list_reduce; ASCII corpus makes ord(char) == utf8 byte
     "q33_rolling_fp" ->

@@ -153,6 +153,7 @@ object CentroidKernels {
       var ti = candIdx(s2); candIdx(s2) = candIdx(best); candIdx(best) = ti
       s2 += 1
     }
+    if (pct.isPosInfinity) return java.util.Arrays.copyOfRange(candIdx, 0, sel)
     val lim = math.sqrt(candD(0)) * (1.0 + pct)
     var cnt = 0
     while (cnt < sel && math.sqrt(candD(cnt)) <= lim) cnt += 1
@@ -192,6 +193,10 @@ object CentroidKernels {
       val t = order(s); order(s) = order(best); order(best) = t
       s += 1
     }
+    // pct = +Inf means "the m nearest, unconditionally" (probe selection);
+    // the ratio bound would misbehave there when the best distance is 0
+    // (lim = 0 * Inf = NaN keeps nothing)
+    if (pct.isPosInfinity) return java.util.Arrays.copyOfRange(order, 0, m)
     val lim = math.sqrt(d2(order(0))) * (1.0 + pct)
     var cnt = 0
     while (cnt < m && math.sqrt(d2(order(cnt))) <= lim) cnt += 1

@@ -110,6 +110,93 @@ object Ann {
       qIdCol, idCol, k)
   }
 
+  /** Corpus-vs-corpus k-NN graph (every vector's k nearest neighbors
+    * among all the others) — the scale path for kNN-graph construction
+    * that [[ivfTopKBatch]] can't serve because the "query set" is the
+    * whole corpus and cannot be broadcast.
+    *
+    * Plan shape — IVF co-partitioning with zero wide shuffles before the
+    * join:
+    *   1. centroids train on a bounded sample (broadcast-size matrix);
+    *   2. the QUERY side maps each vector to its `nprobe` nearest
+    *      centroids and the INDEX side to its multi-assignment lists —
+    *      both via the codegen [[graft.functions.NearestCentroids]]
+    *      kernel over the flattened matrix, both narrow scans;
+    *   3. one shuffle co-partitions both sides on centroid index; within
+    *      a partition, join output streams straight through scoring into
+    *      the bounded per-query top-k aggregate (map-side partials), so
+    *      the |Q_c| x |V_c| candidate volume never materializes and
+    *      never rides an exchange;
+    *   4. a pair probed at several shared centroids is counted once, at
+    *      its canonical site (`cidx = min(probes(q) ∩ assigns(v))`) — an
+    *      in-task filter over two tiny int arrays, replacing the
+    *      dropDuplicates exchange of the candidate volume that
+    *      [[ivfTopKBatch]] pays.
+    *
+    * Shuffle volume is `nprobe * N` query rows + `assigns * N` index rows
+    * (each carrying one vector payload), then `tasks * k` rows per query
+    * for the final top-k — at no point O(N^2). Hot centroids are safe to
+    * split (the canonical-site filter is row-local), so AQE's skew join
+    * applies; the penalized k-means keeps list sizes bounded to start
+    * with.
+    *
+    * `nprobe >= numCentroids` probes every list, making the graph EXACT
+    * (every pair shares the neighbor's first assigned centroid) — the
+    * oracle mode. Smaller nprobe is the 100-TB setting: recall follows
+    * IVF search semantics (a pair is found iff the neighbor is assigned
+    * to one of the query's probed lists).
+    *
+    * Returns `[q_id, vec_id, dist, rank]`, rank 1-based by
+    * (dist asc NaN-last, vec_id asc). */
+  def knnGraph(
+      embeddings: DataFrame, k: Int, numCentroids: Int, nprobe: Int,
+      maxClustersPerVector: Int = 2, distanceThresholdPct: Double = 0.2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      includeSelf: Boolean = false, seed: Long = 42L): DataFrame = {
+    val vectors = embeddings.select(
+      lit(0L).as("user_id"), col(idCol).as("point_id"), col(vecCol).as("vector"))
+    val params = IvfBuilder.BuildParams(numCentroids = numCentroids,
+      maxClustersPerVector = maxClustersPerVector,
+      distanceThresholdPct = distanceThresholdPct, seed = seed)
+    knnGraphWithCentroids(embeddings, IvfBuilder.buildCentroids(vectors, params),
+      k, nprobe, maxClustersPerVector, distanceThresholdPct, idCol, vecCol, includeSelf)
+  }
+
+  /** [[knnGraph]] over pre-trained centroids (reuse across runs). */
+  def knnGraphWithCentroids(
+      embeddings: DataFrame, centroids: DataFrame, k: Int, nprobe: Int,
+      maxClustersPerVector: Int = 2, distanceThresholdPct: Double = 0.2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      includeSelf: Boolean = false): DataFrame = {
+    // bounded collect: the centroid matrix (numCentroids x dim) is the
+    // same broadcast-size structure every IVF search ships
+    val cRows = centroids.select(col("centroid_id"), col("vector").cast("array<double>"))
+      .collect().sortBy(_.getInt(0))
+    val dim = if (cRows.isEmpty) 1 else cRows.head.getSeq[Double](1).length
+    val flat = new Array[Double](cRows.length * dim)
+    var w = 0
+    cRows.foreach { r => r.getSeq[Double](1).foreach { x => flat(w) = x; w += 1 } }
+    val base = Par.ensure(embeddings)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+    val queries = base.select(
+      col("id").as("q_id"), col("v").as("q_vec"),
+      nearest_centroids(col("v"), flat, dim,
+        math.min(nprobe, math.max(cRows.length, 1)), Double.PositiveInfinity).as("q_probes"))
+      .select(col("q_id"), col("q_vec"), col("q_probes"),
+        explode(col("q_probes")).as("cidx"))
+    val index = base.select(
+      col("id").as("vec_id"), col("v").as("n_vec"),
+      nearest_centroids(col("v"), flat, dim,
+        maxClustersPerVector, distanceThresholdPct).as("n_assigns"))
+      .select(col("vec_id"), col("n_vec"), col("n_assigns"),
+        explode(col("n_assigns")).as("cidx"))
+    val scored = queries.join(index, Seq("cidx"))
+      .filter(col("cidx") === array_min(array_intersect(col("q_probes"), col("n_assigns"))))
+      .filter(if (includeSelf) lit(true) else col("q_id") =!= col("vec_id"))
+      .withColumn("dist", l2_distance(col("q_vec"), col("n_vec")))
+    topKPerGroup(scored, "q_id", "vec_id", k)
+  }
+
   /** Probe-based ANN top-k over a prebuilt IVF index: score centroids,
     * take nprobe nearest, probe only their postings. */
   def ivfTopK(

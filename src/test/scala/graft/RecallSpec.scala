@@ -31,6 +31,36 @@ class RecallSpec extends SparkSuite {
     assert(r4 >= 0.8, s"recall@10 with nprobe=4 was $r4")
   }
 
+  test("knnGraph exact mode (probe-all) matches the brute-force kNN join") {
+    val exact = Ann.knnJoin(
+      emb.select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      emb, k = 5)
+      .filter(col("q_id") =!= col("vec_id")) // knnJoin keeps self-matches
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id").orderBy("rank")))
+      .filter(col("rank") <= 4)
+      .select("q_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val graph = Ann.knnGraph(emb, k = 4, numCentroids = 16, nprobe = 16)
+      .select("q_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(graph === exact)
+  }
+
+  test("knnGraph approximate (nprobe=4) edge recall over 0.8; self-edges togglable") {
+    val exact = Ann.knnGraph(emb, k = 3, numCentroids = 16, nprobe = 16)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.knnGraph(emb, k = 3, numCentroids = 16, nprobe = 4)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"knn-graph edge recall with nprobe=4 was $recall")
+    // includeSelf keeps the trivial self edge at rank 1 with dist 0
+    val self = Ann.knnGraph(emb, k = 1, numCentroids = 16, nprobe = 16,
+      includeSelf = true)
+      .select("q_id", "vec_id", "dist", "rank").collect()
+    assert(self.forall(r => r.getLong(0) == r.getLong(1) && r.getDouble(2) == 0.0))
+  }
+
   test("flagship entry() returns rows (the driver's t1 smoke contract)") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length === 10)
