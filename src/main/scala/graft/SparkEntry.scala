@@ -351,6 +351,10 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id"), round(col("dist"), 4).as("dist"),
           col("rank").cast("long").as("rank"))
         .orderBy("q_id", "rank")),
+    "q46_repetition" -> ((s, d) =>
+      TextPipeline.repetitionSignals(T(s, d, "documents"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     "q34_multimodal" -> ((s, d) =>
       // features exploded to one row per slot so the deterministic stub
       // (byte histogram over the sha256-hex payload) is DuckDB-replayable
@@ -480,6 +484,27 @@ object SparkEntry {
           WHERE a.doc_id < b.doc_id
             AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
           ORDER BY a, b""",
+    // connected components as a recursive transitive closure over the
+    // same pair derivation as q25: reach(id) = every node reachable from
+    // id, keep_id = min(reach). The closure is only feasible because the
+    // near-dup graph is tiny — which is exactly why it can serve as the
+    // oracle for the distributed star-contraction keepList.
+    "q40_dedup_keep" ->
+      s"""WITH RECURSIVE t AS (
+            SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) AS sh
+            FROM (SELECT doc_id, $docToksSql AS toks FROM documents) d),
+          pairs AS (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM t a, t b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+          edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+          reach(id, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT reach.id, edges.v FROM reach JOIN edges ON edges.u = reach.r)
+          SELECT id, min(r) AS keep_id FROM reach GROUP BY id ORDER BY id""",
     "q39_cube" ->
       """SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total, count(*) AS cnt
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -596,6 +621,21 @@ object SparkEntry {
          WHERE substr(md5(doc_id::VARCHAR), 1, 2) <
            (CASE WHEN source IN ('src0', 'src1', 'src2') THEN '40' ELSE '80' END)
          ORDER BY doc_id""",
+    "q46_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $docToksSql AS toks FROM documents),
+          g AS (SELECT doc_id, toks,
+            CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+              i -> array_to_string(toks[i:i+1], ' ')) ELSE [] END AS g2,
+            CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' ')) ELSE [] END AS g3
+          FROM d)
+          SELECT doc_id,
+            round(CASE WHEN len(toks) = 0 THEN 0 ELSE 1 - len(list_distinct(toks))::DOUBLE / len(toks) END, 4) AS dup_unigram_frac,
+            round(CASE WHEN len(g2) = 0 THEN 0 ELSE 1 - len(list_distinct(g2))::DOUBLE / len(g2) END, 4) AS dup_bigram_frac,
+            round(CASE WHEN len(g3) = 0 THEN 0 ELSE 1 - len(list_distinct(g3))::DOUBLE / len(g3) END, 4) AS dup_trigram_frac,
+            round(CASE WHEN len(g2) = 0 THEN 0 ELSE list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x))))::DOUBLE / len(g2) END, 4) AS top_bigram_frac,
+            round(CASE WHEN len(g3) = 0 THEN 0 ELSE list_max(list_transform(list_distinct(g3), x -> len(list_filter(g3, y -> y = x))))::DOUBLE / len(g3) END, 4) AS top_trigram_frac
+          FROM g ORDER BY doc_id""",
     "q45_knn_graph" ->
       """SELECT q_id, vec_id, dist, rank FROM (
            SELECT a.vec_id AS q_id, b.vec_id AS vec_id,

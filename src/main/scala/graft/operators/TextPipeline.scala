@@ -92,6 +92,57 @@ object TextPipeline {
     docs.filter(substring(md5(keyCol.cast("string").cast("binary")), 1, 2) < th)
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, §A.1.1), token
+    * n-gram variant: per document, the fraction of duplicate n-grams
+    * (`1 - distinct/total`) and the share of the single most frequent
+    * n-gram (`mode_count/total`) — high values flag templated/boilerplate
+    * text for quality filtering.
+    *
+    * Scale shape: exploded (doc, n, gram) rows through two
+    * partial-aggregating groupBys — per-gram counts, then per-(doc, n)
+    * totals/max — so a single pathological 100k-token document costs
+    * O(tokens) distributed work, never the O(tokens^2) of per-row modal
+    * array expressions; hot (doc, n, gram) keys are bounded map-side by
+    * the partial count.
+    *
+    * Returns `[id, dup_unigram_frac, dup_bigram_frac, dup_trigram_frac,
+    * top_bigram_frac, top_trigram_frac]`, one row per input document
+    * (token-free documents score 0 everywhere). */
+  def repetitionSignals(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = Par.ensure(docs)
+      .select(col(idCol).as("id"), tokenize(col(textCol)).as("toks"))
+    def gramsOf(n: Int): Column =
+      if (n == 1) col("toks")
+      else when(size(col("toks")) >= n,
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val exploded = toks.select(col("id"),
+      explode(flatten(array(Seq(1, 2, 3).map(n =>
+        transform(gramsOf(n), g => struct(lit(n).as("n"), g.as("g")))): _*))).as("e"))
+      .select(col("id"), col("e.n").as("n"), col("e.g").as("g"))
+    val perN = exploded
+      .groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id", "n").agg(
+        sum(col("c")).as("total"), count(lit(1)).as("nd"), max(col("c")).as("top"))
+    val dupFrac = lit(1.0) - col("nd").cast("double") / col("total")
+    val topFrac = col("top").cast("double") / col("total")
+    def pick(n: Int, v: Column) = max(when(col("n") === n, round(v, 4)))
+    val sig = perN.groupBy("id").agg(
+      pick(1, dupFrac).as("dup_unigram_frac"),
+      pick(2, dupFrac).as("dup_bigram_frac"),
+      pick(3, dupFrac).as("dup_trigram_frac"),
+      pick(2, topFrac).as("top_bigram_frac"),
+      pick(3, topFrac).as("top_trigram_frac"))
+    // docs shorter than n produce no (id, n) group; empty docs none at all
+    docs.select(col(idCol).as("id")).join(sig, Seq("id"), "left")
+      .select(col("id") +:
+        Seq("dup_unigram_frac", "dup_bigram_frac", "dup_trigram_frac",
+          "top_bigram_frac", "top_trigram_frac")
+          .map(c => coalesce(col(c), lit(0.0)).as(c)): _*)
+  }
+
   /** Composite preprocessing pass — the canonical training-data cleaning
     * pipeline, one distributed job: exact-dedup (keep smallest id per
     * normalized-content group) then token-count and stopword-ratio gates.

@@ -41,6 +41,24 @@ class PipelineOpsSpec extends SparkSuite {
     assert(unguarded === 1L)
   }
 
+  test("repetition signals: planted boilerplate scores high, varied text low") {
+    val docs = Seq(
+      (0L, "spam spam spam spam"), // 4 toks: dup_uni 3/4; 3 bigrams all "spam spam"
+      (1L, "one two three four five"), // all distinct
+      (2L, "ab cd ab cd ab cd"), // bigram "ab cd" x3 of 5; trigrams alternate
+      (3L, "x"), // too short for bigrams -> 0 by convention
+      (4L, "") // no tokens at all -> all 0
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.repetitionSignals(docs).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got(0) === ((0L, 0.75, 0.6667, 0.5, 1.0, 1.0)))
+    assert(got(1) === ((1L, 0.0, 0.0, 0.0, 0.25, 0.3333)))
+    assert(got(2) === ((2L, 0.6667, 0.6, 0.5, 0.6, 0.5)))
+    assert(got(3) === ((3L, 0.0, 0.0, 0.0, 0.0, 0.0)))
+    assert(got(4) === ((4L, 0.0, 0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("tf-idf top terms: rare term outranks frequent-everywhere term") {
     val docs = Seq(
       (0L, "spark spark spark unicorn"),
