@@ -73,6 +73,31 @@ object Scale {
       oracle.intersect(got).size / 10.0
     }.sum / sample.length
 
+    // corpus-vs-corpus kNN graph (round 4): every vector's k=10 nearest
+    // among all others via IVF co-partitioning — the honest cost here is
+    // sum over centroids of |Q_c| x |V_c| distance evals, so the measured
+    // number is edges/sec at the approximate-nprobe setting, plus edge
+    // recall vs brute force on sampled nodes. Runs on a bounded subset
+    // (arg 3, default 20000) so the default Scale invocation stays fast.
+    val graphN = math.min(n, if (args.length > 2) args(2).toInt else 20000)
+    val embG = emb.filter(col("vec_id") < graphN)
+    val t5 = System.nanoTime()
+    val graph = Ann.knnGraph(embG, k = 10,
+      numCentroids = math.max(16, (1500.0 * graphN / 1000000.0).toInt),
+      nprobe = 8).persist()
+    val nEdges = graph.count()
+    val graphSec = (System.nanoTime() - t5) / 1e9
+    val gEdges = graph.filter(col("q_id") < 20).select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    val graphRecall = queries.map { case (qid, q) =>
+      val oracle = Ann.bruteForceTopK(embG, q, 11)
+        .select("vec_id").collect().map(_.getLong(0))
+        .filter(_ != qid).take(10).toSet
+      gEdges.getOrElse(qid, Set.empty[Long]).intersect(oracle).size / 10.0
+    }.sum / queries.length
+    graph.unpersist(blocking = false)
+
     // served per-query path (ROADMAP #2): load the index into serving
     // memory once, then measure single-query latency with zero Spark jobs.
     // NOTE: ServedIvfIndex.build collects the shard it serves — bounded by
@@ -110,6 +135,9 @@ object Scale {
       s""""qps":${f"${nq / querySec}%.1f"},"recall_at10_nprobe$nprobe":${f"$recall%.3f"},""" +
       s""""served_load_sec":${f"$servedLoadSec%.1f"},"served_p50_ms":${f"$servedP50%.2f"},""" +
       s""""served_p99_ms":${f"$servedP99%.2f"},"served_parity":$servedParity,""" +
+      s""""knn_graph_n":$graphN,"knn_graph_sec":${f"$graphSec%.1f"},""" +
+      s""""knn_graph_edges":$nEdges,"knn_graph_edges_per_sec":${f"${nEdges / graphSec}%.0f"},""" +
+      s""""knn_graph_recall_at10":${f"$graphRecall%.3f"},""" +
       s""""pq_train_sec":${f"$pqTrainSec%.1f"}}""")
     spark.stop()
   }

@@ -36,10 +36,9 @@ object SparkEntry {
   /** Terms table built on the fly from documents (point_id = doc_id,
     * single user 0) — the §3.3 term-search path without segment I/O. */
   private def docTerms(s: SparkSession, dir: String): DataFrame =
-    Par.ensure(T(s, dir, "documents")).select(
-      lit(0L).as("user_id"),
-      col("doc_id").as("point_id"),
-      explode(term_keys("text", analyze_text(col("text")))).as("term"))
+    Gen.explodeOnce(Par.ensure(T(s, dir, "documents")),
+      Seq(lit(0L).as("user_id"), col("doc_id").as("point_id")),
+      term_keys("text", analyze_text(col("text"))), "term")
 
   private def docUniverse(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents").select(lit(0L).as("user_id"), col("doc_id").as("point_id"))
@@ -355,6 +354,10 @@ object SparkEntry {
       TextPipeline.repetitionSignals(T(s, d, "documents"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    "q47_redact" -> ((s, d) =>
+      TextPipeline.redactPii(T(s, d, "documents"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     "q34_multimodal" -> ((s, d) =>
       // features exploded to one row per slot so the deterministic stub
       // (byte histogram over the sha256-hex payload) is DuckDB-replayable
@@ -418,6 +421,14 @@ object SparkEntry {
          round(sum(value), 2) AS sum_value
          FROM events GROUP BY ws, event_type ORDER BY ws, event_type""",
     "q12_l2_topk" ->
+      """SELECT vec_id, round(list_distance(embedding::DOUBLE[],
+           (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])::DOUBLE, 4) AS dist
+         FROM embeddings ORDER BY dist, vec_id LIMIT 10""",
+    // q30 probes ALL 16 of 16 centroids, so the IVF result is exact by
+    // construction (every point lands in >= 1 posting list; RecallSpec
+    // asserts recall 1.0) — the brute-force SQL is a valid oracle for the
+    // whole build+probe pipeline, not just the distance kernel
+    "q30_ivf_ann" ->
       """SELECT vec_id, round(list_distance(embedding::DOUBLE[],
            (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])::DOUBLE, 4) AS dist
          FROM embeddings ORDER BY dist, vec_id LIMIT 10""",
@@ -621,6 +632,19 @@ object SparkEntry {
          WHERE substr(md5(doc_id::VARCHAR), 1, 2) <
            (CASE WHEN source IN ('src0', 'src1', 'src2') THEN '40' ELSE '80' END)
          ORDER BY doc_id""",
+    "q47_redact" ->
+      """WITH r AS (SELECT doc_id, text AS t0,
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+         FROM documents),
+         r2 AS (SELECT doc_id, t0, t1,
+           regexp_replace(t1, '(\+\d{1,2}[ -])?(\(\d{3}\)[ -]?|\d{3}[ -])\d{3}[ -]?\d{4}\b', '<PHONE>', 'g') AS t2
+         FROM r)
+         SELECT doc_id,
+           regexp_replace(t2, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS text_redacted,
+           len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(t1, '(\+\d{1,2}[ -])?(\(\d{3}\)[ -]?|\d{3}[ -])\d{3}[ -]?\d{4}\b'))::BIGINT AS n_phones,
+           len(regexp_extract_all(t2, '\b(\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ips
+         FROM r2 ORDER BY doc_id""",
     "q46_repetition" ->
       s"""WITH d AS (SELECT doc_id, $docToksSql AS toks FROM documents),
           g AS (SELECT doc_id, toks,

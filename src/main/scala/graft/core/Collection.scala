@@ -368,8 +368,9 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
         val toks =
           if (f.kind == "keyword") array(lower(col(f.name)))
           else analyze_text(col(f.name), lit(f.lang))
-        vectors.select(col("user_id"),
-          explode(term_keys(f.name, toks)).as("term"), col("point_id"))
+        graft.operators.Gen.explodeOnce(vectors,
+          Seq(col("user_id"), col("point_id")), term_keys(f.name, toks), "term")
+          .select(col("user_id"), col("term"), col("point_id"))
       }.reduce(_ unionByName _).dropDuplicates("user_id", "term", "point_id")
     // Physically partitioned by term-hash bucket (same pattern as the
     // user-bucket pruning on vectors, F11): a term lookup prunes to one

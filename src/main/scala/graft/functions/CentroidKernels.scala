@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType}
 
 /** Multi-assignment nearest-centroid kernel (SURVEY §2.4 A3,
   * rs/index/src/ivf/builder.rs:292-367): for one vector, return the ids of
@@ -43,7 +43,7 @@ case class NearestCentroids(
       val cRef = ctx.addReferenceObj("flatCentroids", flatCentroids, "double[]")
       s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |  graft.functions.CentroidKernels.assign(
-         |    $a.toDoubleArray(), $cRef, $dim, $maxC, $pct));""".stripMargin
+         |    $a.toDoubleArray(), $cRef, $dim, $maxC, ${CentroidKernels.javaDouble(pct)}));""".stripMargin
     })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -86,13 +86,83 @@ case class NearestCentroidsPruned(
       val mRef = ctx.addReferenceObj("memberIdx", memberIdx, "int[]")
       s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |  graft.functions.CentroidKernels.assignPruned(
-         |    $a.toDoubleArray(), $cRef, $gRef, $oRef, $mRef, $dim, $maxC, $pct, $probeGroups));""".stripMargin
+         |    $a.toDoubleArray(), $cRef, $gRef, $oRef, $mRef, $dim, $maxC,
+         |    ${CentroidKernels.javaDouble(pct)}, $probeGroups));""".stripMargin
     })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `canonical_site(probes, assigns, site)` — true iff `site` is the
+  * canonical meeting centroid of a (query, neighbor) candidate pair: the
+  * FIRST entry of `probes` (the query's probe list, nearest-first) that
+  * also appears in `assigns` (the neighbor's assignment list). The
+  * kNN-graph join uses it to count each multi-probed pair exactly once
+  * WITHOUT a dropDuplicates exchange of the candidate volume. It runs once
+  * per candidate pair — the hottest predicate in the engine — so it is an
+  * allocation-free int-loop replacement for
+  * `array_min(array_intersect(probes, assigns)) = site`, which builds a
+  * hash set per evaluation. */
+case class CanonicalSite(probes: Expression, assigns: Expression, site: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def first: Expression = probes
+  override def second: Expression = assigns
+  override def third: Expression = site
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType), IntegerType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "canonical_site"
+
+  override def nullSafeEval(p: Any, a: Any, s: Any): Any = {
+    val pr = p.asInstanceOf[ArrayData]; val as = a.asInstanceOf[ArrayData]
+    val st = s.asInstanceOf[Int]
+    val np = pr.numElements(); val na = as.numElements()
+    var i = 0
+    while (i < np) {
+      val pi = pr.getInt(i)
+      var j = 0
+      while (j < na) {
+        if (as.getInt(j) == pi) return java.lang.Boolean.valueOf(pi == st)
+        j += 1
+      }
+      i += 1
+    }
+    java.lang.Boolean.FALSE
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, a, s) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val np = ctx.freshName("np"); val na = ctx.freshName("na")
+      val pi = ctx.freshName("pi"); val done = ctx.freshName("done")
+      s"""
+         |boolean $done = false;
+         |int $np = $p.numElements(); int $na = $a.numElements();
+         |for (int $i = 0; $i < $np && !$done; $i++) {
+         |  int $pi = $p.getInt($i);
+         |  for (int $j = 0; $j < $na; $j++) {
+         |    if ($a.getInt($j) == $pi) { ${ev.value} = ($pi == $s); $done = true; break; }
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(probes = newFirst, assigns = newSecond, site = newThird)
+}
+
 object CentroidKernels {
+  /** Render a double as a Java literal that Janino accepts for EVERY
+    * value: plain interpolation of Infinity/NaN produces the identifiers
+    * `Infinity`/`NaN`, which are not valid Java source — the codegen then
+    * silently falls back to the interpreter. */
+  def javaDouble(d: Double): String =
+    if (d.isNaN || d.isInfinite)
+      s"java.lang.Double.longBitsToDouble(${java.lang.Double.doubleToLongBits(d)}L)"
+    else s"${d}D"
+
   @inline private def sq(v: Array[Double], flat: Array[Double], off: Int, dim: Int): Double = {
     var acc = 0.0; var i = 0
     val n = math.min(dim, v.length)

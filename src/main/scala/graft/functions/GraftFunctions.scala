@@ -41,6 +41,11 @@ object GraftFunctions {
     col(NearestCentroidsPruned(ex(vector.cast("array<double>")), flatCentroids,
       groupFlat, memberOffsets, memberIdx, dim, maxC, pct, probeGroups))
 
+  /** Canonical meeting-site predicate for co-partitioned pair joins
+    * (see [[CanonicalSite]]). */
+  def canonical_site(probes: Column, assigns: Column, site: Column): Column =
+    col(CanonicalSite(ex(probes), ex(assigns), ex(site)))
+
   // ---- tokenization / terms (T1-T4; SURVEY §2.7) ----
 
   /** Whitespace tokenizer, lowercased; drops empty tokens.

@@ -20,25 +20,25 @@ abstract class ArrayPairKernel extends BinaryExpression with ImplicitCastInputTy
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
-  /** Java statements: given `double[] x`, `double[] y`, `int n`, assign the
-    * kernel result to `target` (already declared as double). */
+  /** Java statements: given ArrayData `x`, ArrayData `y`, `int n`, assign
+    * the kernel result to `target` (already declared as double). Loops read
+    * elements via `getDouble(i)` DIRECTLY from the (usually Unsafe) array
+    * buffer — no `toDoubleArray()` copy, because in a join's per-pair hot
+    * path the two allocations + 2*dim*8-byte copies per evaluated pair
+    * dominate the actual distance flops (each element is read exactly once
+    * per kernel, so direct access is never worse). */
   protected def genLoop(ctx: CodegenContext, x: String, y: String, n: String, target: String): String
-  protected def evalKernel(x: Array[Double], y: Array[Double]): Double
+  protected def evalKernel(x: ArrayData, y: ArrayData): Double
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toDoubleArray()
-    val y = b.asInstanceOf[ArrayData].toDoubleArray()
-    evalKernel(x, y)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    evalKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val x = ctx.freshName("x"); val y = ctx.freshName("y"); val n = ctx.freshName("n")
+      val n = ctx.freshName("n")
       s"""
-         |double[] $x = $a.toDoubleArray();
-         |double[] $y = $b.toDoubleArray();
-         |int $n = Math.min($x.length, $y.length);
-         |${genLoop(ctx, x, y, n, ev.value)}
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |${genLoop(ctx, a, b, n, ev.value)}
        """.stripMargin
     })
 }
@@ -49,12 +49,12 @@ case class L2Distance(left: Expression, right: Expression) extends ArrayPairKern
   override protected def genLoop(ctx: CodegenContext, x: String, y: String, n: String, t: String): String = {
     val acc = ctx.freshName("acc"); val i = ctx.freshName("i"); val d = ctx.freshName("d")
     s"""double $acc = 0.0;
-       |for (int $i = 0; $i < $n; $i++) { double $d = $x[$i] - $y[$i]; $acc += $d * $d; }
+       |for (int $i = 0; $i < $n; $i++) { double $d = $x.getDouble($i) - $y.getDouble($i); $acc += $d * $d; }
        |$t = Math.sqrt($acc);""".stripMargin
   }
-  override protected def evalKernel(x: Array[Double], y: Array[Double]): Double = {
-    var acc = 0.0; var i = 0; val n = math.min(x.length, y.length)
-    while (i < n) { val d = x(i) - y(i); acc += d * d; i += 1 }
+  override protected def evalKernel(x: ArrayData, y: ArrayData): Double = {
+    var acc = 0.0; var i = 0; val n = math.min(x.numElements(), y.numElements())
+    while (i < n) { val d = x.getDouble(i) - y.getDouble(i); acc += d * d; i += 1 }
     math.sqrt(acc)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
@@ -66,12 +66,12 @@ case class L2DistanceSquared(left: Expression, right: Expression) extends ArrayP
   override protected def genLoop(ctx: CodegenContext, x: String, y: String, n: String, t: String): String = {
     val acc = ctx.freshName("acc"); val i = ctx.freshName("i"); val d = ctx.freshName("d")
     s"""double $acc = 0.0;
-       |for (int $i = 0; $i < $n; $i++) { double $d = $x[$i] - $y[$i]; $acc += $d * $d; }
+       |for (int $i = 0; $i < $n; $i++) { double $d = $x.getDouble($i) - $y.getDouble($i); $acc += $d * $d; }
        |$t = $acc;""".stripMargin
   }
-  override protected def evalKernel(x: Array[Double], y: Array[Double]): Double = {
-    var acc = 0.0; var i = 0; val n = math.min(x.length, y.length)
-    while (i < n) { val d = x(i) - y(i); acc += d * d; i += 1 }
+  override protected def evalKernel(x: ArrayData, y: ArrayData): Double = {
+    var acc = 0.0; var i = 0; val n = math.min(x.numElements(), y.numElements())
+    while (i < n) { val d = x.getDouble(i) - y.getDouble(i); acc += d * d; i += 1 }
     acc
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
@@ -83,12 +83,12 @@ case class DotProduct(left: Expression, right: Expression) extends ArrayPairKern
   override protected def genLoop(ctx: CodegenContext, x: String, y: String, n: String, t: String): String = {
     val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
     s"""double $acc = 0.0;
-       |for (int $i = 0; $i < $n; $i++) { $acc += $x[$i] * $y[$i]; }
+       |for (int $i = 0; $i < $n; $i++) { $acc += $x.getDouble($i) * $y.getDouble($i); }
        |$t = $acc;""".stripMargin
   }
-  override protected def evalKernel(x: Array[Double], y: Array[Double]): Double = {
-    var acc = 0.0; var i = 0; val n = math.min(x.length, y.length)
-    while (i < n) { acc += x(i) * y(i); i += 1 }
+  override protected def evalKernel(x: ArrayData, y: ArrayData): Double = {
+    var acc = 0.0; var i = 0; val n = math.min(x.numElements(), y.numElements())
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
     acc
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
@@ -101,16 +101,21 @@ case class CosineSimilarity(left: Expression, right: Expression) extends ArrayPa
   override def prettyName: String = "cosine_similarity"
   override protected def genLoop(ctx: CodegenContext, x: String, y: String, n: String, t: String): String = {
     val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
-    val i = ctx.freshName("i")
+    val i = ctx.freshName("i"); val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
     s"""double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
        |for (int $i = 0; $i < $n; $i++) {
-       |  $dot += $x[$i] * $y[$i]; $nx += $x[$i] * $x[$i]; $ny += $y[$i] * $y[$i];
+       |  double $xi = $x.getDouble($i); double $yi = $y.getDouble($i);
+       |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
        |}
        |$t = ($nx == 0.0 || $ny == 0.0) ? 0.0 : $dot / (Math.sqrt($nx) * Math.sqrt($ny));""".stripMargin
   }
-  override protected def evalKernel(x: Array[Double], y: Array[Double]): Double = {
-    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0; val n = math.min(x.length, y.length)
-    while (i < n) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+  override protected def evalKernel(x: ArrayData, y: ArrayData): Double = {
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    val n = math.min(x.numElements(), y.numElements())
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)

@@ -178,20 +178,24 @@ object Ann {
     cRows.foreach { r => r.getSeq[Double](1).foreach { x => flat(w) = x; w += 1 } }
     val base = Par.ensure(embeddings)
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
-    val queries = base.select(
-      col("id").as("q_id"), col("v").as("q_vec"),
-      nearest_centroids(col("v"), flat, dim,
-        math.min(nprobe, math.max(cRows.length, 1)), Double.PositiveInfinity).as("q_probes"))
-      .select(col("q_id"), col("q_vec"), col("q_probes"),
-        explode(col("q_probes")).as("cidx"))
-    val index = base.select(
-      col("id").as("vec_id"), col("v").as("n_vec"),
-      nearest_centroids(col("v"), flat, dim,
-        maxClustersPerVector, distanceThresholdPct).as("n_assigns"))
-      .select(col("vec_id"), col("n_vec"), col("n_assigns"),
-        explode(col("n_assigns")).as("cidx"))
-    val scored = queries.join(index, Seq("cidx"))
-      .filter(col("cidx") === array_min(array_intersect(col("q_probes"), col("n_assigns"))))
+    val queries = Gen.explodeOnce(
+      base.select(
+        col("id").as("q_id"), col("v").as("q_vec"),
+        nearest_centroids(col("v"), flat, dim,
+          math.min(nprobe, math.max(cRows.length, 1)), Double.PositiveInfinity).as("q_probes")),
+      Seq(col("q_id"), col("q_vec"), col("q_probes")), col("q_probes"), "cidx")
+    val index = Gen.explodeOnce(
+      base.select(
+        col("id").as("vec_id"), col("v").as("n_vec"),
+        nearest_centroids(col("v"), flat, dim,
+          maxClustersPerVector, distanceThresholdPct).as("n_assigns")),
+      Seq(col("vec_id"), col("n_vec"), col("n_assigns")), col("n_assigns"), "cidx")
+    // shuffle_hash: the candidate volume must never be sort-merged — SHJ
+    // builds a per-partition hash table of the (smaller) index side and
+    // streams queries through it; canonical_site runs as part of the join
+    // condition, so redundant multi-probe pairs die before scoring
+    val scored = queries.join(index.hint("shuffle_hash"), Seq("cidx"))
+      .filter(canonical_site(col("q_probes"), col("n_assigns"), col("cidx")))
       .filter(if (includeSelf) lit(true) else col("q_id") =!= col("vec_id"))
       .withColumn("dist", l2_distance(col("q_vec"), col("n_vec")))
     topKPerGroup(scored, "q_id", "vec_id", k)

@@ -36,9 +36,9 @@ object Decontaminate {
       shingleLen: Int = 3,
       minOverlap: Int = 5,
       maxShinglePostings: Int = 10000): DataFrame = {
-    def postings(docs: DataFrame, as: String) = Par.ensure(docs)
-      .select(col(idCol).as(as),
-        explode(array_distinct(shingle_hashes(tokenize(col(textCol)), shingleLen))).as("sh"))
+    def postings(docs: DataFrame, as: String) = Gen.explodeOnce(
+      Par.ensure(docs), Seq(col(idCol).as(as)),
+      array_distinct(shingle_hashes(tokenize(col(textCol)), shingleLen)), "sh")
     val trainPost = postings(train, "doc_id")
     val benchPost = postings(bench, "bench_id")
     val guarded =

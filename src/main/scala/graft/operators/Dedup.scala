@@ -44,10 +44,10 @@ object Dedup {
       minhash_signature(shingle_hashes(tokenize(col(textCol)), shingleLen), k).as("sig"))
     // Only (band, id) rides the shuffle; signatures re-attached to the
     // (much smaller) deduped candidate set afterwards.
-    sigs
-      .select(col("id"), explode(lsh_band_keys(col("sig"), bands, rows)).as("band"))
-      .groupBy("band").agg(collect_list(col("id")).as("ids"))
-      .select(explode(sorted_pairs(col("ids"))).as("p"))
+    Gen.explodeOnce(
+      Gen.explodeOnce(sigs, Seq(col("id")), lsh_band_keys(col("sig"), bands, rows), "band")
+        .groupBy("band").agg(collect_list(col("id")).as("ids")),
+      Seq.empty, sorted_pairs(col("ids")), "p")
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .dropDuplicates("a", "b")
       .join(sigs.select(col("id").as("a"), col("sig").as("sig_a")), Seq("a"))
@@ -133,8 +133,7 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("sk"))).as("entries"))
     val guarded =
       if (maxBucket > 0) buckets.filter(size(col("entries")) <= maxBucket) else buckets
-    guarded
-      .select(explode(hamming_pairs(col("entries"), maxHamming)).as("p"))
+    Gen.explodeOnce(guarded, Seq.empty, hamming_pairs(col("entries"), maxHamming), "p")
       .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
       .dropDuplicates("a", "b")
   }
@@ -156,7 +155,7 @@ object Dedup {
     val sets = Par.ensure(docs).select(
       col(idCol).as("id"),
       array_distinct(shingle_hashes(tokenize(col(textCol)), shingleLen)).as("shingles"))
-    val posting = sets.select(col("id"), explode(col("shingles")).as("sh"))
+    val posting = Gen.explodeOnce(sets, Seq(col("id")), col("shingles"), "sh")
     // |A ∩ B| falls straight out of the posting lists as a pair count — no
     // need to ship the shingle arrays through the shuffle; with set sizes
     // joined in afterwards, J = c / (|A| + |B| - c) exactly. One shuffle
@@ -165,10 +164,11 @@ object Dedup {
     // free size filter on the collected list (dropped shingles shrink the
     // computed overlap, never grow it — the guard trades recall on
     // pathological hot keys).
-    val coCounts = posting
-      .groupBy("sh").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) <= maxShinglePostings)
-      .select(explode(sorted_pairs(col("ids"))).as("p"))
+    val coCounts = Gen.explodeOnce(
+      posting
+        .groupBy("sh").agg(collect_list(col("id")).as("ids"))
+        .filter(size(col("ids")) <= maxShinglePostings),
+      Seq.empty, sorted_pairs(col("ids")), "p")
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
     val sizes = sets.select(col("id"), size(col("shingles")).as("n"))
@@ -224,11 +224,11 @@ object Dedup {
     // as minhashPairs re-attaches signatures.
     // multiprobe flips the least-confident sign bits, so near-threshold
     // pairs collide without extra tables (recall up, candidates ~(1+p)x)
-    vecs.select(col("id"),
-      explode(hyperplane_sketch(col("v"), flatPlanes, nTables, nPlanes, dim, multiprobe))
-        .as("bucket"))
-      .groupBy("bucket").agg(collect_list(col("id")).as("ids"))
-      .select(explode(sorted_pairs(col("ids"))).as("p"))
+    Gen.explodeOnce(
+      Gen.explodeOnce(vecs, Seq(col("id")),
+        hyperplane_sketch(col("v"), flatPlanes, nTables, nPlanes, dim, multiprobe), "bucket")
+        .groupBy("bucket").agg(collect_list(col("id")).as("ids")),
+      Seq.empty, sorted_pairs(col("ids")), "p")
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .dropDuplicates("a", "b")
       .join(vecs.select(col("id").as("a"), col("v").as("va")), Seq("a"))

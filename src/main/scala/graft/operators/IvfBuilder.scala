@@ -252,8 +252,7 @@ object IvfBuilder {
         col("vector"), flat, dim, params.maxClustersPerVector, params.distanceThresholdPct)
     val remap = ids.zipWithIndex.map { case (cid, i) => (i, cid) }.toMap
     val remapUdf = udf { (i: Int) => remap(i) }
-    vectors
-      .withColumn("cidx", explode(assigned))
+    Gen.explodeOnce(vectors, Seq(col("user_id"), col("point_id")), assigned, "cidx")
       .withColumn("centroid_id",
         if (remap.forall { case (i, cid) => i == cid }) col("cidx") else remapUdf(col("cidx")))
       .select("user_id", "centroid_id", "point_id")

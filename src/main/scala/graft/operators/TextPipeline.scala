@@ -53,8 +53,8 @@ object TextPipeline {
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 3): DataFrame = {
-    val toks = Par.ensure(docs)
-      .select(col(idCol).as("id"), explode(tokenize(col(textCol))).as("term"))
+    val toks = Gen.explodeOnce(Par.ensure(docs),
+      Seq(col(idCol).as("id")), tokenize(col(textCol)), "term")
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // corpus size: single-row aggregate, broadcast into the score expr
@@ -118,9 +118,9 @@ object TextPipeline {
         transform(sequence(lit(1), size(col("toks")) - (n - 1)),
           i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
         .otherwise(array().cast("array<string>"))
-    val exploded = toks.select(col("id"),
-      explode(flatten(array(Seq(1, 2, 3).map(n =>
-        transform(gramsOf(n), g => struct(lit(n).as("n"), g.as("g")))): _*))).as("e"))
+    val exploded = Gen.explodeOnce(toks, Seq(col("id")),
+      flatten(array(Seq(1, 2, 3).map(n =>
+        transform(gramsOf(n), g => struct(lit(n).as("n"), g.as("g")))): _*)), "e")
       .select(col("id"), col("e.n").as("n"), col("e.g").as("g"))
     val perN = exploded
       .groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
@@ -141,6 +141,33 @@ object TextPipeline {
         Seq("dup_unigram_frac", "dup_bigram_frac", "dup_trigram_frac",
           "top_bigram_frac", "top_trigram_frac")
           .map(c => coalesce(col(c), lit(0.0)).as(c)): _*)
+  }
+
+  /** PII redaction — replace emails, phone-number shapes, and IPv4
+    * addresses with typed placeholder tokens, the standard scrubbing pass
+    * before a training-data release. An all-native `regexp_replace` chain
+    * (codegen, map-only at any scale); patterns stay inside the
+    * RE2-compatible subset (no lookaround/backrefs) so the exact same
+    * regexes replay in DuckDB and other engines. Redaction is sequential
+    * (email, then phone, then IP) and each count is taken on the text as
+    * it looked when that pattern ran, so counts and output agree.
+    * Returns `[id, text_redacted, n_emails, n_phones, n_ips]`. */
+  def redactPii(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    // separators restricted to space/dash so dotted IPv4 never half-matches
+    val phone = """(\+\d{1,2}[ -])?(\(\d{3}\)[ -]?|\d{3}[ -])\d{3}[ -]?\d{4}\b"""
+    val ip = """\b(\d{1,3}\.){3}\d{1,3}\b"""
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, lit(email), lit("<EMAIL>"))
+    val t2 = regexp_replace(t1, lit(phone), lit("<PHONE>"))
+    val t3 = regexp_replace(t2, lit(ip), lit("<IP>"))
+    docs.select(
+      col(idCol).as("id"),
+      t3.as("text_redacted"),
+      size(regexp_extract_all(t0, lit(email), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t1, lit(phone), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(t2, lit(ip), lit(0))).cast("long").as("n_ips"))
   }
 
   /** Composite preprocessing pass — the canonical training-data cleaning

@@ -47,6 +47,23 @@ class KernelSpec extends SparkSuite {
     assert(e.eval(null).asInstanceOf[Double] === 5.0)
   }
 
+  test("canonical_site: first probe present in assigns wins, exactly one site true") {
+    def site(probes: Seq[Int], assigns: Seq[Int], s: Int): Boolean =
+      Seq(1).toDF("x").select(canonical_site(
+        array(probes.map(lit): _*), array(assigns.map(lit): _*), lit(s)))
+        .head().getBoolean(0)
+    // probes nearest-first (7, 3, 9); neighbor assigned to (3, 9):
+    // canonical site is 3 — the first probe that appears in assigns
+    assert(site(Seq(7, 3, 9), Seq(3, 9), 3))
+    assert(!site(Seq(7, 3, 9), Seq(3, 9), 9))
+    assert(!site(Seq(7, 3, 9), Seq(3, 9), 7))
+    // disjoint lists: no site is canonical
+    assert(!site(Seq(1, 2), Seq(3, 4), 1))
+    // exactly one true across any pair's shared sites
+    val shared = Seq(5, 2, 8)
+    assert(shared.count(s => site(Seq(9, 8, 2, 5), Seq(5, 2, 8), s)) === 1)
+  }
+
   test("minhash: identical inputs give identical signatures; jaccard-ish monotone") {
     val df = Seq(
       (1L, Seq(1L, 2L, 3L, 4L, 5L)),

@@ -59,6 +59,23 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got(4) === ((4L, 0.0, 0.0, 0.0, 0.0, 0.0)))
   }
 
+  test("pii redaction: emails, phones, ipv4 replaced with typed tokens") {
+    val docs = Seq(
+      (0L, "contact john.doe+x@example.co.uk or call 555-123-4567 now"),
+      (1L, "server at 192.168.1.100 and +1 555 123 4567"),
+      (2L, "(555) 123-4567 then 10.0.0.1 and a@b.io"),
+      (3L, "no pii here just words 1234 5.6")
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.redactPii(docs).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // expectations replayed verbatim from the DuckDB oracle chain
+    assert(got(0) === ((0L, "contact <EMAIL> or call <PHONE> now", 1L, 1L, 0L)))
+    assert(got(1) === ((1L, "server at <IP> and <PHONE>", 0L, 1L, 1L)))
+    assert(got(2) === ((2L, "<PHONE> then <IP> and <EMAIL>", 1L, 1L, 1L)))
+    assert(got(3) === ((3L, "no pii here just words 1234 5.6", 0L, 0L, 0L)))
+  }
+
   test("tf-idf top terms: rare term outranks frequent-everywhere term") {
     val docs = Seq(
       (0L, "spark spark spark unicorn"),
