@@ -23,7 +23,8 @@ object Bench {
       nation.join(region, nation("n_regionkey") === region("r_regionkey"))
         .groupBy("r_name").agg(count(lit(1)).as("c"), sum("n_nationkey").as("s"))
         .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("r_name"))))
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("r_name").orderBy(col("c").desc, col("r_name"))))
         .orderBy("rk").limit(3).collect()
       nation.select(simhash(tokenize(col("n_name"))),
         minhash_signature(shingle_hashes(tokenize(col("n_name")), 3), 16))

@@ -38,15 +38,23 @@ object Ann {
       qIdCol, idCol, k)
 
   /** Per-group bounded top-k by (dist asc NaN-last, id asc), rank 1-based.
-    * Requires `idCol` long-castable. */
+    * `idCol` must be an integral type: the bounded aggregate carries ids
+    * as longs, and a lossy cast (string/decimal ids becoming null) would
+    * silently DROP rows rather than fail — so fail fast here instead. */
   private def topKPerGroup(
-      scored: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame =
+      scored: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = scored.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"topKPerGroup requires an integral id column; '$idCol' is $idType " +
+        "(a lossy cast to long would silently drop rows)")
     scored
       .groupBy(col(groupCol))
       .agg(topk_by_score(col("dist"), col(idCol).cast("long"), k).as("top"))
       .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col(groupCol), col("p.id").as(idCol), col("p.score").as("dist"),
         (col("pos") + 1).cast("int").as("rank"))
+  }
 
   /** IVF index over a generic embedding table. Returns (centroids,
     * postings) DataFrames; search with [[ivfTopK]]. The scale path:
@@ -169,8 +177,12 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       includeSelf: Boolean = false): DataFrame = {
     // bounded collect: the centroid matrix (numCentroids x dim) is the
-    // same broadcast-size structure every IVF search ships
-    val cRows = centroids.select(col("centroid_id"), col("vector").cast("array<double>"))
+    // same broadcast-size structure every IVF search ships. centroid_id is
+    // cast defensively — caller-supplied centroid tables (e.g. persisted
+    // as bigint) must not ClassCastException at collect time.
+    val cRows = centroids
+      .select(col("centroid_id").cast("int").as("centroid_id"),
+        col("vector").cast("array<double>").as("vector"))
       .collect().sortBy(_.getInt(0))
     val dim = if (cRows.isEmpty) 1 else cRows.head.getSeq[Double](1).length
     val flat = new Array[Double](cRows.length * dim)

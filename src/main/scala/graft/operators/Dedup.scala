@@ -20,6 +20,19 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** MinHash signature table `[id, sig: array<long>(k)]` — the shared
+    * first stage of [[minhashPairs]], split out so callers can persist it
+    * to parquet (cross-engine verification, signature reuse across runs). */
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleLen: Int = 3,
+      k: Int = 64): DataFrame =
+    Par.ensure(docs).select(
+      col(idCol).as("id"),
+      minhash_signature(shingle_hashes(tokenize(col(textCol)), shingleLen), k).as("sig"))
+
   /** MinHash+LSH near-duplicate pairs: shingle -> minhash signature ->
     * band keys -> bucket self-join -> signature-estimated Jaccard filter.
     * Returns `[a, b, est_jaccard]` with a < b.
@@ -36,18 +49,55 @@ object Dedup {
       shingleLen: Int = 3,
       k: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucket: Int = 8192): DataFrame =
+    minhashPairsFromSigs(
+      minhashSignatures(docs, idCol, textCol, shingleLen, k), k, bands, threshold, maxBucket)
+
+  /** Pair derivation over a precomputed `[id, sig]` signature table.
+    *
+    * The signature frame feeds the band explode AND both re-attach joins
+    * (three consumers), so it is `localCheckpoint`ed here — one
+    * scan→shingle→minhash pass total instead of one per consumer (at
+    * corpus scale the recompute, not the banding, is the dominant cost).
+    *
+    * `maxBucket` caps band-bucket size before in-task pair expansion: a
+    * degenerate band key (boilerplate corpora) would otherwise emit
+    * C(n,2) rows in one task — and >= 65,536 ids overflows the expansion
+    * kernel outright. Pairs that ONLY collide in a dropped hot bucket are
+    * sacrificed (they still surface via any other shared band); 0 = off. */
+  def minhashPairsFromSigs(
+      sigsIn: DataFrame,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucket: Int = 8192,
+      checkpoint: Boolean = true): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    val sigs = Par.ensure(docs).select(
-      col(idCol).as("id"),
-      minhash_signature(shingle_hashes(tokenize(col(textCol)), shingleLen), k).as("sig"))
+    // `checkpoint = false` when sigsIn is already materialized (a parquet
+    // table): re-reading a columnar file three times is cheaper than an
+    // extra in-memory copy
+    val sigs0 = sigsIn.select(col("id"), col("sig"))
+    val sigs = if (checkpoint) sigs0.localCheckpoint() else sigs0
     // Only (band, id) rides the shuffle; signatures re-attached to the
     // (much smaller) deduped candidate set afterwards.
-    Gen.explodeOnce(
-      Gen.explodeOnce(sigs, Seq(col("id")), lsh_band_keys(col("sig"), bands, rows), "band")
-        .groupBy("band").agg(collect_list(col("id")).as("ids")),
-      Seq.empty, sorted_pairs(col("ids")), "p")
+    val banded = Gen.explodeOnce(
+      sigs, Seq(col("id")), lsh_band_keys(col("sig"), bands, rows), "band")
+    // Hot buckets are pruned BEFORE collect_list so a degenerate band key
+    // never materializes in one aggregation buffer: hot keys are rare by
+    // construction, so the over-cap key list is broadcast-size and the
+    // anti-join stays map-side. The count pass re-scans only the
+    // checkpointed signatures (narrow).
+    val pruned =
+      if (maxBucket > 0)
+        banded.join(
+          broadcast(banded.groupBy("band").agg(count(lit(1)).as("n"))
+            .filter(col("n") > maxBucket).select("band")),
+          Seq("band"), "left_anti")
+      else banded
+    val buckets = pruned.groupBy("band").agg(collect_list(col("id")).as("ids"))
+    Gen.explodeOnce(buckets, Seq.empty, sorted_pairs(col("ids")), "p")
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .dropDuplicates("a", "b")
       .join(sigs.select(col("id").as("a"), col("sig").as("sig_a")), Seq("a"))
@@ -119,21 +169,32 @@ object Dedup {
         }
         struct(lit(si).as("chunk"), key.as("key"))
     }
-    val sk = sketches.select(col("id"), col("sk"))
+    // sketches feed one consumer when the guard is off; with the guard on,
+    // the count pass adds a second — checkpoint only then
+    val sk0 = sketches.select(col("id"), col("sk"))
+    val sk = if (maxBucket > 0) sk0.localCheckpoint() else sk0
     // One shuffle of (chunk, key, id, sk); each bucket's pairs are
     // expanded in-task with the exact Hamming verify fused into the
     // expansion loop ([[graft.functions.PairKernels.hammingPairs]]), so
     // false candidates never leave the task and only true pairs ride the
-    // dropDuplicates exchange. The hot-bucket guard is a free
-    // size(entries) filter on the collected bucket — no extra
-    // count+semi-join pass.
-    val buckets = sk
+    // dropDuplicates exchange. Hot buckets are pruned BEFORE collect_list
+    // (count pass over the checkpointed sketches + broadcast anti-join on
+    // the rare over-cap keys) so a degenerate bucket bounds memory, not
+    // just pair blowup.
+    val banded = sk
       .select(col("id"), col("sk"), explode(array(bandStructs: _*)).as("b"))
-      .groupBy(col("b.chunk").as("chunk"), col("b.key").as("key"))
+      .select(col("id"), col("sk"), col("b.chunk").as("chunk"), col("b.key").as("key"))
+    val pruned =
+      if (maxBucket > 0)
+        banded.join(
+          broadcast(banded.groupBy("chunk", "key").agg(count(lit(1)).as("n"))
+            .filter(col("n") > maxBucket).select("chunk", "key")),
+          Seq("chunk", "key"), "left_anti")
+      else banded
+    val buckets = pruned
+      .groupBy("chunk", "key")
       .agg(collect_list(struct(col("id"), col("sk"))).as("entries"))
-    val guarded =
-      if (maxBucket > 0) buckets.filter(size(col("entries")) <= maxBucket) else buckets
-    Gen.explodeOnce(guarded, Seq.empty, hamming_pairs(col("entries"), maxHamming), "p")
+    Gen.explodeOnce(buckets, Seq.empty, hamming_pairs(col("entries"), maxHamming), "p")
       .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
       .dropDuplicates("a", "b")
   }
@@ -200,6 +261,7 @@ object Dedup {
       nPlanes: Int = 8,
       nTables: Int = 8,
       multiprobe: Int = 2,
+      maxBucket: Int = 8192,
       seed: Long = 42L): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -217,17 +279,31 @@ object Dedup {
       flatPlanes(w) = h.toDouble / Long.MaxValue.toDouble
       w += 1
     }
+    // vecs feed the sketch explode AND both re-attach joins — checkpoint
+    // so the corpus is scanned once, not once per consumer (the q27-style
+    // recompute fix; at 100 TB this is the difference between 1 and 3
+    // full passes).
     val vecs = Par.ensure(embeddings)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint()
     // Only (bucket, id) rides the band-join shuffle; the wide vectors are
     // joined back onto the (much smaller) deduped candidate set, exactly
     // as minhashPairs re-attaches signatures.
     // multiprobe flips the least-confident sign bits, so near-threshold
     // pairs collide without extra tables (recall up, candidates ~(1+p)x)
+    val bucketed = Gen.explodeOnce(vecs, Seq(col("id")),
+      hyperplane_sketch(col("v"), flatPlanes, nTables, nPlanes, dim, multiprobe), "bucket")
+    // same hot-bucket guard as minhashPairsFromSigs: prune rare over-cap
+    // buckets before collect_list via broadcast anti-join
+    val pruned =
+      if (maxBucket > 0)
+        bucketed.join(
+          broadcast(bucketed.groupBy("bucket").agg(count(lit(1)).as("n"))
+            .filter(col("n") > maxBucket).select("bucket")),
+          Seq("bucket"), "left_anti")
+      else bucketed
     Gen.explodeOnce(
-      Gen.explodeOnce(vecs, Seq(col("id")),
-        hyperplane_sketch(col("v"), flatPlanes, nTables, nPlanes, dim, multiprobe), "bucket")
-        .groupBy("bucket").agg(collect_list(col("id")).as("ids")),
+      pruned.groupBy("bucket").agg(collect_list(col("id")).as("ids")),
       Seq.empty, sorted_pairs(col("ids")), "p")
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .dropDuplicates("a", "b")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
@@ -95,7 +96,9 @@ object Search {
       .withColumn("cdist", l2_distance(col("vector"), vec(query)))
       .orderBy(col("cdist").asc, col("centroid_id").asc)
       .limit(params.nprobe)
-    val minDist = min(col("cdist")).over()
+    // bounded frame (<= nprobe rows post-limit); the constant partition
+    // key keeps semantics and silences the WindowExec single-partition warn
+    val minDist = min(col("cdist")).over(Window.partitionBy(lit(0)))
     val chosen = scored
       .withColumn("mind", minDist)
       .filter(col("cdist") <= col("mind") * (1.0 + params.centroidDistanceRatio))
@@ -139,7 +142,7 @@ object Search {
       .orderBy(col("cdist").asc, col("centroid_id").asc)
       .limit(params.nprobe)
     val chosen = scored
-      .withColumn("mind", min(col("cdist")).over())
+      .withColumn("mind", min(col("cdist")).over(Window.partitionBy(lit(0))))
       .filter(col("cdist") <= col("mind") * (1.0 + params.centroidDistanceRatio))
       .select("centroid_id")
     var cand = postings.join(broadcast(chosen), Seq("centroid_id"))
@@ -180,7 +183,7 @@ object Search {
       .orderBy(col("cdist").asc, col("centroid_id").asc)
       .limit(params.nprobe)
     val chosen = scored
-      .withColumn("mind", min(col("cdist")).over())
+      .withColumn("mind", min(col("cdist")).over(Window.partitionBy(lit(0))))
       .filter(col("cdist") <= col("mind") * (1.0 + params.centroidDistanceRatio))
       .select("centroid_id")
     var cand = postings.join(broadcast(chosen), Seq("centroid_id"))

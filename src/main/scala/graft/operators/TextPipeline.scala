@@ -60,7 +60,10 @@ object TextPipeline {
     // corpus size: single-row aggregate, broadcast into the score expr
     val n = docs.select(count(lit(1)).as("n"))
     val score = col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))
-    val w = Window.partitionBy("id").orderBy(score.desc, col("term").asc)
+    // rank on the ROUNDED score: engines' ln() may differ by 1 ulp, and an
+    // unrounded ORDER BY would let near-equal scores rank-swap across
+    // engines before the term tiebreak kicks in
+    val w = Window.partitionBy("id").orderBy(round(score, 4).desc, col("term").asc)
     tf.join(dfq, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("rank", row_number().over(w))
