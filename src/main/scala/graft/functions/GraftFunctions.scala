@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * stemming (term pipeline of the reference,
   * rs/index/src/segment/mutable_segment.rs:73-103), and the training-data
   * text/dedup primitives. Everything here returns `Column`s built from
-  * codegen-friendly native expressions; the only Scala UDFs are stemming
-  * and language-ID (per-row string work, invoked once per document).
+  * codegen-friendly native expressions; the only Scala UDF left is
+  * stemming (per-row dictionary-heavy string work, invoked once per
+  * document); language-ID is native + a codegen script-vote kernel.
   */
 object GraftFunctions {
   private def ex(c: Column) = ColumnBridge.expression(c)
@@ -215,50 +216,60 @@ object GraftFunctions {
   }
 
   // ---- language ID (n-gram/stopword heuristic; training-data surface) ----
-  private val stopProfiles: Map[String, Set[String]] = Map(
-    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "a"),
-    "de" -> Set("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"),
-    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
-    "fr" -> Set("le", "la", "de", "et", "les", "des", "une", "est", "dans", "que"),
-    "it" -> Set("il", "di", "che", "la", "per", "con", "una", "sono", "non", "del"),
-    "pt" -> Set("o", "de", "que", "e", "do", "da", "em", "um", "para", "com"))
+  // ordered by lang code so the argmax tiebreak ("largest code wins",
+  // same as the q31 oracle's CASE chain) is explicit
+  private val stopProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une", "est", "dans", "que"),
+    "it" -> Seq("il", "di", "che", "la", "per", "con", "una", "sono", "non", "del"),
+    "pt" -> Seq("o", "de", "que", "e", "do", "da", "em", "um", "para", "com"))
 
-  private val langIdUdf = udf { (text: String) =>
-    if (text == null || text.isEmpty) "und"
-    else {
-      val counts = new scala.collection.mutable.HashMap[Character.UnicodeScript, Int]()
-      text.foreach { c =>
-        if (Character.isLetter(c)) {
-          val s = Character.UnicodeScript.of(c.toInt)
-          counts(s) = counts.getOrElse(s, 0) + 1
-        }
-      }
-      import Character.UnicodeScript._
-      val dominant = if (counts.isEmpty) LATIN else counts.maxBy(_._2)._1
-      dominant match {
-        case HAN => "zh"
-        case HIRAGANA | KATAKANA => "ja"
-        case HANGUL => "ko"
-        case CYRILLIC => "ru"
-        case ARABIC => "ar"
-        case DEVANAGARI => "hi"
-        case _ =>
-          val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-          if (toks.isEmpty) "und"
-          else {
-            val scored = stopProfiles.map { case (lang, stops) =>
-              lang -> toks.count(stops.contains).toDouble / toks.length
-            }
-            val (best, score) = scored.maxBy { case (l, s) => (s, l) }
-            if (score > 0.05) best else "en"
-          }
-      }
+  /** Dominant-script language or null for Latin/other (codegen kernel;
+    * see [[TextKernels.scriptVote]]). */
+  def script_vote(text: Column): Column = col(ScriptVote(ex(text)))
+
+  /** Per-profile stopword scores `|toks ∩ profile| / |toks|` as a
+    * 6-element array in [[stopProfiles]] order (en, de, es, fr, it, pt).
+    * Pass a materialized token COLUMN, not `tokenize(...)` inline — the
+    * six filters each reference it, and an attribute read is free where
+    * an inlined re-tokenize is six regex splits per row. */
+  def lang_id_scores(toks: Column): Column = array(stopProfiles.map { case (_, stops) =>
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isInCollection(stops))).cast("double") /
+        size(toks).cast("double"))
+  }: _*)
+
+  /** Final language pick from precomputed scores: script vote first, then
+    * argmax over the stopword scores with ties to the lexicographically-
+    * largest code (the q31 oracle's CASE chain), <= 0.05 defaulting "en". */
+  def lang_id_pick(text: Column, toks: Column, scores: Column): Column = {
+    val gmax = array_max(scores)
+    val byCodeDesc = stopProfiles.map(_._1).zipWithIndex
+      .map { case (lang, i) => (lang, i + 1) }.sortBy(_._1).reverse
+    val argmax = byCodeDesc.foldRight(lit("de"): Column) { case ((lang, idx), acc) =>
+      when(element_at(scores, idx) === gmax, lang).otherwise(acc)
     }
+    val stopLang = when(size(toks) === 0, "und")
+      .when(gmax <= 0.05, "en")
+      .otherwise(argmax)
+    when(text.isNull || length(text) === 0, "und")
+      .otherwise(coalesce(script_vote(text), stopLang))
   }
 
   /** Heuristic language identifier: Unicode-script vote, then stopword
-    * profiles for Latin-script languages. Returns ISO-639-1 code or "und". */
-  def lang_id(text: Column): Column = langIdUdf(text)
+    * profiles for Latin-script languages. Returns ISO-639-1 code or "und".
+    *
+    * All-native except the per-char script vote (a codegen kernel) — no
+    * per-row boxing UDF. This single-Column convenience form re-tokenizes
+    * per score reference; hot paths should use the layered form
+    * ([[graft.operators.TextPipeline.languages]]): project tokens, then
+    * scores, then the pick, so each is computed once per row. */
+  def lang_id(text: Column): Column = {
+    val toks = tokenize(text)
+    lang_id_pick(text, toks, lang_id_scores(toks))
+  }
 
   /** Register the SQL-callable subset with the session function registry. */
   def register(spark: SparkSession): Unit = {

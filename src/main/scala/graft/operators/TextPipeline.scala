@@ -28,9 +28,20 @@ object TextPipeline {
       quality_score(col(textCol)).as("quality"),
       length(col(textCol)).cast("long").as("n_chars"))
 
-  /** Language identification (script vote + stopword profiles). */
+  /** Language identification (script vote + stopword profiles).
+    *
+    * Layered projections: tokens, then the per-profile score array, then
+    * the pick — each layer's output is multiply-referenced and expensive,
+    * so CollapseProject keeps them as separate projections and every row
+    * is tokenized exactly once (the single-Column `lang_id` form would
+    * re-tokenize per score reference). Fully codegen: the only kernel is
+    * the per-char script vote. */
   def languages(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), lang_id(col(textCol)).as("lang_pred"))
+    docs
+      .select(col(idCol), col(textCol).as("_t"), tokenize(col(textCol)).as("_toks"))
+      .withColumn("_scores", lang_id_scores(col("_toks")))
+      .select(col(idCol),
+        lang_id_pick(col("_t"), col("_toks"), col("_scores")).as("lang_pred"))
 
   /** Content fingerprints: rolling hash (engine-native) + md5 of the
     * normalized text (cross-engine checkable). */

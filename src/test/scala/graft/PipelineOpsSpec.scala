@@ -115,4 +115,35 @@ class PipelineOpsSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(again === sampled.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("language ID: script vote for non-Latin, stopword profiles for Latin") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat and it was happy for a while"), // en
+      (1L, "der hund und die katze das ist nicht mit ein haus"), // de
+      (2L, "el perro y la casa de que un gato es se no"), // es
+      (3L, "le chien et les maisons des chats dans la rue que"), // fr
+      (4L, "il cane di che la casa per con una strada del"), // it
+      (5L, "o cachorro de que e do da em um para com"), // pt
+      (6L, "这是一个中文句子 中文内容很多"), // zh (Han)
+      (7L, "これは日本語の文章です ひらがなとカタカナ"), // ja
+      (8L, "이것은 한국어 문장입니다"), // ko
+      (9L, "это русское предложение с буквами"), // ru
+      (10L, "هذه جملة عربية مكتوبة بالحروف"), // ar
+      (11L, "यह एक हिंदी वाक्य है"), // hi
+      (12L, ""), // empty -> und
+      (13L, "   "), // whitespace-only -> und
+      (14L, "zxqj vvkw pppt mmmr qqts") // no profile hits -> en default
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.languages(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = Map(0L -> "en", 1L -> "de", 2L -> "es", 3L -> "fr", 4L -> "it",
+      5L -> "pt", 6L -> "zh", 7L -> "ja", 8L -> "ko", 9L -> "ru", 10L -> "ar",
+      11L -> "hi", 12L -> "und", 13L -> "und", 14L -> "en")
+    assert(got === want)
+    // single-Column convenience form agrees with the layered pipeline
+    val viaCol = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.lang_id(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaCol === want)
+  }
 }
