@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextPipeline}
+
+/** Demo-scale measurement harness for the text-pipeline operators
+  * (BASELINE.md): N synthetic documents (~150-250 tokens, Zipf-ish skewed
+  * vocabulary, boilerplate planted in 1/11 of docs) through the
+  * shuffle-heavy passes — repetition signals, TF-IDF top terms, and
+  * MinHash+LSH pair generation — so the 1M-doc numbers sit next to the
+  * 1M x 768 vector numbers from `graft.Scale`.
+  *
+  * `runMain graft.ScaleText [N]` — default 1,000,000.
+  */
+object ScaleText {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 1000000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // deterministic synthetic corpus; generation happens once, outside the
+    // timed sections (persisted). 30% of tokens draw from a 1k hot head so
+    // df/tf skew resembles natural text; every 11th doc carries a repeated
+    // phrase so repetitionSignals has real positives to find.
+    val genUdf = udf { (id: Long) =>
+      import graft.functions.HashKernels.mix64
+      val len = 150 + (math.floorMod(mix64(id), 100L)).toInt
+      val sb = new StringBuilder(len * 7)
+      var i = 0
+      while (i < len) {
+        val h = math.abs(mix64(id * 100003L + i))
+        val w = if (h % 10 < 3) h % 1000 else h % 30000
+        sb.append('w').append(w).append(' ')
+        i += 1
+      }
+      if (id % 11 == 0)
+        sb.append(Seq.fill(20)("click here to subscribe now").mkString(" "))
+      sb.toString
+    }
+    val docs = spark.range(n.toLong)
+      .select(col("id").as("doc_id"), genUdf(col("id")).as("text"))
+      .repartition(cpus.toInt).persist()
+    docs.count()
+
+    def timed(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+
+    // aggregate OVER the computed signal columns so column pruning can't
+    // skip the work a bare count() would let Catalyst drop
+    var repCheck = 0.0
+    val repSec = timed {
+      repCheck = TextPipeline.repetitionSignals(docs)
+        .agg(sum(col("dup_unigram_frac") + col("top_trigram_frac")))
+        .head().getDouble(0)
+    }
+
+    var tfidfCheck = 0L
+    val tfidfSec = timed {
+      tfidfCheck = TextPipeline.topTermsTfIdf(docs, k = 3)
+        .agg(sum(length(col("term"))).cast("long")).head().getLong(0)
+    }
+
+    var minhashPairs = 0L
+    val minhashSec = timed {
+      minhashPairs = Dedup.minhashPairs(docs, shingleLen = 3, k = 64,
+        bands = 16, threshold = 0.7).count()
+    }
+
+    println(s"""{"n":$n,"rep_sec":${f"$repSec%.1f"},""" +
+      s""""rep_docs_per_sec":${f"${n / repSec}%.0f"},"rep_check":${f"$repCheck%.1f"},""" +
+      s""""tfidf_sec":${f"$tfidfSec%.1f"},"tfidf_docs_per_sec":${f"${n / tfidfSec}%.0f"},""" +
+      s""""tfidf_check":$tfidfCheck,"minhash_sec":${f"$minhashSec%.1f"},""" +
+      s""""minhash_docs_per_sec":${f"${n / minhashSec}%.0f"},""" +
+      s""""minhash_pairs":$minhashPairs}""")
+    spark.stop()
+  }
+}

@@ -31,9 +31,70 @@ object Multimodal {
       StructField("duration_ms", LongType, nullable = true))), nullable = true)))
 
   // ---------------------------------------------------------------------
+  // REAL image decode — javax.imageio is JDK-built-in (PNG/BMP/GIF/JPEG
+  // readers ship with the JDK, no external codec needed). Audio/video
+  // decode stays stubbed below (no codec libs in this environment).
+  // ---------------------------------------------------------------------
+
+  /** Decode an encoded image payload with the JDK's ImageIO. Returns None
+    * for null/empty/undecodable payloads — callers fall back to the
+    * deterministic stub so opaque payloads keep the same contract. */
+  private[operators] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload == null || payload.isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  /** Real image features: `dim`-bucket luminance histogram over decoded
+    * pixels (Rec.601 luma), normalized to sum 1. One linear pixel pass. */
+  private[operators] def imageHistogram(img: java.awt.image.BufferedImage, dim: Int): Array[Double] = {
+    val out = new Array[Double](dim)
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0) return out
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)) / 255.0
+        out(math.min(dim - 1, (luma * dim).toInt)) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toDouble * h
+    var j = 0
+    while (j < dim) { out(j) /= n; j += 1 }
+    out
+  }
+
+  /** Probe real image dimensions for `kind = image` rows: emits
+    * `[media_id, width, height]` with nulls for undecodable payloads.
+    * Batch `mapPartitions`, same contract shape as the feature stage. */
+  def probeImageMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.filter(col("kind") === "image").select("media_id", "payload").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in tasks
+      rows.map { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        decodeImage(payload) match {
+          case Some(img) => Row(r.getLong(0), img.getWidth, img.getHeight)
+          case None      => Row(r.getLong(0), null, null)
+        }
+      }
+    }(enc)
+  }
+
+  // ---------------------------------------------------------------------
   // STUB decode kernels — deterministic fakes over raw bytes. A real
-  // pipeline replaces these bodies with an image/audio codec; signatures
-  // and batch shape stay identical.
+  // pipeline replaces these bodies with an audio/video codec; signatures
+  // and batch shape stay identical. (Images decode for real above.)
   // ---------------------------------------------------------------------
 
   /** STUB: "decode" an image to a fixed-size feature vector: 16 doubles,
@@ -65,8 +126,14 @@ object Multimodal {
 
   /** Feature extraction over a media table: batch `mapPartitions` (one JVM
     * pass per partition, no per-row UDF dispatch), emitting
-    * `[media_id, kind, features: array<double>]`. */
-  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    * `[media_id, kind, features: array<double>]`.
+    *
+    * With `decodeImages = true`, `kind = image` payloads are decoded for
+    * real via ImageIO and featurized as a luminance histogram; anything
+    * undecodable (and all non-image kinds) falls back to the deterministic
+    * byte-stub so the output contract never changes shape. The q34 oracle
+    * keeps the default (stub-only) path, which DuckDB can replay. */
+  def extractFeatures(media: DataFrame, dim: Int = 16, decodeImages: Boolean = false): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -74,9 +141,16 @@ object Multimodal {
       StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
     val enc = RowEncoder.encoderFor(outSchema)
     media.select("media_id", "kind", "payload").mapPartitions { rows =>
+      if (decodeImages) javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
-        Row(r.getLong(0), r.getString(1), stubImageFeatures(payload, dim).toSeq)
+        val kind = r.getString(1)
+        val feats =
+          if (decodeImages && kind == "image")
+            decodeImage(payload).map(imageHistogram(_, dim))
+              .getOrElse(stubImageFeatures(payload, dim))
+          else stubImageFeatures(payload, dim)
+        Row(r.getLong(0), kind, feats.toSeq)
       }
     }(enc)
   }

@@ -66,6 +66,31 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("simhash t=2 banding (100-TB default) emits the same pairs as t=1") {
+    // q28's bench entry pins blocksPerKey=1 (fewer tables wins at small N);
+    // the operator default at maxHamming=10 is t=2 (fewer, coarser buckets —
+    // the scale setting). Both are exhaustive within the radius by the
+    // pigeonhole construction, so on a corpus with pairs planted across the
+    // whole 0..10+ distance range they must return identical (a, b, dist).
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 30).flatMap { p =>
+      val base = rng.nextLong()
+      val d = p % 12 // distances 0..11; 11 must be excluded by both
+      val bits = rng.shuffle((0 until 64).toList).take(d)
+      Seq((p * 2L, base), (p * 2L + 1, bits.foldLeft(base)((v, b) => v ^ (1L << b))))
+    }.toDF("id", "sk")
+    def pairSet(t: Int) =
+      Dedup.simhashPairsFromSketches(rows, maxHamming = 10, blocksPerKey = t)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val t1 = pairSet(1)
+    val t2 = pairSet(2)
+    assert(t1 === t2)
+    assert((0 until 30).filter(_ % 12 <= 10)
+      .forall(p => t1.get((p * 2L, p * 2L + 1)).contains(p % 12)))
+    assert((0 until 30).filter(_ % 12 == 11)
+      .forall(p => !t1.contains((p * 2L, p * 2L + 1))))
+  }
+
   test("simhash maxBucket guard: subset of unguarded, small buckets unaffected") {
     // 40 identical sketches (one hot bucket everywhere) + 2 planted
     // near-pairs with distinctive sketches living in small buckets

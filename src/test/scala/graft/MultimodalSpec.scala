@@ -24,6 +24,46 @@ class MultimodalSpec extends SparkSuite {
     assert(f.getSeq[Double](2).forall(_ == 0.0))
   }
 
+  test("real image decode: PNG/BMP round-trip to exact luminance histogram") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // 8x8 image, left half black / right half white -> dim-4 luma histogram
+    // must be exactly [0.5, 0, 0, 0.5]; encoded through the JDK's own
+    // PNG and BMP writers so the payload is a genuine compressed file
+    def encoded(fmt: String): Array[Byte] = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, "image", encoded("png")),
+      (2L, "image", encoded("bmp")),
+      (3L, "image", Array[Byte](1, 2, 3)), // undecodable -> stub fallback
+      (4L, "audio", encoded("png"))        // non-image kind -> stub even if decodable
+    ).toDF("media_id", "kind", "payload")
+
+    val feats = Multimodal.extractFeatures(media, dim = 4, decodeImages = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(feats(1L) === Seq(0.5, 0.0, 0.0, 0.5))
+    assert(feats(2L) === Seq(0.5, 0.0, 0.0, 0.5))
+    val stub3 = Multimodal.extractFeatures(media.filter($"media_id" === 3L), dim = 4)
+      .head().getSeq[Double](2)
+    assert(feats(3L) === stub3)
+    val stub4 = Multimodal.extractFeatures(media.filter($"media_id" === 4L), dim = 4)
+      .head().getSeq[Double](2)
+    assert(feats(4L) === stub4)
+
+    // metadata probe: real dimensions for decodable images, nulls otherwise,
+    // and audio rows are excluded entirely
+    val meta = Multimodal.probeImageMeta(media).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2)))))
+      .toMap
+    assert(meta === Map(1L -> Some((8, 8)), 2L -> Some((8, 8)), 3L -> None))
+  }
+
   test("frame sampling explodes video payloads only") {
     val media = Multimodal.syntheticMedia(spark, 10, kind = "video")
       .union(Multimodal.syntheticMedia(spark, 5, kind = "image"))
