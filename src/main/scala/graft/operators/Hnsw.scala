@@ -1,0 +1,306 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+/** In-memory HNSW graph (Malkov & Yashunin, "Efficient and robust
+  * approximate nearest neighbor search using Hierarchical Navigable Small
+  * World graphs", 2016) — the serving-side centroid selector for large
+  * centroid sets.
+  *
+  * The reference builds an HNSW over each segment's centroids and serves
+  * stage-1 centroid selection from it in RAM
+  * (rs/index/src/hnsw/builder.rs:48 insert/layer machinery,
+  * rs/index/src/hnsw/block_based/index.rs:159-288 traversal;
+  * centroids_ef_construction 100, centroids_max_layers 2-10 at
+  * rs/config/src/collection.rs:176-218). This repo's default stays the
+  * exact centroid scan (SURVEY §2.5 K1: exact beats approximate at the
+  * ~sqrt(N) centroid counts a segment carries), so the HNSW is OPT-IN via
+  * [[ServedIvfIndex.build]](centroidIndex = "hnsw") for deployments whose
+  * centroid sets outgrow the scan (≥~1M centroids).
+  *
+  * Spark posture: this is a serving-process structure over an
+  * already-bounded set (like the reference, which never distributes HNSW
+  * construction); the distributed engine's stage 1 remains a broadcast
+  * exact scan. Determinism: node levels derive from a hash of the node id
+  * (not RNG state), all comparisons tiebreak on id, and insertion order is
+  * the caller's array order — the same input always builds the same graph.
+  */
+final class Hnsw private (
+    dim: Int,
+    ids: Array[Long],
+    flat: Array[Double], // n x dim row-major
+    layers: Array[Array[Array[Int]]], // layers(node)(level) = neighbor nodes
+    entryNode: Int,
+    topLevel: Int) {
+
+  def size: Int = ids.length
+
+  private def dist2(q: Array[Double], node: Int): Double = {
+    var acc = 0.0
+    var i = 0
+    val off = node * dim
+    val n = math.min(dim, q.length)
+    while (i < n) { val d = q(i) - flat(off + i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** (dist, id) ascending with NaN greatest — the engine-wide invariant. */
+  private def lt(d1: Double, i1: Int, d2: Double, i2: Int): Boolean = {
+    val c = java.lang.Double.compare(d1, d2)
+    c < 0 || (c == 0 && ids(i1) < ids(i2))
+  }
+
+  /** Greedy best-first beam in one layer from `eps`; returns up to `ef`
+    * nodes as parallel (dist, node) arrays sorted (dist asc, id asc). */
+  private def searchLayer(
+      q: Array[Double], eps: Array[Int], ef: Int, level: Int,
+      visited: java.util.BitSet): (Array[Double], Array[Int]) = {
+    // results: bounded sorted insertion (ef is small); candidates: heap
+    val resD = new ArrayBuffer[Double](ef + 1)
+    val resN = new ArrayBuffer[Int](ef + 1)
+    def resInsert(d: Double, node: Int): Unit = {
+      var lo = 0
+      var hi = resD.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (lt(resD(mid), resN(mid), d, node)) lo = mid + 1 else hi = mid
+      }
+      resD.insert(lo, d)
+      resN.insert(lo, node)
+      if (resD.length > ef) { resD.remove(ef); resN.remove(ef) }
+    }
+    val candOrd = new Ordering[(Double, Int)] {
+      def compare(a: (Double, Int), b: (Double, Int)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1) // reversed: min-heap
+        if (c != 0) c else java.lang.Long.compare(ids(b._2), ids(a._2))
+      }
+    }
+    val cand = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(candOrd)
+    eps.foreach { e =>
+      if (!visited.get(e)) {
+        visited.set(e)
+        val d = dist2(q, e)
+        resInsert(d, e)
+        cand.enqueue((d, e))
+      }
+    }
+    while (cand.nonEmpty) {
+      val (cd, cn) = cand.dequeue()
+      // stop when the closest open candidate is farther than the worst kept
+      if (resD.length >= ef && !lt(cd, cn, resD(resD.length - 1), resN(resN.length - 1))) {
+        cand.clear()
+      } else {
+        val nbrs = layers(cn)(level)
+        var i = 0
+        while (i < nbrs.length) {
+          val nb = nbrs(i)
+          if (!visited.get(nb)) {
+            visited.set(nb)
+            val d = dist2(q, nb)
+            if (resD.length < ef || lt(d, nb, resD(resD.length - 1), resN(resN.length - 1))) {
+              resInsert(d, nb)
+              cand.enqueue((d, nb))
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    (resD.toArray, resN.toArray)
+  }
+
+  /** Descend the upper layers greedily, then beam layer 0 with
+    * `max(ef, k)`; returns node indexes ordered (dist asc, id asc). */
+  private[operators] def searchNodes(q: Array[Double], k: Int, ef: Int): Array[Int] = {
+    if (ids.isEmpty || k <= 0) return Array.empty
+    val visited = new java.util.BitSet(ids.length)
+    var eps = Array(entryNode)
+    var lc = topLevel
+    while (lc > 0) {
+      val (_, n) = searchLayer(q, eps, 1, lc, visited)
+      if (n.nonEmpty) eps = Array(n(0))
+      visited.clear()
+      lc -= 1
+    }
+    val (_, nodes) = searchLayer(q, eps, math.max(ef, k), 0, visited)
+    nodes.take(k)
+  }
+
+  /** Top-k by (l2 distance asc, id asc). Approximate: recall is governed
+    * by `ef` (the reference's ef_construction/ef_search knob). */
+  def search(q: Array[Double], k: Int, ef: Int = 100): Array[(Long, Double)] =
+    searchNodes(q, k, ef).map(n => (ids(n), math.sqrt(dist2(q, n))))
+}
+
+object Hnsw {
+
+  /** Build the graph over `(ids, vecs)` pairs. `m` is the per-node degree
+    * target (2m at layer 0); `efConstruction` the build beam width —
+    * defaults match the reference's centroid config
+    * (rs/config/src/collection.rs:176-218). Deterministic for a fixed
+    * input order. */
+  def build(
+      ids: Array[Long],
+      vecs: Array[Array[Double]],
+      m: Int = 16,
+      efConstruction: Int = 100,
+      maxLayers: Int = 10,
+      seed: Long = 42L): Hnsw = {
+    require(ids.length == vecs.length, "ids/vecs length mismatch")
+    val n = ids.length
+    val dim = if (n == 0) 0 else vecs(0).length
+    val flat = new Array[Double](n * dim)
+    var i = 0
+    while (i < n) {
+      System.arraycopy(vecs(i), 0, flat, i * dim, math.min(dim, vecs(i).length))
+      i += 1
+    }
+    // level ~ floor(-ln(u) * 1/ln(m)), u hashed from the id: the paper's
+    // exponential level distribution without RNG state (rebuild-stable)
+    val mL = 1.0 / math.log(m)
+    val levels = Array.tabulate(n) { j =>
+      val h = graft.functions.HashKernels.mix64(seed ^ ids(j) * 0x9e3779b97f4a7c15L)
+      val u = ((h >>> 11) + 1).toDouble / (1L << 53).toDouble // (0, 1]
+      math.min(maxLayers - 1, (-math.log(u) * mL).toInt)
+    }
+    val adj: Array[Array[ArrayBuffer[Int]]] =
+      Array.tabulate(n)(j => Array.fill(levels(j) + 1)(new ArrayBuffer[Int]))
+
+    def dist2(a: Int, b: Int): Double = {
+      var acc = 0.0
+      var d = 0
+      val oa = a * dim
+      val ob = b * dim
+      while (d < dim) { val x = flat(oa + d) - flat(ob + d); acc += x * x; d += 1 }
+      acc
+    }
+    def lt(d1: Double, i1: Int, d2: Double, i2: Int): Boolean = {
+      val c = java.lang.Double.compare(d1, d2)
+      c < 0 || (c == 0 && ids(i1) < ids(i2))
+    }
+    // build-time beam over the mutable adjacency
+    def searchLayer(q: Int, eps: Array[Int], ef: Int, level: Int): (Array[Double], Array[Int]) = {
+      val visited = new java.util.BitSet(n)
+      val resD = new ArrayBuffer[Double](ef + 1)
+      val resN = new ArrayBuffer[Int](ef + 1)
+      def resInsert(d: Double, node: Int): Unit = {
+        var lo = 0
+        var hi = resD.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (lt(resD(mid), resN(mid), d, node)) lo = mid + 1 else hi = mid
+        }
+        resD.insert(lo, d)
+        resN.insert(lo, node)
+        if (resD.length > ef) { resD.remove(ef); resN.remove(ef) }
+      }
+      val candOrd = new Ordering[(Double, Int)] {
+        def compare(a: (Double, Int), b: (Double, Int)): Int = {
+          val c = java.lang.Double.compare(b._1, a._1)
+          if (c != 0) c else java.lang.Long.compare(ids(b._2), ids(a._2))
+        }
+      }
+      val cand = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(candOrd)
+      eps.foreach { e =>
+        if (!visited.get(e)) {
+          visited.set(e)
+          val d = dist2(q, e)
+          resInsert(d, e)
+          cand.enqueue((d, e))
+        }
+      }
+      while (cand.nonEmpty) {
+        val (cd, cn) = cand.dequeue()
+        if (resD.length >= ef && !lt(cd, cn, resD(resD.length - 1), resN(resN.length - 1))) {
+          cand.clear()
+        } else {
+          val nbrs = adj(cn)(level)
+          var j = 0
+          while (j < nbrs.length) {
+            val nb = nbrs(j)
+            if (!visited.get(nb)) {
+              visited.set(nb)
+              val d = dist2(q, nb)
+              if (resD.length < ef || lt(d, nb, resD(resD.length - 1), resN(resN.length - 1))) {
+                resInsert(d, nb)
+                cand.enqueue((d, nb))
+              }
+            }
+            j += 1
+          }
+        }
+      }
+      (resD.toArray, resN.toArray)
+    }
+    // Algorithm 4 (paper) / the reference's diverse neighbor selection:
+    // walk candidates by ascending distance to q, keep one only if it is
+    // closer to q than to every already-kept neighbor — naive closest-M
+    // turns dense regions into closed cliques that disconnect from the
+    // rest of the layer (observed: the first ~cap nodes of a cluster
+    // became unreachable). Pruned candidates refill spare slots
+    // (hnswlib's keepPrunedConnections) so degree never starves.
+    def selectDiverse(q: Int, candD: Array[Double], candN: Array[Int], m0: Int): Array[Int] = {
+      val sel = new ArrayBuffer[Int](m0)
+      val pruned = new ArrayBuffer[Int]()
+      var i2 = 0
+      while (i2 < candN.length && sel.length < m0) {
+        val c = candN(i2)
+        val dq = candD(i2)
+        var ok = true
+        var j = 0
+        while (ok && j < sel.length) {
+          if (dist2(c, sel(j)) < dq) ok = false
+          j += 1
+        }
+        if (ok) sel += c else pruned += c
+        i2 += 1
+      }
+      var pi = 0
+      while (sel.length < m0 && pi < pruned.length) { sel += pruned(pi); pi += 1 }
+      sel.toArray
+    }
+    // keep a neighbor list at its degree cap, diversity-first
+    def shrink(node: Int, level: Int, cap: Int): Unit = {
+      val lst = adj(node)(level)
+      if (lst.length <= cap) return
+      val arr = lst.toArray.distinct
+      val ds = arr.map(a => dist2(node, a))
+      val idx = arr.indices.sortWith((x, y) => lt(ds(x), arr(x), ds(y), arr(y))).toArray
+      val kept = selectDiverse(node, idx.map(ds(_)), idx.map(arr(_)), cap)
+      lst.clear()
+      lst ++= kept
+    }
+
+    var entry = 0
+    var top = if (n > 0) levels(0) else 0
+    i = 1
+    while (i < n) {
+      val l = levels(i)
+      var eps = Array(entry)
+      var lc = top
+      while (lc > l) {
+        val (_, nodes) = searchLayer(i, eps, 1, lc)
+        if (nodes.nonEmpty) eps = Array(nodes(0))
+        lc -= 1
+      }
+      lc = math.min(l, top)
+      while (lc >= 0) {
+        val (dists, nodes) = searchLayer(i, eps, efConstruction, lc)
+        val cap = if (lc == 0) 2 * m else m
+        val nbrs = selectDiverse(i, dists, nodes, m)
+        nbrs.foreach { nb =>
+          adj(i)(lc) += nb
+          adj(nb)(lc) += i
+          shrink(nb, lc, cap)
+        }
+        eps = nodes
+        lc -= 1
+      }
+      if (l > top) { entry = i; top = l }
+      i += 1
+    }
+    val frozen: Array[Array[Array[Int]]] =
+      Array.tabulate(n)(j => adj(j).map(_.toArray))
+    new Hnsw(dim, ids, flat, frozen, entry, top)
+  }
+}

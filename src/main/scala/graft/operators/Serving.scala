@@ -32,7 +32,11 @@ final class ServedIvfIndex private (
     postOffsets: Array[Int], // centroid idx -> [start, end) into postPoints
     postPoints: Array[Int], // indices into the point store
     pointIds: Array[Long],
-    vecFlat: Array[Double]) { // |points| x dim, row-major
+    vecFlat: Array[Double], // |points| x dim, row-major
+    // opt-in stage-1 HNSW over the centroids (node idx == centroid idx;
+    // both built from the same centroid_id-sorted arrays) — the
+    // reference's in-RAM centroid graph for >=1M-centroid shards
+    centroidHnsw: Option[Hnsw] = None) {
 
   def numCentroids: Int = centroidIds.length
   def numPoints: Int = pointIds.length
@@ -84,15 +88,13 @@ final class ServedIvfIndex private (
     * (dist asc, id asc) — identical to Ann.ivfTopK on the same index.
     * Thread-safe; the probe stage fans out across posting lists when the
     * candidate volume is large enough to pay for coordination. */
-  def search(query: Array[Double], k: Int, nprobe: Int): Array[(Long, Double)] = {
+  /** Stage 1, exact: nprobe smallest centroids by (cdist, centroid_id). */
+  private def exactChosen(query: Array[Double], m: Int): Array[Int] = {
     val nc = centroidIds.length
-    if (nc == 0 || k <= 0) return Array.empty
-    // stage 1: exact centroid scan, nprobe smallest by (cdist, centroid_id)
     val cd = new Array[Double](nc)
     var c = 0
     while (c < nc) { cd(c) = sq(query, centFlat, c * dim); c += 1 }
     val order = Array.tabulate(nc)(identity)
-    val m = math.min(nprobe, nc)
     var s = 0
     while (s < m) {
       var best = s
@@ -108,6 +110,22 @@ final class ServedIvfIndex private (
       }
       val t = order(s); order(s) = order(best); order(best) = t
       s += 1
+    }
+    order
+  }
+
+  def search(query: Array[Double], k: Int, nprobe: Int): Array[(Long, Double)] = {
+    val nc = centroidIds.length
+    if (nc == 0 || k <= 0) return Array.empty
+    val m = math.min(nprobe, nc)
+    // stage 1: HNSW descent when built (approximate, ef = 2x the ask),
+    // exact scan otherwise — or as the fallback if the graph comes up
+    // short (disconnected component on a degenerate build)
+    val order: Array[Int] = centroidHnsw match {
+      case Some(h) if m < nc =>
+        val nodes = h.searchNodes(query, m, math.max(2 * m, 64))
+        if (nodes.length >= m) nodes else exactChosen(query, m)
+      case _ => exactChosen(query, m)
     }
     // stage 2: probe the chosen posting lists
     def scoreLists(listIdxs: Seq[Int]): TopK = {
@@ -172,9 +190,16 @@ object ServedIvfIndex {
   /** Load an IVF index (as built by [[Ann.ivfIndex]] or read from a
     * collection segment) into serving memory. One-time cost, bounded by
     * the shard size — mirrors the reference's segment load. */
+  /** @param centroidIndex `"exact"` (default — bit-identical to
+    *   [[Ann.ivfTopK]], right up to ~100k centroids) or `"hnsw"` (the
+    *   reference's in-RAM centroid graph; approximate stage 1 for shards
+    *   whose centroid counts outgrow the scan). */
   def build(
       embeddings: DataFrame, centroids: DataFrame, postings: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): ServedIvfIndex = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIndex: String = "exact"): ServedIvfIndex = {
+    require(centroidIndex == "exact" || centroidIndex == "hnsw",
+      s"centroidIndex must be exact|hnsw, got $centroidIndex")
     val cRows = centroids
       .select(col("centroid_id").cast("int"), col("vector").cast("array<double>"))
       .collect()
@@ -236,7 +261,11 @@ object ServedIvfIndex {
       }
     }
     val _ = cIdToIdx // ids are dense post-sort; map kept for clarity
+    val hnsw =
+      if (centroidIndex == "hnsw" && cRows.nonEmpty)
+        Some(Hnsw.build(centroidIds.map(_.toLong), cRows.map(_._2)))
+      else None
     new ServedIvfIndex(dim, centroidIds, centFlat, postOffsets, postPoints,
-      pointIds, vecFlat)
+      pointIds, vecFlat, hnsw)
   }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Hnsw, ServedIvfIndex}
+
+/** HNSW centroid graph: exactness at full beam, recall at the reference's
+  * ef, determinism, and the opt-in served stage-1 integration. */
+class HnswSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Deterministic clustered points: `nClusters` planted directions plus
+    * hash noise (same shape Scale uses, so recall is meaningful). */
+  private def points(n: Int, dim: Int, nClusters: Int): Array[(Long, Array[Double])] =
+    Array.tabulate(n) { i =>
+      val c = i % nClusters
+      val v = Array.tabulate(dim) { d =>
+        val base = if (d % nClusters == c) 4.0 else 0.0
+        val h = graft.functions.HashKernels.mix64(i.toLong * 7919L + d)
+        base + h.toDouble / Long.MaxValue.toDouble
+      }
+      (i.toLong, v)
+    }
+
+  private def bruteTopK(
+      pts: Array[(Long, Array[Double])], q: Array[Double], k: Int): Seq[Long] =
+    pts.map { case (id, v) =>
+      var acc = 0.0
+      var d = 0
+      while (d < v.length) { val x = q(d) - v(d); acc += x * x; d += 1 }
+      (acc, id)
+    }.sortBy(identity).take(k).map(_._2).toSeq
+
+  test("full-beam search is exact (equals brute force, same order)") {
+    val pts = points(300, 8, 6)
+    val g = Hnsw.build(pts.map(_._1), pts.map(_._2))
+    for (qi <- Seq(0, 17, 123)) {
+      val q = pts(qi)._2
+      val got = g.search(q, 10, ef = 300).map(_._1).toSeq
+      assert(got === bruteTopK(pts, q, 10), s"query $qi")
+    }
+    // distances come back as true l2 in (dist asc, id asc) order
+    val res = g.search(pts(0)._2, 10, ef = 300)
+    assert(res.head._1 === 0L && res.head._2 === 0.0)
+    assert(res.map(_._2).toSeq === res.map(_._2).sorted.toSeq)
+  }
+
+  test("recall@10 >= 0.95 at ef=100 over 5000 clustered points") {
+    val pts = points(5000, 16, 20)
+    val g = Hnsw.build(pts.map(_._1), pts.map(_._2))
+    val recalls = (0 until 25).map { qi =>
+      val q = pts(qi * 37)._2
+      val oracle = bruteTopK(pts, q, 10).toSet
+      val got = g.search(q, 10, ef = 100).map(_._1).toSet
+      oracle.intersect(got).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.95, s"mean recall@10 $mean")
+  }
+
+  test("deterministic: identical builds answer identically") {
+    val pts = points(800, 8, 8)
+    val g1 = Hnsw.build(pts.map(_._1), pts.map(_._2))
+    val g2 = Hnsw.build(pts.map(_._1), pts.map(_._2))
+    for (qi <- 0 until 20) {
+      val q = pts(qi * 31)._2
+      assert(g1.search(q, 10, 64).toSeq === g2.search(q, 10, 64).toSeq)
+    }
+  }
+
+  test("served hnsw mode: full-probe parity with exact, partial-probe recall") {
+    val emb = points(2000, 16, 10).toSeq
+      .map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val (centroids, postings) = Ann.ivfIndex(emb, numCentroids = 32)
+    val exact = ServedIvfIndex.build(emb, centroids, postings)
+    val hnsw = ServedIvfIndex.build(emb, centroids, postings, centroidIndex = "hnsw")
+    val queries = (0 until 10).map(qi => points(2000, 16, 10)(qi * 101)._2)
+    // probing every centroid: stage-1 order can't matter — bit-identical
+    for (q <- queries)
+      assert(hnsw.search(q, 10, nprobe = 32).toSeq === exact.search(q, 10, nprobe = 32).toSeq)
+    // partial probe: approximate stage 1 must still find what exact finds
+    val recalls = queries.map { q =>
+      val o = exact.search(q, 10, nprobe = 8).map(_._1).toSet
+      val g = hnsw.search(q, 10, nprobe = 8).map(_._1).toSet
+      o.intersect(g).size.toDouble / math.max(1, o.size)
+    }
+    assert(recalls.sum / recalls.length >= 0.9,
+      s"served hnsw stage-1 recall ${recalls.sum / recalls.length}")
+  }
+}
