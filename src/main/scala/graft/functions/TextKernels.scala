@@ -1,8 +1,11 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-character Unicode-script vote for language ID — the only part of
@@ -56,6 +59,74 @@ object TextKernels {
     else if (best == cAr) ar
     else hi
   }
+
+  private val space = UTF8String.fromString(" ")
+
+  /** Per-document n-gram repetition statistics over a token array, one
+    * linear pass per n (Gopher §A.1.1 signals). Counts 1/2/3-gram
+    * multiplicities in open hash maps INSIDE the row — the whole
+    * per-(doc, n, gram) count table the groupBy formulation shuffled
+    * (~3 rows per token, corpus-wide) never leaves the task. Grams are
+    * the exact strings `concat_ws(" ", slice(toks, i, n))` produced, so
+    * results are value-identical to the SQL replay the q46 oracle runs.
+    *
+    * Returns `[tokens, nd1, nd2, top2, nd3, top3]` (distinct counts per
+    * n; modal counts for n = 2, 3); `total_n = max(0, tokens - n + 1)`
+    * is derived by the caller. */
+  final def repetitionStats(arr: ArrayData): InternalRow = {
+    val t = arr.numElements()
+    val m1 = new java.util.HashMap[UTF8String, Int]()
+    var i = 0
+    while (i < t) {
+      m1.merge(arr.getUTF8String(i), 1, (a: Int, b: Int) => a + b)
+      i += 1
+    }
+    var nd2 = 0L
+    var top2 = 0L
+    var nd3 = 0L
+    var top3 = 0L
+    var n = 2
+    while (n <= 3) {
+      val m = new java.util.HashMap[UTF8String, Int]()
+      var top = 0
+      i = 0
+      while (i <= t - n) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        val c = m.merge(UTF8String.concatWs(space, parts: _*), 1, (a: Int, b: Int) => a + b)
+        if (c > top) top = c
+        i += 1
+      }
+      if (n == 2) { nd2 = m.size.toLong; top2 = top.toLong }
+      else { nd3 = m.size.toLong; top3 = top.toLong }
+      n += 1
+    }
+    new GenericInternalRow(Array[Any](t.toLong, m1.size.toLong, nd2, top2, nd3, top3))
+  }
+
+  /** Per-document term frequencies in one in-row pass:
+    * `[(term, tf)]` entries (order unspecified — feeds aggregations).
+    * Replaces a corpus-wide groupBy(doc, term) whose shuffle carried one
+    * row per token; the count table never leaves the task. */
+  final def termCounts(arr: ArrayData): ArrayData = {
+    val t = arr.numElements()
+    val m = new java.util.LinkedHashMap[UTF8String, Int]()
+    var i = 0
+    while (i < t) {
+      m.merge(arr.getUTF8String(i), 1, (a: Int, b: Int) => a + b)
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new GenericInternalRow(Array[Any](e.getKey, e.getValue.toLong))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `script_vote(text)` — see [[TextKernels.scriptVote]]; null for
@@ -77,6 +148,54 @@ case class ScriptVote(child: Expression)
          |${ev.value} = graft.functions.TextKernels.scriptVote($a);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `repetition_stats(tokens)` — see [[TextKernels.repetitionStats]]. A
+  * single static call inside whole-stage codegen; the per-gram count
+  * tables live and die inside the row. */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = StructType(Seq(
+    StructField("tokens", LongType, nullable = false),
+    StructField("nd1", LongType, nullable = false),
+    StructField("nd2", LongType, nullable = false),
+    StructField("top2", LongType, nullable = false),
+    StructField("nd3", LongType, nullable = false),
+    StructField("top3", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionStats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.repetitionStats($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `term_counts(tokens)` — see [[TextKernels.termCounts]]. */
+case class TermCounts(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "term_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.termCounts(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.termCounts($a);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -64,9 +64,15 @@ object TextPipeline {
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 3): DataFrame = {
-    val toks = Gen.explodeOnce(Par.ensure(docs),
-      Seq(col(idCol).as("id")), tokenize(col(textCol)), "term")
-    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    import org.apache.spark.sql.graft.ColumnBridge
+    // tf in-row (term_counts kernel): the former groupBy(doc, term) shuffled
+    // one row per TOKEN corpus-wide; now one (term, tf) row per distinct
+    // term per doc leaves the map stage, and the first shuffle is the
+    // (bounded-key) df aggregate
+    val tf = Gen.explodeOnce(Par.ensure(docs), Seq(col(idCol).as("id")),
+      ColumnBridge.column(graft.functions.TermCounts(
+        ColumnBridge.expression(tokenize(col(textCol))))), "tc")
+      .select(col("id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
     val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // corpus size: single-row aggregate, broadcast into the score expr
     val n = docs.select(count(lit(1)).as("n"))
@@ -112,49 +118,40 @@ object TextPipeline {
     * n-gram (`mode_count/total`) — high values flag templated/boilerplate
     * text for quality filtering.
     *
-    * Scale shape: exploded (doc, n, gram) rows through two
-    * partial-aggregating groupBys — per-gram counts, then per-(doc, n)
-    * totals/max — so a single pathological 100k-token document costs
-    * O(tokens) distributed work, never the O(tokens^2) of per-row modal
-    * array expressions; hot (doc, n, gram) keys are bounded map-side by
-    * the partial count.
+    * Scale shape: MAP-ONLY. The [[graft.functions.RepetitionStats]]
+    * codegen kernel counts each document's 1/2/3-gram multiplicities in
+    * per-row hash tables (O(tokens) per doc, even for a pathological
+    * 100k-token document), so the per-(doc, n, gram) count table — which
+    * an earlier groupBy formulation shuffled corpus-wide at ~3 rows per
+    * token, its 100 TB bottleneck — never leaves the task. Gram strings
+    * and fraction arithmetic match the SQL the q46 oracle replays
+    * (`concat_ws(" ", slice(toks, i, n))`; `round(1 - nd/total, 4)`).
     *
     * Returns `[id, dup_unigram_frac, dup_bigram_frac, dup_trigram_frac,
     * top_bigram_frac, top_trigram_frac]`, one row per input document
-    * (token-free documents score 0 everywhere). */
+    * (documents with fewer than n tokens score 0 at that n). */
   def repetitionSignals(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = Par.ensure(docs)
-      .select(col(idCol).as("id"), tokenize(col(textCol)).as("toks"))
-    def gramsOf(n: Int): Column =
-      if (n == 1) col("toks")
-      else when(size(col("toks")) >= n,
-        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
-        .otherwise(array().cast("array<string>"))
-    val exploded = Gen.explodeOnce(toks, Seq(col("id")),
-      flatten(array(Seq(1, 2, 3).map(n =>
-        transform(gramsOf(n), g => struct(lit(n).as("n"), g.as("g")))): _*)), "e")
-      .select(col("id"), col("e.n").as("n"), col("e.g").as("g"))
-    val perN = exploded
-      .groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
-      .groupBy("id", "n").agg(
-        sum(col("c")).as("total"), count(lit(1)).as("nd"), max(col("c")).as("top"))
-    val dupFrac = lit(1.0) - col("nd").cast("double") / col("total")
-    val topFrac = col("top").cast("double") / col("total")
-    def pick(n: Int, v: Column) = max(when(col("n") === n, round(v, 4)))
-    val sig = perN.groupBy("id").agg(
-      pick(1, dupFrac).as("dup_unigram_frac"),
-      pick(2, dupFrac).as("dup_bigram_frac"),
-      pick(3, dupFrac).as("dup_trigram_frac"),
-      pick(2, topFrac).as("top_bigram_frac"),
-      pick(3, topFrac).as("top_trigram_frac"))
-    // docs shorter than n produce no (id, n) group; empty docs none at all
-    docs.select(col(idCol).as("id")).join(sig, Seq("id"), "left")
-      .select(col("id") +:
-        Seq("dup_unigram_frac", "dup_bigram_frac", "dup_trigram_frac",
-          "top_bigram_frac", "top_trigram_frac")
-          .map(c => coalesce(col(c), lit(0.0)).as(c)): _*)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val stats = ColumnBridge.column(graft.functions.RepetitionStats(
+      ColumnBridge.expression(tokenize(col(textCol)))))
+    val total = Seq(col("st.tokens"),
+      greatest(col("st.tokens") - 1, lit(0L)),
+      greatest(col("st.tokens") - 2, lit(0L)))
+    def dup(n: Int, nd: Column): Column =
+      when(total(n - 1) > 0,
+        round(lit(1.0) - nd.cast("double") / total(n - 1), 4)).otherwise(0.0)
+    def top(n: Int, tc: Column): Column =
+      when(total(n - 1) > 0,
+        round(tc.cast("double") / total(n - 1), 4)).otherwise(0.0)
+    Par.ensure(docs)
+      .select(col(idCol).as("id"), stats.as("st"))
+      .select(col("id"),
+        dup(1, col("st.nd1")).as("dup_unigram_frac"),
+        dup(2, col("st.nd2")).as("dup_bigram_frac"),
+        dup(3, col("st.nd3")).as("dup_trigram_frac"),
+        top(2, col("st.top2")).as("top_bigram_frac"),
+        top(3, col("st.top3")).as("top_trigram_frac"))
   }
 
   /** PII redaction — replace emails, phone-number shapes, and IPv4
