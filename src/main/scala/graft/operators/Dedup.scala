@@ -57,7 +57,7 @@ object Dedup {
   /** Pair derivation over a precomputed `[id, sig]` signature table.
     *
     * The signature frame feeds the band explode AND both re-attach joins
-    * (three consumers), so it is `localCheckpoint`ed here — one
+    * (three consumers), so it is persisted here — one
     * scan→shingle→minhash pass total instead of one per consumer (at
     * corpus scale the recompute, not the banding, is the dominant cost).
     *
@@ -79,7 +79,10 @@ object Dedup {
     // table): re-reading a columnar file three times is cheaper than an
     // extra in-memory copy
     val sigs0 = sigsIn.select(col("id"), col("sig"))
-    val sigs = if (checkpoint) sigs0.localCheckpoint() else sigs0
+    val sigs =
+      if (checkpoint)
+        sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigs0
     // Only (band, id) rides the shuffle; signatures re-attached to the
     // (much smaller) deduped candidate set afterwards.
     val banded = Gen.explodeOnce(
@@ -170,9 +173,12 @@ object Dedup {
         struct(lit(si).as("chunk"), key.as("key"))
     }
     // sketches feed one consumer when the guard is off; with the guard on,
-    // the count pass adds a second — checkpoint only then
+    // the count pass adds a second — persist only then
     val sk0 = sketches.select(col("id"), col("sk"))
-    val sk = if (maxBucket > 0) sk0.localCheckpoint() else sk0
+    val sk =
+      if (maxBucket > 0)
+        sk0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sk0
     // One shuffle of (chunk, key, id, sk); each bucket's pairs are
     // expanded in-task with the exact Hamming verify fused into the
     // expansion loop ([[graft.functions.PairKernels.hammingPairs]]), so
@@ -279,13 +285,13 @@ object Dedup {
       flatPlanes(w) = h.toDouble / Long.MaxValue.toDouble
       w += 1
     }
-    // vecs feed the sketch explode AND both re-attach joins — checkpoint
+    // vecs feed the sketch explode AND both re-attach joins — persist
     // so the corpus is scanned once, not once per consumer (the q27-style
     // recompute fix; at 100 TB this is the difference between 1 and 3
     // full passes).
     val vecs = Par.ensure(embeddings)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Only (bucket, id) rides the band-join shuffle; the wide vectors are
     // joined back onto the (much smaller) deduped candidate set, exactly
     // as minhashPairs re-attaches signatures.
