@@ -28,20 +28,25 @@ object ScaleText {
     // deterministic synthetic corpus; generation happens once, outside the
     // timed sections (persisted). 30% of tokens draw from a 1k hot head so
     // df/tf skew resembles natural text; every 11th doc carries a repeated
-    // phrase so repetitionSignals has real positives to find.
+    // phrase so repetitionSignals has real positives to find; every 13th
+    // doc is a one-token-off near-copy of its neighbor so the minhash pair
+    // expansion and verify join have real work (jaccard ~0.99).
     val genUdf = udf { (id: Long) =>
       import graft.functions.HashKernels.mix64
-      val len = 150 + (math.floorMod(mix64(id), 100L)).toInt
+      val dup = id % 13 == 12
+      val seed = if (dup) id - 1 else id
+      val len = 150 + (math.floorMod(mix64(seed), 100L)).toInt
       val sb = new StringBuilder(len * 7)
       var i = 0
       while (i < len) {
-        val h = math.abs(mix64(id * 100003L + i))
+        val h = math.abs(mix64(seed * 100003L + i))
         val w = if (h % 10 < 3) h % 1000 else h % 30000
         sb.append('w').append(w).append(' ')
         i += 1
       }
-      if (id % 11 == 0)
+      if (seed % 11 == 0)
         sb.append(Seq.fill(20)("click here to subscribe now").mkString(" "))
+      if (dup) sb.append(" changed")
       sb.toString
     }
     val docs = spark.range(n.toLong)

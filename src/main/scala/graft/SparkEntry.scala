@@ -399,6 +399,24 @@ object SparkEntry {
       TextPipeline.redactPii(T(s, d, "documents"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // thresholds tuned to the synthetic corpus so BOTH outcomes occur
+    // (wordy boilerplate fails ok_repetition, short docs fail ok_words);
+    // the rule arithmetic, not the thresholds, is what the oracle checks
+    "q49_gopher_filter" -> ((s, d) =>
+      TextPipeline.gopherQualityFilter(T(s, d, "documents"),
+        minWords = 20, maxWords = 100000,
+        minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+        maxSymbolWordRatio = 0.1,
+        maxDupTrigramFrac = 0.55, maxTopBigramFrac = 0.15)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    // per-source token budgets: the data-mixing primitive — deterministic
+    // md5-ordered greedy fill, replayed by a DuckDB window
+    "q50_token_budget" -> ((s, d) =>
+      TextPipeline.tokenBudgetSample(T(s, d, "documents"), "source",
+        Map("src0" -> 2000L, "src1" -> 5000L), defaultBudget = 10000L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     "q34_multimodal" -> ((s, d) =>
       // features exploded to one row per slot so the deterministic stub
       // (byte histogram over the sha256-hex payload) is DuckDB-replayable
@@ -730,6 +748,42 @@ object SparkEntry {
             round(CASE WHEN len(g2) = 0 THEN 0 ELSE list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x))))::DOUBLE / len(g2) END, 4) AS top_bigram_frac,
             round(CASE WHEN len(g3) = 0 THEN 0 ELSE list_max(list_transform(list_distinct(g3), x -> len(list_filter(g3, y -> y = x))))::DOUBLE / len(g3) END, 4) AS top_trigram_frac
           FROM g ORDER BY doc_id""",
+    "q49_gopher_filter" ->
+      s"""WITH d AS (SELECT doc_id, $docToksSql AS toks FROM documents),
+          g AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,
+            CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+              i -> array_to_string(toks[i:i+1], ' ')) ELSE [] END AS g2,
+            CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' ')) ELSE [] END AS g3
+          FROM d),
+          m AS (SELECT doc_id, n,
+            round(CASE WHEN n = 0 THEN 0 ELSE list_sum(list_transform(toks, x -> len(x)))::DOUBLE / n END, 4) AS mean_word_len,
+            round(CASE WHEN n = 0 THEN 0 ELSE len(list_filter(toks, t -> contains(t, '#') OR contains(t, '...') OR contains(t, '…')))::DOUBLE / n END, 4) AS symbol_word_ratio,
+            round(CASE WHEN len(g3) = 0 THEN 0 ELSE 1 - len(list_distinct(g3))::DOUBLE / len(g3) END, 4) AS dup_trigram_frac,
+            round(CASE WHEN len(g2) = 0 THEN 0 ELSE list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x))))::DOUBLE / len(g2) END, 4) AS top_bigram_frac
+          FROM g)
+          SELECT doc_id, n AS n_words, mean_word_len, symbol_word_ratio,
+            dup_trigram_frac, top_bigram_frac,
+            (n BETWEEN 20 AND 100000) AS ok_words,
+            (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_mean_len,
+            (symbol_word_ratio <= 0.1) AS ok_symbols,
+            (dup_trigram_frac <= 0.55 AND top_bigram_frac <= 0.15) AS ok_repetition,
+            ((n BETWEEN 20 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+              AND (symbol_word_ratio <= 0.1)
+              AND (dup_trigram_frac <= 0.55 AND top_bigram_frac <= 0.15)) AS keep
+          FROM m ORDER BY doc_id""",
+    "q50_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, source AS stratum,
+            len($docToksSql)::BIGINT AS n_tokens FROM documents),
+          c AS (SELECT doc_id, stratum, n_tokens,
+            (sum(n_tokens) OVER (PARTITION BY stratum
+              ORDER BY md5(doc_id::VARCHAR), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+          FROM t)
+          SELECT doc_id, stratum, n_tokens, cum_tokens FROM c
+          WHERE cum_tokens <= (CASE stratum WHEN 'src0' THEN 2000
+            WHEN 'src1' THEN 5000 ELSE 10000 END)
+          ORDER BY doc_id""",
     "q45_knn_graph" ->
       """SELECT q_id, vec_id, dist, rank FROM (
            SELECT a.vec_id AS q_id, b.vec_id AS vec_id,

@@ -205,8 +205,23 @@ object Ann {
     // shuffle_hash: the candidate volume must never be sort-merged — SHJ
     // builds a per-partition hash table of the (smaller) index side and
     // streams queries through it; canonical_site runs as part of the join
-    // condition, so redundant multi-probe pairs die before scoring
-    val scored = queries.join(index.hint("shuffle_hash"), Seq("cidx"))
+    // condition, so redundant multi-probe pairs die before scoring.
+    //
+    // The join's partition count is sized from the BUILD side's byte
+    // volume (rows x multi-assign x vector width), not left at the
+    // session default: vectors ride this exchange, and at 1M x 768 the
+    // default 32 partitions put ~400 MB of hash table in every task —
+    // "Can't acquire memory to build hash relation". ~192 MB per
+    // partition keeps the build comfortably inside a task's share while
+    // staying at the session default for small inputs.
+    val nIndex = base.count()
+    val buildBytes =
+      nIndex.toDouble * maxClustersPerVector * (dim * 8L + 48L)
+    val joinParts = math.max(
+      embeddings.sparkSession.sessionState.conf.numShufflePartitions,
+      math.ceil(buildBytes / (192L << 20).toDouble).toInt)
+    val scored = queries.repartition(joinParts, col("cidx"))
+      .join(index.repartition(joinParts, col("cidx")).hint("shuffle_hash"), Seq("cidx"))
       .filter(canonical_site(col("q_probes"), col("n_assigns"), col("cidx")))
       .filter(if (includeSelf) lit(true) else col("q_id") =!= col("vec_id"))
       .withColumn("dist", l2_distance(col("q_vec"), col("n_vec")))

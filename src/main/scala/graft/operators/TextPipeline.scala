@@ -207,4 +207,109 @@ object TextPipeline {
         col("swr") < maxStopwordRatio)
       .select(col("id"), col("n_tokens"))
   }
+
+  /** Gopher-rule composite quality filter (Rae et al. 2021 §A.1.1; the
+    * same rule family C4/RefinedWeb/Dolma apply): per-document booleans
+    * for each rule plus the composite keep flag, so a pipeline can either
+    * filter on `keep` or audit per-rule drop rates.
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [minMeanWordLen, maxMeanWordLen]; symbol-to-word ratio (tokens
+    * containing `#` or ellipsis) <= maxSymbolWordRatio; duplicate-trigram
+    * fraction <= maxDupTrigramFrac and top-bigram fraction <=
+    * maxTopBigramFrac (via the map-only `repetition_stats` kernel).
+    *
+    * Scale shape: a single map pass — every signal is an in-row
+    * expression; nothing shuffles. Returns `[id, n_words, mean_word_len,
+    * symbol_word_ratio, dup_trigram_frac, top_bigram_frac, ok_words,
+    * ok_mean_len, ok_symbols, ok_repetition, keep]`. */
+  def gopherQualityFilter(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1,
+      maxDupTrigramFrac: Double = 0.3,
+      maxTopBigramFrac: Double = 0.18): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    // layered projections so each row tokenizes ONCE: `toks` is referenced
+    // by three consumers, and CollapseProject keeps expensive multiply-
+    // referenced aliases un-inlined (same trick as TextPipeline.languages)
+    val stats = ColumnBridge.column(graft.functions.RepetitionStats(
+      ColumnBridge.expression(col("toks"))))
+    val meanLen = when(size(col("toks")) === 0, 0.0).otherwise(
+      aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(col("toks")).cast("double"))
+    val base = Par.ensure(docs)
+      .select(col(idCol).as("id"), tokenize(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"), stats.as("st"),
+        round(meanLen, 4).as("mean_word_len"))
+    val n = col("st.tokens")
+    val symbolic = size(filter(col("toks"),
+      t => t.contains("#") || t.contains("...") || t.contains("…")))
+    val dupTri = when(n >= 3,
+      round(lit(1.0) - col("st.nd3").cast("double") / (n - 2), 4)).otherwise(0.0)
+    val topBi = when(n >= 2,
+      round(col("st.top2").cast("double") / (n - 1), 4)).otherwise(0.0)
+    base.select(
+      col("id"),
+      n.as("n_words"),
+      col("mean_word_len"),
+      when(n > 0, round(symbolic.cast("double") / n, 4)).otherwise(0.0)
+        .as("symbol_word_ratio"),
+      dupTri.as("dup_trigram_frac"),
+      topBi.as("top_bigram_frac"))
+      .withColumn("ok_words", col("n_words").between(minWords, maxWords))
+      .withColumn("ok_mean_len",
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen))
+      .withColumn("ok_symbols", col("symbol_word_ratio") <= maxSymbolWordRatio)
+      .withColumn("ok_repetition",
+        col("dup_trigram_frac") <= maxDupTrigramFrac &&
+          col("top_bigram_frac") <= maxTopBigramFrac)
+      .withColumn("keep",
+        col("ok_words") && col("ok_mean_len") && col("ok_symbols") &&
+          col("ok_repetition"))
+  }
+
+  /** Deterministic token-budget mixing — the data-mixing primitive for
+    * assembling a training corpus at fixed token counts per source/
+    * language: within each stratum, walk documents in `md5(id)` order (a
+    * reproducible shuffle, same engine-portable trick as
+    * [[stratifiedSample]]) and keep them while the stratum's running
+    * token total stays within its budget. The first document of a
+    * stratum is kept even when it alone exceeds the budget iff
+    * `keepFirst` (so no stratum comes back empty).
+    *
+    * One shuffle, keyed by stratum. Like [[Sessionize.batch]], a single
+    * pathological stratum serializes into one partition — at real scale
+    * strata are sources/languages (tens to thousands), each orders of
+    * magnitude smaller than the corpus. Returns
+    * `[id, stratum, n_tokens, cum_tokens]`. */
+  def tokenBudgetSample(
+      docs: DataFrame,
+      strataCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      keepFirst: Boolean = false): DataFrame = {
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
+      when(col("stratum") === s, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy("stratum")
+      .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
+    val cum = Par.ensure(docs)
+      .select(col(idCol).as("id"), col(strataCol).as("stratum"),
+        token_count_ws(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val within = cum.filter(col("cum_tokens") <= budget)
+    if (!keepFirst) within
+    else within.unionByName(
+      cum.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1 && col("cum_tokens") > budget)
+        .drop("rk"))
+  }
 }

@@ -116,6 +116,62 @@ class PipelineOpsSpec extends SparkSuite {
     assert(again === sampled.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("gopher filter: each rule fires on its planted violation, clean doc keeps") {
+    val clean = (1 to 60).map(i => s"word$i").mkString(" ") // 60 distinct 5+-char words
+    val docs = Seq(
+      (0L, clean),
+      (1L, "too short"), // fails ok_words
+      (2L, (1 to 60).map(_ => "ab").mkString(" ")), // mean len 2 -> fails ok_mean_len
+      (3L, clean + " " + (1 to 12).map(i => s"#tag$i").mkString(" ")), // fails ok_symbols
+      (4L, (1 to 30).map(_ => "spam repeat now").mkString(" ")) // fails ok_repetition
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.gopherQualityFilter(docs,
+      minWords = 20, maxWords = 100000, maxSymbolWordRatio = 0.1,
+      maxDupTrigramFrac = 0.55, maxTopBigramFrac = 0.15)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Boolean]("ok_words"), r.getAs[Boolean]("ok_mean_len"),
+          r.getAs[Boolean]("ok_symbols"), r.getAs[Boolean]("ok_repetition"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(got(0L) === ((true, true, true, true, true)))
+    assert(got(1L)._1 === false && got(1L)._5 === false)
+    assert(got(2L)._2 === false && got(2L)._5 === false)
+    assert(got(3L)._3 === false && got(3L)._5 === false)
+    assert(got(4L)._4 === false && got(4L)._5 === false)
+    // exact signal spot-check for the boilerplate doc: 90 tokens of a
+    // 3-token cycle -> 3 distinct trigrams over 88 -> dup = 1 - 3/88
+    val sig = TextPipeline.gopherQualityFilter(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("dup_trigram_frac")).toMap
+    assert(math.abs(sig(4L) - (1.0 - 3.0 / 88.0)) < 1e-3)
+  }
+
+  test("token budget sample: greedy md5-order fill per stratum, exact budgets") {
+    val docs = (0 until 40).map { i =>
+      val src = if (i % 2 == 0) "a" else "b"
+      (i.toLong, src, (1 to 10).map(j => s"t${i}_$j").mkString(" ")) // 10 tokens each
+    }.toDF("doc_id", "source", "text")
+    val got = TextPipeline.tokenBudgetSample(docs, "source",
+      Map("a" -> 52L), defaultBudget = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byStratum = got.groupBy(_._2)
+    // 10-token docs: budget 52 -> exactly 5 docs (cum 50); default 100 -> 10
+    assert(byStratum("a").length === 5)
+    assert(byStratum("b").length === 10)
+    assert(byStratum("a").map(_._3).sum === 50L)
+    assert(got.forall(_._4 <= 100L))
+    // deterministic: same rows on re-run
+    val again = TextPipeline.tokenBudgetSample(docs, "source",
+      Map("a" -> 52L), defaultBudget = 100L)
+      .select("id").as[Long].collect().toSet
+    assert(again === got.map(_._1).toSet)
+    // keepFirst: a stratum whose first doc exceeds its budget still returns it
+    val one = TextPipeline.tokenBudgetSample(docs, "source",
+      Map("a" -> 5L, "b" -> 5L), defaultBudget = 5L, keepFirst = true)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(one.groupBy(_._1).forall(_._2.length == 1))
+    assert(TextPipeline.tokenBudgetSample(docs, "source",
+      Map("a" -> 5L, "b" -> 5L), defaultBudget = 5L).count() === 0L)
+  }
+
   test("language ID: script vote for non-Latin, stopword profiles for Latin") {
     val docs = Seq(
       (0L, "the cat sat on the mat and it was happy for a while"), // en
