@@ -211,15 +211,17 @@ object Ann {
     // volume (rows x multi-assign x vector width), not left at the
     // session default: vectors ride this exchange, and at 1M x 768 the
     // default 32 partitions put ~400 MB of hash table in every task —
-    // "Can't acquire memory to build hash relation". ~192 MB per
-    // partition keeps the build comfortably inside a task's share while
-    // staying at the session default for small inputs.
+    // "Can't acquire memory to build hash relation". The ~64 MB/partition
+    // target leaves headroom for the hash map's power-of-two growth
+    // allocations even when a cached corpus pins the storage half of the
+    // unified pool (execution share can be as low as ~450 MB/task);
+    // small inputs stay at the session default.
     val nIndex = base.count()
     val buildBytes =
       nIndex.toDouble * maxClustersPerVector * (dim * 8L + 48L)
     val joinParts = math.max(
       embeddings.sparkSession.sessionState.conf.numShufflePartitions,
-      math.ceil(buildBytes / (192L << 20).toDouble).toInt)
+      math.ceil(buildBytes / (64L << 20).toDouble).toInt)
     val scored = queries.repartition(joinParts, col("cidx"))
       .join(index.repartition(joinParts, col("cidx")).hint("shuffle_hash"), Seq("cidx"))
       .filter(canonical_site(col("q_probes"), col("n_assigns"), col("cidx")))
