@@ -142,10 +142,14 @@ object GraftFunctions {
     * [[PairKernels]]). */
   def sorted_pairs(ids: Column): Column = col(SortedPairs(ex(ids)))
 
-  /** SimHash bucket pair expansion with the Hamming verify fused in:
-    * input `array<struct<id, sk>>`, output pairs within `maxHamming`. */
-  def hamming_pairs(entries: Column, maxHamming: Int): Column =
-    col(HammingPairs(ex(entries), maxHamming))
+  /** SimHash bucket pair expansion with the Hamming verify fused in and
+    * emit-once across LSH tables: input `array<struct<id, sk>>` plus the
+    * bucket's table index; a pair is emitted only from the first table
+    * whose key bits (given in `chunkMasks`) it collides in. Empty masks =
+    * emit from every colliding table (caller dedups). */
+  def hamming_pairs(entries: Column, chunk: Column, maxHamming: Int,
+      chunkMasks: Array[Long] = Array.empty): Column =
+    col(HammingPairs(ex(entries), ex(chunk), maxHamming, chunkMasks))
 
   /** Jaccard similarity of two arrays treated as sets (native). */
   def jaccard(a: Column, b: Column): Column = {

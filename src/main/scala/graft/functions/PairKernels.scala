@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -53,8 +53,20 @@ object PairKernels {
   /** All unordered (id, sketch) pairs within a bucket whose 64-bit sketches
     * are within `maxHamming` — the SimHash verify fused into the pair
     * expansion, so false candidates never leave the task. Output rows are
-    * (a: long, b: long, hamming: int) with a < b by id. */
-  final def hammingPairs(idsIn: Array[Long], sksIn: Array[Long], maxHamming: Int): ArrayData = {
+    * (a: long, b: long, hamming: int) with a < b by id.
+    *
+    * Emit-once: a close pair collides in EVERY chunk whose key bits it
+    * agrees on (up to C(h+t,t) tables), and deduplicating those copies
+    * downstream means shuffling each pair once per colliding table. Both
+    * sketches are in-task, so the kernel instead re-checks the earlier
+    * chunks' key bits (`(ska^skb) & chunkMasks(c) == 0` iff the pair
+    * collides in chunk c) and emits only from the FIRST colliding chunk —
+    * output is exactly-once by construction and needs no dropDuplicates.
+    * `chunkMasks` empty (or `chunk = 0`) degrades to emit-always, for the
+    * guarded path where an earlier bucket may have been pruned. */
+  final def hammingPairs(
+      idsIn: Array[Long], sksIn: Array[Long], maxHamming: Int,
+      chunk: Int, chunkMasks: Array[Long]): ArrayData = {
     val n = idsIn.length
     // sort both parallel arrays by id so a < b falls out of the loop order
     val idx = Array.range(0, n).map(Integer.valueOf)
@@ -63,15 +75,25 @@ object PairKernels {
     val ids = new Array[Long](n); val sks = new Array[Long](n)
     var i = 0
     while (i < n) { ids(i) = idsIn(idx(i)); sks(i) = sksIn(idx(i)); i += 1 }
+    val prior = math.min(chunk, chunkMasks.length)
     val buf = new scala.collection.mutable.ArrayBuffer[Any](n)
     i = 0
     while (i < n) {
       var j = i + 1
       while (j < n) {
         if (ids(j) != ids(i)) {
-          val h = java.lang.Long.bitCount(sks(i) ^ sks(j))
-          if (h <= maxHamming)
-            buf += new GenericInternalRow(Array[Any](ids(i), ids(j), h))
+          val x = sks(i) ^ sks(j)
+          val h = java.lang.Long.bitCount(x)
+          if (h <= maxHamming) {
+            var c = 0
+            var earlier = false
+            while (c < prior && !earlier) {
+              if ((x & chunkMasks(c)) == 0L) earlier = true
+              c += 1
+            }
+            if (!earlier)
+              buf += new GenericInternalRow(Array[Any](ids(i), ids(j), h))
+          }
         }
         j += 1
       }
@@ -101,14 +123,19 @@ case class SortedPairs(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** `hamming_pairs(entries, maxHamming)` — SimHash bucket pair expansion
-  * with the exact Hamming verify fused in. Input is
-  * `array<struct<id: long, sk: long>>`. */
-case class HammingPairs(child: Expression, maxHamming: Int)
-    extends UnaryExpression with ImplicitCastInputTypes {
+/** `hamming_pairs(entries, chunk, maxHamming, chunkMasks)` — SimHash
+  * bucket pair expansion with the exact Hamming verify fused in and
+  * emit-once across LSH tables (see [[PairKernels.hammingPairs]]).
+  * `entries` is `array<struct<id: long, sk: long>>`; `chunk` is the
+  * bucket's table index; `chunkMasks(c)` has the key bits of table c set
+  * (empty masks = emit from every colliding table, dedup downstream). */
+case class HammingPairs(left: Expression, right: Expression, maxHamming: Int,
+    chunkMasks: Array[Long])
+    extends BinaryExpression with ImplicitCastInputTypes {
   require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
   override def inputTypes: Seq[DataType] = Seq(ArrayType(
-    StructType(Seq(StructField("id", LongType), StructField("sk", LongType)))))
+    StructType(Seq(StructField("id", LongType), StructField("sk", LongType)))),
+    IntegerType)
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("a", LongType, nullable = false),
       StructField("b", LongType, nullable = false),
@@ -116,7 +143,8 @@ case class HammingPairs(child: Expression, maxHamming: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "hamming_pairs"
 
-  private def unpack(arr: ArrayData): (Array[Long], Array[Long]) = {
+  override def nullSafeEval(entries: Any, chunk: Any): Any = {
+    val arr = entries.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val ids = new Array[Long](n); val sks = new Array[Long](n)
     var i = 0
@@ -125,16 +153,12 @@ case class HammingPairs(child: Expression, maxHamming: Int)
       ids(i) = r.getLong(0); sks(i) = r.getLong(1)
       i += 1
     }
-    (ids, sks)
+    PairKernels.hammingPairs(ids, sks, maxHamming, chunk.asInstanceOf[Int], chunkMasks)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val (ids, sks) = unpack(input.asInstanceOf[ArrayData])
-    PairKernels.hammingPairs(ids, sks, maxHamming)
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val masksRef = ctx.addReferenceObj("chunkMasks", chunkMasks, "long[]")
+    nullSafeCodeGen(ctx, ev, (a, ch) => {
       val n = ctx.freshName("n"); val ids = ctx.freshName("ids")
       val sks = ctx.freshName("sks"); val i = ctx.freshName("i")
       val r = ctx.freshName("row")
@@ -147,9 +171,12 @@ case class HammingPairs(child: Expression, maxHamming: Int)
          |  $ids[$i] = $r.getLong(0);
          |  $sks[$i] = $r.getLong(1);
          |}
-         |${ev.value} = graft.functions.PairKernels.hammingPairs($ids, $sks, $maxHamming);
+         |${ev.value} = graft.functions.PairKernels.hammingPairs(
+         |  $ids, $sks, $maxHamming, $ch, $masksRef);
        """.stripMargin
     })
+  }
 
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

@@ -172,6 +172,13 @@ object Dedup {
         }
         struct(lit(si).as("chunk"), key.as("key"))
     }
+    // chunkMasks(c) = the sketch bits chunk c keys on: a pair collides in
+    // chunk c iff (ska^skb) & mask == 0, which is how the expansion kernel
+    // re-checks earlier chunks to emit each pair exactly once
+    val chunkMasks = combos.map(_.foldLeft(0L) { (m, i) =>
+      val w = widths(i)
+      m | (if (w >= 64) -1L else ((1L << w) - 1L) << offsets(i))
+    })
     // sketches feed one consumer when the guard is off; with the guard on,
     // the count pass adds a second — persist only then
     val sk0 = sketches.select(col("id"), col("sk"))
@@ -200,9 +207,21 @@ object Dedup {
     val buckets = pruned
       .groupBy("chunk", "key")
       .agg(collect_list(struct(col("id"), col("sk"))).as("entries"))
-    Gen.explodeOnce(buckets, Seq.empty, hamming_pairs(col("entries"), maxHamming), "p")
-      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
-      .dropDuplicates("a", "b")
+    // Unguarded path: emit-once — the kernel re-checks earlier chunks'
+    // key bits and emits each pair from its first colliding chunk only,
+    // so no dedup exchange rides the (large) pair output. With the
+    // hot-bucket guard on, an earlier chunk's bucket may have been
+    // pruned without emitting, so every colliding chunk emits and
+    // dropDuplicates reconciles.
+    if (maxBucket > 0)
+      Gen.explodeOnce(buckets, Seq.empty,
+        hamming_pairs(col("entries"), col("chunk"), maxHamming), "p")
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
+        .dropDuplicates("a", "b")
+    else
+      Gen.explodeOnce(buckets, Seq.empty,
+        hamming_pairs(col("entries"), col("chunk"), maxHamming, chunkMasks), "p")
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
   }
 
   /** Exact n-gram Jaccard pairs: candidates share at least one shingle

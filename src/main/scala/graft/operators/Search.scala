@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
@@ -69,6 +68,46 @@ object Search {
       .select("user_id", "doc_id", "score")
   }
 
+  /** Stage 1 of every SPANN-style search: score the (broadcast-size)
+    * centroid table, keep the nprobe nearest, then apply the distance
+    * ratio prune (spann/index.rs:233-246). The global min rides a
+    * broadcast one-row aggregate, not a window — Catalyst folds a
+    * constant partition key away, so `Window.partitionBy(lit(0))` IS the
+    * unpartitioned single-partition WindowExec it appears to avoid. */
+  private def chooseCentroids(
+      centroids: DataFrame, query: Seq[Double], params: SearchParams): DataFrame = {
+    val scored = centroids
+      .withColumn("cdist", l2_distance(col("vector"), vec(query)))
+      .orderBy(col("cdist").asc, col("centroid_id").asc)
+      .limit(params.nprobe)
+    scored
+      .crossJoin(broadcast(scored.agg(min(col("cdist")).as("mind"))))
+      .filter(col("cdist") <= col("mind") * (1.0 + params.centroidDistanceRatio))
+      .select("centroid_id")
+  }
+
+  /** Stage 2: probe the chosen posting lists (J2 broadcast join), dedup
+    * multi-assigned points, fetch vectors (J1 remap), drop tombstones
+    * (F10), apply the attribute filter (F8/J4 semi-join). */
+  private def probeVectors(
+      vectors: DataFrame,
+      postings: DataFrame,
+      chosen: DataFrame,
+      userIds: Seq[Any],
+      filterPoints: Option[DataFrame],
+      tombstones: Option[DataFrame]): DataFrame = {
+    var cand = postings.join(broadcast(chosen), Seq("centroid_id"))
+    if (userIds.nonEmpty) cand = cand.filter(col("user_id").isin(userIds: _*))
+    var df = cand
+      .select("user_id", "point_id")
+      .dropDuplicates("user_id", "point_id") // multi-assignment lists overlap
+      .join(vectors, Seq("user_id", "point_id"))
+    for (t <- tombstones) df = dropTombstoned(df, t)
+    for (fp <- filterPoints)
+      df = df.join(fp.select("user_id", "point_id"), Seq("user_id", "point_id"), "left_semi")
+    df
+  }
+
   /** SPANN search (K2, rs/index/src/spann/index.rs:211-266):
     * stage 1 — score the (small) centroid table, keep the nprobe nearest
     * within the distance ratio (spann/index.rs:233-246);
@@ -89,36 +128,13 @@ object Search {
       params: SearchParams = SearchParams(),
       userIds: Seq[Any] = Nil,
       filterPoints: Option[DataFrame] = None,
-      tombstones: Option[DataFrame] = None): DataFrame = {
-
-    // Stage 1: choose centroids. Small table -> single-stage local top-k.
-    val scored = centroids
-      .withColumn("cdist", l2_distance(col("vector"), vec(query)))
-      .orderBy(col("cdist").asc, col("centroid_id").asc)
-      .limit(params.nprobe)
-    // bounded frame (<= nprobe rows post-limit); the constant partition
-    // key keeps semantics and silences the WindowExec single-partition warn
-    val minDist = min(col("cdist")).over(Window.partitionBy(lit(0)))
-    val chosen = scored
-      .withColumn("mind", minDist)
-      .filter(col("cdist") <= col("mind") * (1.0 + params.centroidDistanceRatio))
-      .select("centroid_id")
-
-    // Stage 2: probe posting lists of chosen centroids.
-    var cand = postings.join(broadcast(chosen), Seq("centroid_id"))
-    if (userIds.nonEmpty) cand = cand.filter(col("user_id").isin(userIds: _*))
-    var df = cand
-      .select("user_id", "point_id")
-      .dropDuplicates("user_id", "point_id") // multi-assignment lists overlap
-      .join(vectors, Seq("user_id", "point_id"))
-    for (t <- tombstones) df = dropTombstoned(df, t)
-    for (fp <- filterPoints)
-      df = df.join(fp.select("user_id", "point_id"), Seq("user_id", "point_id"), "left_semi")
-    df.withColumn("score", l2_distance(col("vector"), vec(query)))
+      tombstones: Option[DataFrame] = None): DataFrame =
+    probeVectors(vectors, postings, chooseCentroids(centroids, query, params),
+        userIds, filterPoints, tombstones)
+      .withColumn("score", l2_distance(col("vector"), vec(query)))
       .orderBy(scoreOrder: _*)
       .limit(params.topK)
       .select("user_id", "doc_id", "score")
-  }
 
   /** SPANN search over a PQ-quantized segment (K2 + V4): identical probe
     * pipeline, but candidates are first ranked by codegen ADC distance
@@ -136,32 +152,16 @@ object Search {
       userIds: Seq[Any] = Nil,
       filterPoints: Option[DataFrame] = None,
       tombstones: Option[DataFrame] = None,
-      rerank: Int = 100): DataFrame = {
-    val scored = centroids
-      .withColumn("cdist", l2_distance(col("vector"), vec(query)))
-      .orderBy(col("cdist").asc, col("centroid_id").asc)
-      .limit(params.nprobe)
-    val chosen = scored
-      .withColumn("mind", min(col("cdist")).over(Window.partitionBy(lit(0))))
-      .filter(col("cdist") <= col("mind") * (1.0 + params.centroidDistanceRatio))
-      .select("centroid_id")
-    var cand = postings.join(broadcast(chosen), Seq("centroid_id"))
-    if (userIds.nonEmpty) cand = cand.filter(col("user_id").isin(userIds: _*))
-    var df = cand
-      .select("user_id", "point_id")
-      .dropDuplicates("user_id", "point_id")
-      .join(vectors, Seq("user_id", "point_id"))
-    for (t <- tombstones) df = dropTombstoned(df, t)
-    for (fp <- filterPoints)
-      df = df.join(fp.select("user_id", "point_id"), Seq("user_id", "point_id"), "left_semi")
-    df.withColumn("adc", ProductQuantizer.adcDistance(model, col("pq_codes"), query))
+      rerank: Int = 100): DataFrame =
+    probeVectors(vectors, postings, chooseCentroids(centroids, query, params),
+        userIds, filterPoints, tombstones)
+      .withColumn("adc", ProductQuantizer.adcDistance(model, col("pq_codes"), query))
       .orderBy(col("adc").asc, col("doc_id").asc)
       .limit(math.max(params.topK, rerank))
       .withColumn("score", l2_distance(col("vector"), vec(query)))
       .orderBy(scoreOrder: _*)
       .limit(params.topK)
       .select("user_id", "doc_id", "score")
-  }
 
   /** SPANN search over a RaBitQ-quantized segment (K2 + V6): identical
     * probe pipeline to [[spannAdc]], but candidates are ranked by the
@@ -177,25 +177,10 @@ object Search {
       userIds: Seq[Any] = Nil,
       filterPoints: Option[DataFrame] = None,
       tombstones: Option[DataFrame] = None,
-      rerank: Int = 100): DataFrame = {
-    val scored = centroids
-      .withColumn("cdist", l2_distance(col("vector"), vec(query)))
-      .orderBy(col("cdist").asc, col("centroid_id").asc)
-      .limit(params.nprobe)
-    val chosen = scored
-      .withColumn("mind", min(col("cdist")).over(Window.partitionBy(lit(0))))
-      .filter(col("cdist") <= col("mind") * (1.0 + params.centroidDistanceRatio))
-      .select("centroid_id")
-    var cand = postings.join(broadcast(chosen), Seq("centroid_id"))
-    if (userIds.nonEmpty) cand = cand.filter(col("user_id").isin(userIds: _*))
-    var df = cand
-      .select("user_id", "point_id")
-      .dropDuplicates("user_id", "point_id")
-      .join(vectors, Seq("user_id", "point_id"))
-    for (t <- tombstones) df = dropTombstoned(df, t)
-    for (fp <- filterPoints)
-      df = df.join(fp.select("user_id", "point_id"), Seq("user_id", "point_id"), "left_semi")
-    df.withColumn("est", RaBitQ.estDistance(
+      rerank: Int = 100): DataFrame =
+    probeVectors(vectors, postings, chooseCentroids(centroids, query, params),
+        userIds, filterPoints, tombstones)
+      .withColumn("est", RaBitQ.estDistance(
         model, col("rq_code"), col("rq_f"), col("rq_norm"), query))
       .orderBy(col("est").asc, col("doc_id").asc)
       .limit(math.max(params.topK, rerank))
@@ -203,7 +188,6 @@ object Search {
       .orderBy(scoreOrder: _*)
       .limit(params.topK)
       .select("user_id", "doc_id", "score")
-  }
 
   /** Scatter-gather merge (A6/D2, rs/aggregator/src/aggregator.rs:41-146):
     * union per-shard/per-collection result frames and take the global
