@@ -427,6 +427,12 @@ object SparkEntry {
           col("feat_idx").cast("long").as("feat_idx"),
           round(col("feature"), 4).as("feature"))
         .orderBy("media_id", "feat_idx")),
+    // exact substring dedup (Lee et al. ExactSubstr): flag every non-
+    // canonical occurrence of a repeated 20-token window, merge to spans
+    "q51_substring_dedup" -> ((s, d) =>
+      Dedup.substringDupSpans(T(s, d, "documents"), windowLen = 20)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     // full collection lifecycle under the oracle (S1/S4/S7/S8, F9/F10,
     // M1, J3, K2): two insert batches -> two flushed segments -> delete
     // every 10th doc -> merge -> SPANN search probing ALL lists (exact by
@@ -828,6 +834,42 @@ object SparkEntry {
          ORDER BY dist, vec_id LIMIT 10""",
     // polynomial rolling hash (base 1000003 mod 2^64) replayed via
     // HUGEINT list_reduce; ASCII corpus makes ord(char) == utf8 byte
+    // replays the rolling window hashes by direct HUGEINT re-reduction of
+    // each 20-token window (token hash = the q33 byte polynomial), then
+    // the same canonical-occurrence flagging + interval-union span merge
+    "q51_substring_dedup" ->
+      s"""WITH th AS (
+            SELECT doc_id, CAST(len(tk) AS BIGINT) AS total_tokens,
+                   list_transform(tk, t -> list_reduce(
+                     list_prepend(0::HUGEINT, list_transform(range(1, len(t)+1),
+                       i -> ord(substr(t, i::INT, 1))::HUGEINT)),
+                     (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT)) AS ths
+            FROM (SELECT doc_id, $docToksSql AS tk FROM documents)),
+          wins AS (
+            SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+              SELECT doc_id, unnest(list_transform(range(0, greatest(len(ths) - 19, 0)),
+                p -> {'pos': p, 'h': list_reduce(list_prepend(0::HUGEINT, ths[(p+1)::INT:(p+20)::INT]),
+                       (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT)})) AS u
+              FROM th) z),
+          agg AS (SELECT h, count(*) AS cnt, min(doc_id) AS cano_id
+                  FROM wins GROUP BY h HAVING count(*) >= 2),
+          cano AS (SELECT w.h, a.cano_id, min(w.pos) AS cano_pos
+                   FROM wins w JOIN agg a ON w.h = a.h AND w.doc_id = a.cano_id
+                   GROUP BY w.h, a.cano_id),
+          flagged AS (SELECT w.doc_id, w.pos FROM wins w JOIN cano c ON w.h = c.h
+                      WHERE NOT (w.doc_id = c.cano_id AND w.pos = c.cano_pos)),
+          contrib AS (SELECT doc_id, pos,
+                        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                      FROM flagged),
+          spans AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows,
+                      CAST(sum(CASE WHEN prev IS NULL OR pos - prev > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+                      CAST(sum(CASE WHEN prev IS NULL THEN 20 ELSE least(20, pos - prev) END) AS BIGINT) AS dup_tokens
+                    FROM contrib GROUP BY doc_id)
+          SELECT t.doc_id, t.total_tokens,
+                 CAST(coalesce(s.dup_windows, 0) AS BIGINT) AS dup_windows,
+                 CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+                 CAST(coalesce(s.dup_tokens, 0) AS BIGINT) AS dup_tokens
+          FROM th t LEFT JOIN spans s USING (doc_id) ORDER BY doc_id""",
     "q33_rolling_fp" ->
       s"""WITH norm AS (
             SELECT doc_id, array_to_string($docToksSql, ' ') AS s FROM documents)

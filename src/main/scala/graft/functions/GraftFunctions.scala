@@ -107,6 +107,12 @@ object GraftFunctions {
   def shingle_hashes(tokens: Column, n: Int): Column =
     col(ShingleHashes(ex(tokens), n))
 
+  /** Positioned rolling hashes of every L-token window,
+    * `array<struct<pos, h>>` — the substring-dedup pass
+    * (see [[WindowHashes]]). */
+  def window_hashes(tokens: Column, windowLen: Int): Column =
+    col(WindowHashes(ex(tokens), windowLen))
+
   /** k-slot MinHash signature of a shingle-hash array. */
   def minhash_signature(shingles: Column, k: Int, seed: Long = 42L): Column =
     col(MinHashSignature(ex(shingles), k, seed))

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 object HashKernels {
   /** Sign-bit hyperplane sketch: for each of `tables` tables, project the
@@ -76,6 +76,40 @@ object HashKernels {
     var h = 0L; var i = 0
     while (i < bytes.length) { h = h * 1000003L + (bytes(i) & 0xffL); i += 1 }
     h
+  }
+
+  /** Positioned rolling window hashes for exact substring dedup: one
+    * `(pos, h)` struct per L-token window, where h is the base-1000003
+    * wrap-around polynomial over the tokens' [[polyHash]] values — O(T)
+    * via the rolling recurrence `h' = (h - th[p]*B^(L-1))*B + th[p+L]`
+    * (Java long arithmetic IS mod-2^64, so direct HUGEINT re-reduction of
+    * any single window in SQL reproduces it bit-exactly; that is the q51
+    * oracle). Kernel for [[WindowHashes]]. */
+  final def windowHashStructs(arr: ArrayData, windowLen: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < windowLen) return new GenericArrayData(Array.empty[Any])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = polyHash(arr.getUTF8String(i).getBytes); i += 1 }
+    val B = 1000003L
+    var pw = 1L
+    i = 1
+    while (i < windowLen) { pw *= B; i += 1 } // B^(L-1), wrapping
+    val m = n - windowLen + 1
+    val out = new Array[Any](m)
+    var h = 0L
+    i = 0
+    while (i < windowLen) { h = h * B + th(i); i += 1 }
+    out(0) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](0, h))
+    var p = 1
+    while (p < m) {
+      h = (h - th(p - 1) * pw) * B + th(p + windowLen - 1)
+      out(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](p, h))
+      p += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Order-sensitive combine of each n-window of element hashes; one slot
@@ -228,6 +262,31 @@ case class RollingHash(child: Expression) extends UnaryExpression with ImplicitC
          |${ev.value} = $h;
        """.stripMargin
     })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `window_hashes(tokens, L)` — positioned rolling hashes of every
+  * L-token window, `array<struct<pos: int, h: long>>`; empty below L
+  * tokens. The corpus-wide pass of exact substring dedup (Lee et al.,
+  * ACL'22 §4.1 "ExactSubstr"): windows sharing h are duplicate text
+  * modulo 2^64 hash collisions. */
+case class WindowHashes(child: Expression, windowLen: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(windowLen >= 1, s"window length out of range: $windowLen")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "window_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.windowHashStructs(input.asInstanceOf[ArrayData], windowLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashKernels.windowHashStructs($a, $windowLen);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -454,6 +454,68 @@ object Dedup {
     out
   }
 
+  /** Exact substring-duplication spans (Lee et al., ACL'22 "Deduplicating
+    * Training Data Makes Language Models Better", the ExactSubstr
+    * setting): any `windowLen`-token window whose rolling hash occurs
+    * more than once in the corpus is duplicated text; the canonical
+    * occurrence (lexicographically smallest (doc, pos)) is kept, every
+    * other occurrence is flagged, and per doc the flagged windows merge
+    * into maximal spans. Returns one row per input doc:
+    * `[id, total_tokens, dup_windows, n_spans, dup_tokens]` — zeros for
+    * clean docs. `dup_tokens` is the union size of the flagged
+    * [pos, pos+L) intervals, i.e. how many tokens a keep-one-copy pass
+    * would cut.
+    *
+    * Scale: the reference algorithm is a corpus suffix array; the Spark
+    * form is two linear shuffles of (window, id, pos) — a groupBy on the
+    * hash for occurrence counts + canonical picks, and a join back to
+    * flag occurrences. No quadratic path: a window repeated k times
+    * costs k joined rows (linear), so no hot-key cap is needed. The
+    * span merge is a per-doc lag window — partitioned by doc, skew-free.
+    * Window hashes are 64-bit rolling polynomials (O(T)/doc, exactly
+    * HUGEINT-replayable in SQL — the q51 oracle); collisions conflate
+    * windows at ~2^-64 and only ever over-flag. */
+  def substringDupSpans(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      windowLen: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one tokenize+hash pass feeds both the window table and the totals
+    val base = Par.ensure(docs)
+      .select(col(idCol).as("id"), tokenize(col(textCol)).as("tk"))
+      .select(col("id"), size(col("tk")).cast("long").as("total_tokens"),
+        window_hashes(col("tk"), windowLen).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wins = Gen.explodeOnce(base, Seq(col("id")), col("ws"), "w")
+      .select(col("id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val dupAgg = wins.groupBy("h")
+      .agg(count(lit(1)).as("cnt"), min(struct(col("id"), col("pos"))).as("cano"))
+      .filter(col("cnt") >= 2)
+      .select(col("h"), col("cano.id").as("cano_id"), col("cano.pos").as("cano_pos"))
+    val flagged = wins.join(dupAgg, Seq("h"))
+      .filter(!(col("id") === col("cano_id") && col("pos") === col("cano_pos")))
+      .select("id", "pos")
+    // interval-union of [pos, pos+L): each window adds min(L, gap to its
+    // predecessor); a gap > L starts a new span
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val spans = flagged
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("add",
+        when(col("prev").isNull, lit(windowLen.toLong))
+          .otherwise(least(lit(windowLen.toLong), col("pos") - col("prev"))))
+      .withColumn("newspan",
+        when(col("prev").isNull || col("pos") - col("prev") > windowLen, 1L).otherwise(0L))
+      .groupBy("id")
+      .agg(count(lit(1)).as("dup_windows"), sum(col("newspan")).as("n_spans"),
+        sum(col("add")).as("dup_tokens"))
+    base.select("id", "total_tokens").join(spans, Seq("id"), "left")
+      .select(col("id"), col("total_tokens"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   /** Exact (brute-force) cosine pair scan — O(n^2), oracle for the LSH
     * variant; only for tests/small inputs. */
   def embeddingNearDupExact(

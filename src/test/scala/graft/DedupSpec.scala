@@ -148,6 +148,39 @@ class DedupSpec extends SparkSuite {
     assert(dist === local)
   }
 
+  test("substring dedup: planted cross-doc and within-doc repeats, exact span math") {
+    // L=5. Shared blocks use their own vocab so only planted windows collide.
+    val corpus = Seq(
+      // canonical home of s-block (pos 5..14): all its windows stay unflagged
+      (0L, "a0 a1 a2 a3 a4 s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 a5 a6 a7 a8 a9"),
+      // s-block at pos 3..12: windows 3..8 flagged -> one 10-token span
+      (1L, "b0 b1 b2 s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 b3 b4"),
+      // p-phrase twice within one doc: second occurrence (pos 8) flagged
+      (2L, "c0 p0 p1 p2 p3 p4 c1 c2 p0 p1 p2 p3 p4 c3"),
+      (3L, "d0 d1 d2 d3 d4 d5 d6 d7 d8 d9"), // clean
+      // canonical home of q-block (pos 0) and r-block (pos 11)
+      (4L, "q0 q1 q2 q3 q4 e0 e1 e2 e3 e4 e5 r0 r1 r2 r3 r4"),
+      // q at pos 1, r at pos 11: gap 10 > L -> two separate spans
+      (5L, "f0 q0 q1 q2 q3 q4 f1 f2 f3 f4 f5 r0 r1 r2 r3 r4 f6")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupSpans(corpus, windowLen = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(0L) === ((20L, 0L, 0L, 0L))) // canonical occurrences keep their text
+    assert(got(1L) === ((15L, 6L, 1L, 10L))) // 6 windows merge into one 10-token span
+    assert(got(2L) === ((14L, 1L, 1L, 5L))) // within-doc repeat: 2nd occurrence cut
+    assert(got(3L) === ((10L, 0L, 0L, 0L)))
+    assert(got(4L) === ((16L, 0L, 0L, 0L)))
+    assert(got(5L) === ((17L, 2L, 2L, 10L))) // two blocks, gap > L -> two spans
+  }
+
+  test("substring dedup: doc shorter than the window is clean by definition") {
+    val corpus = Seq((0L, "x0 x1 x2"), (1L, "x0 x1 x2")).toDF("doc_id", "text")
+    val got = Dedup.substringDupSpans(corpus, windowLen = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L)) // 3-token docs emit no windows
+  }
+
   test("end-to-end dedup: minhash pairs -> keepList drops the planted dups") {
     val pairs = Dedup.minhashPairs(docs, shingleLen = 2, k = 64, bands = 32, threshold = 0.3)
     val keep = Dedup.keepList(pairs)
