@@ -33,7 +33,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operators persist internal multi-consumer frames (LSH signatures,
+      // window hashes); drop them outside the timed window so queries
+      // don't pressure each other's storage/GC across the 51-query run
+      spark.catalog.clearCache()
+      name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
