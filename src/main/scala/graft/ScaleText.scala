@@ -79,12 +79,29 @@ object ScaleText {
         bands = 16, threshold = 0.7).count()
     }
 
+    // the boilerplate tails (1/11 of docs share a 100-token phrase) and
+    // the near-copies are exactly what ExactSubstr must flag
+    var substrTokens = 0L
+    val substrSec = timed {
+      substrTokens = Dedup.substringDupSpans(docs, windowLen = 20)
+        .agg(sum(col("dup_tokens"))).head().getLong(0)
+    }
+
+    var simhashPairs = 0L
+    val simhashSec = timed {
+      simhashPairs = Dedup.simhashPairs(docs, maxHamming = 3).count()
+    }
+
     println(s"""{"n":$n,"rep_sec":${f"$repSec%.1f"},""" +
       s""""rep_docs_per_sec":${f"${n / repSec}%.0f"},"rep_check":${f"$repCheck%.1f"},""" +
       s""""tfidf_sec":${f"$tfidfSec%.1f"},"tfidf_docs_per_sec":${f"${n / tfidfSec}%.0f"},""" +
       s""""tfidf_check":$tfidfCheck,"minhash_sec":${f"$minhashSec%.1f"},""" +
       s""""minhash_docs_per_sec":${f"${n / minhashSec}%.0f"},""" +
-      s""""minhash_pairs":$minhashPairs}""")
+      s""""minhash_pairs":$minhashPairs,""" +
+      s""""substr_sec":${f"$substrSec%.1f"},""" +
+      s""""substr_docs_per_sec":${f"${n / substrSec}%.0f"},""" +
+      s""""substr_dup_tokens":$substrTokens,""" +
+      s""""simhash_sec":${f"$simhashSec%.1f"},"simhash_pairs":$simhashPairs}""")
     spark.stop()
   }
 }

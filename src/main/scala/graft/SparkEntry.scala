@@ -433,6 +433,11 @@ object SparkEntry {
       Dedup.substringDupSpans(T(s, d, "documents"), windowLen = 20)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // the keep-one-copy cut: remove flagged spans, re-join survivors
+    "q52_substring_cut" -> ((s, d) =>
+      Dedup.substringDedup(T(s, d, "documents"), windowLen = 20)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     // full collection lifecycle under the oracle (S1/S4/S7/S8, F9/F10,
     // M1, J3, K2): two insert batches -> two flushed segments -> delete
     // every 10th doc -> merge -> SPANN search probing ALL lists (exact by
@@ -870,6 +875,52 @@ object SparkEntry {
                  CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
                  CAST(coalesce(s.dup_tokens, 0) AS BIGINT) AS dup_tokens
           FROM th t LEFT JOIN spans s USING (doc_id) ORDER BY doc_id""",
+    // q51's pipeline through `flagged`, then the span merge and the cut
+    // itself: tokens at positions covered by any span are dropped and the
+    // survivors re-joined (1-based DuckDB lambda index -> i-1)
+    "q52_substring_cut" ->
+      s"""WITH tkt AS (SELECT doc_id, $docToksSql AS tk FROM documents),
+          th AS (
+            SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS total_tokens,
+                   list_transform(tk, t -> list_reduce(
+                     list_prepend(0::HUGEINT, list_transform(range(1, len(t)+1),
+                       i -> ord(substr(t, i::INT, 1))::HUGEINT)),
+                     (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT)) AS ths
+            FROM tkt),
+          wins AS (
+            SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+              SELECT doc_id, unnest(list_transform(range(0, greatest(len(ths) - 19, 0)),
+                p -> {'pos': p, 'h': list_reduce(list_prepend(0::HUGEINT, ths[(p+1)::INT:(p+20)::INT]),
+                       (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT)})) AS u
+              FROM th) z),
+          agg AS (SELECT h, count(*) AS cnt, min(doc_id) AS cano_id
+                  FROM wins GROUP BY h HAVING count(*) >= 2),
+          cano AS (SELECT w.h, a.cano_id, min(w.pos) AS cano_pos
+                   FROM wins w JOIN agg a ON w.h = a.h AND w.doc_id = a.cano_id
+                   GROUP BY w.h, a.cano_id),
+          flagged AS (SELECT w.doc_id, w.pos FROM wins w JOIN cano c ON w.h = c.h
+                      WHERE NOT (w.doc_id = c.cano_id AND w.pos = c.cano_pos)),
+          grp AS (SELECT doc_id, pos,
+                    CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 20
+                         THEN 1 ELSE 0 END AS brk
+                  FROM flagged WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+          sg AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sgid FROM grp),
+          spans AS (SELECT doc_id, sgid, min(pos) AS s, max(pos) + 20 AS e
+                    FROM sg GROUP BY doc_id, sgid),
+          covered AS (SELECT doc_id, flatten(list(range(s, e) ORDER BY s)) AS cov
+                      FROM spans GROUP BY doc_id)
+          SELECT t.doc_id, t.total_tokens,
+            CAST(len(kept) AS BIGINT) AS kept_tokens,
+            -- DuckDB: array_to_string of an empty list is NULL; Spark's
+            -- array_join returns '' — align on ''
+            coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+          FROM (
+            SELECT th.doc_id, th.total_tokens,
+              CASE WHEN c.cov IS NULL THEN th.tk
+                   ELSE list_filter(th.tk, (t, i) -> NOT list_contains(c.cov, i - 1)) END AS kept
+            FROM th LEFT JOIN covered c USING (doc_id)) t
+          ORDER BY doc_id""",
     "q33_rolling_fp" ->
       s"""WITH norm AS (
             SELECT doc_id, array_to_string($docToksSql, ' ') AS s FROM documents)

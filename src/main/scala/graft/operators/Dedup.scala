@@ -481,21 +481,7 @@ object Dedup {
       textCol: String = "text",
       windowLen: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // one tokenize+hash pass feeds both the window table and the totals
-    val base = Par.ensure(docs)
-      .select(col(idCol).as("id"), tokenize(col(textCol)).as("tk"))
-      .select(col("id"), size(col("tk")).cast("long").as("total_tokens"),
-        window_hashes(col("tk"), windowLen).as("ws"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wins = Gen.explodeOnce(base, Seq(col("id")), col("ws"), "w")
-      .select(col("id"), col("w.pos").as("pos"), col("w.h").as("h"))
-    val dupAgg = wins.groupBy("h")
-      .agg(count(lit(1)).as("cnt"), min(struct(col("id"), col("pos"))).as("cano"))
-      .filter(col("cnt") >= 2)
-      .select(col("h"), col("cano.id").as("cano_id"), col("cano.pos").as("cano_pos"))
-    val flagged = wins.join(dupAgg, Seq("h"))
-      .filter(!(col("id") === col("cano_id") && col("pos") === col("cano_pos")))
-      .select("id", "pos")
+    val (base, flagged) = substringFlagged(docs, idCol, textCol, windowLen)
     // interval-union of [pos, pos+L): each window adds min(L, gap to its
     // predecessor); a gap > L starts a new span
     val byDoc = Window.partitionBy("id").orderBy("pos")
@@ -514,6 +500,70 @@ object Dedup {
         coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
+  /** The keep-one-copy cut itself: tokens inside any flagged span are
+    * removed and the survivors are re-joined —
+    * `[id, total_tokens, kept_tokens, cleaned_text]`. The canonical
+    * occurrence of every repeated window survives, so no content is lost
+    * from the corpus, only repetition (Lee et al. ACL'22 §4.1). The cut
+    * is a native higher-order-function chain over the doc's own span
+    * list (never wider than the doc), joined in broadcast-style from the
+    * merged-span table — map-shaped after the span derivation. */
+  def substringDedup(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      windowLen: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (base, flagged) = substringFlagged(docs, idCol, textCol, windowLen)
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    // span group id = running count of gap-breaks, then [min, max+L) per group
+    val spans = flagged
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > windowLen, 1L).otherwise(0L))
+      .withColumn("sg", sum(col("brk")).over(byDoc))
+      .groupBy("id", "sg")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + windowLen).as("e"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    base.select("id", "total_tokens", "tk").join(spans, Seq("id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("tk")).otherwise(
+          filter(
+            transform(col("tk"), (t, i) =>
+              when(exists(col("spans"), sp => i >= sp("s") && i < sp("e")), lit(null))
+                .otherwise(t)),
+            t => t.isNotNull)))
+      .select(col("id"), col("total_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+  }
+
+  /** Shared first stages of [[substringDupSpans]]/[[substringDedup]]:
+    * the persisted (id, tk, total_tokens, window-hash) table and the
+    * flagged non-canonical occurrences `[id, pos]`. */
+  private def substringFlagged(
+      docs: DataFrame, idCol: String, textCol: String, windowLen: Int)
+      : (DataFrame, DataFrame) = {
+    // one tokenize+hash pass feeds the window table, the totals, and
+    // (for the cut variant) the token arrays
+    val base = Par.ensure(docs)
+      .select(col(idCol).as("id"), tokenize(col(textCol)).as("tk"))
+      .select(col("id"), col("tk"), size(col("tk")).cast("long").as("total_tokens"),
+        window_hashes(col("tk"), windowLen).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wins = Gen.explodeOnce(base, Seq(col("id")), col("ws"), "w")
+      .select(col("id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val dupAgg = wins.groupBy("h")
+      .agg(count(lit(1)).as("cnt"), min(struct(col("id"), col("pos"))).as("cano"))
+      .filter(col("cnt") >= 2)
+      .select(col("h"), col("cano.id").as("cano_id"), col("cano.pos").as("cano_pos"))
+    val flagged = wins.join(dupAgg, Seq("h"))
+      .filter(!(col("id") === col("cano_id") && col("pos") === col("cano_pos")))
+      .select("id", "pos")
+    (base, flagged)
   }
 
   /** Exact (brute-force) cosine pair scan — O(n^2), oracle for the LSH

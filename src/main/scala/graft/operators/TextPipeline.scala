@@ -283,10 +283,15 @@ object TextPipeline {
     * stratum is kept even when it alone exceeds the budget iff
     * `keepFirst` (so no stratum comes back empty).
     *
-    * One shuffle, keyed by stratum. Like [[Sessionize.batch]], a single
-    * pathological stratum serializes into one partition — at real scale
-    * strata are sources/languages (tens to thousands), each orders of
-    * magnitude smaller than the corpus. Returns
+    * The running total is a DISTRIBUTED prefix scan, not a
+    * one-partition-per-stratum window: rows are range-partitioned on
+    * (stratum, key) so a pathological stratum spans many partitions,
+    * each partition cumsums its own (pid, stratum) slice, and a tiny
+    * exclusive-prefix offset table (≤ partitions + strata rows,
+    * broadcast) lifts local sums to global ones. Skew is bounded by the
+    * range partitioner — no stratum ever serializes. The scan result is
+    * invariant to partition boundaries, so output is deterministic and
+    * the plain-window oracle replay is unchanged. Returns
     * `[id, stratum, n_tokens, cum_tokens]`. */
   def tokenBudgetSample(
       docs: DataFrame,
@@ -299,17 +304,35 @@ object TextPipeline {
     val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
       when(col("stratum") === s, lit(b)).otherwise(acc)
     }
-    val w = Window.partitionBy("stratum")
-      .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
-    val cum = Par.ensure(docs)
+    val keyed = Par.ensure(docs)
       .select(col(idCol).as("id"), col(strataCol).as("stratum"),
         token_count_ws(col(textCol)).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("mkey", md5(col("id").cast("string").cast("binary")))
+    // pid is materialized as a column BEFORE the window so the later
+    // (pid, stratum) exchange carries the range order with it; AQE may
+    // coalesce only adjacent range partitions, preserving monotonicity
+    val ranged = keyed
+      .repartitionByRange(col("stratum"), col("mkey"), col("id"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy("pid", "stratum").orderBy(col("mkey"), col("id"))
+    val local = ranged
+      .withColumn("lcum", sum(col("n_tokens")).over(wLocal))
+      .withColumn("lrn", row_number().over(wLocal))
+    // exclusive per-stratum prefix of partition totals: range partitioning
+    // guarantees pid order == key order within each stratum
+    val wOff = Window.partitionBy("stratum").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("pid", "stratum").agg(sum(col("n_tokens")).as("psum"))
+      .withColumn("offset", coalesce(sum(col("psum")).over(wOff), lit(0L)))
+      .select("pid", "stratum", "offset")
+    val cum = local.join(broadcast(offsets), Seq("pid", "stratum"))
+      .withColumn("cum_tokens", col("lcum") + col("offset"))
     val within = cum.filter(col("cum_tokens") <= budget)
+      .select("id", "stratum", "n_tokens", "cum_tokens")
     if (!keepFirst) within
     else within.unionByName(
-      cum.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1 && col("cum_tokens") > budget)
-        .drop("rk"))
+      // the stratum's globally-first row: zero offset and local rank 1
+      cum.filter(col("offset") === 0 && col("lrn") === 1 && col("cum_tokens") > budget)
+        .select("id", "stratum", "n_tokens", "cum_tokens"))
   }
 }

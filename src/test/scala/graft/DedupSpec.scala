@@ -174,6 +174,26 @@ class DedupSpec extends SparkSuite {
     assert(got(5L) === ((17L, 2L, 2L, 10L))) // two blocks, gap > L -> two spans
   }
 
+  test("substring cut: flagged spans are removed, canonical text survives verbatim") {
+    val corpus = Seq(
+      (0L, "a0 a1 a2 a3 a4 s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 a5 a6 a7 a8 a9"),
+      (1L, "b0 b1 b2 s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 b3 b4"),
+      (2L, "f0 q0 q1 q2 q3 q4 f1 f2 f3 f4 f5 r0 r1 r2 r3 r4 f6"),
+      (3L, "e0 q0 q1 q2 q3 q4 e1 e2 e3 e4 e5 r0 r1 r2 r3 r4 e6")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(corpus, windowLen = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // canonical docs keep every token
+    assert(got(0L) === ((20L, 20L,
+      "a0 a1 a2 a3 a4 s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 a5 a6 a7 a8 a9")))
+    assert(got(2L) === ((17L, 17L,
+      "f0 q0 q1 q2 q3 q4 f1 f2 f3 f4 f5 r0 r1 r2 r3 r4 f6")))
+    // doc 1: s-block at [3, 13) cut, context kept
+    assert(got(1L) === ((15L, 5L, "b0 b1 b2 b3 b4")))
+    // doc 3: two disjoint spans [1, 6) and [11, 16) cut
+    assert(got(3L) === ((17L, 7L, "e0 e1 e2 e3 e4 e5 e6")))
+  }
+
   test("substring dedup: doc shorter than the window is clean by definition") {
     val corpus = Seq((0L, "x0 x1 x2"), (1L, "x0 x1 x2")).toDF("doc_id", "text")
     val got = Dedup.substringDupSpans(corpus, windowLen = 5).collect()

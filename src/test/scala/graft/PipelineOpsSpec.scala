@@ -172,6 +172,26 @@ class PipelineOpsSpec extends SparkSuite {
       Map("a" -> 5L, "b" -> 5L), defaultBudget = 5L).count() === 0L)
   }
 
+  test("token budget sample: distributed prefix scan matches a driver scan on one giant stratum") {
+    // one stratum spanning every range partition — the skew case the
+    // distributed scan exists for; token counts vary so offset mistakes
+    // can't cancel out
+    val docs = (0 until 3000).map { i =>
+      (i.toLong, "only", (1 to (1 + i % 7)).map(j => s"x${i}_$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val got = TextPipeline.tokenBudgetSample(docs, "source",
+      Map.empty, defaultBudget = 4000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._3)
+    // reference: the same greedy md5-order walk computed on the driver
+    def key(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ordered = (0 until 3000).map(i => (i.toLong, 1L + i % 7)).sortBy { case (id, _) => (key(id), id) }
+    var cum = 0L
+    val expect = ordered.map { case (id, n) => cum += n; (id, n, cum) }.takeWhile(_._3 <= 4000L)
+    assert(got.toSeq === expect)
+  }
+
   test("language ID: script vote for non-Latin, stopword profiles for Latin") {
     val docs = Seq(
       (0L, "the cat sat on the mat and it was happy for a while"), // en
