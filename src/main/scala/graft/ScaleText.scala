@@ -87,9 +87,17 @@ object ScaleText {
         .agg(sum(col("dup_tokens"))).head().getLong(0)
     }
 
+    // the 30% hot-head vocab correlates sketches across unrelated docs
+    // (0.1% of ALL pairs land within Hamming 3 at 100k docs), so the
+    // corpus is exactly the template-heavy shape the hot-bucket guard
+    // exists for — run the guarded plan, as a 100-TB job would
     var simhashPairs = 0L
     val simhashSec = timed {
-      simhashPairs = Dedup.simhashPairs(docs, maxHamming = 3).count()
+      simhashPairs = Dedup.simhashPairsFromSketches(
+        docs.select(col("doc_id").as("id"),
+          graft.functions.GraftFunctions.simhash(
+            graft.functions.GraftFunctions.tokenize(col("text"))).as("sk")),
+        maxHamming = 3, maxBucket = 8192).count()
     }
 
     println(s"""{"n":$n,"rep_sec":${f"$repSec%.1f"},""" +

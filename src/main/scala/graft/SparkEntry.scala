@@ -438,6 +438,22 @@ object SparkEntry {
       Dedup.substringDedup(T(s, d, "documents"), windowLen = 20)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // SemDeDup: k-means assignment persisted as artifact, within-cluster
+    // cosine pairs replayed verbatim by the oracle over the same bytes
+    "q53_semdedup" -> ((s, d) => {
+      val art = artifact("q53_assign")
+      val emb = T(s, d, "embeddings")
+      val (_, postings) = Ann.ivfIndex(emb, numCentroids = 16,
+        idCol = "vec_id", vecCol = "embedding", maxClustersPerVector = 1)
+      postings.repartition(2).write.mode("overwrite").parquet(art)
+      Dedup.semanticDedupPairsFromAssign(s.read.parquet(art), emb, threshold = 0.35)
+        .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("a", "b")
+    }),
+    "q54_unigram_nll" -> ((s, d) =>
+      TextPipeline.unigramLogProb(T(s, d, "documents"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     // full collection lifecycle under the oracle (S1/S4/S7/S8, F9/F10,
     // M1, J3, K2): two insert batches -> two flushed segments -> delete
     // every 10th doc -> merge -> SPANN search probing ALL lists (exact by
@@ -875,6 +891,24 @@ object SparkEntry {
                  CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
                  CAST(coalesce(s.dup_tokens, 0) AS BIGINT) AS dup_tokens
           FROM th t LEFT JOIN spans s USING (doc_id) ORDER BY doc_id""",
+    "q53_semdedup" ->
+      """WITH asg AS (SELECT centroid_id, point_id
+                      FROM read_parquet('/tmp/graft_artifacts/q53_assign/*.parquet'))
+         SELECT x.point_id AS a, y.point_id AS b,
+                round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])::DOUBLE, 4) AS cosine
+         FROM asg x JOIN asg y ON x.centroid_id = y.centroid_id AND x.point_id < y.point_id
+         JOIN embeddings ea ON ea.vec_id = x.point_id
+         JOIN embeddings eb ON eb.vec_id = y.point_id
+         WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])::DOUBLE >= 0.35
+         ORDER BY a, b""",
+    "q54_unigram_nll" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($docToksSql) AS term FROM documents),
+          vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+          tot AS (SELECT count(*) AS total FROM toks)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 round(avg(-ln(cnt::DOUBLE / total::DOUBLE)), 4) AS nll
+          FROM toks JOIN vocab USING (term), tot
+          GROUP BY doc_id ORDER BY doc_id""",
     // q51's pipeline through `flagged`, then the span merge and the cut
     // itself: tokens at positions covered by any span are dropped and the
     // survivors re-joined (1-based DuckDB lambda index -> i-1)

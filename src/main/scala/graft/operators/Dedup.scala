@@ -566,6 +566,53 @@ object Dedup {
     (base, flagged)
   }
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic near-duplicate
+    * pairs by clustering embeddings and comparing only within clusters —
+    * k-means (seeded, bounded-sample training) assigns every vector to
+    * ONE cluster, then a centroid-keyed self-join emits within-cluster
+    * pairs with cosine >= threshold. Returns `[a, b, cosine]`, a < b.
+    *
+    * Scale: the self-join shuffles on centroid_id, so clusters process in
+    * parallel and candidate volume is Σ C(|cluster|,2) — bounded by the
+    * builder's recursive size caps, never corpus-quadratic. Pairs whose
+    * members land in different clusters are sacrificed (the paper's
+    * trade); single assignment means each pair appears at most once, so
+    * no dedup exchange. */
+  def semanticDedupPairs(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      numCentroids: Int = 64,
+      threshold: Double = 0.95,
+      seed: Long = 42L): DataFrame = {
+    val (_, postings) = Ann.ivfIndex(embeddings, numCentroids,
+      idCol = idCol, vecCol = vecCol, maxClustersPerVector = 1, seed = seed)
+    semanticDedupPairsFromAssign(postings, embeddings, idCol, vecCol, threshold)
+  }
+
+  /** Pair derivation over a precomputed `[centroid_id, point_id]`
+    * assignment — split out so the assignment can be persisted to parquet
+    * and the within-cluster comparison replayed by another engine. */
+  def semanticDedupPairsFromAssign(
+      assign: DataFrame,
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.95): DataFrame = {
+    val vecs = Par.ensure(embeddings)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val asg = assign.select(col("centroid_id"), col("point_id"))
+    val left = asg.select(col("centroid_id"), col("point_id").as("a"))
+      .join(vecs.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+    val right = asg.select(col("centroid_id"), col("point_id").as("b"))
+      .join(vecs.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
+    left.join(right, Seq("centroid_id"))
+      .filter(col("a") < col("b"))
+      .withColumn("cosine", cosine_similarity(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+
   /** Exact (brute-force) cosine pair scan — O(n^2), oracle for the LSH
     * variant; only for tests/small inputs. */
   def embeddingNearDupExact(

@@ -274,6 +274,33 @@ object TextPipeline {
           col("ok_repetition"))
   }
 
+  /** Corpus-unigram negative log-likelihood per doc — the statistical-LM
+    * quality signal (CCNet's perplexity filter, Wenzek et al. LREC'20,
+    * with the corpus's own unigram distribution as the LM): p(t) =
+    * count(t)/total over the whole corpus, score = mean of -ln p(t) over
+    * the doc's tokens. Low = templated/ubiquitous text, high = rare or
+    * noisy text; practical pipelines cut both tails. Returns
+    * `[id, n_tokens, nll]`.
+    *
+    * Scale: one explode+groupBy builds the vocabulary (partial-agg
+    * collapses each partition's counts first, so the shuffle carries
+    * distinct terms per partition, not tokens), the scalar total rides a
+    * broadcast one-row frame, and the score join shuffles on term —
+    * linear everywhere, skew bounded by the hottest term's doc postings. */
+  def unigramLogProb(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = Gen.explodeOnce(
+      Par.ensure(docs).select(col(idCol).as("id"), tokenize(col(textCol)).as("tk")),
+      Seq(col("id")), col("tk"), "term")
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    toks.join(vocab, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(avg(-log(col("cnt").cast("double") / col("total").cast("double"))), 4).as("nll"))
+  }
+
   /** Deterministic token-budget mixing — the data-mixing primitive for
     * assembling a training corpus at fixed token counts per source/
     * language: within each stratum, walk documents in `md5(id)` order (a

@@ -251,4 +251,24 @@ class DedupSpec extends SparkSuite {
     assert(lsh.subsetOf(exact)) // verify step guarantees precision
     assert(lsh.size >= (exact.size * 9) / 10) // >=90% recall on near-identical vectors
   }
+
+  test("semdedup: within-cluster pairs equal the exact pairs on separated clusters") {
+    // same 3-cluster fixture: near-identical vectors share a cluster, so
+    // k-means with k >= 3 puts every exact pair inside one cluster and
+    // semdedup must recover the exact pair set with exact precision
+    val emb = (0 until 60).map { i =>
+      val cluster = i % 3
+      val v = (0 until 16).map { d =>
+        val centre = if (d % 3 == cluster) 1.0 else 0.0
+        centre + 0.01 * ((i * 31 + d * 17) % 7 - 3)
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupExact(emb, threshold = 0.99)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Dedup.semanticDedupPairs(emb, numCentroids = 3, threshold = 0.99)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(sem === exact)
+  }
 }

@@ -192,6 +192,18 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got.toSeq === expect)
   }
 
+  test("unigram NLL: hand-computed corpus-LM scores") {
+    // corpus: 6 tokens total; p(a)=3/6, p(b)=2/6, p(c)=1/6
+    val docs = Seq((0L, "a a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val got = TextPipeline.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def nll(ps: Seq[Double]) =
+      BigDecimal(ps.map(p => -math.log(p)).sum / ps.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0L) === ((3L, nll(Seq(0.5, 0.5, 2.0 / 6)))))
+    assert(got(1L) === ((3L, nll(Seq(0.5, 2.0 / 6, 1.0 / 6)))))
+  }
+
   test("language ID: script vote for non-Latin, stopword profiles for Latin") {
     val docs = Seq(
       (0L, "the cat sat on the mat and it was happy for a while"), // en
