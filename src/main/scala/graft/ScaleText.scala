@@ -54,27 +54,46 @@ object ScaleText {
       .repartition(cpus.toInt).persist()
     docs.count()
 
+    // optional arg 2: comma-list of ops to run (rep,tfidf,minhash,substr,
+    // simhash; default all), and repeat count via e.g. "tfidf*3" — for
+    // isolating one op's scaling behavior in a single JVM
+    val opSpec = if (args.length > 1) args(1) else "rep,tfidf,minhash,substr,simhash"
+    val opRepeats: Map[String, Int] = opSpec.split(",").map { s =>
+      s.split("\\*") match {
+        case Array(n, r) => n -> r.toInt
+        case Array(n) => n -> 1
+      }
+    }.toMap
     def timed(f: => Unit): Double = {
       val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    def timedOp(name: String)(f: => Unit): Double = {
+      val reps = opRepeats.getOrElse(name, 0)
+      var last = 0.0
+      for (i <- 1 to reps) {
+        last = timed(f)
+        if (reps > 1) println(f"[scaletext] $name run $i: $last%.1f s")
+      }
+      last
     }
 
     // aggregate OVER the computed signal columns so column pruning can't
     // skip the work a bare count() would let Catalyst drop
     var repCheck = 0.0
-    val repSec = timed {
+    val repSec = timedOp("rep") {
       repCheck = TextPipeline.repetitionSignals(docs)
         .agg(sum(col("dup_unigram_frac") + col("top_trigram_frac")))
         .head().getDouble(0)
     }
 
     var tfidfCheck = 0L
-    val tfidfSec = timed {
+    val tfidfSec = timedOp("tfidf") {
       tfidfCheck = TextPipeline.topTermsTfIdf(docs, k = 3)
         .agg(sum(length(col("term"))).cast("long")).head().getLong(0)
     }
 
     var minhashPairs = 0L
-    val minhashSec = timed {
+    val minhashSec = timedOp("minhash") {
       minhashPairs = Dedup.minhashPairs(docs, shingleLen = 3, k = 64,
         bands = 16, threshold = 0.7).count()
     }
@@ -82,7 +101,7 @@ object ScaleText {
     // the boilerplate tails (1/11 of docs share a 100-token phrase) and
     // the near-copies are exactly what ExactSubstr must flag
     var substrTokens = 0L
-    val substrSec = timed {
+    val substrSec = timedOp("substr") {
       substrTokens = Dedup.substringDupSpans(docs, windowLen = 20)
         .agg(sum(col("dup_tokens"))).head().getLong(0)
     }
@@ -92,7 +111,7 @@ object ScaleText {
     // corpus is exactly the template-heavy shape the hot-bucket guard
     // exists for — run the guarded plan, as a 100-TB job would
     var simhashPairs = 0L
-    val simhashSec = timed {
+    val simhashSec = timedOp("simhash") {
       simhashPairs = Dedup.simhashPairsFromSketches(
         docs.select(col("doc_id").as("id"),
           graft.functions.GraftFunctions.simhash(
@@ -100,14 +119,15 @@ object ScaleText {
         maxHamming = 3, maxBucket = 8192).count()
     }
 
+    def dps(sec: Double): Double = if (sec > 0) n / sec else 0.0
     println(s"""{"n":$n,"rep_sec":${f"$repSec%.1f"},""" +
-      s""""rep_docs_per_sec":${f"${n / repSec}%.0f"},"rep_check":${f"$repCheck%.1f"},""" +
-      s""""tfidf_sec":${f"$tfidfSec%.1f"},"tfidf_docs_per_sec":${f"${n / tfidfSec}%.0f"},""" +
+      s""""rep_docs_per_sec":${f"${dps(repSec)}%.0f"},"rep_check":${f"$repCheck%.1f"},""" +
+      s""""tfidf_sec":${f"$tfidfSec%.1f"},"tfidf_docs_per_sec":${f"${dps(tfidfSec)}%.0f"},""" +
       s""""tfidf_check":$tfidfCheck,"minhash_sec":${f"$minhashSec%.1f"},""" +
-      s""""minhash_docs_per_sec":${f"${n / minhashSec}%.0f"},""" +
+      s""""minhash_docs_per_sec":${f"${dps(minhashSec)}%.0f"},""" +
       s""""minhash_pairs":$minhashPairs,""" +
       s""""substr_sec":${f"$substrSec%.1f"},""" +
-      s""""substr_docs_per_sec":${f"${n / substrSec}%.0f"},""" +
+      s""""substr_docs_per_sec":${f"${dps(substrSec)}%.0f"},""" +
       s""""substr_dup_tokens":$substrTokens,""" +
       s""""simhash_sec":${f"$simhashSec%.1f"},"simhash_pairs":$simhashPairs}""")
     spark.stop()

@@ -14,16 +14,50 @@ object Sessionize {
   /** Batch: assign session ids per user with a max inactivity gap, then
     * aggregate one row per session. Input needs `user_id` and an epoch-
     * micros long column `us`; unique (user_id, us, event_id) assumed for
-    * deterministic ordering. */
+    * deterministic ordering.
+    *
+    * The per-user timeline is a DISTRIBUTED prefix scan (same
+    * construction as `TextPipeline.tokenBudgetSample`), not a
+    * one-partition-per-user window: rows are range-partitioned on
+    * (user, us, event_id) so one pathological user spans many
+    * partitions; the cross-partition lag is reconstructed from a
+    * boundary table and local break-count cumsums are lifted by an
+    * exclusive-prefix offset. Both correction tables are restricted to
+    * the users that actually SPAN a partition boundary — at most
+    * partitions-1 of them regardless of user count — so they broadcast
+    * at any scale. Output is invariant to partition boundaries. */
   def batch(events: DataFrame, gapMinutes: Int): DataFrame = {
     val gapUs = gapMinutes.toLong * 60L * 1000000L
-    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    events
-      .withColumn("prev_us", lag(col("us"), 1).over(w))
+    val ranged = Par.ensure(events)
+      .repartitionByRange(col("user_id"), col("us"), col("event_id"))
+      .withColumn("pid", spark_partition_id())
+    val wL = Window.partitionBy("pid", "user_id").orderBy("us", "event_id")
+    val wPid = Window.partitionBy("user_id").orderBy("pid")
+    // per-(pid, user) summary; users entirely inside one partition need
+    // no correction, so both tiny tables keep only the spanning users
+    val perPid = ranged.groupBy("pid", "user_id").agg(max(col("us")).as("last_us"))
+    val spanning = perPid.groupBy("user_id").agg(count(lit(1)).as("np"))
+      .filter(col("np") > 1).select("user_id")
+    val bounds = perPid.join(spanning, Seq("user_id"), "left_semi")
+      .withColumn("prev_last", lag(col("last_us"), 1).over(wPid))
+      .select("pid", "user_id", "prev_last")
+    val flagged = ranged
+      .withColumn("prev_local", lag(col("us"), 1).over(wL))
+      .join(broadcast(bounds), Seq("pid", "user_id"), "left")
+      .withColumn("prev_us", coalesce(col("prev_local"), col("prev_last")))
       .withColumn("new_session",
         when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1).otherwise(0))
-      .withColumn("session_idx", sum(col("new_session"))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val offsets = flagged.groupBy("pid", "user_id")
+      .agg(sum(col("new_session")).as("brks"))
+      .join(spanning, Seq("user_id"), "left_semi")
+      .withColumn("off", coalesce(
+        sum(col("brks")).over(wPid.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "user_id", "off")
+    flagged
+      .withColumn("lidx",
+        sum(col("new_session")).over(wL.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(offsets), Seq("pid", "user_id"), "left")
+      .withColumn("session_idx", col("lidx") + coalesce(col("off"), lit(0L)))
       .groupBy("user_id", "session_idx")
       .agg(
         count(lit(1)).as("n_events"),

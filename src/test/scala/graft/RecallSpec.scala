@@ -141,9 +141,13 @@ class RecallSpec extends SparkSuite {
         .getOrCreate()
       val r = s2.sql(
         "SELECT l2_distance(array(1.0d, 2.0d), array(4.0d, 6.0d)) AS d," +
-          " rolling_hash('abc') AS h").head()
+          " rolling_hash('abc') AS h," +
+          " size(window_hashes(array('a', 'b', 'c'), 2)) AS nw," +
+          " window_hashes(array('a', 'b', 'c'), 2)[0].h AS w0").head()
       assert(r.getDouble(0) === 5.0)
       assert(r.getLong(1) === ((('a' * 1000003L) + 'b') * 1000003L) + 'c')
+      assert(r.getInt(2) === 2) // 3 tokens, L=2 -> windows at pos 0 and 1
+      assert(r.getLong(3) === 'a'.toLong * 1000003L + 'b'.toLong)
     } finally {
       prev.foreach { p =>
         SparkSession.setActiveSession(p)

@@ -158,6 +158,35 @@ class SurfaceSpec extends SparkSuite {
     assert(got === Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("batch sessionization: distributed scan matches a driver scan on one giant user") {
+    // one user whose timeline spans every range partition, with irregular
+    // gaps, plus a small user to exercise the non-spanning path
+    val gapUs = 30L * 60L * 1000000L
+    val times = (0 until 4000).scanLeft(0L) { (t, i) =>
+      t + (if (i % 97 == 96) gapUs + 1L else 1000000L * (1 + i % 5))
+    }
+    val ev = (times.zipWithIndex.map { case (t, i) => (7L, i.toLong, t) } :+
+      ((8L, 99999L, 0L))).toDF("user_id", "event_id", "us")
+    val got = Sessionize.batch(ev, gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // reference scan on the driver
+    var idx = 0L
+    var prev = Option.empty[Long]
+    val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    var (n, start, end) = (0L, 0L, 0L)
+    times.foreach { t =>
+      if (prev.isEmpty || t - prev.get > gapUs) {
+        if (n > 0) sessions += ((7L, idx, n, start, end))
+        idx += 1; n = 0; start = t
+      }
+      n += 1; end = t; prev = Some(t)
+    }
+    sessions += ((7L, idx, n, start, end))
+    sessions += ((8L, 1L, 1L, 0L, 0L))
+    assert(got === sessions.toSet)
+  }
+
   test("streaming sessionization closes sessions on gap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
