@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.core.{AttrField, Collection, CollectionConfig}
 import graft.operators.SearchParams
-import graft.streaming.StreamingIngest
+import graft.streaming.{StreamingDedup, StreamingIngest}
 
 /** Streaming ingest: WAL-ish micro-batches, auto-flush policy,
   * read-your-writes (SURVEY §2.9 R1-R7). */
@@ -105,6 +105,47 @@ class StreamingSpec extends SparkSuite {
       assert(got === Set(
         ("2024-01-01 10:00:00", "click", 2L, 3.0),
         ("2024-01-01 10:05:00", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup keeps the first-seen normalized text across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val out = StreamingDedup.exact(stream.toDF().toDF("id", "text"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      stream.addData((1L, "alpha beta gamma"), (2L, "ALPHA  beta gamma"), (3L, "other text"))
+      q.processAllAvailable()
+      // normalized dup (2) dropped within the first batch
+      assert(spark.table("dedup_out").select("id")
+        .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+      stream.addData((4L, "alpha beta gamma"), (5L, "fresh content here"))
+      q.processAllAvailable()
+      // cross-batch dup (4) dropped by state; fresh row kept
+      assert(spark.table("dedup_out").select("id")
+        .collect().map(_.getLong(0)).toSet === Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
+  test("watermarked streaming dedup drops in-horizon duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val out = StreamingDedup.exact(
+      stream.toDF().toDF("ts", "text"), eventTimeCol = "ts", delay = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm_out").start()
+    try {
+      stream.addData((ts(0), "first doc body"), (ts(1), "first  DOC body"))
+      q.processAllAvailable()
+      stream.addData((ts(5), "first doc body"), (ts(6), "second doc body"))
+      q.processAllAvailable()
+      // both later duplicates are within the 10-minute horizon of the
+      // first-seen row -> dropped; distinct content kept
+      val texts = spark.table("dedup_wm_out").select("text")
+        .collect().map(_.getString(0)).toSet
+      assert(texts === Set("first doc body", "second doc body"))
     } finally q.stop()
   }
 }
