@@ -11,12 +11,13 @@ import org.apache.spark.sql.types._
   * `mapPartitions` batch transforms (the Scala analogue of
   * `mapInPandas` batch UDFs).
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode kernels are STUBS: deterministic fakes computed from the raw
-  * bytes (clearly marked below). The Spark-side contract — schema,
-  * partitioning, batch iteration shape, and null handling — is real and
-  * tested; swapping in a real codec only replaces the marked function
-  * bodies. */
+  * Image decode is REAL (JDK ImageIO: PNG/BMP/GIF/JPEG) and audio decode
+  * is REAL (JDK javax.sound: WAV/AIFF/AU PCM). Video codecs are NOT
+  * available in this environment, so the video kernels are STUBS:
+  * deterministic fakes computed from the raw bytes (clearly marked
+  * below). The Spark-side contract — schema, partitioning, batch
+  * iteration shape, and null handling — is real and tested; swapping in
+  * a real codec only replaces the marked function bodies. */
 object Multimodal {
 
   /** Canonical media-table schema: one row per asset. */
@@ -32,8 +33,10 @@ object Multimodal {
 
   // ---------------------------------------------------------------------
   // REAL image decode — javax.imageio is JDK-built-in (PNG/BMP/GIF/JPEG
-  // readers ship with the JDK, no external codec needed). Audio/video
-  // decode stays stubbed below (no codec libs in this environment).
+  // readers ship with the JDK, no external codec needed). Audio decodes
+  // for real too (javax.sound.sampled parses WAV/AIFF/AU PCM, also
+  // JDK-built-in). Video decode stays stubbed below (no codec libs in
+  // this environment).
   // ---------------------------------------------------------------------
 
   /** Decode an encoded image payload with the JDK's ImageIO. Returns None
@@ -91,10 +94,123 @@ object Multimodal {
     }(enc)
   }
 
+  /** Decode an encoded audio payload (WAV/AIFF/AU — the JDK's built-in
+    * containers) to normalized mono samples in [-1, 1]. Channels are
+    * averaged; 8- and 16-bit PCM (signed/unsigned, either endianness) are
+    * handled — everything the JDK's own writers emit. Returns the format,
+    * frame count, and samples; None for null/undecodable payloads so
+    * callers fall back to the deterministic stub. */
+  private[operators] def decodeAudio(
+      payload: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Long, Array[Double])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val signed = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = fmt.getSampleSizeInBits
+        if (!(signed || unsigned) || (bits != 8 && bits != 16)) return None
+        val bytes = in.readAllBytes()
+        val ch = fmt.getChannels
+        val bps = bits / 8
+        val frameSize = fmt.getFrameSize
+        if (frameSize <= 0 || ch <= 0) return None
+        val n = bytes.length / frameSize
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var acc = 0.0
+          var c = 0
+          while (c < ch) {
+            val off = i * frameSize + c * bps
+            acc += (if (bits == 8) {
+              if (unsigned) ((bytes(off) & 0xff) - 128) / 128.0 else bytes(off) / 128.0
+            } else {
+              val b0 = bytes(off) & 0xff
+              val b1 = bytes(off + 1) & 0xff
+              val raw = if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+              if (unsigned) (raw - 32768) / 32768.0 else raw.toShort / 32768.0
+            })
+            c += 1
+          }
+          out(i) = acc / ch
+          i += 1
+        }
+        Some((fmt, n.toLong, out))
+      } finally in.close()
+    } catch {
+      case _: UnsupportedAudioFileException | _: java.io.IOException | _: RuntimeException =>
+        None
+    }
+  }
+
+  /** Real audio features: `dim`-window RMS energy envelope over the
+    * decoded mono samples — the standard cheap loudness contour (silence
+    * detection, clipping checks, segment boundaries). One linear pass. */
+  private[operators] def audioEnvelope(samples: Array[Double], dim: Int): Array[Double] = {
+    val out = new Array[Double](dim)
+    if (samples.isEmpty) return out
+    var w = 0
+    while (w < dim) {
+      val from = (w.toLong * samples.length / dim).toInt
+      val to = ((w + 1).toLong * samples.length / dim).toInt
+      if (to > from) {
+        var acc = 0.0
+        var i = from
+        while (i < to) { acc += samples(i) * samples(i); i += 1 }
+        out(w) = math.sqrt(acc / (to - from))
+      }
+      w += 1
+    }
+    out
+  }
+
+  /** Probe real audio stream parameters for `kind = audio` rows: emits
+    * `[media_id, sample_rate, channels, frames, duration_ms]` with nulls
+    * for undecodable payloads. Header-only parse (no sample read). */
+  def probeAudioMeta(media: DataFrame): DataFrame = {
+    import javax.sound.sampled.{AudioSystem, UnsupportedAudioFileException}
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", DoubleType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("frames", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.filter(col("kind") === "audio").select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val parsed =
+          if (payload == null || payload.isEmpty) None
+          else
+            try {
+              val ff = AudioSystem.getAudioFileFormat(new java.io.ByteArrayInputStream(payload))
+              Some((ff.getFormat, ff.getFrameLength.toLong))
+            } catch {
+              case _: UnsupportedAudioFileException | _: java.io.IOException |
+                  _: RuntimeException =>
+                None
+            }
+        parsed match {
+          case Some((fmt, frames)) =>
+            val durMs =
+              if (fmt.getFrameRate > 0 && frames >= 0)
+                math.round(frames * 1000.0 / fmt.getFrameRate)
+              else null
+            Row(r.getLong(0), fmt.getFrameRate.toDouble, fmt.getChannels,
+              if (frames >= 0) frames else null, durMs)
+          case None => Row(r.getLong(0), null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   // ---------------------------------------------------------------------
   // STUB decode kernels — deterministic fakes over raw bytes. A real
-  // pipeline replaces these bodies with an audio/video codec; signatures
-  // and batch shape stay identical. (Images decode for real above.)
+  // pipeline replaces these bodies with a video codec; signatures and
+  // batch shape stay identical. (Images and audio decode for real above.)
   // ---------------------------------------------------------------------
 
   /** STUB: "decode" an image to a fixed-size feature vector: 16 doubles,
@@ -129,11 +245,18 @@ object Multimodal {
     * `[media_id, kind, features: array<double>]`.
     *
     * With `decodeImages = true`, `kind = image` payloads are decoded for
-    * real via ImageIO and featurized as a luminance histogram; anything
-    * undecodable (and all non-image kinds) falls back to the deterministic
-    * byte-stub so the output contract never changes shape. The q34 oracle
-    * keeps the default (stub-only) path, which DuckDB can replay. */
-  def extractFeatures(media: DataFrame, dim: Int = 16, decodeImages: Boolean = false): DataFrame = {
+    * real via ImageIO and featurized as a luminance histogram; with
+    * `decodeAudioPcm = true`, `kind = audio` payloads are decoded via
+    * javax.sound (WAV/AIFF/AU) and featurized as an RMS energy envelope.
+    * Anything undecodable (and all other kinds) falls back to the
+    * deterministic byte-stub so the output contract never changes shape.
+    * The q34 oracle keeps the default (stub-only) path, which DuckDB can
+    * replay. */
+  def extractFeatures(
+      media: DataFrame,
+      dim: Int = 16,
+      decodeImages: Boolean = false,
+      decodeAudioPcm: Boolean = false): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -148,6 +271,9 @@ object Multimodal {
         val feats =
           if (decodeImages && kind == "image")
             decodeImage(payload).map(imageHistogram(_, dim))
+              .getOrElse(stubImageFeatures(payload, dim))
+          else if (decodeAudioPcm && kind == "audio")
+            decodeAudio(payload).map { case (_, _, samples) => audioEnvelope(samples, dim) }
               .getOrElse(stubImageFeatures(payload, dim))
           else stubImageFeatures(payload, dim)
         Row(r.getLong(0), kind, feats.toSeq)

@@ -64,6 +64,59 @@ class MultimodalSpec extends SparkSuite {
     assert(meta === Map(1L -> Some((8, 8)), 2L -> Some((8, 8)), 3L -> None))
   }
 
+  test("real audio decode: WAV/AIFF round-trip to exact RMS envelope") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 800 frames @ 8 kHz mono 16-bit signed PCM: first half silence,
+    // second half full-scale (-32768 -> exactly -1.0) -> dim-4 RMS
+    // envelope must be exactly [0, 0, 1, 1]; encoded through the JDK's
+    // own WAV and AIFF writers so the payload is a genuine container
+    // (WAV is little-endian, AIFF big-endian — both 16-bit paths hit)
+    def encoded(t: AudioFileFormat.Type, bigEndian: Boolean): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, 1, true, bigEndian)
+      val pcm = new Array[Byte](800 * 2)
+      val (lo, hi) = (0x00.toByte, 0x80.toByte) // -32768: normalizes to exactly -1.0
+      for (i <- 400 until 800) {
+        pcm(2 * i) = if (bigEndian) hi else lo
+        pcm(2 * i + 1) = if (bigEndian) lo else hi
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 800), t, bos)
+      bos.toByteArray
+    }
+    val wav = encoded(AudioFileFormat.Type.WAVE, bigEndian = false)
+    val aiff = encoded(AudioFileFormat.Type.AIFF, bigEndian = true)
+    val media = Seq(
+      (1L, "audio", wav),
+      (2L, "audio", aiff),
+      (3L, "audio", Array[Byte](1, 2, 3)), // undecodable -> stub fallback
+      (4L, "image", wav)                   // non-audio kind -> stub even if decodable
+    ).toDF("media_id", "kind", "payload")
+
+    val feats = Multimodal.extractFeatures(media, dim = 4, decodeAudioPcm = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(feats(1L) === Seq(0.0, 0.0, 1.0, 1.0))
+    assert(feats(2L) === Seq(0.0, 0.0, 1.0, 1.0))
+    val stub3 = Multimodal.extractFeatures(media.filter($"media_id" === 3L), dim = 4)
+      .head().getSeq[Double](2)
+    assert(feats(3L) === stub3)
+    val stub4 = Multimodal.extractFeatures(media.filter($"media_id" === 4L), dim = 4)
+      .head().getSeq[Double](2)
+    assert(feats(4L) === stub4)
+
+    // metadata probe: real stream params for decodable audio, nulls
+    // otherwise, and image rows are excluded entirely
+    val meta = Multimodal.probeAudioMeta(media).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some((r.getDouble(1), r.getInt(2), r.getLong(3), r.getLong(4)))))
+      .toMap
+    assert(meta === Map(
+      1L -> Some((8000.0, 1, 800L, 100L)),
+      2L -> Some((8000.0, 1, 800L, 100L)),
+      3L -> None))
+  }
+
   test("frame sampling explodes video payloads only") {
     val media = Multimodal.syntheticMedia(spark, 10, kind = "video")
       .union(Multimodal.syntheticMedia(spark, 5, kind = "image"))
