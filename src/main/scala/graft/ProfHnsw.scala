@@ -1,0 +1,47 @@
+package graft
+
+// scratch diagnostic main — not part of the library surface
+import graft.operators.Hnsw
+
+/** Times the sequential vs batch-parallel HNSW bulk build and checks
+  * recall parity. No Spark — the graph is a serving-process structure. */
+object ProfHnsw {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 50000
+    val dim = if (args.length > 1) args(1).toInt else 128
+    val par = if (args.length > 2) args(2).toInt else Runtime.getRuntime.availableProcessors
+    val nClusters = 64
+    val pts = Array.tabulate(n) { i =>
+      val c = i % nClusters
+      val v = Array.tabulate(dim) { d =>
+        val base = if (d % nClusters == c) 4.0 else 0.0
+        val h = graft.functions.HashKernels.mix64(i.toLong * 7919L + d)
+        base + h.toDouble / Long.MaxValue.toDouble
+      }
+      (i.toLong, v)
+    }
+    def brute(q: Array[Double], k: Int): Set[Long] =
+      pts.map { case (id, v) =>
+        var acc = 0.0; var d = 0
+        while (d < v.length) { val x = q(d) - v(d); acc += x * x; d += 1 }
+        (acc, id)
+      }.sortBy(identity).take(k).map(_._2).toSet
+    def recall(g: Hnsw): Double = {
+      val rs = (0 until 25).map { qi =>
+        val q = pts(qi * 37)._2
+        brute(q, 10).intersect(g.search(q, 10, ef = 100).map(_._1).toSet).size / 10.0
+      }
+      rs.sum / rs.length
+    }
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime; val r = f
+      println(f"[hnsw] $label%-28s ${(System.nanoTime - t0) / 1e9}%.1f s"); r
+    }
+    val gp = timed(s"parallel build (p=$par)") {
+      Hnsw.build(pts.map(_._1), pts.map(_._2), parallelism = par)
+    }
+    println(f"[hnsw] parallel recall@10          ${recall(gp)}%.3f")
+    val gs = timed("sequential build") { Hnsw.build(pts.map(_._1), pts.map(_._2)) }
+    println(f"[hnsw] sequential recall@10        ${recall(gs)}%.3f")
+  }
+}

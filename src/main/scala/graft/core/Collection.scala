@@ -375,8 +375,14 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     // Physically partitioned by term-hash bucket (same pattern as the
     // user-bucket pruning on vectors, F11): a term lookup prunes to one
     // directory of ~1/64 of the index before the scan; row-group min/max
-    // on the sorted term column prunes further within the bucket.
-    terms
+    // on the sorted term column prunes further within the bucket. With no
+    // text fields the table is empty by construction — land it in one
+    // file directly (term_bucket as a data column, which DocFilter also
+    // prunes on) instead of paying the bucketed shuffle+sort for nothing.
+    if (textCols.isEmpty)
+      terms.withColumn("term_bucket", lit(0L)).coalesce(1)
+        .write.mode("overwrite").parquet(s"${segPath(seg)}/terms")
+    else terms
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(Collection.termBuckets)))
       .repartition(col("term_bucket"), col("term"))
       .sortWithinPartitions("term_bucket", "term", "user_id", "point_id")

@@ -138,14 +138,25 @@ object Hnsw {
     * target (2m at layer 0); `efConstruction` the build beam width —
     * defaults match the reference's centroid config
     * (rs/config/src/collection.rs:176-218). Deterministic for a fixed
-    * input order. */
+    * input order.
+    *
+    * `parallelism > 1` switches to a batch-synchronous bulk build: after a
+    * sequential warm-up prefix, nodes insert in fixed-size batches — each
+    * batch's candidate searches run CONCURRENTLY against the frozen
+    * graph-so-far, then links apply sequentially in index order. Unlike
+    * lock-based concurrent insertion (hnswlib), the result is fully
+    * deterministic (searches read an immutable snapshot; application
+    * order is the input order), at the cost that same-batch near
+    * neighbors don't link within their own batch — recall impact is
+    * bounded by the batch size and covered by HnswSpec's recall gate. */
   def build(
       ids: Array[Long],
       vecs: Array[Array[Double]],
       m: Int = 16,
       efConstruction: Int = 100,
       maxLayers: Int = 10,
-      seed: Long = 42L): Hnsw = {
+      seed: Long = 42L,
+      parallelism: Int = 1): Hnsw = {
     require(ids.length == vecs.length, "ids/vecs length mismatch")
     val n = ids.length
     val dim = if (n == 0) 0 else vecs(0).length
@@ -273,31 +284,111 @@ object Hnsw {
 
     var entry = 0
     var top = if (n > 0) levels(0) else 0
-    i = 1
-    while (i < n) {
+
+    // Candidate half of one insert, against the graph-so-far: greedy
+    // upper-layer descent from (entry0, top0), an efConstruction beam per
+    // level <= levels(i), then the diversity selection (pure distance
+    // math over the beam — no adjacency reads). Pure reader — safe to
+    // run concurrently between mutations.
+    def candidates(i: Int, entry0: Int, top0: Int): Array[Array[Int]] = {
       val l = levels(i)
-      var eps = Array(entry)
-      var lc = top
+      var eps = Array(entry0)
+      var lc = top0
       while (lc > l) {
         val (_, nodes) = searchLayer(i, eps, 1, lc)
         if (nodes.nonEmpty) eps = Array(nodes(0))
         lc -= 1
       }
-      lc = math.min(l, top)
+      val lo = math.min(l, top0)
+      val out = new Array[Array[Int]](lo + 1)
+      lc = lo
       while (lc >= 0) {
         val (dists, nodes) = searchLayer(i, eps, efConstruction, lc)
+        out(lc) = selectDiverse(i, dists, nodes, m)
+        eps = nodes
+        lc -= 1
+      }
+      out
+    }
+    // Mutation half of one insert: add bidirectional links to the
+    // selected neighbors, cap degrees, track the entry point.
+    def applyLinks(i: Int, nbrsPerLevel: Array[Array[Int]]): Unit = {
+      var lc = nbrsPerLevel.length - 1
+      while (lc >= 0) {
         val cap = if (lc == 0) 2 * m else m
-        val nbrs = selectDiverse(i, dists, nodes, m)
-        nbrs.foreach { nb =>
+        nbrsPerLevel(lc).foreach { nb =>
           adj(i)(lc) += nb
           adj(nb)(lc) += i
           shrink(nb, lc, cap)
         }
-        eps = nodes
         lc -= 1
       }
-      if (l > top) { entry = i; top = l }
-      i += 1
+      if (levels(i) > top) { entry = i; top = levels(i) }
+    }
+
+    if (parallelism <= 1) {
+      i = 1
+      while (i < n) { applyLinks(i, candidates(i, entry, top)); i += 1 }
+    } else {
+      // Batch-synchronous bulk build: a sequential warm-up prefix seeds a
+      // navigable graph, then each batch's candidate searches fan out on
+      // the pool against the frozen adjacency and links apply in index
+      // order — deterministic by construction.
+      val batchSize = math.max(8 * parallelism, 64)
+      val warm = math.min(n, math.max(batchSize, 1024))
+      i = 1
+      while (i < warm) { applyLinks(i, candidates(i, entry, top)); i += 1 }
+      val pool = new java.util.concurrent.ForkJoinPool(parallelism)
+      try {
+        // Shrinks are DEFERRED to one batch-end parallel pass: lists grow
+        // past cap while the batch's links apply, then every over-cap
+        // (node, level) list shrinks concurrently — each shrink reads and
+        // writes only its own list, so the result is independent of task
+        // order. Deferral also means the diversity selection sees the
+        // whole batch's reverse links at once instead of re-running per
+        // link — fewer, better-informed shrinks.
+        val dirty = new java.util.LinkedHashSet[(Int, Int)]()
+        var start = warm
+        while (start < n) {
+          val end = math.min(n, start + batchSize)
+          val e0 = entry
+          val t0 = top
+          val res = new Array[Array[Array[Int]]](end - start)
+          val tasks = new java.util.ArrayList[java.util.concurrent.Callable[Unit]](end - start)
+          var j = start
+          while (j < end) {
+            val jj = j
+            tasks.add(() => { res(jj - start) = candidates(jj, e0, t0) })
+            j += 1
+          }
+          pool.invokeAll(tasks).forEach(_.get()) // surface worker exceptions
+          j = start
+          while (j < end) {
+            val nbrsPerLevel = res(j - start)
+            var lc = nbrsPerLevel.length - 1
+            while (lc >= 0) {
+              val cap = if (lc == 0) 2 * m else m
+              nbrsPerLevel(lc).foreach { nb =>
+                adj(j)(lc) += nb
+                adj(nb)(lc) += j
+                if (adj(nb)(lc).length > cap) dirty.add((nb, lc))
+              }
+              lc -= 1
+            }
+            if (levels(j) > top) { entry = j; top = levels(j) }
+            j += 1
+          }
+          if (!dirty.isEmpty) {
+            val st = new java.util.ArrayList[java.util.concurrent.Callable[Unit]](dirty.size)
+            dirty.forEach { case (node, lc) =>
+              st.add(() => shrink(node, lc, if (lc == 0) 2 * m else m))
+            }
+            pool.invokeAll(st).forEach(_.get())
+            dirty.clear()
+          }
+          start = end
+        }
+      } finally pool.shutdown()
     }
     val frozen: Array[Array[Array[Int]]] =
       Array.tabulate(n)(j => adj(j).map(_.toArray))

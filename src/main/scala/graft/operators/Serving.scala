@@ -263,7 +263,10 @@ object ServedIvfIndex {
     val _ = cIdToIdx // ids are dense post-sort; map kept for clarity
     val hnsw =
       if (centroidIndex == "hnsw" && cRows.nonEmpty)
-        Some(Hnsw.build(centroidIds.map(_.toLong), cRows.map(_._2)))
+        // batch-parallel bulk build (deterministic): the one-time shard
+        // load should use the serving host's cores, not one
+        Some(Hnsw.build(centroidIds.map(_.toLong), cRows.map(_._2),
+          parallelism = Runtime.getRuntime.availableProcessors))
       else None
     new ServedIvfIndex(dim, centroidIds, centFlat, postOffsets, postPoints,
       pointIds, vecFlat, hnsw)

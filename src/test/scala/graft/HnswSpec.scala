@@ -68,6 +68,29 @@ class HnswSpec extends SparkSuite {
     }
   }
 
+  test("parallel bulk build: deterministic across runs, recall holds") {
+    val pts = points(5000, 16, 20)
+    // determinism: thread scheduling must not leak into the graph — two
+    // parallel builds (and any parallelism level) answer identically
+    val p1 = Hnsw.build(pts.map(_._1), pts.map(_._2), parallelism = 8)
+    val p2 = Hnsw.build(pts.map(_._1), pts.map(_._2), parallelism = 8)
+    for (qi <- 0 until 20) {
+      val q = pts(qi * 131)._2
+      assert(p1.search(q, 10, 100).toSeq === p2.search(q, 10, 100).toSeq, s"query $qi")
+    }
+    // recall gate at the same bar as the sequential build: batch-frozen
+    // candidate searches may miss same-batch neighbors, the diversity
+    // heuristic + warm-up prefix must absorb that
+    val recalls = (0 until 25).map { qi =>
+      val q = pts(qi * 37)._2
+      val oracle = bruteTopK(pts, q, 10).toSet
+      val got = p1.search(q, 10, ef = 100).map(_._1).toSet
+      oracle.intersect(got).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.95, s"parallel-build mean recall@10 $mean")
+  }
+
   test("served hnsw mode: full-probe parity with exact, partial-probe recall") {
     val emb = points(2000, 16, 10).toSeq
       .map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
