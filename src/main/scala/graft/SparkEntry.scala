@@ -454,6 +454,26 @@ object SparkEntry {
       TextPipeline.unigramLogProb(T(s, d, "documents"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // DSIR importance weights (target = English docs): the hashed-ngram
+    // feature table persists as an artifact (seeded hash kernels aren't
+    // SQL — q27's pattern), and BOTH distributions and the weight sum
+    // replay exactly in DuckDB from the same bytes
+    "q55_dsir_weights" -> ((s, d) => {
+      val art = artifact("q55_buckets")
+      val docs = T(s, d, "documents")
+      TextPipeline.dsirBuckets(docs, buckets = 4096)
+        .repartition(4).write.mode("overwrite").parquet(art)
+      val target = docs.filter(col("lang") === "en").select(col("doc_id").as("id"))
+      docs.select(col("doc_id"))
+        .join(
+          TextPipeline.dsirWeightsFromBuckets(
+            s.read.parquet(art), target, buckets = 4096, alpha = 1.0)
+            .withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(coalesce(col("log_weight"), lit(0.0)), 4).as("log_weight"))
+        .orderBy("doc_id")
+    }),
     // full collection lifecycle under the oracle (S1/S4/S7/S8, F9/F10,
     // M1, J3, K2): two insert batches -> two flushed segments -> delete
     // every 10th doc -> merge -> SPANN search probing ALL lists (exact by
@@ -909,6 +929,28 @@ object SparkEntry {
                  round(avg(-ln(cnt::DOUBLE / total::DOUBLE)), 4) AS nll
           FROM toks JOIN vocab USING (term), tot
           GROUP BY doc_id ORDER BY doc_id""",
+    // add-1 smoothed hashed-ngram distributions over the q55 feature
+    // artifact; log w = Σ cnt·(ln p_target − ln q_raw); docs absent from
+    // the feature table (no tokens) coalesce to 0
+    "q55_dsir_weights" ->
+      """WITH bc AS (SELECT id, bucket, cnt
+                     FROM read_parquet('/tmp/graft_artifacts/q55_buckets/*.parquet')),
+         tgt AS (SELECT bucket, sum(cnt) AS tc FROM bc
+                 JOIN documents d ON bc.id = d.doc_id WHERE d.lang = 'en' GROUP BY bucket),
+         raw AS (SELECT bucket, sum(cnt) AS rc FROM bc GROUP BY bucket),
+         tt AS (SELECT sum(cnt)::DOUBLE AS tn FROM bc
+                JOIN documents d ON bc.id = d.doc_id WHERE d.lang = 'en'),
+         rt AS (SELECT sum(cnt)::DOUBLE AS rn FROM bc),
+         lw AS (
+           SELECT bc.id,
+                  sum(bc.cnt::DOUBLE *
+                      (ln((coalesce(tgt.tc, 0)::DOUBLE + 1.0) / (tt.tn + 4096.0))
+                       - ln((raw.rc::DOUBLE + 1.0) / (rt.rn + 4096.0)))) AS w
+           FROM bc JOIN raw USING (bucket) LEFT JOIN tgt USING (bucket), tt, rt
+           GROUP BY bc.id)
+         SELECT d.doc_id, round(coalesce(lw.w, 0.0), 4) AS log_weight
+         FROM documents d LEFT JOIN lw ON d.doc_id = lw.id
+         ORDER BY d.doc_id""",
     // q51's pipeline through `flagged`, then the span merge and the cut
     // itself: tokens at positions covered by any span are dropped and the
     // survivors re-joined (1-based DuckDB lambda index -> i-1)

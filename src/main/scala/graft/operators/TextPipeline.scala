@@ -301,6 +301,63 @@ object TextPipeline {
         round(avg(-log(col("cnt").cast("double") / col("total").cast("double"))), 4).as("nll"))
   }
 
+  /** Sparse hashed-ngram bag features (the DSIR feature space, Li et
+    * al., NeurIPS'23 "Data Selection for Language Models via Importance
+    * Resampling" §3.2): unigrams + bigrams hashed into `buckets` via the
+    * seeded shingle hash. Returns `[id, bucket, cnt]` — split out (same
+    * pattern as [[Dedup.minhashSignatures]]) so the feature table can be
+    * persisted to parquet and both distributions and weights replayed
+    * exactly by another engine.
+    *
+    * Scale: one shuffle keyed on (id, bucket); per-doc key count is
+    * bounded by the doc's token count, buckets bound the feature space. */
+  def dsirBuckets(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 4096): DataFrame = {
+    val tk = Par.ensure(docs).select(col(idCol).as("id"), tokenize(col(textCol)).as("tk"))
+    Gen.explodeOnce(tk, Seq(col("id")),
+      concat(shingle_hashes(col("tk"), 1), shingle_hashes(col("tk"), 2)), "h")
+      .select(col("id"), pmod(col("h"), lit(buckets.toLong)).as("bucket"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** DSIR importance weights over a precomputed feature table: with
+    * add-α smoothed hashed-ngram distributions p (over `targetIds`'
+    * rows) and q (over all rows),
+    *   log w(x) = Σ_b cnt_b(x) · (log p(b) − log q(b)),
+    * the log importance weight of doc x under the target distribution.
+    * Rank on it (optionally + seeded Gumbel noise for proper sampling)
+    * to select raw data that looks like the target domain. Returns
+    * `[id, log_weight]` for every id in `bucketCounts`.
+    *
+    * Scale: both distributions are ≤ `buckets` rows — built with one
+    * bounded-key shuffle each and joined back as a broadcast; the weight
+    * sum is one shuffle keyed on id. Nothing corpus-sized crosses an
+    * exchange twice. */
+  def dsirWeightsFromBuckets(
+      bucketCounts: DataFrame,
+      targetIds: DataFrame,
+      buckets: Int = 4096,
+      alpha: Double = 1.0): DataFrame = {
+    val bc = bucketCounts.select(col("id"), col("bucket"), col("cnt"))
+    val tgt = bc.join(targetIds.select(col("id")).distinct(), Seq("id"), "left_semi")
+    val tgtDist = tgt.groupBy("bucket").agg(sum(col("cnt")).as("tc"))
+    val rawDist = bc.groupBy("bucket").agg(sum(col("cnt")).as("rc"))
+    val tTot = tgt.agg(sum(col("cnt")).cast("double").as("tn"))
+    val rTot = bc.agg(sum(col("cnt")).cast("double").as("rn"))
+    val dist = rawDist.join(tgtDist, Seq("bucket"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("bucket"),
+        (log((coalesce(col("tc"), lit(0L)).cast("double") + alpha)
+            / (col("tn") + lit(alpha * buckets)))
+          - log((col("rc").cast("double") + alpha)
+            / (col("rn") + lit(alpha * buckets)))).as("lr"))
+    bc.join(broadcast(dist), Seq("bucket"))
+      .groupBy("id").agg(sum(col("cnt").cast("double") * col("lr")).as("log_weight"))
+  }
+
   /** Deterministic token-budget mixing — the data-mixing primitive for
     * assembling a training corpus at fixed token counts per source/
     * language: within each stratum, walk documents in `md5(id)` order (a

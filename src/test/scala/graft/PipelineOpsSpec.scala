@@ -204,6 +204,31 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got(1L) === ((3L, nll(Seq(0.5, 2.0 / 6, 1.0 / 6)))))
   }
 
+  test("dsir weights: target-like docs score above off-target docs") {
+    // target = docs 0-3 ("alpha beta" domain); raw adds a "gamma delta"
+    // domain. A held-out alpha-beta doc must weigh above any gamma-delta
+    // doc, and weights must be reproducible across runs.
+    val docs = Seq(
+      (0L, "alpha beta alpha beta alpha"),
+      (1L, "beta alpha beta alpha beta"),
+      (2L, "alpha alpha beta beta alpha"),
+      (3L, "beta beta alpha alpha alpha"),
+      (4L, "alpha beta beta alpha alpha"), // held-out target-like
+      (5L, "gamma delta gamma delta gamma"),
+      (6L, "delta gamma delta gamma delta"),
+      (7L, "gamma gamma delta delta gamma")
+    ).toDF("doc_id", "text")
+    val bc = TextPipeline.dsirBuckets(docs, buckets = 1024)
+    val target = docs.filter(col("doc_id") <= 3L).select(col("doc_id").as("id"))
+    def weights() = TextPipeline.dsirWeightsFromBuckets(bc, target, buckets = 1024)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = weights()
+    assert(w.size === 8)
+    for (t <- Seq(0L, 1L, 2L, 3L, 4L); o <- Seq(5L, 6L, 7L))
+      assert(w(t) > w(o), s"target-like $t (${w(t)}) vs off-target $o (${w(o)})")
+    assert(weights() === w) // deterministic
+  }
+
   test("language ID: script vote for non-Latin, stopword profiles for Latin") {
     val docs = Seq(
       (0L, "the cat sat on the mat and it was happy for a while"), // en
