@@ -149,11 +149,13 @@ object Dedup {
     * `maxShinglePostings`: recall on pairs that ONLY collide in a hot
     * bucket is sacrificed; pairs sharing any surviving key are kept).
     * Off (0) by default, which preserves the recall-1.0 guarantee. */
-  def simhashPairsFromSketches(
-      sketches: DataFrame,
-      maxHamming: Int,
-      blocksPerKey: Int = 0,
-      maxBucket: Int = 0): DataFrame = {
+  /** Blocked-LSH band keys for a 64-bit sketch column: the
+    * `struct(chunk, key)` columns of the `C(c, t)` tables plus each
+    * chunk's key-bit mask (a pair collides in chunk i iff
+    * `(ska ^ skb) & mask(i) == 0`). Shared by the batch pair derivation
+    * and [[graft.streaming.StreamingNearDup]]. */
+  private[graft] def simhashBands(
+      sk: Column, maxHamming: Int, blocksPerKey: Int): (Array[Column], Array[Long]) = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val t = if (blocksPerKey > 0) blocksPerKey else if (maxHamming <= 5) 1 else 2
     val c = maxHamming + t // minimal block count satisfying t <= c - maxHamming
@@ -161,7 +163,7 @@ object Dedup {
     val widths = Array.tabulate(c)(i => 64 / c + (if (i < 64 % c) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     def block(i: Int) = {
-      val shifted = shiftrightunsigned(col("sk"), offsets(i))
+      val shifted = shiftrightunsigned(sk, offsets(i))
       if (widths(i) >= 64) shifted else shifted.bitwiseAND(lit((1L << widths(i)) - 1L))
     }
     val combos = (0 until c).combinations(t).toArray
@@ -172,13 +174,21 @@ object Dedup {
         }
         struct(lit(si).as("chunk"), key.as("key"))
     }
-    // chunkMasks(c) = the sketch bits chunk c keys on: a pair collides in
-    // chunk c iff (ska^skb) & mask == 0, which is how the expansion kernel
-    // re-checks earlier chunks to emit each pair exactly once
     val chunkMasks = combos.map(_.foldLeft(0L) { (m, i) =>
       val w = widths(i)
       m | (if (w >= 64) -1L else ((1L << w) - 1L) << offsets(i))
     })
+    (bandStructs, chunkMasks)
+  }
+
+  def simhashPairsFromSketches(
+      sketches: DataFrame,
+      maxHamming: Int,
+      blocksPerKey: Int = 0,
+      maxBucket: Int = 0): DataFrame = {
+    // chunkMasks: how the expansion kernel re-checks earlier chunks to
+    // emit each pair exactly once on the unguarded path
+    val (bandStructs, chunkMasks) = simhashBands(col("sk"), maxHamming, blocksPerKey)
     // sketches feed one consumer when the guard is off; with the guard on,
     // the count pass adds a second — persist only then
     val sk0 = sketches.select(col("id"), col("sk"))

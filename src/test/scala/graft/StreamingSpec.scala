@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.core.{AttrField, Collection, CollectionConfig}
 import graft.operators.SearchParams
-import graft.streaming.{StreamingDedup, StreamingIngest}
+import graft.streaming.{StreamingDedup, StreamingIngest, StreamingNearDup}
 
 /** Streaming ingest: WAL-ish micro-batches, auto-flush policy,
   * read-your-writes (SURVEY §2.9 R1-R7). */
@@ -125,6 +125,36 @@ class StreamingSpec extends SparkSuite {
       // cross-batch dup (4) dropped by state; fresh row kept
       assert(spark.table("dedup_out").select("id")
         .collect().map(_.getLong(0)).toSet === Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
+  test("streaming simhash near-dup: pairs within and across batches, distinct text silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val matches = StreamingNearDup.simhash(stream.toDF().toDF("doc_id", "text"))
+    val q = matches.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      val textA = (1 to 40).map(i => s"tok$i").mkString(" ")
+      val textC = (100 to 140).map(i => s"zzz$i").mkString(" ")
+      stream.addData((1L, textA), (5L, textC))
+      q.processAllAvailable()
+      // unrelated docs: no match events
+      assert(spark.table("neardup_out").count() === 0L)
+      stream.addData((2L, textA))
+      q.processAllAvailable()
+      // cross-batch near-dup found via keyed state (identical -> hamming 0);
+      // delivery is at-least-once per shared band, so distinct the events
+      val got = spark.table("neardup_out").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === Set((1L, 2L, 0)))
+      // within-batch pairs too: two more copies arriving together match
+      // each other AND everything in state
+      stream.addData((3L, textA), (4L, textA))
+      q.processAllAvailable()
+      val all = spark.table("neardup_out").select("a", "b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(all === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
     } finally q.stop()
   }
 
