@@ -10,7 +10,9 @@ object ProfHnsw {
     val n = if (args.nonEmpty) args(0).toInt else 50000
     val dim = if (args.length > 1) args(1).toInt else 128
     val par = if (args.length > 2) args(2).toInt else Runtime.getRuntime.availableProcessors
-    val nClusters = 64
+    val nClusters = if (args.length > 3 && !args(3).startsWith("--")) args(3).toInt else 64
+    val m = if (args.length > 4 && !args(4).startsWith("--")) args(4).toInt else 16
+    val efC = if (args.length > 5 && !args(5).startsWith("--")) args(5).toInt else 100
     val pts = Array.tabulate(n) { i =>
       val c = i % nClusters
       val v = Array.tabulate(dim) { d =>
@@ -26,10 +28,10 @@ object ProfHnsw {
         while (d < v.length) { val x = q(d) - v(d); acc += x * x; d += 1 }
         (acc, id)
       }.sortBy(identity).take(k).map(_._2).toSet
-    def recall(g: Hnsw): Double = {
+    def recall(g: Hnsw, ef: Int = 100): Double = {
       val rs = (0 until 25).map { qi =>
         val q = pts(qi * 37)._2
-        brute(q, 10).intersect(g.search(q, 10, ef = 100).map(_._1).toSet).size / 10.0
+        brute(q, 10).intersect(g.search(q, 10, ef = ef).map(_._1).toSet).size / 10.0
       }
       rs.sum / rs.length
     }
@@ -37,11 +39,19 @@ object ProfHnsw {
       val t0 = System.nanoTime; val r = f
       println(f"[hnsw] $label%-28s ${(System.nanoTime - t0) / 1e9}%.1f s"); r
     }
-    val gp = timed(s"parallel build (p=$par)") {
-      Hnsw.build(pts.map(_._1), pts.map(_._2), parallelism = par)
+    val gp = timed(s"parallel build (p=$par m=$m efC=$efC)") {
+      Hnsw.build(pts.map(_._1), pts.map(_._2), m = m, efConstruction = efC, parallelism = par)
     }
-    println(f"[hnsw] parallel recall@10          ${recall(gp)}%.3f")
-    val gs = timed("sequential build") { Hnsw.build(pts.map(_._1), pts.map(_._2)) }
-    println(f"[hnsw] sequential recall@10        ${recall(gs)}%.3f")
+    for (ef <- Seq(100, 200, 400))
+      println(f"[hnsw] parallel recall@10 ef=$ef%-4d ${recall(gp, ef)}%.3f")
+    val qs = (0 until 200).map(qi => pts((qi * 4999) % n)._2)
+    val t0 = System.nanoTime
+    qs.foreach(q => gp.search(q, 10, ef = 100))
+    println(f"[hnsw] query ms (ef=100)           ${(System.nanoTime - t0) / 1e6 / qs.length}%.2f")
+    if (!args.contains("--par-only")) {
+      val gs = timed("sequential build") { Hnsw.build(pts.map(_._1), pts.map(_._2)) }
+      for (ef <- Seq(100, 200, 400))
+        println(f"[hnsw] sequential recall@10 ef=$ef%-2d ${recall(gs, ef)}%.3f")
+    }
   }
 }

@@ -322,6 +322,17 @@ object SparkEntry {
         shingleLen = 3, threshold = 0.3, maxShinglePostings = 1000000)
       Dedup.keepList(pairs).orderBy("id")
     }),
+    // q40's components, but each group collapses onto its
+    // highest-quality member instead of its smallest id
+    "q56_dedup_keep_best" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs,
+        shingleLen = 3, threshold = 0.3, maxShinglePostings = 1000000)
+      Dedup.keepBest(pairs,
+        TextPipeline.qualityScores(docs)
+          .select(col("doc_id").as("id"), col("quality").as("score")))
+        .orderBy("id")
+    }),
     "q37_preprocess" -> ((s, d) =>
       TextPipeline.preprocess(T(s, d, "documents"),
         minTokens = 10, maxTokens = 100000, maxStopwordRatio = 0.9)
@@ -508,6 +519,16 @@ object SparkEntry {
   private val docToksSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
 
+  /** The quality-score kernel as a DuckDB scalar over columns (text, t)
+    * — shared by q32 and the q56 argmax so both replay the same bytes. */
+  private val qualityScalarSql =
+    """round(
+         least(length(text)::DOUBLE / 200.0, 1.0)
+         * (CASE WHEN (CASE WHEN len(t)=0 THEN 0.0 ELSE list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
+         * (1.0 - least((CASE WHEN length(text)=0 THEN 0.0 ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END) * 4.0, 1.0))
+         * (least((CASE WHEN len(t)=0 THEN 0.0 ELSE len(list_filter(t, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be')))::DOUBLE / len(t) END) * 5.0, 1.0) * 0.5 + 0.5)
+       , 6)"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
@@ -651,6 +672,33 @@ object SparkEntry {
             UNION
             SELECT reach.id, edges.v FROM reach JOIN edges ON edges.u = reach.r)
           SELECT id, min(r) AS keep_id FROM reach GROUP BY id ORDER BY id""",
+    // q40's recursive components + the shared quality scalar: argmax by
+    // (quality desc, id asc) within each component
+    "q56_dedup_keep_best" ->
+      s"""WITH RECURSIVE t AS (
+            SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) AS sh
+            FROM (SELECT doc_id, $docToksSql AS toks FROM documents) d),
+          pairs AS (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM t a, t b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+          edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+          reach(id, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT reach.id, edges.v FROM reach JOIN edges ON edges.u = reach.r),
+          comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+          q AS (SELECT doc_id, $qualityScalarSql AS s
+                FROM (SELECT doc_id, text, $docToksSql AS t FROM documents) z),
+          cq AS (SELECT comp.id, comp.comp, q.s FROM comp JOIN q ON q.doc_id = comp.id),
+          ms AS (SELECT comp, max(s) AS mx FROM cq GROUP BY comp),
+          best AS (SELECT cq.comp, min(cq.id) AS best_id
+                   FROM cq JOIN ms ON cq.comp = ms.comp AND cq.s = ms.mx
+                   GROUP BY cq.comp)
+          SELECT cq.id, best.best_id AS keep_id FROM cq JOIN best USING (comp)
+          ORDER BY id""",
     "q39_cube" ->
       """SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total, count(*) AS cnt
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -718,12 +766,7 @@ object SparkEntry {
     "q32_quality" ->
       s"""WITH toks AS (SELECT doc_id, text, $docToksSql AS t FROM documents)
           SELECT doc_id,
-            round(
-              least(length(text)::DOUBLE / 200.0, 1.0)
-              * (CASE WHEN (CASE WHEN len(t)=0 THEN 0.0 ELSE list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
-              * (1.0 - least((CASE WHEN length(text)=0 THEN 0.0 ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END) * 4.0, 1.0))
-              * (least((CASE WHEN len(t)=0 THEN 0.0 ELSE len(list_filter(t, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be')))::DOUBLE / len(t) END) * 5.0, 1.0) * 0.5 + 0.5)
-            , 6) AS quality,
+            $qualityScalarSql AS quality,
             CAST(length(text) AS BIGINT) AS n_chars
           FROM toks ORDER BY doc_id""",
     // multimodal stub features: payload = utf8 bytes of the sha256 hex

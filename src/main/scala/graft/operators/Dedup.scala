@@ -413,6 +413,38 @@ object Dedup {
     keepListDistributed(init, maxIters)
   }
 
+  /** Like [[keepList]], but each duplicate group keeps its
+    * HIGHEST-`score` member (ties -> smallest id) instead of its
+    * smallest id — the quality-aware canonical selection used when
+    * collapsing near-duplicates in a training corpus (keep the best
+    * copy, not an arbitrary one). `scores` = `[id, score]`; ids absent
+    * from `scores` rank below every scored member. Returns
+    * `[id, keep_id]` over the same id universe as [[keepList]].
+    *
+    * Scale: component labeling is [[keepList]] unchanged; the argmax is
+    * one groupBy over the component table (near-dup subset sized, far
+    * smaller than the corpus) plus a component-keyed join back. Rank on
+    * pre-rounded scores if replaying cross-engine (same ulp argument as
+    * the TF-IDF ranking). */
+  def keepBest(
+      pairs: DataFrame,
+      scores: DataFrame,
+      maxIters: Int = 50,
+      localEdgeLimit: Long = 1000000L): DataFrame = {
+    val comp = keepList(pairs, maxIters, localEdgeLimit)
+    val sc = scores.select(col("id").cast("long").as("id"), col("score").cast("double").as("score"))
+    val labeled = comp.join(sc, Seq("id"), "left")
+      .select(col("id"), col("keep_id").as("comp"),
+        coalesce(col("score"), lit(Double.NegativeInfinity)).as("s"))
+    // argmax by (score desc, id asc): max of (s, -id) then negate back
+    val best = labeled
+      .groupBy("comp")
+      .agg(max(struct(col("s"), (-col("id")).as("nid"))).as("m"))
+      .select(col("comp"), (-col("m.nid")).cast("long").as("best_id"))
+    labeled.join(best, Seq("comp"))
+      .select(col("id"), col("best_id").as("keep_id"))
+  }
+
   private def keepListDistributed(init: DataFrame, maxIters: Int): DataFrame = {
     val nodes = init.select(col("u").as("id")).union(init.select(col("v").as("id"))).distinct()
     // canonical child->parent orientation: (larger, smaller), no self-loops

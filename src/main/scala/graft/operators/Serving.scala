@@ -262,12 +262,19 @@ object ServedIvfIndex {
     }
     val _ = cIdToIdx // ids are dense post-sort; map kept for clarity
     val hnsw =
-      if (centroidIndex == "hnsw" && cRows.nonEmpty)
+      if (centroidIndex == "hnsw" && cRows.nonEmpty) {
         // batch-parallel bulk build (deterministic): the one-time shard
-        // load should use the serving host's cores, not one
+        // load should use the serving host's cores, not one. Degree/beam
+        // scale with the set: m=16/efC=100 is exact-recall territory up
+        // to ~200k, but underfits at ~1M (measured 0.66@ef100 vs 0.98
+        // with m=32/efC=200 — BASELINE.md); the parallel build is what
+        // makes the wider 1M build affordable at load time.
+        val big = centroidIds.length >= 500000
         Some(Hnsw.build(centroidIds.map(_.toLong), cRows.map(_._2),
+          m = if (big) 32 else 16,
+          efConstruction = if (big) 200 else 100,
           parallelism = Runtime.getRuntime.availableProcessors))
-      else None
+      } else None
     new ServedIvfIndex(dim, centroidIds, centFlat, postOffsets, postPoints,
       pointIds, vecFlat, hnsw)
   }

@@ -125,6 +125,21 @@ class DedupSpec extends SparkSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("keepBest: each component keeps its highest-scoring member, ties to min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L), (11L, 12L)).toDF("a", "b")
+    val scores = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9), (4L, 0.1), // tie at 0.9 -> min id 2
+      (9L, 0.5), // 7 unscored -> ranks below any scored member
+      (11L, 0.3), (12L, 0.8)
+    ).toDF("id", "score")
+    val got = Dedup.keepBest(pairs, scores).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L,
+      7L -> 9L, 9L -> 9L,
+      11L -> 12L, 12L -> 12L))
+  }
+
   test("keepList: 1000-edge chain (worst-case diameter) converges to one component") {
     // one-hop label propagation needs ~1000 rounds here; large/small-star
     // must collapse it within the default iteration budget. localEdgeLimit=0
