@@ -57,7 +57,7 @@ object ScaleText {
     // optional arg 2: comma-list of ops to run (rep,tfidf,minhash,substr,
     // simhash; default all), and repeat count via e.g. "tfidf*3" — for
     // isolating one op's scaling behavior in a single JVM
-    val opSpec = if (args.length > 1) args(1) else "rep,tfidf,minhash,substr,simhash"
+    val opSpec = if (args.length > 1) args(1) else "rep,tfidf,minhash,substr,simhash,dsir"
     val opRepeats: Map[String, Int] = opSpec.split(",").map { s =>
       s.split("\\*") match {
         case Array(n, r) => n -> r.toInt
@@ -119,6 +119,16 @@ object ScaleText {
         maxHamming = 3, maxBucket = 8192).count()
     }
 
+    // DSIR end-to-end: hashed-ngram feature build + both distributions +
+    // per-doc weights; target = the boilerplate-carrying docs (1/11)
+    var dsirCheck = 0.0
+    val dsirSec = timedOp("dsir") {
+      val bc = TextPipeline.dsirBuckets(docs, buckets = 65536)
+      val target = docs.filter(col("doc_id") % 11 === 0).select(col("doc_id").as("id"))
+      dsirCheck = TextPipeline.dsirWeightsFromBuckets(bc, target, buckets = 65536)
+        .agg(sum(col("log_weight"))).head().getDouble(0)
+    }
+
     def dps(sec: Double): Double = if (sec > 0) n / sec else 0.0
     println(s"""{"n":$n,"rep_sec":${f"$repSec%.1f"},""" +
       s""""rep_docs_per_sec":${f"${dps(repSec)}%.0f"},"rep_check":${f"$repCheck%.1f"},""" +
@@ -129,7 +139,9 @@ object ScaleText {
       s""""substr_sec":${f"$substrSec%.1f"},""" +
       s""""substr_docs_per_sec":${f"${dps(substrSec)}%.0f"},""" +
       s""""substr_dup_tokens":$substrTokens,""" +
-      s""""simhash_sec":${f"$simhashSec%.1f"},"simhash_pairs":$simhashPairs}""")
+      s""""simhash_sec":${f"$simhashSec%.1f"},"simhash_pairs":$simhashPairs,""" +
+      s""""dsir_sec":${f"$dsirSec%.1f"},"dsir_docs_per_sec":${f"${dps(dsirSec)}%.0f"},""" +
+      s""""dsir_check":${f"$dsirCheck%.1f"}}""")
     spark.stop()
   }
 }
