@@ -30,20 +30,39 @@ object Bench {
         minhash_signature(shingle_hashes(tokenize(col("n_name")), 3), 16))
         .collect()
     }
+    // Each query is executed twice. The FIRST execution carries one-time
+    // costs that are not plan cost — whole-stage codegen compilation of
+    // every operator the query introduces, AQE setup, file-footer reads —
+    // and at sf0.1 toy scale those dominate some entries (measured: q19
+    // 3.8 s cold vs 0.63 s warm with an identical plan). The SECOND
+    // execution is the steady-state number, the one that extrapolates to
+    // a long-running cluster job — so `queries`/`value` report it, and
+    // the cold first pass is kept alongside (`queries_cold`/`total_cold`)
+    // so one-time setup stays visible rather than read as a plan
+    // regression (round-5 verdict finding #2). The cache is cleared
+    // between executions: warm means compiled-and-planned, not cached
+    // data.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators persist internal multi-consumer frames (LSH signatures,
-      // window hashes); drop them outside the timed window so queries
-      // don't pressure each other's storage/GC across the 51-query run
-      spark.catalog.clearCache()
-      name -> dt
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // operators persist internal multi-consumer frames (LSH
+        // signatures, window hashes); drop them outside the timed window
+        // so queries don't pressure each other's storage/GC, and so the
+        // second execution re-runs the full pipeline
+        spark.catalog.clearCache()
+        dt
+      }
+      val cold = once()
+      val warm = once()
+      (name, cold, warm)
+    }
+    def json(f: ((String, Double, Double)) => Double): String =
+      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val totalWarm = results.map(_._3).sum
+    val totalCold = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$totalWarm,"unit":"sec","queries":${json(_._3)},"queries_cold":${json(_._2)},"total_cold":$totalCold,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

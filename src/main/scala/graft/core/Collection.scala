@@ -41,9 +41,17 @@ final case class CollectionConfig(
     quantizer: String = "noq",
     pqSubvectors: Int = 8,
     pqBits: Int = 8,
+    /** Serving stage-1 centroid selector: "exact" (default scan) or
+      * "hnsw" — with "hnsw" every flush/merge/vacuum also persists the
+      * centroid graph (`hnsw.bin` next to the centroids parquet, the
+      * reference's flush-time HNSW write, rs/index/src/hnsw/writer.rs) so
+      * serving restarts load it instead of rebuilding. */
+    centroidIndexType: String = "exact",
     attributeSchema: Seq[AttrField] = Nil) {
   require(quantizer == "noq" || quantizer == "pq" || quantizer == "rabitq",
     s"unknown quantizer: $quantizer")
+  require(centroidIndexType == "exact" || centroidIndexType == "hnsw",
+    s"unknown centroidIndexType: $centroidIndexType")
   def textFields: Seq[AttrField] = attributeSchema.filter(f => f.kind == "text" || f.kind == "keyword")
 }
 
@@ -352,6 +360,20 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       sampleSize = config.clusteringSample)
     val centroids = IvfBuilder.buildCentroids(vectors, params)
     centroids.write.mode("overwrite").parquet(s"${segPath(seg)}/centroids")
+    // Flush-time centroid-graph write (the reference's on-disk HNSW,
+    // rs/index/src/hnsw/writer.rs): built once here, loaded by every
+    // serving restart — ServedIvfIndex.build(hnswPath=...) reads it
+    // instead of re-running the 123-257 s/1M-centroid bulk build. The
+    // construction is the shared serving one, so loaded == built.
+    if (config.centroidIndexType == "hnsw") {
+      val cRows = spark.read.parquet(s"${segPath(seg)}/centroids")
+        .select(col("centroid_id").cast("int"), col("vector").cast("array<double>"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      if (cRows.nonEmpty)
+        graft.operators.Hnsw.save(s"${segPath(seg)}/hnsw.bin",
+          graft.operators.ServedIvfIndex.buildCentroidGraph(
+            cRows.map(_._1.toLong), cRows.map(_._2)))
+    }
     val postings = IvfBuilder.buildPostings(
       vectors, spark.read.parquet(s"${segPath(seg)}/centroids"), params)
     postings
@@ -485,6 +507,9 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
 
   private[core] def segmentTable(seg: String, table: String): DataFrame =
     spark.read.parquet(s"${segPath(seg)}/$table")
+
+  private[core] def segmentFile(seg: String, name: String): String =
+    s"${segPath(seg)}/$name"
 
   /** Vectors table with a partition-pruning predicate for the given users:
     * the filter is on the `user_bucket` PARTITION column, so Catalyst

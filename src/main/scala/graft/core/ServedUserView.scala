@@ -89,10 +89,15 @@ object ServedUserView {
           col("doc_id"), col("vector").cast("array<double>").as("embedding"))
       // postings referencing dropped points are dangling; ServedIvfIndex
       // .build discards posting entries with no backing vector
+      // Stage-1 selector follows the collection config; with "hnsw" the
+      // flush-time hnsw.bin loads here (seconds) instead of rebuilding
+      // the centroid graph on every serving (re)start.
       val served = ServedIvfIndex.build(
         userVecs.select("vec_id", "embedding"),
         coll.segmentTable(seg, "centroids"),
-        coll.segmentTable(seg, "postings").filter(col("user_id") === uid))
+        coll.segmentTable(seg, "postings").filter(col("user_id") === uid),
+        centroidIndex = coll.config.centroidIndexType,
+        hnswPath = Some(coll.segmentFile(seg, "hnsw.bin")))
       val docOf: Map[Long, Any] = userVecs.select("vec_id", "doc_id").collect()
         .map(r => r.getLong(0) -> r.get(1)).toMap
       (served, docOf)

@@ -298,9 +298,60 @@ object Dedup {
       multiprobe: Int = 2,
       maxBucket: Int = 8192,
       seed: Long = 42L): DataFrame = {
-    val spark = embeddings.sparkSession
+    // vecs feed the sketch explode AND both re-attach joins — persist
+    // so the corpus is scanned once, not once per consumer (the q27-style
+    // recompute fix; at 100 TB this is the difference between 1 and 3
+    // full passes).
+    val vecs = Par.ensure(embeddings)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairsFromBuckets(bucketsOf(vecs, nPlanes, nTables, multiprobe, seed),
+      vecs, threshold, maxBucket)
+  }
+
+  /** The sign-bit LSH bucketing stage of [[embeddingNearDupPairs]],
+    * exposed so the bucket table can persist as a cross-engine artifact
+    * (the q27 signature pattern): a DuckDB oracle replays the hot-bucket
+    * prune + candidate self-join + exact-cosine verify over this exact
+    * parquet, flipping q29 from rows-only to hash-checked. Returns
+    * `[id, bucket]` — multi-row per id: nTables x (1 + multiprobe). */
+  def hyperplaneBuckets(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nPlanes: Int = 8,
+      nTables: Int = 8,
+      multiprobe: Int = 2,
+      seed: Long = 42L): DataFrame =
+    bucketsOf(
+      Par.ensure(embeddings)
+        .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")),
+      nPlanes, nTables, multiprobe, seed)
+
+  /** Pair derivation over a (re-read) `[id, bucket]` table: prune hot
+    * buckets, self-join within buckets, verify with exact cosine against
+    * the embeddings table. Identical output to [[embeddingNearDupPairs]]
+    * with the same knobs. */
+  def embeddingNearDupPairsFromBuckets(
+      bucketed: DataFrame,
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.95,
+      maxBucket: Int = 8192): DataFrame = {
+    val vecs = embeddings
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairsFromBuckets(bucketed, vecs, threshold, maxBucket)
+  }
+
+  /** Sign-bit sketches for already-narrowed `[id, v]` rows. */
+  private def bucketsOf(
+      vecs: DataFrame, nPlanes: Int, nTables: Int,
+      multiprobe: Int, seed: Long): DataFrame = {
+    val spark = vecs.sparkSession
     import spark.implicits._
-    val dim = embeddings.select(size(col(vecCol))).as[Int].head()
+    val dim = vecs.select(size(col("v"))).as[Int].head()
     // nTables independent sign-bit sketches of nPlanes each; a pair is a
     // candidate if it collides in ANY table (standard multi-table LSH
     // recall amplification: p_collide = 1-(1-c^planes)^tables).
@@ -314,20 +365,18 @@ object Dedup {
       flatPlanes(w) = h.toDouble / Long.MaxValue.toDouble
       w += 1
     }
-    // vecs feed the sketch explode AND both re-attach joins — persist
-    // so the corpus is scanned once, not once per consumer (the q27-style
-    // recompute fix; at 100 TB this is the difference between 1 and 3
-    // full passes).
-    val vecs = Par.ensure(embeddings)
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Only (bucket, id) rides the band-join shuffle; the wide vectors are
     // joined back onto the (much smaller) deduped candidate set, exactly
     // as minhashPairs re-attaches signatures.
     // multiprobe flips the least-confident sign bits, so near-threshold
     // pairs collide without extra tables (recall up, candidates ~(1+p)x)
-    val bucketed = Gen.explodeOnce(vecs, Seq(col("id")),
+    Gen.explodeOnce(vecs, Seq(col("id")),
       hyperplane_sketch(col("v"), flatPlanes, nTables, nPlanes, dim, multiprobe), "bucket")
+  }
+
+  private def pairsFromBuckets(
+      bucketed: DataFrame, vecs: DataFrame,
+      threshold: Double, maxBucket: Int): DataFrame = {
     // same hot-bucket guard as minhashPairsFromSigs: prune rare over-cap
     // buckets before collect_list via broadcast anti-join
     val pruned =

@@ -130,9 +130,134 @@ final class Hnsw private (
     * by `ef` (the reference's ef_construction/ef_search knob). */
   def search(q: Array[Double], k: Int, ef: Int = 100): Array[(Long, Double)] =
     searchNodes(q, k, ef).map(n => (ids(n), math.sqrt(dist2(q, n))))
+
+  /** Serialize the graph TOPOLOGY (ids, per-level adjacency, entry point)
+    * — not the vectors, which live in the centroids parquet alongside;
+    * the loader re-marries them ([[Hnsw.readGraph]]). Mirrors the
+    * reference's on-disk HNSW (rs/index/src/hnsw/writer.rs writes edges +
+    * entry point next to the vector storage; the block-based reader
+    * rs/index/src/hnsw/block_based/index.rs:159-211 mmaps it back) so a
+    * serving restart loads in seconds instead of re-running the build. */
+  def writeGraph(out: java.io.DataOutputStream): Unit = {
+    out.writeInt(Hnsw.Magic)
+    out.writeInt(1) // version
+    out.writeInt(ids.length)
+    out.writeInt(dim)
+    out.writeInt(entryNode)
+    out.writeInt(topLevel)
+    var i = 0
+    while (i < ids.length) { out.writeLong(ids(i)); i += 1 }
+    i = 0
+    while (i < ids.length) {
+      val lvls = layers(i)
+      out.writeInt(lvls.length)
+      var l = 0
+      while (l < lvls.length) {
+        val nbrs = lvls(l)
+        out.writeInt(nbrs.length)
+        var j = 0
+        while (j < nbrs.length) { out.writeInt(nbrs(j)); j += 1 }
+        l += 1
+      }
+      i += 1
+    }
+    out.writeInt(Hnsw.Magic) // trailer: truncation check
+  }
 }
 
 object Hnsw {
+
+  private[operators] val Magic = 0x47484e53 // "GHNS"
+
+  /** Fixed bulk-build batch size: a CONSTANT, deliberately not derived
+    * from the worker count, so the graph is a pure function of the input
+    * (ids, vecs, m, efConstruction, seed) — the same persisted collection
+    * yields the same graph (and the same partial-probe answers) on a
+    * 4-core laptop and a 128-core server. Parallelism only controls how
+    * many of a batch's candidate searches run at once. */
+  private val BulkBatchSize = 256
+
+  /** Rebuild a graph from [[Hnsw#writeGraph]] output plus the vectors it
+    * was built over (from the centroids parquet, in the SAME order —
+    * validated against the stored ids). Returns None on a
+    * missing/truncated/mismatched file so callers fall back to a fresh
+    * build rather than serve a wrong graph. */
+  def readGraph(
+      in: java.io.DataInputStream,
+      ids: Array[Long],
+      vecs: Array[Array[Double]]): Option[Hnsw] = {
+    try {
+      if (in.readInt() != Magic || in.readInt() != 1) return None
+      val n = in.readInt()
+      val dim = in.readInt()
+      val entry = in.readInt()
+      val top = in.readInt()
+      if (n != ids.length) return None
+      var i = 0
+      while (i < n) {
+        if (in.readLong() != ids(i)) return None
+        i += 1
+      }
+      val layers = new Array[Array[Array[Int]]](n)
+      i = 0
+      while (i < n) {
+        val nLvls = in.readInt()
+        if (nLvls < 0 || nLvls > 64) return None
+        val lvls = new Array[Array[Int]](nLvls)
+        var l = 0
+        while (l < nLvls) {
+          val len = in.readInt()
+          if (len < 0 || len > n) return None
+          val nbrs = new Array[Int](len)
+          var j = 0
+          while (j < len) {
+            val nb = in.readInt()
+            if (nb < 0 || nb >= n) return None
+            nbrs(j) = nb
+            j += 1
+          }
+          lvls(l) = nbrs
+          l += 1
+        }
+        layers(i) = lvls
+        i += 1
+      }
+      if (in.readInt() != Magic) return None
+      val flat = new Array[Double](n * dim)
+      i = 0
+      while (i < n) {
+        System.arraycopy(vecs(i), 0, flat, i * dim, math.min(dim, vecs(i).length))
+        i += 1
+      }
+      Some(new Hnsw(dim, ids, flat, layers, entry, top))
+    } catch {
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Persist a graph next to its segment's centroids parquet. */
+  def save(path: String, g: Hnsw): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(s".tmp_${p.getFileName}")
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(tmp), 1 << 20))
+    try g.writeGraph(out) finally out.close()
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Load a persisted graph; None if absent or stale (id mismatch). */
+  def load(path: String, ids: Array[Long], vecs: Array[Array[Double]]): Option[Hnsw] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(java.nio.file.Files.newInputStream(p), 1 << 20))
+      try readGraph(in, ids, vecs) finally in.close()
+    }
+  }
 
   /** Build the graph over `(ids, vecs)` pairs. `m` is the per-node degree
     * target (2m at layer 0); `efConstruction` the build beam width —
@@ -333,8 +458,10 @@ object Hnsw {
       // Batch-synchronous bulk build: a sequential warm-up prefix seeds a
       // navigable graph, then each batch's candidate searches fan out on
       // the pool against the frozen adjacency and links apply in index
-      // order — deterministic by construction.
-      val batchSize = math.max(8 * parallelism, 64)
+      // order — deterministic by construction, and PARALLELISM-INVARIANT:
+      // the batch size is a constant, so the graph does not depend on the
+      // host's core count (HnswSpec asserts p=2 == p=8).
+      val batchSize = BulkBatchSize
       val warm = math.min(n, math.max(batchSize, 1024))
       i = 1
       while (i < warm) { applyLinks(i, candidates(i, entry, top)); i += 1 }

@@ -195,11 +195,16 @@ object Multimodal {
             }
         parsed match {
           case Some((fmt, frames)) =>
+            // containers may report AudioSystem.NOT_SPECIFIED (-1) for any
+            // of these — map non-positive/unknown to null per the
+            // "nulls for undecodable/unknown" contract, never a sentinel
             val durMs =
               if (fmt.getFrameRate > 0 && frames >= 0)
                 math.round(frames * 1000.0 / fmt.getFrameRate)
               else null
-            Row(r.getLong(0), fmt.getFrameRate.toDouble, fmt.getChannels,
+            Row(r.getLong(0),
+              if (fmt.getFrameRate > 0) fmt.getFrameRate.toDouble else null,
+              if (fmt.getChannels > 0) fmt.getChannels else null,
               if (frames >= 0) frames else null, durMs)
           case None => Row(r.getLong(0), null, null, null, null)
         }

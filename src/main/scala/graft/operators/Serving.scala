@@ -187,17 +187,44 @@ object ServedIvfIndex {
           t
         }))
 
+  /** The one serving centroid-graph construction — shared by the
+    * flush-time writer ([[graft.core.Collection]]'s `hnsw.bin`) and the
+    * serve-time fallback, so a persisted graph is bit-identical to what a
+    * fresh serving build would produce. Deterministic and
+    * parallelism-invariant (fixed bulk-build batch size): the graph — and
+    * every partial-probe answer — is identical on any host; the core
+    * count only sets build speed. Degree/beam scale with the set:
+    * m=16/efC=100 is exact-recall territory up to ~200k centroids but
+    * underfits at ~1M (measured 0.66@ef100 vs 0.98 with m=32/efC=200 —
+    * BASELINE.md). */
+  def buildCentroidGraph(ids: Array[Long], vecs: Array[Array[Double]]): Hnsw = {
+    val big = ids.length >= 500000
+    Hnsw.build(ids, vecs,
+      m = if (big) 32 else 16,
+      efConstruction = if (big) 200 else 100,
+      parallelism = Runtime.getRuntime.availableProcessors)
+  }
+
   /** Load an IVF index (as built by [[Ann.ivfIndex]] or read from a
     * collection segment) into serving memory. One-time cost, bounded by
     * the shard size — mirrors the reference's segment load. */
   /** @param centroidIndex `"exact"` (default — bit-identical to
     *   [[Ann.ivfTopK]], right up to ~100k centroids) or `"hnsw"` (the
     *   reference's in-RAM centroid graph; approximate stage 1 for shards
-    *   whose centroid counts outgrow the scan). */
+    *   whose centroid counts outgrow the scan).
+    * @param hnswPath optional persisted-graph location (the segment's
+    *   `hnsw.bin`, written at flush by [[graft.core.Collection]] or by a
+    *   prior serving load): when the file exists and matches the centroid
+    *   set, stage-1 setup is a read instead of a rebuild — the reference
+    *   pays the HNSW build once at flush (rs/index/src/hnsw/writer.rs)
+    *   and mmap-loads it at serve time, where a 1M-centroid in-memory
+    *   rebuild costs 123-257 s per restart (BASELINE.md). A fresh build
+    *   is persisted there for the next restart. */
   def build(
       embeddings: DataFrame, centroids: DataFrame, postings: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      centroidIndex: String = "exact"): ServedIvfIndex = {
+      centroidIndex: String = "exact",
+      hnswPath: Option[String] = None): ServedIvfIndex = {
     require(centroidIndex == "exact" || centroidIndex == "hnsw",
       s"centroidIndex must be exact|hnsw, got $centroidIndex")
     val cRows = centroids
@@ -263,17 +290,16 @@ object ServedIvfIndex {
     val _ = cIdToIdx // ids are dense post-sort; map kept for clarity
     val hnsw =
       if (centroidIndex == "hnsw" && cRows.nonEmpty) {
-        // batch-parallel bulk build (deterministic): the one-time shard
-        // load should use the serving host's cores, not one. Degree/beam
-        // scale with the set: m=16/efC=100 is exact-recall territory up
-        // to ~200k, but underfits at ~1M (measured 0.66@ef100 vs 0.98
-        // with m=32/efC=200 — BASELINE.md); the parallel build is what
-        // makes the wider 1M build affordable at load time.
-        val big = centroidIds.length >= 500000
-        Some(Hnsw.build(centroidIds.map(_.toLong), cRows.map(_._2),
-          m = if (big) 32 else 16,
-          efConstruction = if (big) 200 else 100,
-          parallelism = Runtime.getRuntime.availableProcessors))
+        val longIds = centroidIds.map(_.toLong)
+        // load-from-disk first: the persisted topology + the centroid
+        // vectors just collected rebuild the graph in O(file) — seconds
+        // at 1M centroids vs minutes for a build (BASELINE.md)
+        val loaded = hnswPath.flatMap(Hnsw.load(_, longIds, cRows.map(_._2)))
+        loaded.orElse {
+          val built = buildCentroidGraph(longIds, cRows.map(_._2))
+          hnswPath.foreach(Hnsw.save(_, built)) // pay the build once
+          Some(built)
+        }
       } else None
     new ServedIvfIndex(dim, centroidIds, centFlat, postOffsets, postPoints,
       pointIds, vecFlat, hnsw)

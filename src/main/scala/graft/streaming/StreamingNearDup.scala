@@ -23,13 +23,18 @@ import graft.operators.Dedup
   * can't see another bucket's pruned state here) — downstream sinks
   * dedup on (a, b), which `foreachBatch` does in one line.
   *
-  * State posture at production rates: the per-bucket ring cap bounds
-  * memory regardless of runtime (an unbounded bucket is a memory leak,
-  * same argument as [[StreamingDedup]]'s watermark) — duplicates farther
-  * apart than `maxPerBucket` arrivals IN THE SAME BUCKET are missed,
-  * which for honest radii means only pathological template buckets
-  * degrade, exactly the buckets the batch operator's `maxBucket` guard
-  * drops entirely. */
+  * State posture at production rates: TWO bounds compose. The per-bucket
+  * ring cap bounds each bucket's entry list, and the event-time horizon
+  * (`eventTimeCol` + `delay`) bounds BUCKET CARDINALITY — a bucket idle
+  * past the watermark horizon times out and its state is removed, so
+  * total state is (buckets touched within one horizon) x (ring cap), not
+  * one entry per distinct band key ever seen. The ring cap alone does NOT
+  * bound aggregate memory on a long-running stream over a diverse corpus
+  * (bucket count grows ~docs x band tables); always supply an event-time
+  * column in production — the horizon trades away only duplicates that
+  * arrive farther apart than `delay`, the same trade as
+  * [[StreamingDedup]]'s watermark. Without `eventTimeCol` the bucket set
+  * is unbounded — bounded backfills only. */
 object StreamingNearDup {
 
   /** Match events for near-duplicate pairs within Hamming `maxHamming`.
@@ -38,6 +43,14 @@ object StreamingNearDup {
     *                     and `textCol`
     * @param blocksPerKey 0 = the batch operator's default table count
     * @param maxPerBucket per-bucket state ring size
+    * @param eventTimeCol event-time column to watermark on; empty =
+    *                     unbounded bucket set (bounded backfills only)
+    * @param delay        watermark delay AND bucket-idle horizon,
+    *                     e.g. "10 minutes": a bucket whose newest entry
+    *                     is older than the watermark by more than this
+    *                     is evicted (reference has no streaming
+    *                     near-dup; the posture mirrors StreamingDedup's
+    *                     dropDuplicatesWithinWatermark)
     */
   def simhash(
       events: DataFrame,
@@ -45,38 +58,65 @@ object StreamingNearDup {
       textCol: String = "text",
       maxHamming: Int = 3,
       blocksPerKey: Int = 0,
-      maxPerBucket: Int = 256): DataFrame = {
+      maxPerBucket: Int = 256,
+      eventTimeCol: String = "",
+      delay: String = "10 minutes"): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val (bandStructs, _) = Dedup.simhashBands(col("sk"), maxHamming, blocksPerKey)
-    val banded = events
+    val withTime = eventTimeCol.nonEmpty
+    val src = if (withTime) events.withWatermark(eventTimeCol, delay) else events
+    val tsCol =
+      if (withTime) col(eventTimeCol).cast("timestamp")
+      else lit(null).cast("timestamp")
+    val banded = src
       .select(col(idCol).cast("long").as("id"),
-        graft.functions.GraftFunctions.simhash(tokenize(col(textCol))).as("sk"))
-      .select(col("id"), col("sk"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("b.chunk").as("chunk"), col("b.key").as("key"), col("id"), col("sk"))
-      .as[(Int, Long, Long, Long)]
+        graft.functions.GraftFunctions.simhash(tokenize(col(textCol))).as("sk"),
+        tsCol.as("ts"))
+      .select(col("id"), col("sk"), col("ts"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("b.chunk").as("chunk"), col("b.key").as("key"),
+        col("id"), col("sk"), col("ts"))
+      .as[(Int, Long, Long, Long, java.sql.Timestamp)]
+    val timeoutConf =
+      if (withTime) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     banded
-      .groupByKey { case (chunk, key, _, _) => (chunk, key) }
+      .groupByKey { case (chunk, key, _, _, _) => (chunk, key) }
       .flatMapGroupsWithState[List[(Long, Long)], (Long, Long, Int)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (_, rows, state: GroupState[List[(Long, Long)]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
-          // id-sorted within the batch so output is deterministic
-          // regardless of upstream row order
-          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sk) =>
-            seen.foreach { case (oid, osk) =>
-              if (oid != id) {
-                val h = java.lang.Long.bitCount(osk ^ sk)
-                if (h <= maxHamming)
-                  out += ((math.min(oid, id), math.max(oid, id), h))
+          if (state.hasTimedOut) {
+            // bucket idle past the horizon: drop its whole entry list
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+            var maxTsMs = Long.MinValue
+            // id-sorted within the batch so output is deterministic
+            // regardless of upstream row order
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sk, ts) =>
+              if (ts != null) maxTsMs = math.max(maxTsMs, ts.getTime)
+              seen.foreach { case (oid, osk) =>
+                if (oid != id) {
+                  val h = java.lang.Long.bitCount(osk ^ sk)
+                  if (h <= maxHamming)
+                    out += ((math.min(oid, id), math.max(oid, id), h))
+                }
               }
+              seen = (id, sk) :: seen.filterNot(_._1 == id)
+              if (seen.length > maxPerBucket) seen = seen.take(maxPerBucket)
             }
-            seen = (id, sk) :: seen.filterNot(_._1 == id)
-            if (seen.length > maxPerBucket) seen = seen.take(maxPerBucket)
+            state.update(seen)
+            if (withTime) {
+              // evict when the watermark passes (newest entry + delay);
+              // the max() keeps the timestamp legal (> current watermark)
+              // even when this bucket only saw rows older than the
+              // query-global watermark
+              val base = math.max(maxTsMs, state.getCurrentWatermarkMs() + 1)
+              state.setTimeoutTimestamp(base, delay)
+            }
+            out.iterator
           }
-          state.update(seen)
-          out.iterator
       }
       .toDF("a", "b", "hamming")
   }

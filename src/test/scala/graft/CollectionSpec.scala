@@ -70,6 +70,27 @@ class CollectionSpec extends SparkSuite {
     assert(not === Seq(2L))
   }
 
+  test("centroidIndexType=hnsw: flush persists hnsw.bin; served answers match exact") {
+    val baseH = tmpBase()
+    val baseE = tmpBase()
+    val collH = Collection.create(spark, baseH, config.copy(centroidIndexType = "hnsw"))
+    val collE = Collection.create(spark, baseE, config)
+    collH.insert(lineRows(400)); collH.flush()
+    collE.insert(lineRows(400)); collE.flush()
+    // the flush-time graph write (the reference pays the HNSW build once
+    // at flush — rs/index/src/hnsw/writer.rs — not on every restart)
+    assert(Files.exists(java.nio.file.Paths.get(s"$baseH/c1/segments/seg_1/hnsw.bin")),
+      "flush with centroidIndexType=hnsw must persist the centroid graph")
+    // a "restart" (fresh served view) loads the persisted graph; with the
+    // tiny centroid set every probe is effectively full, so answers match
+    // the exact-scan collection
+    val q = Array(2.4, 3.4, 4.4, 5.4)
+    val fromH = collH.serveUser(0L).search(q, 5, nprobe = 10)
+    val fromE = collE.serveUser(0L).search(q, 5, nprobe = 10)
+    assert(fromH === fromE)
+    assert(fromH.map(_._1) === Seq(4L, 3L, 5L, 2L, 6L))
+  }
+
   test("delete excludes docs; vacuum rewrites; merge compacts two segments") {
     val base = tmpBase()
     val coll = Collection.create(spark, base, config)

@@ -71,12 +71,17 @@ class HnswSpec extends SparkSuite {
   test("parallel bulk build: deterministic across runs, recall holds") {
     val pts = points(5000, 16, 20)
     // determinism: thread scheduling must not leak into the graph — two
-    // parallel builds (and any parallelism level) answer identically
+    // parallel builds answer identically, and because the bulk batch size
+    // is a constant (not derived from the worker count), DIFFERENT
+    // parallelism levels build the identical graph too: the same
+    // persisted collection answers the same on any host core count
     val p1 = Hnsw.build(pts.map(_._1), pts.map(_._2), parallelism = 8)
     val p2 = Hnsw.build(pts.map(_._1), pts.map(_._2), parallelism = 8)
+    val p3 = Hnsw.build(pts.map(_._1), pts.map(_._2), parallelism = 2)
     for (qi <- 0 until 20) {
       val q = pts(qi * 131)._2
       assert(p1.search(q, 10, 100).toSeq === p2.search(q, 10, 100).toSeq, s"query $qi")
+      assert(p1.search(q, 10, 100).toSeq === p3.search(q, 10, 100).toSeq, s"query $qi p=2 vs p=8")
     }
     // recall gate at the same bar as the sequential build: batch-frozen
     // candidate searches may miss same-batch neighbors, the diversity
@@ -89,6 +94,52 @@ class HnswSpec extends SparkSuite {
     }
     val mean = recalls.sum / recalls.length
     assert(mean >= 0.95, s"parallel-build mean recall@10 $mean")
+  }
+
+  test("persisted graph round-trip: loaded == built, stale file rejected") {
+    val pts = points(3000, 16, 12)
+    val g = Hnsw.build(pts.map(_._1), pts.map(_._2), parallelism = 4)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-rt")
+    val path = dir.resolve("hnsw.bin").toString
+    Hnsw.save(path, g)
+    val loaded = Hnsw.load(path, pts.map(_._1), pts.map(_._2))
+    assert(loaded.isDefined, "load of a just-saved graph must succeed")
+    // golden: the loaded graph answers bit-identically to the built one
+    // (same nodes, same links, same entry — not merely similar recall)
+    for (qi <- 0 until 25) {
+      val q = pts(qi * 113)._2
+      assert(loaded.get.search(q, 10, 100).toSeq === g.search(q, 10, 100).toSeq, s"query $qi")
+      // partial beams too — traversal order exercises the full topology
+      assert(loaded.get.search(q, 5, 16).toSeq === g.search(q, 5, 16).toSeq, s"query $qi ef=16")
+    }
+    // stale-file guard: an id-set mismatch must refuse to load (the
+    // caller then rebuilds) rather than serve a wrong graph
+    val shifted = pts.map { case (id, v) => (id + 1, v) }
+    assert(Hnsw.load(path, shifted.map(_._1), shifted.map(_._2)).isEmpty)
+    // truncation guard
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val cut = dir.resolve("cut.bin")
+    java.nio.file.Files.write(cut, raw.take(raw.length - 8))
+    assert(Hnsw.load(cut.toString, pts.map(_._1), pts.map(_._2)).isEmpty)
+  }
+
+  test("served hnsw mode: persisted path loads instead of rebuilding") {
+    val emb = points(1500, 16, 10).toSeq
+      .map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val (centroids, postings) = Ann.ivfIndex(emb, numCentroids = 24)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-served")
+    val path = dir.resolve("hnsw.bin").toString
+    // first build persists the graph...
+    val first = ServedIvfIndex.build(emb, centroids, postings,
+      centroidIndex = "hnsw", hnswPath = Some(path))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+      "first hnsw build must persist the graph")
+    // ...the restart loads it and answers identically
+    val restart = ServedIvfIndex.build(emb, centroids, postings,
+      centroidIndex = "hnsw", hnswPath = Some(path))
+    val queries = (0 until 10).map(qi => points(1500, 16, 10)(qi * 97)._2)
+    for (q <- queries)
+      assert(restart.search(q, 10, nprobe = 6).toSeq === first.search(q, 10, nprobe = 6).toSeq)
   }
 
   test("served hnsw mode: full-probe parity with exact, partial-probe recall") {

@@ -158,6 +158,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("watermarked near-dup: idle buckets evicted past horizon, in-horizon dups still match") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val textA = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val textB = (100 to 140).map(i => s"yyy$i").mkString(" ")
+    val textC = (200 to 240).map(i => s"zzz$i").mkString(" ")
+    val matches = StreamingNearDup.simhash(
+      stream.toDF().toDF("ts", "doc_id", "text"),
+      eventTimeCol = "ts", delay = "10 minutes")
+    val q = matches.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_wm_out").start()
+    try {
+      // doc 1 seeds its band buckets at 10:00 (timeout arms at ~10:10)
+      stream.addData((ts(0), 1L, textA))
+      q.processAllAvailable()
+      // unrelated traffic pushes the watermark to 10:20 (> the timeout)...
+      stream.addData((ts(30), 2L, textB))
+      q.processAllAvailable()
+      // ...and a data-less-for-that-bucket batch lets the timeout FIRE:
+      // doc 1's buckets are removed (state bounded by the horizon, not
+      // by every band key ever seen)
+      stream.addData((ts(35), 9L, textC))
+      q.processAllAvailable()
+      // an identical doc arriving after the horizon finds an EMPTY bucket
+      stream.addData((ts(40), 3L, textA))
+      q.processAllAvailable()
+      assert(spark.table("neardup_wm_out").filter("a = 1 or b = 1").count() === 0L,
+        "bucket older than the horizon must be evicted")
+      // but a fresh duplicate within the horizon still matches
+      stream.addData((ts(41), 4L, textA))
+      q.processAllAvailable()
+      val got = spark.table("neardup_wm_out").select("a", "b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((3L, 4L)))
+    } finally q.stop()
+  }
+
   test("watermarked streaming dedup drops in-horizon duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, String)]
