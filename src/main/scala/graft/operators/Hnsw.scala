@@ -193,6 +193,17 @@ object Hnsw {
       val entry = in.readInt()
       val top = in.readInt()
       if (n != ids.length) return None
+      // reject out-of-range entry/top (a file passing the magic checks
+      // but with a bad entry index must fall back to rebuild, not crash
+      // search) and any vector whose dimension disagrees with the file
+      // (zero-padding would silently yield wrong distances)
+      if (n > 0 && (entry < 0 || entry >= n)) return None
+      if (top < 0 || top > 64) return None
+      var v = 0
+      while (v < n) {
+        if (vecs(v).length != dim) return None
+        v += 1
+      }
       var i = 0
       while (i < n) {
         if (in.readLong() != ids(i)) return None
@@ -223,10 +234,11 @@ object Hnsw {
         i += 1
       }
       if (in.readInt() != Magic) return None
+      if (n > 0 && top >= layers(entry).length) return None
       val flat = new Array[Double](n * dim)
       i = 0
       while (i < n) {
-        System.arraycopy(vecs(i), 0, flat, i * dim, math.min(dim, vecs(i).length))
+        System.arraycopy(vecs(i), 0, flat, i * dim, dim)
         i += 1
       }
       Some(new Hnsw(dim, ids, flat, layers, entry, top))
@@ -235,17 +247,25 @@ object Hnsw {
     }
   }
 
-  /** Persist a graph next to its segment's centroids parquet. */
+  /** Persist a graph next to its segment's centroids parquet. The temp
+    * file is unique per call (two concurrent serve-time fallback builds
+    * on the same segment must not interleave writes into one temp path
+    * — the loser's move would throw and a corrupt interleaving could be
+    * atomically published); last atomic move wins, and both writers
+    * produce the identical deterministic graph anyway. */
   def save(path: String, g: Hnsw): Unit = {
     val p = java.nio.file.Paths.get(path)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-    val tmp = p.resolveSibling(s".tmp_${p.getFileName}")
-    val out = new java.io.DataOutputStream(
-      new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(tmp), 1 << 20))
-    try g.writeGraph(out) finally out.close()
-    java.nio.file.Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val dir = if (p.getParent != null) p.getParent else java.nio.file.Paths.get(".")
+    val tmp = java.nio.file.Files.createTempFile(dir, s".tmp_${p.getFileName}", "")
+    try {
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(tmp), 1 << 20))
+      try g.writeGraph(out) finally out.close()
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
   /** Load a persisted graph; None if absent or stale (id mismatch). */

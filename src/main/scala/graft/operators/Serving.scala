@@ -297,7 +297,12 @@ object ServedIvfIndex {
         val loaded = hnswPath.flatMap(Hnsw.load(_, longIds, cRows.map(_._2)))
         loaded.orElse {
           val built = buildCentroidGraph(longIds, cRows.map(_._2))
-          hnswPath.foreach(Hnsw.save(_, built)) // pay the build once
+          // opportunistic persistence: a failed save (read-only FS,
+          // concurrent-writer move loss) must not fail the serving build
+          hnswPath.foreach { hp =>
+            try Hnsw.save(hp, built)
+            catch { case _: java.io.IOException => () }
+          }
           Some(built)
         }
       } else None

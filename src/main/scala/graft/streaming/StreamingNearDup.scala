@@ -65,14 +65,19 @@ object StreamingNearDup {
     import spark.implicits._
     val (bandStructs, _) = Dedup.simhashBands(col("sk"), maxHamming, blocksPerKey)
     val withTime = eventTimeCol.nonEmpty
-    val src = if (withTime) events.withWatermark(eventTimeCol, delay) else events
     val tsCol =
       if (withTime) col(eventTimeCol).cast("timestamp")
       else lit(null).cast("timestamp")
-    val banded = src
+    // Project/cast BEFORE watermarking: a Cast applied after
+    // withWatermark produces a fresh attribute without the watermark
+    // metadata, and flatMapGroupsWithState(EventTimeTimeout) then fails
+    // analysis ("Event-time timeout not supported without watermark").
+    val projected = events
       .select(col(idCol).cast("long").as("id"),
         graft.functions.GraftFunctions.simhash(tokenize(col(textCol))).as("sk"),
         tsCol.as("ts"))
+    val src = if (withTime) projected.withWatermark("ts", delay) else projected
+    val banded = src
       .select(col("id"), col("sk"), col("ts"), explode(array(bandStructs: _*)).as("b"))
       .select(col("b.chunk").as("chunk"), col("b.key").as("key"),
         col("id"), col("sk"), col("ts"))
@@ -92,28 +97,43 @@ object StreamingNearDup {
             var seen = state.getOption.getOrElse(Nil)
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
             var maxTsMs = Long.MinValue
+            var touched = false
+            // rows older than the current watermark neither match nor
+            // re-arm the timeout: otherwise a trickle of arbitrarily
+            // late rows keeps an idle bucket alive forever and the
+            // horizon bound on bucket cardinality becomes best-effort
+            val wmMs = if (withTime) state.getCurrentWatermarkMs() else Long.MinValue
             // id-sorted within the batch so output is deterministic
             // regardless of upstream row order
             rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sk, ts) =>
-              if (ts != null) maxTsMs = math.max(maxTsMs, ts.getTime)
-              seen.foreach { case (oid, osk) =>
-                if (oid != id) {
-                  val h = java.lang.Long.bitCount(osk ^ sk)
-                  if (h <= maxHamming)
-                    out += ((math.min(oid, id), math.max(oid, id), h))
+              val tsMs = if (ts != null) ts.getTime else Long.MaxValue
+              if (tsMs >= wmMs) {
+                touched = true
+                if (ts != null) maxTsMs = math.max(maxTsMs, tsMs)
+                seen.foreach { case (oid, osk) =>
+                  if (oid != id) {
+                    val h = java.lang.Long.bitCount(osk ^ sk)
+                    if (h <= maxHamming)
+                      out += ((math.min(oid, id), math.max(oid, id), h))
+                  }
                 }
+                seen = (id, sk) :: seen.filterNot(_._1 == id)
+                if (seen.length > maxPerBucket) seen = seen.take(maxPerBucket)
               }
-              seen = (id, sk) :: seen.filterNot(_._1 == id)
-              if (seen.length > maxPerBucket) seen = seen.take(maxPerBucket)
             }
-            state.update(seen)
-            if (withTime) {
-              // evict when the watermark passes (newest entry + delay);
-              // the max() keeps the timestamp legal (> current watermark)
-              // even when this bucket only saw rows older than the
-              // query-global watermark
-              val base = math.max(maxTsMs, state.getCurrentWatermarkMs() + 1)
-              state.setTimeoutTimestamp(base, delay)
+            // a batch of only-late rows leaves state AND the armed
+            // timeout untouched, so an idle bucket fed late stragglers
+            // still expires at its original horizon
+            if (touched) {
+              state.update(seen)
+              if (withTime) {
+                // evict when the watermark passes (newest entry + delay);
+                // the max() keeps the timestamp legal (> current
+                // watermark) even for a bucket whose newest row trails
+                // the query-global watermark
+                val base = math.max(maxTsMs, state.getCurrentWatermarkMs() + 1)
+                state.setTimeoutTimestamp(base, delay)
+              }
             }
             out.iterator
           }
