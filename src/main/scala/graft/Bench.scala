@@ -43,26 +43,51 @@ object Bench {
     // between executions: warm means compiled-and-planned, not cached
     // data.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      // A query that throws is recorded as -1 with an explicit error entry
+      // — never as a plausible-looking "fast" timing (round-8 verdict
+      // finding #2: a broken query's 0.06 s exception masqueraded as work).
+      def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // operators persist internal multi-consumer frames (LSH
         // signatures, window hashes); drop them outside the timed window
         // so queries don't pressure each other's storage/GC, and so the
         // second execution re-runs the full pipeline
         spark.catalog.clearCache()
-        dt
+        (if (err.isDefined) -1.0 else dt, err)
       }
-      val cold = once()
-      val warm = once()
-      (name, cold, warm)
+      val (cold, coldErr) = once()
+      val (warm, warmErr) = once()
+      (name, cold, warm, coldErr.orElse(warmErr))
     }
-    def json(f: ((String, Double, Double)) => Double): String =
+    def jsonEsc(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    def json(f: ((String, Double, Double, Option[String])) => Double): String =
       results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val totalWarm = results.map(_._3).sum
-    val totalCold = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$totalWarm,"unit":"sec","queries":${json(_._3)},"queries_cold":${json(_._2)},"total_cold":$totalCold,"sf":"$sfDir"}""")
+    val ok = results.filter(_._4.isEmpty)
+    val totalWarm = ok.map(_._3).sum
+    val totalCold = ok.map(_._2).sum
+    val errorList = results.collect { case (n, _, _, Some(e)) => jsonEsc(s"$n: $e") }
+    val errors = errorList.mkString("[", ",", "]")
+    // compact line must stay under the driver's ~2000-byte tail capture
+    val errorsCompact = errorList.take(5).mkString("[", ",", "]")
+    val full =
+      s"""{"metric":"total","value":$totalWarm,"unit":"sec","queries":${json(_._3)},"queries_cold":${json(_._2)},"total_cold":$totalCold,"errors":$errors,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/graft_bench_full.json"), full)
+    catch { case _: Throwable => () }
+    println(full)
     spark.stop()
+    // The driver keeps only the last ~2000 bytes of output, and the full
+    // per-query line above is bigger than that — so the LAST line printed
+    // is a compact summary that always fits the tail capture and parses.
+    println(s"""{"metric":"total","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"errors":$errorsCompact,"sf":"$sfDir"}""")
   }
 }

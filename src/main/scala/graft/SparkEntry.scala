@@ -140,11 +140,7 @@ object SparkEntry {
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")),
     "q11_events_window" -> ((s, d) => {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as
-      // long; integer-divide to micros (same truncation DuckDB applies).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      T(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      graft.sources.Events.read(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
         .select(col("w.start").as("ws"), col("event_type"), col("cnt"), col("sum_value"))
@@ -344,9 +340,8 @@ object SparkEntry {
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
     "q36_sessionize" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = T(s, d, "events")
-        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"))
+      val ev = graft.sources.Events.read(s, d)
+        .select(col("user_id"), col("event_id"), col("us"))
       Sessionize.batch(ev, gapMinutes = 30)
         .select(col("user_id"), col("session_idx"), col("n_events"),
           col("start_us"), col("end_us"))

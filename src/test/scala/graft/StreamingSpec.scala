@@ -70,8 +70,8 @@ class StreamingSpec extends SparkSuite {
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       src.resolve("events.parquet"))
     val schema = spark.read.parquet(src.toString).schema
-    val stream = spark.readStream.schema(schema).parquet(src.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = graft.sources.Events
+      .normalize(spark.readStream.schema(schema).parquet(src.toString))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
