@@ -290,10 +290,21 @@ object SparkEntry {
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
         .orderBy("a", "b")
     }),
-    "q29_embed_neardup_lsh" -> ((s, d) =>
-      Dedup.embeddingNearDupPairs(T(s, d, "embeddings"), threshold = 0.4)
+    // Buckets persist to the artifact dir and the pair derivation runs
+    // over the REREAD parquet (q27's signature pattern): the DuckDB
+    // oracle replays the hot-bucket prune + in-bucket candidate self-join
+    // + exact-cosine verify over the same bytes, so the seeded
+    // hyperplane-sketch kernel no longer forces a rows-only check.
+    "q29_embed_neardup_lsh" -> ((s, d) => {
+      val art = artifact("q29_buckets")
+      Dedup.hyperplaneBuckets(T(s, d, "embeddings"))
+        .repartition(4) // tiny (id, bucket) table: few files, cheap commit
+        .write.mode("overwrite").parquet(art)
+      Dedup.embeddingNearDupPairsFromBuckets(
+          s.read.parquet(art), T(s, d, "embeddings"), threshold = 0.4)
         .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
-        .orderBy("a", "b")),
+        .orderBy("a", "b")
+    }),
     "q30_ivf_ann" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val (centroids, postings) = Ann.ivfIndex(emb, numCentroids = 16)
@@ -903,6 +914,25 @@ object SparkEntry {
          JOIN read_parquet('/tmp/graft_artifacts/q28_sketches/*.parquet') b
            ON a.id < b.id
          WHERE bit_count(xor(a.sk, b.sk)) <= 10
+         ORDER BY a, b""",
+    // replay of q29's pair derivation over the bucket parquet q29 itself
+    // wrote: drop over-cap buckets (maxBucket=8192 guard), candidates =
+    // distinct in-bucket pairs (a < b), verify with exact cosine against
+    // the embeddings table — same shape as q26's brute-force oracle but
+    // restricted to LSH-colliding pairs
+    "q29_embed_neardup_lsh" ->
+      """WITH bk AS (SELECT id, bucket
+                     FROM read_parquet('/tmp/graft_artifacts/q29_buckets/*.parquet')),
+         keep AS (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= 8192),
+         pb AS (SELECT bk.id, bk.bucket FROM bk JOIN keep USING (bucket)),
+         cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+                  FROM pb x JOIN pb y ON x.bucket = y.bucket AND x.id < y.id)
+         SELECT c.a, c.b,
+           round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])::DOUBLE, 4) AS cosine
+         FROM cand c
+         JOIN embeddings ea ON ea.vec_id = c.a
+         JOIN embeddings eb ON eb.vec_id = c.b
+         WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])::DOUBLE >= 0.4
          ORDER BY a, b""",
     // lifecycle search probes every posting list, so the exact answer over
     // the surviving docs (every 10th deleted) is the oracle

@@ -267,6 +267,30 @@ class DedupSpec extends SparkSuite {
     assert(lsh.size >= (exact.size * 9) / 10) // >=90% recall on near-identical vectors
   }
 
+  test("bucket-artifact path: persisted hyperplaneBuckets -> pairsFromBuckets == fused pairs") {
+    // the q29 shape: bucket table round-trips through parquet (the
+    // cross-engine artifact), pair derivation runs over the re-read bytes
+    val emb = (0 until 60).map { i =>
+      val cluster = i % 3
+      val v = (0 until 16).map { d =>
+        val centre = if (d % 3 == cluster) 1.0 else 0.0
+        centre + 0.01 * ((i * 31 + d * 17) % 7 - 3)
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val art = java.nio.file.Files.createTempDirectory("graft_q29_buckets").toString
+    Dedup.hyperplaneBuckets(emb).write.mode("overwrite").parquet(art)
+    val replayed = Dedup.embeddingNearDupPairsFromBuckets(
+        spark.read.parquet(art), emb, threshold = 0.8)
+      .select("a", "b", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e4))).toSet
+    val fused = Dedup.embeddingNearDupPairs(emb, threshold = 0.8)
+      .select("a", "b", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e4))).toSet
+    assert(replayed.nonEmpty)
+    assert(replayed === fused)
+  }
+
   test("semdedup: within-cluster pairs equal the exact pairs on separated clusters") {
     // same 3-cluster fixture: near-identical vectors share a cluster, so
     // k-means with k >= 3 puts every exact pair inside one cluster and
