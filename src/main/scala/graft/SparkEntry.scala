@@ -519,6 +519,40 @@ object SparkEntry {
           centroidDistanceRatio = 1e18),
         userIds = Seq(0L))
         .select(col("doc_id").as("vec_id"), round(col("score"), 4).as("dist"))
+    }),
+    // M2 + R6 revival under the oracle gate (rs/index/src/optimizers/
+    // vacuum.rs:38-70; delete -> vacuum -> re-insert semantics
+    // rs/index/src/collection/core.rs:1450-1555): insert all -> flush ->
+    // delete every 10th -> vacuum the segment -> re-insert every 20th
+    // (revived ids must survive: their src_batch postdates the tombstone
+    // watermark) -> search probing ALL lists (exact by construction).
+    // `live_rows` counts rows PHYSICALLY stored in TOC-live segments with
+    // no tombstone anti-join — a vacuum that failed to rewrite the
+    // segment would leave the dead rows on disk and mismatch the oracle's
+    // derived count even though search output would mask it.
+    "q57_vacuum_revive" -> ((s, d) => {
+      import graft.core.{Collection, CollectionConfig, Toc}
+      val base = artifact("q57")
+      deleteRecursively(base)
+      val emb = T(s, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val coll = Collection.create(s, base, CollectionConfig(
+        name = "vacuum_revive", numFeatures = dim,
+        initialNumCentroids = 8, maxClustersPerVector = 2))
+      val rows = emb.select(lit(0L).as("user_id"), col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("vector"))
+      coll.insert(rows); coll.flush()
+      coll.delete(rows.filter(col("doc_id") % 10 === 0).select("user_id", "doc_id"))
+      coll.vacuum(Toc.read(coll.path).segments.head)
+      coll.insert(rows.filter(col("doc_id") % 20 === 0)); coll.flush()
+      val live = Toc.read(coll.path).segments.map(seg =>
+        s.read.parquet(s"${coll.path}/segments/$seg/vectors").count()).sum
+      coll.snapshot().search(q0(s, d),
+        SearchParams(topK = 10, numExploredCentroids = Some(Int.MaxValue),
+          centroidDistanceRatio = 1e18),
+        userIds = Seq(0L))
+        .select(col("doc_id").as("vec_id"), round(col("score"), 4).as("dist"))
+        .withColumn("live_rows", lit(live))
     })
   )
 
@@ -941,6 +975,19 @@ object SparkEntry {
            (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])::DOUBLE, 4) AS dist
          FROM embeddings WHERE vec_id % 10 <> 0
          ORDER BY dist, vec_id LIMIT 10""",
+    // survivors = never-deleted (% 10 <> 0) plus revived (% 20 = 0);
+    // live_rows = what a correct vacuum leaves physically on disk:
+    // the vacuumed segment (non-deleted rows) + the revival segment
+    "q57_vacuum_revive" ->
+      """SELECT vec_id, dist,
+           (SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 0)
+             + (SELECT count(*) FROM embeddings WHERE vec_id % 20 = 0) AS live_rows
+         FROM (
+           SELECT vec_id, round(list_distance(embedding::DOUBLE[],
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])::DOUBLE, 4) AS dist
+           FROM embeddings WHERE vec_id % 10 <> 0 OR vec_id % 20 = 0
+           ORDER BY dist, vec_id LIMIT 10) t
+         ORDER BY dist, vec_id""",
     // polynomial rolling hash (base 1000003 mod 2^64) replayed via
     // HUGEINT list_reduce; ASCII corpus makes ord(char) == utf8 byte
     // replays the rolling window hashes by direct HUGEINT re-reduction of
