@@ -235,6 +235,24 @@ object Hnsw {
       }
       if (in.readInt() != Magic) return None
       if (n > 0 && top >= layers(entry).length) return None
+      // cross-node level validation: searchLayer reads layers(nb)(level)
+      // for every neighbor it visits at that level, so a neighbor listed
+      // at level l must itself have a level-l adjacency list — a corrupt
+      // file violating that must fall back to rebuild, not crash search
+      i = 0
+      while (i < n) {
+        var l = 0
+        while (l < layers(i).length) {
+          val nbrs = layers(i)(l)
+          var j = 0
+          while (j < nbrs.length) {
+            if (layers(nbrs(j)).length <= l) return None
+            j += 1
+          }
+          l += 1
+        }
+        i += 1
+      }
       val flat = new Array[Double](n * dim)
       i = 0
       while (i < n) {
@@ -308,7 +326,13 @@ object Hnsw {
     val flat = new Array[Double](n * dim)
     var i = 0
     while (i < n) {
-      System.arraycopy(vecs(i), 0, flat, i * dim, math.min(dim, vecs(i).length))
+      // reject ragged input instead of zero-padding: a padded vector
+      // silently skews every distance AND readGraph refuses to load the
+      // persisted graph against it (dim check), forcing a rebuild on
+      // every restart
+      require(vecs(i).length == dim,
+        s"ragged vectors: vecs($i).length=${vecs(i).length}, expected $dim")
+      System.arraycopy(vecs(i), 0, flat, i * dim, dim)
       i += 1
     }
     // level ~ floor(-ln(u) * 1/ln(m)), u hashed from the id: the paper's

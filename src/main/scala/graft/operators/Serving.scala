@@ -301,7 +301,13 @@ object ServedIvfIndex {
           // concurrent-writer move loss) must not fail the serving build
           hnswPath.foreach { hp =>
             try Hnsw.save(hp, built)
-            catch { case _: java.io.IOException => () }
+            catch { case e: java.io.IOException =>
+              // surface it: every restart pays a full rebuild until the
+              // save succeeds, which looks like a perf bug if silent
+              System.err.println(
+                s"[graft] hnsw graph save failed at $hp (serving continues, " +
+                s"next restart rebuilds): ${e.getMessage}")
+            }
           }
           Some(built)
         }

@@ -102,7 +102,12 @@ object StreamingNearDup {
             // re-arm the timeout: otherwise a trickle of arbitrarily
             // late rows keeps an idle bucket alive forever and the
             // horizon bound on bucket cardinality becomes best-effort
-            val wmMs = if (withTime) state.getCurrentWatermarkMs() else Long.MinValue
+            // getCurrentWatermarkMs() returns 0 before the first watermark
+            // is established — taking that 0 literally would misclassify
+            // legitimate pre-epoch (negative-millis) event times as late,
+            // so 0 is treated as "no watermark yet"
+            val rawWm = if (withTime) state.getCurrentWatermarkMs() else 0L
+            val wmMs = if (rawWm == 0L) Long.MinValue else rawWm
             // id-sorted within the batch so output is deterministic
             // regardless of upstream row order
             rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sk, ts) =>

@@ -123,6 +123,57 @@ class HnswSpec extends SparkSuite {
     assert(Hnsw.load(cut.toString, pts.map(_._1), pts.map(_._2)).isEmpty)
   }
 
+  test("corrupt file: neighbor at a level the target node lacks is rejected, not crashed on") {
+    // hand-crafted v1 binary (same layout as writeGraph): 3 nodes, dim 2,
+    // entry 0, top level 1. searchLayer dereferences layers(nb)(level) for
+    // every visited neighbor, so a level-1 link to a node with only a
+    // level-0 list must make load fall back to rebuild (None) — not load a
+    // graph that throws ArrayIndexOutOfBounds mid-search.
+    val ids = Array(10L, 11L, 12L)
+    val vecs = Array(Array(0.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0))
+    def craft(level1Neighbor: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory("hnsw-xlvl")
+      val p = dir.resolve("hnsw.bin")
+      val out = new java.io.DataOutputStream(java.nio.file.Files.newOutputStream(p))
+      try {
+        out.writeInt(0x47484e53); out.writeInt(1) // magic, version
+        out.writeInt(3); out.writeInt(2)          // n, dim
+        out.writeInt(0); out.writeInt(1)          // entry, top
+        ids.foreach(out.writeLong)
+        // node 0: levels 0+1; level-1 neighbor is the knob under test
+        out.writeInt(2)
+        out.writeInt(2); out.writeInt(1); out.writeInt(2) // L0: [1, 2]
+        out.writeInt(1); out.writeInt(level1Neighbor)     // L1: [knob]
+        // node 1: level 0 only
+        out.writeInt(1)
+        out.writeInt(2); out.writeInt(0); out.writeInt(2) // L0: [0, 2]
+        // node 2: levels 0+1
+        out.writeInt(2)
+        out.writeInt(2); out.writeInt(0); out.writeInt(1) // L0: [0, 1]
+        out.writeInt(1); out.writeInt(0)                  // L1: [0]
+        out.writeInt(0x47484e53) // trailer
+      } finally out.close()
+      p.toString
+    }
+    // control: the same topology with a valid level-1 link loads fine,
+    // proving rejection below is the cross-node check and not a layout bug
+    val ok = Hnsw.load(craft(level1Neighbor = 2), ids, vecs)
+    assert(ok.isDefined)
+    assert(ok.get.search(Array(0.1, 0.1), 3, 10).length === 3)
+    // corrupt: node 1 has no level-1 list
+    assert(Hnsw.load(craft(level1Neighbor = 1), ids, vecs).isEmpty)
+  }
+
+  test("ragged input vectors are rejected at build, not zero-padded") {
+    // zero-padding would silently skew distances AND leave a persisted
+    // graph readGraph refuses to load (dim check) -> rebuild every restart
+    val err = intercept[IllegalArgumentException] {
+      Hnsw.build(Array(1L, 2L, 3L),
+        Array(Array(1.0, 2.0), Array(3.0), Array(4.0, 5.0)))
+    }
+    assert(err.getMessage.contains("ragged"))
+  }
+
   test("served hnsw mode: persisted path loads instead of rebuilding") {
     val emb = points(1500, 16, 10).toSeq
       .map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
