@@ -157,6 +157,59 @@ object QualityGates {
       out += s""""q45_knn_graph":{"exact_edges":${exact.size},"recall_nprobe4":${jd(recall)},"pass":${jb(exact.isEmpty || recall >= 0.8)}}"""
     }
 
+    // Streaming near-dup soak: state must PLATEAU under watermark
+    // eviction (horizon-bounded), and every pair the horizon guarantees
+    // (arrivals <= one batch step apart < horizon) must be found —
+    // streaming-vs-batch recall on that in-horizon subset.
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val docRows = docs.select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val nBatches = 10
+      val per = math.max(1, math.ceil(docRows.length / nBatches.toDouble).toInt)
+      val stepMs = 20L * 60 * 1000 // batches 20 min apart
+      val base = 1700000000000L // fixed epoch so the gate is deterministic
+      val batchOf = docRows.zipWithIndex
+        .map { case ((id, _), i) => id -> i / per }.toMap
+      val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val matches = graft.streaming.StreamingNearDup.simhash(
+        stream.toDF().toDF("doc_id", "text", "ts"),
+        maxHamming = 3, eventTimeCol = "ts", delay = "30 minutes")
+      val q = matches.writeStream.outputMode("append")
+        .format("memory").queryName("qg_neardup_soak").start()
+      val stateTotals = scala.collection.mutable.ArrayBuffer.empty[Long]
+      try {
+        for (b <- 0 until nBatches) {
+          val slice = docRows.slice(b * per, math.min((b + 1) * per, docRows.length))
+          val ts = new java.sql.Timestamp(base + b * stepMs)
+          stream.addData(slice.map { case (id, t) => (id, t, ts) }.toSeq)
+          q.processAllAvailable()
+          val p = q.lastProgress
+          if (p != null && p.stateOperators.nonEmpty)
+            stateTotals += p.stateOperators.head.numRowsTotal
+        }
+      } finally q.stop()
+      // Plateau: with a 30-min horizon and 20-min steps, steady state
+      // holds ~2-3 batches of bucket entries; without eviction it would
+      // reach ~nBatches x the first batch. Gate well under that.
+      val s1 = math.max(1L, stateTotals.headOption.getOrElse(0L))
+      val plateau = stateTotals.nonEmpty && stateTotals.last <= 6L * s1
+      // Recall: batch-operator pairs whose arrivals are <= 1 batch apart
+      // (ts diff 20 min < 30-min horizon -> the stream must catch them)
+      val exactNear = Dedup.simhashPairs(docs, maxHamming = 3)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => math.abs(batchOf(a) - batchOf(b)) <= 1 }.toSet
+      val streamed = spark.table("qg_neardup_soak")
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = if (exactNear.isEmpty) Double.NaN else
+        exactNear.intersect(streamed).size.toDouble / exactNear.size
+      val pass = plateau && (exactNear.isEmpty || recall >= 0.9)
+      out += s""""streaming_neardup_soak":{"state_first":${stateTotals.headOption.getOrElse(0L)},"state_last":${stateTotals.lastOption.getOrElse(0L)},"state_peak":${if (stateTotals.isEmpty) 0L else stateTotals.max},"plateau":${jb(plateau)},"in_horizon_pairs":${exactNear.size},"recall":${jd(recall)},"pass":${jb(pass)}}"""
+      spark.sql("DROP TABLE IF EXISTS qg_neardup_soak")
+    }
+
     // q40: keep-list validity — canonical labels are component minima:
     // keep_id <= id everywhere and the mapping is idempotent
     {

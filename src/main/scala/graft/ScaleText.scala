@@ -129,6 +129,35 @@ object ScaleText {
         .agg(sum(col("log_weight"))).head().getDouble(0)
     }
 
+    // SemDeDup at corpus scale (BASELINE row; not in the default op set):
+    // synthetic clustered embeddings — 64 planted directions plus jitter,
+    // every 17th doc a near-copy of its predecessor — then the
+    // cluster-parallel within-cluster pair scan. The candidate volume is
+    // sum over clusters of C(|c|,2) evaluated IN-TASK after one
+    // centroid-keyed shuffle of the vectors; only surviving pairs project.
+    var semPairs = 0L
+    val semSec = timedOp("semdedup") {
+      val dim = 64
+      val embUdf = udf { (id: Long) =>
+        import graft.functions.HashKernels.mix64
+        val dup = id % 17 == 16
+        val seed = if (dup) id - 1 else id
+        val c = math.floorMod(mix64(seed * 31L), 64L).toInt
+        Array.tabulate(dim) { d =>
+          val j = mix64(seed * 100003L + d).toDouble / Long.MaxValue.toDouble
+          val j2 = if (dup) mix64(id * 7919L + d).toDouble / Long.MaxValue.toDouble else 0.0
+          (if (math.floorMod(c + d, 64) < 4) 4.0 else 0.0) + 0.05 * j + 0.002 * j2
+        }
+      }
+      val emb = spark.range(n.toLong)
+        .select(col("id").as("vec_id"), embUdf(col("id")).as("embedding"))
+        .repartition(cpus.toInt).persist()
+      emb.count()
+      semPairs = Dedup.semanticDedupPairs(emb, numCentroids = 4096,
+        threshold = 0.99).count()
+      emb.unpersist(blocking = false)
+    }
+
     def dps(sec: Double): Double = if (sec > 0) n / sec else 0.0
     println(s"""{"n":$n,"rep_sec":${f"$repSec%.1f"},""" +
       s""""rep_docs_per_sec":${f"${dps(repSec)}%.0f"},"rep_check":${f"$repCheck%.1f"},""" +
@@ -141,7 +170,9 @@ object ScaleText {
       s""""substr_dup_tokens":$substrTokens,""" +
       s""""simhash_sec":${f"$simhashSec%.1f"},"simhash_pairs":$simhashPairs,""" +
       s""""dsir_sec":${f"$dsirSec%.1f"},"dsir_docs_per_sec":${f"${dps(dsirSec)}%.0f"},""" +
-      s""""dsir_check":${f"$dsirCheck%.1f"}}""")
+      s""""dsir_check":${f"$dsirCheck%.1f"},""" +
+      s""""semdedup_sec":${f"$semSec%.1f"},"semdedup_docs_per_sec":${f"${dps(semSec)}%.0f"},""" +
+      s""""semdedup_pairs":$semPairs}""")
     spark.stop()
   }
 }

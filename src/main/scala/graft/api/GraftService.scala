@@ -164,12 +164,19 @@ class GraftService(spark: SparkSession, basePath: String) {
 
   final class ServedUserSearch private[GraftService] (
       view: graft.core.ServedUserView) {
-    def search(vector: Seq[Float], topK: Int = 10, nprobe: Int = 10): SearchResponse = {
-      val rows = view.search(vector.map(_.toDouble).toArray, topK, nprobe)
+    def search(vector: Seq[Float], topK: Int = 10, nprobe: Int = 10,
+        filter: Option[DocFilter] = None): SearchResponse = {
+      val rows = view.search(vector.map(_.toDouble).toArray, topK, nprobe, filter)
       SearchResponse(
         rows.map { case (id, _) => toUuidStr(id.asInstanceOf[Array[Byte]]) },
         rows.map(_._2))
     }
+    /** Term search from the in-memory view — the reference's served
+      * MultiTermIndex query path (rs/index/src/collection/snapshot.rs:
+      * 114-147), zero Spark jobs. */
+    def termSearch(filter: DocFilter, limit: Int = 10): Seq[String] =
+      view.termSearch(filter, limit)
+        .map(id => toUuidStr(id.asInstanceOf[Array[Byte]]))
   }
 
   /** Admin surface (rs/proto/proto/admin.proto:4-8). */

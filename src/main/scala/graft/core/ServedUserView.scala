@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.ServedIvfIndex
+import graft.operators.{DocFilter, FilterCompiler, ServedIvfIndex}
 
 /** Per-user online serving view of a collection — the engine-level
   * analogue of the reference's per-user index loading
@@ -11,16 +11,23 @@ import graft.operators.ServedIvfIndex
   *
   * `Collection.serveUser` pins the current TOC and loads, ONCE, the named
   * user's slice of every segment (bucket-pruned scans) into driver-memory
-  * [[ServedIvfIndex]] structures, plus the user's unflushed tail rows and
-  * tombstones. Single queries are then answered with zero Spark jobs:
-  * per-segment in-memory probes + a brute-force scan of the tail
+  * [[ServedIvfIndex]] structures — plus the user's term postings
+  * (the reference's per-user `MultiTermIndex`,
+  * rs/index/src/multi_terms/index.rs:52), the unflushed tail rows with
+  * their analyzed text fields, and tombstones. Single queries — vector,
+  * term, or hybrid (rs/index/src/collection/snapshot.rs:114-147) — are
+  * then answered with zero Spark jobs: per-segment in-memory probes /
+  * posting-set algebra + a brute-force pass over the tail
   * (read-your-writes, R5), tombstones dropped, merged by the engine's
   * (score asc, doc_id asc) order. Memory is bounded by one user's data —
   * the per-shard posture of the reference, not corpus-sized.
   */
 final class ServedUserView private[core] (
-    segments: Seq[(ServedIvfIndex, Map[Long, Any])], // index + pointId -> docId
-    tailRows: Array[(Any, Array[Double])]) { // (docId, vector)
+    segments: Seq[ServedUserView.SegmentView],
+    tailRows: Array[ServedUserView.TailRow],
+    fieldLang: Map[String, String]) {
+
+  import ServedUserView.{SegmentView, TailRow}
 
   /** Unsigned-lexicographic for BinaryType ids, natural for Long ids —
     * matches Spark's sort order on the corresponding column types. */
@@ -39,39 +46,126 @@ final class ServedUserView private[core] (
     math.sqrt(acc)
   }
 
-  /** Single-query top-k over segments + tail, zero Spark jobs. */
-  def search(query: Array[Double], k: Int, nprobe: Int): Seq[(Any, Double)] = {
-    val fromSegments = segments.iterator.flatMap { case (idx, docOf) =>
-      idx.search(query, k, nprobe).iterator.flatMap { case (pid, dist) =>
-        docOf.get(pid).map(doc => (doc, dist))
+  // java.lang.Double.compare gives the total order with NaN greatest —
+  // the engine's (score asc NaN-last, doc_id asc) invariant — and keeps
+  // the comparator a strict weak ordering (a raw < on NaN is not)
+  private val scoreOrd = new Ordering[(Any, Double)] {
+    def compare(x: (Any, Double), y: (Any, Double)): Int = {
+      val c = java.lang.Double.compare(x._2, y._2)
+      if (c != 0) c
+      else if (idLess(x._1, y._1)) -1
+      else if (idLess(y._1, x._1)) 1
+      else 0
+    }
+  }
+
+  /** Point-id set algebra over one segment's in-memory postings — the
+    * served mirror of [[FilterCompiler.compile]] (And/Or/Ids/Term/Not,
+    * rs/index/src/query/iters/mod.rs:22-27), same analyzer per field
+    * lang on the query side (index/query symmetry invariant). */
+  private def evalSegment(f: DocFilter, sv: SegmentView): Set[Long] = f match {
+    case DocFilter.Ids(ids) => ids.toSet.intersect(sv.universe)
+    case DocFilter.Contains(field, value, kw) =>
+      val qts = FilterCompiler.queryTerms(field, value, kw,
+        fieldLang.getOrElse(field, "english"))
+      if (qts.isEmpty) Set.empty
+      else qts.map(t => sv.termPostings.getOrElse(t, ServedUserView.noPoints).toSet)
+        .reduce(_ intersect _)
+    case DocFilter.NotContains(field, value, kw) =>
+      sv.universe.diff(evalSegment(DocFilter.Contains(field, value, kw), sv))
+    case DocFilter.And(cs) =>
+      if (cs.isEmpty) sv.universe
+      else cs.map(evalSegment(_, sv)).reduce(_ intersect _)
+    case DocFilter.Or(cs) =>
+      if (cs.isEmpty) Set.empty
+      else cs.map(evalSegment(_, sv)).reduce(_ union _)
+  }
+
+  /** Raw-row filter eval for the unflushed tail (no term index yet) —
+    * mirrors `Snapshot.compileRaw`, including Ids ≡ false (point ids are
+    * assigned at flush, so an Ids filter can never match the tail). */
+  private def evalTail(f: DocFilter, row: TailRow): Boolean = f match {
+    case DocFilter.And(cs) => cs.forall(evalTail(_, row))
+    case DocFilter.Or(cs) => cs.exists(evalTail(_, row))
+    case DocFilter.Ids(_) => false
+    case DocFilter.Contains(field, value, kw) =>
+      val qts = FilterCompiler.queryTerms(field, value, kw,
+          fieldLang.getOrElse(field, "english"))
+        .map(_.stripPrefix(s"$field:"))
+      if (qts.isEmpty) false
+      else if (kw) row.keywords.get(field).exists(v => qts.forall(_ == v))
+      else row.toks.get(field) match {
+        case Some(toks) => qts.forall(toks.contains)
+        case None => false
+      }
+    case DocFilter.NotContains(field, value, kw) =>
+      !evalTail(DocFilter.Contains(field, value, kw), row)
+  }
+
+  /** Single-query top-k over segments + tail, zero Spark jobs. An
+    * attribute `filter` intersects at probe time (plan_with_ids, F8/J4)
+    * — parity with the distributed `Snapshot.search(filter = ...)`. */
+  def search(query: Array[Double], k: Int, nprobe: Int,
+      filter: Option[DocFilter] = None): Seq[(Any, Double)] = {
+    val fromSegments = segments.iterator.flatMap { sv =>
+      val allow: java.util.function.LongPredicate = filter match {
+        case None => null
+        case Some(f) =>
+          val allowed = evalSegment(f, sv)
+          pid => allowed.contains(pid)
+      }
+      sv.index.search(query, k, nprobe, allow).iterator.flatMap { case (pid, dist) =>
+        sv.docOf.get(pid).map(doc => (doc, dist))
       }
     }
-    val fromTail = tailRows.iterator.map { case (doc, v) => (doc, l2(query, v)) }
-    // java.lang.Double.compare gives the total order with NaN greatest —
-    // the engine's (score asc NaN-last, doc_id asc) invariant — and keeps
-    // the comparator a strict weak ordering (a raw < on NaN is not)
-    val ord = new Ordering[(Any, Double)] {
-      def compare(x: (Any, Double), y: (Any, Double)): Int = {
-        val c = java.lang.Double.compare(x._2, y._2)
-        if (c != 0) c
-        else if (idLess(x._1, y._1)) -1
-        else if (idLess(y._1, x._1)) 1
-        else 0
-      }
-    }
+    val fromTail = tailRows.iterator
+      .filter(row => filter.forall(evalTail(_, row)))
+      .map(row => (row.docId, l2(query, row.vector)))
     (fromSegments ++ fromTail)
       .toArray
-      .sorted(ord)
+      .sorted(scoreOrd)
       .take(k)
+      .toSeq
+  }
+
+  /** Term search with zero Spark jobs — parity with `Snapshot.termSearch`:
+    * doc ids matching the filter across segments + tail, deduped, id-asc,
+    * limited. */
+  def termSearch(filter: DocFilter, limit: Int): Seq[Any] = {
+    val fromSegments = segments.iterator.flatMap { sv =>
+      evalSegment(filter, sv).iterator.flatMap(sv.docOf.get)
+    }
+    val fromTail = tailRows.iterator.filter(evalTail(filter, _)).map(_.docId)
+    (fromSegments ++ fromTail)
+      .toArray
+      .distinct
+      .sortWith(idLess)
+      .take(limit)
       .toSeq
   }
 }
 
 object ServedUserView {
 
+  private val noPoints = Array.empty[Long]
+
+  private[core] final case class SegmentView(
+      index: ServedIvfIndex,
+      docOf: Map[Long, Any], // point_id -> doc_id (tombstoned points absent)
+      termPostings: Map[String, Array[Long]]) { // term key -> point ids
+    val universe: Set[Long] = docOf.keySet
+  }
+
+  private[core] final case class TailRow(
+      docId: Any,
+      vector: Array[Double],
+      toks: Map[String, Set[String]], // text field -> analyzed tokens
+      keywords: Map[String, String]) // text/keyword field -> lowercased value
+
   private[core] def build(coll: Collection, userId: Any): ServedUserView = {
     val t = coll.toc
     val uid = lit(userId)
+    val fieldLang = coll.config.attributeSchema.map(f => f.name -> f.lang).toMap
     // Tombstones are removed BEFORE the per-segment indexes are built:
     // ServedIvfIndex.search truncates to k per segment, so a deleted doc
     // left in the index would silently displace a live doc ranked k+1 —
@@ -100,16 +194,43 @@ object ServedUserView {
         hnswPath = Some(coll.segmentFile(seg, "hnsw.bin")))
       val docOf: Map[Long, Any] = userVecs.select("vec_id", "doc_id").collect()
         .map(r => r.getLong(0) -> r.get(1)).toMap
-      (served, docOf)
+      // the user's slice of the term index, in memory (MultiTermIndex
+      // analogue). Tombstoned points stay out via the docOf remap at
+      // query time; sizes are bounded by one user's corpus.
+      val termPostings: Map[String, Array[Long]] =
+        coll.segmentTable(seg, "terms").filter(col("user_id") === uid)
+          .select(col("term"), col("point_id").cast("long"))
+          .collect()
+          .groupBy(_.getString(0))
+          .map { case (term, rows) => term -> rows.map(_.getLong(1)) }
+      SegmentView(served, docOf, termPostings)
     }
-    val tailRows: Array[(Any, Array[Double])] = coll.tailFor(t) match {
+    // analyzed text rides out of the same Spark expressions the index side
+    // uses (analyze_text per field lang), so tail term matching keeps the
+    // index/query analyzer symmetry without re-implementing the stemmers
+    val textFields = coll.config.textFields
+    val tailRows: Array[TailRow] = coll.tailFor(t) match {
       case None => Array.empty
       case Some(rows) =>
-        dropTombs(rows.filter(col("user_id") === uid))
-          .select(col("doc_id"), col("vector").cast("array<double>"))
+        import graft.functions.GraftFunctions.analyze_text
+        val present = textFields.filter(f => rows.columns.contains(f.name))
+        val tokCols = present.flatMap { f =>
+          Seq(analyze_text(col(f.name), lit(f.lang)).as(s"__toks_${f.name}"),
+            lower(col(f.name)).as(s"__kw_${f.name}"))
+        }
+        val selected = dropTombs(rows.filter(col("user_id") === uid))
+          .select(Seq(col("doc_id"), col("vector").cast("array<double>")) ++ tokCols: _*)
           .collect()
-          .map(r => (r.get(0), r.getSeq[Double](1).toArray))
+        selected.map { r =>
+          val toks = present.zipWithIndex.map { case (f, i) =>
+            f.name -> Option(r.getSeq[String](2 + 2 * i)).getOrElse(Nil).toSet
+          }.toMap
+          val kws = present.zipWithIndex.flatMap { case (f, i) =>
+            Option(r.getString(3 + 2 * i)).map(f.name -> _)
+          }.toMap
+          TailRow(r.get(0), r.getSeq[Double](1).toArray, toks, kws)
+        }
     }
-    new ServedUserView(segs, tailRows)
+    new ServedUserView(segs, tailRows, fieldLang)
   }
 }

@@ -114,7 +114,12 @@ final class ServedIvfIndex private (
     order
   }
 
-  def search(query: Array[Double], k: Int, nprobe: Int): Array[(Long, Double)] = {
+  /** @param allow optional point-id predicate intersected at probe time
+    *   (plan_with_ids, F8/J4): filtered points never enter the heap, so
+    *   the top-k fills with qualifying points instead of truncating
+    *   before the filter. */
+  def search(query: Array[Double], k: Int, nprobe: Int,
+      allow: java.util.function.LongPredicate = null): Array[(Long, Double)] = {
     val nc = centroidIds.length
     if (nc == 0 || k <= 0) return Array.empty
     val m = math.min(nprobe, nc)
@@ -136,7 +141,8 @@ final class ServedIvfIndex private (
         val end = postOffsets(ci + 1)
         while (q < end) {
           val pt = postPoints(q)
-          if (seen.add(pt)) top.offer(pointIds(pt), sq(query, vecFlat, pt * dim))
+          if (seen.add(pt) && (allow == null || allow.test(pointIds(pt))))
+            top.offer(pointIds(pt), sq(query, vecFlat, pt * dim))
           q += 1
         }
       }

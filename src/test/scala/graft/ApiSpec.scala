@@ -57,6 +57,15 @@ class ApiSpec extends SparkSuite {
     assert(svc.termSearch("test-collection-2",
       DocFilter.Contains("title", "Example"), limit = 5) === Seq(uuid(100)))
 
+    // served (zero-Spark-jobs) term + hybrid answer the same queries
+    val servedView = svc.serveUser("test-collection-2", uuid(0))
+    assert(servedView.termSearch(
+      DocFilter.Contains("title", "Example"), limit = 5) === Seq(uuid(100)))
+    assert(servedView.search((0 until 10).map(d => (d + 150).toFloat),
+      topK = 10, nprobe = 4,
+      filter = Some(DocFilter.Contains("content", "example demonstration")))
+      .docIds === Seq(uuid(100)))
+
     // remove and verify gone
     svc.remove("test-collection-2", Seq(uuid(0)), Seq(uuid(100)))
     val after = svc.search(SearchRequest(

@@ -91,6 +91,51 @@ class CollectionSpec extends SparkSuite {
     assert(fromH.map(_._1) === Seq(4L, 3L, 5L, 2L, 6L))
   }
 
+  test("served term + hybrid queries match the distributed snapshot path") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    coll.insert(lineRows(200))
+    coll.flush()
+    // unflushed tail with matching and non-matching docs (read-your-writes)
+    coll.insert(Seq(
+      (0L, 500L, Seq(2.0, 3.0, 4.0, 5.0), "running in the tail"),
+      (0L, 501L, Seq(9.0, 9.0, 9.0, 9.0), "nothing to see"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    // a deleted flushed match must stay hidden on both paths
+    coll.delete(Seq((0L, 2L)).toDF("user_id", "doc_id"))
+    val snap = coll.snapshot()
+    val served = coll.serveUser(0L)
+    val termFilters = Seq(
+      DocFilter.Contains("content", "running"),
+      DocFilter.And(Seq(
+        DocFilter.Contains("content", "running"),
+        DocFilter.NotContains("content", "connections"))),
+      DocFilter.Or(Seq(
+        DocFilter.Contains("content", "tail"),
+        DocFilter.Contains("content", "gear"))),
+      DocFilter.Ids(Seq(2L, 3L, 4L))) // point ids; never matches the tail
+    for (f <- termFilters) {
+      val dist = snap.termSearch(f, limit = 10)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val srv = served.termSearch(f, limit = 10).map(_.asInstanceOf[Long])
+      assert(srv === dist, s"term parity for $f")
+    }
+    // hybrid: full-probe SPANN is exact, so doc ids AND scores must match
+    val q = Array(2.4, 3.4, 4.4, 5.4)
+    for (f <- Seq(
+        DocFilter.Contains("content", "running"),
+        DocFilter.NotContains("content", "number"))) {
+      val dist = snap.search(q.toSeq, SearchParams(topK = 5,
+          numExploredCentroids = Some(Int.MaxValue), centroidDistanceRatio = 1e18),
+          userIds = Seq(0L), filter = Some(f))
+        .select("doc_id", "score").collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+      val srv = served.search(q, k = 5, nprobe = Int.MaxValue, filter = Some(f))
+        .map { case (id, s) => (id.asInstanceOf[Long], math.round(s * 1e6)) }
+      assert(srv === dist, s"hybrid parity for $f")
+    }
+  }
+
   test("delete excludes docs; vacuum rewrites; merge compacts two segments") {
     val base = tmpBase()
     val coll = Collection.create(spark, base, config)
