@@ -104,8 +104,14 @@ object StreamingNearDup {
             // horizon bound on bucket cardinality becomes best-effort
             // getCurrentWatermarkMs() returns 0 before the first watermark
             // is established — taking that 0 literally would misclassify
-            // legitimate pre-epoch (negative-millis) event times as late,
-            // so 0 is treated as "no watermark yet"
+            // pre-epoch (negative-millis) event times as late, so 0 is
+            // treated as "no watermark yet". NOTE pre-epoch rows normally
+            // never get this far: Spark's FlatMapGroupsWithStateExec
+            // late-row filter drops event times below the (initially 0)
+            // watermark before the state function runs — pre-1970 event
+            // times are unsupported with EventTimeTimeout at the Spark
+            // level (StreamingSpec documents the drop); shift them or use
+            // the no-event-time mode for such corpora.
             val rawWm = if (withTime) state.getCurrentWatermarkMs() else 0L
             val wmMs = if (rawWm == 0L) Long.MinValue else rawWm
             // id-sorted within the batch so output is deterministic

@@ -158,6 +158,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("watermarked near-dup: pre-epoch rows are a documented Spark-level drop, stream stays live") {
+    // Spark's FlatMapGroupsWithStateExec filters rows with event time
+    // below the watermark BEFORE the state function runs, and the initial
+    // watermark is 0 — so negative-millis (pre-1970) event times never
+    // reach the operator no matter what the state function does (the
+    // operator's own watermark==0 sentinel handling is for the
+    // eviction/late math on rows that DO arrive). The contract is:
+    // pre-epoch rows silently drop, the stream keeps matching normal rows.
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val old = java.sql.Timestamp.valueOf("1969-06-01 10:00:00") // negative millis
+    val now = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val textA = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val matches = StreamingNearDup.simhash(
+      stream.toDF().toDF("ts", "doc_id", "text"),
+      eventTimeCol = "ts", delay = "10 minutes")
+    val q = matches.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_preepoch_out").start()
+    try {
+      stream.addData((old, 1L, textA), (old, 2L, textA))
+      q.processAllAvailable()
+      assert(spark.table("neardup_preepoch_out").count() === 0L)
+      // the stream is still healthy: post-epoch duplicates match
+      stream.addData((now, 3L, textA), (now, 4L, textA))
+      q.processAllAvailable()
+      val got = spark.table("neardup_preepoch_out").select("a", "b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((3L, 4L)))
+    } finally q.stop()
+  }
+
   test("watermarked near-dup: idle buckets evicted past horizon, in-horizon dups still match") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
