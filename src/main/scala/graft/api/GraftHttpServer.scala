@@ -22,9 +22,15 @@ import graft.operators.DocFilter
   *  - `POST /flush`              {collection_name}
   *  - `POST /search`             {collection_name, vector, top_k?, user_ids?,
   *                                num_explored_centroids?, centroid_distance_ratio?,
-  *                                filter?: {field, value, keyword?}}
+  *                                filter?: filter tree (below)}
+  *  - `POST /term_search`        {collection_name, filter, limit?, user_ids?}
   *  - `POST /remove`             {collection_name, user_ids, doc_ids}
   *  - `GET  /segments?collection=<name>`
+  *
+  * Filter trees mirror the proto's DocumentFilter (muopdb.proto:83-114):
+  * a Contains leaf `{field, value, keyword?}`, plus `{and: [...]}`,
+  * `{or: [...]}`, `{not_contains: {field, value, keyword?}}`, and
+  * `{ids: [1, 2, ...]}`.
   */
 final class GraftHttpServer(svc: GraftService, port: Int = 0) {
 
@@ -90,15 +96,35 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
       svc.flush(b("collection_name").asInstanceOf[String]).orNull)
   })
 
-  server.createContext("/search", (ex: HttpExchange) => handle(ex) {
-    val b = readBody(ex)
-    val filter = b.get("filter").map { f =>
-      val m = Json.obj(f)
+  /** Recursive DocumentFilter tree from JSON — the full reference proto
+    * surface (muopdb.proto:83-114): `{and:[...]}`, `{or:[...]}`,
+    * `{not_contains:{field,value,keyword?}}`, `{ids:[...]}`, and the
+    * bare `{field, value, keyword?}` Contains leaf (also the historic
+    * single-leaf format, so existing clients keep working). */
+  private def parseFilter(v: Any): DocFilter = {
+    val m = Json.obj(v)
+    if (m.contains("and"))
+      DocFilter.And(m("and").asInstanceOf[Vector[Any]].map(parseFilter))
+    else if (m.contains("or"))
+      DocFilter.Or(m("or").asInstanceOf[Vector[Any]].map(parseFilter))
+    else if (m.contains("not_contains")) {
+      val c = Json.obj(m("not_contains"))
+      DocFilter.NotContains(
+        c("field").asInstanceOf[String],
+        c("value").asInstanceOf[String],
+        c.getOrElse("keyword", false).asInstanceOf[Boolean])
+    } else if (m.contains("ids"))
+      DocFilter.Ids(Json.doubles(m("ids")).map(_.toLong))
+    else
       DocFilter.Contains(
         m("field").asInstanceOf[String],
         m("value").asInstanceOf[String],
-        m.getOrElse("keyword", false).asInstanceOf[Boolean]): DocFilter
-    }
+        m.getOrElse("keyword", false).asInstanceOf[Boolean])
+  }
+
+  server.createContext("/search", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val filter = b.get("filter").map(parseFilter)
     val res = svc.search(SearchRequest(
       b("collection_name").asInstanceOf[String],
       vector = Json.doubles(b("vector")).map(_.toFloat),
@@ -110,6 +136,16 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
       centroidDistanceRatio =
         b.getOrElse("centroid_distance_ratio", 0.1).asInstanceOf[Double]))
     Map("doc_ids" -> res.docIds, "scores" -> res.scores)
+  })
+
+  server.createContext("/term_search", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val docIds = svc.termSearch(
+      b("collection_name").asInstanceOf[String],
+      parseFilter(b("filter")),
+      limit = b.getOrElse("limit", 10.0).asInstanceOf[Double].toInt,
+      userIds = b.get("user_ids").map(Json.strs).getOrElse(Nil))
+    Map("doc_ids" -> docIds)
   })
 
   server.createContext("/remove", (ex: HttpExchange) => handle(ex) {

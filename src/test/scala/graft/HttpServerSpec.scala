@@ -59,6 +59,30 @@ class HttpServerSpec extends SparkSuite {
         "filter" -> Map("field" -> "content", "value" -> "searchable"))))
       assert(hybrid("doc_ids") === Vector(uuid(2)))
 
+      // term search over the wire, with a full boolean filter tree
+      // (And + NotContains — the proto DocumentFilter surface)
+      val ts = post("/term_search", Json.write(Map(
+        "collection_name" -> "wire",
+        "filter" -> Map("field" -> "content", "value" -> "searchable"))))
+      assert(ts("doc_ids") === Vector(uuid(2)))
+      val tree = post("/term_search", Json.write(Map(
+        "collection_name" -> "wire",
+        "filter" -> Map("and" -> Seq(
+          Map("or" -> Seq(
+            Map("field" -> "content", "value" -> "hello"),
+            Map("field" -> "content", "value" -> "searchable"))),
+          Map("not_contains" -> Map("field" -> "content", "value" -> "hello")))))))
+      assert(tree("doc_ids") === Vector(uuid(2)))
+      // the same tree as a hybrid /search filter
+      val hybridTree = post("/search", Json.write(Map(
+        "collection_name" -> "wire", "vector" -> Seq(1.1, 2.1, 3.1, 4.1),
+        "top_k" -> 5, "num_explored_centroids" -> 2,
+        "centroid_distance_ratio" -> 1e9,
+        "filter" -> Map("and" -> Seq(
+          Map("field" -> "content", "value" -> "searchable"),
+          Map("not_contains" -> Map("field" -> "content", "value" -> "hello")))))))
+      assert(hybridTree("doc_ids") === Vector(uuid(2)))
+
       post("/remove", Json.write(Map(
         "collection_name" -> "wire",
         "user_ids" -> Seq(uuid(0)), "doc_ids" -> Seq(uuid(1)))))

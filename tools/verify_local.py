@@ -53,7 +53,13 @@ def main():
             continue
         files = glob.glob(f"{pdir}/*.parquet")
         if not files:
-            results[name] = "NO_OUTPUT"; continue
+            err = os.path.join(pdir, "error.json")
+            if os.path.exists(err):
+                with open(err) as f:
+                    results[name] = f"ERROR: {json.load(f).get('error', '?')[:200]}"
+            else:
+                results[name] = "NO_OUTPUT"
+            continue
         got_cols, got = table_rows(con, f"SELECT * FROM read_parquet('{pdir}/*.parquet')")
         if name not in oracles:
             results[name] = f"ROWS_ONLY({len(got)})"
