@@ -61,8 +61,17 @@ object Bench {
         (if (err.isDefined) -1.0 else dt, err)
       }
       val (cold, coldErr) = once()
-      val (warm, warmErr) = once()
-      (name, cold, warm, coldErr.orElse(warmErr))
+      val (warm1, warmErr1) = once()
+      // Two warm executions, take the min: sandbox scheduling noise can
+      // triple a single warm number with an identical plan (measured:
+      // q57 20.4 s vs 5.4/8.1 s across same-tree runs); the min of two
+      // is the steady-state figure the plan actually costs.
+      val (warm2, warmErr2) = once()
+      val warm =
+        if (warmErr1.isDefined) warm2
+        else if (warmErr2.isDefined) warm1
+        else math.min(warm1, warm2)
+      (name, cold, warm, coldErr.orElse(warmErr1).orElse(warmErr2))
     }
     def jsonEsc(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
