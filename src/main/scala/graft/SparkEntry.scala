@@ -520,6 +520,24 @@ object SparkEntry {
         userIds = Seq(0L))
         .select(col("doc_id").as("vec_id"), round(col("score"), 4).as("dist"))
     }),
+    // Semi-supervised labeling: k-NN majority vote from the labeled
+    // corpus (self excluded), ties to the smallest label.
+    "q58_knn_classify" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Ann.knnClassify(queries, emb, k = 5)
+        .orderBy("q_id")
+    }),
+    // Embedding-space quality scoring: affinity to the label-1 seed
+    // centroid, top-100 slice.
+    "q59_seed_quality" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      Ann.seedAffinity(emb, emb.filter(col("label") === 1))
+        .orderBy(col("seed_cosine").desc, col("vec_id").asc)
+        .limit(100)
+        .select(col("vec_id"), round(col("seed_cosine"), 4).as("seed_cosine"))
+    }),
     // M2 + R6 revival under the oracle gate (rs/index/src/optimizers/
     // vacuum.rs:38-70; delete -> vacuum -> re-insert semantics
     // rs/index/src/collection/core.rs:1450-1555): insert all -> flush ->
@@ -975,6 +993,34 @@ object SparkEntry {
            (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])::DOUBLE, 4) AS dist
          FROM embeddings WHERE vec_id % 10 <> 0
          ORDER BY dist, vec_id LIMIT 10""",
+    "q58_knn_classify" ->
+      """WITH nn AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[])::DOUBLE, e.vec_id) AS rank
+             FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 20) q
+             WHERE e.vec_id <> q.vec_id) t
+           WHERE rank <= 5),
+         v AS (
+           SELECT nn.q_id, e.label, count(*) AS votes,
+                  row_number() OVER (PARTITION BY nn.q_id ORDER BY count(*) DESC, e.label) AS rn
+           FROM nn JOIN embeddings e ON e.vec_id = nn.vec_id
+           GROUP BY nn.q_id, e.label)
+         SELECT q_id, CAST(label AS BIGINT) AS pred_label, votes
+         FROM v WHERE rn = 1 ORDER BY q_id""",
+    "q59_seed_quality" ->
+      """WITH m AS (
+           SELECT i AS pos, avg(e) AS mv FROM (
+             SELECT unnest(embedding::DOUBLE[]) AS e,
+                    generate_subscripts(embedding, 1) AS i
+             FROM embeddings WHERE label = 1) t GROUP BY i),
+         mvec AS (SELECT list(mv ORDER BY pos) AS v FROM m)
+         SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], (SELECT v FROM mvec))::DOUBLE, 4) AS seed_cosine
+         FROM embeddings
+         ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT v FROM mvec))::DOUBLE DESC, vec_id
+         LIMIT 100""",
     // survivors = never-deleted (% 10 <> 0) plus revived (% 20 = 0);
     // live_rows = what a correct vacuum leaves physically on disk:
     // the vacuumed segment (non-deleted rows) + the revival segment

@@ -156,6 +156,49 @@ object Ann {
     *
     * Returns `[q_id, vec_id, dist, rank]`, rank 1-based by
     * (dist asc NaN-last, vec_id asc). */
+  /** k-NN majority-vote label prediction — the semi-supervised labeling
+    * step of a curation pipeline (label a large pool from a labeled seed
+    * corpus by embedding proximity, the embedding-space analogue of a
+    * fastText quality classifier). Votes the k nearest corpus rows per
+    * query (self excluded by id); ties break to the smallest label.
+    * Scale posture: the query set broadcasts, per-query candidates fold
+    * into the bounded top-k aggregate map-side, and only k rows per query
+    * reach the label join/vote — the corpus is never shuffled. */
+  def knnClassify(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      qIdCol: String = "q_id", qVecCol: String = "q_vec",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val scored = Par.ensure(corpus).crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(qIdCol))
+      .withColumn("dist", l2_distance(col(vecCol), col(qVecCol)))
+    val nn = topKPerGroup(scored, qIdCol, idCol, k)
+    nn.join(corpus.select(col(idCol), col(labelCol)), Seq(idCol))
+      .groupBy(col(qIdCol), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(qIdCol))
+          .orderBy(col("votes").desc, col(labelCol).asc)))
+      .filter(col("rn") === 1)
+      .select(col(qIdCol), col(labelCol).cast("long").as("pred_label"), col("votes"))
+  }
+
+  /** Affinity of every corpus row to the mean vector of a seed set — the
+    * embedding-space quality scorer pattern (score a corpus against a
+    * curated "high-quality" seed centroid, keep the top slice). The mean
+    * rides a positional explode into a `dim`-key aggregate (narrow, one
+    * pass over the seed set) and broadcasts back as a literal; scoring is
+    * a map-only codegen cosine. */
+  def seedAffinity(
+      corpus: DataFrame, seed: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val mean = seed
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(avg("v").as("m")).orderBy("pos")
+      .collect().map(_.getDouble(1)).toSeq // bounded: dim rows
+    corpus.withColumn("seed_cosine", cosine_similarity(col(vecCol), vec(mean)))
+  }
+
   def knnGraph(
       embeddings: DataFrame, k: Int, numCentroids: Int, nprobe: Int,
       maxClustersPerVector: Int = 2, distanceThresholdPct: Double = 0.2,

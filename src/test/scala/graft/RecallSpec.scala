@@ -61,6 +61,43 @@ class RecallSpec extends SparkSuite {
     assert(self.forall(r => r.getLong(0) == r.getLong(1) && r.getDouble(2) == 0.0))
   }
 
+  test("knnClassify: planted clusters vote their own label, ties break to smallest") {
+    // 3 tight clusters, label = cluster id; every query's 5 NN share its
+    // cluster, so the vote must return the planted label
+    val pts = (0 until 90).map { i =>
+      val c = i % 3
+      val v = (0 until 8).map(d =>
+        (if (d % 3 == c) 5.0 else 0.0) + 0.01 * ((i * 31 + d * 17) % 7))
+      (i.toLong, v, c)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = pts.filter(col("vec_id") < 9)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val got = Ann.knnClassify(queries, pts, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L until 9L).map(q => q -> q % 3).toMap)
+    // self-exclusion: a 2-point corpus must predict the OTHER point's label
+    val two = Seq((0L, Seq(1.0, 0.0), 7), (1L, Seq(1.0, 0.1), 3))
+      .toDF("vec_id", "embedding", "label")
+    val q0 = two.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    assert(Ann.knnClassify(q0, two, k = 1).head().getLong(1) === 3L)
+  }
+
+  test("seedAffinity: seed-cluster members outrank off-cluster rows") {
+    val pts = (0 until 60).map { i =>
+      val c = i % 3
+      val v = (0 until 8).map(d =>
+        (if (d % 3 == c) 5.0 else 0.0) + 0.01 * ((i * 31 + d * 17) % 7))
+      (i.toLong, v, c)
+    }.toDF("vec_id", "embedding", "label")
+    val scored = Ann.seedAffinity(pts, pts.filter(col("label") === 1))
+      .orderBy(col("seed_cosine").desc, col("vec_id").asc)
+      .select("vec_id", "label").collect()
+    // the top third (seed-cluster size) is exactly the seed cluster
+    assert(scored.take(20).forall(_.getInt(1) === 1))
+    assert(scored.drop(20).forall(_.getInt(1) !== 1))
+  }
+
   test("flagship entry() returns rows (the driver's t1 smoke contract)") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length === 10)
