@@ -538,6 +538,10 @@ object SparkEntry {
         .limit(100)
         .select(col("vec_id"), round(col("seed_cosine"), 4).as("seed_cosine"))
     }),
+    // Concat-and-chunk sequence packing into 512-token training windows.
+    "q60_pack_sequences" -> ((s, d) =>
+      TextPipeline.packSequences(T(s, d, "documents"), contextLen = 512)
+        .orderBy("doc_id")),
     // M2 + R6 revival under the oracle gate (rs/index/src/optimizers/
     // vacuum.rs:38-70; delete -> vacuum -> re-insert semantics
     // rs/index/src/collection/core.rs:1450-1555): insert all -> flush ->
@@ -1021,6 +1025,18 @@ object SparkEntry {
          FROM embeddings
          ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT v FROM mvec))::DOUBLE DESC, vec_id
          LIMIT 100""",
+    "q60_pack_sequences" ->
+      s"""SELECT doc_id, n_tokens, cum - n_tokens AS start_token,
+            (cum - n_tokens) // 512 AS window_start,
+            CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 512
+                 ELSE (cum - 1) // 512 END AS window_end
+          FROM (
+            SELECT doc_id, n_tokens,
+              sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM (SELECT doc_id, CAST(len($docToksSql) AS BIGINT) AS n_tokens
+                  FROM documents) t1) t2
+          ORDER BY doc_id""",
     // survivors = never-deleted (% 10 <> 0) plus revived (% 20 = 0);
     // live_rows = what a correct vacuum leaves physically on disk:
     // the vacuumed segment (non-deleted rows) + the revival segment

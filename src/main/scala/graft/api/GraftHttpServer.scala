@@ -24,6 +24,10 @@ import graft.operators.DocFilter
   *                                num_explored_centroids?, centroid_distance_ratio?,
   *                                filter?: filter tree (below)}
   *  - `POST /term_search`        {collection_name, filter, limit?, user_ids?}
+  *  - `POST /serve_search`       {collection_name, user_ids: [uuid], vector,
+  *                                top_k?, nprobe?, filter?} — zero-Spark-jobs
+  *  - `POST /serve_term_search`  {collection_name, user_ids: [uuid], filter,
+  *                                limit?} — zero-Spark-jobs
   *  - `POST /remove`             {collection_name, user_ids, doc_ids}
   *  - `GET  /segments?collection=<name>`
   *
@@ -145,6 +149,33 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
       parseFilter(b("filter")),
       limit = b.getOrElse("limit", 10.0).asInstanceOf[Double].toInt,
       userIds = b.get("user_ids").map(Json.strs).getOrElse(Nil))
+    Map("doc_ids" -> docIds)
+  })
+
+  // Served (zero-Spark-jobs) per-user query paths — the reference's main
+  // serving posture (per-user in-memory indexes, collection_manager.rs:
+  // 27-94). The view is cached per (collection, user) keyed on the
+  // collection state fingerprint, so repeated calls answer at in-memory
+  // latency; any write transparently rebuilds on next call.
+  server.createContext("/serve_search", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val res = svc.serveUser(
+        b("collection_name").asInstanceOf[String],
+        Json.strs(b("user_ids")).head)
+      .search(Json.doubles(b("vector")).map(_.toFloat),
+        topK = b.getOrElse("top_k", 10.0).asInstanceOf[Double].toInt,
+        nprobe = b.getOrElse("nprobe", 10.0).asInstanceOf[Double].toInt,
+        filter = b.get("filter").map(parseFilter))
+    Map("doc_ids" -> res.docIds, "scores" -> res.scores)
+  })
+
+  server.createContext("/serve_term_search", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val docIds = svc.serveUser(
+        b("collection_name").asInstanceOf[String],
+        Json.strs(b("user_ids")).head)
+      .termSearch(parseFilter(b("filter")),
+        limit = b.getOrElse("limit", 10.0).asInstanceOf[Double].toInt)
     Map("doc_ids" -> docIds)
   })
 

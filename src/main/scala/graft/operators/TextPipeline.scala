@@ -419,4 +419,45 @@ object TextPipeline {
       cum.filter(col("offset") === 0 && col("lrn") === 1 && col("cum_tokens") > budget)
         .select("id", "stratum", "n_tokens", "cum_tokens"))
   }
+
+  /** Concat-and-chunk sequence packing — the GPT-style training-data
+    * transform: concatenate docs in deterministic id order into one
+    * virtual token stream, slice fixed `contextLen` windows, and report
+    * every doc's span (`start_token`, exclusive end = start + n_tokens)
+    * plus the first/last window it lands in. Downstream shuffling by
+    * `window_start` materializes training examples.
+    *
+    * Scale: the same distributed prefix scan as [[tokenBudgetSample]] —
+    * range partition on id, per-partition subtotal offsets broadcast
+    * (one row per partition), everything else map-side. Window ids use
+    * integer DIV, not double floor: corpus-wide token offsets can exceed
+    * 2^53 at 100 TB and doubles would mis-assign windows there. */
+  def packSequences(
+      docs: DataFrame,
+      contextLen: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+    val keyed = Par.ensure(docs)
+      .select(col(idCol).as("doc_id"),
+        token_count_ws(col(textCol)).cast("long").as("n_tokens"))
+    val ranged = keyed.repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy("pid").orderBy("doc_id")
+    val local = ranged.withColumn("lcum", sum(col("n_tokens")).over(wLocal))
+    // exclusive prefix of partition subtotals: one row per partition, so
+    // the unpartitioned window is bounded by the partition count
+    val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("pid").agg(sum(col("n_tokens")).as("psum"))
+      .withColumn("offset", coalesce(sum(col("psum")).over(wOff), lit(0L)))
+      .select("pid", "offset")
+    local.join(broadcast(offsets), Seq("pid"))
+      .withColumn("end_token", col("lcum") + col("offset"))
+      .withColumn("start_token", col("end_token") - col("n_tokens"))
+      .withColumn("window_start", expr(s"start_token DIV $contextLen"))
+      .withColumn("window_end",
+        when(col("n_tokens") === 0, col("window_start"))
+          .otherwise(expr(s"(end_token - 1) DIV $contextLen")))
+      .select("doc_id", "n_tokens", "start_token", "window_start", "window_end")
+  }
 }

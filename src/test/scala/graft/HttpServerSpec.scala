@@ -83,6 +83,16 @@ class HttpServerSpec extends SparkSuite {
           Map("not_contains" -> Map("field" -> "content", "value" -> "hello")))))))
       assert(hybridTree("doc_ids") === Vector(uuid(2)))
 
+      // served (zero-Spark-jobs) routes answer the same queries
+      val servedHit = post("/serve_search", Json.write(Map(
+        "collection_name" -> "wire", "user_ids" -> Seq(uuid(0)),
+        "vector" -> Seq(1.0, 2.0, 3.0, 4.0), "top_k" -> 1, "nprobe" -> 2)))
+      assert(servedHit("doc_ids") === Vector(uuid(1)))
+      val servedTs = post("/serve_term_search", Json.write(Map(
+        "collection_name" -> "wire", "user_ids" -> Seq(uuid(0)),
+        "filter" -> Map("field" -> "content", "value" -> "searchable"))))
+      assert(servedTs("doc_ids") === Vector(uuid(2)))
+
       post("/remove", Json.write(Map(
         "collection_name" -> "wire",
         "user_ids" -> Seq(uuid(0)), "doc_ids" -> Seq(uuid(1)))))

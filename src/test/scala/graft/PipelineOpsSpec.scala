@@ -259,4 +259,28 @@ class PipelineOpsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(viaCol === want)
   }
+
+  test("packSequences: spans are contiguous in id order, windows cover spans, empty docs degenerate") {
+    // doc 0: 3 tokens, doc 1: empty, doc 2: 4 tokens, doc 3: 2 tokens;
+    // ctx=4 -> stream [0,9): doc0 [0,3) w0, doc1 [3,3) w0, doc2 [3,7)
+    // spans w0-w1, doc3 [7,9) spans w1-w2
+    val docs = Seq(
+      (0L, "a b c"), (1L, "   "), (2L, "d e f g"), (3L, "h i"))
+      .toDF("doc_id", "text")
+    val got = TextPipeline.packSequences(docs, contextLen = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (0L, 3L, 0L, 0L, 0L),
+      (1L, 0L, 3L, 0L, 0L),
+      (2L, 4L, 3L, 0L, 1L),
+      (3L, 2L, 7L, 1L, 2L)))
+    // multi-partition prefix scan agrees with the single-partition truth
+    val many = (0L until 200L).map(i => (i, Seq.fill((i % 7).toInt + 1)("t").mkString(" ")))
+      .toDF("doc_id", "text").repartition(16)
+    val packed = TextPipeline.packSequences(many, contextLen = 32)
+      .orderBy("doc_id").collect().map(r => (r.getLong(2), r.getLong(1)))
+    val expectStarts = packed.map(_._2).scanLeft(0L)(_ + _).init
+    assert(packed.map(_._1).toSeq === expectStarts.toSeq)
+  }
 }
