@@ -20,7 +20,7 @@ import graft.operators._
 object SparkEntry {
 
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.sources.Tables.read(s, dir, name)
 
   /** Fixed cross-engine artifact dir: q27/q28/q48 persist an intermediate
     * (signatures / sketches / a whole collection) here so the DuckDB
@@ -542,6 +542,45 @@ object SparkEntry {
     "q60_pack_sequences" -> ((s, d) =>
       TextPipeline.packSequences(T(s, d, "documents"), contextLen = 512)
         .orderBy("doc_id")),
+    // Boilerplate discovery: corpus-wide frequent 3-grams (in-row gram
+    // tally, one bounded gram-keyed shuffle, TakeOrdered top-k).
+    "q61_frequent_ngrams" -> ((s, d) =>
+      TextPipeline.frequentNgrams(T(s, d, "documents"), n = 3, minDf = 2, k = 100)
+        .orderBy(col("total").desc, col("gram").asc)),
+    // Incremental exact dedup: admit the doc_id%3!=0 "new batch" against
+    // the doc_id%3==0 "standing corpus" hash snapshot — one anti-join,
+    // the corpus itself is never re-scanned.
+    "q62_incremental_dedup" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val seen = Dedup.exact(docs.filter(col("doc_id") % 3 === 0))
+        .select("content_hash")
+      Dedup.incrementalExact(docs.filter(col("doc_id") % 3 =!= 0), seen)
+        .orderBy("keep_id")
+    }),
+    // Cross-corpus MinHash near-dup (new batch vs standing corpus, no
+    // within-side pairs); both signature tables persist as artifacts so
+    // the DuckDB oracle replays banding + estimation over the same bytes.
+    "q63_minhash_across" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val newArt = artifact("q63_new_sigs")
+      val seenArt = artifact("q63_seen_sigs")
+      Dedup.minhashSignatures(docs.filter(col("doc_id") % 3 =!= 0),
+        shingleLen = 3, k = 64).repartition(4).write.mode("overwrite").parquet(newArt)
+      Dedup.minhashSignatures(docs.filter(col("doc_id") % 3 === 0),
+        shingleLen = 3, k = 64).repartition(4).write.mode("overwrite").parquet(seenArt)
+      Dedup.minhashPairsAcrossFromSigs(
+        s.read.parquet(newArt), s.read.parquet(seenArt),
+        k = 64, bands = 16, threshold = 0.2)
+        .select(col("new_id"), col("seen_id"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy("new_id", "seen_id")
+    }),
+    // Per-source document caps (domain balancing): top-50 docs per source
+    // by n_chars via the bounded top-k aggregate — tasks ship at most cap
+    // rows per source, never the source's full row set.
+    "q64_source_caps" -> ((s, d) =>
+      TextPipeline.capPerGroup(T(s, d, "documents"), "source", "doc_id",
+        col("n_chars"), cap = 50)
+        .orderBy("source", "rank")),
     // M2 + R6 revival under the oracle gate (rs/index/src/optimizers/
     // vacuum.rs:38-70; delete -> vacuum -> re-insert semantics
     // rs/index/src/collection/core.rs:1450-1555): insert all -> flush ->
@@ -1186,6 +1225,48 @@ object SparkEntry {
                 list_prepend(0::HUGEINT, list_transform(range(1, len(s)+1), i -> ord(substr(s, i::INT, 1))::HUGEINT)),
                 (acc, b) -> (acc * 1000003 + b) % 18446744073709551616::HUGEINT) AS h
             FROM norm)
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+    "q61_frequent_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $docToksSql AS toks FROM documents),
+          g AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS gram
+                FROM t WHERE len(toks) >= 3),
+          tf AS (SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY doc_id, gram)
+          SELECT gram, CAST(sum(tf) AS BIGINT) AS total, count(*) AS df
+          FROM tf GROUP BY gram HAVING count(*) >= 2
+          ORDER BY total DESC, gram LIMIT 100""",
+    "q62_incremental_dedup" ->
+      s"""WITH seen AS (
+            SELECT DISTINCT md5(array_to_string($docToksSql, ' ')) AS content_hash
+            FROM documents WHERE doc_id % 3 = 0),
+          newh AS (
+            SELECT md5(array_to_string($docToksSql, ' ')) AS content_hash,
+                   min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM documents WHERE doc_id % 3 <> 0 GROUP BY content_hash)
+          SELECT content_hash, keep_id, dup_count FROM newh
+          WHERE content_hash NOT IN (SELECT content_hash FROM seen)
+          ORDER BY keep_id""",
+    // banding + estimation replay over the two signature artifacts q63
+    // itself wrote (the q27 pattern, restricted to cross-side pairs)
+    "q63_minhash_across" ->
+      """WITH n AS (SELECT id, sig FROM read_parquet('/tmp/graft_artifacts/q63_new_sigs/*.parquet')),
+         s AS (SELECT id, sig FROM read_parquet('/tmp/graft_artifacts/q63_seen_sigs/*.parquet')),
+         c AS (
+           SELECT n.id AS new_id, s.id AS seen_id,
+                  len(list_filter(range(0, 16),
+                    bd -> n.sig[bd*4+1:bd*4+4] = s.sig[bd*4+1:bd*4+4])) AS shared_bands,
+                  len(list_filter(range(1, 65), i -> n.sig[i] = s.sig[i])) / 64.0 AS est
+           FROM n JOIN s ON true)
+         SELECT new_id, seen_id, round(est, 4) AS est_jaccard FROM c
+         WHERE shared_bands > 0 AND est >= 0.2
+         ORDER BY new_id, seen_id""",
+    "q64_source_caps" ->
+      """SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS score, rank FROM (
+           SELECT source, doc_id, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+           FROM documents) t
+         WHERE rank <= 50 ORDER BY source, rank"""
   )
 }

@@ -20,6 +20,27 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental exact dedup — the "dedup today's crawl against the
+    * existing corpus" primitive. A 100 TB corpus is never re-scanned to
+    * admit a new batch: the corpus is represented by its (much smaller)
+    * content-hash snapshot (`[content_hash]`, e.g. the persisted output of
+    * [[exact]]), and the new batch is admitted by one hash-keyed anti-join
+    * plus an in-batch [[exact]] collapse.
+    *
+    * Returns the surviving new docs `[content_hash, keep_id, dup_count]`
+    * (dup_count counts in-batch copies only). Appending the survivors'
+    * hashes to the snapshot keeps the next increment exact. Both sides
+    * shuffle on the hash — co-partitioned, no skew (md5 keys). */
+  def incrementalExact(
+      newDocs: DataFrame,
+      seenHashes: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hashCol: String = "content_hash"): DataFrame =
+    exact(newDocs, idCol, textCol)
+      .join(seenHashes.select(col(hashCol).as("content_hash")),
+        Seq("content_hash"), "left_anti")
+
   /** MinHash signature table `[id, sig: array<long>(k)]` — the shared
     * first stage of [[minhashPairs]], split out so callers can persist it
     * to parquet (cross-engine verification, signature reuse across runs). */
@@ -111,6 +132,57 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select("a", "b", "est_jaccard")
+  }
+
+  /** Cross-corpus MinHash near-dup: candidates between a NEW batch and a
+    * SEEN corpus only (no new-new or seen-seen pairs) — the incremental
+    * companion of [[minhashPairsFromSigs]] for admitting a crawl batch
+    * against a standing corpus without re-banding the corpus against
+    * itself.
+    *
+    * Both sides are precomputed `[id, sig]` tables (the seen side is the
+    * persisted signature artifact a 100 TB pipeline already maintains; at
+    * that scale only (band, id) rows of BOTH sides ride one band-keyed
+    * join — never the signatures, which re-attach to the deduped candidate
+    * set). `maxBucket` caps the SEEN side's band buckets (the side that
+    * can be boilerplate-degenerate at corpus scale); the hot-band key list
+    * is broadcast and anti-joined on both sides so a pruned band
+    * contributes no candidates at all, mirroring the self-join variant.
+    *
+    * Returns `[new_id, seen_id, est_jaccard]`. */
+  def minhashPairsAcrossFromSigs(
+      newSigs: DataFrame,
+      seenSigs: DataFrame,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucket: Int = 8192): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    def banded(sigs: DataFrame): DataFrame = Gen.explodeOnce(
+      sigs.select(col("id"), col("sig")),
+      Seq(col("id")), lsh_band_keys(col("sig"), bands, rows), "band")
+    val nb = banded(newSigs)
+    val sb = banded(seenSigs)
+    val pruned =
+      if (maxBucket > 0) {
+        val hot = broadcast(sb.groupBy("band").agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucket).select("band"))
+        (nb.join(hot, Seq("band"), "left_anti"),
+          sb.join(hot, Seq("band"), "left_anti"))
+      } else (nb, sb)
+    pruned._1.select(col("band"), col("id").as("new_id"))
+      .join(pruned._2.select(col("band"), col("id").as("seen_id")), Seq("band"))
+      .select("new_id", "seen_id")
+      .dropDuplicates("new_id", "seen_id")
+      .join(newSigs.select(col("id").as("new_id"), col("sig").as("sig_a")), Seq("new_id"))
+      .join(seenSigs.select(col("id").as("seen_id"), col("sig").as("sig_b")), Seq("seen_id"))
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select("new_id", "seen_id", "est_jaccard")
   }
 
   /** SimHash near-dup pairs: 64-bit sketch, blocked LSH with a recall

@@ -460,4 +460,76 @@ object TextPipeline {
           .otherwise(expr(s"(end_token - 1) DIV $contextLen")))
       .select("doc_id", "n_tokens", "start_token", "window_start", "window_end")
   }
+
+  /** Corpus-wide frequent word n-grams — the boilerplate-discovery pass of
+    * a training-data pipeline (the grams this surfaces become removal
+    * patterns for [[Dedup.substringDedup]] or filter rules).
+    *
+    * Scale shape mirrors [[topTermsTfIdf]]: grams tally IN-ROW first (the
+    * `term_counts` kernel over the gram array), so the map stage emits one
+    * `(gram, tf)` row per DISTINCT gram per doc — never one row per token
+    * occurrence — and the single shuffle is the gram-keyed partial-agg
+    * sum. `minDf` prunes the long unique-gram tail before the final
+    * bounded top-k (orderBy+limit → TakeOrderedAndProject, per-partition
+    * heaps, no global sort).
+    *
+    * Returns `[gram, total, df]`: total occurrences and document
+    * frequency, top `k` by (total desc, gram asc). */
+  def frequentNgrams(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      minDf: Long = 2L,
+      k: Int = 100): DataFrame = {
+    require(n >= 1, s"ngram length must be >= 1, got $n")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val toks = tokenize(col(textCol))
+    val grams = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val tf = Gen.explodeOnce(Par.ensure(docs), Seq.empty,
+      ColumnBridge.column(graft.functions.TermCounts(
+        ColumnBridge.expression(grams))), "tc")
+      .select(col("tc.term").as("gram"), col("tc.tf").as("tf"))
+    tf.groupBy("gram")
+      .agg(sum(col("tf")).cast("long").as("total"), count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("total").desc, col("gram").asc)
+      .limit(k)
+  }
+
+  /** Per-group document cap — the domain/source-balancing primitive (e.g.
+    * Common Crawl per-domain caps): keep at most `cap` docs per group,
+    * preferring the highest `score` (ties broken by id ascending).
+    *
+    * Uses the bounded [[graft.functions.TopKByScore]] aggregate, so each
+    * map task ships at most `cap` rows per group — a hot domain with 10^9
+    * pages costs `tasks * cap` shuffled rows, not 10^9 (the rank-window
+    * formulation this replaces sorts every row of every group through one
+    * exchange). Returns `[group, id, score, rank]`, rank 1-based by
+    * (score desc, id asc). */
+  def capPerGroup(
+      docs: DataFrame,
+      groupCol: String,
+      idCol: String,
+      score: Column,
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val keyed = Par.ensure(docs)
+      .select(col(groupCol), col(idCol), score.cast("double").as("score"))
+    val idType = keyed.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"capPerGroup requires an integral id column; '$idCol' is $idType")
+    // TopKByScore keeps score ASC; negate to keep the highest-scored docs.
+    keyed
+      .groupBy(col(groupCol))
+      .agg(graft.functions.GraftFunctions.topk_by_score(
+        -col("score"), col(idCol).cast("long"), cap).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col(groupCol), col("p.id").as(idCol),
+        (-col("p.score")).as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
 }

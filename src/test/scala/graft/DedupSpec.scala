@@ -24,6 +24,42 @@ class DedupSpec extends SparkSuite {
     assert(got.values.sum === 6L)
   }
 
+  test("incrementalExact: new batch is admitted against the seen snapshot only") {
+    // seen corpus holds doc 0's content; the new batch carries an exact dup
+    // (1), a normalized dup (2), and fresh content (3,4)
+    val seen = Dedup.exact(docs.filter(col("doc_id") === 0)).select("content_hash")
+    val got = Dedup.incrementalExact(docs.filter(col("doc_id") =!= 0), seen)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap // keep_id -> dup_count
+    assert(!got.contains(1L) && !got.contains(2L)) // both collapse to seen content
+    assert(got(3L) === 1L && got(4L) === 1L && got(5L) === 1L)
+    // empty snapshot degenerates to plain in-batch exact dedup
+    val empty = seen.filter(lit(false))
+    val all = Dedup.incrementalExact(docs, empty)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(all(0L) === 3L && all.values.sum === 6L)
+  }
+
+  test("minhashPairsAcrossFromSigs: only cross-side pairs, same estimates as self-join") {
+    val newSigs = Dedup.minhashSignatures(
+      docs.filter(col("doc_id").isin(1L, 3L, 4L)), shingleLen = 2, k = 64)
+    val seenSigs = Dedup.minhashSignatures(
+      docs.filter(col("doc_id").isin(0L, 2L, 5L)), shingleLen = 2, k = 64)
+    val across = Dedup.minhashPairsAcrossFromSigs(newSigs, seenSigs,
+      k = 64, bands = 32, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // dup pairs that straddle the split are found; within-side dup (0,2)
+    // and unrelated content are not emitted
+    assert(across.contains((1L, 0L)) && across.contains((1L, 2L)))
+    assert(!across.keySet.exists { case (a, b) => a == b || b == 5L || a == 4L })
+    // estimates agree with the self-join operator on the same pairs
+    val self = Dedup.minhashPairs(docs, shingleLen = 2, k = 64, bands = 32, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for (((n, s), est) <- across) {
+      val key = if (n < s) (n, s) else (s, n)
+      assert(self(key) === est)
+    }
+  }
+
   test("minhash LSH finds planted near-dups and not unrelated docs") {
     val pairs = Dedup.minhashPairs(docs, shingleLen = 2, k = 64, bands = 32, threshold = 0.3)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -40,6 +40,32 @@ class EventsSpec extends SparkSuite {
     assert(df.count() > 0)
   }
 
+  test("Tables.read normalizes orders/lineitem date columns across encodings") {
+    import graft.sources.Tables
+    val us = 883612800000000L // 1998-01-01 00:00:00 UTC in micros
+    // Three on-disk encodings of the same instant: nanos-as-INT64, NTZ
+    // micros, tz-adjusted timestamp.
+    val asLong = Seq((1L, us * 1000L)).toDF("o_orderkey", "o_orderdate")
+    val asNtz = Seq((1L, us)).toDF("o_orderkey", "us_in")
+      .select(col("o_orderkey"),
+        timestamp_micros(col("us_in")).cast("timestamp_ntz").as("o_orderdate"))
+    val asTz = Seq((1L, us)).toDF("o_orderkey", "us_in")
+      .select(col("o_orderkey"), timestamp_micros(col("us_in")).as("o_orderdate"))
+    for (df <- Seq(asLong, asNtz, asTz)) {
+      val n = Tables.normalizeTs(df, Seq("o_orderdate", "absent_col"))
+      assert(n.schema("o_orderdate").dataType.typeName === "timestamp")
+      assert(n.select(unix_micros(col("o_orderdate"))).head().getLong(0) === us)
+    }
+    // End-to-end over the real driver tables: normalized types, q04's
+    // literal comparison analyzes and runs.
+    val orders = Tables.read(spark, "/root/testdata/sf0.001", "orders")
+    assert(orders.schema("o_orderdate").dataType.typeName === "timestamp")
+    assert(orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .count() >= 0)
+    val li = Tables.read(spark, "/root/testdata/sf0.001", "lineitem")
+    assert(li.schema("l_shipdate").dataType.typeName === "timestamp")
+  }
+
   test("round-trip through parquet keeps both encodings readable") {
     // the LongType leg as it would appear on disk: a parquet file whose ts
     // column is a plain INT64 of nanos (what nanosAsLong surfaces)

@@ -8,6 +8,43 @@ import graft.operators.{Decontaminate, TextPipeline}
 class PipelineOpsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("frequentNgrams: hand-computed totals, df threshold, short docs gram-free") {
+    val docs = Seq(
+      (0L, "click here to subscribe now"),
+      (1L, "breaking news click here to subscribe today"),
+      (2L, "click here to unsubscribe"),
+      (3L, "to subscribe"), // 2 tokens < n=3: contributes no grams
+      (4L, "click here to subscribe click here to subscribe") // gram twice in one doc
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.frequentNgrams(docs, n = 3, minDf = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byGram = got.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byGram("click here to") === (5L, 4L))   // docs 0,1,2,4 (4 has it twice)
+    assert(byGram("here to subscribe") === (4L, 3L))
+    assert(!byGram.contains("breaking news click")) // df 1 < minDf
+    // ordering: total desc, gram asc
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+    val top = got.filter(_._2 == got.head._2).map(_._1)
+    assert(top.toSeq === top.sorted.toSeq)
+  }
+
+  test("capPerGroup: keeps top-cap per group by score desc, id-asc ties, matches window") {
+    val docs = (0L until 40L).map { i =>
+      (i, if (i % 2 == 0) "even" else "odd", (i % 7).toInt)
+    }.toDF("doc_id", "source", "n_chars")
+    val got = TextPipeline.capPerGroup(docs, "source", "doc_id", col("n_chars"), cap = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.count(_._1 == "even") === 5 && got.count(_._1 == "odd") === 5)
+    // reference: rank window over the same frame
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id").asc)
+    val ref = docs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("doc_id"), col("n_chars").cast("double"), col("rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.sortBy(t => (t._1, t._4)).toSeq === ref.sortBy(t => (t._1, t._4)).toSeq)
+  }
+
   test("decontamination flags exactly the docs sharing enough shingles") {
     val bench = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta")
