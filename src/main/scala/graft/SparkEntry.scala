@@ -581,6 +581,12 @@ object SparkEntry {
       TextPipeline.capPerGroup(T(s, d, "documents"), "source", "doc_id",
         col("n_chars"), cap = 50)
         .orderBy("source", "rank")),
+    // Conditional bigram NLL (KenLM-style fluency filter, one order above
+    // q54's unigram scorer).
+    "q65_bigram_nll" -> ((s, d) =>
+      TextPipeline.bigramLogProb(T(s, d, "documents"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     // M2 + R6 revival under the oracle gate (rs/index/src/optimizers/
     // vacuum.rs:38-70; delete -> vacuum -> re-insert semantics
     // rs/index/src/collection/core.rs:1450-1555): insert all -> flush ->
@@ -1267,6 +1273,25 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY source
                ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
            FROM documents) t
-         WHERE rank <= 50 ORDER BY source, rank"""
+         WHERE rank <= 50 ORDER BY source, rank""",
+    // per-position replay of the tf-weighted distinct-bigram mean (equal
+    // by construction: avg over positions == Σ tf·val / Σ tf)
+    "q65_bigram_nll" ->
+      s"""WITH t AS (SELECT doc_id, $docToksSql AS toks FROM documents),
+          bg AS (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks) - 1),
+                     i -> concat_ws(' ', toks[i], toks[i+1]))) AS bigram
+                 FROM t WHERE len(toks) >= 2),
+          cnt AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+          pre AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c2) AS c1p
+                  FROM cnt GROUP BY w1),
+          vocab AS (SELECT count(DISTINCT tok) AS v
+                    FROM (SELECT unnest(toks) AS tok FROM t))
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            round(avg(-ln((c2 + 0.5) / (c1p + 0.5 * v))), 4) AS bigram_nll
+          FROM bg
+          JOIN cnt USING (bigram)
+          JOIN pre ON pre.w1 = split_part(bg.bigram, ' ', 1), vocab
+          GROUP BY doc_id ORDER BY doc_id"""
   )
 }

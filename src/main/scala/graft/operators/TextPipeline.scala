@@ -301,6 +301,60 @@ object TextPipeline {
         round(avg(-log(col("cnt").cast("double") / col("total").cast("double"))), 4).as("nll"))
   }
 
+  /** Per-document conditional bigram NLL — the KenLM-style statistical
+    * quality filter one order above [[unigramLogProb]]: fluent text scores
+    * low, gibberish / shuffled-token text scores high even when its
+    * unigram profile is normal (the failure mode a unigram filter can't
+    * see).
+    *
+    *   nll(doc) = mean over positions i of
+    *     −ln P(w_i | w_{i−1}),   P(w2|w1) = (c(w1 w2) + α) / (c(w1 ·) + α·V)
+    *
+    * with add-α smoothing, prefix counts `c(w1 ·) = Σ_w2 c(w1 w2)`, and
+    * `V` = distinct unigram vocabulary size.
+    *
+    * Scale shape: bigrams tally IN-ROW (the `term_counts` kernel over the
+    * 2-gram array — one row per distinct bigram per doc leaves the map
+    * stage), corpus counts are one bigram-keyed partial-agg shuffle,
+    * prefix counts reduce that bounded table again, V is a broadcast
+    * scalar, and scoring is two keyed joins plus one id-keyed weighted
+    * average. Nothing corpus-sized crosses an exchange twice.
+    *
+    * Returns `[id, n_bigrams, bigram_nll]` for docs with >= 2 tokens. */
+  def bigramLogProb(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val toks = tokenize(col(textCol))
+    val grams2 = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    // (id, bigram, tf): in-row tally, one row per DISTINCT bigram per doc
+    val docBg = Gen.explodeOnce(
+      Par.ensure(docs), Seq(col(idCol).as("id")),
+      ColumnBridge.column(graft.functions.TermCounts(
+        ColumnBridge.expression(grams2))), "tc")
+      .select(col("id"), col("tc.term").as("bigram"), col("tc.tf").as("tf"))
+    val cnt = docBg.groupBy("bigram").agg(sum(col("tf")).as("c2"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val prefix = cnt.groupBy("w1").agg(sum(col("c2")).as("c1p"))
+    // V: distinct unigrams (single-row aggregate, broadcast into the score)
+    val vocab = Gen.explodeOnce(
+      Par.ensure(docs).select(toks.as("tk")), Seq.empty, col("tk"), "term")
+      .agg(count_distinct(col("term")).as("v"))
+    val p = (col("c2").cast("double") + lit(alpha)) /
+      (col("c1p").cast("double") + lit(alpha) * col("v").cast("double"))
+    docBg.join(cnt.select("bigram", "c2", "w1"), Seq("bigram"))
+      .join(prefix, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("id")
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        round(sum(col("tf") * -log(p)) / sum(col("tf")), 4).as("bigram_nll"))
+  }
+
   /** Sparse hashed-ngram bag features (the DSIR feature space, Li et
     * al., NeurIPS'23 "Data Selection for Language Models via Importance
     * Resampling" §3.2): unigrams + bigrams hashed into `buckets` via the

@@ -45,6 +45,31 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got.sortBy(t => (t._1, t._4)).toSeq === ref.sortBy(t => (t._1, t._4)).toSeq)
   }
 
+  test("bigramLogProb: hand-computed add-alpha conditional scores") {
+    val docs = Seq(
+      (0L, "a b a b"), (1L, "a b"), (2L, "b a"), (3L, "solo")
+    ).toDF("doc_id", "text")
+    // corpus: c("a b")=3, c("b a")=2; prefixes c1p(a)=3, c1p(b)=2; V=3
+    // (a, b, solo); alpha=0.5:
+    //   P(b|a) = 3.5/4.5, P(a|b) = 2.5/3.5
+    val pba = 3.5 / 4.5
+    val pab = 2.5 / 3.5
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val got = TextPipeline.bigramLogProb(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(0L) === ((3L, r4((2 * -math.log(pba) + -math.log(pab)) / 3))))
+    assert(got(1L) === ((1L, r4(-math.log(pba)))))
+    assert(got(2L) === ((1L, r4(-math.log(pab)))))
+    assert(!got.contains(3L)) // single-token doc has no bigrams
+    // the fluency signal: a shuffled-token doc scores higher than fluent
+    // text with the same unigram bag
+    val corpus = (0L until 50L).map(i => (i, "the cat sat on the mat")) :+
+      (99L, "mat the on sat cat the")
+    val scored = TextPipeline.bigramLogProb(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(99L) > scored(0L))
+  }
+
   test("decontamination flags exactly the docs sharing enough shingles") {
     val bench = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta")
