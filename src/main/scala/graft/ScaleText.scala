@@ -129,6 +129,33 @@ object ScaleText {
         .agg(sum(col("log_weight"))).head().getDouble(0)
     }
 
+    // Boilerplate discovery: the planted "click here to subscribe now"
+    // phrase (1/11 of docs) must dominate the top grams
+    var ngramTop = 0L
+    val ngramSec = timedOp("ngrams") {
+      ngramTop = TextPipeline.frequentNgrams(docs, n = 3, minDf = 2, k = 100)
+        .agg(sum(col("total"))).head().getLong(0)
+    }
+
+    // Conditional bigram NLL: the heaviest statistical pass (distinct-
+    // bigram vocabulary is corpus-sized); the bigram-keyed partial agg is
+    // the only corpus-sized shuffle
+    var bigramCheck = 0.0
+    val bigramSec = timedOp("bigram") {
+      bigramCheck = TextPipeline.bigramLogProb(docs)
+        .agg(sum(col("bigram_nll"))).head().getDouble(0)
+    }
+
+    // Incremental exact dedup: admit the odd half as a "new batch" against
+    // the even half's hash snapshot (one anti-join, no corpus re-scan)
+    var incrSurvivors = 0L
+    val incrSec = timedOp("incr") {
+      val seen = Dedup.exact(docs.filter(col("doc_id") % 2 === 0))
+        .select("content_hash")
+      incrSurvivors = Dedup.incrementalExact(
+        docs.filter(col("doc_id") % 2 =!= 0), seen).count()
+    }
+
     // SemDeDup at corpus scale (BASELINE row; not in the default op set):
     // synthetic clustered embeddings — 64 planted directions plus jitter,
     // every 17th doc a near-copy of its predecessor — then the
@@ -172,7 +199,13 @@ object ScaleText {
       s""""dsir_sec":${f"$dsirSec%.1f"},"dsir_docs_per_sec":${f"${dps(dsirSec)}%.0f"},""" +
       s""""dsir_check":${f"$dsirCheck%.1f"},""" +
       s""""semdedup_sec":${f"$semSec%.1f"},"semdedup_docs_per_sec":${f"${dps(semSec)}%.0f"},""" +
-      s""""semdedup_pairs":$semPairs}""")
+      s""""semdedup_pairs":$semPairs,""" +
+      s""""ngrams_sec":${f"$ngramSec%.1f"},"ngrams_docs_per_sec":${f"${dps(ngramSec)}%.0f"},""" +
+      s""""ngrams_top_total":$ngramTop,""" +
+      s""""bigram_sec":${f"$bigramSec%.1f"},"bigram_docs_per_sec":${f"${dps(bigramSec)}%.0f"},""" +
+      s""""bigram_check":${f"$bigramCheck%.1f"},""" +
+      s""""incr_sec":${f"$incrSec%.1f"},"incr_docs_per_sec":${f"${dps(incrSec)}%.0f"},""" +
+      s""""incr_survivors":$incrSurvivors}""")
     spark.stop()
   }
 }

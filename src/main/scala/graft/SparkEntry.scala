@@ -587,6 +587,14 @@ object SparkEntry {
       TextPipeline.bigramLogProb(T(s, d, "documents"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // Per-language quality-threshold calibration: exact quartiles of the
+    // q32 quality score per lang.
+    "q66_quantile_calibrate" -> ((s, d) => {
+      val scored = T(s, d, "documents").select(col("lang"),
+        quality_score(col("text")).as("quality"))
+      TextPipeline.calibrateThresholds(scored, "lang", "quality")
+        .orderBy("lang")
+    }),
     // M2 + R6 revival under the oracle gate (rs/index/src/optimizers/
     // vacuum.rs:38-70; delete -> vacuum -> re-insert semantics
     // rs/index/src/collection/core.rs:1450-1555): insert all -> flush ->
@@ -1292,6 +1300,16 @@ object SparkEntry {
           FROM bg
           JOIN cnt USING (bigram)
           JOIN pre ON pre.w1 = split_part(bg.bigram, ' ', 1), vocab
-          GROUP BY doc_id ORDER BY doc_id"""
+          GROUP BY doc_id ORDER BY doc_id""",
+    // Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    // same linear-interpolation definition (rank q*(n-1))
+    "q66_quantile_calibrate" ->
+      s"""WITH toks AS (SELECT doc_id, text, lang, $docToksSql AS t FROM documents),
+          sc AS (SELECT lang, $qualityScalarSql AS quality FROM toks)
+          SELECT lang, count(*) AS n_docs,
+            round(quantile_cont(quality, 0.25), 4) AS p25,
+            round(quantile_cont(quality, 0.50), 4) AS p50,
+            round(quantile_cont(quality, 0.75), 4) AS p75
+          FROM sc GROUP BY lang ORDER BY lang"""
   )
 }

@@ -54,6 +54,11 @@ object GraftFunctions {
   def tokenize(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
+  /** In-row word n-gram tally: `[(term, tf)]` over space-joined n-grams —
+    * see [[graft.functions.TextKernels.ngramCounts]]. */
+  def ngram_counts(tokens: Column, n: Int): Column =
+    col(NgramCounts(ex(tokens), n))
+
   // Per-executor stem memo: corpora repeat tokens far more often than the
   // vocabulary grows, and the stemmers are pure, so a vocabulary-sized
   // cache turns the dominant cost of the term pipeline into a hash probe.

@@ -105,6 +105,36 @@ object TextKernels {
     new GenericInternalRow(Array[Any](t.toLong, m1.size.toLong, nd2, top2, nd3, top3))
   }
 
+  /** Per-document word n-gram frequencies in one in-row pass:
+    * `[(gram, tf)]` with grams space-joined — [[termCounts]] generalized
+    * to n > 1. The higher-order-function formulation this replaces
+    * (`transform(sequence(...), i -> concat_ws(' ', slice(toks, i, n)))`)
+    * allocates a sliced copy per position per row in the interpreter and
+    * measured ~8x slower at 1M docs; here each gram is one
+    * `UTF8String.concatWs` inside the task and the count table never
+    * leaves the row. */
+  final def ngramCounts(arr: ArrayData, n: Int): ArrayData = {
+    val t = arr.numElements()
+    val m = new java.util.LinkedHashMap[UTF8String, Int]()
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i + n <= t) {
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      m.merge(UTF8String.concatWs(space, parts: _*), 1, (a: Int, b: Int) => a + b)
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new GenericInternalRow(Array[Any](e.getKey, e.getValue.toLong))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Per-document term frequencies in one in-row pass:
     * `[(term, tf)]` entries (order unspecified — feeds aggregations).
     * Replaces a corpus-wide groupBy(doc, term) whose shuffle carried one
@@ -175,6 +205,28 @@ case class RepetitionStats(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.TextKernels.repetitionStats($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `ngram_counts(tokens, n)` — see [[TextKernels.ngramCounts]]. */
+case class NgramCounts(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"ngram length must be >= 1, got $n")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ngram_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.ngramCounts(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.ngramCounts($a, $n);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -301,6 +301,33 @@ object TextPipeline {
         round(avg(-log(col("cnt").cast("double") / col("total").cast("double"))), 4).as("nll"))
   }
 
+  /** Per-group score-threshold calibration: exact quantiles of a score
+    * column per group — how a pipeline picks per-language (or per-source)
+    * quality cutoffs instead of one global magic number (a threshold
+    * tuned on English silently over-filters low-resource languages whose
+    * score distribution sits lower).
+    *
+    * Uses Spark's exact interpolating `percentile` (same definition as
+    * DuckDB `quantile_cont`), which buffers each group's values: right
+    * for calibration runs, which are statistics over a bounded sample —
+    * at 100 TB feed it [[stratifiedSample]] output (a per-group sample
+    * IS the statistically-correct calibration input) or swap
+    * `approx_percentile` where exactness doesn't matter.
+    *
+    * Returns `[group, n_docs, p<q1>, p<q2>, ...]` (quantiles rounded to
+    * 4, named by percentage). */
+  def calibrateThresholds(
+      scored: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"quantiles must be in [0,1]: $qs")
+    val aggs = count(lit(1)).as("n_docs") +: qs.map { q =>
+      round(expr(s"percentile($scoreCol, $q)"), 4).as(s"p${(q * 100).round}")
+    }
+    scored.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-document conditional bigram NLL — the KenLM-style statistical
     * quality filter one order above [[unigramLogProb]]: fluent text scores
     * low, gibberish / shuffled-token text scores high even when its
@@ -325,30 +352,55 @@ object TextPipeline {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      alpha: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.graft.ColumnBridge
+      alpha: Double = 0.5): DataFrame =
+    bigramLogProbFromCounts(docs, bigramCounts(docs, idCol, textCol), idCol, textCol, alpha)
+
+  /** The corpus LM of [[bigramLogProb]] as a persistable artifact:
+    * `[bigram, w1, c2]` counts plus a one-row `[v]` vocab frame. Build it
+    * once over the standing corpus, persist to parquet, and score every
+    * incoming batch with [[bigramLogProbFromCounts]] — the corpus is
+    * never recounted (the [[Dedup.minhashSignatures]] split pattern). */
+  def bigramCounts(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
     val toks = tokenize(col(textCol))
-    val grams2 = when(size(toks) >= 2,
-        transform(sequence(lit(0), size(toks) - 2),
-          i => concat_ws(" ", slice(toks, i + lit(1), lit(2)))))
-      .otherwise(array().cast("array<string>"))
-    // (id, bigram, tf): in-row tally, one row per DISTINCT bigram per doc
     val docBg = Gen.explodeOnce(
       Par.ensure(docs), Seq(col(idCol).as("id")),
-      ColumnBridge.column(graft.functions.TermCounts(
-        ColumnBridge.expression(grams2))), "tc")
+      ngram_counts(toks, 2), "tc")
       .select(col("id"), col("tc.term").as("bigram"), col("tc.tf").as("tf"))
     val cnt = docBg.groupBy("bigram").agg(sum(col("tf")).as("c2"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
-    val prefix = cnt.groupBy("w1").agg(sum(col("c2")).as("c1p"))
     // V: distinct unigrams (single-row aggregate, broadcast into the score)
     val vocab = Gen.explodeOnce(
       Par.ensure(docs).select(toks.as("tk")), Seq.empty, col("tk"), "term")
       .agg(count_distinct(col("term")).as("v"))
-    val p = (col("c2").cast("double") + lit(alpha)) /
-      (col("c1p").cast("double") + lit(alpha) * col("v").cast("double"))
-    docBg.join(cnt.select("bigram", "c2", "w1"), Seq("bigram"))
-      .join(prefix, Seq("w1"))
+    (cnt, vocab)
+  }
+
+  /** Score `docs` against a prebuilt corpus LM — `counts` as returned (or
+    * re-read from parquet) from [[bigramCounts]]. Bigrams of `docs` that
+    * the corpus never saw get the add-α floor `α / (c(w1 ·) + α·V)` (or
+    * prefix count 0 for unseen prefixes) — exactly how held-out text is
+    * scored. */
+  def bigramLogProbFromCounts(
+      docs: DataFrame,
+      counts: (DataFrame, DataFrame),
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      alpha: Double = 0.5): DataFrame = {
+    val (cnt, vocab) = counts
+    val docBg = Gen.explodeOnce(
+      Par.ensure(docs), Seq(col(idCol).as("id")),
+      ngram_counts(tokenize(col(textCol)), 2), "tc")
+      .select(col("id"), col("tc.term").as("bigram"), col("tc.tf").as("tf"))
+    val prefix = cnt.groupBy("w1").agg(sum(col("c2")).as("c1p"))
+    val p = (coalesce(col("c2").cast("double"), lit(0.0)) + lit(alpha)) /
+      (coalesce(col("c1p").cast("double"), lit(0.0)) + lit(alpha) * col("v").cast("double"))
+    docBg
+      .join(cnt.select("bigram", "c2"), Seq("bigram"), "left")
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(prefix, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .groupBy("id")
       .agg(sum(col("tf")).cast("long").as("n_bigrams"),
@@ -537,15 +589,8 @@ object TextPipeline {
       minDf: Long = 2L,
       k: Int = 100): DataFrame = {
     require(n >= 1, s"ngram length must be >= 1, got $n")
-    import org.apache.spark.sql.graft.ColumnBridge
-    val toks = tokenize(col(textCol))
-    val grams = when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-      .otherwise(array().cast("array<string>"))
     val tf = Gen.explodeOnce(Par.ensure(docs), Seq.empty,
-      ColumnBridge.column(graft.functions.TermCounts(
-        ColumnBridge.expression(grams))), "tc")
+      ngram_counts(tokenize(col(textCol)), n), "tc")
       .select(col("tc.term").as("gram"), col("tc.tf").as("tf"))
     tf.groupBy("gram")
       .agg(sum(col("tf")).cast("long").as("total"), count(lit(1)).as("df"))

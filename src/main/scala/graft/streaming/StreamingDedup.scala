@@ -45,4 +45,31 @@ object StreamingDedup {
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
   }
+
+  /** [[exact]] plus a standing-corpus snapshot: rows whose hash appears
+    * in the static `seenHashes` frame (e.g. the persisted output of
+    * [[graft.operators.Dedup.exact]] over the existing corpus) are
+    * dropped BEFORE the stateful in-stream dedup — the streaming face of
+    * [[graft.operators.Dedup.incrementalExact]].
+    *
+    * The snapshot filter is a stream-static anti-join: stateless, so the
+    * snapshot's size never enters the state store; Spark re-plans the
+    * static side per micro-batch, both sides keyed on the hash. The
+    * in-stream stage then handles duplicates WITHIN the live stream with
+    * the same watermark-bounded state as [[exact]]. */
+  def exactWithSnapshot(
+      events: DataFrame,
+      seenHashes: DataFrame,
+      textCol: String = "text",
+      hashCol: String = "content_hash",
+      eventTimeCol: String = "",
+      delay: String = "10 minutes"): DataFrame = {
+    val hashed = events.withColumn("content_hash", contentHash(col(textCol)))
+      .join(seenHashes.select(col(hashCol).as("content_hash")),
+        Seq("content_hash"), "left_anti")
+    if (eventTimeCol.isEmpty) hashed.dropDuplicates("content_hash")
+    else hashed
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+  }
 }

@@ -45,6 +45,36 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got.sortBy(t => (t._1, t._4)).toSeq === ref.sortBy(t => (t._1, t._4)).toSeq)
   }
 
+  test("bigramLogProbFromCounts: held-out scoring with unseen-bigram floor") {
+    val corpus = Seq((0L, "a b a b"), (1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
+    val lm = TextPipeline.bigramCounts(corpus)
+    // parity: scoring the corpus against its own LM == the fused operator
+    val fused = TextPipeline.bigramLogProb(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val split = TextPipeline.bigramLogProbFromCounts(corpus, lm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fused === split)
+    // held-out doc with one seen and one never-seen bigram: "a b" uses the
+    // corpus counts (P = 3.5/4.0 with V=2 vocab {a,b}); "b c" has prefix
+    // c1p(b)=2 but c2=0 -> floor P = 0.5/3
+    val held = Seq((9L, "a b c")).toDF("doc_id", "text")
+    val got = TextPipeline.bigramLogProbFromCounts(held, lm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).head
+    val expected = (-math.log(3.5 / 4.0) + -math.log(0.5 / 3.0)) / 2
+    assert(got._1 === 9L && got._2 === 2L)
+    assert(math.abs(got._3 - math.rint(expected * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("calibrateThresholds: hand-computed interpolated quartiles per group") {
+    val scored = (Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("en", _)) ++
+      Seq(10.0, 20.0).map(("fr", _))).toDF("lang", "quality")
+    val got = TextPipeline.calibrateThresholds(scored, "lang", "quality")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("en") === ((5L, 2.0, 3.0, 4.0)))       // rank q*(n-1) lands on values
+    assert(got("fr") === ((2L, 12.5, 15.0, 17.5)))    // interpolated between the two
+  }
+
   test("bigramLogProb: hand-computed add-alpha conditional scores") {
     val docs = Seq(
       (0L, "a b a b"), (1L, "a b"), (2L, "b a"), (3L, "solo")

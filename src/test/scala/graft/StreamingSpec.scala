@@ -128,6 +128,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup against a static corpus snapshot drops seen content") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // standing corpus: the snapshot a batch Dedup.exact run would persist
+    val seen = graft.operators.Dedup.exact(
+      Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")).select("content_hash")
+    val stream = MemoryStream[(Long, String)]
+    val out = StreamingDedup.exactWithSnapshot(
+      stream.toDF().toDF("id", "text"), seen)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("snap_dedup_out").start()
+    try {
+      stream.addData(
+        (1L, "ALPHA  beta gamma"),   // normalized dup of snapshot content
+        (2L, "fresh content here"),
+        (3L, "fresh  CONTENT here")) // in-stream normalized dup of 2
+      q.processAllAvailable()
+      assert(spark.table("snap_dedup_out").select("id")
+        .collect().map(_.getLong(0)).toSet === Set(2L))
+      stream.addData((4L, "alpha beta gamma"), (5L, "fresh content here"), (6L, "brand new"))
+      q.processAllAvailable()
+      // snapshot dup (4) and cross-batch stream dup (5) both dropped
+      assert(spark.table("snap_dedup_out").select("id")
+        .collect().map(_.getLong(0)).toSet === Set(2L, 6L))
+    } finally q.stop()
+  }
+
   test("streaming simhash near-dup: pairs within and across batches, distinct text silent") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
