@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan regression guard: the 100 TB posture of representative
+  * queries, asserted on the compiled plan so a future edit can't silently
+  * re-introduce a global sort, a cartesian product, or a rank-window
+  * where a bounded aggregate belongs. Assertions target plan shapes that
+  * are stable across AQE re-planning (the initial executedPlan string). */
+class PlanAuditSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("top-k queries compile to TakeOrderedAndProject, not a global sort") {
+    for (q <- Seq("q03_topk", "q12_l2_topk", "q61_frequent_ngrams")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q lost its bounded top-k:\n$p")
+    }
+  }
+
+  test("no query plan contains a cartesian product") {
+    // q65's one-row vocab crossJoin compiles to a broadcast nested loop
+    // over a single-row side — CartesianProduct (a shuffled n*m join) is
+    // the anti-pattern being guarded
+    for (q <- Seq("q61_frequent_ngrams", "q62_incremental_dedup",
+        "q64_source_caps", "q65_bigram_nll", "q66_quantile_calibrate")) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q grew a cartesian product")
+    }
+  }
+
+  test("per-group caps use the bounded aggregate, not a rank window") {
+    val p = plan("q64_source_caps")
+    assert(p.contains("topk_by_score"), s"q64 lost the bounded top-k aggregate:\n$p")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("row_number"),
+      s"q64 regressed to a rank window:\n$p")
+  }
+
+  test("incremental dedup admits via an anti-join") {
+    assert(plan("q62_incremental_dedup").contains("LeftAnti"))
+  }
+
+  test("IN-list filter reaches the parquet scan") {
+    val p = plan("q10_in_list")
+    assert(p.contains("PushedFilters: [In(o_orderkey"),
+      s"q10 lost predicate pushdown:\n$p")
+  }
+
+  test("aggregation scans prune to the referenced columns") {
+    val p = plan("q01_agg")
+    // the scan must not read the full lineitem schema (16 columns at the
+    // driver's generation); q01 touches exactly 5
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_returnflag") && !read.contains("l_orderkey"),
+      s"q01 scan reads unreferenced columns: $read")
+  }
+}
