@@ -587,6 +587,17 @@ object SparkEntry {
       TextPipeline.bigramLogProb(T(s, d, "documents"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // Image near-dup: REAL BMP decode -> 64-bit dHash -> the q28 blocked-
+    // LSH pair machinery. The hash artifact persists so the oracle
+    // replays the pair derivation (Hamming <= 6) over the same bytes.
+    "q67_image_neardup" -> ((s, d) => {
+      val art = artifact("q67_imghash")
+      Multimodal.imageHashes(Multimodal.syntheticImages(s, 300))
+        .repartition(2).write.mode("overwrite").parquet(art)
+      Dedup.simhashPairsFromSketches(s.read.parquet(art), maxHamming = 6, blocksPerKey = 1)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("a", "b")
+    }),
     // Per-language quality-threshold calibration: exact quartiles of the
     // q32 quality score per lang.
     "q66_quantile_calibrate" -> ((s, d) => {
@@ -1310,6 +1321,17 @@ object SparkEntry {
             round(quantile_cont(quality, 0.25), 4) AS p25,
             round(quantile_cont(quality, 0.50), 4) AS p50,
             round(quantile_cont(quality, 0.75), 4) AS p75
-          FROM sc GROUP BY lang ORDER BY lang"""
+          FROM sc GROUP BY lang ORDER BY lang""",
+    // blocked-LSH recall is 1.0 at the radius (q28's argument), so the
+    // contract is exactly "all pairs within Hamming 6" over the dHash
+    // artifact q67 wrote
+    "q67_image_neardup" ->
+      """SELECT a.id AS a, b.id AS b,
+                CAST(bit_count(xor(a.sk, b.sk)) AS BIGINT) AS hamming
+         FROM read_parquet('/tmp/graft_artifacts/q67_imghash/*.parquet') a
+         JOIN read_parquet('/tmp/graft_artifacts/q67_imghash/*.parquet') b
+           ON a.id < b.id
+         WHERE bit_count(xor(a.sk, b.sk)) <= 6
+         ORDER BY a, b"""
   )
 }

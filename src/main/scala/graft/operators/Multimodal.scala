@@ -305,6 +305,122 @@ object Multimodal {
     }(enc)
   }
 
+  // ---------------------------------------------------------------------
+  // Perceptual image hashing + near-dup — image dedup is the multimodal
+  // face of the text near-dup family: a 64-bit dHash per image, then the
+  // SAME blocked-LSH machinery as text simhash (recall 1.0 at the radius
+  // by construction, exact Hamming verify).
+  // ---------------------------------------------------------------------
+
+  /** 64-bit difference hash (dHash): box-filter the decoded image to a
+    * 9x8 grayscale grid, emit one bit per horizontal neighbor comparison.
+    * Survives re-encoding, resizing, and mild global brightness shifts
+    * (gradients, not absolute levels); Hamming distance approximates
+    * visual difference. One linear pixel pass. */
+  private[graft] def dHash(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0) return 0L
+    val g = Array.ofDim[Double](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh; val y1 = math.max((gy + 1) * h / gh, y0 + 1)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw; val x1 = math.max((gx + 1) * w / gw, x0 + 1)
+        var sum = 0.0
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        g(gy)(gx) = sum / ((math.min(y1, h) - y0).toDouble * (math.min(x1, w) - x0))
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    var i = 0
+    var yy = 0
+    while (yy < gh) {
+      var xx = 0
+      while (xx < 8) {
+        if (g(yy)(xx) < g(yy)(xx + 1)) bits |= (1L << i)
+        i += 1; xx += 1
+      }
+      yy += 1
+    }
+    bits
+  }
+
+  /** Per-image dHash sketches for `kind = image` rows: `[id, sk]` — the
+    * image-side analogue of the text `simhash` column. Undecodable
+    * payloads are dropped (no visual content to dedup). Batch
+    * `mapPartitions` decode, same contract shape as [[probeImageMeta]];
+    * persist the output as the corpus's standing image-hash artifact. */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sk", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.filter(col("kind") === "image").select("media_id", "payload").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        decodeImage(payload).map(img => Row(r.getLong(0), dHash(img)))
+      }
+    }(enc)
+  }
+
+  /** Image near-duplicate pairs `[a, b, hamming]`: dHash sketches through
+    * [[Dedup.simhashPairsFromSketches]] — the identical blocked-LSH
+    * bucket join and in-state Hamming verify the text path uses, so the
+    * 100 TB posture (band shuffle of (id, long) rows only, hot-bucket
+    * guard) carries over unchanged. */
+  def imageNearDupPairs(
+      media: DataFrame,
+      maxHamming: Int = 6,
+      maxBucket: Int = 8192): DataFrame =
+    Dedup.simhashPairsFromSketches(imageHashes(media), maxHamming, maxBucket = maxBucket)
+
+  /** Deterministic REAL-encoded synthetic images (BMP via the JDK
+    * writer): seeded 32x32 blocky grayscale content; every 7th image is a
+    * near-copy of its predecessor with one block brightened — planted
+    * positives for [[imageNearDupPairs]]. */
+  def syntheticImages(spark: SparkSession, n: Int): DataFrame = {
+    val gen = udf { (id: Long) =>
+      import graft.functions.HashKernels.mix64
+      val dup = id % 7 == 6
+      val seed = if (dup) id - 1 else id
+      val img = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (by <- 0 until 8; bx <- 0 until 8) {
+        val v0 = (math.floorMod(mix64(seed * 8191L + by * 8 + bx), 256L)).toInt
+        val v = if (dup && by == 0 && bx == 0) math.min(v0 + 48, 255) else v0
+        val rgb = (v << 16) | (v << 8) | v
+        for (y <- 0 until 4; x <- 0 until 4) img.setRGB(bx * 4 + x, by * 4 + y, rgb)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      bos.toByteArray
+    }
+    spark.range(n.toLong).select(
+      col("id").as("media_id"),
+      lit("image").as("kind"),
+      gen(col("id")).as("payload"),
+      struct(
+        lit("image/bmp").as("mime"),
+        lit(32).cast(IntegerType).as("width"),
+        lit(32).cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("duration_ms")).as("meta"))
+  }
+
   /** Deterministic synthetic media table for tests/demos: payload bytes
     * seeded from the id (stands in for real encoded assets). */
   def syntheticMedia(spark: SparkSession, n: Int, kind: String = "image"): DataFrame = {

@@ -24,6 +24,46 @@ class MultimodalSpec extends SparkSuite {
     assert(f.getSeq[Double](2).forall(_ == 0.0))
   }
 
+  test("dHash: encoding-invariant, gradient-stable, discriminative") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def img(seed: Long, shift: Int = 0): BufferedImage = {
+      import graft.functions.HashKernels.mix64
+      val im = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (by <- 0 until 8; bx <- 0 until 8) {
+        val v = math.min(math.floorMod(mix64(seed * 8191L + by * 8 + bx), 256L).toInt + shift, 255)
+        val rgb = (v << 16) | (v << 8) | v
+        for (y <- 0 until 4; x <- 0 until 4) im.setRGB(bx * 4 + x, by * 4 + y, rgb)
+      }
+      im
+    }
+    def enc(im: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, fmt, bos)); bos.toByteArray
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val h1 = Multimodal.dHash(img(1L))
+    // lossless re-encode (PNG vs BMP) decodes to identical pixels -> same hash
+    val media = Seq((1L, "image", enc(img(1L), "png")), (2L, "image", enc(img(1L), "bmp")),
+      (3L, "image", enc(img(2L), "bmp"))).toDF("media_id", "kind", "payload")
+    val hashes = Multimodal.imageHashes(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) === h1 && hashes(2L) === h1)
+    // global brightness shift barely moves the hash (gradient bits flip
+    // only where the +10 clips at 255); different content is far away
+    assert(ham(h1, Multimodal.dHash(img(1L, shift = 10))) <= 8)
+    assert(ham(h1, hashes(3L)) > 12)
+  }
+
+  test("imageNearDupPairs finds exactly the planted near-copies") {
+    val pairs = Multimodal.imageNearDupPairs(
+      Multimodal.syntheticImages(spark, 70), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 10).map(k => (7L * k + 5, 7L * k + 6)).toSet
+    assert(planted.subsetOf(pairs), s"missed planted pairs: ${planted -- pairs}")
+    assert(pairs.size <= planted.size + 2, s"spurious pairs: ${pairs -- planted}")
+  }
+
   test("real image decode: PNG/BMP round-trip to exact luminance histogram") {
     import spark.implicits._
     import java.awt.image.BufferedImage
