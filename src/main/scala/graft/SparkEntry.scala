@@ -598,6 +598,17 @@ object SparkEntry {
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
         .orderBy("a", "b")
     }),
+    // Audio near-dup: REAL WAV decode -> envelope-gradient fingerprint ->
+    // the same blocked-LSH pair machinery; hash artifact replayed by the
+    // oracle (q67's pattern for the audio modality).
+    "q68_audio_neardup" -> ((s, d) => {
+      val art = artifact("q68_audiohash")
+      Multimodal.audioHashes(Multimodal.syntheticAudio(s, 300))
+        .repartition(2).write.mode("overwrite").parquet(art)
+      Dedup.simhashPairsFromSketches(s.read.parquet(art), maxHamming = 6, blocksPerKey = 1)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("a", "b")
+    }),
     // Per-language quality-threshold calibration: exact quartiles of the
     // q32 quality score per lang.
     "q66_quantile_calibrate" -> ((s, d) => {
@@ -1330,6 +1341,14 @@ object SparkEntry {
                 CAST(bit_count(xor(a.sk, b.sk)) AS BIGINT) AS hamming
          FROM read_parquet('/tmp/graft_artifacts/q67_imghash/*.parquet') a
          JOIN read_parquet('/tmp/graft_artifacts/q67_imghash/*.parquet') b
+           ON a.id < b.id
+         WHERE bit_count(xor(a.sk, b.sk)) <= 6
+         ORDER BY a, b""",
+    "q68_audio_neardup" ->
+      """SELECT a.id AS a, b.id AS b,
+                CAST(bit_count(xor(a.sk, b.sk)) AS BIGINT) AS hamming
+         FROM read_parquet('/tmp/graft_artifacts/q68_audiohash/*.parquet') a
+         JOIN read_parquet('/tmp/graft_artifacts/q68_audiohash/*.parquet') b
            ON a.id < b.id
          WHERE bit_count(xor(a.sk, b.sk)) <= 6
          ORDER BY a, b"""

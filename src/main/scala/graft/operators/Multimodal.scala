@@ -421,6 +421,85 @@ object Multimodal {
         lit(null).cast(LongType).as("duration_ms")).as("meta"))
   }
 
+  /** 64-bit audio fingerprint: gradient bits over a 65-bucket RMS
+    * envelope of the decoded samples ([[audioEnvelope]]) — one bit per
+    * neighbor comparison, the audio analogue of [[dHash]]. Comparisons
+    * are invariant under uniform gain (volume-normalized copies hash
+    * identically) and stable under re-containering (WAV vs AIFF decode
+    * to the same samples). */
+  private[graft] def audioHash(samples: Array[Double]): Long = {
+    val env = audioEnvelope(samples, 65)
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (env(i) < env(i + 1)) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Per-asset audio fingerprints for `kind = audio` rows: `[id, sk]`.
+    * Undecodable payloads are dropped. Batch `mapPartitions` decode. */
+  def audioHashes(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sk", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.filter(col("kind") === "audio").select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        decodeAudio(payload).map { case (_, _, samples) => Row(r.getLong(0), audioHash(samples)) }
+      }
+    }(enc)
+  }
+
+  /** Audio near-duplicate pairs `[a, b, hamming]` — fingerprints through
+    * the same blocked-LSH machinery as text simhash and [[imageNearDupPairs]]. */
+  def audioNearDupPairs(
+      media: DataFrame,
+      maxHamming: Int = 6,
+      maxBucket: Int = 8192): DataFrame =
+    Dedup.simhashPairsFromSketches(audioHashes(media), maxHamming, maxBucket = maxBucket)
+
+  /** Deterministic REAL-encoded synthetic audio (16-bit PCM WAV via the
+    * JDK writer): 64 seeded-amplitude blocks of alternating-sign samples;
+    * every 7th asset is a gain-scaled (x0.8) copy of its predecessor —
+    * planted positives for [[audioNearDupPairs]] (gain-invariant hash). */
+  def syntheticAudio(spark: SparkSession, n: Int): DataFrame = {
+    val gen = udf { (id: Long) =>
+      import graft.functions.HashKernels.mix64
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val dup = id % 7 == 6
+      val seed = if (dup) id - 1 else id
+      val gain = if (dup) 0.8 else 1.0
+      val frames = 2048
+      val pcm = new Array[Byte](frames * 2)
+      var i = 0
+      while (i < frames) {
+        val level = math.floorMod(mix64(seed * 4099L + i / 32), 30000L).toInt
+        val s = (level * gain).toInt * (if (i % 2 == 0) 1 else -1)
+        pcm(2 * i) = (s & 0xff).toByte          // little-endian 16-bit
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    spark.range(n.toLong).select(
+      col("id").as("media_id"),
+      lit("audio").as("kind"),
+      gen(col("id")).as("payload"),
+      struct(
+        lit("audio/wav").as("mime"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(256L).as("duration_ms")).as("meta"))
+  }
+
   /** Deterministic synthetic media table for tests/demos: payload bytes
     * seeded from the id (stands in for real encoded assets). */
   def syntheticMedia(spark: SparkSession, n: Int, kind: String = "image"): DataFrame = {

@@ -64,6 +64,25 @@ class MultimodalSpec extends SparkSuite {
     assert(pairs.size <= planted.size + 2, s"spurious pairs: ${pairs -- planted}")
   }
 
+  test("audioHash: gain-invariant, container-invariant; planted pairs found") {
+    // gain invariance is exact: the envelope scales uniformly, gradient
+    // comparisons are unchanged
+    val samples = Array.tabulate(2048)(i =>
+      math.sin(i * 0.01) * (1.0 + (i / 128 % 5) * 0.2))
+    val scaled = samples.map(_ * 0.5)
+    assert(Multimodal.audioHash(samples) === Multimodal.audioHash(scaled))
+    // distinct envelopes are far apart
+    val other = Array.tabulate(2048)(i => math.cos(i * 0.037) * (1.0 + (i / 64 % 7) * 0.3))
+    assert(java.lang.Long.bitCount(
+      Multimodal.audioHash(samples) ^ Multimodal.audioHash(other)) > 12)
+    val pairs = Multimodal.audioNearDupPairs(
+      Multimodal.syntheticAudio(spark, 70), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 10).map(k => (7L * k + 5, 7L * k + 6)).toSet
+    assert(planted.subsetOf(pairs), s"missed planted pairs: ${planted -- pairs}")
+    assert(pairs.size <= planted.size + 2, s"spurious pairs: ${pairs -- planted}")
+  }
+
   test("real image decode: PNG/BMP round-trip to exact luminance histogram") {
     import spark.implicits._
     import java.awt.image.BufferedImage
