@@ -61,9 +61,6 @@ object StreamingNearDup {
       maxPerBucket: Int = 256,
       eventTimeCol: String = "",
       delay: String = "10 minutes"): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    val (bandStructs, _) = Dedup.simhashBands(col("sk"), maxHamming, blocksPerKey)
     val withTime = eventTimeCol.nonEmpty
     val tsCol =
       if (withTime) col(eventTimeCol).cast("timestamp")
@@ -76,6 +73,44 @@ object StreamingNearDup {
       .select(col(idCol).cast("long").as("id"),
         graft.functions.GraftFunctions.simhash(tokenize(col(textCol))).as("sk"),
         tsCol.as("ts"))
+    fromProjected(projected, maxHamming, blocksPerKey, maxPerBucket, withTime, delay)
+  }
+
+  /** Match events over PRE-SKETCHED rows — any 64-bit sketch column, not
+    * just text simhash: feed [[graft.operators.Multimodal.imageHashes]] /
+    * `audioHashes` output (or a streaming map that computes them) through
+    * the identical banding + keyed-state machinery for streaming IMAGE and
+    * AUDIO near-dup. Same state posture and at-least-once delivery as
+    * [[simhash]]. */
+  def sketches(
+      events: DataFrame,
+      idCol: String = "id",
+      skCol: String = "sk",
+      maxHamming: Int = 3,
+      blocksPerKey: Int = 0,
+      maxPerBucket: Int = 256,
+      eventTimeCol: String = "",
+      delay: String = "10 minutes"): DataFrame = {
+    val withTime = eventTimeCol.nonEmpty
+    val tsCol =
+      if (withTime) col(eventTimeCol).cast("timestamp")
+      else lit(null).cast("timestamp")
+    val projected = events
+      .select(col(idCol).cast("long").as("id"), col(skCol).cast("long").as("sk"),
+        tsCol.as("ts"))
+    fromProjected(projected, maxHamming, blocksPerKey, maxPerBucket, withTime, delay)
+  }
+
+  private def fromProjected(
+      projected: DataFrame,
+      maxHamming: Int,
+      blocksPerKey: Int,
+      maxPerBucket: Int,
+      withTime: Boolean,
+      delay: String): DataFrame = {
+    val spark = projected.sparkSession
+    import spark.implicits._
+    val (bandStructs, _) = Dedup.simhashBands(col("sk"), maxHamming, blocksPerKey)
     val src = if (withTime) projected.withWatermark("ts", delay) else projected
     val banded = src
       .select(col("id"), col("sk"), col("ts"), explode(array(bandStructs: _*)).as("b"))

@@ -155,6 +155,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming image near-dup: dHash sketches through the keyed-state machinery") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def bmp(seed: Long): Array[Byte] = {
+      import graft.functions.HashKernels.mix64
+      val im = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (by <- 0 until 8; bx <- 0 until 8) {
+        val v = math.floorMod(mix64(seed * 8191L + by * 8 + bx), 256L).toInt
+        for (y <- 0 until 4; x <- 0 until 4)
+          im.setRGB(bx * 4 + x, by * 4 + y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "bmp", bos); bos.toByteArray
+    }
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val media = stream.toDF().toDF("media_id", "payload").withColumn("kind", lit("image"))
+    val matches = StreamingNearDup.sketches(
+      graft.operators.Multimodal.imageHashes(media), maxHamming = 6)
+    val q = matches.writeStream.outputMode("append")
+      .format("memory").queryName("img_neardup_out").start()
+    try {
+      stream.addData((1L, bmp(1L)), (5L, bmp(2L)))
+      q.processAllAvailable()
+      assert(spark.table("img_neardup_out").count() === 0L)
+      stream.addData((2L, bmp(1L))) // re-encoded copy arriving a batch later
+      q.processAllAvailable()
+      val got = spark.table("img_neardup_out").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === Set((1L, 2L, 0)))
+    } finally q.stop()
+  }
+
   test("streaming simhash near-dup: pairs within and across batches, distinct text silent") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
