@@ -37,6 +37,22 @@ class PropertySpec extends SparkSuite {
     }, 20)
   }
 
+  test("ngram_counts matches a naive sliding-window reference for random token arrays") {
+    import graft.functions.GraftFunctions.{ngram_counts, tokenize}
+    val tokens = Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd", "e")).map(_.take(30))
+    val ns = Gen.chooseNum(1, 4)
+    check(Prop.forAll(tokens, ns) { (toks: List[String], n: Int) =>
+      val text = toks.mkString(" ")
+      val got = Seq(Tuple1(text)).toDF("text")
+        .select(explode(ngram_counts(tokenize(col("text")), n)).as("tc"))
+        .select("tc.term", "tc.tf")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ref = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (g, occ) => g -> occ.length.toLong }
+      got == ref
+    }, 40)
+  }
+
   test("minhash signature equality fraction tracks true Jaccard (+/- 0.25 at k=128)") {
     val sets = Gen.chooseNum(0, 1000).flatMap { base =>
       Gen.chooseNum(20, 60).map { n => (base.toLong until (base + n).toLong).toSet }
