@@ -94,6 +94,72 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic box-filter resample: each target pixel is the
+    * channel-wise mean of its source block. No Graphics2D interpolation
+    * (whose output varies by rendering hints/platform) — resized bytes
+    * are bit-stable across runs and hosts. */
+  private[graft] def boxResample(
+      img: java.awt.image.BufferedImage, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val sw = img.getWidth; val sh = img.getHeight
+    var ty = 0
+    while (ty < h) {
+      val y0 = ty * sh / h; val y1 = math.max((ty + 1) * sh / h, y0 + 1)
+      var tx = 0
+      while (tx < w) {
+        val x0 = tx * sw / w; val x1 = math.max((tx + 1) * sw / w, x0 + 1)
+        var r = 0L; var g = 0L; var b = 0L; var n = 0
+        var y = y0
+        while (y < y1 && y < sh) {
+          var x = x0
+          while (x < x1 && x < sw) {
+            val rgb = img.getRGB(x, y)
+            r += (rgb >> 16) & 0xff; g += (rgb >> 8) & 0xff; b += rgb & 0xff
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        out.setRGB(tx, ty, (((r / n).toInt) << 16) | (((g / n).toInt) << 8) | (b / n).toInt)
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** Resize stage for `kind = image` rows: decode, deterministic
+    * box-filter resample to `width` x `height`, re-encode via the JDK
+    * writer (`format`: png/bmp/...). Returns `[media_id, payload, width,
+    * height]` with nulls for undecodable payloads — the pre-processing
+    * step a multimodal training pipeline runs before feature extraction
+    * or storage tiering. Batch `mapPartitions`, one decode per asset. */
+  def resizeImages(
+      media: DataFrame,
+      width: Int,
+      height: Int,
+      format: String = "png"): DataFrame = {
+    require(width > 0 && height > 0, s"bad target size ${width}x$height")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.filter(col("kind") === "image").select("media_id", "payload").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        decodeImage(payload) match {
+          case Some(img) =>
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(boxResample(img, width, height), format, bos)
+            Row(r.getLong(0), bos.toByteArray, width, height)
+          case None => Row(r.getLong(0), null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Decode an encoded audio payload (WAV/AIFF/AU — the JDK's built-in
     * containers) to normalized mono samples in [-1, 1]. Channels are
     * averaged; 8- and 16-bit PCM (signed/unsigned, either endianness) are

@@ -64,6 +64,46 @@ class MultimodalSpec extends SparkSuite {
     assert(pairs.size <= planted.size + 2, s"spurious pairs: ${pairs -- planted}")
   }
 
+  test("resizeImages: exact box means, re-encoded payload decodes, dHash stable") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // 8x8 left-black/right-white golden -> 4x4 resize keeps the split
+    val img8 = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img8.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img8, "png", bos))
+    val media = Seq((1L, "image", bos.toByteArray),
+      (2L, "image", Array[Byte](9, 9, 9))).toDF("media_id", "kind", "payload")
+    val out = Multimodal.resizeImages(media, 4, 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).getAs[Array[Byte]](1)))
+    assert(resized.getWidth === 4 && resized.getHeight === 4)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((resized.getRGB(x, y) & 0xffffff) === (if (x < 2) 0x000000 else 0xffffff))
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(2)) // undecodable -> nulls
+    // perceptual stability: a 2x downsample moves the dHash far less than
+    // unrelated content does (grid cells re-align at the new size, so a
+    // few bits flip on hard-edged blocky content — but nowhere near the
+    // ~32 bits of an unrelated image)
+    import graft.functions.HashKernels.mix64
+    def blocky(seed: Long): BufferedImage = {
+      val im = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (by <- 0 until 8; bx <- 0 until 8) {
+        val v = math.floorMod(mix64(seed * 8191L + by * 8 + bx), 256L).toInt
+        for (y <- 0 until 4; x <- 0 until 4)
+          im.setRGB(bx * 4 + x, by * 4 + y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    val img32 = blocky(5L)
+    val dSelf = java.lang.Long.bitCount(
+      Multimodal.dHash(img32) ^ Multimodal.dHash(Multimodal.boxResample(img32, 16, 16)))
+    val dOther = java.lang.Long.bitCount(
+      Multimodal.dHash(img32) ^ Multimodal.dHash(blocky(6L)))
+    assert(dSelf <= 14 && dSelf < dOther - 8, s"self $dSelf vs other $dOther")
+  }
+
   test("audioHash: gain-invariant, container-invariant; planted pairs found") {
     // gain invariance is exact: the envelope scales uniformly, gradient
     // comparisons are unchanged
