@@ -233,6 +233,58 @@ object Multimodal {
     out
   }
 
+  /** Resample stage for `kind = audio` rows: decode, linear-interpolate
+    * the mono samples to `targetRate`, re-encode as 16-bit PCM WAV — the
+    * audio analogue of [[resizeImages]] (rate normalization before
+    * feature extraction or storage). Deterministic (pure arithmetic, no
+    * codec-dependent filtering). Returns `[media_id, payload,
+    * sample_rate, frames]` with nulls for undecodable payloads. */
+  def resampleAudio(media: DataFrame, targetRate: Float): DataFrame = {
+    require(targetRate > 0, s"bad target rate $targetRate")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("sample_rate", DoubleType, nullable = true),
+      StructField("frames", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.filter(col("kind") === "audio").select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        decodeAudio(payload) match {
+          case Some((fmt, _, samples)) if samples.nonEmpty =>
+            val ratio = fmt.getSampleRate / targetRate
+            val n = math.max(1, math.round(samples.length / ratio).toInt)
+            val out = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              val pos = i * ratio
+              val lo = math.min(pos.toInt, samples.length - 1)
+              val hi = math.min(lo + 1, samples.length - 1)
+              val frac = pos - lo
+              out(i) = samples(lo) * (1 - frac) + samples(hi) * frac
+              i += 1
+            }
+            val pcm = new Array[Byte](n * 2)
+            i = 0
+            while (i < n) {
+              val s = math.max(-32768, math.min(32767, math.round(out(i) * 32767.0).toInt))
+              pcm(2 * i) = (s & 0xff).toByte
+              pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+              i += 1
+            }
+            import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+            val outFmt = new AudioFormat(targetRate, 16, 1, true, false)
+            val bos = new java.io.ByteArrayOutputStream()
+            AudioSystem.write(
+              new AudioInputStream(new java.io.ByteArrayInputStream(pcm), outFmt, n.toLong),
+              AudioFileFormat.Type.WAVE, bos)
+            Row(r.getLong(0), bos.toByteArray, targetRate.toDouble, n.toLong)
+          case _ => Row(r.getLong(0), null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Probe real audio stream parameters for `kind = audio` rows: emits
     * `[media_id, sample_rate, channels, frames, duration_ms]` with nulls
     * for undecodable payloads. Header-only parse (no sample read). */

@@ -104,6 +104,29 @@ class MultimodalSpec extends SparkSuite {
     assert(dSelf <= 14 && dSelf < dOther - 8, s"self $dSelf vs other $dOther")
   }
 
+  test("resampleAudio: half-rate halves frames, envelope shape survives, nulls pass through") {
+    import spark.implicits._
+    // one synthetic WAV (64 amplitude blocks @ 8 kHz) downsampled to 4 kHz:
+    // frames halve, the audioHash (envelope gradients) is unchanged —
+    // linear interpolation preserves the block-level RMS ordering
+    val media = Multimodal.syntheticAudio(spark, 1)
+      .unionByName(Seq((99L, "audio", Array[Byte](1, 2, 3)))
+        .toDF("media_id", "kind", "payload")
+        .withColumn("meta", lit(null).cast(Multimodal.mediaSchema("meta").dataType)))
+    val out = Multimodal.resampleAudio(media, 4000f)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Double]("sample_rate") === 4000.0)
+    assert(out(0L).getAs[Long]("frames") === 1024L)
+    assert(out(99L).isNullAt(1) && out(99L).isNullAt(2))
+    val origHash = Multimodal.audioHashes(media.filter($"media_id" === 0L))
+      .head().getLong(1)
+    val resampledMedia = Seq((0L, "audio", out(0L).getAs[Array[Byte]](1)))
+      .toDF("media_id", "kind", "payload")
+    val newHash = Multimodal.audioHashes(resampledMedia).head().getLong(1)
+    assert(java.lang.Long.bitCount(origHash ^ newHash) <= 4,
+      s"resample moved the fingerprint: ${java.lang.Long.bitCount(origHash ^ newHash)}")
+  }
+
   test("audioHash: gain-invariant, container-invariant; planted pairs found") {
     // gain invariance is exact: the envelope scales uniformly, gradient
     // comparisons are unchanged
