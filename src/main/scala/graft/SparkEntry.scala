@@ -590,6 +590,29 @@ object SparkEntry {
       TextPipeline.bigramLogProb(T(s, d, "documents"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // BM25 ranked term retrieval (Okapi k1=1.2 b=0.75) — the ranked
+    // counterpart of q24's boolean term search.
+    "q69_bm25" -> ((s, d) =>
+      TextPipeline.bm25TopK(T(s, d, "documents"),
+        Seq("merge", "join", "vector"), k = 10)
+        .select(col("id").as("doc_id"), col("score"), col("n_terms_hit"))
+        .orderBy(col("score").desc, col("doc_id").asc)),
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 top-50 and the
+    // cosine-ANN top-50 over the shared id space.
+    "q70_rrf_hybrid" -> ((s, d) => {
+      val w = Window.orderBy(col("score").desc, col("id").asc)
+      val bm25 = TextPipeline.bm25TopK(T(s, d, "documents"),
+        Seq("merge", "join", "vector"), k = 50)
+        .withColumn("rank", row_number().over(w))
+      val emb = T(s, d, "embeddings")
+      val vrank = emb
+        .select(col("vec_id").as("id"),
+          round(cosine_similarity(col("embedding"), vec(q0(s, d))), 4).as("score"))
+        .orderBy(col("score").desc, col("id").asc).limit(50)
+        .withColumn("rank", row_number().over(w))
+      Search.rrfFuse(Seq(bm25, vrank), k = 10)
+        .select(col("id").as("doc_id"), col("rrf_score"), col("n_lists"))
+    }),
     // Image near-dup: REAL BMP decode -> 64-bit dHash -> the q28 blocked-
     // LSH pair machinery. The hash artifact persists so the oracle
     // replays the pair derivation (Hamming <= 6) over the same bytes.
@@ -1354,6 +1377,59 @@ object SparkEntry {
          JOIN read_parquet('/tmp/graft_artifacts/q68_audiohash/*.parquet') b
            ON a.id < b.id
          WHERE bit_count(xor(a.sk, b.sk)) <= 6
-         ORDER BY a, b"""
+         ORDER BY a, b""",
+    // full Okapi BM25 replay; ranking on the ROUNDED score with doc_id
+    // tiebreak so near-equal scores can't rank-swap across engines
+    "q69_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $docToksSql AS toks FROM documents),
+          base AS (SELECT doc_id, toks, len(toks)::DOUBLE AS dl FROM t),
+          stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM base),
+          tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+                 FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+                 WHERE term IN ('merge', 'join', 'vector')
+                 GROUP BY doc_id, dl, term),
+          dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+          scored AS (
+            SELECT doc_id,
+              round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score,
+              count(*) AS n_terms_hit
+            FROM tf JOIN dfq USING (term), stats
+            GROUP BY doc_id)
+          SELECT doc_id, score, n_terms_hit FROM scored
+          ORDER BY score DESC, doc_id LIMIT 10""",
+    // full replay of both rankings (rounded-score ordering with id
+    // tiebreaks, same as the Spark side) + the RRF sum; each id has at
+    // most 2 contributions so the double sum is order-insensitive
+    "q70_rrf_hybrid" ->
+      s"""WITH t AS (SELECT doc_id, $docToksSql AS toks FROM documents),
+          base AS (SELECT doc_id, toks, len(toks)::DOUBLE AS dl FROM t),
+          stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM base),
+          tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+                 FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+                 WHERE term IN ('merge', 'join', 'vector')
+                 GROUP BY doc_id, dl, term),
+          dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+          bmtop AS (
+            SELECT doc_id,
+              round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+            FROM tf JOIN dfq USING (term), stats
+            GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+          bm AS (SELECT doc_id AS id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+                 FROM bmtop),
+          vtop AS (
+            SELECT vec_id AS id,
+              round(list_cosine_similarity(embedding::DOUBLE[],
+                (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])::DOUBLE, 4) AS score
+            FROM embeddings ORDER BY score DESC, id LIMIT 50),
+          vec AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank
+                  FROM vtop),
+          c AS (SELECT id, 1.0 / (60 + rank) AS contrib FROM bm
+                UNION ALL SELECT id, 1.0 / (60 + rank) FROM vec)
+          SELECT id AS doc_id, round(sum(contrib), 6) AS rrf_score,
+                 count(*) AS n_lists
+          FROM c GROUP BY id ORDER BY rrf_score DESC, doc_id LIMIT 10"""
   )
 }

@@ -224,4 +224,27 @@ object Search {
     docs.select("user_id", "doc_id")
       .dropDuplicates("user_id", "doc_id").orderBy("doc_id").limit(limit)
   }
+
+  /** Reciprocal-rank fusion of independent rankings — the standard hybrid
+    * retrieval combiner (BM25 ⊕ vector ANN, or any ranked lists over one
+    * id space):  rrf(d) = Σ_lists 1 / (rrfK + rank_list(d)).
+    *
+    * Each input is `[id, rank]` (rank 1-based; any extra columns
+    * ignored). Absent ids simply contribute nothing from that list — no
+    * outer-join chain: the fuse is a union + id-keyed sum, so it scales
+    * to any number of lists with one bounded shuffle (inputs are already
+    * top-N lists, not corpora). Returns `[id, rrf_score, n_lists]`,
+    * ordered (rrf_score desc, id asc), top `k`. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "no rankings to fuse")
+    rankings
+      .map(_.select(col("id").cast("long").as("id"),
+        (lit(1.0) / (lit(rrfK) + col("rank").cast("double"))).as("contrib")))
+      .reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(round(sum(col("contrib")), 6).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col("id").asc)
+      .limit(k)
+  }
 }

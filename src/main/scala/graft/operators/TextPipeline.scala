@@ -301,6 +301,51 @@ object TextPipeline {
         round(avg(-log(col("cnt").cast("double") / col("total").cast("double"))), 4).as("nll"))
   }
 
+  /** BM25 ranked retrieval over a documents table — the ranked
+    * counterpart of the engine's boolean term search (the reference's
+    * term path returns id lists; BM25 orders them by relevance, the
+    * standard Okapi formulation):
+    *
+    *   score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+    *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * Scale shape: per-doc tf tallies IN-ROW (`term_counts`), filtered to
+    * the query's terms BEFORE any shuffle, so only (doc, query-term, tf)
+    * rows — at most |query| per doc — leave the map stage. df and avgdl
+    * are broadcast one-row/`|query|`-row aggregates; top-k is a bounded
+    * TakeOrdered. Returns `[id, score, n_terms_hit]`, ties broken by id. */
+  def bm25TopK(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val terms = queryTerms.map(_.toLowerCase)
+    val base = Par.ensure(docs).select(col(idCol).as("id"), tokenize(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).cast("double").as("dl"))
+    // (id, term, tf) restricted to query terms in-row — the explode emits
+    // at most |query| rows per doc
+    val tf = Gen.explodeOnce(base, Seq(col("id"), col("dl")),
+      filter(ngram_counts(col("toks"), 1), tc => tc.getField("term").isin(terms: _*)), "tc")
+      .select(col("id"), col("dl"), col("tc.term").as("term"),
+        col("tc.tf").cast("double").as("tf"))
+    val stats = base.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy("id")
+      .agg(round(sum(idf * tfNorm), 4).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Per-group score-threshold calibration: exact quantiles of a score
     * column per group — how a pipeline picks per-language (or per-source)
     * quality cutoffs instead of one global magic number (a threshold

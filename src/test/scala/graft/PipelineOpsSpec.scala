@@ -65,6 +65,27 @@ class PipelineOpsSpec extends SparkSuite {
     assert(math.abs(got._3 - math.rint(expected * 1e4) / 1e4) < 1e-9)
   }
 
+  test("bm25TopK: two-term doc outranks one-term; rare term outweighs common; misses absent") {
+    val docs = Seq(
+      (0L, "merge join fast table"),        // both query terms
+      (1L, "merge table scan row"),         // common term only
+      (2L, "join vector"),                  // rarer terms, short doc
+      (3L, "merge merge merge merge"),      // tf saturation: still one term
+      (4L, "scan row table window")         // no query terms -> absent
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.bm25TopK(docs, Seq("merge", "join"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(!byId.contains(4L))
+    assert(byId(0L)._3 === 2L && byId(1L)._3 === 1L && byId(3L)._3 === 1L)
+    // both-terms doc ranks first; tf saturation keeps the merge-spam doc
+    // from beating it
+    assert(got.head._1 === 0L)
+    assert(byId(0L)._2 > byId(3L)._2 && byId(0L)._2 > byId(1L)._2)
+    // scores are positive and rounded to 4
+    assert(got.forall(t => t._2 > 0 && t._2 === math.rint(t._2 * 1e4) / 1e4))
+  }
+
   test("calibrateThresholds: hand-computed interpolated quartiles per group") {
     val scored = (Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("en", _)) ++
       Seq(10.0, 20.0).map(("fr", _))).toDF("lang", "quality")

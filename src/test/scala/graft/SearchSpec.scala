@@ -116,4 +116,20 @@ class SearchSpec extends SparkSuite {
     assert(got.forall(_._1 == 2L))
     assert(got.map(_._2) === Seq(2L, 7L, 12L))
   }
+
+  test("rrfFuse: hand-computed fusion, single-list ids contribute once") {
+    // list A ranks 1,2,3 for ids 10,20,30; list B ranks 1,2 for ids 20,40
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val got = Search.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(20L) === ((r6(1.0 / 62 + 1.0 / 61), 2L))) // in both lists
+    assert(got(10L) === ((r6(1.0 / 61), 1L)))
+    assert(got(40L) === ((r6(1.0 / 62), 1L)))
+    assert(got(30L) === ((r6(1.0 / 63), 1L)))
+    // the doubly-ranked id wins overall
+    val top = Search.rrfFuse(Seq(a, b), k = 1).head()
+    assert(top.getLong(0) === 20L)
+  }
 }
