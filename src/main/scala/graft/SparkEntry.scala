@@ -15,9 +15,10 @@ import graft.operators._
   *   q01-q11  relational surface (F2-F10, A5-A8, K5, J-family, R8-window)
   *   q12-q16  vector kernels + search (V1/V2, J5, K2-K4)
   *   q17-q24  text/terms (T1-T4, F1, F6, F7, §3.3)
-  *   q25-q68  training-data pipeline (dedup incl. incremental/cross-corpus
+  *   q25-q70  training-data pipeline (dedup incl. incremental/cross-corpus
   *            and image/audio perceptual near-dup, ANN, text analysis,
-  *            LM scoring, calibration, budgets/packing, multimodal) and
+  *            LM scoring, calibration, budgets/packing, multimodal),
+  *            ranked retrieval (q69 BM25, q70 RRF hybrid fusion), and
   *            collection lifecycle (q48 merge, q57 vacuum+revive)
   */
 object SparkEntry {
