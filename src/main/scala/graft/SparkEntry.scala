@@ -15,11 +15,13 @@ import graft.operators._
   *   q01-q11  relational surface (F2-F10, A5-A8, K5, J-family, R8-window)
   *   q12-q16  vector kernels + search (V1/V2, J5, K2-K4)
   *   q17-q24  text/terms (T1-T4, F1, F6, F7, §3.3)
-  *   q25-q70  training-data pipeline (dedup incl. incremental/cross-corpus
+  *   q25-q73  training-data pipeline (dedup incl. incremental/cross-corpus
   *            and image/audio perceptual near-dup, ANN, text analysis,
-  *            LM scoring, calibration, budgets/packing, multimodal),
-  *            ranked retrieval (q69 BM25, q70 RRF hybrid fusion), and
-  *            collection lifecycle (q48 merge, q57 vacuum+revive)
+  *            LM scoring, calibration, budgets/packing, multimodal,
+  *            q71 seed NB classifier, q72 mixture weights, q73 BPE
+  *            tokenizer fit+encode), ranked retrieval (q69 BM25, q70 RRF
+  *            hybrid fusion), and collection lifecycle (q48 merge,
+  *            q57 vacuum+revive)
   */
 object SparkEntry {
 
@@ -677,6 +679,34 @@ object SparkEntry {
         userIds = Seq(0L))
         .select(col("doc_id").as("vec_id"), round(col("score"), 4).as("dist"))
         .withColumn("live_rows", lit(live))
+    }),
+    // Seed-based NB quality classifier (the GPT-3 curation pattern):
+    // docs from the trusted sources are the positive seed; every doc is
+    // scored by unigram log-odds vs the background class.
+    "q71_seed_classify" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val seed = docs.filter(col("source").isin("src1", "src2", "src3"))
+        .select(col("doc_id"))
+      TextPipeline.seedClassifier(docs, seed)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+    // Temperature-scaled source mixing weights (alpha = 0.5 up-samples
+    // small sources) against a 1M-token budget.
+    "q72_mixture_weights" -> ((s, d) =>
+      TextPipeline.mixtureWeights(T(s, d, "documents"), alpha = 0.5, budget = 1000000L)
+        .withColumnRenamed("group", "source")
+        .orderBy("source")),
+    // BPE tokenizer fit (64 merges on the corpus word-frequency table)
+    // + map-only encode: model-token counts per doc. The merge loop is
+    // not SQL-expressible -> rows-only; determinism, hand-computed
+    // merges, and monotonicity are spec-gated (BpeSpec).
+    "q73_bpe_tokens" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val model = Bpe.train(docs, numMerges = 64)
+      Bpe.encodeCounts(docs, model)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -1431,6 +1461,43 @@ object SparkEntry {
                 UNION ALL SELECT id, 1.0 / (60 + rank) FROM vec)
           SELECT id AS doc_id, round(sum(contrib), 6) AS rrf_score,
                  count(*) AS n_lists
-          FROM c GROUP BY id ORDER BY rrf_score DESC, doc_id LIMIT 10"""
+          FROM c GROUP BY id ORDER BY rrf_score DESC, doc_id LIMIT 10""",
+    // full NB replay: add-1 smoothed per-term class counts over token
+    // instances (== tf-weighted), one-row class totals/vocab/prior,
+    // score = prior + Σ tf·logodds; keep = MAP decision
+    "q71_seed_classify" ->
+      s"""WITH toks AS (SELECT doc_id, (source IN ('src1','src2','src3')) AS pos,
+                        unnest($docToksSql) AS term FROM documents),
+          tc AS (SELECT term,
+                   sum(CASE WHEN pos THEN 1 ELSE 0 END)::DOUBLE AS pc,
+                   sum(CASE WHEN pos THEN 0 ELSE 1 END)::DOUBLE AS nc
+                 FROM toks GROUP BY term),
+          ct AS (SELECT sum(pc) AS pt, sum(nc) AS nt, count(*)::DOUBLE AS vs FROM tc),
+          pr AS (SELECT ln(sum(CASE WHEN source IN ('src1','src2','src3') THEN 1 ELSE 0 END)::DOUBLE
+                   / sum(CASE WHEN source IN ('src1','src2','src3') THEN 0 ELSE 1 END)::DOUBLE) AS pr
+                 FROM documents),
+          sc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   sum(ln((tc.pc + 1.0) / (ct.pt + ct.vs))
+                     - ln((tc.nc + 1.0) / (ct.nt + ct.vs))) AS s
+                 FROM toks JOIN tc USING (term), ct
+                 GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+                 round(coalesce(sc.s, 0.0) + pr.pr, 4) AS score,
+                 (coalesce(sc.s, 0.0) + pr.pr) > 0 AS keep
+          FROM documents d LEFT JOIN sc USING (doc_id), pr
+          ORDER BY d.doc_id""",
+    // per-source token mass -> p_i ∝ c_i^0.5 against a 1M-token budget
+    "q72_mixture_weights" ->
+      s"""WITH g AS (SELECT source, count(*)::BIGINT AS n_docs,
+                       sum(len($docToksSql))::BIGINT AS n_tokens
+                     FROM documents GROUP BY source),
+          t AS (SELECT sum(n_tokens)::DOUBLE AS tot,
+                       sum(pow(n_tokens::DOUBLE, 0.5)) AS ptot FROM g)
+          SELECT source, n_docs, n_tokens,
+                 round(n_tokens / tot, 6) AS raw_share,
+                 round(pow(n_tokens::DOUBLE, 0.5) / ptot, 6) AS weight,
+                 round(pow(n_tokens::DOUBLE, 0.5) / ptot * 1000000.0, 4) AS expected_tokens,
+                 round(pow(n_tokens::DOUBLE, 0.5) / ptot * 1000000.0 / n_tokens, 6) AS epochs
+          FROM g, t ORDER BY source"""
   )
 }

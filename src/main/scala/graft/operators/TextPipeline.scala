@@ -676,4 +676,110 @@ object TextPipeline {
         (-col("p.score")).as("score"),
         (col("pos") + 1).cast("long").as("rank"))
   }
+
+  /** Seed-based Naive Bayes quality classifier — the GPT-3/LLaMA-family
+    * curation pattern: label a small trusted SEED set (docs from curated
+    * sources), treat the rest of the corpus as the background class,
+    * train a unigram log-odds model, and score every document by how
+    * seed-like its token distribution is.
+    *
+    * Model (add-`alpha` smoothed multinomial NB over the observed vocab V):
+    *
+    *   logodds(t) = ln((c_pos(t)+α)/(N_pos+α|V|)) − ln((c_neg(t)+α)/(N_neg+α|V|))
+    *   score(d)   = ln(D_pos/D_neg) + Σ_t tf_d(t)·logodds(t)
+    *
+    * `keep` is `score > 0` (the MAP decision); downstream pipelines
+    * typically threshold on a [[calibrateThresholds]] quantile instead.
+    *
+    * Scale shape: per-doc tf tallies IN-ROW (`ngram_counts`), so the only
+    * corpus-sized exchanges are vocab-keyed — the class-count aggregation
+    * (partial aggs shrink it to |V| rows before the shuffle) and the
+    * score join (term-keyed, |V|-row build side). Class totals, vocab
+    * size, and the document prior are broadcast one-row aggregates. The
+    * seed id set joins as a broadcast flag — never a filter-and-rescan.
+    *
+    * Returns `[id, n_tokens, score, keep]`, score rounded to 4. */
+  def seedClassifier(
+      docs: DataFrame,
+      seedIds: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      alpha: Double = 1.0): DataFrame = {
+    val seed = broadcast(seedIds.select(col(seedIds.columns.head).as("id"))
+      .withColumn("pos", lit(true)))
+    val base = Par.ensure(docs)
+      .select(col(idCol).as("id"), tokenize(col(textCol)).as("toks"))
+      .join(seed, Seq("id"), "left")
+      .select(col("id"), col("toks"), coalesce(col("pos"), lit(false)).as("pos"))
+    val tf = Gen.explodeOnce(base, Seq(col("id"), col("pos")),
+      ngram_counts(col("toks"), 1), "tc")
+      .select(col("id"), col("pos"), col("tc.term").as("term"),
+        col("tc.tf").cast("double").as("tf"))
+    // vocab-keyed class counts; partial aggregation bounds the shuffle at |V|
+    val termCounts = tf.groupBy("term").agg(
+      sum(when(col("pos"), col("tf")).otherwise(lit(0.0))).as("pc"),
+      sum(when(col("pos"), lit(0.0)).otherwise(col("tf"))).as("nc"))
+    val classTotals = termCounts.agg(
+      sum(col("pc")).as("pt"), sum(col("nc")).as("nt"),
+      count(lit(1)).cast("double").as("vs"))
+    val prior = base.agg(
+      log(sum(when(col("pos"), 1L).otherwise(0L)).cast("double") /
+        sum(when(col("pos"), 0L).otherwise(1L)).cast("double")).as("pr"))
+    val logodds =
+      log((col("pc") + lit(alpha)) / (col("pt") + lit(alpha) * col("vs"))) -
+        log((col("nc") + lit(alpha)) / (col("nt") + lit(alpha) * col("vs")))
+    val scored = tf.join(termCounts, Seq("term"))
+      .crossJoin(broadcast(classTotals))
+      .groupBy("id")
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        sum(col("tf") * logodds).as("s"))
+    base.select(col("id"))
+      .join(scored, Seq("id"), "left")
+      .crossJoin(broadcast(prior))
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("s"), lit(0.0)) + col("pr"), 4).as("score"),
+        (coalesce(col("s"), lit(0.0)) + col("pr") > 0).as("keep"))
+  }
+
+  /** Temperature-scaled source mixing weights — the data-mixing primitive
+    * (multilingual/multi-source sampling a la GPT-3 §2.2 / XLM-R): given
+    * per-group token mass c_i, sample group i with probability
+    * p_i ∝ c_i^alpha (alpha < 1 up-samples small sources; alpha = 1 is
+    * natural sampling; alpha = 0 is uniform), then size each group's
+    * draw against a total token `budget`:
+    *
+    *   weight_i = c_i^α / Σ_j c_j^α
+    *   expected_tokens_i = weight_i · budget,   epochs_i = expected_i / c_i
+    *
+    * `epochs > 1` is the standard over-sampling diagnostic (the group
+    * repeats in an epoch of the mixture). One tiny groupBy (|groups|
+    * rows after partial aggs) + a broadcast one-row total: the corpus is
+    * touched exactly once, map-only.
+    *
+    * Returns `[group, n_docs, n_tokens, raw_share, weight,
+    * expected_tokens, epochs]` rounded to 6/4. */
+  def mixtureWeights(
+      docs: DataFrame,
+      groupCol: String = "source",
+      textCol: String = "text",
+      alpha: Double = 0.7,
+      budget: Long = 1000000L): DataFrame = {
+    val perGroup = Par.ensure(docs)
+      .select(col(groupCol).as("group"),
+        size(tokenize(col(textCol))).cast("long").as("n"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val totals = perGroup.agg(
+      sum(col("n_tokens")).cast("double").as("tot"),
+      sum(pow(col("n_tokens").cast("double"), lit(alpha))).as("ptot"))
+    perGroup.crossJoin(broadcast(totals))
+      .select(col("group"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("tot"), 6).as("raw_share"),
+        round(pow(col("n_tokens").cast("double"), lit(alpha)) / col("ptot"), 6).as("weight"),
+        round(pow(col("n_tokens").cast("double"), lit(alpha)) / col("ptot") * lit(budget.toDouble), 4)
+          .as("expected_tokens"),
+        round(pow(col("n_tokens").cast("double"), lit(alpha)) / col("ptot") * lit(budget.toDouble) /
+          col("n_tokens"), 6).as("epochs"))
+  }
 }

@@ -396,4 +396,53 @@ class PipelineOpsSpec extends SparkSuite {
     val expectStarts = packed.map(_._2).scanLeft(0L)(_ + _).init
     assert(packed.map(_._1).toSeq === expectStarts.toSeq)
   }
+
+  test("seedClassifier: hand-computed NB log-odds, keep decision, zero-prior symmetry") {
+    // pos tokens: aa:3 bb:2 (pt=5); neg: cc:3 bb:1 (nt=4); V=3; prior ln(2/2)=0
+    // logodds(aa)=ln(4/8)-ln(1/7); (bb)=ln(3/8)-ln(2/7); (cc)=ln(1/8)-ln(4/7)
+    val docs = Seq(
+      (0L, "aa aa bb"), (1L, "aa bb"), (2L, "cc cc bb"), (3L, "cc"))
+      .toDF("doc_id", "text")
+    val seed = Seq(0L, 1L).toDF("doc_id")
+    val got = TextPipeline.seedClassifier(docs, seed)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val aa = math.log(4.0 / 8.0) - math.log(1.0 / 7.0)
+    val bb = math.log(3.0 / 8.0) - math.log(2.0 / 7.0)
+    val cc = math.log(1.0 / 8.0) - math.log(4.0 / 7.0)
+    val want = Seq(
+      (0L, 3L, 2 * aa + bb, true), (1L, 2L, aa + bb, true),
+      (2L, 3L, 2 * cc + bb, false), (3L, 1L, cc, false))
+    got.zip(want).foreach { case ((id, n, s, k), (wid, wn, ws, wk)) =>
+      assert(id === wid && n === wn && k === wk)
+      assert(math.abs(s - math.rint(ws * 1e4) / 1e4) < 1e-9, s"doc $id")
+    }
+    // seed-like unseen doc scores above background-like unseen doc
+    val docs2 = docs.union(Seq((4L, "aa aa aa"), (5L, "cc cc cc")).toDF("doc_id", "text"))
+    val m = TextPipeline.seedClassifier(docs2, seed)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(4L) > m(5L))
+  }
+
+  test("mixtureWeights: hand-computed temperature scaling, alpha edge cases") {
+    // source A: 8 tokens over 2 docs, B: 2 tokens; alpha=0.5, budget=100
+    val docs = Seq(
+      (0L, "A", "w w w w"), (1L, "A", "w w w w"), (2L, "B", "w w"))
+      .toDF("doc_id", "source", "text")
+    val got = TextPipeline.mixtureWeights(docs, alpha = 0.5, budget = 100L)
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got(0) === ("A", 2L, 8L, 0.8, 0.666667, 66.6667, 8.333333))
+    assert(got(1) === ("B", 1L, 2L, 0.2, 0.333333, 33.3333, 16.666667))
+    // alpha=1 reduces to natural sampling; alpha=0 to uniform
+    val nat = TextPipeline.mixtureWeights(docs, alpha = 1.0, budget = 100L)
+      .collect().map(r => (r.getDouble(3), r.getDouble(4)))
+    nat.foreach { case (raw, w) => assert(math.abs(raw - w) < 1e-9) }
+    val uni = TextPipeline.mixtureWeights(docs, alpha = 0.0, budget = 100L)
+      .collect().map(_.getDouble(4))
+    assert(uni.toSeq === Seq(0.5, 0.5))
+    // weights always sum to 1
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-6)
+  }
 }
