@@ -707,6 +707,27 @@ object SparkEntry {
       Bpe.encodeCounts(docs, model)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    }),
+    // Exact population covariance of the embedding column — the
+    // distributed stage of PCA/whitening (one narrow moments pass,
+    // per-partition Gram partials), fully replayed in DuckDB.
+    "q74_pca_cov" -> ((s, d) =>
+      Pca.covariance(T(s, d, "embeddings"))
+        // + 0.0 canonicalizes IEEE -0.0 (the engines disagree on zero
+        // sign after rounding, and the gate compares formatted strings)
+        .select(col("i"), col("j"), (round(col("cov"), 6) + lit(0.0)).as("cov"))
+        .orderBy("i", "j")),
+    // Whitened top-8 PCA projection (map-only codegen apply pass). The
+    // eigen-decomposition is not SQL-expressible -> rows-only; the
+    // identity-covariance/variance-ordering guarantees are spec-gated
+    // (PcaSpec).
+    "q75_pca_whiten" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val model = Pca.train(emb, k = 8)
+      Pca.project(emb, model, whiten = true)
+        .select(col("vec_id"),
+          transform(col("proj"), x => round(x, 4)).as("proj"))
+        .orderBy("vec_id")
     })
   )
 
@@ -1498,6 +1519,18 @@ object SparkEntry {
                  round(pow(n_tokens::DOUBLE, 0.5) / ptot, 6) AS weight,
                  round(pow(n_tokens::DOUBLE, 0.5) / ptot * 1000000.0, 4) AS expected_tokens,
                  round(pow(n_tokens::DOUBLE, 0.5) / ptot * 1000000.0 / n_tokens, 6) AS epochs
-          FROM g, t ORDER BY source"""
+          FROM g, t ORDER BY source""",
+    // exact population covariance replay: E[x_i x_j] - E[x_i]E[x_j]
+    // (dims-agnostic via generate_subscripts)
+    "q74_pca_cov" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         x AS (SELECT vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS xi FROM v),
+         m AS (SELECT i, avg(xi) AS mi FROM x GROUP BY i),
+         c AS (SELECT a.i AS i, b.i AS j, avg(a.xi * b.xi) AS eij
+               FROM x a JOIN x b USING (vec_id) GROUP BY a.i, b.i)
+         SELECT c.i::BIGINT AS i, c.j::BIGINT AS j,
+                round(c.eij - ma.mi * mb.mi, 6) + 0.0 AS cov
+         FROM c JOIN m ma ON c.i = ma.i JOIN m mb ON c.j = mb.i
+         ORDER BY i, j"""
   )
 }

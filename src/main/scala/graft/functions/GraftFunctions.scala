@@ -143,6 +143,12 @@ object GraftFunctions {
     col(HyperplaneSketch(ex(vector.cast("array<double>")), flatPlanes,
       tables, planes, dim, probes))
 
+  /** Map-only affine projection against a broadcast row-major k×dim
+    * matrix — the PCA / whitening apply pass (see [[AffineProject]]). */
+  def affine_project(vector: Column, flatRows: Array[Double],
+      mean: Array[Double], dim: Int): Column =
+    col(AffineProject(ex(vector.cast("array<double>")), flatRows, mean, dim))
+
   /** Bounded per-group top-k aggregate with map-side partial aggregation
     * (see [[TopKByScore]]): each task ships at most k (score, id) entries
     * per group instead of the group's full candidate set. */
