@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, Dedup, ProductQuantizer, RaBitQ}
+import graft.operators.{Ann, Dedup, Pca, ProductQuantizer, RaBitQ}
 
 /** Driver-visible quality gates for the queries the DuckDB oracle cannot
   * express (LSH candidate generation, ANN, PQ, connected components).
@@ -118,6 +118,29 @@ object QualityGates {
       }
       val recall = recalls.sum / recalls.length
       out += s""""q35_pq":{"recall_at10_rerank100":${jd(recall)},"pass":${jb(recall >= 0.9)}}"""
+    }
+
+    // q75: PCA-reduced stage-1 (k=16 of 64 dims) + exact full-space
+    // re-rank (candidates=100) — recall@10 vs exact brute force, on the
+    // verify embeddings (the PcaSpec gate at the driver's data shape)
+    {
+      val model = Pca.train(emb, k = 16)
+      val queries = emb.orderBy("vec_id").limit(5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val oracle = Ann.knnJoin(
+        queries.select(col("q_id"), col("q_vec").cast("array<double>").as("q_vec")),
+        emb, k = 10)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val got = Pca.reducedKnnJoin(queries, emb, model, candidates = 100, k = 10)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val recall = oracle.keys.toSeq.map(q =>
+        (got.getOrElse(q, Set.empty[Long]) & oracle(q)).size.toDouble).sum /
+        (oracle.size * 10.0)
+      out += s""""q75_pca_rerank":{"recall_at10_cand100":${jd(recall)},"pass":${jb(recall >= 0.8)}}"""
     }
 
     // q41: RaBitQ 1-bit estimator + exact re-rank (rerank 100) — recall@10

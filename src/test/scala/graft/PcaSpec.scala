@@ -101,4 +101,34 @@ class PcaSpec extends SparkSuite {
       assert(math.abs(cv - want) < 0.02, s"whitened cov($a,$b)=$cv")
     }
   }
+
+  test("reducedKnnJoin: exact with full candidates, high recall reduced") {
+    // clustered corpus so a low-rank projection preserves neighborhoods
+    val r = rng(41)
+    val centers = Array.fill(8)(Array.fill(16)(r.nextGaussian() * 3.0))
+    val corpus = (0 until 400).map { id =>
+      val c = centers(id % 8)
+      (id.toLong, c.map(_ + r.nextGaussian() * 0.3).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = (0 until 6).map { q =>
+      val c = centers(q % 8)
+      (q.toLong, c.map(_ + r.nextGaussian() * 0.3).toSeq)
+    }.toDF("q_id", "q_vec")
+    val model = Pca.train(corpus, k = 6)
+    val exact = graft.operators.Ann.knnJoin(queries, corpus, k = 10)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // candidates = corpus size -> identical to exact (full-space rerank)
+    val full = Pca.reducedKnnJoin(queries, corpus, model, candidates = 400, k = 10)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(full === exact)
+    // tight candidate budget still recalls nearly everything
+    val reduced = Pca.reducedKnnJoin(queries, corpus, model, candidates = 40, k = 10)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.keys.toSeq.map(q => (reduced(q) & exact(q)).size).sum
+    val recall = hits.toDouble / (exact.size * 10)
+    assert(recall >= 0.9, s"recall $recall")
+  }
 }
