@@ -120,11 +120,17 @@ object Pca {
       qIdCol: String = "q_id",
       qVecCol: String = "q_vec",
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      projectedCorpus: Option[DataFrame] = None): DataFrame = {
     require(candidates >= k, s"candidates=$candidates < k=$k")
     val flat = model.components.flatten
-    val projCorpus = Par.ensure(corpus).select(col(idCol),
-      affine_project(col(vecCol), flat, model.mean, model.dim).as("rvec"))
+    // serving shape: the projection is a stored column ([[project]]
+    // output, written once at index build) so stage 1 scans k dims, not
+    // d; the one-shot default projects inline
+    val projCorpus = projectedCorpus
+      .map(_.select(col(idCol), col("proj").as("rvec")))
+      .getOrElse(Par.ensure(corpus).select(col(idCol),
+        affine_project(col(vecCol), flat, model.mean, model.dim).as("rvec")))
     val projQueries = queries.select(col(qIdCol),
       affine_project(col(qVecCol), flat, model.mean, model.dim).as("rq"))
     val cands = Ann.knnJoin(projQueries, projCorpus, candidates,

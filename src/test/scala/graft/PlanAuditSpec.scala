@@ -54,4 +54,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(read.contains("l_returnflag") && !read.contains("l_orderkey"),
       s"q01 scan reads unreferenced columns: $read")
   }
+
+  test("seed classifier: seed flag is a broadcast join, no cartesian") {
+    val p = plan("q71_seed_classify")
+    assert(p.contains("BroadcastHashJoin"), s"q71 seed flag lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q71 grew a cartesian product:\n$p")
+  }
+
+  test("PCA whitening projection is a single narrow pass (codegen kernel, no aggregation)") {
+    val p = plan("q75_pca_whiten")
+    assert(p.contains("affine_project"), s"q75 lost the codegen projection kernel:\n$p")
+    assert(!p.contains("HashAggregate"), s"q75 projection grew an aggregation:\n$p")
+  }
 }
