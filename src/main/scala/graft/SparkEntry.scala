@@ -728,7 +728,14 @@ object SparkEntry {
         .select(col("vec_id"),
           transform(col("proj"), x => round(x, 4)).as("proj"))
         .orderBy("vec_id")
-    })
+    }),
+    // Per-source dataset-card stats in exact mode (the oracle-replayable
+    // calibration path; approx=true HLL mode is the 100 TB default,
+    // spec-gated within rsd in PipelineOpsSpec).
+    "q76_corpus_stats" -> ((s, d) =>
+      TextPipeline.corpusStats(T(s, d, "documents"), approx = false)
+        .withColumnRenamed("group", "source")
+        .orderBy("source"))
   )
 
   private val docToksSql =
@@ -1531,6 +1538,19 @@ object SparkEntry {
          SELECT c.i::BIGINT AS i, c.j::BIGINT AS j,
                 round(c.eij - ma.mi * mb.mi, 6) + 0.0 AS cov
          FROM c JOIN m ma ON c.i = ma.i JOIN m mb ON c.j = mb.i
-         ORDER BY i, j"""
+         ORDER BY i, j""",
+    // exact-mode dataset-card stats replay (md5 for content identity,
+    // engine tokenization for token/vocab counts)
+    "q76_corpus_stats" ->
+      s"""WITH t AS (SELECT source, md5(text) AS h, $docToksSql AS toks FROM documents),
+          g1 AS (SELECT source, count(*)::BIGINT AS n_docs,
+                        sum(len(toks))::BIGINT AS n_tokens,
+                        count(DISTINCT h)::BIGINT AS distinct_texts
+                 FROM t GROUP BY source),
+          g2 AS (SELECT source, count(DISTINCT term)::BIGINT AS vocab
+                 FROM (SELECT source, unnest(toks) AS term FROM t) GROUP BY source)
+          SELECT g1.source, n_docs, n_tokens, distinct_texts,
+                 coalesce(vocab, 0) AS vocab
+          FROM g1 LEFT JOIN g2 USING (source) ORDER BY source"""
   )
 }

@@ -39,6 +39,22 @@ object Pca {
     def k: Int = components.length
   }
 
+  /** Mergeable sufficient statistics (n, Σx, upper-triangular ΣxxT) —
+    * the incremental-fit state: moments of yesterday's corpus plus
+    * moments of today's batch is the moments of the union, so a standing
+    * PCA re-fits from a tiny persisted state without rescanning history
+    * (the [[graft.operators.Dedup.incrementalExact]] posture, applied to
+    * the embedding transform). */
+  final case class Moments(n: Long, sums: Array[Double], gram: Array[Double]) {
+    def d: Int = sums.length
+    def merge(other: Moments): Moments = {
+      require(other.d == d, s"dim mismatch: ${other.d} != $d")
+      Moments(n + other.n,
+        sums.zip(other.sums).map { case (a, b) => a + b },
+        gram.zip(other.gram).map { case (a, b) => a + b })
+    }
+  }
+
   /** Exact population covariance of the vector column as a long-form
     * `[i, j, cov]` frame (1-based indices, every (i, j) pair) — the
     * distributed stage of [[train]], exposed separately because it is
@@ -58,9 +74,24 @@ object Pca {
         StructField("cov", DoubleType, nullable = false))))
   }
 
+  /** One moments pass over a batch — persist the result (3 numbers +
+    * d + d(d+1)/2 doubles) and [[Moments.merge]] it with prior state for
+    * incremental refits via [[trainFromMoments]]. */
+  def fitMoments(vecs: DataFrame, vecCol: String = "embedding"): Moments = {
+    val (n, sums, gram, _) = moments(vecs, vecCol)
+    Moments(n.toLong, sums, gram)
+  }
+
   /** Fit a k-component model: one moments pass + driver Jacobi eigen. */
-  def train(vecs: DataFrame, k: Int, vecCol: String = "embedding"): Model = {
-    val (n, sums, gram, d) = moments(vecs, vecCol)
+  def train(vecs: DataFrame, k: Int, vecCol: String = "embedding"): Model =
+    trainFromMoments(fitMoments(vecs, vecCol), k)
+
+  /** Eigen-fit from (possibly merged) sufficient statistics. */
+  def trainFromMoments(m: Moments, k: Int): Model = {
+    val n = m.n.toDouble
+    val sums = m.sums
+    val gram = m.gram
+    val d = m.d
     require(k >= 1 && k <= d, s"k=$k out of range for dim $d")
     val mean = sums.map(_ / n)
     val cov = Array.tabulate(d, d) { (i, j) =>

@@ -742,6 +742,45 @@ object TextPipeline {
         (coalesce(col("s"), lit(0.0)) + col("pr") > 0).as("keep"))
   }
 
+  /** Per-group corpus cardinality statistics — the dataset-card numbers
+    * every curation run reports (docs, token mass, distinct content,
+    * vocabulary breadth per source/language):
+    *
+    *   `[group, n_docs, n_tokens, distinct_texts, vocab]`
+    *
+    * `approx = true` (the 100 TB default) uses HyperLogLog++
+    * (`approx_count_distinct`, `rsd` relative error): cardinalities then
+    * ride fixed-size sketches through the group shuffle, so cost is
+    * O(groups), independent of distinct-count volume. `approx = false`
+    * computes exact distincts (Spark expands count-distinct over a
+    * per-key dedup exchange — fine at calibration scale, the mode the
+    * DuckDB oracle replays).
+    *
+    * Vocab counts distinct TOKENS per group, so the shuffle input is one
+    * row per (group, in-row-distinct term) via `ngram_counts`, not one
+    * per token instance. */
+  def corpusStats(
+      docs: DataFrame,
+      groupCol: String = "source",
+      textCol: String = "text",
+      approx: Boolean = true,
+      rsd: Double = 0.02): DataFrame = {
+    val base = Par.ensure(docs).select(col(groupCol).as("group"),
+      md5(col(textCol)).as("h"), tokenize(col(textCol)).as("toks"))
+    def cd(c: Column): Column =
+      if (approx) approx_count_distinct(c, rsd) else count_distinct(c)
+    val g1 = base.groupBy("group").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).cast("long").as("n_tokens"),
+      cd(col("h")).as("distinct_texts"))
+    val g2 = Gen.explodeOnce(base, Seq(col("group")),
+      ngram_counts(col("toks"), 1), "tc")
+      .groupBy("group").agg(cd(col("tc.term")).as("vocab"))
+    g1.join(g2, Seq("group"), "left")
+      .select(col("group"), col("n_docs"), col("n_tokens"),
+        col("distinct_texts"), coalesce(col("vocab"), lit(0L)).as("vocab"))
+  }
+
   /** Temperature-scaled source mixing weights — the data-mixing primitive
     * (multilingual/multi-source sampling a la GPT-3 §2.2 / XLM-R): given
     * per-group token mass c_i, sample group i with probability

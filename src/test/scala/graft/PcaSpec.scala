@@ -102,6 +102,25 @@ class PcaSpec extends SparkSuite {
     }
   }
 
+  test("incremental fit: merged batch moments equal the full-corpus fit") {
+    val all = planted(300, 6, seed = 31)
+    val (b1, b2) = all.splitAt(180)
+    val mFull = Pca.fitMoments(all.toDF("vec_id", "embedding"))
+    val mMerged = Pca.fitMoments(b1.toDF("vec_id", "embedding"))
+      .merge(Pca.fitMoments(b2.toDF("vec_id", "embedding")))
+    assert(mMerged.n === mFull.n)
+    mFull.sums.zip(mMerged.sums).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    mFull.gram.zip(mMerged.gram).foreach { case (a, b) => assert(math.abs(a - b) < 1e-8) }
+    // the refit from merged state matches the one-shot fit
+    val tFull = Pca.trainFromMoments(mFull, k = 3)
+    val tInc = Pca.trainFromMoments(mMerged, k = 3)
+    tFull.eigenvalues.zip(tInc.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-8)
+    }
+    tFull.components.flatMap(_.toSeq).zip(tInc.components.flatMap(_.toSeq))
+      .foreach { case (a, b) => assert(math.abs(a - b) < 1e-6) }
+  }
+
   test("reducedKnnJoin: exact with full candidates, high recall reduced") {
     // clustered corpus so a low-rank projection preserves neighborhoods
     val r = rng(41)

@@ -445,4 +445,29 @@ class PipelineOpsSpec extends SparkSuite {
     // weights always sum to 1
     assert(math.abs(got.map(_._5).sum - 1.0) < 1e-6)
   }
+
+  test("corpusStats: exact mode hand-computed; HLL mode within rsd") {
+    val docs = Seq(
+      (0L, "A", "x y z"), (1L, "A", "x y z"), // dup text
+      (2L, "A", "x w"), (3L, "B", "p q r s"))
+      .toDF("doc_id", "source", "text")
+    val exact = TextPipeline.corpusStats(docs, approx = false)
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(exact.toSeq === Seq(("A", 3L, 8L, 2L, 4L), ("B", 1L, 4L, 1L, 4L)))
+    // approx (HLL) mode: same groups, cardinalities within 5% on a
+    // corpus with ~500 distinct values per dimension
+    val big = (0L until 600L).map(i =>
+      (i, if (i % 3 == 0) "even" else "odd", s"tok$i shared tok${i % 397}"))
+      .toDF("doc_id", "source", "text")
+    val ex = TextPipeline.corpusStats(big, approx = false).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val ap = TextPipeline.corpusStats(big, approx = true, rsd = 0.02).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(ap.keySet === ex.keySet)
+    ex.foreach { case (g, (dt, vb)) =>
+      assert(math.abs(ap(g)._1 - dt).toDouble / dt < 0.05, s"$g distinct_texts")
+      assert(math.abs(ap(g)._2 - vb).toDouble / vb < 0.05, s"$g vocab")
+    }
+  }
 }
