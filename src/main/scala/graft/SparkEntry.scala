@@ -735,7 +735,23 @@ object SparkEntry {
     "q76_corpus_stats" -> ((s, d) =>
       TextPipeline.corpusStats(T(s, d, "documents"), approx = false)
         .withColumnRenamed("group", "source")
-        .orderBy("source"))
+        .orderBy("source")),
+    // Strictly-ordered conversion funnel over the events table
+    // (view -> click -> purchase), per-stage aggregations only.
+    "q77_funnel" -> ((s, d) =>
+      Sessionize.funnel(graft.sources.Events.read(s, d),
+        Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+    // Diversity-aware subset selection (coverage sampling): 64 picks
+    // spanning the embedding corpus via per-cluster farthest-first.
+    // Greedy k-center isn't SQL-expressible -> rows-only; coverage,
+    // determinism, and quota math are spec-gated (RecallSpec).
+    "q78_diverse_select" -> ((s, d) =>
+      Ann.diverseSelect(T(s, d, "embeddings"), m = 64, numCentroids = 16)
+        .withColumnRenamed("id", "vec_id")
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("vec_id"))
   )
 
   private val docToksSql =
@@ -1551,6 +1567,24 @@ object SparkEntry {
                  FROM (SELECT source, unnest(toks) AS term FROM t) GROUP BY source)
           SELECT g1.source, n_docs, n_tokens, distinct_texts,
                  coalesce(vocab, 0) AS vocab
-          FROM g1 LEFT JOIN g2 USING (source) ORDER BY source"""
+          FROM g1 LEFT JOIN g2 USING (source) ORDER BY source""",
+    // strictly-ordered funnel replay: stage i's conversion is the first
+    // stage-i event strictly after stage i-1's conversion time
+    "q77_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         u AS (SELECT DISTINCT user_id FROM e),
+         s0 AS (SELECT user_id, min(us) AS t FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         s1 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s0 USING (user_id)
+                WHERE event_type = 'click' AND e.us > s0.t GROUP BY e.user_id),
+         s2 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'purchase' AND e.us > s1.t GROUP BY e.user_id)
+         SELECT u.user_id,
+                (CASE WHEN s2.t IS NOT NULL THEN 3
+                      WHEN s1.t IS NOT NULL THEN 2
+                      WHEN s0.t IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS completed
+         FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+                LEFT JOIN s2 USING (user_id)
+         ORDER BY user_id"""
   )
 }

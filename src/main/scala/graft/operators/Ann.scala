@@ -293,4 +293,140 @@ object Ann {
       .limit(k)
       .select(col(idCol), col("dist"))
   }
+
+  /** Diversity-aware subset selection (coverage sampling): pick `m`
+    * vectors that SPAN the corpus instead of the head of it — the
+    * curation step for seed sets, eval slices, and dedup-survivor
+    * sampling where "first m" or "random m" over-samples dense modes.
+    *
+    * Two-level decomposition (the distributed form of greedy k-center,
+    * whose exact version is inherently sequential):
+    *
+    *  1. k-means centroids on a bounded sample ([[IvfBuilder]]), one
+    *     narrow codegen assignment pass — every vector gets one cluster.
+    *  2. Per-cluster quotas ∝ size^`alpha` (alpha < 1 flattens toward
+    *     uniform-over-modes; waterfill allocation is exact and
+    *     deterministic), then farthest-first traversal INSIDE each
+    *     cluster's task over a bounded per-cluster candidate set (the
+    *     `perClusterCap` smallest ids — deterministic under any
+    *     partitioning), seeded at the point nearest the centroid.
+    *
+    * One shuffle of (cluster, id, vector); no task holds more than
+    * `perClusterCap` vectors. Returns `[<id>, cluster, rank]` — rank is
+    * the farthest-first pick order within the cluster (rank 1 = most
+    * central, then maximal min-distance coverage). */
+  def diverseSelect(
+      embeddings: DataFrame,
+      m: Int,
+      numCentroids: Int = 64,
+      alpha: Double = 0.5,
+      perClusterCap: Int = 2000,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    require(m >= 1, s"m=$m")
+    val vectors = embeddings.select(lit(0L).as("user_id"),
+      col(idCol).as("point_id"), col(vecCol).cast("array<double>").as("vector"))
+    val params = IvfBuilder.BuildParams(numCentroids = numCentroids,
+      maxClustersPerVector = 1, seed = seed)
+    val cents = IvfBuilder.buildCentroids(vectors, params)
+      .orderBy("centroid_id").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val dim = cents.head._2.length
+    val flatC = cents.toSeq.sortBy(_._1).flatMap(_._2).toArray
+    val centIds = cents.keys.toSeq.sorted.toArray
+    val assigned = Par.ensure(embeddings).select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      element_at(nearest_centroids(
+        col(vecCol).cast("array<double>"), flatC, dim, 1, 0.0), 1).as("slot"))
+      .withColumn("cluster", element_at(
+        array(centIds.map(i => lit(i)): _*), col("slot") + 1))
+    val sizes = assigned.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // waterfill quota allocation: exact, deterministic, ≤ |clusters|+1
+    // passes (each pass saturates a cluster or exhausts the budget)
+    val quotas = collection.mutable.HashMap(sizes.keys.map(_ -> 0L).toSeq: _*)
+    var remaining = math.min(m.toLong, sizes.values.sum)
+    while (remaining > 0) {
+      val active = sizes.keys.toSeq.filter(c => quotas(c) < sizes(c))
+        .sortBy(c => (-math.pow(sizes(c).toDouble, alpha), c))
+      val rawSum = active.map(c => math.pow(sizes(c).toDouble, alpha)).sum
+      val shares = active.map { c =>
+        c -> (remaining * math.pow(sizes(c).toDouble, alpha) / rawSum).toLong
+      }
+      var given = 0L
+      shares.foreach { case (c, s) =>
+        val give = math.min(s, sizes(c) - quotas(c))
+        quotas(c) += give; given += give
+      }
+      if (given == 0L) { // rounding floor gave nothing: hand out singly
+        active.take(remaining.toInt).foreach { c => quotas(c) += 1; given += 1 }
+      }
+      remaining -= given
+    }
+    val bQuotas = quotas.toMap
+    val bCents = cents
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cluster", IntegerType, nullable = false),
+      StructField("rank", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    assigned.select(col("cluster"), col("id"), col("v"))
+      .groupByKey(_.getInt(0))(Encoders.scalaInt)
+      .flatMapGroups { (c: Int, rows: Iterator[Row]) =>
+        val quota = bQuotas.getOrElse(c, 0L).toInt
+        if (quota == 0) Iterator.empty
+        else {
+          // bounded candidate set: the perClusterCap smallest ids,
+          // deterministic under any row order (max-heap on id)
+          val heap = collection.mutable.PriorityQueue.empty[(Long, Array[Double])](
+            Ordering.by(_._1))
+          rows.foreach { r =>
+            val id = r.getLong(1)
+            if (heap.size < perClusterCap) heap.enqueue((id, r.getSeq[Double](2).toArray))
+            else if (id < heap.head._1) { heap.dequeue(); heap.enqueue((id, r.getSeq[Double](2).toArray)) }
+          }
+          val cand = heap.dequeueAll.reverse.toArray // ascending id
+          val center = bCents(c)
+          def d2(a: Array[Double], b: Array[Double]): Double = {
+            var s = 0.0; var i = 0
+            while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+            s
+          }
+          val n = cand.length
+          val picks = Array.newBuilder[(Long, Int)]
+          val minD = Array.fill(n)(Double.MaxValue)
+          val taken = Array.fill(n)(false)
+          // seed: nearest to centroid, tie smallest id (cand is id-sorted)
+          var cur = 0
+          var best = Double.MaxValue
+          for (i <- 0 until n) {
+            val dd = d2(cand(i)._2, center)
+            if (dd < best) { best = dd; cur = i }
+          }
+          var k = 0
+          val take = math.min(quota, n)
+          while (k < take) {
+            taken(cur) = true
+            picks += ((cand(cur)._1, k + 1))
+            k += 1
+            if (k < take) {
+              var next = -1
+              var far = -1.0
+              for (i <- 0 until n if !taken(i)) {
+                val dd = d2(cand(i)._2, cand(cur)._2)
+                if (dd < minD(i)) minD(i) = dd
+                if (minD(i) > far) { far = minD(i); next = i }
+              }
+              cur = next
+            }
+          }
+          picks.result().iterator.map { case (id, rank) => Row(id, c, rank) }
+        }
+      }(enc)
+      .toDF("id", "cluster", "rank")
+  }
 }

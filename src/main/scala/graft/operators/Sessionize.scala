@@ -98,4 +98,49 @@ object Sessionize {
           closed.reverseIterator
         })
   }
+
+  /** Ordered-stage funnel over an event table: for each entity, stage i
+    * converts at the FIRST stage-i event strictly after the entity's
+    * stage-(i-1) conversion time (the standard strictly-ordered funnel;
+    * an out-of-order click before any view does not convert).
+    *
+    * Scale shape: one aggregation per stage, each over only that stage's
+    * events (type filter prunes before the shuffle) with partial aggs
+    * shrinking to |entities| rows; the final assembly is |entities|-sized
+    * left joins. No per-entity event buffering anywhere.
+    *
+    * Returns `[<entity>, completed]` for every entity present in the
+    * table — `completed` = number of leading stages converted (0..n). */
+  def funnel(
+      events: DataFrame,
+      stages: Seq[String],
+      entityCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "us"): DataFrame = {
+    require(stages.nonEmpty, "empty funnel")
+    val e = events.select(col(entityCol).as("ent"),
+      col(typeCol).as("st"), col(tsCol).as("t"))
+    val universe = e.select("ent").distinct()
+    val stageTimes = stages.zipWithIndex.foldLeft(List.empty[DataFrame]) {
+      case (acc, (stage, i)) =>
+        val base = e.filter(col("st") === stage)
+        val conv = acc match {
+          case Nil =>
+            base.groupBy("ent").agg(min(col("t")).as("ct"))
+          case prev :: _ =>
+            base.join(prev.select(col("ent"), col("ct").as("pt")), Seq("ent"))
+              .filter(col("t") > col("pt"))
+              .groupBy("ent").agg(min(col("t")).as("ct"))
+        }
+        conv :: acc
+    }.reverse
+    val joined = stageTimes.zipWithIndex.foldLeft(universe) {
+      case (acc, (st, i)) =>
+        acc.join(st.select(col("ent"), col("ct").as(s"t$i")), Seq("ent"), "left")
+    }
+    val completed = stages.indices.foldLeft(lit(0L)) { (acc, i) =>
+      when(col(s"t$i").isNotNull, lit((i + 1).toLong)).otherwise(acc)
+    }
+    joined.select(col("ent").as(entityCol), completed.as("completed"))
+  }
 }

@@ -192,4 +192,42 @@ class RecallSpec extends SparkSuite {
       }
     }
   }
+
+  test("diverseSelect: covers every planted mode, deterministic, beats head-of-corpus coverage") {
+    val r = new scala.util.Random(17)
+    val centers = Array.fill(8)(Array.fill(12)(r.nextGaussian() * 4.0))
+    // contiguous id blocks per cluster so "first m ids" is a bad cover
+    val data = (0 until 400).map { id =>
+      val c = centers(id / 50)
+      (id.toLong, c.map(_ + r.nextGaussian() * 0.3).toSeq)
+    }
+    val emb = data.toDF("vec_id", "embedding").repartition(8)
+    val picks = graft.operators.Ann.diverseSelect(emb, m = 16, numCentroids = 8, seed = 5L)
+      .collect().map(r0 => (r0.getLong(0), r0.getInt(1), r0.getInt(2)))
+    assert(picks.length === 16)
+    // every planted mode is represented
+    val modes = picks.map(_._1 / 50).toSet
+    assert(modes.size === 8, s"covered modes: $modes")
+    // deterministic
+    val again = graft.operators.Ann.diverseSelect(emb, m = 16, numCentroids = 8, seed = 5L)
+      .collect().map(r0 => (r0.getLong(0), r0.getInt(1), r0.getInt(2)))
+    assert(picks.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // coverage radius: max over corpus of min distance to a pick
+    def d2(a: Seq[Double], b: Seq[Double]) = a.zip(b).map(t => (t._1 - t._2) * (t._1 - t._2)).sum
+    def radius(sel: Set[Long]): Double = data.map { case (_, v) =>
+      data.filter(p => sel(p._1)).map(p => d2(v, p._2)).min
+    }.max
+    val rSel = radius(picks.map(_._1).toSet)
+    val rHead = radius(data.take(16).map(_._1).toSet)
+    assert(rSel < rHead / 4.0, s"diverse radius $rSel vs head $rHead")
+    // quota flattening: alpha=0 on unequal clusters -> one per cluster at m=8
+    val uneven = (0 until 330).map { id =>
+      val c = centers(if (id < 300) 0 else (id - 300) / 10 + 1)
+      (id.toLong, c.map(_ + r.nextGaussian() * 0.2).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = graft.operators.Ann.diverseSelect(uneven, m = 4, numCentroids = 4,
+      alpha = 0.0, seed = 5L)
+      .collect().map(r0 => r0.getInt(1))
+    assert(q.length === 4 && q.toSet.size === 4, s"alpha=0 quotas: ${q.toSeq}")
+  }
 }

@@ -158,6 +158,19 @@ class SurfaceSpec extends SparkSuite {
     assert(got === Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("funnel: strict ordering, out-of-order stages don't convert, skipped stages stop") {
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L), // full funnel
+      (2L, "click", 5L), (2L, "view", 10L),                         // click precedes view
+      (3L, "view", 10L), (3L, "click", 10L),                        // same ts: not strictly after
+      (4L, "purchase", 1L), (4L, "view", 2L), (4L, "click", 3L),    // purchase too early
+      (5L, "error", 7L)                                             // no funnel stages at all
+    ).toDF("user_id", "event_type", "us")
+    val got = Sessionize.funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 3L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 0L)))
+  }
+
   test("batch sessionization: distributed scan matches a driver scan on one giant user") {
     // one user whose timeline spans every range partition, with irregular
     // gaps, plus a small user to exercise the non-spanning path
