@@ -751,7 +751,12 @@ object SparkEntry {
         .withColumnRenamed("id", "vec_id")
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
           col("rank").cast("long").as("rank"))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+    // Cohort retention matrix over the events table (first-event-day
+    // cohorts, distinct active days per offset).
+    "q79_retention" -> ((s, d) =>
+      Sessionize.retention(graft.sources.Events.read(s, d))
+        .orderBy("cohort", "day_offset"))
   )
 
   private val docToksSql =
@@ -1585,6 +1590,16 @@ object SparkEntry {
                       WHEN s0.t IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS completed
          FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
                 LEFT JOIN s2 USING (user_id)
-         ORDER BY user_id"""
+         ORDER BY user_id""",
+    // cohort retention replay: first-event-day cohort, per-offset
+    // distinct-active-user counts
+    "q79_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id)
+         SELECT f.cohort, (e.day - f.cohort)::BIGINT AS day_offset,
+                count(*)::BIGINT AS users
+         FROM e JOIN f USING (user_id)
+         GROUP BY f.cohort, day_offset
+         ORDER BY cohort, day_offset"""
   )
 }

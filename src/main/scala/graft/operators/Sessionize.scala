@@ -143,4 +143,64 @@ object Sessionize {
     }
     joined.select(col("ent").as(entityCol), completed.as("completed"))
   }
+
+  final case class StageEvent(userId: Long, stage: String, us: Long)
+  final case class FunnelState(completed: Int, convUs: Long)
+  final case class FunnelAdvance(userId: Long, completed: Long, convUs: Long)
+
+  /** Streaming funnel: per-entity keyed state holds (stages completed,
+    * conversion time); each micro-batch replays its events in event-time
+    * order and emits one row per entity whose funnel ADVANCED. Same
+    * strictly-after semantics as [[funnel]]; an event that arrives in a
+    * later batch than a logically-later stage can no longer advance the
+    * earlier stage (update-stream semantics — the standing funnel state
+    * is the product, not a retroactive recount). State is one (int,
+    * long) per entity — bounded by entities, not events. */
+  def funnelStreaming(
+      events: Dataset[StageEvent], stages: Seq[String]): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    require(stages.nonEmpty, "empty funnel")
+    val stageIdx = stages.zipWithIndex.toMap
+    events
+      .filter(e => stageIdx.contains(e.stage))
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[StageEvent], state: GroupState[FunnelState]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.us, stageIdx(e.stage)))
+          var cur = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val before = cur.completed
+          sorted.foreach { e =>
+            if (cur.completed < stages.length &&
+                e.stage == stages(cur.completed) &&
+                (cur.completed == 0 || e.us > cur.convUs))
+              cur = FunnelState(cur.completed + 1, e.us)
+          }
+          if (cur.completed > before) {
+            state.update(cur)
+            Iterator.single(FunnelAdvance(userId, cur.completed.toLong, cur.convUs))
+          } else Iterator.empty
+        })
+  }
+
+  /** Cohort retention matrix: entities cohorted by the day of their
+    * first event; `[cohort, day_offset, users]` counts entities active
+    * `day_offset` days after their cohort day.
+    *
+    * Scale shape: activity dedups to (entity, day) FIRST — the shuffles
+    * after that are bounded by entities × active-days, never raw event
+    * volume; first-day is one partial-agg'd aggregation; the final count
+    * groups an already-distinct frame, so no count-distinct expansion. */
+  def retention(
+      events: DataFrame,
+      entityCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val act = events
+      .select(col(entityCol).as("ent"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val first = act.groupBy("ent").agg(min(col("day")).as("cohort"))
+    act.join(first, Seq("ent"))
+      .select(col("cohort"), datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .groupBy("cohort", "day_offset")
+      .agg(count(lit(1)).as("users"))
+  }
 }

@@ -307,4 +307,34 @@ class StreamingSpec extends SparkSuite {
       assert(texts === Set("first doc body", "second doc body"))
     } finally q.stop()
   }
+
+  test("streaming funnel: cross-batch advancement, strict order, no-change silence") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[graft.operators.Sessionize.StageEvent]
+    val out = graft.operators.Sessionize.funnelStreaming(stream.toDS(), Seq("view", "click", "purchase"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").start()
+    try {
+      // batch 1: user 1 views; user 2 clicks (no view yet -> no advance)
+      stream.addData(graft.operators.Sessionize.StageEvent(1L, "view", 10L),
+        graft.operators.Sessionize.StageEvent(2L, "click", 5L))
+      q.processAllAvailable()
+      // batch 2: user 1 clicks+purchases in order; user 2 views (stage 1 now)
+      stream.addData(graft.operators.Sessionize.StageEvent(1L, "click", 20L),
+        graft.operators.Sessionize.StageEvent(1L, "purchase", 30L),
+        graft.operators.Sessionize.StageEvent(2L, "view", 9L))
+      q.processAllAvailable()
+      // batch 3: user 2's old click (us=5 < view conv 9) CANNOT advance now
+      stream.addData(graft.operators.Sessionize.StageEvent(2L, "click", 7L),
+        graft.operators.Sessionize.StageEvent(3L, "error", 1L))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out").as[graft.operators.Sessionize.FunnelAdvance]
+        .collect().sortBy(a => (a.userId, a.completed)).toSeq
+      assert(rows === Seq(
+        graft.operators.Sessionize.FunnelAdvance(1L, 1L, 10L),
+        graft.operators.Sessionize.FunnelAdvance(1L, 3L, 30L),
+        graft.operators.Sessionize.FunnelAdvance(2L, 1L, 9L)))
+    } finally q.stop()
+  }
 }

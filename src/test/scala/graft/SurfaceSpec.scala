@@ -171,6 +171,20 @@ class SurfaceSpec extends SparkSuite {
     assert(got === Seq((1L, 3L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 0L)))
   }
 
+  test("retention: first-day cohorts, same-day dedup, hand-computed matrix") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-02 09:00:00"), (1L, "2024-01-04 23:00:00"),
+      (2L, "2024-01-02 08:00:00"), (2L, "2024-01-02 20:00:00"), (2L, "2024-01-03 01:00:00"),
+      (3L, "2024-01-01 00:00:00")
+    ).toDF("user_id", "raw").select(col("user_id"), to_timestamp(col("raw")).as("ts"))
+    val got = Sessionize.retention(ev)
+      .orderBy("cohort", "day_offset")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L), ("2024-01-01", 3L, 1L),
+      ("2024-01-02", 0L, 1L), ("2024-01-02", 1L, 1L)))
+  }
+
   test("batch sessionization: distributed scan matches a driver scan on one giant user") {
     // one user whose timeline spans every range partition, with irregular
     // gaps, plus a small user to exercise the non-spanning path
