@@ -143,6 +143,26 @@ object QualityGates {
       out += s""""q75_pca_rerank":{"recall_at10_cand100":${jd(recall)},"pass":${jb(recall >= 0.8)}}"""
     }
 
+    // q81: SQ8 int8 estimator + exact re-rank (rerank 100) — recall@10
+    // vs exact brute force (the SqSpec gate, on the verify data)
+    {
+      val model = graft.operators.ScalarQuantizer.train(emb)
+      val encoded = emb.withColumn("sq_codes",
+        graft.operators.ScalarQuantizer.encodeCol(model, col("embedding")))
+      val queries = emb.orderBy("vec_id").limit(3)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+      val recalls = queries.map { case (_, q) =>
+        val oracle = Ann.bruteForceTopK(emb, q, 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val got = graft.operators.ScalarQuantizer.topK(encoded, model, q, k = 10, rerank = 100)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        oracle.intersect(got).size / 10.0
+      }
+      val recall = recalls.sum / recalls.length
+      out += s""""q81_sq8":{"recall_at10_rerank100":${jd(recall)},"pass":${jb(recall >= 0.9)}}"""
+    }
+
     // q41: RaBitQ 1-bit estimator + exact re-rank (rerank 100) — recall@10
     // vs exact brute force (the RabitqSpec gate, on the verify data)
     {

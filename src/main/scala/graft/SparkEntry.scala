@@ -756,7 +756,25 @@ object SparkEntry {
     // cohorts, distinct active days per offset).
     "q79_retention" -> ((s, d) =>
       Sessionize.retention(graft.sources.Events.read(s, d))
-        .orderBy("cohort", "day_offset"))
+        .orderBy("cohort", "day_offset")),
+    // Canonical text normalization (the pre-hash step of exact dedup):
+    // codegen kernel vs DuckDB nfc_normalize/strip_accents replay.
+    "q80_normalize" -> ((s, d) =>
+      T(s, d, "documents")
+        .select(col("doc_id"), normalize_text(col("text")).as("norm"),
+          md5(normalize_text(col("text"))).as("norm_hash"))
+        .orderBy("doc_id")),
+    // SQ8 (int8 scalar quantization) ANN: 1 byte/dim codes, asymmetric
+    // estimate rank + exact re-rank — genuinely approximate -> rows-only
+    // with a recall quality gate (q35/q41's pattern).
+    "q81_sq8_ann" -> ((s, d) => {
+      val emb = Par.ensure(T(s, d, "embeddings"))
+      val model = ScalarQuantizer.train(emb)
+      val encoded = emb.withColumn("sq_codes",
+        ScalarQuantizer.encodeCol(model, col("embedding")))
+      ScalarQuantizer.topK(encoded, model, q0(s, d), k = 10, rerank = 100)
+        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+    })
   )
 
   private val docToksSql =
@@ -1600,6 +1618,14 @@ object SparkEntry {
                 count(*)::BIGINT AS users
          FROM e JOIN f USING (user_id)
          GROUP BY f.cohort, day_offset
-         ORDER BY cohort, day_offset"""
+         ORDER BY cohort, day_offset""",
+    // NFC + diacritic strip + lowercase + explicit-class whitespace
+    // collapse (the kernel's exact character class) + trim
+    "q80_normalize" ->
+      """WITH n AS (SELECT doc_id,
+           trim(regexp_replace(lower(strip_accents(nfc_normalize(text))),
+                '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
+         FROM documents)
+         SELECT doc_id, norm, md5(norm) AS norm_hash FROM n ORDER BY doc_id"""
   )
 }

@@ -143,6 +143,10 @@ object GraftFunctions {
     col(HyperplaneSketch(ex(vector.cast("array<double>")), flatPlanes,
       tables, planes, dim, probes))
 
+  /** Canonical text normalization (NFC, diacritic strip, lowercase,
+    * whitespace collapse) — see [[NormalizeText]]. */
+  def normalize_text(text: Column): Column = col(NormalizeText(ex(text)))
+
   /** Map-only affine projection against a broadcast row-major k×dim
     * matrix — the PCA / whitening apply pass (see [[AffineProject]]). */
   def affine_project(vector: Column, flatRows: Array[Double],

@@ -22,6 +22,32 @@ object TextKernels {
   private val ar = UTF8String.fromString("ar")
   private val hi = UTF8String.fromString("hi")
 
+  final def normalizeText(text: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(text.toString, java.text.Normalizer.Form.NFC)
+    val nfd = java.text.Normalizer.normalize(nfc, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    val stripped = java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+    // collapse ASCII whitespace runs (RE2/Java '\s' class) + trim
+    val out = new java.lang.StringBuilder(stripped.length)
+    var j = 0
+    var pendingSpace = false
+    while (j < stripped.length) {
+      val c = stripped.charAt(j)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0B
+      if (ws) { if (out.length > 0) pendingSpace = true }
+      else { if (pendingSpace) { out.append(' '); pendingSpace = false }; out.append(c) }
+      j += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
   /** Dominant-script language of `text`: "zh"/"ja"/"ko"/"ru"/"ar"/"hi"
     * when the corresponding script has the (strict) plurality of LETTER
     * characters, else null (Latin & everything else → stopword branch).
@@ -248,6 +274,30 @@ case class TermCounts(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.TextKernels.termCounts($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `normalize_text(text)` — canonical text normalization before content
+  * hashing / exact dedup (the CCNet-style preprocessing step): Unicode
+  * NFC, diacritic strip (NFD → drop combining marks → NFC), lowercase,
+  * ASCII-whitespace-run collapse to a single space, trim. Matches DuckDB
+  * `trim(regexp_replace(lower(strip_accents(nfc_normalize(text))),
+  * '\s+', ' ', 'g'))` on BMP text without special casefolding, which is
+  * what the q80 oracle replays. Static-call codegen, no row boxing. */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "normalize_text"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.normalizeText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.normalizeText($a);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

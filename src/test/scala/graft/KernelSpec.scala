@@ -135,4 +135,17 @@ class KernelSpec extends SparkSuite {
       .select(token_count_bpe(col("text"))).head().getInt(0)
     assert(bpe === 4) // hello , world 123
   }
+
+  test("normalize_text: NFC, accent strip, case, whitespace collapse, trim") {
+    def norm(in: String): String =
+      Seq(in).toDF("text").select(normalize_text(col("text"))).head().getString(0)
+    assert(norm("  Hello\t\tWORLD  ") === "hello world")
+    assert(norm("Caf\u00e9 r\u00e9sum\u00e9") === "cafe resume") // precomposed accents
+    assert(norm("Cafe\u0301") === "cafe") // combining acute (NFD input)
+    // NFC equivalence: precomposed and combining forms normalize identically
+    assert(norm("\u00e9") === norm("e\u0301"))
+    assert(norm("a\nb\r\nc") === "a b c")
+    assert(norm("") === "" && norm("   ") === "")
+    assert(norm("Stra\u00dfe") === "stra\u00dfe") // sharp s: no casefold expansion
+  }
 }
