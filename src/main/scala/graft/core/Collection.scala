@@ -37,7 +37,9 @@ final case class CollectionConfig(
       * collection_manager.rs:72-94; RaBitQ present there but unwired in
       * the served config — wired here). With "pq" segments carry byte
       * codes scored via ADC; with "rabitq" they carry 1-bit sign codes
-      * scored via the RaBitQ estimator; both re-rank exactly. */
+      * scored via the RaBitQ estimator; with "sq8" they carry 1-byte-per-
+      * dim scalar codes scored via the SQ8 asymmetric estimator; all
+      * three re-rank exactly. */
     quantizer: String = "noq",
     pqSubvectors: Int = 8,
     pqBits: Int = 8,
@@ -48,7 +50,7 @@ final case class CollectionConfig(
       * serving restarts load it instead of rebuilding. */
     centroidIndexType: String = "exact",
     attributeSchema: Seq[AttrField] = Nil) {
-  require(quantizer == "noq" || quantizer == "pq" || quantizer == "rabitq",
+  require(Seq("noq", "pq", "rabitq", "sq8").contains(quantizer),
     s"unknown quantizer: $quantizer")
   require(centroidIndexType == "exact" || centroidIndexType == "hnsw",
     s"unknown centroidIndexType: $centroidIndexType")
@@ -223,6 +225,16 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     }
   }
 
+  def readSqModel(seg: String): Option[graft.operators.ScalarQuantizer.Model] = {
+    val p = Paths.get(segPath(seg), "sq_model.bin")
+    if (!Files.exists(p)) None
+    else {
+      val ois = new java.io.ObjectInputStream(Files.newInputStream(p))
+      try Some(ois.readObject().asInstanceOf[graft.operators.ScalarQuantizer.Model])
+      finally ois.close()
+    }
+  }
+
   private def readBloom(seg: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
     val p = Paths.get(segPath(seg), "bloom.bin")
     if (!Files.exists(p)) None
@@ -326,6 +338,18 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
         .withColumn("rq_f", col("rq._2"))
         .withColumn("rq_norm", col("rq._3"))
         .drop("rq")
+        .persist()
+    }
+    // SQ8 quantizer: exact per-dim ranges + 1-byte codes (V-family;
+    // the scalar sibling of PQ with trivial training).
+    if (config.quantizer == "sq8") {
+      val model = graft.operators.ScalarQuantizer.train(vectors, "vector")
+      Files.createDirectories(Paths.get(segPath(seg)))
+      val oos = new java.io.ObjectOutputStream(
+        Files.newOutputStream(Paths.get(segPath(seg), "sq_model.bin")))
+      try oos.writeObject(model) finally oos.close()
+      vectors = vectors.withColumn("sq_codes",
+        graft.operators.ScalarQuantizer.encodeCol(model, col("vector")))
         .persist()
     }
     // Full rows (attrs included) persist in the vectors table so merge /
@@ -581,6 +605,12 @@ final class Snapshot(
             filterPoints(seg, filter, userIds), coll.tombstones))
         case "rabitq" => coll.readRabitqModel(seg).map(m => (df: DataFrame) =>
           Search.spannRabitq(df,
+            coll.segmentTable(seg, "centroids"),
+            coll.segmentTable(seg, "postings"),
+            m, query, params, userIds,
+            filterPoints(seg, filter, userIds), coll.tombstones))
+        case "sq8" => coll.readSqModel(seg).map(m => (df: DataFrame) =>
+          Search.spannSq8(df,
             coll.segmentTable(seg, "centroids"),
             coll.segmentTable(seg, "postings"),
             m, query, params, userIds,

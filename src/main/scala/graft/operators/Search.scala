@@ -163,6 +163,30 @@ object Search {
       .limit(params.topK)
       .select("user_id", "doc_id", "score")
 
+  /** SPANN search over an SQ8-quantized segment: identical probe
+    * pipeline to [[spannAdc]], candidates ranked by the byte-code
+    * asymmetric L2 estimate, best `rerank` re-scored exactly. */
+  def spannSq8(
+      vectors: DataFrame, // must carry sq_codes
+      centroids: DataFrame,
+      postings: DataFrame,
+      model: ScalarQuantizer.Model,
+      query: Seq[Double],
+      params: SearchParams = SearchParams(),
+      userIds: Seq[Any] = Nil,
+      filterPoints: Option[DataFrame] = None,
+      tombstones: Option[DataFrame] = None,
+      rerank: Int = 100): DataFrame =
+    probeVectors(vectors, postings, chooseCentroids(centroids, query, params),
+        userIds, filterPoints, tombstones)
+      .withColumn("est", ScalarQuantizer.distanceCol(model, col("sq_codes"), query))
+      .orderBy(col("est").asc, col("doc_id").asc)
+      .limit(math.max(params.topK, rerank))
+      .withColumn("score", l2_distance(col("vector"), vec(query)))
+      .orderBy(scoreOrder: _*)
+      .limit(params.topK)
+      .select("user_id", "doc_id", "score")
+
   /** SPANN search over a RaBitQ-quantized segment (K2 + V6): identical
     * probe pipeline to [[spannAdc]], but candidates are ranked by the
     * RaBitQ estimated distance over their 1-bit sign codes (one rotated
