@@ -156,6 +156,24 @@ object ScaleText {
         docs.filter(col("doc_id") % 2 =!= 0), seen).count()
     }
 
+    // Seed NB classifier end-to-end: the boilerplate-carrying docs (1/11)
+    // as the trusted seed; vocab-keyed model + term-keyed score join
+    var classifyCheck = 0L
+    val classifySec = timedOp("classify") {
+      val seed = docs.filter(col("doc_id") % 11 === 0).select(col("doc_id"))
+      classifyCheck = TextPipeline.seedClassifier(docs, seed)
+        .filter(col("keep")).count()
+    }
+
+    // BPE fit (256 merges on the corpus word-frequency table) + map-only
+    // memoized encode of every document
+    var bpeTokens = 0L
+    val bpeSec = timedOp("bpe") {
+      val model = graft.operators.Bpe.train(docs, numMerges = 256)
+      bpeTokens = graft.operators.Bpe.encodeCounts(docs, model)
+        .agg(sum(col("n_bpe_tokens"))).head().getLong(0)
+    }
+
     // SemDeDup at corpus scale (BASELINE row; not in the default op set):
     // synthetic clustered embeddings — 64 planted directions plus jitter,
     // every 17th doc a near-copy of its predecessor — then the
@@ -205,7 +223,12 @@ object ScaleText {
       s""""bigram_sec":${f"$bigramSec%.1f"},"bigram_docs_per_sec":${f"${dps(bigramSec)}%.0f"},""" +
       s""""bigram_check":${f"$bigramCheck%.1f"},""" +
       s""""incr_sec":${f"$incrSec%.1f"},"incr_docs_per_sec":${f"${dps(incrSec)}%.0f"},""" +
-      s""""incr_survivors":$incrSurvivors}""")
+      s""""incr_survivors":$incrSurvivors,""" +
+      s""""classify_sec":${f"$classifySec%.1f"},""" +
+      s""""classify_docs_per_sec":${f"${dps(classifySec)}%.0f"},""" +
+      s""""classify_kept":$classifyCheck,""" +
+      s""""bpe_sec":${f"$bpeSec%.1f"},"bpe_docs_per_sec":${f"${dps(bpeSec)}%.0f"},""" +
+      s""""bpe_tokens":$bpeTokens}""")
     spark.stop()
   }
 }
