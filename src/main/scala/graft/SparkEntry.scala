@@ -774,7 +774,18 @@ object SparkEntry {
         ScalarQuantizer.encodeCol(model, col("embedding")))
       ScalarQuantizer.topK(encoded, model, q0(s, d), k = 10, rerank = 100)
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
-    })
+    }),
+    // T5-style span corruption (denoising-objective data prep): the
+    // doc-id-seeded pseudo-random decisions aren't SQL -> rows-only;
+    // exact input⋈target reconstruction is spec-gated (PipelineOpsSpec).
+    "q82_span_corrupt" -> ((s, d) =>
+      Par.ensure(T(s, d, "documents"))
+        .select(col("doc_id"),
+          span_corrupt(tokenize(col("text")), col("doc_id")).as("sc"))
+        .select(col("doc_id"), col("sc.input").as("input"),
+          col("sc.target").as("target"), col("sc.n_masked").as("n_masked"),
+          col("sc.n_spans").as("n_spans"))
+        .orderBy("doc_id"))
   )
 
   private val docToksSql =

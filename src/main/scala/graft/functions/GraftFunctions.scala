@@ -143,6 +143,13 @@ object GraftFunctions {
     col(HyperplaneSketch(ex(vector.cast("array<double>")), flatPlanes,
       tables, planes, dim, probes))
 
+  /** T5-style span corruption over a token array, keyed by a per-row
+    * seed (see [[SpanCorrupt]]): struct(input, target, n_masked,
+    * n_spans). */
+  def span_corrupt(tokens: Column, seed: Column,
+      startPermille: Int = 50, meanSpan: Int = 3): Column =
+    col(SpanCorrupt(ex(tokens), ex(seed.cast("long")), startPermille, meanSpan))
+
   /** Canonical text normalization (NFC, diacritic strip, lowercase,
     * whitespace collapse) — see [[NormalizeText]]. */
   def normalize_text(text: Column): Column = col(NormalizeText(ex(text)))

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -21,6 +21,46 @@ object TextKernels {
   private val ru = UTF8String.fromString("ru")
   private val ar = UTF8String.fromString("ar")
   private val hi = UTF8String.fromString("hi")
+
+  final def spanCorrupt(arr: ArrayData, seed: Long, startPermille: Int, meanSpan: Int): InternalRow = {
+    import HashKernels.mix64
+    val n = arr.numElements()
+    val input = new java.lang.StringBuilder()
+    val target = new java.lang.StringBuilder()
+    var masked = 0L
+    var spanIdx = 0
+    var i = 0
+    val maxSpans = 100 // sentinel vocabulary bound (T5 ships 100 extra ids)
+    while (i < n) {
+      val h = mix64(seed * 1000003L + i)
+      val start = spanIdx < maxSpans &&
+        java.lang.Math.floorMod(h, 1000L) < startPermille
+      if (start) {
+        var len = 1 + java.lang.Math.floorMod(mix64(h), (2L * meanSpan - 1L)).toInt
+        if (len > n - i) len = n - i
+        val sentinel = "<extra_id_" + spanIdx + ">"
+        if (input.length > 0) input.append(' ')
+        input.append(sentinel)
+        if (target.length > 0) target.append(' ')
+        target.append(sentinel)
+        var j = 0
+        while (j < len) {
+          target.append(' ').append(arr.getUTF8String(i + j).toString)
+          j += 1
+        }
+        masked += len
+        spanIdx += 1
+        i += len
+      } else {
+        if (input.length > 0) input.append(' ')
+        input.append(arr.getUTF8String(i).toString)
+        i += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(input.toString), UTF8String.fromString(target.toString),
+      masked, spanIdx.toLong))
+  }
 
   final def normalizeText(text: UTF8String): UTF8String = {
     val nfc = java.text.Normalizer.normalize(text.toString, java.text.Normalizer.Form.NFC)
@@ -300,4 +340,44 @@ case class NormalizeText(child: Expression)
       s"${ev.value} = graft.functions.TextKernels.normalizeText($a);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `span_corrupt(tokens, seed)` — T5-style span corruption
+  * (Raffel et al. JMLR'20 §3.1.4): deterministic pseudo-random spans
+  * replaced by `<extra_id_k>` sentinels in the input; the target carries
+  * each sentinel followed by the tokens it hides, so
+  * input ⋈ target reconstructs the original sequence exactly. The
+  * per-row `seed` (the doc id) keys every decision — same doc, same
+  * corruption, any partitioning. Static-call codegen.
+  *
+  * `startPermille` is the per-token span-start probability ×1000;
+  * expected masked fraction ≈ startPermille/1000 · meanSpan. */
+case class SpanCorrupt(
+    left: Expression,
+    right: Expression,
+    startPermille: Int,
+    meanSpan: Int) extends BinaryExpression with ImplicitCastInputTypes {
+  require(startPermille > 0 && startPermille <= 1000 && meanSpan >= 1, "bad corruption params")
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType, containsNull = false), LongType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("input", StringType, nullable = false),
+    StructField("target", StringType, nullable = false),
+    StructField("n_masked", LongType, nullable = false),
+    StructField("n_spans", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "span_corrupt"
+
+  override def nullSafeEval(toks: Any, seed: Any): Any =
+    TextKernels.spanCorrupt(toks.asInstanceOf[ArrayData],
+      seed.asInstanceOf[Long], startPermille, meanSpan)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, sd) =>
+      s"${ev.value} = graft.functions.TextKernels.spanCorrupt($t, $sd, $startPermille, $meanSpan);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

@@ -470,4 +470,49 @@ class PipelineOpsSpec extends SparkSuite {
       assert(math.abs(ap(g)._2 - vb).toDouble / vb < 0.05, s"$g vocab")
     }
   }
+
+  test("span_corrupt: exact reconstruction, determinism, masked-fraction band") {
+    import graft.functions.GraftFunctions.{span_corrupt, tokenize}
+    val docs = (0L until 200L).map { id =>
+      (id, (0 until 120).map(j => s"w${(id * 7 + j) % 50}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), col("text"),
+      span_corrupt(tokenize(col("text")), col("doc_id")).as("sc"))
+      .select(col("doc_id"), col("text"), col("sc.input"), col("sc.target"),
+        col("sc.n_masked"), col("sc.n_spans"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5)))
+    // exact reconstruction: substitute each sentinel in the input with
+    // its target span -> the original token sequence
+    out.foreach { case (id, text, input, target, nMasked, nSpans) =>
+      val spans = collection.mutable.Map.empty[String, Seq[String]]
+      if (nSpans > 0) {
+        var cur: String = null
+        val buf = collection.mutable.ArrayBuffer.empty[String]
+        target.split(" ").foreach { t =>
+          if (t.startsWith("<extra_id_")) {
+            if (cur != null) spans(cur) = buf.toSeq
+            cur = t; buf.clear()
+          } else buf += t
+        }
+        if (cur != null) spans(cur) = buf.toSeq
+      }
+      val rebuilt = input.split(" ").filter(_.nonEmpty).flatMap { t =>
+        if (t.startsWith("<extra_id_")) spans(t) else Seq(t)
+      }.mkString(" ")
+      assert(rebuilt === text.split("\\s+").filter(_.nonEmpty).mkString(" "), s"doc $id")
+      assert(spans.values.map(_.size).sum.toLong === nMasked)
+      assert(spans.size.toLong === nSpans)
+    }
+    // deterministic across runs
+    val again = docs.select(span_corrupt(tokenize(col("text")), col("doc_id")).as("sc"))
+      .select(col("sc.input")).collect().map(_.getString(0)).toSeq
+    assert(again === out.sortBy(_._1).map(_._3).toSeq ||
+      again.sorted === out.map(_._3).toSeq.sorted)
+    // corpus-level masked fraction ~ startPermille/1000 * meanSpan = 15%
+    val total = out.map(_._2.split("\\s+").length.toLong).sum
+    val masked = out.map(_._5).sum
+    val frac = masked.toDouble / total
+    assert(frac > 0.08 && frac < 0.25, s"masked fraction $frac")
+  }
 }
