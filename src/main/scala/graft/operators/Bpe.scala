@@ -163,12 +163,21 @@ object Bpe {
       StructField("n_bpe_tokens", LongType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     in.mapPartitions { rows =>
+      // bounded clear-on-full memo (the stem-cache posture): Zipf makes
+      // the hit rate ~99%, but an adversarial vocabulary must not grow
+      // task memory without bound
+      val memoCap = 1 << 20
       val memo = collection.mutable.HashMap.empty[String, Long]
       rows.map { r =>
         val toks = r.getSeq[String](1)
         var bpe = 0L
         toks.foreach { w =>
-          bpe += memo.getOrElseUpdate(w, model.encodeWord(w).length.toLong)
+          bpe += memo.getOrElse(w, {
+            if (memo.size >= memoCap) memo.clear()
+            val v = model.encodeWord(w).length.toLong
+            memo.update(w, v)
+            v
+          })
         }
         Row(r.getLong(0), toks.length.toLong, bpe)
       }

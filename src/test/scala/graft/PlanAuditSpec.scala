@@ -66,4 +66,20 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("affine_project"), s"q75 lost the codegen projection kernel:\n$p")
     assert(!p.contains("HashAggregate"), s"q75 projection grew an aggregation:\n$p")
   }
+
+  test("event analytics and span corruption stay cartesian-free; q82 is map-only") {
+    for (q <- Seq("q77_funnel", "q79_retention", "q82_span_corrupt")) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q grew a cartesian product")
+    }
+    val p82 = plan("q82_span_corrupt")
+    assert(p82.contains("span_corrupt"), s"q82 lost the codegen kernel:\n$p82")
+    assert(!p82.contains("HashAggregate") && !p82.contains("SortMergeJoin"),
+      s"q82 is no longer a pure map pass:\n$p82")
+  }
+
+  test("SQ8 search ranks on the codegen estimator inside a bounded top-k") {
+    val p = plan("q81_sq8_ann")
+    assert(p.contains("sq8_l2_distance"), s"q81 lost the codegen estimator:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q81 lost the bounded rank:\n$p")
+  }
 }
