@@ -76,4 +76,88 @@ class PipelineE2ESpec extends SparkSuite {
     }
     assert(rows.last.getAs[Long]("window_end") === (total - 1) / 64)
   }
+
+  test("classifier -> calibration -> normalized dedup -> mixture -> BPE -> span corruption") {
+    import graft.functions.GraftFunctions.{normalize_text, span_corrupt, tokenize}
+    import graft.operators.Bpe
+    // seed class draws from a "clean" vocabulary, junk from a disjoint one
+    def cleanDoc(seed: Int): String =
+      (0 until 30).map(i => s"info${(seed * 3 + i) % 40}").mkString(" ")
+    def junkDoc(seed: Int): String =
+      (0 until 30).map(i => s"spam${(seed * 5 + i) % 40}").mkString(" ")
+    val docs = (
+      (0 until 15).map(i => (i.toLong, "wiki", cleanDoc(i))) ++       // trusted seed
+        (20 until 30).map(i => (i.toLong, "crawl", cleanDoc(i))) ++   // seed-like crawl
+        (40 until 50).map(i => (i.toLong, "crawl", junkDoc(i))) ++    // junk crawl
+        Seq((60L, "crawl", "  " + cleanDoc(20).toUpperCase + "  "))   // normalized dup of 20
+      ).toDF("doc_id", "source", "text")
+
+    // stage 1: NB classifier with the wiki docs as the trusted seed
+    val seed = docs.filter(col("source") === "wiki").select(col("doc_id"))
+    val scored = TextPipeline.seedClassifier(docs, seed)
+      .withColumnRenamed("id", "doc_id")
+    val kept = scored.filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert((20L until 30L).forall(kept.contains), "seed-like crawl docs must pass")
+    assert((40L until 50L).forall(id => !kept.contains(id)), "junk crawl docs must fail")
+
+    // stage 2: per-source threshold calibration over the scores exists
+    // and orders sanely (crawl quartiles straddle the two planted classes)
+    val cal = TextPipeline.calibrateThresholds(
+      scored.join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .select(col("source"), col("score")), "source", "score")
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap
+    assert(cal("crawl")._1 < 0 && cal("crawl")._2 > 0,
+      s"crawl p25/p75 should straddle 0: ${cal("crawl")}")
+
+    // stage 3: exact dedup keyed on the normalization kernel collapses 60 into 20
+    val surviving = docs.join(scored.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nh")).orderBy(col("doc_id").asc)
+    val deduped = surviving
+      .withColumn("nh", md5(normalize_text(col("text"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("nh", "rk")
+    val dedupIds = deduped.select("doc_id").as[Long].collect().toSet
+    assert(dedupIds.contains(20L) && !dedupIds.contains(60L),
+      s"normalized dup must collapse: $dedupIds")
+
+    // stage 4: mixture weights over the survivors sum to 1
+    val mw = TextPipeline.mixtureWeights(deduped, alpha = 0.5, budget = 1000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(math.abs(mw.values.sum - 1.0) < 1e-6 && mw.keySet === Set("wiki", "crawl"))
+
+    // stage 5: BPE fit on the surviving corpus; subword count per doc is
+    // bounded by character count and at least the word count
+    val model = Bpe.train(deduped, numMerges = 32)
+    val counts = Bpe.encodeCounts(deduped, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    counts.foreach { case (id, ws, bpe) =>
+      assert(bpe >= ws, s"doc $id: fewer subwords than words")
+    }
+
+    // stage 6: span corruption over the survivors reconstructs exactly
+    val sc = deduped
+      .select(col("doc_id"), col("text"),
+        span_corrupt(tokenize(col("text")), col("doc_id")).as("sc"))
+      .select(col("doc_id"), col("text"), col("sc.input"), col("sc.target"))
+      .collect()
+    assert(sc.length === dedupIds.size)
+    sc.foreach { r =>
+      val toks = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val spans = collection.mutable.Map.empty[String, Seq[String]]
+      var cur: String = null
+      val buf = collection.mutable.ArrayBuffer.empty[String]
+      r.getString(3).split(" ").filter(_.nonEmpty).foreach { t =>
+        if (t.startsWith("<extra_id_")) {
+          if (cur != null) spans(cur) = buf.toSeq
+          cur = t; buf.clear()
+        } else buf += t
+      }
+      if (cur != null) spans(cur) = buf.toSeq
+      val rebuilt = r.getString(2).split(" ").filter(_.nonEmpty).flatMap { t =>
+        if (t.startsWith("<extra_id_")) spans(t) else Seq(t)
+      }
+      assert(rebuilt.toSeq === toks.toSeq, s"doc ${r.getLong(0)} reconstruction")
+    }
+  }
 }
