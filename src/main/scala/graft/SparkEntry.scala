@@ -785,7 +785,20 @@ object SparkEntry {
         .select(col("doc_id"), col("sc.input").as("input"),
           col("sc.target").as("target"), col("sc.n_masked").as("n_masked"),
           col("sc.n_spans").as("n_spans"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // Late-interaction MaxSim retrieval (ColBERT-style): embeddings
+    // grouped 4-per-doc as token vectors, vec_ids 0-3 as the query's
+    // token set; one narrow dot pass + one doc-keyed max/sum aggregation.
+    "q83_maxsim" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val docTokens = emb.select(expr("vec_id DIV 4").as("doc_id"),
+        col("embedding"))
+      val qs = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      Search.maxSimTopK(docTokens, qs, k = 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    })
   )
 
   private val docToksSql =
@@ -1637,6 +1650,17 @@ object SparkEntry {
            trim(regexp_replace(lower(strip_accents(nfc_normalize(text))),
                 '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
          FROM documents)
-         SELECT doc_id, norm, md5(norm) AS norm_hash FROM n ORDER BY doc_id"""
+         SELECT doc_id, norm, md5(norm) AS norm_hash FROM n ORDER BY doc_id""",
+    // MaxSim replay: per-(doc, query-token) max dot, summed per doc
+    "q83_maxsim" ->
+      """WITH dt AS (SELECT vec_id // 4 AS doc_id, embedding::DOUBLE[] AS e
+                     FROM embeddings),
+         q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < 4),
+         m AS (SELECT dt.doc_id, q.qid, max(list_dot_product(dt.e, q.qe)) AS mx
+               FROM dt CROSS JOIN q GROUP BY dt.doc_id, q.qid)
+         SELECT doc_id, round(sum(mx), 4) AS score
+         FROM m GROUP BY doc_id
+         ORDER BY sum(mx) DESC, doc_id LIMIT 10"""
   )
 }

@@ -163,6 +163,42 @@ object Search {
       .limit(params.topK)
       .select("user_id", "doc_id", "score")
 
+  /** Late-interaction (ColBERT-style MaxSim) retrieval over a
+    * multi-vector document table — one row per document TOKEN vector:
+    *
+    *   score(d) = Σ_{q ∈ query tokens} max_{t ∈ d} ⟨q, t⟩
+    *
+    * The fine-grained relevance model between single-vector ANN and
+    * cross-encoders (Khattab & Zaharia SIGIR'20). Scale shape: the
+    * query's token vectors are literals in |Q| codegen dot-product
+    * columns (one narrow pass over the token table — the table is never
+    * shuffled at its full width), then ONE doc-keyed aggregation whose
+    * partial aggs reduce every task to |docs-per-task| rows of |Q|
+    * maxes; top-k is a bounded TakeOrdered. At serving scale the token
+    * table is the ANN-pruned candidate set, not the corpus.
+    *
+    * Returns `[<docId>, score]`, (score desc, id asc), `k` rows. */
+  def maxSimTopK(
+      docTokens: DataFrame,
+      queryTokens: Seq[Seq[Double]],
+      k: Int,
+      docIdCol: String = "doc_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(queryTokens.nonEmpty, "empty query token set")
+    val dots = queryTokens.zipWithIndex.map { case (q, i) =>
+      dot_product(col(vecCol).cast("array<double>"), vec(q)).as(s"d$i")
+    }
+    val maxes = queryTokens.indices.map(i => max(col(s"d$i")).as(s"m$i"))
+    Par.ensure(docTokens)
+      .select((col(docIdCol) +: dots): _*)
+      .groupBy(col(docIdCol))
+      .agg(maxes.head, maxes.tail: _*)
+      .select(col(docIdCol),
+        queryTokens.indices.map(i => col(s"m$i")).reduce(_ + _).as("score"))
+      .orderBy(col("score").desc, col(docIdCol).asc)
+      .limit(k)
+  }
+
   /** SPANN search over an SQ8-quantized segment: identical probe
     * pipeline to [[spannAdc]], candidates ranked by the byte-code
     * asymmetric L2 estimate, best `rerank` re-scored exactly. */

@@ -132,4 +132,32 @@ class SearchSpec extends SparkSuite {
     val top = Search.rrfFuse(Seq(a, b), k = 1).head()
     assert(top.getLong(0) === 20L)
   }
+
+  test("maxSimTopK: hand-computed late-interaction scores, planted best doc") {
+    import graft.operators.Search
+    // doc 0 tokens cover BOTH query directions; doc 1 covers one twice;
+    // doc 2 is orthogonal
+    val docTokens = Seq(
+      (0L, Seq(1.0, 0.0)), (0L, Seq(0.0, 1.0)),
+      (1L, Seq(0.9, 0.0)), (1L, Seq(0.8, 0.0)),
+      (2L, Seq(0.0, 0.0))
+    ).toDF("doc_id", "embedding")
+    val q = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val got = Search.maxSimTopK(docTokens, q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // doc0: max(1,0)+max(0,1)=2; doc1: max(.9,.8)+0=0.9; doc2: 0
+    assert(got === Seq((0L, 2.0), (1L, 0.9), (2L, 0.0)))
+    // parity with a driver-side reference on random data
+    val r = new scala.util.Random(13)
+    val data = (0 until 60).map(i => (i.toLong % 12, Seq.fill(6)(r.nextGaussian())))
+    val qs = Seq.fill(3)(Seq.fill(6)(r.nextGaussian()))
+    val spark2 = Search.maxSimTopK(data.toDF("doc_id", "embedding"), qs, k = 12)
+      .collect().map(r0 => r0.getLong(0) -> r0.getDouble(1)).toMap
+    val ref = data.groupBy(_._1).map { case (d, rows) =>
+      d -> qs.map(qv => rows.map(t => t._2.zip(qv).map(p => p._1 * p._2).sum).max).sum
+    }
+    ref.foreach { case (d, want) =>
+      assert(math.abs(spark2(d) - want) < 1e-9, s"doc $d")
+    }
+  }
 }
