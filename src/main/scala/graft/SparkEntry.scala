@@ -798,7 +798,12 @@ object SparkEntry {
         .collect().map(_.getSeq[Double](0).toSeq).toSeq
       Search.maxSimTopK(docTokens, qs, k = 10)
         .select(col("doc_id"), round(col("score"), 4).as("score"))
-    })
+    }),
+    // Rolling DAU / trailing-7d active users over the events table
+    // (linear smear + dedup, no per-day count-distinct over raw events).
+    "q84_active_users" -> ((s, d) =>
+      Sessionize.activeUsers(graft.sources.Events.read(s, d), windowDays = 7)
+        .orderBy("day"))
   )
 
   private val docToksSql =
@@ -1661,6 +1666,19 @@ object SparkEntry {
                FROM dt CROSS JOIN q GROUP BY dt.doc_id, q.qid)
          SELECT doc_id, round(sum(mx), 4) AS score
          FROM m GROUP BY doc_id
-         ORDER BY sum(mx) DESC, doc_id LIMIT 10"""
+         ORDER BY sum(mx) DESC, doc_id LIMIT 10""",
+    // DAU + trailing-7d active replay (smear formulation, observed days)
+    "q84_active_users" ->
+      """WITH act AS (SELECT DISTINCT user_id AS ent, CAST(ts AS DATE) AS day
+                      FROM events),
+         days AS (SELECT DISTINCT day FROM act),
+         dau AS (SELECT day, count(*)::BIGINT AS dau FROM act GROUP BY day),
+         sm AS (SELECT DISTINCT ent, day + x::INTEGER AS report_day
+                FROM act, (SELECT unnest(range(0, 7)) AS x)),
+         w AS (SELECT sm.report_day AS day, count(*)::BIGINT AS active_7d
+               FROM sm JOIN days ON sm.report_day = days.day
+               GROUP BY sm.report_day)
+         SELECT dau.day, dau.dau, w.active_7d
+         FROM dau JOIN w USING (day) ORDER BY day"""
   )
 }

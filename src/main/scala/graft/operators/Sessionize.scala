@@ -182,6 +182,35 @@ object Sessionize {
         })
   }
 
+  /** Rolling active-entity counts: for every day in the table's range,
+    * the distinct entities active that day (DAU) and within the trailing
+    * `windowDays` days (WAU for 7). The window distinct is computed by
+    * SMEARING each (entity, day) activity onto the days it keeps the
+    * entity active — volume bounded by entities × days × window — then
+    * deduping, so no per-day count-distinct over raw events and no
+    * window-function buffering. Report days cover only days observed in
+    * the data (no synthetic calendar densification). */
+  def activeUsers(
+      events: DataFrame,
+      windowDays: Int = 7,
+      entityCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(windowDays >= 1, s"windowDays=$windowDays")
+    val act = events
+      .select(col(entityCol).as("ent"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val days = act.select(col("day")).distinct()
+    val dau = act.groupBy("day").agg(count(lit(1)).as("dau"))
+    val smeared = Gen.explodeOnce(act, Seq(col("ent")),
+      sequence(col("day"), date_add(col("day"), windowDays - 1)), "report_day")
+      .distinct()
+      // only report days that actually occur in the data
+      .join(days.select(col("day").as("report_day")), Seq("report_day"), "left_semi")
+      .groupBy(col("report_day").as("day"))
+      .agg(count(lit(1)).as(s"active_${windowDays}d"))
+    dau.join(smeared, Seq("day"))
+  }
+
   /** Cohort retention matrix: entities cohorted by the day of their
     * first event; `[cohort, day_offset, users]` counts entities active
     * `day_offset` days after their cohort day.

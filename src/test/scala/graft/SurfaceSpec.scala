@@ -185,6 +185,21 @@ class SurfaceSpec extends SparkSuite {
       ("2024-01-02", 0L, 1L), ("2024-01-02", 1L, 1L)))
   }
 
+  test("activeUsers: DAU and trailing-7d smear, observed days only, hand-computed") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 11:00:00"), // same day dedup
+      (1L, "2024-01-03 09:00:00"),
+      (2L, "2024-01-01 08:00:00"),
+      (3L, "2024-01-09 01:00:00")
+    ).toDF("user_id", "raw").select(col("user_id"), to_timestamp(col("raw")).as("ts"))
+    val got = Sessionize.activeUsers(ev, windowDays = 7)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    // d9's trailing window [01-03..01-09] holds u1 (active 01-03) and u3
+    assert(got === Seq(
+      ("2024-01-01", 2L, 2L), ("2024-01-03", 1L, 2L), ("2024-01-09", 1L, 2L)))
+  }
+
   test("batch sessionization: distributed scan matches a driver scan on one giant user") {
     // one user whose timeline spans every range partition, with irregular
     // gaps, plus a small user to exercise the non-spanning path
