@@ -803,7 +803,13 @@ object SparkEntry {
     // (linear smear + dedup, no per-day count-distinct over raw events).
     "q84_active_users" -> ((s, d) =>
       Sessionize.activeUsers(graft.sources.Events.read(s, d), windowDays = 7)
-        .orderBy("day"))
+        .orderBy("day")),
+    // Deterministic weighted sampling without replacement (A-ES), doc
+    // inclusion ∝ n_chars — fully replayable: the md5-derived uniform is
+    // reconstructed hex-digit-by-digit in the oracle.
+    "q85_weighted_sample" -> ((s, d) =>
+      TextPipeline.weightedSample(T(s, d, "documents"), col("n_chars"), k = 50)
+        .orderBy(col("es_key").desc, col("doc_id").asc))
   )
 
   private val docToksSql =
@@ -1679,6 +1685,22 @@ object SparkEntry {
                FROM sm JOIN days ON sm.report_day = days.day
                GROUP BY sm.report_day)
          SELECT dau.day, dau.dau, w.active_7d
-         FROM dau JOIN w USING (day) ORDER BY day"""
+         FROM dau JOIN w USING (day) ORDER BY day""",
+    // A-ES replay: uniform reconstructed from the md5's first 8 hex
+    // digits, key = ln((v+0.5)/2^32)/weight, top-50 by key
+    "q85_weighted_sample" ->
+      """WITH h AS (SELECT doc_id, n_chars::DOUBLE AS weight,
+                          md5(doc_id::VARCHAR) AS hx
+                    FROM documents WHERE n_chars > 0),
+         v AS (SELECT doc_id, weight,
+                 sum((strpos('0123456789abcdef', substr(hx, x::INTEGER, 1)) - 1)
+                     * pow(16.0, (8 - x)::DOUBLE)) AS val
+               FROM h, (SELECT unnest(range(1, 9)) AS x)
+               GROUP BY doc_id, weight),
+         kk AS (SELECT doc_id, weight,
+                  ln((val + 0.5) / 4294967296.0) / weight AS k0
+                FROM v)
+         SELECT doc_id, weight, round(k0, 6) AS es_key
+         FROM kk ORDER BY k0 DESC, doc_id LIMIT 50"""
   )
 }

@@ -677,6 +677,39 @@ object TextPipeline {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis IPL'06 A-ES): inclusion probability ∝ `weight`, selection
+    * = top-k by key ln(u_i)/w_i where u_i is a uniform derived from the
+    * doc's md5 (first 8 hex chars → (v+0.5)/2³²) — the per-ITEM
+    * materializer of a sampling design ([[mixtureWeights]] sets
+    * per-GROUP rates; this draws the actual docs, e.g. ∝ quality score
+    * or token count). Same md5-keyed determinism as
+    * [[stratifiedSample]]: any engine reproduces the exact sample.
+    *
+    * Scale shape: map-only key computation + one bounded TakeOrdered —
+    * the corpus is never shuffled. Zero/negative weights are excluded
+    * (A-ES requires w > 0). Returns `[<id>, weight, es_key]`, key
+    * rounded to 6, highest-key-first. */
+  def weightedSample(
+      docs: DataFrame,
+      weight: Column,
+      k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val h = md5(col(idCol).cast("string").cast("binary"))
+    val v = conv(substring(h, 1, 8), 16, 10).cast("double")
+    val u = (v + lit(0.5)) / lit(4294967296.0)
+    Par.ensure(docs)
+      .select(col(idCol), weight.cast("double").as("weight"),
+        // guarded division: under ANSI mode the projection may evaluate
+        // before the w > 0 filter lands, and 0-weight rows must not throw
+        when(weight.cast("double") > 0, log(u) / weight.cast("double")).as("k0"))
+      .filter(col("weight") > 0)
+      .orderBy(col("k0").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("weight"), round(col("k0"), 6).as("es_key"))
+  }
+
   /** Seed-based Naive Bayes quality classifier — the GPT-3/LLaMA-family
     * curation pattern: label a small trusted SEED set (docs from curated
     * sources), treat the rest of the corpus as the background class,

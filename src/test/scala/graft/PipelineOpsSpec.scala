@@ -515,4 +515,38 @@ class PipelineOpsSpec extends SparkSuite {
     val frac = masked.toDouble / total
     assert(frac > 0.08 && frac < 0.25, s"masked fraction $frac")
   }
+
+  test("weightedSample: matches driver A-ES reference, scale-invariant, weight-biased") {
+    import graft.operators.TextPipeline.weightedSample
+    val docs = (0L until 500L).map(i => (i, if (i < 250) 10.0 else 1.0))
+      .toDF("doc_id", "w")
+    val got = weightedSample(docs, col("w"), k = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length === 100)
+    // driver reference: same md5-derived uniform, same key
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+    }
+    val ref = (0L until 500L).map(i => (i, if (i < 250) 10.0 else 1.0))
+      .map { case (id, w) => (id, w, math.log(u(id)) / w) }
+      .sortBy { case (id, _, k0) => (-k0, id) }.take(100)
+    assert(got.map(_._1).toSeq === ref.map(_._1).toSeq)
+    // high-weight half dominates the sample (p ~ 10:1 per doc)
+    val heavy = got.count(_._1 < 250)
+    assert(heavy > 70, s"heavy-half count $heavy")
+    // scale invariance: multiplying all weights by a constant changes
+    // nothing about the selection or its order
+    val scaled = weightedSample(
+      docs.select(col("doc_id"), (col("w") * 37.0).as("w")), col("w"), k = 100)
+      .collect().map(_.getLong(0))
+    assert(scaled.toSeq === got.map(_._1).toSeq)
+    // zero/negative weights are excluded
+    val mixed = (0L until 10L).map(i => (i, if (i % 2 == 0) 1.0 else 0.0))
+      .toDF("doc_id", "w")
+    val surv = weightedSample(mixed, col("w"), k = 10).collect().map(_.getLong(0))
+    assert(surv.forall(_ % 2 == 0) && surv.length === 5)
+  }
 }
