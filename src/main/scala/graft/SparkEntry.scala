@@ -15,13 +15,17 @@ import graft.operators._
   *   q01-q11  relational surface (F2-F10, A5-A8, K5, J-family, R8-window)
   *   q12-q16  vector kernels + search (V1/V2, J5, K2-K4)
   *   q17-q24  text/terms (T1-T4, F1, F6, F7, §3.3)
-  *   q25-q73  training-data pipeline (dedup incl. incremental/cross-corpus
+  *   q25-q85  training-data pipeline (dedup incl. incremental/cross-corpus
   *            and image/audio perceptual near-dup, ANN, text analysis,
   *            LM scoring, calibration, budgets/packing, multimodal,
   *            q71 seed NB classifier, q72 mixture weights, q73 BPE
-  *            tokenizer fit+encode), ranked retrieval (q69 BM25, q70 RRF
-  *            hybrid fusion), and collection lifecycle (q48 merge,
-  *            q57 vacuum+revive)
+  *            tokenizer fit+encode, q74/q75 PCA covariance + whitened
+  *            projection, q76 corpus stats, q78 diverse selection,
+  *            q80 normalization, q81 SQ8 ANN, q82 span corruption,
+  *            q85 A-ES weighted sampling), ranked retrieval (q69 BM25,
+  *            q70 RRF fusion, q83 MaxSim late interaction), event
+  *            analytics (q77 funnel, q79 retention, q84 DAU/7d), and
+  *            collection lifecycle (q48 merge, q57 vacuum+revive)
   */
 object SparkEntry {
 
