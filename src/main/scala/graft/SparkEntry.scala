@@ -813,7 +813,21 @@ object SparkEntry {
     // reconstructed hex-digit-by-digit in the oracle.
     "q85_weighted_sample" -> ((s, d) =>
       TextPipeline.weightedSample(T(s, d, "documents"), col("n_chars"), k = 50)
-        .orderBy(col("es_key").desc, col("doc_id").asc))
+        .orderBy(col("es_key").desc, col("doc_id").asc)),
+    // Semi-structured analytics: the events `props` JSON column parsed
+    // in-row (codegen get_json_object — map-only) and aggregated per
+    // type, incl. an exact interpolated median (the q66-proven
+    // percentile/quantile_cont equivalence).
+    "q86_json_props" -> ((s, d) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      graft.sources.Events.read(s, d)
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 4).as("avg_k"),
+          round(expr("percentile(k, 0.5)"), 4).as("p50_k"))
+        .orderBy("event_type")
+    })
   )
 
   private val docToksSql =
@@ -1705,6 +1719,15 @@ object SparkEntry {
                   ln((val + 0.5) / 4294967296.0) / weight AS k0
                 FROM v)
          SELECT doc_id, weight, round(k0, 6) AS es_key
-         FROM kk ORDER BY k0 DESC, doc_id LIMIT 50"""
+         FROM kk ORDER BY k0 DESC, doc_id LIMIT 50""",
+    // JSON-path extraction + typed aggregation replay
+    "q86_json_props" ->
+      """WITH e AS (SELECT event_type,
+                      json_extract_string(props, '$.k')::BIGINT AS k
+                    FROM events)
+         SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
+                round(avg(k), 4) AS avg_k,
+                round(quantile_cont(k, 0.5), 4) AS p50_k
+         FROM e GROUP BY event_type ORDER BY event_type"""
   )
 }
