@@ -334,6 +334,7 @@ object Ann {
     val cents = IvfBuilder.buildCentroids(vectors, params)
       .orderBy("centroid_id").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    require(cents.nonEmpty, "diverseSelect on an empty corpus")
     val dim = cents.head._2.length
     val flatC = cents.toSeq.sortBy(_._1).flatMap(_._2).toArray
     val centIds = cents.keys.toSeq.sorted.toArray
