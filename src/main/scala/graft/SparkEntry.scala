@@ -827,6 +827,20 @@ object SparkEntry {
           round(avg(col("k")), 4).as("avg_k"),
           round(expr("percentile(k, 0.5)"), 4).as("p50_k"))
         .orderBy("event_type")
+    }),
+    // AS-OF join (the time-series enrichment join Spark lacks natively):
+    // each purchase event picks up the most recent prior view's value
+    // for the same user; DuckDB replays it with its native ASOF JOIN.
+    "q87_asof_join" -> ((s, d) => {
+      val ev = graft.sources.Events.read(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us").as("vus"),
+          round(col("value"), 4).as("view_value"))
+      AsofJoin.asofJoin(purchases, views, Seq("user_id"), "us", "vus",
+        Seq("view_value"))
+        .orderBy("event_id")
     })
   )
 
@@ -1728,6 +1742,16 @@ object SparkEntry {
          SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
                 round(avg(k), 4) AS avg_k,
                 round(quantile_cont(k, 0.5), 4) AS p50_k
-         FROM e GROUP BY event_type ORDER BY event_type"""
+         FROM e GROUP BY event_type ORDER BY event_type""",
+    // native ASOF replay of the union+running-window formulation
+    "q87_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+                    FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, epoch_us(ts) AS vus, round(value, 4) AS view_value
+               FROM events WHERE event_type = 'view')
+         SELECT p.event_id, p.user_id, p.us, v.view_value
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND p.us >= v.vus
+         ORDER BY p.event_id"""
   )
 }

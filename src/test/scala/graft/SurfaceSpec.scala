@@ -200,6 +200,40 @@ class SurfaceSpec extends SparkSuite {
       ("2024-01-01", 2L, 2L), ("2024-01-03", 1L, 2L), ("2024-01-09", 1L, 2L)))
   }
 
+  test("asofJoin: most-recent-prior match, equal-ts inclusion, no-match null, per-key isolation") {
+    import graft.operators.AsofJoin
+    val left = Seq(
+      (1L, 100L, 10L), (2L, 100L, 20L), (3L, 100L, 5L), // user 100 at t=10,20,5
+      (4L, 200L, 50L) // user 200: no right rows at all
+    ).toDF("event_id", "user_id", "us")
+    val right = Seq(
+      (100L, 10L, 1.5), (100L, 15L, 2.5), // user 100 views at t=10,15
+      (300L, 1L, 9.9) // other user's rows must not leak
+    ).toDF("user_id", "vus", "view_value")
+    val got = AsofJoin.asofJoin(left, right, Seq("user_id"), "us", "vus",
+      Seq("view_value"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toSeq === Seq(
+      (1L, Some(1.5)),  // equal ts: right row AT t=10 matches (<=)
+      (2L, Some(2.5)),  // most recent prior, not first
+      (3L, None),       // t=5 precedes every right row
+      (4L, None)))      // user with no right rows
+    // multi-partition: same result under a different partitioning
+    val got2 = AsofJoin.asofJoin(left.repartition(5), right.repartition(3),
+      Seq("user_id"), "us", "vus", Seq("view_value"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got2.toSeq === got.toSeq)
+    // equal-ts ties on the right resolve deterministically to the
+    // greatest value tuple
+    val tied = right.union(Seq((100L, 15L, 2.0)).toDF("user_id", "vus", "view_value"))
+    val t = AsofJoin.asofJoin(left, tied, Seq("user_id"), "us", "vus",
+      Seq("view_value"))
+      .filter(col("event_id") === 2L).collect().head.getDouble(3)
+    assert(t === 2.5)
+  }
+
   test("batch sessionization: distributed scan matches a driver scan on one giant user") {
     // one user whose timeline spans every range partition, with irregular
     // gaps, plus a small user to exercise the non-spanning path
