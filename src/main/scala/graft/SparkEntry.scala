@@ -841,6 +841,20 @@ object SparkEntry {
       AsofJoin.asofJoin(purchases, views, Seq("user_id"), "us", "vus",
         Seq("view_value"))
         .orderBy("event_id")
+    }),
+    // Bucketed range join: every event matched to the (q36-derived)
+    // session interval containing it — the big x big interval join as a
+    // keyed hash join instead of a nested loop.
+    "q88_range_join" -> ((s, d) => {
+      val ev = graft.sources.Events.read(s, d)
+      val sessions = Sessionize.batch(ev, gapMinutes = 30)
+        .select(col("user_id"), col("session_idx"), col("start_us"), col("end_us"))
+      RangeJoin.bucketed(
+        ev.select(col("event_id"), col("user_id"), col("us")),
+        sessions, Seq("user_id"), "us", "start_us", "end_us",
+        bucketWidth = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("us"), col("session_idx"))
+        .orderBy("event_id")
     })
   )
 
@@ -1752,6 +1766,25 @@ object SparkEntry {
          SELECT p.event_id, p.user_id, p.us, v.view_value
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND p.us >= v.vus
-         ORDER BY p.event_id"""
+         ORDER BY p.event_id""",
+    // q36's session derivation + a plain containment join
+    "q88_range_join" ->
+      """WITH s AS (
+           SELECT user_id, session_idx, min(us) AS start_us, max(us) AS end_us
+           FROM (
+             SELECT user_id, us,
+               CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+             FROM (
+               SELECT user_id, event_id, epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+               FROM events) t1) t2
+           GROUP BY user_id, session_idx),
+         e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+         SELECT e.event_id, e.user_id, e.us, s.session_idx
+         FROM e JOIN s ON e.user_id = s.user_id
+           AND e.us BETWEEN s.start_us AND s.end_us
+         ORDER BY e.event_id"""
   )
 }

@@ -234,6 +234,36 @@ class SurfaceSpec extends SparkSuite {
     assert(t === 2.5)
   }
 
+  test("range join: boundary inclusion, multi-bucket spans, overlap, key isolation") {
+    import graft.operators.RangeJoin
+    val points = Seq(
+      (1L, 7L, 10L), (2L, 7L, 25L), (3L, 7L, 31L), (4L, 7L, 99L), // key 7
+      (5L, 8L, 10L) // other key: interval [5,30] of key 7 must not leak
+    ).toDF("event_id", "user_id", "us")
+    val intervals = Seq(
+      (7L, 1L, 10L, 30L),  // contains pts 10 (lo boundary), 25; spans buckets 1-3
+      (7L, 2L, 25L, 31L),  // overlaps the first: pt 25 matches BOTH, 31 = hi boundary
+      (8L, 9L, 90L, 95L)   // other key, matches nothing
+    ).toDF("user_id", "iv", "lo", "hi")
+    val got = RangeJoin.bucketed(points, intervals, Seq("user_id"),
+      "us", "lo", "hi", bucketWidth = 10L)
+      .select("event_id", "iv").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 1L), (2L, 1L), (2L, 2L), (3L, 2L)))
+    // partitioning invariance
+    val got2 = RangeJoin.bucketed(points.repartition(4), intervals.repartition(3),
+      Seq("user_id"), "us", "lo", "hi", bucketWidth = 10L)
+      .select("event_id", "iv").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 === got)
+    // bucket width far larger than spans still exact
+    val got3 = RangeJoin.bucketed(points, intervals, Seq("user_id"),
+      "us", "lo", "hi", bucketWidth = 1000L)
+      .select("event_id", "iv").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got3 === got)
+  }
+
   test("batch sessionization: distributed scan matches a driver scan on one giant user") {
     // one user whose timeline spans every range partition, with irregular
     // gaps, plus a small user to exercise the non-spanning path
