@@ -82,4 +82,19 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("sq8_l2_distance"), s"q81 lost the codegen estimator:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"q81 lost the bounded rank:\n$p")
   }
+
+  test("asof and range joins stay hash/window-shaped — never a nested loop") {
+    // these operators exist precisely to avoid the nested-loop plans
+    // Spark produces for raw range predicates
+    for (q <- Seq("q87_asof_join", "q88_range_join")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q regressed to a nested-loop/cartesian plan:\n$p")
+    }
+    assert(plan("q87_asof_join").contains("Window"), "q87 lost the running-window carry")
+    assert(plan("q88_range_join").contains("SortMergeJoin") ||
+      plan("q88_range_join").contains("ShuffledHashJoin") ||
+      plan("q88_range_join").contains("BroadcastHashJoin"),
+      "q88 lost its equi-join")
+  }
 }
