@@ -721,17 +721,21 @@ object SparkEntry {
         // sign after rounding, and the gate compares formatted strings)
         .select(col("i"), col("j"), (round(col("cov"), 6) + lit(0.0)).as("cov"))
         .orderBy("i", "j")),
-    // Whitened top-8 PCA projection (map-only codegen apply pass). The
-    // eigen-decomposition is not SQL-expressible -> rows-only; the
-    // identity-covariance/variance-ordering guarantees are spec-gated
-    // (PcaSpec).
+    // Whitened top-8 PCA projection (map-only codegen apply pass),
+    // exploded to scalar (vec_id, component, value) rows — array-typed
+    // output crashes the driver's pandas sort. The eigen-decomposition
+    // is not SQL-expressible -> rows-only here; the whitening invariant
+    // itself IS oracle-checked (q89), and orthonormality/variance-
+    // ordering are spec-gated (PcaSpec).
     "q75_pca_whiten" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val model = Pca.train(emb, k = 8)
       Pca.project(emb, model, whiten = true)
-        .select(col("vec_id"),
-          transform(col("proj"), x => round(x, 4)).as("proj"))
-        .orderBy("vec_id")
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "v")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("component"),
+          // + 0.0 canonicalizes IEEE -0.0 (q74 pattern)
+          (round(col("v"), 4) + lit(0.0)).as("value"))
+        .orderBy("vec_id", "component")
     }),
     // Per-source dataset-card stats in exact mode (the oracle-replayable
     // calibration path; approx=true HLL mode is the 100 TB default,
@@ -835,9 +839,12 @@ object SparkEntry {
       val ev = graft.sources.Events.read(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("us"))
+      // one row per (user_id, vus): DuckDB's ASOF pick among duplicate
+      // right timestamps is unspecified, so ties are resolved by a
+      // deterministic max BEFORE the join on both sides
       val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("us").as("vus"),
-          round(col("value"), 4).as("view_value"))
+        .groupBy(col("user_id"), col("us").as("vus"))
+        .agg(round(max(col("value")), 4).as("view_value"))
       AsofJoin.asofJoin(purchases, views, Seq("user_id"), "us", "vus",
         Seq("view_value"))
         .orderBy("event_id")
@@ -855,6 +862,21 @@ object SparkEntry {
         bucketWidth = 3600L * 1000000L)
         .select(col("event_id"), col("user_id"), col("us"), col("session_idx"))
         .orderBy("event_id")
+    }),
+    // Whitening invariant, hash-checked: the empirical (population)
+    // covariance of the whitened top-8 projection over the REAL corpus
+    // must be exactly I_8 — wrong eigenvectors make off-diagonals
+    // nonzero, wrong scaling breaks the diagonal. The oracle states the
+    // expected constant in SQL (the eigen step itself has no SQL
+    // replay); q74 hash-replays the covariance input to that eigen step.
+    "q89_whiten_identity" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val model = Pca.train(emb, k = 8)
+      val proj = Pca.project(emb, model, whiten = true)
+      Pca.covariance(proj, vecCol = "proj")
+        .select(col("i"), col("j"),
+          (round(col("cov"), 6) + lit(0.0)).as("cov"))
+        .orderBy("i", "j")
     })
   )
 
@@ -1306,10 +1328,11 @@ object SparkEntry {
          ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT v FROM mvec))::DOUBLE DESC, vec_id
          LIMIT 100""",
     "q60_pack_sequences" ->
-      s"""SELECT doc_id, n_tokens, cum - n_tokens AS start_token,
-            (cum - n_tokens) // 512 AS window_start,
-            CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 512
-                 ELSE (cum - 1) // 512 END AS window_end
+      s"""SELECT doc_id, n_tokens,
+            CAST(cum - n_tokens AS BIGINT) AS start_token,
+            CAST((cum - n_tokens) // 512 AS BIGINT) AS window_start,
+            CAST(CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 512
+                 ELSE (cum - 1) // 512 END AS BIGINT) AS window_end
           FROM (
             SELECT doc_id, n_tokens,
               sum(n_tokens) OVER (ORDER BY doc_id
@@ -1745,9 +1768,11 @@ object SparkEntry {
                GROUP BY doc_id, weight),
          kk AS (SELECT doc_id, weight,
                   ln((val + 0.5) / 4294967296.0) / weight AS k0
-                FROM v)
-         SELECT doc_id, weight, round(k0, 6) AS es_key
-         FROM kk ORDER BY k0 DESC, doc_id LIMIT 50""",
+                FROM v),
+         top AS (SELECT doc_id, weight, round(k0, 6) AS es_key
+                 FROM kk ORDER BY k0 DESC, doc_id LIMIT 50)
+         SELECT doc_id, weight, es_key
+         FROM top ORDER BY es_key DESC, doc_id""",
     // JSON-path extraction + typed aggregation replay
     "q86_json_props" ->
       """WITH e AS (SELECT event_type,
@@ -1761,8 +1786,10 @@ object SparkEntry {
     "q87_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us
                     FROM events WHERE event_type = 'purchase'),
-         v AS (SELECT user_id, epoch_us(ts) AS vus, round(value, 4) AS view_value
-               FROM events WHERE event_type = 'view')
+         v AS (SELECT user_id, epoch_us(ts) AS vus,
+                      round(max(value), 4) AS view_value
+               FROM events WHERE event_type = 'view'
+               GROUP BY user_id, epoch_us(ts))
          SELECT p.event_id, p.user_id, p.us, v.view_value
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND p.us >= v.vus
@@ -1785,6 +1812,14 @@ object SparkEntry {
          SELECT e.event_id, e.user_id, e.us, s.session_idx
          FROM e JOIN s ON e.user_id = s.user_id
            AND e.us BETWEEN s.start_us AND s.end_us
-         ORDER BY e.event_id"""
+         ORDER BY e.event_id""",
+    // invariant oracle (see the q89 query comment): population
+    // covariance of a whitening transform fit on the same data is I_k
+    "q89_whiten_identity" ->
+      """SELECT a.i::BIGINT AS i, b.j::BIGINT AS j,
+                CAST(CASE WHEN a.i = b.j THEN 1 ELSE 0 END AS DOUBLE) AS cov
+         FROM (SELECT unnest(range(1, 9)) AS i) a,
+              (SELECT unnest(range(1, 9)) AS j) b
+         ORDER BY i, j"""
   )
 }

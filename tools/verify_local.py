@@ -30,13 +30,26 @@ def norm_cell(v):
         return f"{v:.6g}"
     return str(v)
 
+LOOSE = "--loose" in sys.argv
+
 def table_rows(con, sql):
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out)
+    if LOOSE:
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+        return sorted(cols), sorted(out)
+    # strict mode: round-trip through pandas exactly like the driver's
+    # gate — DuckDB HUGEINT becomes float64 here ("32.0" vs "32"), and
+    # array-typed columns make sort_values throw; both are the real
+    # failure modes of CORRECTNESS_r09 (q60, q75)
+    df = con.execute(sql).df()
+    cols = sorted(df.columns)
+    df = df[cols].sort_values(by=cols).reset_index(drop=True)
+    out = [tuple(str(v) for v in row)
+           for row in df.itertuples(index=False, name=None)]
+    return cols, out
 
 def main():
     if "--no-run" not in sys.argv:
