@@ -851,14 +851,22 @@ object SparkEntry {
     }),
     // Bucketed range join: every event matched to the (q36-derived)
     // session interval containing it — the big x big interval join as a
-    // keyed hash join instead of a nested loop.
+    // keyed hash join instead of a nested loop. The session table
+    // materializes to the artifact dir first (the q27/q29 pattern):
+    // Sessionize.batch's prefix-scan tree is referenced several times by
+    // the join plan and Catalyst re-plans (not reuses) each reference —
+    // inlined, the subtree executes ~3x and the plan carries 8 scans of
+    // events. Written-once-then-reread, the join is scan ⋈ scan.
     "q88_range_join" -> ((s, d) => {
       val ev = graft.sources.Events.read(s, d)
-      val sessions = Sessionize.batch(ev, gapMinutes = 30)
+      val art = artifact("q88_sessions")
+      Sessionize.batch(ev, gapMinutes = 30)
         .select(col("user_id"), col("session_idx"), col("start_us"), col("end_us"))
+        .repartition(4) // tiny interval table: few files, cheap commit
+        .write.mode("overwrite").parquet(art)
       RangeJoin.bucketed(
         ev.select(col("event_id"), col("user_id"), col("us")),
-        sessions, Seq("user_id"), "us", "start_us", "end_us",
+        s.read.parquet(art), Seq("user_id"), "us", "start_us", "end_us",
         bucketWidth = 3600L * 1000000L)
         .select(col("event_id"), col("user_id"), col("us"), col("session_idx"))
         .orderBy("event_id")

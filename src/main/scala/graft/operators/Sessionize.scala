@@ -28,7 +28,11 @@ object Sessionize {
     * at any scale. Output is invariant to partition boundaries. */
   def batch(events: DataFrame, gapMinutes: Int): DataFrame = {
     val gapUs = gapMinutes.toLong * 60L * 1000000L
+    // only the three columns the scan/correction logic touches: the
+    // narrower row halves the bytes through the range exchange and the
+    // (pid, user) window shuffle
     val ranged = Par.ensure(events)
+      .select(col("user_id"), col("us"), col("event_id"))
       .repartitionByRange(col("user_id"), col("us"), col("event_id"))
       .withColumn("pid", spark_partition_id())
     val wL = Window.partitionBy("pid", "user_id").orderBy("us", "event_id")
