@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Distributed AS-OF join — for every left row, the single most recent
   * right row with the same key and `rightTs <= leftTs` (the time-series
@@ -14,14 +15,27 @@ import org.apache.spark.sql.functions._
   * time-ordered running window — at equal timestamps right sorts before
   * left so `<=` semantics hold. ONE shuffle on the key, sort within
   * partitions, no range-expansion join and no per-row right-side probe:
-  * the classic scalable Spark shape. A pathologically hot key serializes
-  * its own window (sort is per-key); salt upstream if one key dominates.
+  * the classic scalable Spark shape.
+  *
+  * The right payload rides as a SINGLE struct column, so the carried
+  * pick is always one physical right row — value columns can never mix
+  * across right rows, and individually-null right values are carried
+  * through as genuine nulls rather than misread as "no match" (the
+  * struct itself is the no-match sentinel). Right rows tied on
+  * (key, ts) resolve to the greatest value tuple, deterministically.
   *
   * Returns every left row (left-outer): left columns + the requested
-  * right value columns (null when no right row precedes). Right value
-  * columns must be non-null (null is the no-match sentinel in the
-  * carry-forward); right rows tied on (key, ts) resolve to the greatest
-  * value tuple, deterministically. */
+  * right value columns (null when no right row precedes).
+  *
+  * Skew: the per-key window serializes a pathologically hot key. Pass
+  * `giantKeySafe = true` to switch to a range-partitioned prefix scan
+  * (the [[Sessionize.batch]] construction): the union is range-
+  * partitioned on (key, ts, ...), each partition carries locally, and a
+  * per-(partition, key) boundary table — at most partitions-1 spanning
+  * keys, so it broadcasts at any scale — injects the carry entering
+  * each partition. Identical output (spec-gated at several partition
+  * counts); costs one extra tiny broadcast join, so the default stays
+  * the single-shuffle window. */
 object AsofJoin {
 
   def asofJoin(
@@ -30,35 +44,87 @@ object AsofJoin {
       keyCols: Seq[String],
       leftTsCol: String,
       rightTsCol: String,
-      rightValCols: Seq[String]): DataFrame = {
+      rightValCols: Seq[String],
+      giantKeySafe: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty && rightValCols.nonEmpty, "empty key/value column list")
     val leftCols = left.columns.toSeq
     require(rightValCols.forall(right.columns.contains), "missing right value column")
     require(!rightValCols.exists(leftCols.contains),
       s"right value columns must not collide with left columns")
+    val rvType = StructType(rightValCols.map(c => right.schema(c.toString)).toArray)
     val l = Par.ensure(left).select(
       (keyCols.map(col) :+ col(leftTsCol).as("__ts") :+ lit(1).as("__side")) ++
-        leftCols.filterNot(keyCols.contains).filterNot(_ == leftTsCol).map(col) ++
-        rightValCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftCols.filterNot(keyCols.contains).filterNot(_ == leftTsCol).map(col) :+
+        lit(null).cast(rvType).as("__rv"): _*)
     val r = Par.ensure(right).select(
       (keyCols.map(col) :+ col(rightTsCol).as("__ts") :+ lit(0).as("__side")) ++
         leftCols.filterNot(keyCols.contains).filterNot(_ == leftTsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightValCols.map(col): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightValCols.map(col): _*).as("__rv"): _*)
+    val unioned = l.unionByName(r)
     // right rows sort before left at equal ts (so <= matches); equal-ts
-    // right rows tiebreak by value ascending, making the carried pick
-    // (the window's last row = greatest value tuple) deterministic
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc +: col("__side").asc +:
-        rightValCols.map(c => col(c).asc_nulls_first): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightValCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    // right rows tiebreak by the value struct ascending, making the
+    // carried pick (the window's last row = greatest value tuple)
+    // deterministic
+    val ordering: Seq[Column] =
+      col("__ts").asc +: col("__side").asc +: Seq(col("__rv").asc_nulls_first)
+    val carried =
+      if (!giantKeySafe) {
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(ordering: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      } else {
+        // range-partitioned prefix carry: a single hot key spans many
+        // partitions instead of serializing one task. Explicit partition
+        // count — pid-keyed correction tables must see the same
+        // partitioning as the row-level tree in every planned expansion
+        // (AQE may otherwise coalesce each expansion differently).
+        val nParts = unioned.sparkSession.sessionState.conf.numShufflePartitions
+        // persist() freezes the row→pid assignment: RangePartitioner
+        // re-SAMPLES its bounds on every planned expansion (the sample
+        // seed derives from the RDD id, a global counter), so without a
+        // single materialization the pid-keyed correction tables and the
+        // row-level tree can disagree about which partition a row landed
+        // in — observed as stale carries. The cache also means the
+        // scan+shuffle runs once instead of once per consumer subtree.
+        val ranged = unioned
+          .repartitionByRange(nParts, keyCols.map(col) :+ col("__ts") :+ col("__side"): _*)
+          .withColumn("__pid", spark_partition_id())
+          .persist()
+        val wL = Window.partitionBy("__pid", keyCols: _*)
+          .orderBy(ordering: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // carries travel as (ts, payload) structs compared
+        // lexicographically: equal-ts right rows can SPLIT across a
+        // partition boundary, so "greatest tuple wins" must be decided
+        // by struct max across partitions, not by partition order alone
+        val tagged = when(col("__side") === 0,
+          struct(col("__ts").as("__t"), col("__rv").as("__v")))
+        // per-(pid, key) exit carry = greatest right row in the
+        // partition; keys confined to one partition need no correction,
+        // so the boundary table keeps only spanning keys — at most
+        // partitions-1 of them, broadcastable at any scale
+        val exits = ranged.groupBy((col("__pid") +: keyCols.map(col)): _*)
+          .agg(max(tagged).as("__exit"))
+        val spanning = exits.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("__np")).filter(col("__np") > 1)
+          .select(keyCols.map(col): _*)
+        val wPid = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__pid"))
+        val carriedIn = exits.join(spanning, keyCols, "left_semi")
+          .withColumn("__in",
+            max(col("__exit")).over(wPid.rowsBetween(Window.unboundedPreceding, -1)))
+          .select((col("__pid") +: keyCols.map(col) :+ col("__in")): _*)
+        ranged
+          .withColumn("__loc", last(tagged, ignoreNulls = true).over(wL))
+          .join(broadcast(carriedIn), "__pid" +: keyCols, "left")
+          .withColumn("__rv", greatest(col("__loc"), col("__in")).getField("__v"))
+          .drop("__pid", "__in", "__loc")
+      }
     carried
       .filter(col("__side") === 1)
       .withColumnRenamed("__ts", leftTsCol)
-      .drop("__side")
-      .select((leftCols ++ rightValCols).map(col): _*)
+      .select(leftCols.map(col) ++
+        rightValCols.map(c => col(s"__rv.`$c`").as(c.toString)): _*)
   }
 }

@@ -30,11 +30,20 @@ object Sessionize {
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     // only the three columns the scan/correction logic touches: the
     // narrower row halves the bytes through the range exchange and the
-    // (pid, user) window shuffle
+    // (pid, user) window shuffle. persist() freezes the row→pid
+    // assignment: RangePartitioner re-SAMPLES its bounds on every
+    // planned expansion (the sample seed derives from the RDD id, a
+    // global counter), so without a single materialization the
+    // pid-keyed correction tables (perPid/bounds/offsets) and the
+    // row-level tree can disagree about which partition a row landed in
+    // — observed as spurious session splits/merges. The cache also
+    // means the event scan+shuffle runs once instead of once per
+    // consumer subtree (the uncached q36 plan carried 7 scans).
     val ranged = Par.ensure(events)
       .select(col("user_id"), col("us"), col("event_id"))
       .repartitionByRange(col("user_id"), col("us"), col("event_id"))
       .withColumn("pid", spark_partition_id())
+      .persist()
     val wL = Window.partitionBy("pid", "user_id").orderBy("us", "event_id")
     val wPid = Window.partitionBy("user_id").orderBy("pid")
     // per-(pid, user) summary; users entirely inside one partition need
