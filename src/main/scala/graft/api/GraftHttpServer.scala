@@ -19,6 +19,8 @@ import graft.operators.DocFilter
   * Routes (all POST JSON unless noted):
   *  - `POST /create_collection`  {name, num_features, ...}
   *  - `POST /insert`             {collection_name, doc_ids, user_ids, vectors, attributes?}
+  *  - `POST /insert_packed`      {collection_name, doc_ids: b64 u128-LE,
+  *                                vectors: b64 f32-LE, user_ids}
   *  - `POST /flush`              {collection_name}
   *  - `POST /search`             {collection_name, vector, top_k?, user_ids?,
   *                                num_explored_centroids?, centroid_distance_ratio?,
@@ -35,7 +37,15 @@ import graft.operators.DocFilter
   * a Contains leaf `{field, value, keyword?}`, plus `{and: [...]}`,
   * `{or: [...]}`, `{not_contains: {field, value, keyword?}}`, and
   * `{ids: [1, 2, ...]}`.
-  */
+  *
+  * Every route ALSO accepts the exact protobuf-JSON request shape of the
+  * corresponding muopdb.proto message — the README Quick Start payloads
+  * verbatim (ids as `{uuid}`/`{low_id, high_id}` objects, SearchParams
+  * nested under `params`, the filter under `where_document` with
+  * `{contains: {path, value}}` leaves, attributes as a
+  * DocumentAttributeList) — and then answers with the proto response
+  * message shape (ProtoConformanceSpec pins the parity field by field),
+  * so a gRPC binding is a transport swap, not a re-mapping. */
 final class GraftHttpServer(svc: GraftService, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -61,43 +71,161 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
   private def readBody(ex: HttpExchange): Map[String, Any] =
     Json.obj(Json.parse(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)))
 
+  // ---- proto-JSON interop (muopdb.proto via the protobuf JSON mapping,
+  // the exact payloads of the reference README Quick Start) -------------
+  // Every route accepts BOTH the repo's legacy flat shape and the proto
+  // shape; responses mirror the proto response message whenever the
+  // request used proto conventions, so the future gRPC binding is a
+  // mechanical transport swap over the same GraftService calls.
+
+  /** proto uint64 in JSON may arrive as a number or a string. */
+  private def u64(v: Any): java.math.BigInteger = v match {
+    case s: String => new java.math.BigInteger(s)
+    case d: Double => java.math.BigInteger.valueOf(d.toLong)
+    case other => new java.math.BigInteger(String.valueOf(other))
+  }
+
+  /** proto Id {uuid} | {low_id, high_id} (muopdb.proto:72-81) -> uuid. */
+  private def idToUuid(m: Map[String, Any]): String =
+    m.get("uuid") match {
+      case Some(u: String) => u
+      case _ =>
+        val hi = m.get("high_id").map(u64).getOrElse(java.math.BigInteger.ZERO)
+        val lo = m.get("low_id").map(u64).getOrElse(java.math.BigInteger.ZERO)
+        val h = f"${hi.longValue()}%016x${lo.longValue()}%016x"
+        s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+          s"${h.substring(16, 20)}-${h.substring(20, 32)}"
+    }
+
+  /** id list: legacy uuid strings or proto Id objects. */
+  private def parseIds(v: Any): Seq[String] =
+    v.asInstanceOf[Vector[Any]].map {
+      case s: String => s
+      case m => idToUuid(Json.obj(m))
+    }
+
+  private def isProtoIds(v: Any): Boolean =
+    v.asInstanceOf[Vector[Any]].headOption.exists(_.isInstanceOf[Map[_, _]])
+
+  private def idsOut(ids: Seq[String], proto: Boolean): Any =
+    if (proto) ids.map(u => Map("uuid" -> u)) else ids
+
+  /** proto AttributeType enum -> the engine's attribute kind. */
+  private def attrKind(t: String): String = t match {
+    case "ATTRIBUTE_TYPE_TEXT" => "text"
+    case "ATTRIBUTE_TYPE_KEYWORD" => "keyword"
+    case "ATTRIBUTE_TYPE_INT" => "int"
+    case "ATTRIBUTE_TYPE_FLOAT" => "float"
+    case "ATTRIBUTE_TYPE_BOOL" => "bool"
+    case other => other.toLowerCase
+  }
+
+  /** proto AttributeValue {text_value|int_value|float_value|bool_value}
+    * -> string (the engine's columnar edge type). */
+  private def attrValue(v: Any): String = {
+    val m = Json.obj(v)
+    m.get("text_value").orElse(m.get("keyword_value")) match {
+      case Some(s: String) => s
+      case _ => m.get("int_value").map {
+          case d: Double => d.toLong.toString
+          case s => String.valueOf(s)
+        }.orElse(m.get("float_value").map(String.valueOf))
+          .orElse(m.get("bool_value").map(String.valueOf))
+          .getOrElse(sys.error(s"empty AttributeValue: $v"))
+    }
+  }
+
+  /** proto DocumentAttributeList {values: [{value: {field: AttributeValue}}]}
+    * -> columnar Map[field -> one value per doc] (muopdb.proto:221-228). */
+  private def protoAttrs(v: Any, numDocs: Int): Map[String, Seq[String]] = {
+    val rows = Json.obj(v)("values").asInstanceOf[Vector[Any]]
+      .map(r => Json.obj(Json.obj(r).getOrElse("value", Map.empty[String, Any])))
+    require(rows.length == numDocs, s"attributes.values length ${rows.length} != $numDocs docs")
+    val fields = rows.flatMap(_.keys).distinct
+    fields.map(f => f -> rows.map(r =>
+      r.get(f).map(attrValue).getOrElse(""))).toMap
+  }
+
   server.createContext("/create_collection", (ex: HttpExchange) => handle(ex) {
     val b = readBody(ex)
+    // proto CreateCollectionRequest uses collection_name and a nested
+    // {attributes: [{name, type, language}]} schema; the legacy flat
+    // shape uses name and [{name, kind, lang}]
+    val proto = b.contains("collection_name")
+    val name = b.getOrElse("collection_name", b.getOrElse("name", sys.error("missing collection_name")))
+      .asInstanceOf[String]
     val schema = b.get("attribute_schema").map { v =>
-      v.asInstanceOf[Vector[Any]].map { f =>
+      val fields = v match {
+        case m: Map[_, _] => Json.obj(m)("attributes").asInstanceOf[Vector[Any]]
+        case vec => vec.asInstanceOf[Vector[Any]]
+      }
+      fields.map { f =>
         val m = Json.obj(f)
         AttrField(
           m("name").asInstanceOf[String],
-          m.getOrElse("kind", "text").asInstanceOf[String],
-          m.getOrElse("lang", "english").asInstanceOf[String])
+          m.get("type").map(t => attrKind(t.asInstanceOf[String]))
+            .getOrElse(m.getOrElse("kind", "text").asInstanceOf[String]),
+          m.get("language").orElse(m.get("lang"))
+            .getOrElse("english").asInstanceOf[String])
       }
     }.getOrElse(Vector.empty)
     svc.createCollection(CollectionConfig(
-      name = b("name").asInstanceOf[String],
+      name = name,
       numFeatures = b("num_features").asInstanceOf[Double].toInt,
       initialNumCentroids =
         b.getOrElse("initial_num_centroids", 10.0).asInstanceOf[Double].toInt,
       attributeSchema = schema))
-    Map("created" -> b("name"))
+    if (proto) Map("message" -> s"Collection $name created")
+    else Map("created" -> name)
   })
 
   server.createContext("/insert", (ex: HttpExchange) => handle(ex) {
     val b = readBody(ex)
-    val attrs = b.get("attributes").map(Json.obj).getOrElse(Map.empty)
-      .map { case (k, v) => k -> Json.strs(v) }
+    val docIds = parseIds(b("doc_ids"))
+    val proto = isProtoIds(b("doc_ids")) || isProtoIds(b("user_ids"))
+    val attrs = b.get("attributes").map { v =>
+      Json.obj(v) match {
+        // proto DocumentAttributeList (row-wise) vs legacy columnar map
+        case m if m.contains("values") => protoAttrs(v, docIds.length)
+        case m => m.map { case (k, vv) => k -> Json.strs(vv) }
+      }
+    }.getOrElse(Map.empty[String, Seq[String]])
     val n = svc.insert(InsertRequest(
       b("collection_name").asInstanceOf[String],
-      docIds = Json.strs(b("doc_ids")),
-      userIds = Json.strs(b("user_ids")),
+      docIds = docIds,
+      userIds = parseIds(b("user_ids")),
       vectors = Json.doubles(b("vectors")).map(_.toFloat),
       attributes = attrs))
-    Map("inserted" -> n)
+    if (proto) Map("num_docs_inserted" -> n) else Map("inserted" -> n)
+  })
+
+  // proto InsertPackedRequest (muopdb.proto:199-213): doc_ids = base64 of
+  // 16-byte little-endian u128s, vectors = base64 of little-endian f32s
+  // (the reference transmutes the byte buffer to &[f32],
+  // rs/index_server/src/index_server.rs:589-607)
+  server.createContext("/insert_packed", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val rawIds = java.util.Base64.getDecoder.decode(b("doc_ids").asInstanceOf[String])
+    require(rawIds.length % 16 == 0, s"doc_ids bytes not a multiple of 16: ${rawIds.length}")
+    val docIds = rawIds.grouped(16).map { le =>
+      val h = le.reverse.map(x => f"${x & 0xff}%02x").mkString
+      s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+        s"${h.substring(16, 20)}-${h.substring(20, 32)}"
+    }.toSeq
+    val n = svc.insertPacked(InsertPackedRequest(
+      b("collection_name").asInstanceOf[String],
+      docIds = docIds,
+      userIds = parseIds(b("user_ids")),
+      packedVectors = java.util.Base64.getDecoder.decode(b("vectors").asInstanceOf[String])))
+    Map("num_docs_inserted" -> n)
   })
 
   server.createContext("/flush", (ex: HttpExchange) => handle(ex) {
     val b = readBody(ex)
-    Map("flushed_segment" ->
-      svc.flush(b("collection_name").asInstanceOf[String]).orNull)
+    val seg = svc.flush(b("collection_name").asInstanceOf[String])
+    // proto FlushResponse carries the segment list; the legacy scalar key
+    // rides along for existing clients
+    Map("flushed_segments" -> seg.toSeq, "flushed_segment" -> seg.orNull)
   })
 
   /** Recursive DocumentFilter tree from JSON — the full reference proto
@@ -107,49 +235,77 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
     * single-leaf format, so existing clients keep working). */
   private def parseFilter(v: Any): DocFilter = {
     val m = Json.obj(v)
+    // proto Contains/NotContainsFilter name the field "path"
+    // (muopdb.proto:104-112); the legacy shape says "field"
+    def leaf(c: Map[String, Any]): (String, String, Boolean) = (
+      c.getOrElse("path", c.getOrElse("field", sys.error(s"missing path: $c")))
+        .asInstanceOf[String],
+      c("value").asInstanceOf[String],
+      c.getOrElse("keyword", false).asInstanceOf[Boolean])
+    // proto AndFilter/OrFilter wrap the list in {filters: [...]}
+    def branch(x: Any): Vector[Any] = x match {
+      case vec: Vector[_] => vec.asInstanceOf[Vector[Any]]
+      case other => Json.obj(other)("filters").asInstanceOf[Vector[Any]]
+    }
     if (m.contains("and"))
-      DocFilter.And(m("and").asInstanceOf[Vector[Any]].map(parseFilter))
+      DocFilter.And(branch(m("and")).map(parseFilter))
     else if (m.contains("or"))
-      DocFilter.Or(m("or").asInstanceOf[Vector[Any]].map(parseFilter))
+      DocFilter.Or(branch(m("or")).map(parseFilter))
     else if (m.contains("not_contains")) {
-      val c = Json.obj(m("not_contains"))
-      DocFilter.NotContains(
-        c("field").asInstanceOf[String],
-        c("value").asInstanceOf[String],
-        c.getOrElse("keyword", false).asInstanceOf[Boolean])
-    } else if (m.contains("ids"))
-      DocFilter.Ids(Json.doubles(m("ids")).map(_.toLong))
-    else
-      DocFilter.Contains(
-        m("field").asInstanceOf[String],
-        m("value").asInstanceOf[String],
-        m.getOrElse("keyword", false).asInstanceOf[Boolean])
+      val (f, value, kw) = leaf(Json.obj(m("not_contains")))
+      DocFilter.NotContains(f, value, kw)
+    } else if (m.contains("contains")) {
+      val (f, value, kw) = leaf(Json.obj(m("contains")))
+      DocFilter.Contains(f, value, kw)
+    } else if (m.contains("ids")) {
+      // proto IdsFilter nests {ids: [...]} one level when the filter
+      // arrives as {ids: {ids: [...]}}; the legacy shape is flat
+      val list = m("ids") match {
+        case vec: Vector[_] => vec.asInstanceOf[Vector[Any]]
+        case other => Json.obj(other)("ids").asInstanceOf[Vector[Any]]
+      }
+      DocFilter.Ids(list.map(_.asInstanceOf[Double].toLong))
+    } else {
+      val (f, value, kw) = leaf(m)
+      DocFilter.Contains(f, value, kw)
+    }
   }
 
   server.createContext("/search", (ex: HttpExchange) => handle(ex) {
     val b = readBody(ex)
-    val filter = b.get("filter").map(parseFilter)
+    // proto SearchRequest nests SearchParams under "params" and names the
+    // filter "where_document" (muopdb.proto:116-131)
+    val params = b.get("params").map(Json.obj).getOrElse(Map.empty)
+    val proto = b.contains("params") || b.contains("where_document") ||
+      b.get("user_ids").exists(isProtoIds)
+    def p(key: String): Option[Any] = params.get(key).orElse(b.get(key))
+    val filter = b.get("where_document").orElse(b.get("filter")).map(parseFilter)
     val res = svc.search(SearchRequest(
       b("collection_name").asInstanceOf[String],
       vector = Json.doubles(b("vector")).map(_.toFloat),
-      topK = b.getOrElse("top_k", 10.0).asInstanceOf[Double].toInt,
-      userIds = b.get("user_ids").map(Json.strs).getOrElse(Nil),
+      topK = p("top_k").map(_.asInstanceOf[Double].toInt).getOrElse(10),
+      userIds = b.get("user_ids").map(parseIds).getOrElse(Nil),
       filter = filter,
       numExploredCentroids =
-        b.get("num_explored_centroids").map(_.asInstanceOf[Double].toInt),
+        p("num_explored_centroids").map(_.asInstanceOf[Double].toInt),
       centroidDistanceRatio =
-        b.getOrElse("centroid_distance_ratio", 0.1).asInstanceOf[Double]))
-    Map("doc_ids" -> res.docIds, "scores" -> res.scores)
+        p("centroid_distance_ratio").map(_.asInstanceOf[Double]).getOrElse(0.1)))
+    if (proto)
+      Map("doc_ids" -> idsOut(res.docIds, proto = true),
+        "scores" -> res.scores, "num_pages_accessed" -> 0L)
+    else Map("doc_ids" -> res.docIds, "scores" -> res.scores)
   })
 
   server.createContext("/term_search", (ex: HttpExchange) => handle(ex) {
     val b = readBody(ex)
+    val proto = b.get("user_ids").exists(isProtoIds)
     val docIds = svc.termSearch(
       b("collection_name").asInstanceOf[String],
       parseFilter(b("filter")),
       limit = b.getOrElse("limit", 10.0).asInstanceOf[Double].toInt,
-      userIds = b.get("user_ids").map(Json.strs).getOrElse(Nil))
-    Map("doc_ids" -> docIds)
+      userIds = b.get("user_ids").map(parseIds).getOrElse(Nil))
+    // proto TermSearchResponse carries num_docs alongside the ids
+    Map("doc_ids" -> idsOut(docIds, proto), "num_docs" -> docIds.length.toLong)
   })
 
   // Served (zero-Spark-jobs) per-user query paths — the reference's main
@@ -161,7 +317,7 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
     val b = readBody(ex)
     val res = svc.serveUser(
         b("collection_name").asInstanceOf[String],
-        Json.strs(b("user_ids")).head)
+        parseIds(b("user_ids")).head)
       .search(Json.doubles(b("vector")).map(_.toFloat),
         topK = b.getOrElse("top_k", 10.0).asInstanceOf[Double].toInt,
         nprobe = b.getOrElse("nprobe", 10.0).asInstanceOf[Double].toInt,
@@ -173,7 +329,7 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
     val b = readBody(ex)
     val docIds = svc.serveUser(
         b("collection_name").asInstanceOf[String],
-        Json.strs(b("user_ids")).head)
+        parseIds(b("user_ids")).head)
       .termSearch(parseFilter(b("filter")),
         limit = b.getOrElse("limit", 10.0).asInstanceOf[Double].toInt)
     Map("doc_ids" -> docIds)
@@ -183,9 +339,10 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
     val b = readBody(ex)
     svc.remove(
       b("collection_name").asInstanceOf[String],
-      Json.strs(b("user_ids")),
-      Json.strs(b("doc_ids")))
-    Map("removed" -> true)
+      parseIds(b("user_ids")),
+      parseIds(b("doc_ids")))
+    // proto RemoveResponse.success plus the legacy key
+    Map("success" -> true, "removed" -> true)
   })
 
   server.createContext("/segments", (ex: HttpExchange) => handle(ex) {
