@@ -871,6 +871,53 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("us"), col("session_idx"))
         .orderBy("event_id")
     }),
+    // Streaming ingest lifecycle under the oracle (R1-R5 on the hard
+    // gate, not just specs): the embeddings parquet replays as a FILE
+    // STREAM through StreamingIngest (micro-batch = WAL group commit,
+    // checkpointed ops-batch ids), with auto-flush disabled so the
+    // first search must serve the UNFLUSHED tail (read-your-writes,
+    // R5); then flush -> segment build, tombstone every 10th doc, and
+    // search the flushed+deleted state. Both stages brute-force-exact
+    // by construction (all centroids probed), so DuckDB replays them
+    // from the embeddings table alone.
+    "q90_stream_lifecycle" -> ((s, d) => {
+      import graft.core.{Collection, CollectionConfig}
+      import graft.streaming.StreamingIngest
+      import org.apache.spark.sql.streaming.Trigger
+      val base = artifact("q90")
+      deleteRecursively(base)
+      val emb = T(s, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val coll = Collection.create(s, base, CollectionConfig(
+        name = "stream_lifecycle", numFeatures = dim,
+        initialNumCentroids = 8, maxClustersPerVector = 2,
+        maxPendingOps = Long.MaxValue)) // no auto-flush: stage 1 reads the tail
+      // the file-stream source wants a DIRECTORY; the sf dir holds bare
+      // files, so stage the parquet into the artifact dir (bytes copied
+      // once, driver-side)
+      val inDir = java.nio.file.Paths.get(base, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "embeddings.parquet"),
+        inDir.resolve("embeddings.parquet"))
+      val stream = s.readStream.schema(emb.schema).parquet(inDir.toString)
+        .select(lit(0L).as("user_id"), col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("vector"))
+      StreamingIngest.start(stream, coll, checkpoint = s"$base/ck",
+        trigger = Trigger.AvailableNow()).awaitTermination()
+      val params = SearchParams(topK = 10,
+        numExploredCentroids = Some(Int.MaxValue), centroidDistanceRatio = 1e18)
+      val tail = coll.snapshot().search(q0(s, d), params, userIds = Seq(0L))
+        .select(lit("tail").as("stage"), col("doc_id").as("vec_id"),
+          round(col("score"), 4).as("dist"))
+      coll.flush()
+      coll.delete(emb.select(lit(0L).as("user_id"), col("vec_id").as("doc_id"))
+        .filter(col("doc_id") % 10 === 0))
+      val flushed = coll.snapshot().search(q0(s, d), params, userIds = Seq(0L))
+        .select(lit("flushed").as("stage"), col("doc_id").as("vec_id"),
+          round(col("score"), 4).as("dist"))
+      tail.unionByName(flushed).orderBy("stage", "dist", "vec_id")
+    }),
     // Whitening invariant, hash-checked: the empirical (population)
     // covariance of the whitened top-8 projection over the REAL corpus
     // must be exactly I_8 — wrong eigenvectors make off-diagonals
@@ -1821,6 +1868,26 @@ object SparkEntry {
          FROM e JOIN s ON e.user_id = s.user_id
            AND e.us BETWEEN s.start_us AND s.end_us
          ORDER BY e.event_id""",
+    // both lifecycle stages are brute-force-exact searches over known
+    // survivor sets: 'tail' = everything (unflushed read-your-writes
+    // union), 'flushed' = every doc except the tombstoned %10 == 0 set
+    "q90_stream_lifecycle" ->
+      """WITH qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         tail AS (
+           SELECT 'tail' AS stage, vec_id,
+                  round(list_distance(embedding::DOUBLE[], (SELECT embedding FROM qv)::DOUBLE[])::DOUBLE, 4) AS dist
+           FROM embeddings
+           ORDER BY list_distance(embedding::DOUBLE[], (SELECT embedding FROM qv)::DOUBLE[])::DOUBLE, vec_id
+           LIMIT 10),
+         fl AS (
+           SELECT 'flushed' AS stage, vec_id,
+                  round(list_distance(embedding::DOUBLE[], (SELECT embedding FROM qv)::DOUBLE[])::DOUBLE, 4) AS dist
+           FROM embeddings WHERE vec_id % 10 <> 0
+           ORDER BY list_distance(embedding::DOUBLE[], (SELECT embedding FROM qv)::DOUBLE[])::DOUBLE, vec_id
+           LIMIT 10)
+         SELECT stage, vec_id, dist FROM (
+           SELECT * FROM tail UNION ALL SELECT * FROM fl)
+         ORDER BY stage, dist, vec_id""",
     // invariant oracle (see the q89 query comment): population
     // covariance of a whitening transform fit on the same data is I_k
     "q89_whiten_identity" ->
