@@ -71,24 +71,33 @@ object Bench {
         if (warmErr1.isDefined) warm2
         else if (warmErr2.isDefined) warm1
         else math.min(warm1, warm2)
-      (name, cold, warm, coldErr.orElse(warmErr1).orElse(warmErr2))
+      // median of the three executions: the variance-robust middle
+      // figure (BASELINE.md documents ±40% single-run spread in this
+      // sandbox), reported alongside so a single lucky/unlucky run
+      // self-documents instead of reading as a plan change
+      val med = Seq(cold, warm1, warm2).filterNot(_ < 0).sorted match {
+        case s if s.isEmpty => -1.0
+        case s => s(s.length / 2)
+      }
+      (name, cold, warm, med, coldErr.orElse(warmErr1).orElse(warmErr2))
     }
     def jsonEsc(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    def json(f: ((String, Double, Double, Option[String])) => Double): String =
+    def json(f: ((String, Double, Double, Double, Option[String])) => Double): String =
       results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val ok = results.filter(_._4.isEmpty)
+    val ok = results.filter(_._5.isEmpty)
     val totalWarm = ok.map(_._3).sum
     val totalCold = ok.map(_._2).sum
-    val errorList = results.collect { case (n, _, _, Some(e)) => jsonEsc(s"$n: $e") }
+    val totalMedian = ok.map(_._4).sum
+    val errorList = results.collect { case (n, _, _, _, Some(e)) => jsonEsc(s"$n: $e") }
     val errors = errorList.mkString("[", ",", "]")
     // compact line must stay under the driver's ~2000-byte tail capture
     val errorsCompact = errorList.take(5).mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$totalWarm,"unit":"sec","queries":${json(_._3)},"queries_cold":${json(_._2)},"total_cold":$totalCold,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalWarm,"unit":"sec","queries":${json(_._3)},"queries_cold":${json(_._2)},"queries_median":${json(_._4)},"total_cold":$totalCold,"median":$totalMedian,"errors":$errors,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/tmp/graft_bench_full.json"), full)
     catch { case _: Throwable => () }
@@ -97,6 +106,6 @@ object Bench {
     // The driver keeps only the last ~2000 bytes of output, and the full
     // per-query line above is bigger than that — so the LAST line printed
     // is a compact summary that always fits the tail capture and parses.
-    println(s"""{"metric":"total","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"errors":$errorsCompact,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"median":$totalMedian,"n_queries":${results.size},"n_errors":${results.count(_._5.isDefined)},"errors":$errorsCompact,"sf":"$sfDir"}""")
   }
 }
