@@ -11,13 +11,16 @@ import org.apache.spark.sql.types._
   * `mapPartitions` batch transforms (the Scala analogue of
   * `mapInPandas` batch UDFs).
   *
-  * Image decode is REAL (JDK ImageIO: PNG/BMP/GIF/JPEG) and audio decode
-  * is REAL (JDK javax.sound: WAV/AIFF/AU PCM). Video codecs are NOT
-  * available in this environment, so the video kernels are STUBS:
-  * deterministic fakes computed from the raw bytes (clearly marked
-  * below). The Spark-side contract — schema, partitioning, batch
-  * iteration shape, and null handling — is real and tested; swapping in
-  * a real codec only replaces the marked function bodies. */
+  * Image decode is REAL (JDK ImageIO: PNG/BMP/GIF/JPEG), audio decode is
+  * REAL (JDK javax.sound: WAV/AIFF/AU PCM), and video decode is REAL for
+  * MJPEG-in-AVI (a pure-JVM RIFF container walk + per-frame ImageIO JPEG
+  * decode — the one mainstream video container needing no external
+  * codec). Other video codecs are NOT available in this environment, so
+  * undecodable video payloads fall back to deterministic byte STUBS
+  * (clearly marked below) under the same output contract. The Spark-side
+  * contract — schema, partitioning, batch iteration shape, and null
+  * handling — is real and tested; swapping in a broader codec only
+  * replaces the marked function bodies. */
 object Multimodal {
 
   /** Canonical media-table schema: one row per asset. */
@@ -352,6 +355,72 @@ object Multimodal {
     out
   }
 
+  // ---------------------------------------------------------------------
+  // REAL video decode — MJPEG-in-AVI. An AVI file is a RIFF container;
+  // with the MJPEG codec every '##dc'/'##db' chunk inside the 'movi'
+  // LIST is a standalone JPEG, which the JDK's ImageIO decodes. A
+  // ~40-line chunk walk is therefore a real video decoder for the one
+  // mainstream container that needs no external codec library.
+  // ---------------------------------------------------------------------
+
+  /** Extract the per-frame JPEG byte ranges from an MJPEG AVI payload.
+    * Returns None when the payload is not a RIFF/AVI or holds no JPEG
+    * frame chunks — callers fall back to the byte stub. */
+  private[graft] def decodeAviMjpegFrames(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (payload == null || payload.length < 12) return None
+    def fourcc(off: Int): String =
+      if (off + 4 <= payload.length) new String(payload, off, 4, "US-ASCII") else ""
+    def u32(off: Int): Long =
+      (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = fourcc(off)
+        val sz = u32(off + 4)
+        val body = off + 8
+        if (sz < 0 || body + sz > payload.length) return // truncated/garbage
+        val bodyEnd = (body + sz).toInt
+        if (id == "LIST" && sz >= 4) walk(body + 4, bodyEnd)
+        else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) && sz >= 2 &&
+          (payload(body) & 0xff) == 0xff && (payload(body + 1) & 0xff) == 0xd8)
+          frames += java.util.Arrays.copyOfRange(payload, body, bodyEnd)
+        off = bodyEnd + (sz.toInt & 1) // RIFF chunks are word-aligned
+      }
+    }
+    walk(12, payload.length)
+    if (frames.isEmpty) None else Some(frames.toSeq)
+  }
+
+  /** Evenly sample `n` of the `frames` (all of them when n >= count). */
+  private def evenSample[A](frames: Seq[A], n: Int): Seq[A] =
+    if (frames.length <= n) frames
+    else (0 until n).map(i => frames((i.toLong * frames.length / n).toInt))
+
+  /** The matching ENCODER: wrap JPEG frame payloads into a minimal valid
+    * MJPEG AVI (RIFF('AVI ' LIST('hdrl' avih) LIST('movi' '00dc'*))) —
+    * the write path for video assets that [[decodeAviMjpegFrames]] reads
+    * back byte-for-byte. Pure JVM, no codec library. */
+  private[graft] def encodeAviMjpeg(jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array() // the odd-length pad byte (if any) stays zero
+    }
+    def list(subtype: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", subtype.getBytes("US-ASCII") ++ children)
+    val avih = chunk("avih", new Array[Byte](56))
+    val movi = list("movi", jpegFrames.flatMap(j => chunk("00dc", j)).toArray)
+    val riffBody = "AVI ".getBytes("US-ASCII") ++ list("hdrl", avih) ++ movi
+    java.nio.ByteBuffer.allocate(8 + riffBody.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(riffBody.length).put(riffBody)
+      .array()
+  }
+
   /** STUB: "frame-sample" a video payload: slice `n` evenly spaced windows
     * of the byte stream as stand-in frames. Deterministic. */
   private[operators] def stubFrameSample(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
@@ -379,7 +448,8 @@ object Multimodal {
       media: DataFrame,
       dim: Int = 16,
       decodeImages: Boolean = false,
-      decodeAudioPcm: Boolean = false): DataFrame = {
+      decodeAudioPcm: Boolean = false,
+      decodeVideo: Boolean = false): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -398,6 +468,15 @@ object Multimodal {
           else if (decodeAudioPcm && kind == "audio")
             decodeAudio(payload).map { case (_, _, samples) => audioEnvelope(samples, dim) }
               .getOrElse(stubImageFeatures(payload, dim))
+          else if (decodeVideo && kind == "video")
+            // mean per-frame luminance histogram over up to 8 evenly
+            // sampled decoded frames (MJPEG-AVI)
+            decodeAviMjpegFrames(payload).flatMap { fr =>
+              val hists = evenSample(fr, 8).flatMap(b =>
+                decodeImage(b).map(imageHistogram(_, dim)))
+              if (hists.isEmpty) None
+              else Some(hists.transpose.map(_.sum / hists.length).toArray)
+            }.getOrElse(stubImageFeatures(payload, dim))
           else stubImageFeatures(payload, dim)
         Row(r.getLong(0), kind, feats.toSeq)
       }
@@ -405,8 +484,15 @@ object Multimodal {
   }
 
   /** Frame sampling for video rows: explodes each payload into `n`
-    * stand-in frames `[media_id, frame_idx, frame: binary]`. */
-  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    * frames `[media_id, frame_idx, frame: binary]`.
+    *
+    * With `decodeVideo = true`, MJPEG-AVI payloads decode for REAL: the
+    * RIFF walk yields every JPEG frame, `n` are sampled evenly spaced,
+    * and each output `frame` is a standalone JPEG (ImageIO-decodable
+    * downstream — resize/dHash/near-dup compose directly). Payloads in
+    * any other container fall back to the deterministic byte stub, so
+    * the contract never changes shape. */
+  def sampleFrames(media: DataFrame, n: Int, decodeVideo: Boolean = false): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -416,9 +502,12 @@ object Multimodal {
     media.filter(col("kind") === "video").select("media_id", "payload").mapPartitions { rows =>
       rows.flatMap { r =>
         val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        stubFrameSample(payload, n).zipWithIndex.map { case (f, i) =>
-          Row(r.getLong(0), i, f)
-        }
+        val frames =
+          if (decodeVideo)
+            decodeAviMjpegFrames(payload).map(evenSample(_, n))
+              .getOrElse(stubFrameSample(payload, n))
+          else stubFrameSample(payload, n)
+        frames.zipWithIndex.map { case (f, i) => Row(r.getLong(0), i, f) }
       }
     }(enc)
   }

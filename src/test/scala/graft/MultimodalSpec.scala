@@ -284,4 +284,63 @@ class MultimodalSpec extends SparkSuite {
       Multimodal.mediaSchema)
     assert(Multimodal.sampleFrames(nullVideo, n = 5).count() === 0L)
   }
+
+  test("real video decode: MJPEG-in-AVI frames round-trip through the RIFF walk") {
+    import org.apache.spark.sql.Row
+    import java.awt.image.BufferedImage
+
+    // six visually distinct frames -> per-frame JPEGs
+    def frameImage(i: Int): BufferedImage = {
+      val img = new BufferedImage(32, 24, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32) {
+        val v = ((x * (i + 1) * 8) + y * 3) % 256
+        img.setRGB(x, y, (v << 16) | ((255 - v) << 8) | (i * 40 % 256))
+      }
+      img
+    }
+    def jpeg(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val jpegs = (0 until 6).map(i => jpeg(frameImage(i)))
+
+    // the engine's own encoder: RIFF('AVI ' LIST('hdrl') LIST('movi'))
+    val avi = Multimodal.encodeAviMjpeg(jpegs)
+
+    // the RIFF walk recovers every frame byte-for-byte
+    val extracted = Multimodal.decodeAviMjpegFrames(avi).get
+    assert(extracted.length === 6)
+    assert(extracted.zip(jpegs).forall { case (a, b) => a.sameElements(b) })
+
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "video", avi, null),
+        Row(2L, "video", "not a riff container".getBytes: Array[Byte], null)), 2),
+      Multimodal.mediaSchema)
+
+    // decodeVideo = true: real frames out (each a decodable JPEG with the
+    // source dimensions), evenly sampled to n
+    val frames = Multimodal.sampleFrames(media, n = 3, decodeVideo = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
+    val real = frames.filter(_._1 == 1L).sortBy(_._2)
+    assert(real.length === 3)
+    real.foreach { case (_, _, bytes) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth === 32 && img.getHeight === 24)
+    }
+    // even sampling over 6 frames at n = 3 -> frames 0, 2, 4
+    assert(real.map(_._3).zip(Seq(0, 2, 4).map(jpegs))
+      .forall { case (a, b) => a.sameElements(b) })
+    // non-AVI payload falls back to the byte stub (still 3 slices)
+    assert(frames.count(_._1 == 2L) === 3)
+
+    // featurization: a real histogram differs from the byte stub and is
+    // a valid distribution
+    val feats = Multimodal.extractFeatures(media, dim = 8, decodeVideo = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(math.abs(feats(1L).sum - 1.0) < 1e-9) // histogram sums to 1
+    assert(feats(1L) !== Multimodal.extractFeatures(media, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap.apply(1L))
+  }
 }
