@@ -97,4 +97,23 @@ class PlanAuditSpec extends SparkSuite {
       plan("q88_range_join").contains("BroadcastHashJoin"),
       "q88 lost its equi-join")
   }
+
+  test("giant-key-safe asof splits the hot key across range partitions") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.AsofJoin
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq((1L, 7L, 100L)).toDF("event_id", "k", "lts")
+    val right = Seq((7L, 90L, 1.0)).toDF("k", "rts", "v")
+    val p = AsofJoin.asofJoin(left, right, Seq("k"), "lts", "rts", Seq("v"),
+      giantKeySafe = true).queryExecution.executedPlan.toString
+    // the row-level window must be partitioned by (pid, key) over a RANGE
+    // exchange — a per-key-only hash window would serialize a hot key
+    assert(p.contains("rangepartitioning"),
+      s"giantKeySafe asof lost its range partitioning:\n$p")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"giantKeySafe asof window no longer splits by partition id:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"giantKeySafe asof grew a nested-loop/cartesian plan:\n$p")
+  }
 }
