@@ -368,23 +368,54 @@ object SparkEntry {
           col("start_us"), col("end_us"))
         .orderBy("user_id", "session_idx")
     }),
+    // PQ ANN with a FULL SQL replay (no longer rows-only): the trained
+    // codebook and per-vector codes persist as artifacts, and the DuckDB
+    // oracle rebuilds the query LUT (squared sub-distances), ADC-ranks
+    // the same codes, takes the same 100 candidates, and exact-re-ranks
+    // — byte-identical inputs on both sides, so the approximation itself
+    // is what gets hash-checked.
     "q35_pq_ann" -> ((s, d) => {
+      import graft.functions.GraftFunctions.unpack_u8
       val emb = Par.ensure(T(s, d, "embeddings"))
       val model = ProductQuantizer.train(emb, "embedding", numSubvectors = 16,
         numBits = 6, sampleSize = 5000)
-      val encoded = emb.withColumn("pq_codes",
-        ProductQuantizer.encodeCol(model, col("embedding")))
-      ProductQuantizer.topK(encoded, model, q0(s, d), k = 10, rerank = 100)
+      val cbArt = artifact("q35_codebook")
+      val cdArt = artifact("q35_codes")
+      val cbRows = for (j <- model.codebooks.indices; c <- model.codebooks(j).indices)
+        yield (j, c, model.codebooks(j)(c).toSeq)
+      import s.implicits._
+      cbRows.toDF("sub", "code", "centroid")
+        .repartition(1).write.mode("overwrite").parquet(cbArt)
+      emb.withColumn("pq_codes",
+          ProductQuantizer.encodeCol(model, col("embedding")))
+        .withColumn("codes", unpack_u8(col("pq_codes")))
+        .select("vec_id", "pq_codes", "codes", "embedding")
+        .repartition(4).write.mode("overwrite").parquet(cdArt)
+      ProductQuantizer.topK(s.read.parquet(cdArt), model, q0(s, d),
+        k = 10, rerank = 100)
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     }),
+    // RaBitQ ANN with a FULL SQL replay (q35's artifact pattern): the
+    // rotated query + per-vector (sign bytes, factor, residual norm)
+    // persist, and the DuckDB oracle recomputes the signed dot from the
+    // raw code BITS, the cosine estimator, and the estimated distance,
+    // ranks the same 100 candidates, and exact-re-ranks.
     "q41_rabitq_ann" -> ((s, d) => {
+      import graft.functions.GraftFunctions.unpack_u8
       val emb = Par.ensure(T(s, d, "embeddings"))
       val model = RaBitQ.train(emb, "embedding", sampleSize = 5000)
-      val encoded = emb
-        .withColumn("rq", RaBitQ.encodeCols(model, col("embedding")))
+      val (qrot, qnorm) = model.prepareQuery(q0(s, d))
+      val qArt = artifact("q41_query")
+      val cdArt = artifact("q41_codes")
+      import s.implicits._
+      Seq((qrot.toSeq, qnorm)).toDF("qrot", "qnorm")
+        .repartition(1).write.mode("overwrite").parquet(qArt)
+      emb.withColumn("rq", RaBitQ.encodeCols(model, col("embedding")))
         .select(col("vec_id"), col("embedding"),
           col("rq._1").as("rq_code"), col("rq._2").as("rq_f"), col("rq._3").as("rq_norm"))
-      RaBitQ.topK(encoded, model, q0(s, d), k = 10, rerank = 100)
+        .withColumn("code_bytes", unpack_u8(col("rq_code")))
+        .repartition(4).write.mode("overwrite").parquet(cdArt)
+      RaBitQ.topK(s.read.parquet(cdArt), model, q0(s, d), k = 10, rerank = 100)
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     }),
     "q42_decontaminate" -> ((s, d) => {
@@ -772,15 +803,27 @@ object SparkEntry {
         .select(col("doc_id"), normalize_text(col("text")).as("norm"),
           md5(normalize_text(col("text"))).as("norm_hash"))
         .orderBy("doc_id")),
-    // SQ8 (int8 scalar quantization) ANN: 1 byte/dim codes, asymmetric
-    // estimate rank + exact re-rank — genuinely approximate -> rows-only
-    // with a recall quality gate (q35/q41's pattern).
+    // SQ8 (int8 scalar quantization) ANN with a FULL SQL replay (q35's
+    // artifact pattern): model ranges + per-vector codes persist, and
+    // the DuckDB oracle recomputes the asymmetric L2 estimate
+    // sqrt(Σ((q_j - min_j) - code_j·scale_j)²), ranks the same 100
+    // candidates, and exact-re-ranks.
     "q81_sq8_ann" -> ((s, d) => {
+      import graft.functions.GraftFunctions.unpack_u8
       val emb = Par.ensure(T(s, d, "embeddings"))
       val model = ScalarQuantizer.train(emb)
-      val encoded = emb.withColumn("sq_codes",
-        ScalarQuantizer.encodeCol(model, col("embedding")))
-      ScalarQuantizer.topK(encoded, model, q0(s, d), k = 10, rerank = 100)
+      val mdArt = artifact("q81_model")
+      val cdArt = artifact("q81_codes")
+      import s.implicits._
+      Seq((model.mins.toSeq, model.scales.toSeq)).toDF("mins", "scales")
+        .repartition(1).write.mode("overwrite").parquet(mdArt)
+      emb.withColumn("sq_codes",
+          ScalarQuantizer.encodeCol(model, col("embedding")))
+        .withColumn("codes", unpack_u8(col("sq_codes")))
+        .select("vec_id", "sq_codes", "codes", "embedding")
+        .repartition(4).write.mode("overwrite").parquet(cdArt)
+      ScalarQuantizer.topK(s.read.parquet(cdArt), model, q0(s, d),
+        k = 10, rerank = 100)
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     }),
     // T5-style span corruption (denoising-objective data prep): the
@@ -1138,6 +1181,81 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    // full ADC replay from the persisted codebook + codes: rebuild the
+    // query LUT (squared sub-distances), rank sqrt(Σ lut[sub, code]),
+    // take the same 100 candidates, exact re-rank — the approximation
+    // itself is hash-checked, not just row counts
+    "q35_pq_ann" ->
+      """WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+         cb AS (SELECT sub, code, centroid
+                FROM read_parquet('/tmp/graft_artifacts/q35_codebook/*.parquet')),
+         lut AS (
+           SELECT x.sub, x.code, sum(pow(x.ce - qq.qel, 2)) AS d2
+           FROM (SELECT sub, code, unnest(centroid)::DOUBLE AS ce,
+                        generate_subscripts(centroid, 1) AS t FROM cb) x
+           JOIN (SELECT unnest(q)::DOUBLE AS qel, generate_subscripts(q, 1) AS qi FROM qv) qq
+             ON qq.qi = x.sub * (SELECT len(q) // 16 FROM qv) + x.t
+           GROUP BY x.sub, x.code),
+         cds AS (SELECT vec_id, unnest(codes) AS code,
+                        generate_subscripts(codes, 1) - 1 AS sub
+                 FROM read_parquet('/tmp/graft_artifacts/q35_codes/*.parquet')),
+         adc AS (SELECT c.vec_id, sqrt(sum(l.d2)) AS adc
+                 FROM cds c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+                 GROUP BY c.vec_id),
+         cand AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 100)
+         SELECT e.vec_id,
+           round(list_distance(e.embedding::DOUBLE[], (SELECT q FROM qv))::DOUBLE, 4) AS dist
+         FROM embeddings e JOIN cand USING (vec_id)
+         ORDER BY list_distance(e.embedding::DOUBLE[], (SELECT q FROM qv))::DOUBLE, e.vec_id
+         LIMIT 10""",
+    // RaBitQ replay: signed dot from the persisted code bits vs the
+    // persisted rotated query, cos = sdot/f, est = sqrt(max(norm^2 +
+    // qnorm^2 - 2*qnorm*norm*cos, 0)), same 100 candidates, exact re-rank
+    "q41_rabitq_ann" ->
+      """WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+         qq AS (SELECT qrot, qnorm FROM read_parquet('/tmp/graft_artifacts/q41_query/*.parquet')),
+         qd AS (SELECT unnest(qrot)::DOUBLE AS qel, generate_subscripts(qrot, 1) AS j,
+                       CAST(len(qrot) AS DOUBLE) AS pad FROM qq),
+         cds AS (SELECT vec_id, code_bytes, rq_f, rq_norm
+                 FROM read_parquet('/tmp/graft_artifacts/q41_codes/*.parquet')),
+         sdot AS (
+           SELECT c.vec_id,
+             sum(CASE WHEN (list_extract(c.code_bytes, ((qd.j - 1) // 8) + 1)
+                            >> ((qd.j - 1) % 8)) & 1 = 1
+                 THEN qd.qel ELSE -qd.qel END) / sqrt(any_value(qd.pad)) AS sd
+           FROM cds c, qd GROUP BY c.vec_id),
+         est AS (
+           SELECT c.vec_id,
+             sqrt(greatest(
+               c.rq_norm * c.rq_norm + (SELECT qnorm * qnorm FROM qq)
+                 - 2 * (SELECT qnorm FROM qq) * c.rq_norm * (s.sd / c.rq_f),
+               0)) AS est
+           FROM cds c JOIN sdot s USING (vec_id)),
+         cand AS (SELECT vec_id FROM est ORDER BY est, vec_id LIMIT 100)
+         SELECT e.vec_id,
+           round(list_distance(e.embedding::DOUBLE[], (SELECT q FROM qv))::DOUBLE, 4) AS dist
+         FROM embeddings e JOIN cand USING (vec_id)
+         ORDER BY list_distance(e.embedding::DOUBLE[], (SELECT q FROM qv))::DOUBLE, e.vec_id
+         LIMIT 10""",
+    // SQ8 replay: est = sqrt(Σ((q_j - min_j) - code_j*scale_j)^2) from
+    // the persisted ranges + codes, same 100 candidates, exact re-rank
+    "q81_sq8_ann" ->
+      """WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+         md AS (SELECT mins, scales FROM read_parquet('/tmp/graft_artifacts/q81_model/*.parquet')),
+         dims AS (SELECT unnest(mins)::DOUBLE AS mel, unnest(scales)::DOUBLE AS sel,
+                         generate_subscripts(mins, 1) AS j FROM md),
+         qd AS (SELECT unnest(q)::DOUBLE AS qel, generate_subscripts(q, 1) AS j FROM qv),
+         cds AS (SELECT vec_id, unnest(codes) AS code, generate_subscripts(codes, 1) AS j
+                 FROM read_parquet('/tmp/graft_artifacts/q81_codes/*.parquet')),
+         est AS (SELECT c.vec_id, sqrt(sum(pow((qd.qel - d.mel) - c.code * d.sel, 2))) AS est
+                 FROM cds c JOIN dims d ON d.j = c.j JOIN qd ON qd.j = c.j
+                 GROUP BY c.vec_id),
+         cand AS (SELECT vec_id FROM est ORDER BY est, vec_id LIMIT 100)
+         SELECT e.vec_id,
+           round(list_distance(e.embedding::DOUBLE[], (SELECT q FROM qv))::DOUBLE, 4) AS dist
+         FROM embeddings e JOIN cand USING (vec_id)
+         ORDER BY list_distance(e.embedding::DOUBLE[], (SELECT q FROM qv))::DOUBLE, e.vec_id
+         LIMIT 10""",
     "q36_sessionize" ->
       """SELECT user_id, session_idx, count(*) AS n_events,
            min(us) AS start_us, max(us) AS end_us

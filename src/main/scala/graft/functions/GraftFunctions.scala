@@ -30,6 +30,10 @@ object GraftFunctions {
     * (InsertPacked wire fast path, SURVEY §2.1 S2). */
   def unpack_f32_le(bin: Column): Column = col(UnpackF32Le(ex(bin)))
 
+  /** Decode a binary code column (one unsigned byte per code — PQ/SQ8
+    * code arrays) to array<int> 0..255, for SQL-oracle replay. */
+  def unpack_u8(bin: Column): Column = col(UnpackU8(ex(bin)))
+
   /** Multi-assignment nearest-centroid indices (index-build kernel). */
   def nearest_centroids(vector: Column, flatCentroids: Array[Double],
       dim: Int, maxC: Int, pct: Double): Column =

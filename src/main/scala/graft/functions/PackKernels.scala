@@ -28,8 +28,37 @@ case class UnpackF32Le(child: Expression) extends UnaryExpression with ImplicitC
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Unsigned-byte decode: a binary column (one code per byte — PQ/SQ8
+  * code arrays) as `array<int>` 0..255, inside codegen. Makes quantizer
+  * code tables replayable by the SQL oracle without a UDF. */
+case class UnpackU8(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unpack_u8"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    new GenericArrayData(PackKernels.unpackU8(bytes))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.PackKernels.unpackU8($b));""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** The inverse (encode) plus the shared scalar kernels. */
 object PackKernels {
+  final def unpackU8(bytes: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = bytes(i) & 0xff; i += 1 }
+    out
+  }
+
   final def unpackF32Le(bytes: Array[Byte]): Array[Float] = {
     val n = bytes.length / 4
     val out = new Array[Float](n)

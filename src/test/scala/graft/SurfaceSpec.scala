@@ -52,6 +52,10 @@ class SurfaceSpec extends SparkSuite {
     val got = packed.select(unpack_f32_le(col("bin"))).collect()
       .map(_.getSeq[Float](0).toSeq).toSeq
     assert(got === vecs)
+    // u8 decode (quantizer code tables -> SQL-replayable int arrays)
+    val bytes = Seq(Tuple1(Array[Byte](0, 127, -128, -1))).toDF("bin")
+    assert(bytes.select(graft.functions.GraftFunctions.unpack_u8(col("bin")))
+      .head().getSeq[Int](0) === Seq(0, 127, 128, 255))
   }
 
   test("bloom short-circuit: deletes for absent docs are dropped; present docs survive") {
