@@ -75,9 +75,11 @@ object Bench {
       // figure (BASELINE.md documents ±40% single-run spread in this
       // sandbox), reported alongside so a single lucky/unlucky run
       // self-documents instead of reading as a plan change
+      // lower-middle for even counts: with one errored run the median of
+      // the two survivors must not report the worse one
       val med = Seq(cold, warm1, warm2).filterNot(_ < 0).sorted match {
         case s if s.isEmpty => -1.0
-        case s => s(s.length / 2)
+        case s => s((s.length - 1) / 2)
       }
       (name, cold, warm, med, coldErr.orElse(warmErr1).orElse(warmErr2))
     }

@@ -55,6 +55,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // stamp the artifact dir: several oracles replay /tmp/graft_artifacts
+    // parquet written by THIS run — a later run at a different SF
+    // overwrites them, and a comparison against these outputs would then
+    // silently mismatch. The stamp lets verify_local detect staleness.
+    try Files.writeString(Paths.get("/tmp/graft_artifacts/VERIFY_STAMP"),
+      s"""{"out_dir": ${jsonQuote(outDir)}, "sf_dir": ${jsonQuote(sfDir)}, "epoch_ms": ${System.currentTimeMillis()}}""")
+    catch { case _: Throwable => () }
     // exact-ground-truth gates for the no-oracle queries (LSH/ANN/PQ/CC):
     // recorded next to the parquet so the round's correctness artifact
     // reflects what is actually verified, not just row counts

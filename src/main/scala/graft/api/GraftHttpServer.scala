@@ -78,10 +78,12 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
   // request used proto conventions, so the future gRPC binding is a
   // mechanical transport swap over the same GraftService calls.
 
-  /** proto uint64 in JSON may arrive as a number or a string. */
+  /** proto uint64 in JSON may arrive as a number or a string. Numbers go
+    * through BigDecimal — Double.toLong would saturate values >= 2^63 to
+    * Long.MaxValue and silently target the wrong id. */
   private def u64(v: Any): java.math.BigInteger = v match {
     case s: String => new java.math.BigInteger(s)
-    case d: Double => java.math.BigInteger.valueOf(d.toLong)
+    case d: Double => new java.math.BigDecimal(d).toBigInteger
     case other => new java.math.BigInteger(String.valueOf(other))
   }
 
@@ -184,11 +186,19 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
     val docIds = parseIds(b("doc_ids"))
     val proto = isProtoIds(b("doc_ids")) || isProtoIds(b("user_ids"))
     val attrs = b.get("attributes").map { v =>
-      Json.obj(v) match {
-        // proto DocumentAttributeList (row-wise) vs legacy columnar map
-        case m if m.contains("values") => protoAttrs(v, docIds.length)
-        case m => m.map { case (k, vv) => k -> Json.strs(vv) }
+      val m = Json.obj(v)
+      // proto DocumentAttributeList (row-wise) vs legacy columnar map:
+      // decided by STRUCTURE (values elements are {value: {...}} objects),
+      // not key name, so a legacy column literally named "values" parses
+      val isProtoList = m.get("values").exists {
+        case rows: Vector[_] => rows.forall {
+          case rm: Map[_, _] => Json.obj(rm).contains("value")
+          case _ => false
+        }
+        case _ => false
       }
+      if (isProtoList) protoAttrs(v, docIds.length)
+      else m.map { case (k, vv) => k -> Json.strs(vv) }
     }.getOrElse(Map.empty[String, Seq[String]])
     val n = svc.insert(InsertRequest(
       b("collection_name").asInstanceOf[String],
@@ -259,12 +269,13 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
       DocFilter.Contains(f, value, kw)
     } else if (m.contains("ids")) {
       // proto IdsFilter nests {ids: [...]} one level when the filter
-      // arrives as {ids: {ids: [...]}}; the legacy shape is flat
+      // arrives as {ids: {ids: [...]}}; the legacy shape is flat. Ids may
+      // be JSON numbers or strings (proto JSON emits uint64 as strings).
       val list = m("ids") match {
         case vec: Vector[_] => vec.asInstanceOf[Vector[Any]]
         case other => Json.obj(other)("ids").asInstanceOf[Vector[Any]]
       }
-      DocFilter.Ids(list.map(_.asInstanceOf[Double].toLong))
+      DocFilter.Ids(list.map(x => u64(x).longValue()))
     } else {
       val (f, value, kw) = leaf(m)
       DocFilter.Contains(f, value, kw)

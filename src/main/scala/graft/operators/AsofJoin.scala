@@ -88,6 +88,8 @@ object AsofJoin {
         // row-level tree can disagree about which partition a row landed
         // in — observed as stale carries. The cache also means the
         // scan+shuffle runs once instead of once per consumer subtree.
+        // Not unpersisted (the frame is lazy): LRU-evictable; long-
+        // lived sessions should clearCache() periodically as hygiene.
         val ranged = unioned
           .repartitionByRange(nParts, keyCols.map(col) :+ col("__ts") :+ col("__side"): _*)
           .withColumn("__pid", spark_partition_id())

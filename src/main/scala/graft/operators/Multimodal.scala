@@ -363,10 +363,12 @@ object Multimodal {
   // mainstream container that needs no external codec library.
   // ---------------------------------------------------------------------
 
-  /** Extract the per-frame JPEG byte ranges from an MJPEG AVI payload.
-    * Returns None when the payload is not a RIFF/AVI or holds no JPEG
-    * frame chunks — callers fall back to the byte stub. */
-  private[graft] def decodeAviMjpegFrames(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+  /** Per-frame JPEG byte RANGES (offset, end) in an MJPEG AVI payload —
+    * ranges, not copies, so a caller sampling n of thousands of frames
+    * only materializes the n it keeps. Returns None when the payload is
+    * not a RIFF/AVI or holds no JPEG frame chunks — callers fall back to
+    * the byte stub. */
+  private[graft] def aviMjpegFrameRanges(payload: Array[Byte]): Option[Seq[(Int, Int)]] = {
     if (payload == null || payload.length < 12) return None
     def fourcc(off: Int): String =
       if (off + 4 <= payload.length) new String(payload, off, 4, "US-ASCII") else ""
@@ -374,7 +376,7 @@ object Multimodal {
       (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
         ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
     if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
-    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
     def walk(start: Int, end: Int): Unit = {
       var off = start
       while (off + 8 <= end) {
@@ -386,13 +388,20 @@ object Multimodal {
         if (id == "LIST" && sz >= 4) walk(body + 4, bodyEnd)
         else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) && sz >= 2 &&
           (payload(body) & 0xff) == 0xff && (payload(body + 1) & 0xff) == 0xd8)
-          frames += java.util.Arrays.copyOfRange(payload, body, bodyEnd)
+          frames += ((body, bodyEnd))
         off = bodyEnd + (sz.toInt & 1) // RIFF chunks are word-aligned
       }
     }
     walk(12, payload.length)
     if (frames.isEmpty) None else Some(frames.toSeq)
   }
+
+  /** All frames as byte arrays (test/one-shot convenience; the batch
+    * operators sample RANGES first and copy only what they keep). */
+  private[graft] def decodeAviMjpegFrames(payload: Array[Byte]): Option[Seq[Array[Byte]]] =
+    aviMjpegFrameRanges(payload).map(_.map { case (a, b) =>
+      java.util.Arrays.copyOfRange(payload, a, b)
+    })
 
   /** Evenly sample `n` of the `frames` (all of them when n >= count). */
   private def evenSample[A](frames: Seq[A], n: Int): Seq[A] =
@@ -470,10 +479,12 @@ object Multimodal {
               .getOrElse(stubImageFeatures(payload, dim))
           else if (decodeVideo && kind == "video")
             // mean per-frame luminance histogram over up to 8 evenly
-            // sampled decoded frames (MJPEG-AVI)
-            decodeAviMjpegFrames(payload).flatMap { fr =>
-              val hists = evenSample(fr, 8).flatMap(b =>
-                decodeImage(b).map(imageHistogram(_, dim)))
+            // sampled decoded frames (MJPEG-AVI); only sampled ranges copy
+            aviMjpegFrameRanges(payload).flatMap { fr =>
+              val hists = evenSample(fr, 8).flatMap { case (a, b) =>
+                decodeImage(java.util.Arrays.copyOfRange(payload, a, b))
+                  .map(imageHistogram(_, dim))
+              }
               if (hists.isEmpty) None
               else Some(hists.transpose.map(_.sum / hists.length).toArray)
             }.getOrElse(stubImageFeatures(payload, dim))
@@ -504,8 +515,9 @@ object Multimodal {
         val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
         val frames =
           if (decodeVideo)
-            decodeAviMjpegFrames(payload).map(evenSample(_, n))
-              .getOrElse(stubFrameSample(payload, n))
+            aviMjpegFrameRanges(payload).map(rs => evenSample(rs, n).map {
+              case (a, b) => java.util.Arrays.copyOfRange(payload, a, b)
+            }).getOrElse(stubFrameSample(payload, n))
           else stubFrameSample(payload, n)
         frames.zipWithIndex.map { case (f, i) => Row(r.getLong(0), i, f) }
       }

@@ -39,6 +39,8 @@ object Sessionize {
     // — observed as spurious session splits/merges. The cache also
     // means the event scan+shuffle runs once instead of once per
     // consumer subtree (the uncached q36 plan carried 7 scans).
+    // Not unpersisted (the frame is lazy): LRU-evictable; long-lived
+    // sessions should clearCache() periodically as hygiene.
     val ranged = Par.ensure(events)
       .select(col("user_id"), col("us"), col("event_id"))
       .repartitionByRange(col("user_id"), col("us"), col("event_id"))

@@ -68,6 +68,7 @@ class AsofInvarianceSpec extends AnyFunSuite {
       }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", 32)
+      spark.catalog.clearCache() // drop the operators' internal persists
     }
   }
 }

@@ -74,6 +74,7 @@ class PrefixScanInvarianceSpec extends AnyFunSuite {
       }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", 32)
+      spark.catalog.clearCache() // drop the operators' internal persists
     }
   }
 }

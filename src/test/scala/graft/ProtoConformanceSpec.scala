@@ -213,6 +213,18 @@ class ProtoConformanceSpec extends SparkSuite {
       assert(ts("doc_ids") ===
         Vector(Map("uuid" -> "00000000-0000-0000-0000-000000000007")))
 
+      // proto IdsFilter: {ids: {ids: [...]}} nesting, with ids as JSON
+      // strings (proto JSON emits uint64 as strings) and as numbers.
+      // Ids are POINT ids (IdsIter semantics): dense per-user 1-based in
+      // doc-id order, so point 1 = uuid ...07 in the first segment
+      val idsTs = post("/term_search")(
+        """{"collection_name": "p2", "user_ids": [{"low_id": 0}], "limit": 10,
+            "filter": {"and": {"filters": [
+              {"ids": {"ids": ["1", 7]}},
+              {"contains": {"path": "content", "value": "beta"}}]}}}""")
+      assert(idsTs("doc_ids") ===
+        Vector(Map("uuid" -> "00000000-0000-0000-0000-000000000007")))
+
       // proto SearchRequest with where_document + params; the packed doc
       // (id 9, vector [9,9,9,9]) is nearest to [9,9,9,9]
       val s2 = post("/search")(

@@ -78,6 +78,7 @@ class SessionInvarianceSpec extends AnyFunSuite {
       }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", 32)
+      spark.catalog.clearCache() // drop the operators' internal persists
     }
   }
 }

@@ -59,6 +59,20 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     with open(f"{OUT}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # artifact-backed oracles replay /tmp/graft_artifacts parquet written
+    # by the Verify run that produced OUT; a later run (another SF, a
+    # Bench) overwrites them and the compare silently mismatches. The
+    # VERIFY_STAMP ties artifacts to their Verify run — flag instead of
+    # reporting a bogus VALUE_MISMATCH.
+    stale_artifacts = False
+    stamp_path = "/tmp/graft_artifacts/VERIFY_STAMP"
+    if os.path.exists(stamp_path):
+        with open(stamp_path) as f:
+            stamp = json.load(f)
+        if os.path.abspath(stamp.get("out_dir", "")) != os.path.abspath(OUT):
+            stale_artifacts = True
+    elif any("/tmp/graft_artifacts" in sql for sql in oracles.values()):
+        stale_artifacts = True
     results = {}
     for name in sorted(os.listdir(OUT)):
         pdir = os.path.join(OUT, name)
@@ -76,6 +90,10 @@ def main():
         got_cols, got = table_rows(con, f"SELECT * FROM read_parquet('{pdir}/*.parquet')")
         if name not in oracles:
             results[name] = f"ROWS_ONLY({len(got)})"
+            continue
+        if stale_artifacts and "/tmp/graft_artifacts" in oracles[name]:
+            results[name] = ("ARTIFACT_STALE: /tmp/graft_artifacts was written by a "
+                             "different run than these outputs — re-run without --no-run")
             continue
         try:
             exp_cols, exp = table_rows(con, oracles[name])
