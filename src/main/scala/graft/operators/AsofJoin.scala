@@ -61,6 +61,9 @@ object AsofJoin {
         leftCols.filterNot(keyCols.contains).filterNot(_ == leftTsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rightValCols.map(col): _*).as("__rv"): _*)
+    // persisted in the giantKeySafe path below — perf-only (the bucket
+    // id is a pure function of the row); the default window path never
+    // materializes it twice and skips the cache
     val unioned = l.unionByName(r)
     // right rows sort before left at equal ts (so <= matches); equal-ts
     // right rows tiebreak by the value struct ascending, making the
@@ -75,25 +78,21 @@ object AsofJoin {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         unioned.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
       } else {
-        // range-partitioned prefix carry: a single hot key spans many
-        // partitions instead of serializing one task. Explicit partition
-        // count — pid-keyed correction tables must see the same
-        // partitioning as the row-level tree in every planned expansion
-        // (AQE may otherwise coalesce each expansion differently).
+        // range-bucketed prefix carry: a single hot key spans many
+        // buckets instead of serializing one window task. __pid is a
+        // DERIVED bucket id — a pure function of the row (see
+        // [[RangeBuckets]]), never spark_partition_id(): an
+        // execution-derived pid let the re-planned correction subtrees
+        // disagree with the row-level tree about row placement
+        // (RangePartitioner re-samples bounds per expansion), observed
+        // as stale carries. Pure-function ids are consistent across
+        // every expansion by construction; the window's hash exchange
+        // on (__pid, keys) does the distribution.
         val nParts = unioned.sparkSession.sessionState.conf.numShufflePartitions
-        // persist() freezes the row→pid assignment: RangePartitioner
-        // re-SAMPLES its bounds on every planned expansion (the sample
-        // seed derives from the RDD id, a global counter), so without a
-        // single materialization the pid-keyed correction tables and the
-        // row-level tree can disagree about which partition a row landed
-        // in — observed as stale carries. The cache also means the
-        // scan+shuffle runs once instead of once per consumer subtree.
-        // Not unpersisted (the frame is lazy): LRU-evictable; long-
-        // lived sessions should clearCache() periodically as hygiene.
-        val ranged = unioned
-          .repartitionByRange(nParts, keyCols.map(col) :+ col("__ts") :+ col("__side"): _*)
-          .withColumn("__pid", spark_partition_id())
-          .persist()
+        val ranged = unioned.withColumn("__pid",
+          RangeBuckets.bucketCol(unioned,
+            keyCols.map(col) :+ col("__ts") :+ col("__side"), nParts))
+          .persist() // perf-only: pid is pure, correctness never needs it
         val wL = Window.partitionBy("__pid", keyCols: _*)
           .orderBy(ordering: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -18,33 +18,37 @@ object Sessionize {
     *
     * The per-user timeline is a DISTRIBUTED prefix scan (same
     * construction as `TextPipeline.tokenBudgetSample`), not a
-    * one-partition-per-user window: rows are range-partitioned on
-    * (user, us, event_id) so one pathological user spans many
-    * partitions; the cross-partition lag is reconstructed from a
-    * boundary table and local break-count cumsums are lifted by an
-    * exclusive-prefix offset. Both correction tables are restricted to
-    * the users that actually SPAN a partition boundary — at most
-    * partitions-1 of them regardless of user count — so they broadcast
-    * at any scale. Output is invariant to partition boundaries. */
+    * one-partition-per-user window: rows carry a deterministic
+    * range-bucket id over (user, us, event_id) ([[RangeBuckets]]) so one
+    * pathological user spans many buckets; the cross-bucket lag is
+    * reconstructed from a boundary table and local break-count cumsums
+    * are lifted by an exclusive-prefix offset. Both correction tables
+    * are restricted to the users that actually SPAN a bucket boundary —
+    * at most buckets-1 of them regardless of user count — so they
+    * broadcast at any scale. Output is invariant to bucket boundaries
+    * (spec-pinned at several bucket counts). */
   def batch(events: DataFrame, gapMinutes: Int): DataFrame = {
     val gapUs = gapMinutes.toLong * 60L * 1000000L
-    // only the three columns the scan/correction logic touches: the
-    // narrower row halves the bytes through the range exchange and the
-    // (pid, user) window shuffle. persist() freezes the row→pid
-    // assignment: RangePartitioner re-SAMPLES its bounds on every
-    // planned expansion (the sample seed derives from the RDD id, a
-    // global counter), so without a single materialization the
-    // pid-keyed correction tables (perPid/bounds/offsets) and the
-    // row-level tree can disagree about which partition a row landed in
-    // — observed as spurious session splits/merges. The cache also
-    // means the event scan+shuffle runs once instead of once per
-    // consumer subtree (the uncached q36 plan carried 7 scans).
-    // Not unpersisted (the frame is lazy): LRU-evictable; long-lived
-    // sessions should clearCache() periodically as hygiene.
-    val ranged = Par.ensure(events)
+    // only the three columns the scan/correction logic touches. pid is
+    // a DERIVED range-bucket id — a pure function of the row (see
+    // [[RangeBuckets]]) — never spark_partition_id(): Catalyst re-plans
+    // each reference to this subtree and RangePartitioner re-samples
+    // its bounds per expansion (RDD-id-seeded), so an execution-derived
+    // pid let the pid-keyed correction tables disagree with the
+    // row-level tree about row placement (observed as spurious session
+    // splits/merges). A pure-function pid is consistent across every
+    // expansion by construction — nothing needs caching, and the
+    // window's own hash exchange on (pid, user) does the distribution.
+    // the persist on `ranged` below is PURELY a performance choice now
+    // (pid no longer depends on it): every correction subtree reads one
+    // cached narrow materialization instead of re-scanning events.
+    // LRU-evictable; long-lived sessions may clearCache() as hygiene.
+    val keyed = Par.ensure(events)
       .select(col("user_id"), col("us"), col("event_id"))
-      .repartitionByRange(col("user_id"), col("us"), col("event_id"))
-      .withColumn("pid", spark_partition_id())
+    val nParts = events.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = keyed.withColumn("pid",
+      RangeBuckets.bucketCol(keyed,
+        Seq(col("user_id"), col("us"), col("event_id")), nParts))
       .persist()
     val wL = Window.partitionBy("pid", "user_id").orderBy("us", "event_id")
     val wPid = Window.partitionBy("user_id").orderBy("pid")

@@ -543,19 +543,18 @@ object TextPipeline {
       .select(col(idCol).as("id"), col(strataCol).as("stratum"),
         token_count_ws(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("mkey", md5(col("id").cast("string").cast("binary")))
-    // pid is materialized as a column BEFORE the window so the later
-    // (pid, stratum) exchange carries the range order with it; AQE may
-    // coalesce only adjacent range partitions, preserving monotonicity.
-    // persist() freezes the row→pid assignment: RangePartitioner
-    // re-samples its bounds on every planned expansion (seed derives
-    // from the global RDD-id counter), so without one materialization
-    // the offsets table and the row-level window can disagree about
-    // which partition a row landed in. The cached frame is the narrow
-    // key projection (id, stratum, n_tokens, mkey), not the documents.
-    val ranged = keyed
-      .repartitionByRange(col("stratum"), col("mkey"), col("id"))
-      .withColumn("pid", spark_partition_id())
-      .persist()
+    // pid is a DERIVED range-bucket id over (stratum, mkey, id) — a
+    // pure function of the row (see [[RangeBuckets]]), so the offsets
+    // table and the row-level window agree on row placement in every
+    // planned expansion by construction (an execution-derived
+    // spark_partition_id could disagree: RangePartitioner re-samples
+    // bounds per expansion). Lexicographic buckets keep pid order ==
+    // key order within each stratum, which the offset prefix relies on.
+    val ranged = keyed.withColumn("pid",
+      RangeBuckets.bucketCol(keyed,
+        Seq(col("stratum"), col("mkey"), col("id")),
+        docs.sparkSession.sessionState.conf.numShufflePartitions))
+      .persist() // perf-only: pid is pure, correctness never needs the cache
     val wLocal = Window.partitionBy("pid", "stratum").orderBy(col("mkey"), col("id"))
     val local = ranged
       .withColumn("lcum", sum(col("n_tokens")).over(wLocal))
@@ -599,14 +598,15 @@ object TextPipeline {
     val keyed = Par.ensure(docs)
       .select(col(idCol).as("doc_id"),
         token_count_ws(col(textCol)).cast("long").as("n_tokens"))
-    // persist() freezes the row→pid assignment across the two consumers
-    // (local window + offsets): RangePartitioner re-samples bounds per
-    // planned expansion (RDD-id-seeded), so an uncached tree can hand
-    // the offsets table different pids than the window saw. The cached
-    // frame is just (doc_id, n_tokens), not the documents.
-    val ranged = keyed.repartitionByRange(col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .persist()
+    // pid is a DERIVED range-bucket id over doc_id — a pure function of
+    // the row (see [[RangeBuckets]]), so the offsets table and the
+    // local window agree on row placement in every planned expansion by
+    // construction (an execution-derived spark_partition_id could
+    // disagree: RangePartitioner re-samples bounds per expansion).
+    val ranged = keyed.withColumn("pid",
+      RangeBuckets.bucketCol(keyed, Seq(col("doc_id")),
+        docs.sparkSession.sessionState.conf.numShufflePartitions))
+      .persist() // perf-only: pid is pure, correctness never needs the cache
     val wLocal = Window.partitionBy("pid").orderBy("doc_id")
     val local = ranged.withColumn("lcum", sum(col("n_tokens")).over(wLocal))
     // exclusive prefix of partition subtotals: one row per partition, so

@@ -107,12 +107,12 @@ class PlanAuditSpec extends SparkSuite {
     val right = Seq((7L, 90L, 1.0)).toDF("k", "rts", "v")
     val p = AsofJoin.asofJoin(left, right, Seq("k"), "lts", "rts", Seq("v"),
       giantKeySafe = true).queryExecution.executedPlan.toString
-    // the row-level window must be partitioned by (pid, key) over a RANGE
-    // exchange — a per-key-only hash window would serialize a hot key
-    assert(p.contains("rangepartitioning"),
-      s"giantKeySafe asof lost its range partitioning:\n$p")
+    // the row-level window must be partitioned by (bucket id, key) — a
+    // per-key-only window would serialize a hot key. The bucket id is a
+    // derived pure-function column (RangeBuckets), so the plan shows a
+    // windowspecdefinition over __pid, not a range exchange.
     assert(p.contains("windowspecdefinition(__pid"),
-      s"giantKeySafe asof window no longer splits by partition id:\n$p")
+      s"giantKeySafe asof window no longer splits by bucket id:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"giantKeySafe asof grew a nested-loop/cartesian plan:\n$p")
   }
