@@ -26,9 +26,14 @@ import org.apache.spark.sql.functions._
   * nothing needs caching and AQE may re-plan each exchange freely.
   *
   * Balance matches RangePartitioner's (same equi-depth estimate from a
-  * same-order sample); correctness never depends on balance. Rows with
-  * null keys compare null through the chain and fall to the last
-  * bucket — consistently. */
+  * same-order sample); correctness never depends on balance. Null key
+  * values sort FIRST — both in the driver-side boundary sort and in the
+  * generated leq chain — matching the asc-nulls-first ordering the
+  * consuming operators' windows use, so placement stays monotone in
+  * window order even for nullable keys. Driver-side string comparison
+  * is over UTF-8 bytes (Spark's UTF8String binary order), and key types
+  * outside the supported whitelist throw rather than silently falling
+  * back to a stringified order that could disagree with SQL. */
 object RangeBuckets {
 
   /** Bucket-id column over `keys` (lexicographic): 0 .. nBuckets-1.
@@ -57,10 +62,27 @@ object RangeBuckets {
     val m = approxRows / sampleTarget
     val modulus = if (m < 1) 1L else if (m > 1000000000L) 1000000000L else m.toLong
     val t0 = System.nanoTime()
-    val sample = keyed
+    val hashed = keyed
       .filter(pmod(xxhash64(keyed.columns.map(col): _*), lit(modulus)) === 0)
       .limit(sampleTarget * 4)
       .collect()
+    // The optimizer's sizeInBytes can overshoot wildly for post-filter /
+    // post-join subtrees (default stats): the modulus then filters out
+    // everything and an empty sample would silently degrade to ONE
+    // bucket — a single global window task, exactly what this exists to
+    // avoid. Retry once sampling every row (bounded by the same limit;
+    // the limit's arbitrary row choice skews balance only, and the
+    // boundaries are frozen to literals after this one driver job).
+    val sample =
+      if (hashed.nonEmpty || modulus == 1L) hashed
+      else {
+        org.slf4j.LoggerFactory
+          .getLogger(getClass)
+          .warn(
+            s"RangeBuckets: empty boundary sample at modulus=$modulus " +
+              s"(sizeInBytes estimate overshot); retrying with modulus=1")
+        keyed.limit(sampleTarget * 4).collect()
+      }
     if (sys.env.contains("GRAFT_DEBUG_BUCKETS"))
       println(f"[buckets] sample=${sample.length} modulus=$modulus took ${(System.nanoTime()-t0)/1e9}%.2f s")
     if (sample.isEmpty) return lit(0)
@@ -74,19 +96,31 @@ object RangeBuckets {
       .map(r => (0 until width).map(r.get))
       .distinct
     // first boundary b with (row <= b) decides the bucket; rows past
-    // every boundary (and null-key rows) land in the last bucket
+    // every boundary land in the last bucket. Nulls-first semantics
+    // (matching the consumers' asc-nulls-first windows): a null key is
+    // LESS than any non-null boundary value and EQUAL to a null one —
+    // three-valued `<` alone would let null keys fall through to the
+    // last bucket while sorting at the front of the window order.
     def leq(b: Seq[Any]): Column =
       keys.zip(b).foldRight(lit(true)) { case ((k, bv), rest) =>
-        (k < lit(bv)) || (k === lit(bv) && rest)
+        if (bv == null) k.isNull && rest
+        else k.isNull || (k < lit(bv)) || (coalesce(k === lit(bv), lit(false)) && rest)
       }
     bounds.zipWithIndex.foldRight(lit(bounds.length)) { case ((b, i), els) =>
       when(leq(b), lit(i)).otherwise(els)
     }
   }
 
+  /** Driver-side ordering for boundary sorting. MUST agree with the
+    * SQL-side `<`/`===` chain for every supported key type, or bucket
+    * ids go non-monotone in key order and the prefix-scan carries
+    * silently corrupt. Strings compare as UTF-8 bytes (Spark's
+    * UTF8String binary order — Java String.compareTo is UTF-16
+    * code-unit order and DISAGREES for supplementary-plane and some
+    * BMP characters). Unsupported types throw rather than falling back
+    * to a stringified order that could disagree with SQL. */
   private def rowOrdering(width: Int): Ordering[org.apache.spark.sql.Row] =
     new Ordering[org.apache.spark.sql.Row] {
-      @SuppressWarnings(Array("unchecked"))
       def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int = {
         var i = 0
         while (i < width) {
@@ -98,11 +132,28 @@ object RangeBuckets {
             else (av, bv) match {
               case (x: Long, y: Long) => java.lang.Long.compare(x, y)
               case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
+              case (x: Short, y: Short) => java.lang.Short.compare(x, y)
+              case (x: Byte, y: Byte) => java.lang.Byte.compare(x, y)
               case (x: Double, y: Double) => java.lang.Double.compare(x, y)
-              case (x: String, y: String) => x.compareTo(y)
+              case (x: Float, y: Float) => java.lang.Float.compare(x, y)
+              case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+              case (x: String, y: String) =>
+                java.util.Arrays.compareUnsigned(
+                  x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                  y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
               case (x: Array[Byte], y: Array[Byte]) =>
                 java.util.Arrays.compareUnsigned(x, y)
-              case (x, y) => String.valueOf(x).compareTo(String.valueOf(y))
+              case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+              case (x: java.time.Instant, y: java.time.Instant) => x.compareTo(y)
+              case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
+              case (x: java.time.LocalDate, y: java.time.LocalDate) => x.compareTo(y)
+              case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+              case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+              case (x, y) =>
+                throw new IllegalArgumentException(
+                  s"RangeBuckets: unsupported key type ${x.getClass.getName} / " +
+                    s"${y.getClass.getName} — add it here with semantics matching " +
+                    "Spark's SQL ordering, or cast the key column")
             }
           if (c != 0) return c
           i += 1
