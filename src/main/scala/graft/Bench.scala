@@ -30,6 +30,30 @@ object Bench {
         minhash_signature(shingle_hashes(tokenize(col("n_name")), 3), 16))
         .collect()
     }
+    // Machine-health canary (round-10 verdict #1): the driver's r10
+    // capture read a uniform ~2.2x slow on an UNCHANGED tree — a
+    // degraded sandbox, not a plan change — and nothing in the JSON said
+    // so. This fixed, data-independent workload (CPU hash reduce + one
+    // 1000-key shuffle) runs after warm-up; CANARY_REF is its min-of-two
+    // on a healthy 32-cpu sandbox, so canary/CANARY_REF is a
+    // machine-speed normalizer a reader can divide out. degraded=true
+    // past 1.5x flags that this run's absolute numbers are not
+    // comparable across rounds.
+    val CANARY_REF = 0.52 // min-of-two on a healthy 32-cpu sandbox (r11)
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(60000000L)
+        .selectExpr("id % 1000 as k", "pmod(xxhash64(id), 1000000) as h")
+        .groupBy("k").agg(
+          org.apache.spark.sql.functions.sum("h"),
+          org.apache.spark.sql.functions.count("*"))
+        .selectExpr("sum(`sum(h)`)", "sum(`count(1)`)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canary = math.min(canaryOnce(), canaryOnce())
+    // the reference is a 32-thread measurement; at other local[N] the
+    // canary still prints (ratio-to-ref is meaningless there, so no flag)
+    val degraded = cpus == "32" && canary > CANARY_REF * 1.5
     // Each query is executed twice. The FIRST execution carries one-time
     // costs that are not plan cost — whole-stage codegen compilation of
     // every operator the query introduces, AQE setup, file-footer reads —
@@ -46,31 +70,40 @@ object Bench {
       // A query that throws is recorded as -1 with an explicit error entry
       // — never as a plausible-looking "fast" timing (round-8 verdict
       // finding #2: a broken query's 0.06 s exception masqueraded as work).
-      def once(): (Double, Option[String]) = {
+      // Alongside each timing: the seconds that execution spent writing
+      // oracle artifacts (SparkEntry.artifactNanos) — verification
+      // overhead the oracle upgrades keep adding to q29/q35/q41/q63/
+      // q67/q68/q81/q88, not plan cost. Reported separately so a
+      // strengthened oracle doesn't read as a query regression
+      // (round-10 verdict #3).
+      def once(): (Double, Double, Option[String]) = {
+        val a0 = SparkEntry.artifactNanos.get
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
           case e: Throwable =>
             Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        val art = (SparkEntry.artifactNanos.get - a0) / 1e9
         // operators persist internal multi-consumer frames (LSH
         // signatures, window hashes); drop them outside the timed window
         // so queries don't pressure each other's storage/GC, and so the
         // second execution re-runs the full pipeline
         spark.catalog.clearCache()
-        (if (err.isDefined) -1.0 else dt, err)
+        (if (err.isDefined) -1.0 else dt, art, err)
       }
-      val (cold, coldErr) = once()
-      val (warm1, warmErr1) = once()
+      val (cold, _, coldErr) = once()
+      val (warm1, art1, warmErr1) = once()
       // Two warm executions, take the min: sandbox scheduling noise can
       // triple a single warm number with an identical plan (measured:
       // q57 20.4 s vs 5.4/8.1 s across same-tree runs); the min of two
       // is the steady-state figure the plan actually costs.
-      val (warm2, warmErr2) = once()
-      val warm =
-        if (warmErr1.isDefined) warm2
-        else if (warmErr2.isDefined) warm1
-        else math.min(warm1, warm2)
+      val (warm2, art2, warmErr2) = once()
+      val (warm, artWarm) =
+        if (warmErr1.isDefined) (warm2, art2)
+        else if (warmErr2.isDefined) (warm1, art1)
+        else if (warm1 <= warm2) (warm1, art1)
+        else (warm2, art2)
       // median of the three executions: the variance-robust middle
       // figure (BASELINE.md documents ±40% single-run spread in this
       // sandbox), reported alongside so a single lucky/unlucky run
@@ -81,25 +114,29 @@ object Bench {
         case s if s.isEmpty => -1.0
         case s => s((s.length - 1) / 2)
       }
-      (name, cold, warm, med, coldErr.orElse(warmErr1).orElse(warmErr2))
+      (name, cold, warm, med, artWarm, coldErr.orElse(warmErr1).orElse(warmErr2))
     }
     def jsonEsc(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    def json(f: ((String, Double, Double, Double, Option[String])) => Double): String =
+    def json(f: ((String, Double, Double, Double, Double, Option[String])) => Double): String =
       results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val ok = results.filter(_._5.isEmpty)
+    val ok = results.filter(_._6.isEmpty)
     val totalWarm = ok.map(_._3).sum
     val totalCold = ok.map(_._2).sum
     val totalMedian = ok.map(_._4).sum
-    val errorList = results.collect { case (n, _, _, _, Some(e)) => jsonEsc(s"$n: $e") }
+    // artifact seconds of the reported warm executions — subtract from
+    // `value` to get pure plan cost; per-query split in queries_artifact
+    val totalArtifact = ok.map(_._5).sum
+    val errorList = results.collect { case (n, _, _, _, _, Some(e)) => jsonEsc(s"$n: $e") }
     val errors = errorList.mkString("[", ",", "]")
     // compact line must stay under the driver's ~2000-byte tail capture
     val errorsCompact = errorList.take(5).mkString("[", ",", "]")
+    def fmt(d: Double): String = f"$d%.4f"
     val full =
-      s"""{"metric":"total","value":$totalWarm,"unit":"sec","queries":${json(_._3)},"queries_cold":${json(_._2)},"queries_median":${json(_._4)},"total_cold":$totalCold,"median":$totalMedian,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalWarm,"unit":"sec","queries":${json(_._3)},"queries_cold":${json(_._2)},"queries_median":${json(_._4)},"queries_artifact":${json(_._5)},"total_cold":$totalCold,"median":$totalMedian,"artifact_sec":${fmt(totalArtifact)},"canary":${fmt(canary)},"canary_ref":$CANARY_REF,"degraded":$degraded,"cpus":$cpus,"errors":$errors,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/tmp/graft_bench_full.json"), full)
     catch { case _: Throwable => () }
@@ -108,6 +145,6 @@ object Bench {
     // The driver keeps only the last ~2000 bytes of output, and the full
     // per-query line above is bigger than that — so the LAST line printed
     // is a compact summary that always fits the tail capture and parses.
-    println(s"""{"metric":"total","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"median":$totalMedian,"n_queries":${results.size},"n_errors":${results.count(_._5.isDefined)},"errors":$errorsCompact,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"median":$totalMedian,"artifact_sec":${fmt(totalArtifact)},"canary":${fmt(canary)},"canary_ref":$CANARY_REF,"degraded":$degraded,"cpus":$cpus,"n_queries":${results.size},"n_errors":${results.count(_._6.isDefined)},"errors":$errorsCompact,"sf":"$sfDir"}""")
   }
 }

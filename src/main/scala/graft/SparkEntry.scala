@@ -43,6 +43,21 @@ object SparkEntry {
     s"$artifactRoot/$name"
   }
 
+  /** Seconds spent persisting oracle artifacts inside query lambdas.
+    * Artifact writes exist so DuckDB can replay a derivation over the
+    * exact bytes Spark used — verification overhead, not plan cost — so
+    * Bench reports them separately instead of letting every oracle
+    * upgrade read as a query regression (round-10 verdict #3). */
+  private[graft] val artifactNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private implicit class ArtifactWriter(df: DataFrame) {
+    def saveArtifact(path: String): Unit = {
+      val t0 = System.nanoTime()
+      try df.write.mode("overwrite").parquet(path)
+      finally artifactNanos.addAndGet(System.nanoTime() - t0)
+    }
+  }
+
   private def deleteRecursively(path: String): Unit = {
     val f = new java.io.File(path)
     if (f.isDirectory) f.listFiles().foreach(c => deleteRecursively(c.getPath))
@@ -273,7 +288,7 @@ object SparkEntry {
       // in few files so the write isn't dominated by per-file commit cost
       Dedup.minhashSignatures(T(s, d, "documents"), shingleLen = 3, k = 64)
         .repartition(4)
-        .write.mode("overwrite").parquet(art)
+        .saveArtifact(art)
       Dedup.minhashPairsFromSigs(s.read.parquet(art), k = 64, bands = 16,
         threshold = 0.2, checkpoint = false) // already materialized parquet
         .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
@@ -295,7 +310,7 @@ object SparkEntry {
       Par.ensure(T(s, d, "documents"))
         .select(col("doc_id").as("id"), simhash(tokenize(col("text"))).as("sk"))
         .repartition(4) // tiny (id, long) table: few files, cheap commit
-        .write.mode("overwrite").parquet(art)
+        .saveArtifact(art)
       Dedup.simhashPairsFromSketches(s.read.parquet(art), maxHamming = 10, blocksPerKey = 1)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
         .orderBy("a", "b")
@@ -309,7 +324,7 @@ object SparkEntry {
       val art = artifact("q29_buckets")
       Dedup.hyperplaneBuckets(T(s, d, "embeddings"))
         .repartition(4) // tiny (id, bucket) table: few files, cheap commit
-        .write.mode("overwrite").parquet(art)
+        .saveArtifact(art)
       Dedup.embeddingNearDupPairsFromBuckets(
           s.read.parquet(art), T(s, d, "embeddings"), threshold = 0.4)
         .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
@@ -385,12 +400,12 @@ object SparkEntry {
         yield (j, c, model.codebooks(j)(c).toSeq)
       import s.implicits._
       cbRows.toDF("sub", "code", "centroid")
-        .repartition(1).write.mode("overwrite").parquet(cbArt)
+        .repartition(1).saveArtifact(cbArt)
       emb.withColumn("pq_codes",
           ProductQuantizer.encodeCol(model, col("embedding")))
         .withColumn("codes", unpack_u8(col("pq_codes")))
         .select("vec_id", "pq_codes", "codes", "embedding")
-        .repartition(4).write.mode("overwrite").parquet(cdArt)
+        .repartition(4).saveArtifact(cdArt)
       ProductQuantizer.topK(s.read.parquet(cdArt), model, q0(s, d),
         k = 10, rerank = 100)
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
@@ -409,12 +424,12 @@ object SparkEntry {
       val cdArt = artifact("q41_codes")
       import s.implicits._
       Seq((qrot.toSeq, qnorm)).toDF("qrot", "qnorm")
-        .repartition(1).write.mode("overwrite").parquet(qArt)
+        .repartition(1).saveArtifact(qArt)
       emb.withColumn("rq", RaBitQ.encodeCols(model, col("embedding")))
         .select(col("vec_id"), col("embedding"),
           col("rq._1").as("rq_code"), col("rq._2").as("rq_f"), col("rq._3").as("rq_norm"))
         .withColumn("code_bytes", unpack_u8(col("rq_code")))
-        .repartition(4).write.mode("overwrite").parquet(cdArt)
+        .repartition(4).saveArtifact(cdArt)
       RaBitQ.topK(s.read.parquet(cdArt), model, q0(s, d), k = 10, rerank = 100)
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     }),
@@ -503,7 +518,7 @@ object SparkEntry {
       val emb = T(s, d, "embeddings")
       val (_, postings) = Ann.ivfIndex(emb, numCentroids = 16,
         idCol = "vec_id", vecCol = "embedding", maxClustersPerVector = 1)
-      postings.repartition(2).write.mode("overwrite").parquet(art)
+      postings.repartition(2).saveArtifact(art)
       Dedup.semanticDedupPairsFromAssign(s.read.parquet(art), emb, threshold = 0.35)
         .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
         .orderBy("a", "b")
@@ -520,7 +535,7 @@ object SparkEntry {
       val art = artifact("q55_buckets")
       val docs = T(s, d, "documents")
       TextPipeline.dsirBuckets(docs, buckets = 4096)
-        .repartition(4).write.mode("overwrite").parquet(art)
+        .repartition(4).saveArtifact(art)
       val target = docs.filter(col("lang") === "en").select(col("doc_id").as("id"))
       docs.select(col("doc_id"))
         .join(
@@ -606,9 +621,9 @@ object SparkEntry {
       val newArt = artifact("q63_new_sigs")
       val seenArt = artifact("q63_seen_sigs")
       Dedup.minhashSignatures(docs.filter(col("doc_id") % 3 =!= 0),
-        shingleLen = 3, k = 64).repartition(4).write.mode("overwrite").parquet(newArt)
+        shingleLen = 3, k = 64).repartition(4).saveArtifact(newArt)
       Dedup.minhashSignatures(docs.filter(col("doc_id") % 3 === 0),
-        shingleLen = 3, k = 64).repartition(4).write.mode("overwrite").parquet(seenArt)
+        shingleLen = 3, k = 64).repartition(4).saveArtifact(seenArt)
       Dedup.minhashPairsAcrossFromSigs(
         s.read.parquet(newArt), s.read.parquet(seenArt),
         k = 64, bands = 16, threshold = 0.2)
@@ -657,7 +672,7 @@ object SparkEntry {
     "q67_image_neardup" -> ((s, d) => {
       val art = artifact("q67_imghash")
       Multimodal.imageHashes(Multimodal.syntheticImages(s, 300))
-        .repartition(2).write.mode("overwrite").parquet(art)
+        .repartition(2).saveArtifact(art)
       Dedup.simhashPairsFromSketches(s.read.parquet(art), maxHamming = 6, blocksPerKey = 1)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
         .orderBy("a", "b")
@@ -668,7 +683,7 @@ object SparkEntry {
     "q68_audio_neardup" -> ((s, d) => {
       val art = artifact("q68_audiohash")
       Multimodal.audioHashes(Multimodal.syntheticAudio(s, 300))
-        .repartition(2).write.mode("overwrite").parquet(art)
+        .repartition(2).saveArtifact(art)
       Dedup.simhashPairsFromSketches(s.read.parquet(art), maxHamming = 6, blocksPerKey = 1)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
         .orderBy("a", "b")
@@ -736,9 +751,19 @@ object SparkEntry {
     // + map-only encode: model-token counts per doc. The merge loop is
     // not SQL-expressible -> rows-only; determinism, hand-computed
     // merges, and monotonicity are spec-gated (BpeSpec).
+    // BPE corpus token counts. The merge-fit loop isn't SQL, but the
+    // model's word → subword-count function IS materializable: the full
+    // corpus word table encodes distributedly through the same
+    // model.encodeWord and persists as an artifact, and DuckDB replays
+    // the entire distributed encode pass (explode → join → sum) over
+    // those bytes — so the memoized mapPartitions bookkeeping is
+    // hash-checked; only the per-word greedy loop stays spec-gated
+    // (BpeSpec, ACL'16 worked example).
     "q73_bpe_tokens" -> ((s, d) => {
       val docs = T(s, d, "documents")
       val model = Bpe.train(docs, numMerges = 64)
+      Bpe.wordSubwordCounts(Bpe.wordCounts(docs), model)
+        .repartition(1).saveArtifact(artifact("q73_wordlut"))
       Bpe.encodeCounts(docs, model)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
@@ -755,12 +780,20 @@ object SparkEntry {
     // Whitened top-8 PCA projection (map-only codegen apply pass),
     // exploded to scalar (vec_id, component, value) rows — array-typed
     // output crashes the driver's pandas sort. The eigen-decomposition
-    // is not SQL-expressible -> rows-only here; the whitening invariant
-    // itself IS oracle-checked (q89), and orthonormality/variance-
-    // ordering are spec-gated (PcaSpec).
+    // itself is not SQL-expressible, but the APPLIED transform is pure
+    // affine — so the exact whitened rows + mean persist as an artifact
+    // (q35's codebook pattern) and DuckDB re-derives every projected
+    // value as a plain dot product over the same bytes. The whitening
+    // invariant is additionally oracle-checked (q89), orthonormality/
+    // variance-ordering spec-gated (PcaSpec).
     "q75_pca_whiten" -> ((s, d) => {
+      import s.implicits._
       val emb = T(s, d, "embeddings")
       val model = Pca.train(emb, k = 8)
+      Pca.whitenedComponents(model).zipWithIndex
+        .map { case (row, i) => ((i + 1).toLong, row.toSeq, model.mean.toSeq) }
+        .toSeq.toDF("component", "wrow", "means")
+        .repartition(1).saveArtifact(artifact("q75_model"))
       Pca.project(emb, model, whiten = true)
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "v")))
         .select(col("vec_id"), (col("pos") + 1).cast("long").as("component"),
@@ -816,19 +849,29 @@ object SparkEntry {
       val cdArt = artifact("q81_codes")
       import s.implicits._
       Seq((model.mins.toSeq, model.scales.toSeq)).toDF("mins", "scales")
-        .repartition(1).write.mode("overwrite").parquet(mdArt)
+        .repartition(1).saveArtifact(mdArt)
       emb.withColumn("sq_codes",
           ScalarQuantizer.encodeCol(model, col("embedding")))
         .withColumn("codes", unpack_u8(col("sq_codes")))
         .select("vec_id", "sq_codes", "codes", "embedding")
-        .repartition(4).write.mode("overwrite").parquet(cdArt)
+        .repartition(4).saveArtifact(cdArt)
       ScalarQuantizer.topK(s.read.parquet(cdArt), model, q0(s, d),
         k = 10, rerank = 100)
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     }),
-    // T5-style span corruption (denoising-objective data prep): the
-    // doc-id-seeded pseudo-random decisions aren't SQL -> rows-only;
-    // exact input⋈target reconstruction is spec-gated (PipelineOpsSpec).
+    // T5-style span corruption (denoising-objective data prep). The
+    // doc-id-seeded pseudo-random span decisions aren't SQL, but the
+    // op's DEFINING invariant is: splicing each sentinel's target span
+    // back into the input reconstructs the original token sequence
+    // exactly (q89's invariant-oracle pattern). The query emits that
+    // reconstruction — computed from the corrupted (input, target) pair
+    // with GENERIC string ops (split_part/aggregate), not the kernel, so
+    // a kernel bug can't cancel itself — plus the token count implied by
+    // (n_masked, n_spans, input); DuckDB independently emits the
+    // space-joined original tokenization. A hash match proves the
+    // corruption is lossless, sentinels are unambiguous, and the
+    // masked-count bookkeeping is consistent. Exact (input, target)
+    // shapes stay spec-gated (PipelineOpsSpec).
     "q82_span_corrupt" -> ((s, d) =>
       Par.ensure(T(s, d, "documents"))
         .select(col("doc_id"),
@@ -836,6 +879,22 @@ object SparkEntry {
         .select(col("doc_id"), col("sc.input").as("input"),
           col("sc.target").as("target"), col("sc.n_masked").as("n_masked"),
           col("sc.n_spans").as("n_spans"))
+        .select(
+          col("doc_id"),
+          expr("""aggregate(
+                    filter(split(input, ' '), t -> t != ''),
+                    '',
+                    (acc, t) -> concat(acc,
+                      CASE WHEN acc = '' THEN '' ELSE ' ' END,
+                      CASE WHEN startswith(t, '<extra_id_')
+                           THEN trim(split_part(split_part(target, t, 2), '<extra_id_', 1))
+                           ELSE t END))""").as("recon"),
+          (col("n_masked") +
+            expr("size(filter(split(input, ' '), t -> t != '' AND NOT startswith(t, '<extra_id_')))"))
+            .cast("long").as("n_tokens"),
+          (expr("size(filter(split(input, ' '), t -> startswith(t, '<extra_id_')))") === col("n_spans") &&
+            expr("size(filter(split(target, ' '), t -> startswith(t, '<extra_id_')))") === col("n_spans"))
+            .as("sentinels_ok"))
         .orderBy("doc_id")),
     // Late-interaction MaxSim retrieval (ColBERT-style): embeddings
     // grouped 4-per-doc as token vectors, vec_ids 0-3 as the query's
@@ -906,7 +965,7 @@ object SparkEntry {
       Sessionize.batch(ev, gapMinutes = 30)
         .select(col("user_id"), col("session_idx"), col("start_us"), col("end_us"))
         .repartition(4) // tiny interval table: few files, cheap commit
-        .write.mode("overwrite").parquet(art)
+        .saveArtifact(art)
       RangeJoin.bucketed(
         ev.select(col("event_id"), col("user_id"), col("us")),
         s.read.parquet(art), Seq("user_id"), "us", "start_us", "end_us",
@@ -1256,6 +1315,16 @@ object SparkEntry {
          FROM embeddings e JOIN cand USING (vec_id)
          ORDER BY list_distance(e.embedding::DOUBLE[], (SELECT q FROM qv))::DOUBLE, e.vec_id
          LIMIT 10""",
+    // Span-corruption reconstruction invariant (q89's pattern): the
+    // Spark side splices target spans back into the input with generic
+    // string ops; ground truth is simply the space-joined original
+    // tokenization — no replay of the seeded span decisions needed.
+    "q82_span_corrupt" ->
+      s"""SELECT doc_id,
+          array_to_string($docToksSql, ' ') AS recon,
+          CAST(len($docToksSql) AS BIGINT) AS n_tokens,
+          true AS sentinels_ok
+          FROM documents ORDER BY doc_id""",
     "q36_sessionize" ->
       """SELECT user_id, session_idx, count(*) AS n_events,
            min(us) AS start_us, max(us) AS end_us
@@ -1845,6 +1914,18 @@ object SparkEntry {
           FROM g, t ORDER BY source""",
     // exact population covariance replay: E[x_i x_j] - E[x_i]E[x_j]
     // (dims-agnostic via generate_subscripts)
+    // BPE encode replay over the persisted word → subword-count table:
+    // DuckDB re-derives every per-doc count as explode → join → sum
+    // against the same bytes the memoized map-side encode used
+    "q73_bpe_tokens" ->
+      s"""WITH lut AS (SELECT word, n_sub
+                       FROM read_parquet('/tmp/graft_artifacts/q73_wordlut/*.parquet')),
+          t AS (SELECT doc_id, $docToksSql AS toks FROM documents),
+          x AS (SELECT doc_id, unnest(toks) AS word FROM t),
+          sm AS (SELECT doc_id, sum(n_sub) AS bpe FROM x JOIN lut USING (word) GROUP BY doc_id)
+          SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens_ws,
+                 CAST(coalesce(sm.bpe, 0) AS BIGINT) AS n_bpe_tokens
+          FROM t LEFT JOIN sm USING (doc_id) ORDER BY t.doc_id""",
     "q74_pca_cov" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          x AS (SELECT vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS xi FROM v),
@@ -1868,6 +1949,24 @@ object SparkEntry {
           SELECT g1.source, n_docs, n_tokens, distinct_texts,
                  coalesce(vocab, 0) AS vocab
           FROM g1 LEFT JOIN g2 USING (source) ORDER BY source""",
+    // whitened-projection replay over the persisted transform (q35's
+    // artifact pattern): value[c] = Σ_j wrow_c[j]·(x[j] − mean[j]) as a
+    // plain DuckDB dot product — the eigen step stays driver-side, but
+    // every number the query emits is re-derived from the same bytes
+    "q75_pca_whiten" ->
+      """WITH md AS (SELECT component, wrow, means
+                     FROM read_parquet('/tmp/graft_artifacts/q75_model/*.parquet')),
+         mr AS (SELECT component, unnest(wrow)::DOUBLE AS w,
+                       generate_subscripts(wrow, 1) AS j FROM md),
+         mm AS (SELECT unnest(means)::DOUBLE AS mu, generate_subscripts(means, 1) AS j
+                FROM (SELECT means FROM md LIMIT 1)),
+         ev AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                       generate_subscripts(embedding::DOUBLE[], 1) AS j FROM embeddings)
+         SELECT e.vec_id, CAST(m.component AS BIGINT) AS component,
+                round(sum(m.w * (e.x - mm.mu)), 4) + 0.0 AS value
+         FROM ev e JOIN mr m ON m.j = e.j JOIN mm ON mm.j = e.j
+         GROUP BY e.vec_id, m.component
+         ORDER BY vec_id, component""",
     // strictly-ordered funnel replay: stage i's conversion is the first
     // stage-i event strictly after stage i-1's conversion time
     "q77_funnel" ->

@@ -58,10 +58,24 @@ object Verify {
     // stamp the artifact dir: several oracles replay /tmp/graft_artifacts
     // parquet written by THIS run — a later run at a different SF
     // overwrites them, and a comparison against these outputs would then
-    // silently mismatch. The stamp lets verify_local detect staleness.
-    try Files.writeString(Paths.get("/tmp/graft_artifacts/VERIFY_STAMP"),
-      s"""{"out_dir": ${jsonQuote(outDir)}, "sf_dir": ${jsonQuote(sfDir)}, "epoch_ms": ${System.currentTimeMillis()}}""")
-    catch { case _: Throwable => () }
+    // silently mismatch. The stamp records a content fingerprint
+    // (file count + max mtime, excluding the stamp itself) so ANY later
+    // rewrite is detected — including a Bench run, which executes the
+    // same query lambdas and rewrites the artifacts without going
+    // through Verify (the out_dir check alone missed that).
+    try {
+      val root = Paths.get("/tmp/graft_artifacts")
+      val walk = Files.walk(root)
+      val (count, maxMtime) = try {
+        import scala.jdk.CollectionConverters._
+        val files = walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.getFileName.toString != "VERIFY_STAMP")
+          .toSeq
+        (files.size, files.map(Files.getLastModifiedTime(_).toMillis).maxOption.getOrElse(0L))
+      } finally walk.close()
+      Files.writeString(root.resolve("VERIFY_STAMP"),
+        s"""{"out_dir": ${jsonQuote(outDir)}, "sf_dir": ${jsonQuote(sfDir)}, "epoch_ms": ${System.currentTimeMillis()}, "artifacts_fingerprint": "$count:$maxMtime"}""")
+    } catch { case _: Throwable => () }
     // exact-ground-truth gates for the no-oracle queries (LSH/ANN/PQ/CC):
     // recorded next to the parquet so the round's correctness artifact
     // reflects what is actually verified, not just row counts

@@ -146,6 +146,30 @@ object Bpe {
     merges.result()
   }
 
+  /** Per-word greedy-encode length table `[word, n_sub]` — the model's
+    * word → subword-count function materialized over a word set (e.g.
+    * [[wordCounts]] output). Map-only, model broadcast with the closure.
+    * q73 persists this as its oracle artifact: DuckDB then replays the
+    * whole distributed encode pass (explode → join → sum) over the same
+    * bytes, leaving only the per-word greedy loop spec-gated (BpeSpec's
+    * ACL'16 worked example). */
+  def wordSubwordCounts(
+      words: DataFrame,
+      model: Model,
+      wordCol: String = "word"): DataFrame = {
+    val in = Par.ensure(words).select(col(wordCol).cast("string").as("word"))
+    val outSchema = StructType(Seq(
+      StructField("word", StringType, nullable = false),
+      StructField("n_sub", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val w = r.getString(0)
+        Row(w, model.encodeWord(w).length.toLong)
+      }
+    }(enc)
+  }
+
   /** Map-only corpus encoding: `[id, n_tokens_ws, n_bpe_tokens]` per doc.
     * The model broadcasts with the task closure; each partition memoizes
     * word → subword count. */

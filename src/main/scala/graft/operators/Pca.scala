@@ -110,6 +110,15 @@ object Pca {
     Model(mean, comps, order.map(values(_)).toArray)
   }
 
+  /** The affine rows `project(whiten = true)` applies — component r
+    * scaled by 1/√(λ+ε). Exposed so callers can persist the EXACT
+    * transform for oracle replay (q75 persists these + the mean and
+    * DuckDB re-derives every projected value as a plain dot product). */
+  def whitenedComponents(model: Model, epsilon: Double = 1e-9): Array[Array[Double]] =
+    model.components.zip(model.eigenvalues).map { case (row, ev) =>
+      val s = 1.0 / math.sqrt(math.max(ev, 0.0) + epsilon); row.map(_ * s)
+    }
+
   /** Map-only projection: `[<id>, proj: array<double>(k)]`. With
     * `whiten = true` each component is scaled by 1/√(λ+ε) so the output
     * has (population) identity covariance. */
@@ -120,10 +129,7 @@ object Pca {
       vecCol: String = "embedding",
       whiten: Boolean = false,
       epsilon: Double = 1e-9): DataFrame = {
-    val rows = if (!whiten) model.components
-      else model.components.zip(model.eigenvalues).map { case (row, ev) =>
-        val s = 1.0 / math.sqrt(math.max(ev, 0.0) + epsilon); row.map(_ * s)
-      }
+    val rows = if (!whiten) model.components else whitenedComponents(model, epsilon)
     val flat = rows.flatten
     Par.ensure(vecs).select(col(idCol),
       affine_project(col(vecCol), flat, model.mean, model.dim).as("proj"))

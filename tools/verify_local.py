@@ -71,6 +71,18 @@ def main():
             stamp = json.load(f)
         if os.path.abspath(stamp.get("out_dir", "")) != os.path.abspath(OUT):
             stale_artifacts = True
+        # a Bench run executes the same lambdas and rewrites the
+        # artifacts WITHOUT touching the stamp — compare the recorded
+        # content fingerprint (file count + max mtime) against the
+        # directory's current state
+        fp = stamp.get("artifacts_fingerprint")
+        if fp is not None and not stale_artifacts:
+            files = [os.path.join(r, f)
+                     for r, _, fs in os.walk("/tmp/graft_artifacts")
+                     for f in fs if f != "VERIFY_STAMP"]
+            now = f"{len(files)}:{max((os.stat(p).st_mtime_ns // 1_000_000 for p in files), default=0)}"
+            if now != fp:
+                stale_artifacts = True
     elif any("/tmp/graft_artifacts" in sql for sql in oracles.values()):
         stale_artifacts = True
     results = {}
