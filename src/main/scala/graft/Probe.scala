@@ -2,45 +2,52 @@ package graft
 
 // scratch diagnostic main — not part of the library surface
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.operators.Ann
+import org.apache.spark.scheduler._
 
 object Probe {
   def main(args: Array[String]): Unit = {
-    val n = if (args.nonEmpty) args(0).toInt else 20000
-    val thresh = if (args.length > 1) args(1) else "128"
-    val dim = 768
+    val q = if (args.nonEmpty) args(0) else "q36_sessionize"
+    val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", thresh)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    val genUdf = udf { (id: Long) =>
-      val c = (id % 64).toInt
-      Array.tabulate(dim) { d =>
-        val base = if (d % 64 == c) 4.0 else 0.0
-        val h = graft.functions.HashKernels.mix64(id * 131071L + d)
-        base + (h.toDouble / Long.MaxValue.toDouble)
+    val fn = SparkEntry.queries(q)
+    fn(spark, sf).count() // warm
+    spark.catalog.clearCache()
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Int)]()
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Seq[Int])]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+        stages.put(si.stageId, (si.name.take(60), dur, si.numTasks))
+      }
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.put(js.jobId, (js.time, 0L, js.stageIds))
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        Option(jobs.get(je.jobId)).foreach { case (s, _, ids) =>
+          jobs.put(je.jobId, (s, je.time, ids)) }
       }
     }
-    val emb = spark.range(n.toLong).select(col("id").as("vec_id"),
-      genUdf(col("id")).as("embedding"))
-      .repartition(32).persist()
-    emb.count()
-
-    def time[T](label: String)(f: => T): T = {
-      val t = System.nanoTime(); val r = f
-      println(f"[probe] $label: ${(System.nanoTime() - t) / 1e9}%.1f s"); r
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    fn(spark, sf).count()
+    println(f"[probe] $q total: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.sparkContext.removeSparkListener(listener)
+    Thread.sleep(500)
+    import scala.jdk.CollectionConverters._
+    jobs.asScala.toSeq.sortBy(_._1).foreach { case (jid, (s, e, ids)) =>
+      println(f"[probe] job $jid%3d ${(e - s) / 1e3}%6.2f s  stages=${ids.mkString(",")}")
+      ids.sorted.foreach { sid =>
+        Option(stages.get(sid)).foreach { case (name, dur, nt) =>
+          println(f"[probe]     stage $sid%3d ${dur / 1e3}%6.2f s  tasks=$nt%3d  $name")
+        }
+      }
     }
-
-    val nc = math.max(16, (1500.0 * n / 1000000.0).toInt)
-    val graph = time("knnGraph full") {
-      Ann.knnGraph(emb, k = 10, numCentroids = nc, nprobe = 8)
-    }
-    time("graph.count")(println("edges=" + graph.count()))
     spark.stop()
   }
 }

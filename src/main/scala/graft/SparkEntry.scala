@@ -381,7 +381,12 @@ object SparkEntry {
       Sessionize.batch(ev, gapMinutes = 30)
         .select(col("user_id"), col("session_idx"), col("n_events"),
           col("start_us"), col("end_us"))
-        .orderBy("user_id", "session_idx")
+        // single-partition sort, not a global orderBy: a range sort's
+        // boundary-sampling job would execute the whole session DAG a
+        // second time just to pick split points for a ~100k-row result.
+        // Output order is identical (one partition = total order) and
+        // Verify writes coalesce(1) anyway.
+        .repartition(1).sortWithinPartitions("user_id", "session_idx")
     }),
     // PQ ANN with a FULL SQL replay (no longer rows-only): the trained
     // codebook and per-vector codes persist as artifacts, and the DuckDB
@@ -971,7 +976,9 @@ object SparkEntry {
         s.read.parquet(art), Seq("user_id"), "us", "start_us", "end_us",
         bucketWidth = 3600L * 1000000L)
         .select(col("event_id"), col("user_id"), col("us"), col("session_idx"))
-        .orderBy("event_id")
+        // single-partition sort (q36's rationale: no range-sample
+        // double execution of the join DAG)
+        .repartition(1).sortWithinPartitions("event_id")
     }),
     // Streaming ingest lifecycle under the oracle (R1-R5 on the hard
     // gate, not just specs): the embeddings parquet replays as a FILE
