@@ -57,7 +57,7 @@ object ScaleText {
     // optional arg 2: comma-list of ops to run (rep,tfidf,minhash,substr,
     // simhash; default all), and repeat count via e.g. "tfidf*3" — for
     // isolating one op's scaling behavior in a single JVM
-    val opSpec = if (args.length > 1) args(1) else "rep,tfidf,minhash,substr,simhash,dsir"
+    val opSpec = if (args.length > 1) args(1) else "rep,tfidf,minhash,substr,simhash,dsir,pack,budget"
     val opRepeats: Map[String, Int] = opSpec.split(",").map { s =>
       s.split("\\*") match {
         case Array(n, r) => n -> r.toInt
@@ -127,6 +127,22 @@ object ScaleText {
       val target = docs.filter(col("doc_id") % 11 === 0).select(col("doc_id").as("id"))
       dsirCheck = TextPipeline.dsirWeightsFromBuckets(bc, target, buckets = 65536)
         .agg(sum(col("log_weight"))).head().getDouble(0)
+    }
+
+    // Distributed prefix scans (pack + token budget) — the RangeBuckets
+    // family at corpus scale; the persist A/B switch is
+    // GRAFT_PREFIX_PERSIST=0 (BASELINE.md records both arms)
+    var packCheck = 0L
+    val packSec = timedOp("pack") {
+      packCheck = TextPipeline.packSequences(docs, contextLen = 2048)
+        .agg(max(col("window_end"))).head().getLong(0)
+    }
+    var budgetKept = 0L
+    val budgetSec = timedOp("budget") {
+      budgetKept = TextPipeline.tokenBudgetSample(
+        docs.withColumn("src", (col("doc_id") % 3).cast("string")),
+        strataCol = "src", budgets = Map("0" -> 20000000L),
+        defaultBudget = 10000000L).count()
     }
 
     // Boilerplate discovery: the planted "click here to subscribe now"
@@ -228,7 +244,10 @@ object ScaleText {
       s""""classify_docs_per_sec":${f"${dps(classifySec)}%.0f"},""" +
       s""""classify_kept":$classifyCheck,""" +
       s""""bpe_sec":${f"$bpeSec%.1f"},"bpe_docs_per_sec":${f"${dps(bpeSec)}%.0f"},""" +
-      s""""bpe_tokens":$bpeTokens}""")
+      s""""bpe_tokens":$bpeTokens,""" +
+      s""""pack_sec":${f"$packSec%.1f"},"pack_docs_per_sec":${f"${dps(packSec)}%.0f"},""" +
+      s""""pack_check":$packCheck,""" +
+      s""""budget_sec":${f"$budgetSec%.1f"},"budget_kept":$budgetKept}""")
     spark.stop()
   }
 }

@@ -92,7 +92,7 @@ object AsofJoin {
         val ranged = unioned.withColumn("__pid",
           RangeBuckets.bucketCol(unioned,
             keyCols.map(col) :+ col("__ts") :+ col("__side"), nParts))
-          .persist() // perf-only: pid is pure, correctness never needs it
+          .transform(RangeBuckets.maybePersist) // perf-only (A/B: GRAFT_PREFIX_PERSIST=0)
         val wL = Window.partitionBy("__pid", keyCols: _*)
           .orderBy(ordering: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -142,6 +142,18 @@ object RangeBuckets {
     boundsChain(keys, bounds)
   }
 
+  /** Perf-only persist for pid-tagged prefix-scan frames. With
+    * pure-function pids, correctness NEVER needs the cache — it only
+    * saves recomputing the tagged subtree for each consumer. Disabled
+    * via GRAFT_PREFIX_PERSIST=0 (the BASELINE.md A/B switch; at cluster
+    * scale an input-sized cache may cost more than the extra scan).
+    * NOTE the cache is never unpersisted by the operators themselves:
+    * Bench/Verify clearCache() between queries; other long-lived
+    * callers own that hygiene (blocks are LRU-evictable from memory,
+    * but spilled disk blocks are not). */
+  private[operators] def maybePersist(df: DataFrame): DataFrame =
+    if (sys.env.get("GRAFT_PREFIX_PERSIST").contains("0")) df else df.persist()
+
   /** The generated id expression: first boundary b with (row <= b)
     * decides the bucket; rows past every boundary land in the last
     * bucket. Nulls-first semantics (matching the consumers'

@@ -554,7 +554,7 @@ object TextPipeline {
       RangeBuckets.bucketCol(keyed,
         Seq(col("stratum"), col("mkey"), col("id")),
         docs.sparkSession.sessionState.conf.numShufflePartitions))
-      .persist() // perf-only: pid is pure, correctness never needs the cache
+      .transform(RangeBuckets.maybePersist) // perf-only (A/B: GRAFT_PREFIX_PERSIST=0)
     val wLocal = Window.partitionBy("pid", "stratum").orderBy(col("mkey"), col("id"))
     val local = ranged
       .withColumn("lcum", sum(col("n_tokens")).over(wLocal))
@@ -606,7 +606,7 @@ object TextPipeline {
     val ranged = keyed.withColumn("pid",
       RangeBuckets.bucketCol(keyed, Seq(col("doc_id")),
         docs.sparkSession.sessionState.conf.numShufflePartitions))
-      .persist() // perf-only: pid is pure, correctness never needs the cache
+      .transform(RangeBuckets.maybePersist) // perf-only (A/B: GRAFT_PREFIX_PERSIST=0)
     val wLocal = Window.partitionBy("pid").orderBy("doc_id")
     val local = ranged.withColumn("lcum", sum(col("n_tokens")).over(wLocal))
     // exclusive prefix of partition subtotals: one row per partition, so
