@@ -70,12 +70,16 @@ object Bench {
       // A query that throws is recorded as -1 with an explicit error entry
       // — never as a plausible-looking "fast" timing (round-8 verdict
       // finding #2: a broken query's 0.06 s exception masqueraded as work).
-      // Alongside each timing: the seconds that execution spent writing
-      // oracle artifacts (SparkEntry.artifactNanos) — verification
+      // Alongside each timing: the seconds that execution spent inside
+      // saveArtifact actions (SparkEntry.artifactNanos) — verification
       // overhead the oracle upgrades keep adding to q29/q35/q41/q63/
       // q67/q68/q81/q88, not plan cost. Reported separately so a
       // strengthened oracle doesn't read as a query regression
-      // (round-10 verdict #3).
+      // (round-10 verdict #3). NOTE a write action executes its upstream
+      // plan, so when the persisted frame is also the query's own input
+      // (q88's session table) this window includes building it — the
+      // split marks "time in the artifact write", an upper bound on
+      // pure verification overhead.
       def once(): (Double, Double, Option[String]) = {
         val a0 = SparkEntry.artifactNanos.get
         val t0 = System.nanoTime()
