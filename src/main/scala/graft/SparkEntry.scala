@@ -1041,6 +1041,24 @@ object SparkEntry {
         .select(col("i"), col("j"),
           (round(col("cov"), 6) + lit(0.0)).as("cov"))
         .orderBy("i", "j")
+    }),
+    // Diversity selection on the hash gate: the EXACT global
+    // farthest-first twin (engine-replayable rule — rounded squared-L2
+    // argmax, id tiebreaks). The picks persist as an artifact and the
+    // DuckDB oracle CONDITIONALLY REPLAYS the greedy recurrence: pick 1
+    // recomputed from scratch (argmax distance to the corpus mean), and
+    // each pick k>1 recomputed as the argmax of min-distance-to-
+    // picks<k using the artifact's earlier picks — any wrong pick makes
+    // the recomputed sequence diverge from the emitted one. The sampled
+    // cluster-sharded diverseSelect (q78) stays the 100 TB path with
+    // its recall gates.
+    "q91_diverse_exact" -> ((s, d) => {
+      Ann.diverseSelectExact(T(s, d, "embeddings"), m = 32)
+        .select(col("rank").cast("long").as("rank"),
+          col("vec_id").cast("long").as("vec_id"),
+          (col("score") + lit(0.0)).as("score"))
+        .repartition(1).saveArtifact(artifact("q91_picks"))
+      s.read.parquet(artifact("q91_picks")).orderBy("rank")
     })
   )
 
@@ -2119,6 +2137,42 @@ object SparkEntry {
                 CAST(CASE WHEN a.i = b.j THEN 1 ELSE 0 END AS DOUBLE) AS cov
          FROM (SELECT unnest(range(1, 9)) AS i) a,
               (SELECT unnest(range(1, 9)) AS j) b
-         ORDER BY i, j"""
+         ORDER BY i, j""",
+    // conditional greedy replay: pick 1 recomputed from scratch; pick
+    // k>1 = argmax over not-yet-picked docs of min squared distance to
+    // the ARTIFACT's picks < k (round-6 scores, id tiebreak — the
+    // operator's own engine-replayable rule). A wrong pick anywhere
+    // makes the recomputed sequence diverge from the emitted rows.
+    "q91_diverse_exact" ->
+      """WITH picks AS (SELECT rank, vec_id AS id
+                        FROM read_parquet('/tmp/graft_artifacts/q91_picks/*.parquet')),
+         ev AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                       generate_subscripts(embedding::DOUBLE[], 1) AS j FROM embeddings),
+         mu AS (SELECT j, avg(x) AS m FROM ev GROUP BY j),
+         dmean AS (SELECT e.vec_id, sum((e.x - mu.m) * (e.x - mu.m)) AS d2
+                   FROM ev e JOIN mu USING (j) GROUP BY e.vec_id),
+         first AS (SELECT vec_id, round(d2, 6) AS score FROM dmean
+                   ORDER BY round(d2, 6) DESC, vec_id LIMIT 1),
+         pd AS (SELECT e.vec_id AS cand, p.rank, sum((e.x - pe.x) * (e.x - pe.x)) AS d2
+                FROM ev e
+                JOIN picks p ON true
+                JOIN ev pe ON pe.vec_id = p.id AND pe.j = e.j
+                GROUP BY e.vec_id, p.rank),
+         ranks AS (SELECT k FROM generate_series(2, 32) t(k)),
+         mind AS (SELECT r.k, d.cand, min(d.d2) AS md
+                  FROM ranks r
+                  JOIN pd d ON d.rank < r.k
+                  LEFT JOIN picks pp ON pp.id = d.cand AND pp.rank < r.k
+                  WHERE pp.id IS NULL
+                  GROUP BY r.k, d.cand),
+         best AS (SELECT k, cand, round(md, 6) AS score,
+                         row_number() OVER (PARTITION BY k
+                           ORDER BY round(md, 6) DESC, cand) AS rn
+                  FROM mind)
+         SELECT CAST(1 AS BIGINT) AS rank, vec_id, score + 0.0 AS score FROM first
+         UNION ALL
+         SELECT CAST(k AS BIGINT) AS rank, cand AS vec_id, score + 0.0 AS score
+         FROM best WHERE rn = 1
+         ORDER BY rank"""
   )
 }

@@ -430,4 +430,80 @@ object Ann {
       }(enc)
       .toDF("id", "cluster", "rank")
   }
+
+  /** EXACT global farthest-first (k-center greedy) — the bounded oracle
+    * twin of [[diverseSelect]], in the `Dedup.*Exact` posture: a driver
+    * loop over a size-capped collected corpus, used for hash-gate
+    * replay (q91) and as spec ground truth. The sampled cluster-sharded
+    * [[diverseSelect]] remains the 100 TB path.
+    *
+    * The selection rule is deliberately ENGINE-REPLAYABLE: squared-L2
+    * scores rounded HALF_UP to 6 decimals with an id-asc tiebreak, so a
+    * SQL replay summing dimensions in any order lands on the same
+    * argmax. Pick 1 maximizes distance to the corpus mean; pick k>1
+    * maximizes the min squared distance to the earlier picks.
+    * Returns `[rank, <id>, score]` (score = the winning rounded metric). */
+  def diverseSelectExact(
+      embeddings: DataFrame,
+      m: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxRows: Int = 200000): DataFrame = {
+    require(m >= 1, s"m=$m")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val rows = embeddings
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"diverseSelectExact is the bounded oracle twin (cap $maxRows rows) — use diverseSelect")
+    require(rows.nonEmpty, "diverseSelectExact on an empty corpus")
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Double](1).toArray)
+    val n = ids.length
+    val d = vecs(0).length
+    val mean = new Array[Double](d)
+    vecs.foreach { v => var j = 0; while (j < d) { mean(j) += v(j); j += 1 } }
+    locally { var j = 0; while (j < d) { mean(j) /= n; j += 1 } }
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < d) { val t = a(j) - b(j); s += t * t; j += 1 }
+      s
+    }
+    def r6(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val picked = Array.fill(n)(false)
+    val minD = Array.fill(n)(Double.PositiveInfinity)
+    def argmax(metric: Int => Double): (Int, Double) = {
+      var b = -1; var bs = 0.0
+      var i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val s = r6(metric(i))
+          if (b < 0 || s > bs || (s == bs && ids(i) < ids(b))) { b = i; bs = s }
+        }
+        i += 1
+      }
+      (b, bs)
+    }
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    val take = math.min(m, n)
+    var (best, bestScore) = argmax(i => d2(vecs(i), mean))
+    var k = 1
+    while (k <= take) {
+      out += ((k.toLong, ids(best), bestScore))
+      picked(best) = true
+      var i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val dd = d2(vecs(i), vecs(best))
+          if (dd < minD(i)) minD(i) = dd
+        }
+        i += 1
+      }
+      if (k < take) { val t = argmax(i => minD(i)); best = t._1; bestScore = t._2 }
+      k += 1
+    }
+    out.result().toDF("rank", idCol, "score")
+  }
 }
