@@ -1052,6 +1052,26 @@ object SparkEntry {
     // the recomputed sequence diverge from the emitted one. The sampled
     // cluster-sharded diverseSelect (q78) stays the 100 TB path with
     // its recall gates.
+    // Scatter-gather top-k merge (A6/D2) on the hash gate, not just
+    // SearchSpec: three disjoint shards each produce their LOCAL top-10
+    // through the engine's (score asc NaN-last, doc_id asc) rule, and
+    // Search.scatterGather fans the frames in for the global top-10 —
+    // exact by construction (every global winner is its shard's
+    // winner), so plain brute force is a valid oracle for the whole
+    // shard → union → TakeOrdered pipeline.
+    "q92_scatter_gather" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val q = q0(s, d)
+      val shards = (0 until 3).map { sh =>
+        emb.filter(pmod(col("vec_id"), lit(3)) === sh)
+          .select(col("vec_id").as("doc_id"),
+            l2_distance(col("embedding"), vec(q)).as("score"))
+          .orderBy(col("score").asc, col("doc_id").asc)
+          .limit(10)
+      }
+      Search.scatterGather(shards, k = 10)
+        .select(col("doc_id").as("vec_id"), round(col("score"), 4).as("dist"))
+    }),
     "q91_diverse_exact" -> ((s, d) => {
       Ann.diverseSelectExact(T(s, d, "embeddings"), m = 32)
         .select(col("rank").cast("long").as("rank"),
@@ -2173,6 +2193,12 @@ object SparkEntry {
          UNION ALL
          SELECT CAST(k AS BIGINT) AS rank, cand AS vec_id, score + 0.0 AS score
          FROM best WHERE rn = 1
-         ORDER BY rank"""
+         ORDER BY rank""",
+    // exact by construction (per-shard top-10 ⊇ shard's global winners),
+    // so the oracle is the same brute force as q12
+    "q92_scatter_gather" ->
+      """SELECT vec_id, round(list_distance(embedding::DOUBLE[],
+           (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])::DOUBLE, 4) AS dist
+         FROM embeddings ORDER BY dist, vec_id LIMIT 10"""
   )
 }
