@@ -29,6 +29,9 @@ object Explain {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"===== $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+      // Bench parity: drop operator-internal persists between queries so
+      // repeated names measure warm plans, not accumulated caches
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -71,4 +71,46 @@ class AsofInvarianceSpec extends AnyFunSuite {
       spark.catalog.clearCache() // drop the operators' internal persists
     }
   }
+
+  test("giantKeySafe asof with unicode STRING keys (incl. nulls) matches the default window") {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    import spark.implicits._
+    try {
+      val rng = new scala.util.Random(13)
+      // keys where UTF-16 code-unit order and UTF-8 byte order DISAGREE
+      // (supplementary plane vs U+FFFD) plus ASCII and a null key —
+      // exercising RangeBuckets' UTF-8 driver ordering and nulls-first
+      // placement through a real consumer, end to end
+      val keys: Seq[Option[String]] =
+        Seq(Some("😀gk"), Some("�gk"), Some("alpha"), Some("😁"), Some("zz"), None)
+      val rightRows = (0 until 2500).map { i =>
+        val k = keys(if (i % 3 == 0) rng.nextInt(keys.length) else 0) // key 0 giant
+        (k.orNull, (rng.nextInt(400) * 10).toLong, i.toLong)
+      }
+      val leftRows = (0 until 2000).map { i =>
+        val k = keys(if (i % 3 == 0) rng.nextInt(keys.length) else 0)
+        (i.toLong, k.orNull, (rng.nextInt(420) * 10 - 40).toLong)
+      }
+      val left = leftRows.toDF("event_id", "k", "lts").repartition(7)
+      val right = rightRows.toDF("k", "rts", "v").repartition(5)
+      def run(safe: Boolean): Set[(Long, Option[Long])] =
+        AsofJoin.asofJoin(left, right, Seq("k"), "lts", "rts", Seq("v"),
+          giantKeySafe = safe)
+          .collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+          .toSet
+      val expected = run(safe = false)
+      for (np <- Seq(2, 5, 11, 32)) {
+        spark.conf.set("spark.sql.shuffle.partitions", np)
+        assert(run(safe = true) == expected, s"string-key giantKeySafe at np=$np")
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", 32)
+      spark.catalog.clearCache()
+    }
+  }
 }
