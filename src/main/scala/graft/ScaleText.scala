@@ -145,6 +145,19 @@ object ScaleText {
         defaultBudget = 10000000L).count()
     }
 
+    // Sessionize at corpus scale (restructured round 11 to one full
+    // shuffle+sort): 1M events over 10k users PLUS one giant user
+    // carrying 20% of all events — the skew shape the prefix-scan
+    // construction exists for; a per-user window would serialize it
+    var sessCount = 0L
+    val sessSec = timedOp("sess") {
+      val ev = spark.range(n.toLong).selectExpr(
+        "CASE WHEN id % 5 = 0 THEN 0L ELSE 1 + pmod(xxhash64(id), 9999) END AS user_id",
+        "(id * 37L) % 100000000000L AS us",
+        "id AS event_id")
+      sessCount = graft.operators.Sessionize.batch(ev, gapMinutes = 30).count()
+    }
+
     // Boilerplate discovery: the planted "click here to subscribe now"
     // phrase (1/11 of docs) must dominate the top grams
     var ngramTop = 0L
@@ -247,7 +260,8 @@ object ScaleText {
       s""""bpe_tokens":$bpeTokens,""" +
       s""""pack_sec":${f"$packSec%.1f"},"pack_docs_per_sec":${f"${dps(packSec)}%.0f"},""" +
       s""""pack_check":$packCheck,""" +
-      s""""budget_sec":${f"$budgetSec%.1f"},"budget_kept":$budgetKept}""")
+      s""""budget_sec":${f"$budgetSec%.1f"},"budget_kept":$budgetKept,""" +
+      s""""sess_sec":${f"$sessSec%.1f"},"sess_sessions":$sessCount}""")
     spark.stop()
   }
 }
