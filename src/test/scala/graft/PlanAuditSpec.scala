@@ -116,4 +116,15 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"giantKeySafe asof grew a nested-loop/cartesian plan:\n$p")
   }
+
+  test("scatter-gather fan-in is a bounded TakeOrdered over a union, no global sort") {
+    val p = plan("q92_scatter_gather")
+    assert(p.contains("TakeOrderedAndProject"), s"q92 lost the bounded fan-in:\n$p")
+    assert(p.contains("Union"), s"q92 lost the shard union:\n$p")
+    // the only Sort operators allowed are the per-shard bounded top-ks
+    // (inside TakeOrdered); a standalone global Sort would mean the
+    // gather sorts the whole union
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Sort") || l.trim.startsWith("Sort ")),
+      s"q92 grew a global sort:\n$p")
+  }
 }
