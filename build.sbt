@@ -32,3 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // operator (measured 221 s -> 30 s on the 1M-doc tf-idf pass)
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Ad-hoc Spark conf injection for robustness sweeps (forked mains pick
+// spark.* up from system properties), e.g.
+//   GRAFT_SPARK_CONF="-Dspark.sql.adaptive.enabled=false" python3 tools/verify_local.py
+javaOptions ++= sys.env.get("GRAFT_SPARK_CONF").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
