@@ -108,4 +108,28 @@ class PropertySpec extends SparkSuite {
       .select("point_id").collect().map(_.getLong(0)).toSeq
     assert(got === Seq(1L)) // would be empty if the query side stemmed
   }
+
+  test("RangeBuckets ids are monotone in Spark sort order for random typed keys") {
+    import graft.operators.RangeBuckets
+    // random (long, optional unicode string) two-column keys — covers
+    // nulls-first placement and UTF-8 string order against arbitrary
+    // samples, not just the fixed RangeBucketsSpec cases
+    val word = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("😀", "�", "😁zz", "ß", "", "Ωmega"))
+    val rows = Gen.listOfN(300,
+      Gen.zip(Gen.chooseNum(0L, 20L), Gen.option(word)))
+    val nb = Gen.oneOf(2, 5, 9)
+    check(Prop.forAll(rows, nb) { (rs: List[(Long, Option[String])], nBuckets: Int) =>
+      rs.isEmpty || {
+        val df = rs.map { case (a, b) => (a, b.orNull) }.toDF("a", "b").repartition(4)
+        val bucket = RangeBuckets.bucketCol(df, Seq(col("a"), col("b")), nBuckets,
+          samplePerBucket = 30)
+        val ids = df.withColumn("__k", bucket)
+          .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
+          .select("__k").collect().map(_.getInt(0))
+        ids.sliding(2).forall { case Array(x, y) => x <= y; case _ => true } &&
+          ids.forall(i => i >= 0 && i < nBuckets)
+      }
+    }, 15)
+  }
 }
