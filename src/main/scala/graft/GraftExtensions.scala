@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("unpack_f32_le", "unpack_f32_le(bin) - decode packed little-endian f32s") {
       es => UnpackF32Le(es(0))
     }
+    inject("pack_f32_le", "pack_f32_le(arr) - encode array<float> as packed little-endian f32s") {
+      es => PackF32Le(es(0))
+    }
     inject("shingle_hashes",
       "shingle_hashes(tokens, n) - 64-bit hashes of word n-gram shingles") {
       es => ShingleHashes(es(0), es(1).eval().asInstanceOf[Number].intValue())

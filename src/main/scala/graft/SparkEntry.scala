@@ -1072,6 +1072,76 @@ object SparkEntry {
       Search.scatterGather(shards, k = 10)
         .select(col("doc_id").as("vec_id"), round(col("score"), 4).as("dist"))
     }),
+    // u128 ids on the hash gate (the reference's NATIVE id model —
+    // muopdb.proto ids are uuid/2xu64; graft's internal form is 16-byte
+    // big-endian BinaryType where lexicographic order == unsigned u128
+    // order). Docs get md5-derived 128-bit ids, run insert -> flush ->
+    // binary-keyed tombstone delete -> exact search, and the output
+    // orders ties by the BINARY id — DuckDB replays everything from the
+    // embeddings table because md5 and hex order agree across engines.
+    "q93_u128_search" -> ((s, d) => {
+      import graft.core.{Collection, CollectionConfig, Ids}
+      val base = artifact("q93")
+      deleteRecursively(base)
+      val emb = T(s, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val coll = Collection.create(s, base, CollectionConfig(
+        name = "u128_search", numFeatures = dim,
+        initialNumCentroids = 8, maxClustersPerVector = 2))
+      val ids = md5(col("vec_id").cast("string").cast("binary"))
+      coll.insert(emb.select(lit(0L).as("user_id"),
+        Ids.fromUuid(ids).as("doc_id"),
+        col("embedding").cast("array<double>").as("vector")))
+      coll.flush()
+      // tombstone every doc whose id's LAST hex nibble is '0' — a
+      // binary-keyed delete (≈1/16 of the corpus)
+      coll.delete(emb.select(lit(0L).as("user_id"), Ids.fromUuid(ids).as("doc_id"))
+        .filter(substring(lower(hex(Ids.fromUuid(ids))), 32, 1) === "0"))
+      val params = SearchParams(topK = 10,
+        numExploredCentroids = Some(Int.MaxValue), centroidDistanceRatio = 1e18)
+      coll.snapshot().search(q0(s, d), params, userIds = Seq(0L))
+        .select(lower(hex(col("doc_id"))).as("doc_hex"),
+          round(col("score"), 4).as("dist"))
+        .orderBy("dist", "doc_hex")
+    }),
+    // InsertPacked wire path on the hash gate (SURVEY §2.1 S2;
+    // rs/index_server/src/index_server.rs:572, muopdb.proto:199-213): the
+    // packed request layout — a sorted doc-id list + ONE concatenated
+    // little-endian f32 blob per request — is built distributedly
+    // (pack_f32_le + binary-concat aggregate), then decoded by the
+    // engine's actual fast path (codegen unpack_f32_le + per-doc slice),
+    // inserted, flushed, and exact-searched. Any byte-order / offset /
+    // width error in either kernel lands on different survivors or
+    // distances than DuckDB's brute force over the original floats.
+    "q94_insert_packed" -> ((s, d) => {
+      import graft.core.{Collection, CollectionConfig}
+      val base = artifact("q94")
+      deleteRecursively(base)
+      val emb = T(s, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val reqs = emb
+        .groupBy((col("vec_id") % 20).as("batch"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("docs"))
+        .select(
+          transform(col("docs"), x => x.getField("vec_id")).as("ids"),
+          aggregate(col("docs"), lit(Array.emptyByteArray),
+            (acc, x) => concat(acc, pack_f32_le(x.getField("embedding")))).as("blob"))
+      val decoded = reqs
+        .select(col("blob"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
+        .select(lit(0L).as("user_id"), col("doc_id"),
+          slice(unpack_f32_le(col("blob")), col("pos") * dim + 1, lit(dim))
+            .cast("array<double>").as("vector"))
+      val coll = Collection.create(s, base, CollectionConfig(
+        name = "insert_packed", numFeatures = dim,
+        initialNumCentroids = 8, maxClustersPerVector = 2))
+      coll.insert(decoded)
+      coll.flush()
+      coll.snapshot().search(q0(s, d),
+        SearchParams(topK = 10, numExploredCentroids = Some(Int.MaxValue),
+          centroidDistanceRatio = 1e18),
+        userIds = Seq(0L))
+        .select(col("doc_id").as("vec_id"), round(col("score"), 4).as("dist"))
+    }),
     "q91_diverse_exact" -> ((s, d) => {
       Ann.diverseSelectExact(T(s, d, "embeddings"), m = 32)
         .select(col("rank").cast("long").as("rank"),
@@ -2197,6 +2267,26 @@ object SparkEntry {
     // exact by construction (per-shard top-10 ⊇ shard's global winners),
     // so the oracle is the same brute force as q12
     "q92_scatter_gather" ->
+      """SELECT vec_id, round(list_distance(embedding::DOUBLE[],
+           (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])::DOUBLE, 4) AS dist
+         FROM embeddings ORDER BY dist, vec_id LIMIT 10""",
+    // u128 lifecycle replay: same md5-derived ids, same tombstone rule
+    // (last hex nibble '0'), brute-force exact search over survivors;
+    // hex-string order == the engine's binary u128 tiebreak order
+    "q93_u128_search" ->
+      """WITH ids AS (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS doc_hex,
+                             embedding FROM embeddings),
+         live AS (SELECT * FROM ids WHERE substr(doc_hex, 32, 1) <> '0'),
+         q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT doc_hex,
+           round(list_distance(embedding::DOUBLE[], (SELECT qe FROM q))::DOUBLE, 4) AS dist
+         FROM live
+         ORDER BY list_distance(embedding::DOUBLE[], (SELECT qe FROM q))::DOUBLE, doc_hex
+         LIMIT 10""",
+    // packed-wire lifecycle: the pack -> unpack -> slice round-trip is
+    // byte-exact (f32 in, f32 out), so the survivors and distances must
+    // equal brute force over the original embeddings table
+    "q94_insert_packed" ->
       """SELECT vec_id, round(list_distance(embedding::DOUBLE[],
            (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])::DOUBLE, 4) AS dist
          FROM embeddings ORDER BY dist, vec_id LIMIT 10"""

@@ -23,7 +23,10 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)         => (s, o, None)
+      case Array(s, o, filter) => (s, o, Some(filter.split(',').map(_.trim).toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,7 +36,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -79,10 +84,12 @@ object Verify {
     // exact-ground-truth gates for the no-oracle queries (LSH/ANN/PQ/CC):
     // recorded next to the parquet so the round's correctness artifact
     // reflects what is actually verified, not just row counts
-    try Files.writeString(Paths.get(s"$outDir/quality_gates.json"),
-      QualityGates.run(spark, sfDir))
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] quality gates failed: ${e.getMessage}")
+    if (only.isEmpty) {
+      try Files.writeString(Paths.get(s"$outDir/quality_gates.json"),
+        QualityGates.run(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] quality gates failed: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

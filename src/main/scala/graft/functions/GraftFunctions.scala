@@ -30,6 +30,11 @@ object GraftFunctions {
     * (InsertPacked wire fast path, SURVEY §2.1 S2). */
   def unpack_f32_le(bin: Column): Column = col(UnpackF32Le(ex(bin)))
 
+  /** Encode an array<float> column as little-endian packed-f32 binary —
+    * the builder half of the InsertPacked wire; inverse of
+    * [[unpack_f32_le]]. */
+  def pack_f32_le(arr: Column): Column = col(PackF32Le(ex(arr)))
+
   /** Decode a binary code column (one unsigned byte per code — PQ/SQ8
     * code arrays) to array<int> 0..255, for SQL-oracle replay. */
   def unpack_u8(bin: Column): Column = col(UnpackU8(ex(bin)))

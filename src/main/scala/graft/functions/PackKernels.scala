@@ -50,6 +50,26 @@ case class UnpackU8(child: Expression) extends UnaryExpression with ImplicitCast
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Little-endian f32 encode — the builder half of the InsertPacked wire
+  * (`array<float>` -> binary). Exists so the packed request layout can be
+  * constructed distributedly and round-tripped on the hash gate (q94);
+  * exact inverse of [[UnpackF32Le]]. */
+case class PackF32Le(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pack_f32_le"
+
+  override def nullSafeEval(input: Any): Any =
+    PackKernels.packF32Le(input.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PackKernels.packF32Le($a.toFloatArray());")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** The inverse (encode) plus the shared scalar kernels. */
 object PackKernels {
   final def unpackU8(bytes: Array[Byte]): Array[Int] = {

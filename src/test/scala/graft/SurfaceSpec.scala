@@ -56,6 +56,19 @@ class SurfaceSpec extends SparkSuite {
     val bytes = Seq(Tuple1(Array[Byte](0, 127, -128, -1))).toDF("bin")
     assert(bytes.select(graft.functions.GraftFunctions.unpack_u8(col("bin")))
       .head().getSeq[Int](0) === Seq(0, 127, 128, 255))
+    // column-side encode (pack_f32_le expression) inverts in codegen,
+    // including the concatenated multi-vector request layout (q94)
+    val arrs = vecs.map(Tuple1(_)).toDF("arr")
+    val rt = arrs.select(unpack_f32_le(
+      graft.functions.GraftFunctions.pack_f32_le(col("arr")))).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    assert(rt === vecs)
+    val blob = arrs.agg(aggregate(sort_array(collect_list(col("arr"))),
+      lit(Array.emptyByteArray),
+      (acc, x) => concat(acc, graft.functions.GraftFunctions.pack_f32_le(x))))
+      .head().getAs[Array[Byte]](0)
+    assert(PackKernels.unpackF32Le(blob).toSeq ===
+      vecs.sortBy(_.head).flatten)
   }
 
   test("bloom short-circuit: deletes for absent docs are dropped; present docs survive") {
