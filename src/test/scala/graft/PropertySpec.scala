@@ -132,4 +132,37 @@ class PropertySpec extends SparkSuite {
       }
     }, 15)
   }
+
+  test("pack_f32_le/unpack_f32_le are bit-exact inverses incl. NaN payloads, infinities, -0.0, denormals") {
+    // the InsertPacked wire (S2) must not canonicalize: a reference
+    // client's bytes round-trip through pack -> concat -> unpack -> slice
+    // with the exact raw bit pattern per float
+    import graft.functions.PackKernels
+    val specials = Gen.oneOf(
+      java.lang.Float.floatToRawIntBits(Float.NaN),
+      0x7fc00001, 0xffc00123, // NaN payload variants, both sign bits
+      java.lang.Float.floatToRawIntBits(Float.PositiveInfinity),
+      java.lang.Float.floatToRawIntBits(Float.NegativeInfinity),
+      java.lang.Float.floatToRawIntBits(-0.0f),
+      1, // smallest positive denormal
+      0x007fffff) // largest denormal
+    val anyBits = Gen.oneOf(specials, Gen.chooseNum(Int.MinValue, Int.MaxValue))
+    val vecs = Gen.listOfN(4, Gen.listOfN(6, anyBits))
+    check(Prop.forAll(vecs) { (bs: List[List[Int]]) =>
+      val floats = bs.map(_.map(java.lang.Float.intBitsToFloat).toArray)
+      // kernel level: per-vector round trip preserves raw bits
+      val kernelOk = floats.forall { v =>
+        PackKernels.unpackF32Le(PackKernels.packF32Le(v))
+          .map(java.lang.Float.floatToRawIntBits).toSeq ===
+          v.map(java.lang.Float.floatToRawIntBits).toSeq
+      }
+      // column level (codegen): concatenated request blob decodes to the
+      // concatenation of the inputs, bit for bit
+      import graft.functions.GraftFunctions.{pack_f32_le, unpack_f32_le}
+      val df = floats.map(v => Tuple1(v.toSeq)).toDF("arr")
+      val got = df.select(unpack_f32_le(pack_f32_le(col("arr")))).collect()
+        .map(_.getSeq[Float](0).map(java.lang.Float.floatToRawIntBits).toSeq).toSeq
+      kernelOk && got === floats.map(_.map(java.lang.Float.floatToRawIntBits).toSeq)
+    }, 20)
+  }
 }
