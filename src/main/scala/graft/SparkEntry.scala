@@ -1142,6 +1142,75 @@ object SparkEntry {
         userIds = Seq(0L))
         .select(col("doc_id").as("vec_id"), round(col("score"), 4).as("dist"))
     }),
+    // R8 streaming windowed aggregation on the hash gate — specifically
+    // APPEND-mode watermark emission (StreamingSpec's windowed aggs run
+    // complete-mode; append is the semantics a production sink sees):
+    // events replay as a file stream, a far-future sentinel row advances
+    // the final watermark past every real window, so exactly the closed
+    // windows (all of them) are emitted once to the parquet sink. The
+    // emitted set is deterministic regardless of micro-batch splits: it
+    // is defined by the FINAL watermark, not by batching.
+    "q95_stream_window" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = artifact("q95")
+      deleteRecursively(base)
+      val ev = graft.sources.Events.read(s, d)
+        .select(col("ts"), col("us"), col("event_type"), col("value"))
+      val maxUs = ev.agg(max("us")).head().getLong(0)
+      val sentinelUs = maxUs + 3L * 3600L * 1000000L
+      val inDir = s"$base/in"
+      ev.unionByName(s.range(1).select(
+          timestamp_micros(lit(sentinelUs)).as("ts"), lit(sentinelUs).as("us"),
+          lit("__sentinel__").as("event_type"), lit(0.0).as("value")))
+        .coalesce(1).write.parquet(inDir)
+      val outDir = s"$base/out"
+      val q = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+        .select(unix_micros(col("window.start")).as("window_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", s"$base/ck")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .select(col("window_us"), col("event_type"), col("n").cast("long").as("n"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .repartition(1).sortWithinPartitions("window_us", "event_type")
+    }),
+    // R8 stateful streaming (flatMapGroupsWithState gap sessionization)
+    // on the hash gate: events replay as ONE staged micro-batch; a
+    // per-user sentinel event at max+gap+1min closes every user's last
+    // real session, while the sentinel's own session stays OPEN in state
+    // and is never emitted — so the sink holds exactly the real session
+    // set, no filtering, and it must hash-match the batch oracle.
+    "q96_stream_sessions" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val base = artifact("q96")
+      deleteRecursively(base)
+      val ev = graft.sources.Events.read(s, d).select(col("user_id"), col("us"))
+      val maxUs = ev.agg(max("us")).head().getLong(0)
+      val inDir = s"$base/in"
+      ev.unionByName(ev.select(col("user_id")).distinct()
+          .select(col("user_id"), lit(maxUs + 31L * 60L * 1000000L).as("us")))
+        .coalesce(1).write.parquet(inDir) // one file -> one micro-batch:
+      // in-batch sort inside the state function sees each user's full
+      // history, sentinel included
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
+        .selectExpr("user_id AS userId", "us").as[Sessionize.SessionEvent]
+      val outDir = s"$base/out"
+      Sessionize.streaming(stream, gapMinutes = 30).toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", s"$base/ck")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      s.read.parquet(outDir)
+        .select(col("userId").as("user_id"), col("startUs").as("start_us"),
+          col("endUs").as("end_us"), col("nEvents").cast("long").as("n_events"))
+        .repartition(1).sortWithinPartitions("user_id", "start_us")
+    }),
     "q91_diverse_exact" -> ((s, d) => {
       Ann.diverseSelectExact(T(s, d, "embeddings"), m = 32)
         .select(col("rank").cast("long").as("rank"),
@@ -2289,6 +2358,30 @@ object SparkEntry {
     "q94_insert_packed" ->
       """SELECT vec_id, round(list_distance(embedding::DOUBLE[],
            (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])::DOUBLE, 4) AS dist
-         FROM embeddings ORDER BY dist, vec_id LIMIT 10"""
+         FROM embeddings ORDER BY dist, vec_id LIMIT 10""",
+    // append-mode watermark emission == plain batch GROUP BY over hourly
+    // buckets: the sentinel (filtered by construction — its own window
+    // never closes) forces every real window past the final watermark
+    "q95_stream_window" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_us,
+                event_type, count(*)::BIGINT AS n,
+                round(sum(value)::DOUBLE, 4) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY window_us, event_type""",
+    // the streaming state machine must reproduce the batch gap-session
+    // derivation exactly (same 30-min gap rule as q36, minus the idx)
+    "q96_stream_sessions" ->
+      """SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+                count(*)::BIGINT AS n_events
+         FROM (
+           SELECT user_id, us,
+             sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM (
+             SELECT user_id, event_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+             FROM events) t1) t2
+         GROUP BY user_id, session_idx
+         ORDER BY user_id, start_us"""
   )
 }
