@@ -1211,6 +1211,33 @@ object SparkEntry {
           col("endUs").as("end_us"), col("nEvents").cast("long").as("n_events"))
         .repartition(1).sortWithinPartitions("user_id", "start_us")
     }),
+    // Multi-tenant isolation on the hash gate (the reference's core data
+    // model: every insert/search is scoped to a user_id —
+    // rs/index_server routes by user; D1). Three tenants share one
+    // collection; each tenant's exact top-10 must contain ONLY its own
+    // docs and match DuckDB's per-tenant brute force.
+    "q97_multi_user" -> ((s, d) => {
+      import graft.core.{Collection, CollectionConfig}
+      val base = artifact("q97")
+      deleteRecursively(base)
+      val emb = T(s, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val coll = Collection.create(s, base, CollectionConfig(
+        name = "multi_user", numFeatures = dim,
+        initialNumCentroids = 8, maxClustersPerVector = 2))
+      coll.insert(emb.select((col("vec_id") % 3).as("user_id"),
+        col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("vector")))
+      coll.flush()
+      val params = SearchParams(topK = 10,
+        numExploredCentroids = Some(Int.MaxValue), centroidDistanceRatio = 1e18)
+      (0L to 2L).map { u =>
+        coll.snapshot().search(q0(s, d), params, userIds = Seq(u))
+          .select(lit(u).as("user_id"), col("doc_id").as("vec_id"),
+            round(col("score"), 4).as("dist"))
+      }.reduce(_ unionByName _)
+        .orderBy("user_id", "dist", "vec_id")
+    }),
     "q91_diverse_exact" -> ((s, d) => {
       Ann.diverseSelectExact(T(s, d, "embeddings"), m = 32)
         .select(col("rank").cast("long").as("rank"),
@@ -2382,6 +2409,19 @@ object SparkEntry {
                lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
              FROM events) t1) t2
          GROUP BY user_id, session_idx
-         ORDER BY user_id, start_us"""
+         ORDER BY user_id, start_us""",
+    // per-tenant brute force: tenant = vec_id % 3; selection by raw
+    // distance (the engine's internal rank), display order by the same
+    // (user, rounded dist, id) the engine emits
+    "q97_multi_user" ->
+      """SELECT (vec_id % 3)::BIGINT AS user_id, vec_id, dist FROM (
+           SELECT vec_id,
+             round(list_distance(embedding::DOUBLE[],
+               (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])::DOUBLE, 4) AS dist,
+             row_number() OVER (PARTITION BY vec_id % 3
+               ORDER BY list_distance(embedding::DOUBLE[],
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])::DOUBLE, vec_id) AS rn
+           FROM embeddings) t
+         WHERE rn <= 10 ORDER BY user_id, dist, vec_id"""
   )
 }
