@@ -158,6 +158,38 @@ object ScaleText {
       sessCount = graft.operators.Sessionize.batch(ev, gapMinutes = 30).count()
     }
 
+    // Streaming sessionize (flatMapGroupsWithState keyed state) over the
+    // SAME skewed events, replayed through the q96 harness (staged file
+    // stream + per-user sentinels, one micro-batch). The giant user's
+    // 200k events go through one group iterator — the state machine's
+    // worst case. Timed section = the streaming query only (staging is
+    // harness). The session count must equal the batch count: a
+    // batch/streaming parity check at corpus scale, not just sf0.01.
+    var sessStreamCount = 0L
+    val sessStreamSec = timedOp("sess_stream") {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft_sess_stream").toString
+      val maxUs = 100000000000L
+      val ev = spark.range(n.toLong).selectExpr(
+        "CASE WHEN id % 5 = 0 THEN 0L ELSE 1 + pmod(xxhash64(id), 9999) END AS userId",
+        "(id * 37L) % 100000000000L AS us")
+      ev.unionByName(ev.select(col("userId")).distinct()
+          .select(col("userId"), lit(maxUs + 31L * 60L * 1000000L).as("us")))
+        .write.parquet(s"$base/in")
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$base/in").schema).parquet(s"$base/in")
+        .as[graft.operators.Sessionize.SessionEvent]
+      graft.operators.Sessionize.streaming(stream, gapMinutes = 30).toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ck")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      sessStreamCount = spark.read.parquet(s"$base/out").count()
+      require(sessCount == 0L || sessStreamCount == sessCount,
+        s"streaming/batch session parity broke: $sessStreamCount vs $sessCount")
+    }
+
     // Boilerplate discovery: the planted "click here to subscribe now"
     // phrase (1/11 of docs) must dominate the top grams
     var ngramTop = 0L
@@ -261,7 +293,9 @@ object ScaleText {
       s""""pack_sec":${f"$packSec%.1f"},"pack_docs_per_sec":${f"${dps(packSec)}%.0f"},""" +
       s""""pack_check":$packCheck,""" +
       s""""budget_sec":${f"$budgetSec%.1f"},"budget_kept":$budgetKept,""" +
-      s""""sess_sec":${f"$sessSec%.1f"},"sess_sessions":$sessCount}""")
+      s""""sess_sec":${f"$sessSec%.1f"},"sess_sessions":$sessCount,""" +
+      s""""sess_stream_sec":${f"$sessStreamSec%.1f"},""" +
+      s""""sess_stream_sessions":$sessStreamCount}""")
     spark.stop()
   }
 }
