@@ -121,6 +121,15 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
   private def tombPath = s"$path/tombstones"
   private def segPath(seg: String) = s"$path/segments/$seg"
 
+  /** Build-time row count from the segment's meta.json (None for
+    * segments written before the metadata existed). */
+  private def segmentRowCount(seg: String): Option[Long] = {
+    val p = Paths.get(segPath(seg), "meta.json")
+    if (!Files.exists(p)) None
+    else """"rows"\s*:\s*(\d+)""".r.findFirstMatchIn(Files.readString(p))
+      .map(_.group(1).toLong)
+  }
+
   def toc: Toc = Toc.read(path)
 
   // ---- write path ----
@@ -358,23 +367,32 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     // segment-level bloom below. With userBuckets > 0 the table is
     // physically partitioned by user-hash bucket: per-user searches prune
     // to one directory (F11).
+    // Row count rides the write job as an observed metric — the bloom
+    // sizing below must not pay a second full pass over the segment.
+    val rowCountObs = org.apache.spark.sql.Observation()
     val w0 = vectors
       .withColumn("user_bucket", userBucket(col("user_id")))
+      .observe(rowCountObs, count(lit(1)).as("n"))
       .repartition(col("user_bucket"), col("user_id"))
       .sortWithinPartitions("user_bucket", "user_id", "point_id") // M4 locality
       .write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#doc_id", "true")
     (if (config.userBuckets > 0) w0.partitionBy("user_bucket") else w0)
       .parquet(s"${segPath(seg)}/vectors")
+    val segRows = rowCountObs.get.apply("n").asInstanceOf[Long]
 
     // Segment-level blocked bloom over xxhash64(doc_id) (F9; fpr from config
     // mirror rs/config/src/collection.rs:146-149) for the delete
     // short-circuit. Hashing first keeps the bloom id-type agnostic:
     // doc_id may be LongType (fast path) or BinaryType(16) (u128 surface).
     val bloom = vectors.select(xxhash64(col("doc_id")).as("h"))
-      .stat.bloomFilter("h", math.max(1000L, vectors.count()), 0.01)
+      .stat.bloomFilter("h", math.max(1000L, segRows), 0.01)
     val out = Files.newOutputStream(Paths.get(segPath(seg), "bloom.bin"))
     try bloom.writeTo(out) finally out.close()
+    // Immutable segment metadata: the row count is known at build time,
+    // so policy decisions (auto-vacuum fraction) never re-scan for it.
+    Files.writeString(Paths.get(segPath(seg), "meta.json"),
+      s"""{"rows": $segRows}""")
 
     val params = IvfBuilder.BuildParams(
       numCentroids = config.initialNumCentroids,
@@ -503,7 +521,11 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       if (tombCount == 0) None
       else t.segments.find { seg =>
         val v = segmentTable(seg, "vectors")
-        val total = v.count()
+        // total comes from build-time segment metadata (meta.json) — a
+        // policy tick must not re-scan every segment just to size the
+        // fraction; dead = total - live is ONE anti-join job (robust to
+        // duplicate tombstones for the same doc)
+        val total = segmentRowCount(seg).getOrElse(v.count())
         val dead = total - Search.dropTombstoned(v, tomb).count()
         dead.toDouble > vacuumTombstoneFraction * math.max(1L, total)
       }.map { seg => vacuum(seg); s"vacuumed $seg" }
