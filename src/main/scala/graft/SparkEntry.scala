@@ -1245,6 +1245,43 @@ object SparkEntry {
           (col("score") + lit(0.0)).as("score"))
         .repartition(1).saveArtifact(artifact("q91_picks"))
       s.read.parquet(artifact("q91_picks")).orderBy("rank")
+    }),
+    // K1 on the hash gate: HNSW is SPANN's stage-1 — the reference keeps
+    // the centroid HNSW resident and routes every query through it before
+    // touching postings (rs/index/src/spann/index.rs). The graph probe
+    // picks nprobe lists; the resulting candidate id set is pinned as an
+    // artifact (the approximate stage is bytes, not a claim) and scored
+    // distributed; DuckDB exact-ranks the identical candidates.
+    "q98_hnsw_ann" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val (centroids, postings) = Ann.ivfIndex(emb, numCentroids = 16)
+      val chosen = Ann.hnswProbe(centroids, q0(s, d), nprobe = 4)
+      postings.filter(col("centroid_id").isin(chosen: _*))
+        .select(col("point_id").as("vec_id")).dropDuplicates("vec_id")
+        .repartition(1).saveArtifact(artifact("q98_cands"))
+      s.read.parquet(artifact("q98_cands"))
+        .join(emb, Seq("vec_id"))
+        .withColumn("dist", round(l2_distance(col("embedding"), vec(q0(s, d))), 4))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select("vec_id", "dist")
+    }),
+    // C4-style corpus-global line dedup. The synthetic corpus has no
+    // newlines, so "lines" are derived deterministically as 10-token
+    // chunks of the engine tokenization — the same derivation the oracle
+    // replays — then deduped globally keeping the first (doc_id, idx)
+    // occurrence and each document rebuilt from its surviving lines.
+    "q99_line_dedup" -> ((s, d) => {
+      val n = 10
+      val chunked = docToks(s, d).select(col("doc_id"),
+        array_join(
+          when(size(col("toks")) === 0, array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(0), ((size(col("toks")) - 1) / n).cast("int")),
+              i => array_join(slice(col("toks"), i * n + 1, lit(n)), " "))),
+          "\n").as("text"))
+      Dedup.lineDedupGlobal(chunked, sep = "\n")
+        .orderBy("doc_id")
     })
   )
 
@@ -2422,6 +2459,37 @@ object SparkEntry {
                ORDER BY list_distance(embedding::DOUBLE[],
                  (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])::DOUBLE, vec_id) AS rn
            FROM embeddings) t
-         WHERE rn <= 10 ORDER BY user_id, dist, vec_id"""
+         WHERE rn <= 10 ORDER BY user_id, dist, vec_id""",
+    // HNSW stage-1 probe pinned as the candidate artifact; the oracle
+    // exact-ranks the identical candidate ids (q29's artifact pattern)
+    "q98_hnsw_ann" ->
+      """WITH cand AS (SELECT vec_id
+                       FROM read_parquet('/tmp/graft_artifacts/q98_cands/*.parquet'))
+         SELECT e.vec_id,
+           round(list_distance(e.embedding::DOUBLE[],
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])::DOUBLE, 4) AS dist
+         FROM embeddings e JOIN cand USING (vec_id)
+         ORDER BY dist, e.vec_id LIMIT 10""",
+    // C4-style global line dedup replay: same 10-token chunk lines, same
+    // corpus-wide first-(doc_id, idx)-wins rule, same per-doc rebuild
+    "q99_line_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $docToksSql AS toks FROM documents),
+          lx AS (SELECT doc_id,
+                   string_split(array_to_string(
+                     CASE WHEN len(toks) = 0 THEN [] ELSE
+                       list_transform(generate_series(0, CAST((len(toks)-1)/10 AS BIGINT)),
+                         i -> array_to_string(toks[(i*10+1):((i+1)*10)], ' ')) END,
+                     chr(10)), chr(10)) AS ls
+                 FROM t),
+          ln AS (SELECT doc_id, generate_subscripts(ls, 1) - 1 AS idx, unnest(ls) AS line FROM lx),
+          r AS (SELECT doc_id, idx, line,
+                  row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn FROM ln),
+          k AS (SELECT doc_id, idx, line FROM r WHERE rn = 1),
+          a AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+                  count(*)::BIGINT AS n_kept FROM k GROUP BY doc_id),
+          tot AS (SELECT doc_id, len(ls)::BIGINT AS n_lines FROM lx)
+          SELECT tot.doc_id, coalesce(a.clean_text, '') AS clean_text, tot.n_lines,
+                 coalesce(a.n_kept, 0) AS n_kept
+          FROM tot LEFT JOIN a USING (doc_id) ORDER BY tot.doc_id"""
   )
 }

@@ -294,6 +294,30 @@ object Ann {
       .select(col(idCol), col("dist"))
   }
 
+  /** K1 on the SPANN read path: HNSW as the stage-1 probe over the
+    * centroid set. The reference keeps exactly this tier resident — the
+    * centroid HNSW is the in-RAM index that routes a query to its
+    * posting lists (rs/index/src/spann/index.rs: `centroid_index` is an
+    * HNSW searched before the IVF postings are touched) — so the
+    * collect here is the bounded, serving-shape centroid load the
+    * served [[graft.core.Collection]] already does, NOT a data-scale
+    * collect: centroid count is fixed by config regardless of corpus
+    * size. Returns the `nprobe` chosen centroid ids (graph-approximate;
+    * recall governed by `ef` exactly as in the reference). */
+  def hnswProbe(
+      centroids: DataFrame, query: Seq[Double], nprobe: Int,
+      m: Int = 8, efConstruction: Int = 100, ef: Int = 64,
+      seed: Long = 42L): Array[Long] = {
+    val rows = centroids
+      .select(col("centroid_id").cast("long"), col("vector").cast("array<double>"))
+      .collect()
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Double](1).toArray)
+    val graph = Hnsw.build(ids, vecs, m = m, efConstruction = efConstruction,
+      seed = seed)
+    graph.search(query.toArray, nprobe, ef).map(_._1)
+  }
+
   /** Diversity-aware subset selection (coverage sampling): pick `m`
     * vectors that SPAN the corpus instead of the head of it — the
     * curation step for seed sets, eval slices, and dedup-survivor

@@ -776,6 +776,51 @@ object Dedup {
       .select("a", "b", "cosine")
   }
 
+  /** C4-style global line-level dedup (Raffel et al. JMLR'20 §2.2: "we
+    * discarded all but one of any three-sentence span occurring more
+    * than once", here at line granularity like the public c4 pipeline's
+    * `remove_duplicate_text`): split every document on `sep`, keep ONE
+    * occurrence of each distinct line corpus-wide — the first in
+    * (id asc, line-index asc) order — drop every other occurrence, and
+    * rebuild each document from its surviving lines in original order.
+    *
+    * Returns `[<idCol>, clean_text, n_lines, n_kept]`; a document whose
+    * every line lost the race keeps an empty `clean_text` (callers
+    * typically drop `n_kept = 0` rows).
+    *
+    * Scale: one posexplode (linear), one hash aggregation on the line
+    * for the corpus-wide keeper (partial min-struct combiner — a
+    * corpus-hot boilerplate line partial-aggregates map-side instead of
+    * flooding one reducer), one shuffle join back on the line (fans out
+    * only to that line's own occurrences), one per-doc rebuild. All
+    * linear shuffles keyed by line hash then by id — no all-pairs path,
+    * no driver state. */
+  def lineDedupGlobal(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sep: String = "\n"): DataFrame = {
+    val base = Par.ensure(docs)
+      .select(col(idCol).as("id"),
+        split(col(textCol), java.util.regex.Pattern.quote(sep)).as("ls"))
+    val lines = base.select(col("id"), posexplode(col("ls")).as(Seq("idx", "line")))
+    val keeper = lines.groupBy("line")
+      .agg(min(struct(col("id"), col("idx"))).as("k"))
+    val kept = lines.join(keeper, Seq("line"))
+      .filter(col("id") === col("k.id") && col("idx") === col("k.idx"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("idx"), col("line")))).as("sl"))
+      .select(col("id"),
+        array_join(transform(col("sl"), x => x.getField("line")), sep).as("clean_text"),
+        size(col("sl")).cast("long").as("n_kept"))
+    base.select(col("id"), size(col("ls")).cast("long").as("n_lines"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Exact (brute-force) cosine pair scan — O(n^2), oracle for the LSH
     * variant; only for tests/small inputs. */
   def embeddingNearDupExact(

@@ -346,4 +346,41 @@ class DedupSpec extends SparkSuite {
     assert(exact.nonEmpty)
     assert(sem === exact)
   }
+
+  test("lineDedupGlobal: corpus-wide first occurrence wins, docs rebuild in order") {
+    // doc 0 owns lines A,B; doc 1 repeats B (dropped) and adds C; doc 2
+    // repeats its own line D (in-doc dup also collapses); doc 3 is all
+    // repeats and comes out empty
+    val lined = Seq(
+      (0L, "alpha line\nbeta line"),
+      (1L, "beta line\ngamma line"),
+      (2L, "delta line\ndelta line\nepsilon line"),
+      (3L, "alpha line\ngamma line")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedupGlobal(lined).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) === (("alpha line\nbeta line", 2L, 2L)))
+    assert(got(1L) === (("gamma line", 2L, 1L)))
+    assert(got(2L) === (("delta line\nepsilon line", 3L, 2L)))
+    assert(got(3L) === (("", 2L, 0L)))
+    // conservation: every distinct line survives exactly once corpus-wide
+    val allKept = got.values.flatMap(v => v._1.split("\n").filter(_.nonEmpty)).toSeq
+    assert(allKept.sorted === allKept.distinct.sorted)
+    assert(allKept.toSet === Set("alpha line", "beta line", "gamma line",
+      "delta line", "epsilon line"))
+  }
+
+  test("lineDedupGlobal is partitioning-invariant") {
+    val lined = Seq.tabulate(40) { i =>
+      // planted cross-doc dups: every 4th doc repeats doc (i-4)'s second line
+      val l1 = s"unique head $i"
+      val l2 = if (i % 4 == 0 && i >= 4) s"shared tail ${i - 4}" else s"shared tail $i"
+      (i.toLong, s"$l1\n$l2")
+    }.toDF("doc_id", "text")
+    val ref = Dedup.lineDedupGlobal(lined.coalesce(1)).orderBy("doc_id").collect().toSeq
+    for (p <- Seq(2, 5, 11)) {
+      val got = Dedup.lineDedupGlobal(lined.repartition(p)).orderBy("doc_id").collect().toSeq
+      assert(got === ref, s"p=$p")
+    }
+  }
 }

@@ -212,4 +212,21 @@ class HnswSpec extends SparkSuite {
     assert(recalls.sum / recalls.length >= 0.9,
       s"served hnsw stage-1 recall ${recalls.sum / recalls.length}")
   }
+
+  test("hnswProbe: full-width probe equals brute-force centroid ranking") {
+    // 32 well-separated centroids; ef >= n makes the layer-0 beam exhaustive,
+    // so the probe must return exactly the nprobe nearest centroid ids
+    val cents = Seq.tabulate(32) { i =>
+      (i.toLong, Array.tabulate(8)(j => (i * 8 + j).toDouble))
+    }
+    val cdf = cents.toDF("centroid_id", "vector")
+    val q = Array.tabulate(8)(j => (5 * 8 + j).toDouble + 0.25)
+    val got = Ann.hnswProbe(cdf, q.toSeq, nprobe = 4, ef = 64)
+    val want = cents
+      .map { case (id, v) =>
+        (math.sqrt(v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum), id)
+      }
+      .sorted.take(4).map(_._2)
+    assert(got.toSeq === want.toSeq)
+  }
 }
