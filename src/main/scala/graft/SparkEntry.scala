@@ -1282,7 +1282,14 @@ object SparkEntry {
           "\n").as("text"))
       Dedup.lineDedupGlobal(chunked, sep = "\n")
         .orderBy("doc_id")
-    })
+    }),
+    // RAG-prep sliding-window chunking: 16-token chunks, 4-token overlap
+    // (stride 12) — sized so the synthetic ~30-60-token docs produce
+    // real multi-chunk output with genuine overlaps
+    "q100_chunk_docs" -> ((s, d) =>
+      TextPipeline.chunkDocuments(T(s, d, "documents"),
+          chunkTokens = 16, overlapTokens = 4)
+        .orderBy("doc_id", "chunk_idx"))
   )
 
   private val docToksSql =
@@ -2490,6 +2497,18 @@ object SparkEntry {
           tot AS (SELECT doc_id, len(ls)::BIGINT AS n_lines FROM lx)
           SELECT tot.doc_id, coalesce(a.clean_text, '') AS clean_text, tot.n_lines,
                  coalesce(a.n_kept, 0) AS n_kept
-          FROM tot LEFT JOIN a USING (doc_id) ORDER BY tot.doc_id"""
+          FROM tot LEFT JOIN a USING (doc_id) ORDER BY tot.doc_id""",
+    // sliding-window chunk replay: chunk i = toks[i*12+1 .. i*12+16],
+    // starts while i*12 < n, tail chunk short
+    "q100_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, $docToksSql AS toks FROM documents),
+          x AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+          c AS (SELECT doc_id, toks, n,
+                  unnest(generate_series(0, CAST(floor((n-1)/12.0) AS BIGINT))) AS i
+                FROM x)
+          SELECT doc_id, i::BIGINT AS chunk_idx,
+                 array_to_string(toks[(i*12+1):(i*12+16)], ' ') AS chunk_text,
+                 least(16, n - i*12)::BIGINT AS n_tokens
+          FROM c ORDER BY doc_id, chunk_idx"""
   )
 }

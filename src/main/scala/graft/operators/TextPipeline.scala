@@ -51,6 +51,40 @@ object TextPipeline {
       doc_fingerprint(col(textCol)).as("fingerprint"),
       md5(concat_ws(" ", tokenize(col(textCol)))).as("content_md5"))
 
+  /** Sliding-window document chunking — the RAG/embedding-prep step that
+    * turns each document into overlapping fixed-size token chunks:
+    * chunk i covers tokens `[i*stride, i*stride + chunkTokens)` with
+    * `stride = chunkTokens - overlapTokens`, starts advance while they
+    * are inside the document, and the last chunk is the (possibly
+    * shorter) tail. Zero-token documents emit no chunks. Returns
+    * `[<idCol>, chunk_idx, chunk_text, n_tokens]`.
+    *
+    * Scale: tokenize + a narrow per-row explode of the start list —
+    * map-only (no shuffle at all); chunk volume is output-proportional,
+    * never materialized wider than one document's own chunk list. */
+  def chunkDocuments(
+      docs: DataFrame,
+      chunkTokens: Int = 128,
+      overlapTokens: Int = 32,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"need 0 <= overlapTokens < chunkTokens (got $overlapTokens / $chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    Par.ensure(docs)
+      .select(col(idCol), tokenize(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col(idCol), col("toks"), col("n"),
+        posexplode(sequence(lit(0), ((col("n") - 1) / stride).cast("int")))
+          .as(Seq("chunk_idx", "i0")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("toks"), col("i0") * stride + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens.toLong), col("n") - col("i0") * stride)
+          .cast("long").as("n_tokens"))
+  }
+
   /** Per-document top-`k` terms by TF-IDF — the corpus-statistics pass of
     * a training-data pipeline (topic/keyword profiling, boilerplate
     * spotting). Classic two-aggregation formulation, all shuffles on

@@ -516,6 +516,28 @@ class PipelineOpsSpec extends SparkSuite {
     assert(frac > 0.08 && frac < 0.25, s"masked fraction $frac")
   }
 
+  test("chunkDocuments: exact sliding-window math, tail chunk, overlap, empty doc") {
+    val docs = Seq(
+      (0L, (1 to 30).map(i => s"w$i").mkString(" ")), // 30 toks: starts 0,12,24
+      (1L, "a b c"),                                  // shorter than one chunk
+      (2L, "   ")                                     // zero tokens: no chunks
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.chunkDocuments(docs, chunkTokens = 16, overlapTokens = 4)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.count(_._1 == 0L) === 3)
+    assert(got.count(_._1 == 1L) === 1)
+    assert(!got.exists(_._1 == 2L))
+    val c0 = got.filter(_._1 == 0L)
+    assert(c0(0)._3 === (1 to 16).map(i => s"w$i").mkString(" ") && c0(0)._4 === 16L)
+    assert(c0(1)._3 === (13 to 28).map(i => s"w$i").mkString(" ") && c0(1)._4 === 16L)
+    assert(c0(2)._3 === (25 to 30).map(i => s"w$i").mkString(" ") && c0(2)._4 === 6L)
+    // consecutive chunks share exactly the overlap
+    assert(c0(0)._3.split(" ").takeRight(4).toSeq === c0(1)._3.split(" ").take(4).toSeq)
+    assert(got.find(_._1 == 1L).get._3 === "a b c")
+    assert(got.find(_._1 == 1L).get._4 === 3L)
+  }
+
   test("weightedSample: matches driver A-ES reference, scale-invariant, weight-biased") {
     import graft.operators.TextPipeline.weightedSample
     val docs = (0L until 500L).map(i => (i, if (i < 250) 10.0 else 1.0))
