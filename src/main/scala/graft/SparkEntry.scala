@@ -1289,7 +1289,41 @@ object SparkEntry {
     "q100_chunk_docs" -> ((s, d) =>
       TextPipeline.chunkDocuments(T(s, d, "documents"),
           chunkTokens = 16, overlapTokens = 4)
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+    // Time-travel reads over TOC history: the q48 lifecycle (two insert
+    // batches -> two segments, a delete landing between the flushes, then
+    // a merge) leaves versions 1/2/3 on disk — nothing in the write path
+    // deletes data — and snapshotAt pins each one by its recorded WAL
+    // position (Toc.maxOpsBatch): v1 = evens with the LATER delete
+    // invisible, v2 = everything minus the deleted %10 docs, v3 (the
+    // merge) = the same live set. Exact search per version (all lists
+    // probed), so the oracle replays each state straight from the
+    // embeddings table with no artifact.
+    "q101_time_travel" -> ((s, d) => {
+      import graft.core.{Collection, CollectionConfig}
+      val base = artifact("q101")
+      deleteRecursively(base)
+      val emb = T(s, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val coll = Collection.create(s, base, CollectionConfig(
+        name = "history", numFeatures = dim,
+        initialNumCentroids = 8, maxClustersPerVector = 2))
+      val rows = emb.select(lit(0L).as("user_id"), col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("vector"))
+      coll.insert(rows.filter(col("doc_id") % 2 === 0)); coll.flush()
+      coll.insert(rows.filter(col("doc_id") % 2 =!= 0))
+      coll.delete(rows.filter(col("doc_id") % 10 === 0).select("user_id", "doc_id"))
+      coll.flush()
+      coll.merge()
+      val params = SearchParams(topK = 10, numExploredCentroids = Some(Int.MaxValue),
+        centroidDistanceRatio = 1e18)
+      val q = q0(s, d)
+      Seq(1L, 2L, 3L).map { v =>
+        coll.snapshotAt(v).search(q, params, userIds = Seq(0L))
+          .select(lit(v).as("version"), col("doc_id").as("vec_id"),
+            round(col("score"), 4).as("dist"))
+      }.reduce(_ unionByName _).orderBy("version", "dist", "vec_id")
+    })
   )
 
   private val docToksSql =
@@ -2509,6 +2543,23 @@ object SparkEntry {
           SELECT doc_id, i::BIGINT AS chunk_idx,
                  array_to_string(toks[(i*12+1):(i*12+16)], ' ') AS chunk_text,
                  least(16, n - i*12)::BIGINT AS n_tokens
-          FROM c ORDER BY doc_id, chunk_idx"""
+          FROM c ORDER BY doc_id, chunk_idx""",
+    // three historical states replayed from the raw table: v1 = evens
+    // (delete not yet committed), v2 = all minus %10, v3 = v2 post-merge
+    "q101_time_travel" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         base AS (SELECT vec_id,
+             round(list_distance(embedding::DOUBLE[],
+               (SELECT embedding FROM q)::DOUBLE[])::DOUBLE, 4) AS dist
+           FROM embeddings),
+         v1 AS (SELECT 1::BIGINT AS version, vec_id, dist FROM base
+                WHERE vec_id % 2 = 0 ORDER BY dist, vec_id LIMIT 10),
+         v2 AS (SELECT 2::BIGINT AS version, vec_id, dist FROM base
+                WHERE vec_id % 10 <> 0 ORDER BY dist, vec_id LIMIT 10),
+         v3 AS (SELECT 3::BIGINT AS version, vec_id, dist FROM base
+                WHERE vec_id % 10 <> 0 ORDER BY dist, vec_id LIMIT 10)
+         SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+                        UNION ALL SELECT * FROM v3)
+         ORDER BY version, dist, vec_id"""
   )
 }

@@ -61,8 +61,18 @@ final case class CollectionConfig(
   * (rs/index/src/collection/mod.rs:21-33): lists live segments and the last
   * flushed ops batch. Written atomically (tmp + move); readers pin a
   * version by reading it once (snapshot isolation for free — segment data
-  * is immutable Parquet). */
-final case class Toc(version: Long, segments: Seq[String], lastFlushedBatch: Long)
+  * is immutable Parquet).
+  *
+  * `maxOpsBatch` records the newest ops batch present when this version
+  * was committed — the version's position in the WAL. It is what makes a
+  * historical version re-readable ([[Collection.snapshotAt]]): the tail as
+  * of this version is exactly the batches in `(lastFlushedBatch,
+  * maxOpsBatch]`, and a tombstone belongs to the version iff its
+  * `tomb_batch` watermark is `<= maxOpsBatch`. Legacy TOC files without
+  * the field read as -1 (time-travel then sees the flushed segments with
+  * an empty tail). */
+final case class Toc(version: Long, segments: Seq[String], lastFlushedBatch: Long,
+    maxOpsBatch: Long = -1L)
 
 object Toc {
   private def tocDir(base: String) = Paths.get(base, "toc")
@@ -76,19 +86,42 @@ object Toc {
       .maxOption
   }
 
+  /** All versions still on disk, ascending (history is retained until
+    * [[Collection.expireVersions]] trims it). */
+  def versions(base: String): Seq[Long] = {
+    val d = tocDir(base)
+    if (!Files.exists(d)) Nil
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("version_") => s.stripPrefix("version_").toLong }
+      .toSeq.sorted
+  }
+
   def read(base: String): Toc = latestVersion(base) match {
     case None => Toc(-1L, Nil, -1L)
-    case Some(v) =>
-      val txt = Files.readString(tocDir(base).resolve(s"version_$v"))
-      // format: line1 = lastFlushedBatch, rest = segment names
+    case Some(v) => readVersion(base, v).get
+  }
+
+  /** Read one specific on-disk version (None if expired / never existed). */
+  def readVersion(base: String, v: Long): Option[Toc] = {
+    val f = tocDir(base).resolve(s"version_$v")
+    if (!Files.exists(f)) None
+    else {
+      val txt = Files.readString(f)
+      // format: line1 = "lastFlushedBatch[ maxOpsBatch]", rest = segment names
       val lines = txt.split("\n").filter(_.nonEmpty)
-      Toc(v, lines.drop(1).toSeq, lines.headOption.map(_.toLong).getOrElse(-1L))
+      val header = lines.headOption.map(_.trim.split("\\s+")).getOrElse(Array.empty[String])
+      Some(Toc(v, lines.drop(1).toSeq,
+        header.headOption.map(_.toLong).getOrElse(-1L),
+        header.lift(1).map(_.toLong).getOrElse(-1L)))
+    }
   }
 
   def write(base: String, toc: Toc): Unit = {
     Files.createDirectories(tocDir(base))
     val tmp = tocDir(base).resolve(s".tmp_version_${toc.version}")
-    Files.writeString(tmp, (toc.lastFlushedBatch.toString +: toc.segments).mkString("\n"))
+    Files.writeString(tmp,
+      (s"${toc.lastFlushedBatch} ${toc.maxOpsBatch}" +: toc.segments).mkString("\n"))
     Files.move(tmp, tocDir(base).resolve(s"version_${toc.version}"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -305,7 +338,8 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     val df = tailFrom(batches).getOrElse(return None)
     val seg = s"seg_${t.version + 1}"
     buildSegment(df, seg)
-    Toc.write(path, Toc(t.version + 1, t.segments :+ seg, batches.max))
+    Toc.write(path, Toc(t.version + 1, t.segments :+ seg, batches.max,
+      maxBatchId().getOrElse(-1L)))
     Some(seg)
   }
 
@@ -461,8 +495,77 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
 
   def snapshot(): Snapshot = {
     val t = toc
-    new Snapshot(this, t, t.segments, tail(t))
+    new Snapshot(this, t, t.segments, tail(t), tombstones)
   }
+
+  /** TOC versions still on disk (ascending); each is readable via
+    * [[snapshotAt]] until [[expireVersions]] trims history. */
+  def versions: Seq[Long] = Toc.versions(path)
+
+  /** Time-travel read: pin the collection AS OF TOC version `version`.
+    *
+    * Nothing in the write path deletes data — segments are immutable, TOC
+    * files accumulate, ops batches and tombstones are append-only — so a
+    * historical version is reconstructible from its manifest alone.
+    * Logical time is the WAL position the version recorded at commit
+    * (`Toc.maxOpsBatch`): the view is "replay inserts with batch id <= P
+    * and deletes with watermark `tomb_batch` <= P", i.e. the version's
+    * segments, the ops batches in `(lastFlushedBatch, P]` as the tail,
+    * and only the tombstones that existed by P. Inserts/deletes issued
+    * after the version's commit are invisible, read-your-writes at that
+    * point in history is preserved, and the same lifecycle replay defines
+    * the DuckDB oracle (q101).
+    *
+    * Legacy TOCs (no maxOpsBatch) fall back to `lastFlushedBatch`:
+    * segments-only with an empty tail. Throws if `version` was expired by
+    * [[expireVersions]] or never existed. */
+  def snapshotAt(version: Long): Snapshot = {
+    val t = Toc.readVersion(path, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"no TOC version $version under $path (expired or never committed); " +
+          s"on-disk versions: ${versions.mkString(",")}"))
+    val pos = if (t.maxOpsBatch >= 0L) t.maxOpsBatch else t.lastFlushedBatch
+    val histTail = tailFrom(tailBatchIds(t).filter(_ <= pos))
+    val histTombs = tombstones.map(_.filter(col("tomb_batch") <= pos))
+    new Snapshot(this, t, t.segments, histTail, histTombs)
+  }
+
+  /** Trim history: keep the newest `keep` TOC versions, delete older TOC
+    * files, then garbage-collect what no kept version references — segment
+    * directories and fully-flushed ops batches (batch id <= the oldest
+    * kept version's lastFlushedBatch; newer batches may still be some kept
+    * version's tail). Returns the deleted segment names. The current
+    * snapshot is untouched; [[snapshotAt]] on an expired version throws. */
+  def expireVersions(keep: Int = 1): Seq[String] = {
+    val vs = versions
+    val kept = vs.takeRight(math.max(1, keep))
+    val keptTocs = kept.flatMap(v => Toc.readVersion(path, v))
+    val liveSegs = keptTocs.flatMap(_.segments).toSet
+    vs.filterNot(kept.contains).foreach { v =>
+      Files.deleteIfExists(Paths.get(path, "toc", s"version_$v"))
+    }
+    val segRoot = Paths.get(path, "segments")
+    val deadSegs =
+      if (!Files.exists(segRoot)) Nil
+      else Files.list(segRoot).iterator().asScala.map(_.getFileName.toString)
+        .filterNot(liveSegs).toList.sorted
+    deadSegs.foreach(s => deleteTree(segRoot.resolve(s)))
+    // WAL truncation: batches every kept version has flushed are dead
+    val minFlushed = keptTocs.map(_.lastFlushedBatch).minOption.getOrElse(-1L)
+    val opsRoot = Paths.get(opsPath)
+    if (Files.exists(opsRoot))
+      Files.list(opsRoot).iterator().asScala.toList.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("batch=") && n.stripPrefix("batch=").toLong <= minFlushed)
+          deleteTree(p)
+      }
+    deadSegs
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
+    }
 
   private[core] def tailFor(t: Toc): Option[DataFrame] = tail(t)
 
@@ -503,7 +606,8 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     for (tb <- tombstones) rows = Search.dropTombstoned(rows, tb)
     val seg = s"merged_${t.version + 1}"
     buildSegment(rows, seg)
-    Toc.write(path, Toc(t.version + 1, Seq(seg), t.lastFlushedBatch))
+    Toc.write(path, Toc(t.version + 1, Seq(seg), t.lastFlushedBatch,
+      maxBatchId().getOrElse(-1L)))
     Some(seg)
   }
 
@@ -543,7 +647,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     val seg = s"${segment}_v"
     buildSegment(rows, seg)
     Toc.write(path, Toc(t.version + 1, t.segments.map(s => if (s == segment) seg else s),
-      t.lastFlushedBatch))
+      t.lastFlushedBatch, maxBatchId().getOrElse(-1L)))
   }
 
   /** Hash bucket for partition pruning (stable across writes/reads). */
@@ -591,11 +695,15 @@ object Collection {
 }
 
 /** A pinned view of the collection: the TOC version read at construction
-  * plus the unflushed tail. Searches union per-segment SPANN results with
-  * a brute-force scan of the tail (read-your-writes, R5) and take a global
-  * top-k (A5: sort (score, doc_id), truncate). */
+  * plus the unflushed tail and the tombstone set as of that moment (a
+  * time-travel snapshot pins tombstones by WAL position; the live
+  * snapshot pins whatever exists at construction). Searches union
+  * per-segment SPANN results with a brute-force scan of the tail
+  * (read-your-writes, R5) and take a global top-k (A5: sort
+  * (score, doc_id), truncate). */
 final class Snapshot(
-    coll: Collection, val toc: Toc, segments: Seq[String], tailRows: Option[DataFrame]) {
+    coll: Collection, val toc: Toc, segments: Seq[String], tailRows: Option[DataFrame],
+    tombRows: Option[DataFrame]) {
 
   private def fieldLang: Map[String, String] =
     coll.config.attributeSchema.map(f => f.name -> f.lang).toMap
@@ -624,26 +732,26 @@ final class Snapshot(
             coll.segmentTable(seg, "centroids"),
             coll.segmentTable(seg, "postings"),
             m, query, params, userIds,
-            filterPoints(seg, filter, userIds), coll.tombstones))
+            filterPoints(seg, filter, userIds), tombRows))
         case "rabitq" => coll.readRabitqModel(seg).map(m => (df: DataFrame) =>
           Search.spannRabitq(df,
             coll.segmentTable(seg, "centroids"),
             coll.segmentTable(seg, "postings"),
             m, query, params, userIds,
-            filterPoints(seg, filter, userIds), coll.tombstones))
+            filterPoints(seg, filter, userIds), tombRows))
         case "sq8" => coll.readSqModel(seg).map(m => (df: DataFrame) =>
           Search.spannSq8(df,
             coll.segmentTable(seg, "centroids"),
             coll.segmentTable(seg, "postings"),
             m, query, params, userIds,
-            filterPoints(seg, filter, userIds), coll.tombstones))
+            filterPoints(seg, filter, userIds), tombRows))
         case _ => None
       }).getOrElse((df: DataFrame) =>
         Search.spann(df,
           coll.segmentTable(seg, "centroids"),
           coll.segmentTable(seg, "postings"),
           query, params, userIds,
-          filterPoints(seg, filter, userIds), coll.tombstones))
+          filterPoints(seg, filter, userIds), tombRows))
         .apply(coll.vectorsFor(seg, userIds)) // bucket-pruned scan for named users
     }
     val tailResult = tailRows.map { rows =>
@@ -652,7 +760,7 @@ final class Snapshot(
       var df = rows
       if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
       for (f <- filter) df = df.filter(compileRaw(f, df))
-      for (tb <- coll.tombstones) df = Search.dropTombstoned(df, tb)
+      for (tb <- tombRows) df = Search.dropTombstoned(df, tb)
       df.withColumn("score", l2_distance(col("vector"), vec(query)))
         .select("user_id", "doc_id", "score")
     }
@@ -670,13 +778,13 @@ final class Snapshot(
       Search.termSearch(
         coll.segmentTable(seg, "terms"),
         v.select(idCols.map(col): _*),
-        filter, limit, userIds, coll.tombstones, fieldLang)
+        filter, limit, userIds, tombRows, fieldLang)
     }
     val tailResult = tailRows.map { rows =>
       var df = rows
       if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
       df = df.filter(compileRaw(filter, df))
-      for (tb <- coll.tombstones) // deleted tail docs stay hidden (R6)
+      for (tb <- tombRows) // deleted tail docs stay hidden (R6)
         df = Search.dropTombstoned(df, tb)
       df.select("user_id", "doc_id")
     }

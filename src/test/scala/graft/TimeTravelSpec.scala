@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.core.{Collection, CollectionConfig, Toc}
+import graft.operators.SearchParams
+
+/** Time-travel reads over TOC history (`Collection.snapshotAt`) and
+  * history GC (`expireVersions`). Logical time is the WAL position the
+  * version recorded at commit (Toc.maxOpsBatch): a historical view is
+  * "inserts with batch <= P, deletes with tomb_batch <= P" — nothing in
+  * the write path deletes data, so every on-disk version is
+  * reconstructible until expired. */
+class TimeTravelSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpBase(): String =
+    Files.createTempDirectory("graft_tt").toString
+
+  private val config = CollectionConfig(
+    name = "tt", numFeatures = 4, initialNumCentroids = 4)
+
+  private def rows(ids: Seq[Long]) = ids.map { i =>
+    (0L, i, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble))
+  }.toDF("user_id", "doc_id", "vector")
+
+  private val exact = SearchParams(topK = 64,
+    numExploredCentroids = Some(Int.MaxValue), centroidDistanceRatio = 1e18)
+
+  // query strictly off every point: the ratio prune is multiplicative
+  // (dist <= ratio * min), so a query exactly ON a centroid would prune
+  // to distance-0 lists no matter how large the ratio is
+  private def docsOf(snap: graft.core.Snapshot): Seq[Long] =
+    snap.search(Seq(-0.5, -0.5, -0.5, -0.5), exact, userIds = Seq(0L))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("snapshotAt replays each lifecycle version; current == last version") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    val evens = (0L until 20L).filter(_ % 2 == 0)
+    val odds = (0L until 20L).filter(_ % 2 == 1)
+
+    coll.insert(rows(evens)); coll.flush()                     // v1
+    coll.insert(rows(odds))
+    coll.delete(rows(Seq(0L, 10L)).select("user_id", "doc_id"))
+    coll.flush()                                               // v2
+    coll.merge()                                               // v3
+
+    assert(coll.versions === Seq(0L, 1L, 2L, 3L))
+    // v1: evens only, the later delete of 0/10 is NOT visible
+    assert(docsOf(coll.snapshotAt(1L)) === evens)
+    // v2: everything except the deleted 0 and 10
+    val live = (0L until 20L).filterNot(i => i == 0L || i == 10L)
+    assert(docsOf(coll.snapshotAt(2L)) === live)
+    // v3 (the merge) == the live snapshot
+    assert(docsOf(coll.snapshotAt(3L)) === live)
+    assert(docsOf(coll.snapshot()) === live)
+  }
+
+  test("post-commit inserts and deletes stay invisible to a pinned version") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    coll.insert(rows(0L until 8L)); coll.flush()               // v1
+    coll.insert(rows(8L until 12L)); coll.flush()              // v2
+    coll.merge()                                               // v3
+
+    // after v3's commit: one unflushed insert + one delete
+    coll.insert(rows(Seq(100L)))
+    coll.delete(rows(Seq(3L)).select("user_id", "doc_id"))
+
+    val nowDocs = docsOf(coll.snapshot())
+    assert(nowDocs.contains(100L) && !nowDocs.contains(3L)) // read-your-writes
+    val v3Docs = docsOf(coll.snapshotAt(3L))
+    assert(!v3Docs.contains(100L), "post-commit insert leaked into history")
+    assert(v3Docs.contains(3L), "post-commit delete leaked into history")
+  }
+
+  test("a version whose commit saw an unflushed tail replays that tail") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    coll.insert(rows(0L until 4L)); coll.flush()               // v1
+    coll.insert(rows(4L until 8L)); coll.flush()               // v2
+    coll.insert(rows(Seq(50L)))   // tail at merge time
+    coll.merge()                                               // v3: maxOps covers 50
+    coll.flush()                                               // v4: 50 flushed
+
+    val t3 = Toc.readVersion(coll.path, 3L).get
+    assert(t3.maxOpsBatch > t3.lastFlushedBatch)
+    assert(docsOf(coll.snapshotAt(3L)).contains(50L))
+    assert(docsOf(coll.snapshotAt(2L)) === (0L until 8L))
+    assert(docsOf(coll.snapshot()) === ((0L until 8L) :+ 50L))
+  }
+
+  test("expireVersions trims TOCs, unreferenced segments and flushed WAL batches") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    coll.insert(rows(0L until 6L)); coll.flush()               // v1 (seg_1)
+    coll.insert(rows(6L until 12L)); coll.flush()              // v2 (seg_2)
+    coll.merge()                                               // v3 (merged_3)
+
+    val removed = coll.expireVersions(keep = 1)
+    assert(removed.sorted === Seq("seg_1", "seg_2"))
+    assert(coll.versions === Seq(3L))
+    assert(!Files.exists(Paths.get(coll.path, "segments", "seg_1")))
+    assert(Files.exists(Paths.get(coll.path, "segments", "merged_3")))
+    // WAL truncated up to the kept version's lastFlushedBatch
+    assert(!Files.exists(Paths.get(coll.path, "ops", "batch=0")))
+    // current reads unaffected; expired history throws
+    assert(docsOf(coll.snapshot()) === (0L until 12L))
+    intercept[IllegalArgumentException](coll.snapshotAt(1L))
+    // keeping >1 versions retains shared segments
+    val removedAgain = coll.expireVersions(keep = 5)
+    assert(removedAgain.isEmpty)
+  }
+}
