@@ -192,14 +192,18 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
   def insertAt(batchId: Long, rows: DataFrame): Unit =
     rows.write.mode("overwrite").parquet(s"$opsPath/batch=$batchId")
 
-  private def maxBatchId(): Option[Long] = {
+  /** All ops batch ids still on disk (ascending; history retained until
+    * [[expireVersions]] truncates below every kept version's watermark). */
+  private def allBatchIds(): Seq[Long] = {
     val d = Paths.get(opsPath)
-    if (!Files.exists(d)) None
+    if (!Files.exists(d)) Nil
     else Files.list(d).iterator().asScala
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong }
-      .maxOption
+      .toSeq.sorted
   }
+
+  private def maxBatchId(): Option[Long] = allBatchIds().maxOption
 
   /** Next id in the manual (even) lane. */
   private[graft] def nextBatchId(): Long = {
@@ -524,10 +528,80 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       throw new IllegalArgumentException(
         s"no TOC version $version under $path (expired or never committed); " +
           s"on-disk versions: ${versions.mkString(",")}"))
-    val pos = if (t.maxOpsBatch >= 0L) t.maxOpsBatch else t.lastFlushedBatch
+    val pos = Collection.walPosition(t)
     val histTail = tailFrom(tailBatchIds(t).filter(_ <= pos))
     val histTombs = tombstones.map(_.filter(col("tomb_batch") <= pos))
     new Snapshot(this, t, t.segments, histTail, histTombs)
+  }
+
+  /** CDC read: the exact logical row-level delta between two retained TOC
+    * versions. One output row per changed (user_id, doc_id):
+    *
+    *  - `insert` — key visible at `toVersion` but not at `fromVersion`
+    *  - `delete` — key visible at `fromVersion` but not at `toVersion`
+    *  - `update` — visible at both, but the surviving row's WAL position
+    *    (`src_batch`) moved: a delete + re-insert, or a duplicate-key
+    *    overwrite, happened in between
+    *
+    * Physical maintenance produces NO rows — merge/vacuum rewrite bytes
+    * but not logical visibility, so an incremental consumer (downstream
+    * dedup, index refresh, feature store) can follow `changes` across
+    * compactions without ever re-reading the corpus.
+    *
+    * Scale posture: the diff is first restricted to keys actually TOUCHED
+    * in the WAL interval `(fromPos, toPos]` — the ops batches and
+    * tombstones of that range, i.e. the delta, not the corpus. The two
+    * version snapshots are then only probed by a key semi-join (2-3
+    * column-pruned scans, bucket/bloom-prunable), and every shuffle
+    * downstream of it is O(touched keys). Requires both versions to still
+    * be retained (GC keeps the WAL range of any retained version —
+    * [[expireVersions]] only truncates below every kept version's flush
+    * watermark). */
+  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changes: fromVersion $fromVersion > toVersion $toVersion")
+    val sFrom = snapshotAt(fromVersion)
+    val sTo = snapshotAt(toVersion)
+    val posFrom = Collection.walPosition(sFrom.toc)
+    val posTo = Collection.walPosition(sTo.toc)
+    val opsKeys = allBatchIds().filter(b => b > posFrom && b <= posTo)
+      .map(b => spark.read.parquet(s"$opsPath/batch=$b").select("user_id", "doc_id"))
+    val tombKeys = tombstones.map(
+      _.filter(col("tomb_batch") > posFrom && col("tomb_batch") <= posTo)
+        .select("user_id", "doc_id"))
+    (opsKeys ++ tombKeys).reduceOption(_ unionByName _) match {
+      case None => // nothing written in the interval: delta is empty
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("change_type",
+              org.apache.spark.sql.types.StringType))))
+      case Some(keys) =>
+        val touched = keys.dropDuplicates("user_id", "doc_id")
+        def restricted(s: Snapshot) = s.liveDocs
+          .map(_.join(touched, Seq("user_id", "doc_id"), "left_semi"))
+        val a = restricted(sFrom).map(_.withColumnRenamed("src_batch", "from_batch"))
+        val b = restricted(sTo).map(_.withColumnRenamed("src_batch", "to_batch"))
+        val joined = (a, b) match {
+          case (Some(x), Some(y)) => x.join(y, Seq("user_id", "doc_id"), "full_outer")
+          case (Some(x), None) => x.withColumn("to_batch", lit(null).cast("long"))
+          case (None, Some(y)) => y.withColumn("from_batch", lit(null).cast("long"))
+          case (None, None) => touched
+            .withColumn("from_batch", lit(null).cast("long"))
+            .withColumn("to_batch", lit(null).cast("long"))
+        }
+        joined
+          .withColumn("change_type",
+            when(col("from_batch").isNull && col("to_batch").isNull, lit(null))
+              .when(col("from_batch").isNull, lit("insert"))
+              .when(col("to_batch").isNull, lit("delete"))
+              .when(col("from_batch") =!= col("to_batch"), lit("update")))
+          .filter(col("change_type").isNotNull) // unchanged / no-op touches
+          .select("user_id", "doc_id", "change_type")
+    }
   }
 
   /** Trim history: keep the newest `keep` TOC versions, delete older TOC
@@ -692,6 +766,13 @@ object Collection {
 
   def open(spark: SparkSession, base: String, config: CollectionConfig): Collection =
     new Collection(spark, s"$base/${config.name}", config)
+
+  /** A version's logical WAL position: maxOpsBatch when recorded at
+    * commit; legacy TOCs fall back to the flush watermark (segments-only
+    * view). The single definition [[Collection.snapshotAt]] and
+    * [[Collection.changes]] both pin against. */
+  private[core] def walPosition(t: Toc): Long =
+    if (t.maxOpsBatch >= 0L) t.maxOpsBatch else t.lastFlushedBatch
 }
 
 /** A pinned view of the collection: the TOC version read at construction
@@ -768,6 +849,26 @@ final class Snapshot(
       .reduceOption(_ unionByName _)
       .map(_.orderBy(col("score").asc, col("doc_id").asc).limit(params.topK))
       .getOrElse(coll.spark.emptyDataFrame)
+  }
+
+  /** The key set a reader of this snapshot observes — one row per live
+    * (user_id, doc_id), carrying the NEWEST WAL position among its
+    * surviving physical rows (`src_batch`; Long.MinValue for legacy
+    * segment rows written before the column existed). None when the
+    * snapshot is empty (fresh collection, v0). Column-pruned to 3 cols —
+    * the basis [[Collection.changes]] diffs two versions on. */
+  def liveDocs: Option[DataFrame] = {
+    val segRows = segments.map { seg =>
+      val v = coll.segmentTable(seg, "vectors")
+      v.select(col("user_id"), col("doc_id"),
+        (if (v.columns.contains("src_batch")) col("src_batch")
+         else lit(Long.MinValue)).as("src_batch"))
+    }
+    val tailKeyed = tailRows.map(_.select(col("user_id"), col("doc_id"), col("src_batch")))
+    (segRows ++ tailKeyed).reduceOption(_ unionByName _).map { rows =>
+      val alive = tombRows.fold(rows)(tb => Search.dropTombstoned(rows, tb))
+      alive.groupBy("user_id", "doc_id").agg(max(col("src_batch")).as("src_batch"))
+    }
   }
 
   def termSearch(filter: DocFilter, limit: Int, userIds: Seq[Any] = Nil): DataFrame = {

@@ -91,6 +91,66 @@ class TimeTravelSpec extends SparkSuite {
     assert(docsOf(coll.snapshot()) === ((0L until 8L) :+ 50L))
   }
 
+  private def changeMap(coll: Collection, from: Long, to: Long): Map[Long, String] =
+    coll.changes(from, to).select("doc_id", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("changes: inserts, deletes, revive-as-update; merge is logically silent") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    val evens = (0L until 20L).filter(_ % 2 == 0)
+    val odds = (0L until 20L).filter(_ % 2 == 1)
+
+    coll.insert(rows(evens)); coll.flush()                     // v1
+    coll.insert(rows(odds))
+    coll.delete(rows(Seq(0L, 10L)).select("user_id", "doc_id"))
+    coll.flush()                                               // v2
+    coll.merge()                                               // v3
+    coll.insert(rows(Seq(0L)))                                 // revive 0
+    coll.flush()                                               // v4
+
+    // v1 -> v2: odds inserted, 0 and 10 deleted
+    val d12 = changeMap(coll, 1L, 2L)
+    assert(odds.forall(d12.get(_).contains("insert")))
+    assert(d12.get(0L).contains("delete") && d12.get(10L).contains("delete"))
+    assert(d12.size === odds.size + 2, "untouched evens must not appear")
+
+    // v2 -> v3 (the merge): physical rewrite, zero logical changes
+    assert(changeMap(coll, 2L, 3L).isEmpty)
+
+    // v3 -> v4: doc 0 revived — delete+re-insert across the base version
+    // reads as a plain insert (not live at v3); doc 10 stays deleted
+    val d34 = changeMap(coll, 3L, 4L)
+    assert(d34 === Map(0L -> "insert"))
+
+    // v1 -> v4 composed: 0 was live at v1 AND at v4 but its surviving row
+    // moved WAL position (delete + revive in between) -> update
+    val d14 = changeMap(coll, 1L, 4L)
+    assert(d14.get(0L).contains("update"))
+    assert(d14.get(10L).contains("delete"))
+    assert(odds.forall(d14.get(_).contains("insert")))
+    assert(d14.size === odds.size + 2)
+
+    // identity diff is empty; inverted range rejected
+    assert(changeMap(coll, 4L, 4L).isEmpty)
+    intercept[IllegalArgumentException](coll.changes(4L, 1L))
+  }
+
+  test("changes sees an unflushed tail and no-op deletes stay silent") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    coll.insert(rows(0L until 4L)); coll.flush()               // v1
+    coll.insert(rows(4L until 6L)); coll.flush()               // v2
+    coll.insert(rows(Seq(9L)))                                 // tail only
+    coll.delete(rows(Seq(777L)).select("user_id", "doc_id"))   // key never lived
+    coll.merge()                                               // v3 (pins tail)
+
+    val d = changeMap(coll, 2L, 3L)
+    assert(d === Map(9L -> "insert"), s"no-op delete of 777 must be silent: $d")
+    // v0 (empty collection) -> v1: everything is an insert
+    assert(changeMap(coll, 0L, 1L) === (0L until 4L).map(_ -> "insert").toMap)
+  }
+
   test("expireVersions trims TOCs, unreferenced segments and flushed WAL batches") {
     val base = tmpBase()
     val coll = Collection.create(spark, base, config)
