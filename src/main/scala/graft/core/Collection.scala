@@ -242,12 +242,23 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
             fromSegments.union(inTail)
         }
       }
-    // Watermark = newest batch visible to this delete: rows inserted in
-    // LATER batches are not hidden (re-insert-after-delete revives the doc,
-    // matching the reference's seq_no-ordered WAL replay). Dedup is
+    // The delete claims a WAL position of its OWN — a marker batch dir in
+    // the (even, batch-side) id space, holding no rows. tomb_batch = that
+    // position: rows inserted in EARLIER batches are hidden, rows inserted
+    // in LATER batches are not (re-insert-after-delete revives the doc,
+    // matching the reference's seq_no-ordered WAL replay — every op gets
+    // its own seq_no there too). The marker is what makes history
+    // well-ordered: with the old `tomb_batch = maxBatchId()` watermark, a
+    // delete issued just AFTER a version's commit reused the committed
+    // version's position, so snapshotAt leaked it into pinned history and
+    // changes() dropped it from the delta (caught by ScaleCdc). Dedup is
     // unconditional so duplicate ids in a request add no tombstone rows.
+    val pos = nextBatchId()
+    val markerDir = Paths.get(s"$opsPath/batch=$pos")
+    Files.createDirectories(markerDir)
+    Files.writeString(markerDir.resolve("_TOMB"), "")
     filtered.dropDuplicates("user_id", "doc_id")
-      .withColumn("tomb_batch", lit(maxBatchId().getOrElse(-1L)))
+      .withColumn("tomb_batch", lit(pos))
       .write.mode("append").parquet(tombPath)
   }
 
@@ -314,15 +325,26 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       .filter(_ > t.lastFlushedBatch).toSeq.sorted
   }
 
+  /** A batch dir holds rows unless it is a delete's position-claim marker
+    * (no parquet parts, just `_TOMB`) — readers must skip those. */
+  private[core] def opsBatchHasRows(b: Long): Boolean = {
+    val d = Paths.get(s"$opsPath/batch=$b")
+    Files.exists(d) && Files.list(d).iterator().asScala
+      .exists(_.getFileName.toString.endsWith(".parquet"))
+  }
+
   /** Each tail row is stamped with its source batch id (`src_batch`); the
     * column persists through flush into segment vector tables, giving every
     * row a WAL position that the sequenced tombstone anti-join
-    * ([[Search.dropTombstoned]]) compares against delete watermarks. */
-  private def tailFrom(batches: Seq[Long]): Option[DataFrame] =
-    if (batches.isEmpty) None
-    else Some(batches.map(b =>
+    * ([[Search.dropTombstoned]]) compares against delete watermarks.
+    * Delete position-claim markers carry no rows and are skipped. */
+  private def tailFrom(batches: Seq[Long]): Option[DataFrame] = {
+    val withRows = batches.filter(opsBatchHasRows)
+    if (withRows.isEmpty) None
+    else Some(withRows.map(b =>
       spark.read.parquet(s"$opsPath/batch=$b").withColumn("src_batch", lit(b)))
       .reduce(_ unionByName _))
+  }
 
   /** Un-flushed ops batches (the "mutable segment" tail). */
   private def tail(t: Toc): Option[DataFrame] = tailFrom(tailBatchIds(t))
@@ -339,12 +361,22 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
   def flush(): Option[String] = {
     val t = toc
     val batches = tailBatchIds(t)
-    val df = tailFrom(batches).getOrElse(return None)
-    val seg = s"seg_${t.version + 1}"
-    buildSegment(df, seg)
-    Toc.write(path, Toc(t.version + 1, t.segments :+ seg, batches.max,
-      maxBatchId().getOrElse(-1L)))
-    Some(seg)
+    tailFrom(batches) match {
+      case None =>
+        // Delete-only interval (tail holds only delete position markers):
+        // no segment to build, but the watermark still advances so the
+        // pending tombstones commit into a readable history version.
+        if (batches.nonEmpty)
+          Toc.write(path, Toc(t.version + 1, t.segments, batches.max,
+            maxBatchId().getOrElse(-1L)))
+        None
+      case Some(df) =>
+        val seg = s"seg_${t.version + 1}"
+        buildSegment(df, seg)
+        Toc.write(path, Toc(t.version + 1, t.segments :+ seg, batches.max,
+          maxBatchId().getOrElse(-1L)))
+        Some(seg)
+    }
   }
 
   /** Build the four tables of one immutable segment from raw rows. */
@@ -564,7 +596,8 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     val sTo = snapshotAt(toVersion)
     val posFrom = Collection.walPosition(sFrom.toc)
     val posTo = Collection.walPosition(sTo.toc)
-    val opsKeys = allBatchIds().filter(b => b > posFrom && b <= posTo)
+    val opsKeys = allBatchIds()
+      .filter(b => b > posFrom && b <= posTo && opsBatchHasRows(b))
       .map(b => spark.read.parquet(s"$opsPath/batch=$b").select("user_id", "doc_id"))
     val tombKeys = tombstones.map(
       _.filter(col("tomb_batch") > posFrom && col("tomb_batch") <= posTo)

@@ -151,6 +151,25 @@ class TimeTravelSpec extends SparkSuite {
     assert(changeMap(coll, 0L, 1L) === (0L until 4L).map(_ -> "insert").toMap)
   }
 
+  test("a delete right after a commit has its own WAL position (no history leak)") {
+    // Regression (caught by ScaleCdc): tomb_batch used to be maxBatchId(),
+    // so a delete issued after v1's commit but before any new insert reused
+    // v1's position — snapshotAt(1) showed the doc deleted and changes()
+    // dropped the delete entirely.
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    coll.insert(rows(0L until 8L)); coll.flush()               // v1
+    coll.delete(rows(Seq(2L)).select("user_id", "doc_id"))     // no insert first!
+    assert(docsOf(coll.snapshotAt(1L)) === (0L until 8L),
+      "post-commit delete leaked into pinned history")
+    assert(!docsOf(coll.snapshot()).contains(2L)) // live view sees it
+    // a delete-only flush still commits the watermark as v2
+    assert(coll.flush() === None)
+    assert(coll.versions.max === 2L)
+    assert(docsOf(coll.snapshotAt(2L)) === (0L until 8L).filterNot(_ == 2L))
+    assert(changeMap(coll, 1L, 2L) === Map(2L -> "delete"))
+  }
+
   test("expireVersions trims TOCs, unreferenced segments and flushed WAL batches") {
     val base = tmpBase()
     val coll = Collection.create(spark, base, config)
