@@ -127,4 +127,35 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Sort") || l.trim.startsWith("Sort ")),
       s"q92 grew a global sort:\n$p")
   }
+
+  test("CDC diff probes the base via column-pruned scans, no cartesian") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.core.{Collection, CollectionConfig}
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cdcplan").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "cdcplan", numFeatures = 4, initialNumCentroids = 4))
+    def rows(ids: Seq[Long]) = ids.map(i =>
+      (0L, i, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble)))
+      .toDF("user_id", "doc_id", "vector")
+    coll.insert(rows(0L until 8L)); coll.flush()               // v1
+    coll.insert(rows(8L until 10L))
+    coll.delete(rows(Seq(1L)).select("user_id", "doc_id")); coll.flush() // v2
+    val p = coll.changes(1L, 2L).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"changes() grew a cartesian/nested-loop plan:\n$p")
+    // the segment vectors table must be probed column-pruned: the diff
+    // only needs (user_id, doc_id, src_batch) — the vector payload (and
+    // any attrs) staying out of ReadSchema is what keeps changes() cost
+    // independent of row width at 100 TB
+    val vectorScans = p.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("segments")).toList
+    assert(vectorScans.nonEmpty, s"no segment scan found in changes() plan:\n$p")
+    vectorScans.foreach { l =>
+      assert(!l.contains("vector#") ||
+        !l.substring(l.indexOf("ReadSchema")).contains("vector"),
+        s"changes() reads the vector payload from the base:\n$l")
+    }
+  }
 }
