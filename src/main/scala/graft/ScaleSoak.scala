@@ -1,0 +1,149 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{Collection, CollectionConfig, Toc}
+
+/** Read-during-expiry soak (round-11 verdict #6; BASELINE.md): an N x 768
+  * corpus goes through R maintenance rounds — delta delete + insert ->
+  * flush, merge on even rounds / vacuum on odd, `expireVersions(keep = 2)`
+  * every round — while reader threads CONCURRENTLY pin historical versions
+  * (`snapshotAt` + live-doc count, `changes` between two retained
+  * versions). The claim under soak: GC never yanks a pinned version's
+  * segments. A reader either completes with the exact live count its
+  * version committed, or loses the pin race CLEANLY (the "expired or never
+  * committed" throw from snapshotAt) — never a FileNotFound mid-query,
+  * never a wrong count. The pin registry (weak refs + pinLock in
+  * [[Collection]]) is what's under test; reader threads deliberately churn
+  * snapshots so expiry keeps racing live pins.
+  *
+  * `runMain graft.ScaleSoak [N] [rounds] [readers]` — defaults 1000000, 6, 3.
+  */
+object ScaleSoak {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val rounds = if (args.length > 1) args(1).toInt else 6
+    val nReaders = if (args.length > 2) args(2).toInt else 3
+    val nDel = math.max(1000L, n / 100)
+    val nIns = nDel
+    val dim = 768
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[A](label: String)(f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[soak] $label%-32s $s%.2f s"); (r, s)
+    }
+
+    val genUdf = udf { (id: Long) =>
+      val c = (id % 64).toInt
+      Array.tabulate(dim) { d =>
+        val base = if (d % 64 == c) 4.0 else 0.0
+        val h = graft.functions.HashKernels.mix64(id * 131071L + d)
+        base + (h.toDouble / Long.MaxValue.toDouble)
+      }
+    }
+    def rowsFor(from: Long, until: Long) = spark.range(from, until).select(
+      lit(0L).as("user_id"), col("id").as("doc_id"),
+      genUdf(col("id")).cast("array<double>").as("vector"))
+
+    val base = "/tmp/scale_soak"
+    def deleteRec(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(deleteRec); p.delete()
+    }
+    deleteRec(new java.io.File(base))
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "soak", numFeatures = dim,
+      initialNumCentroids = math.max(16, (n / 700L).toInt),
+      maxClustersPerVector = 2))
+
+    // expected LIVE count per committed version, recorded by the writer —
+    // the readers' correctness oracle (arithmetic, not a Spark recount)
+    val expected = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    time(s"corpus insert ($n)")(coll.insert(rowsFor(0L, n)))
+    time("corpus flush -> v1")(coll.flush())
+    expected.put(coll.toc.version, n)
+
+    val stop = new AtomicBoolean(false)
+    val errors = new ConcurrentLinkedQueue[String]()
+    val pinReads = new AtomicLong(0L)
+    val cdcReads = new AtomicLong(0L)
+    val cleanExpired = new AtomicLong(0L)
+    val readers = (0 until nReaders).map { ri =>
+      val t = new Thread(() => {
+        val rng = new scala.util.Random(1000 + ri)
+        while (!stop.get()) {
+          val vs = coll.versions.filter(expected.containsKey(_))
+          if (vs.isEmpty) Thread.sleep(10)
+          else try {
+            if (rng.nextInt(3) < 2 || vs.size < 2) {
+              val v = vs(rng.nextInt(vs.size))
+              val snap = coll.snapshotAt(v) // pin
+              val cnt = snap.liveDocs.map(_.count()).getOrElse(0L)
+              val exp = expected.get(v)
+              if (exp != null && cnt != exp)
+                errors.add(s"v$v live count $cnt != expected $exp")
+              pinReads.incrementAndGet()
+            } else {
+              val Seq(f, t2) = rng.shuffle(vs.toList).take(2).sorted.toSeq
+              coll.changes(f, t2).count() // pins both ends internally
+              cdcReads.incrementAndGet()
+            }
+          } catch {
+            // losing the pin race to a concurrent expiry is the CONTRACT:
+            // a clean throw, counted, never an error
+            case e: IllegalArgumentException
+                if String.valueOf(e.getMessage).contains("expired or never") =>
+              cleanExpired.incrementAndGet()
+            case e: Throwable =>
+              errors.add(s"reader$ri: ${e.getClass.getSimpleName}: " +
+                String.valueOf(e.getMessage).take(200))
+          }
+        }
+      }, s"soak-reader-$ri")
+      t.setDaemon(true); t.start(); t
+    }
+
+    var live = n
+    var maxWriter = 0.0
+    (1 to rounds).foreach { r =>
+      val (_, dt) = time(s"round $r: delta+flush+maintenance") {
+        val delFrom = (r - 1).toLong * nDel
+        coll.delete(spark.range(delFrom, delFrom + nDel)
+          .select(lit(0L).as("user_id"), col("id").as("doc_id")))
+        coll.insert(rowsFor(n + (r - 1).toLong * nIns, n + r.toLong * nIns))
+        coll.flush()
+        live = live - nDel + nIns
+        expected.put(coll.toc.version, live)
+        if (r % 2 == 0) coll.merge() else coll.vacuum(Toc.read(coll.path).segments.head)
+        expected.put(coll.toc.version, live) // maintenance is logically silent
+        coll.expireVersions(keep = 2)
+      }
+      maxWriter = math.max(maxWriter, dt)
+    }
+    // let readers drain against the final state, then stop
+    Thread.sleep(2000)
+    stop.set(true)
+    readers.foreach(_.join(30000))
+
+    val errList = errors.toArray.toSeq.take(5)
+    require(errors.isEmpty,
+      s"soak FAILED: ${errors.size} reader errors, first: ${errList.mkString(" | ")}")
+    require(pinReads.get() > 0 && cdcReads.get() > 0, "readers never exercised both paths")
+    println(s"""{"op":"soak","n":$n,"rounds":$rounds,"readers":$nReaders,""" +
+      s""""pin_reads":${pinReads.get()},"cdc_reads":${cdcReads.get()},""" +
+      s""""clean_expired_races":${cleanExpired.get()},"errors":0,""" +
+      f""""max_round_sec":$maxWriter%.2f}""")
+    spark.stop()
+  }
+}

@@ -57,6 +57,29 @@ final case class CollectionConfig(
   def textFields: Seq[AttrField] = attributeSchema.filter(f => f.kind == "text" || f.kind == "keyword")
 }
 
+/** Directory listings with the stream CLOSED. `Files.list`/`Files.walk`
+  * hold an open directory descriptor until the stream is closed — the read
+  * path lists directories once per batch per read, so a long-lived driver
+  * relying on GC to close them leaks descriptors. Every listing in this
+  * file goes through these. */
+private[core] object Fs {
+  def listNames(d: java.nio.file.Path): Seq[String] = {
+    val s = Files.list(d)
+    try s.iterator().asScala.map(_.getFileName.toString).toList
+    finally s.close()
+  }
+  def listPaths(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(d)
+    try s.iterator().asScala.toList
+    finally s.close()
+  }
+  def walkAll(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toList
+    finally s.close()
+  }
+}
+
 /** Versioned table-of-contents manifest — the reference's `version_N` TOC
   * (rs/index/src/collection/mod.rs:21-33): lists live segments and the last
   * flushed ops batch. Written atomically (tmp + move); readers pin a
@@ -80,8 +103,7 @@ object Toc {
   def latestVersion(base: String): Option[Long] = {
     val d = tocDir(base)
     if (!Files.exists(d)) None
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
+    else Fs.listNames(d)
       .collect { case s if s.startsWith("version_") => s.stripPrefix("version_").toLong }
       .maxOption
   }
@@ -91,10 +113,9 @@ object Toc {
   def versions(base: String): Seq[Long] = {
     val d = tocDir(base)
     if (!Files.exists(d)) Nil
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
+    else Fs.listNames(d)
       .collect { case s if s.startsWith("version_") => s.stripPrefix("version_").toLong }
-      .toSeq.sorted
+      .sorted
   }
 
   def read(base: String): Toc = latestVersion(base) match {
@@ -197,10 +218,9 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
   private def allBatchIds(): Seq[Long] = {
     val d = Paths.get(opsPath)
     if (!Files.exists(d)) Nil
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
+    else Fs.listNames(d)
       .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong }
-      .toSeq.sorted
+      .sorted
   }
 
   private def maxBatchId(): Option[Long] = allBatchIds().maxOption
@@ -320,17 +340,16 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
   private def tailBatchIds(t: Toc): Seq[Long] = {
     val d = Paths.get(opsPath)
     if (!Files.exists(d)) Nil
-    else Files.list(d).iterator().asScala.map(_.getFileName.toString)
+    else Fs.listNames(d)
       .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong }
-      .filter(_ > t.lastFlushedBatch).toSeq.sorted
+      .filter(_ > t.lastFlushedBatch).sorted
   }
 
   /** A batch dir holds rows unless it is a delete's position-claim marker
     * (no parquet parts, just `_TOMB`) — readers must skip those. */
   private[core] def opsBatchHasRows(b: Long): Boolean = {
     val d = Paths.get(s"$opsPath/batch=$b")
-    Files.exists(d) && Files.list(d).iterator().asScala
-      .exists(_.getFileName.toString.endsWith(".parquet"))
+    Files.exists(d) && Fs.listNames(d).exists(_.endsWith(".parquet"))
   }
 
   /** Each tail row is stamped with its source batch id (`src_batch`); the
@@ -529,9 +548,42 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
 
   // ---- read path ----
 
-  def snapshot(): Snapshot = {
+  // ---- snapshot pinning (read-during-expiry safety) ----
+  // A live Snapshot object PINS its TOC version: expireVersions skips any
+  // version some un-collected Snapshot still references, so GC can never
+  // yank segment files out from under an in-flight historical read (the
+  // reference's per-version refcount, rs/index/src/collection/mod.rs —
+  // here the JVM reference graph IS the refcount: hold the Snapshot,
+  // keep the version; drop it, and the next expiry may trim it). The
+  // registry is weak (an abandoned Snapshot stops pinning after GC) and
+  // in-process, matching the single-writer maintenance model. pinLock
+  // makes {read TOC + register pin} atomic against {scan pins + delete
+  // files}: a concurrent snapshotAt/expireVersions pair resolves to
+  // either a working pinned snapshot or a clean "expired" throw — never
+  // a snapshot whose files vanish mid-query.
+  private val pinLock = new Object
+  private val pinned =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, java.lang.ref.WeakReference[Snapshot])]
+
+  private def registerPin(s: Snapshot): Snapshot = {
+    pinned.add((s.toc.version, new java.lang.ref.WeakReference(s)))
+    s
+  }
+
+  /** Versions currently pinned by live snapshots (cleared refs pruned). */
+  private[core] def pinnedVersions: Set[Long] = {
+    val out = scala.collection.mutable.Set[Long]()
+    val it = pinned.iterator()
+    while (it.hasNext) {
+      val (v, ref) = it.next()
+      if (ref.get() == null) it.remove() else out += v
+    }
+    out.toSet
+  }
+
+  def snapshot(): Snapshot = pinLock.synchronized {
     val t = toc
-    new Snapshot(this, t, t.segments, tail(t), tombstones)
+    registerPin(new Snapshot(this, t, t.segments, tail(t), tombstones))
   }
 
   /** TOC versions still on disk (ascending); each is readable via
@@ -555,15 +607,21 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     * Legacy TOCs (no maxOpsBatch) fall back to `lastFlushedBatch`:
     * segments-only with an empty tail. Throws if `version` was expired by
     * [[expireVersions]] or never existed. */
-  def snapshotAt(version: Long): Snapshot = {
+  def snapshotAt(version: Long): Snapshot = pinLock.synchronized {
     val t = Toc.readVersion(path, version).getOrElse(
       throw new IllegalArgumentException(
         s"no TOC version $version under $path (expired or never committed); " +
           s"on-disk versions: ${versions.mkString(",")}"))
     val pos = Collection.walPosition(t)
     val histTail = tailFrom(tailBatchIds(t).filter(_ <= pos))
-    val histTombs = tombstones.map(_.filter(col("tomb_batch") <= pos))
-    new Snapshot(this, t, t.segments, histTail, histTombs)
+    // Legacy tombstones (files predating the tomb_batch watermark) are
+    // normalized to Long.MaxValue = "hide every batch, unsequenced". They
+    // have no WAL position, so they are visible in EVERY historical view —
+    // without the explicit MaxValue case snapshotAt(latest) would diverge
+    // from snapshot() on collections with pre-watermark tombstone files.
+    val histTombs = tombstones.map(
+      _.filter(col("tomb_batch") <= pos || col("tomb_batch") === Long.MaxValue))
+    registerPin(new Snapshot(this, t, t.segments, histTail, histTombs))
   }
 
   /** CDC read: the exact logical row-level delta between two retained TOC
@@ -603,15 +661,21 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       _.filter(col("tomb_batch") > posFrom && col("tomb_batch") <= posTo)
         .select("user_id", "doc_id"))
     (opsKeys ++ tombKeys).reduceOption(_ unionByName _) match {
-      case None => // nothing written in the interval: delta is empty
+      case None =>
+        // Nothing written in the interval: delta is empty. Key types come
+        // from the collection's actual data (u128 collections carry
+        // BinaryType(16) ids — a hardcoded LongType schema here would
+        // disagree with non-empty deltas and break downstream unions);
+        // a fully empty collection falls back to the Long fast path.
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val keyTypes = sTo.liveDocs.orElse(sFrom.liveDocs)
+          .map(df => (df.schema("user_id").dataType, df.schema("doc_id").dataType))
+          .getOrElse((LongType, LongType))
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("user_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("doc_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("change_type",
-              org.apache.spark.sql.types.StringType))))
+          StructType(Seq(
+            StructField("user_id", keyTypes._1),
+            StructField("doc_id", keyTypes._2),
+            StructField("change_type", StringType))))
       case Some(keys) =>
         val touched = keys.dropDuplicates("user_id", "doc_id")
         def restricted(s: Snapshot) = s.liveDocs
@@ -637,15 +701,18 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     }
   }
 
-  /** Trim history: keep the newest `keep` TOC versions, delete older TOC
-    * files, then garbage-collect what no kept version references — segment
-    * directories and fully-flushed ops batches (batch id <= the oldest
-    * kept version's lastFlushedBatch; newer batches may still be some kept
-    * version's tail). Returns the deleted segment names. The current
-    * snapshot is untouched; [[snapshotAt]] on an expired version throws. */
-  def expireVersions(keep: Int = 1): Seq[String] = {
+  /** Trim history: keep the newest `keep` TOC versions PLUS any version a
+    * live [[Snapshot]] still pins (see the pin registry above — GC must
+    * never yank a pinned version's segments), delete older TOC files, then
+    * garbage-collect what no kept version references — segment directories
+    * and fully-flushed ops batches (batch id <= the oldest kept version's
+    * lastFlushedBatch; newer batches may still be some kept version's
+    * tail). Returns the deleted segment names. The current snapshot is
+    * untouched; [[snapshotAt]] on an expired version throws. */
+  def expireVersions(keep: Int = 1): Seq[String] = pinLock.synchronized {
     val vs = versions
-    val kept = vs.takeRight(math.max(1, keep))
+    val live = pinnedVersions
+    val kept = (vs.takeRight(math.max(1, keep)) ++ vs.filter(live)).distinct.sorted
     val keptTocs = kept.flatMap(v => Toc.readVersion(path, v))
     val liveSegs = keptTocs.flatMap(_.segments).toSet
     vs.filterNot(kept.contains).foreach { v =>
@@ -654,14 +721,13 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     val segRoot = Paths.get(path, "segments")
     val deadSegs =
       if (!Files.exists(segRoot)) Nil
-      else Files.list(segRoot).iterator().asScala.map(_.getFileName.toString)
-        .filterNot(liveSegs).toList.sorted
+      else Fs.listNames(segRoot).filterNot(liveSegs).sorted
     deadSegs.foreach(s => deleteTree(segRoot.resolve(s)))
     // WAL truncation: batches every kept version has flushed are dead
     val minFlushed = keptTocs.map(_.lastFlushedBatch).minOption.getOrElse(-1L)
     val opsRoot = Paths.get(opsPath)
     if (Files.exists(opsRoot))
-      Files.list(opsRoot).iterator().asScala.toList.foreach { p =>
+      Fs.listPaths(opsRoot).foreach { p =>
         val n = p.getFileName.toString
         if (n.startsWith("batch=") && n.stripPrefix("batch=").toLong <= minFlushed)
           deleteTree(p)
@@ -671,7 +737,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
 
   private def deleteTree(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
+      Fs.walkAll(p).reverse.foreach(Files.deleteIfExists(_))
     }
 
   private[core] def tailFor(t: Toc): Option[DataFrame] = tail(t)
@@ -693,9 +759,9 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     val tailIds = tailBatchIds(t).mkString(",")
     val tombs =
       if (!Files.exists(Paths.get(tombPath))) ""
-      else Files.list(Paths.get(tombPath)).iterator().asScala
+      else Fs.listPaths(Paths.get(tombPath))
         .map(p => s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
-        .toSeq.sorted.mkString(",")
+        .sorted.mkString(",")
     s"v${t.version};b[$tailIds];t[${tombs.hashCode}]"
   }
 

@@ -170,6 +170,42 @@ class TimeTravelSpec extends SparkSuite {
     assert(changeMap(coll, 1L, 2L) === Map(2L -> "delete"))
   }
 
+  test("legacy tombstones (no tomb_batch) stay visible in every historical view") {
+    // Files predating the watermark column normalize to tomb_batch =
+    // Long.MaxValue ("hide every batch, unsequenced"). They carry no WAL
+    // position, so snapshotAt must apply them to EVERY version — without
+    // the explicit MaxValue case snapshotAt(latest) diverged from
+    // snapshot() on collections with pre-watermark tombstone files.
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    coll.insert(rows(0L until 8L)); coll.flush()               // v1
+    coll.insert(rows(8L until 10L)); coll.flush()              // v2
+    // simulate a pre-watermark tombstone file: (user_id, doc_id) only
+    rows(Seq(5L)).select("user_id", "doc_id")
+      .write.mode("append").parquet(s"${coll.path}/tombstones")
+    val live = (0L until 10L).filterNot(_ == 5L)
+    assert(docsOf(coll.snapshot()) === live)
+    assert(docsOf(coll.snapshotAt(2L)) === live,
+      "legacy tombstone invisible to snapshotAt(latest)")
+    assert(docsOf(coll.snapshotAt(1L)) === (0L until 8L).filterNot(_ == 5L))
+  }
+
+  test("changes() empty-interval schema matches the collection's key types (u128)") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    val bin = rows(0L until 6L).select(col("user_id"),
+      graft.core.Ids.fromLong(col("doc_id")).as("doc_id"), col("vector"))
+    coll.insert(bin); coll.flush()                             // v1
+    val empty = coll.changes(1L, 1L)
+    assert(empty.count() === 0L)
+    assert(empty.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.BinaryType,
+      "empty delta must carry the collection's actual key type")
+    // and it unions cleanly with a non-empty delta of the same collection
+    val full = coll.changes(0L, 1L)
+    assert(full.unionByName(empty).count() === full.count())
+  }
+
   test("expireVersions trims TOCs, unreferenced segments and flushed WAL batches") {
     val base = tmpBase()
     val coll = Collection.create(spark, base, config)
@@ -190,5 +226,32 @@ class TimeTravelSpec extends SparkSuite {
     // keeping >1 versions retains shared segments
     val removedAgain = coll.expireVersions(keep = 5)
     assert(removedAgain.isEmpty)
+  }
+
+  test("a live pinned snapshot survives expireVersions (read-during-expiry)") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    coll.insert(rows(0L until 6L)); coll.flush()               // v1 (seg_1)
+    coll.insert(rows(6L until 12L)); coll.flush()              // v2 (seg_2)
+    coll.merge()                                               // v3 (merged_3)
+    var pin: graft.core.Snapshot = coll.snapshotAt(1L)         // live pin on v1
+    val removed = coll.expireVersions(keep = 1)
+    // pinned v1 (and its seg_1) survive GC; unpinned v2 is trimmed
+    assert(removed === Seq("seg_2"))
+    assert(coll.versions === Seq(1L, 3L))
+    assert(Files.exists(Paths.get(coll.path, "segments", "seg_1")))
+    assert(docsOf(pin) === (0L until 6L),
+      "pinned version unreadable after a concurrent expiry")
+    assert(docsOf(coll.snapshot()) === (0L until 12L))
+    // drop the pin: once the weak ref clears, the next expiry trims v1
+    pin = null
+    val deadline = System.currentTimeMillis() + 30000
+    while (coll.versions.contains(1L) && System.currentTimeMillis() < deadline) {
+      System.gc()
+      Thread.sleep(50)
+      coll.expireVersions(keep = 1)
+    }
+    assert(coll.versions === Seq(3L), "dropped pin must stop protecting v1")
+    assert(!Files.exists(Paths.get(coll.path, "segments", "seg_1")))
   }
 }
