@@ -307,14 +307,41 @@ object Ann {
   def hnswProbe(
       centroids: DataFrame, query: Seq[Double], nprobe: Int,
       m: Int = 8, efConstruction: Int = 100, ef: Int = 64,
-      seed: Long = 42L): Array[Long] = {
+      seed: Long = 42L, binDir: Option[String] = None): Array[Long] = {
     val rows = centroids
       .select(col("centroid_id").cast("long"), col("vector").cast("array<double>"))
       .collect()
     val ids = rows.map(_.getLong(0))
     val vecs = rows.map(_.getSeq[Double](1).toArray)
-    val graph = Hnsw.build(ids, vecs, m = m, efConstruction = efConstruction,
-      seed = seed)
+    val graph = binDir match {
+      case None => Hnsw.build(ids, vecs, m = m, efConstruction = efConstruction,
+        seed = seed)
+      case Some(dir) =>
+        // Restart path (the reference keeps the centroid HNSW resident and
+        // reloads it from its flush-time file, rs/index/src/hnsw/reader.rs;
+        // [[Serving]] does the same for collection segments): the persisted
+        // graph is keyed by a CONTENT hash of (ids, vectors, build params)
+        // — Hnsw.load validates ids/dims but not vector bytes, so without
+        // the hash a regenerated corpus with the same centroid ids would
+        // silently serve stale links. Miss -> build once, save, serve.
+        val h = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val bb = java.nio.ByteBuffer.allocate(8)
+          def putLong(l: Long): Unit = { bb.clear(); bb.putLong(l); md.update(bb.array()) }
+          putLong(ids.length.toLong); putLong(m.toLong)
+          putLong(efConstruction.toLong); putLong(seed)
+          ids.foreach(putLong)
+          vecs.foreach(_.foreach(d => putLong(java.lang.Double.doubleToLongBits(d))))
+          md.digest().map(b => f"${b & 0xff}%02x").mkString
+        }
+        val path = s"$dir/hnsw_$h.bin"
+        Hnsw.load(path, ids, vecs).getOrElse {
+          val g = Hnsw.build(ids, vecs, m = m, efConstruction = efConstruction,
+            seed = seed)
+          Hnsw.save(path, g)
+          g
+        }
+    }
     graph.search(query.toArray, nprobe, ef).map(_._1)
   }
 
@@ -347,7 +374,34 @@ object Ann {
       perClusterCap: Int = 2000,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    diverseSelectFull(embeddings, m, numCentroids, alpha, perClusterCap,
+      idCol, vecCol, seed).picks
+
+  /** [[diverseSelect]]'s result with its conditioning tables exposed —
+    * what a hash-gate oracle needs to conditionally replay the per-cluster
+    * greedy recurrence (q91's pattern, per cluster): given `assignments`
+    * (which cluster each id landed in — k-means isn't SQL-replayable, so
+    * it's pinned bytes), `centroids` (the seed rule's reference points)
+    * and `quotas` (the waterfill output), every pick in `picks` is the
+    * argmax of a ROUND-STABLE metric (squared L2 rounded HALF_UP to 6
+    * decimals, id-asc tiebreak) over the earlier picks — so SQL summing
+    * dimensions in any order lands on the same winner. */
+  final case class DiverseSelection(
+      picks: DataFrame,        // [id, cluster, rank]
+      assignments: DataFrame,  // [id, cluster]
+      centroids: DataFrame,    // [cluster, centroid: array<double>]
+      quotas: DataFrame)       // [cluster, quota]
+
+  def diverseSelectFull(
+      embeddings: DataFrame,
+      m: Int,
+      numCentroids: Int = 64,
+      alpha: Double = 0.5,
+      perClusterCap: Int = 2000,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L): DiverseSelection = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     require(m >= 1, s"m=$m")
@@ -394,12 +448,18 @@ object Ann {
     }
     val bQuotas = quotas.toMap
     val bCents = cents
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroidsDf = cents.toSeq.sortBy(_._1)
+      .map { case (c, v) => (c, v.toSeq) }
+      .toDF("cluster", "centroid")
+    val quotasDf = bQuotas.toSeq.sorted.toDF("cluster", "quota")
     val outSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("cluster", IntegerType, nullable = false),
       StructField("rank", IntegerType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    assigned.select(col("cluster"), col("id"), col("v"))
+    val picksDf = assigned.select(col("cluster"), col("id"), col("v"))
       .groupByKey(_.getInt(0))(Encoders.scalaInt)
       .flatMapGroups { (c: Int, rows: Iterator[Row]) =>
         val quota = bQuotas.getOrElse(c, 0L).toInt
@@ -421,6 +481,12 @@ object Ann {
             while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
             s
           }
+          // ROUND-STABLE selection (diverseSelectExact's posture): every
+          // comparison is over the 6-decimal HALF_UP rounding of the raw
+          // metric, id-asc tiebreak (cand is id-sorted + strict compare),
+          // so a SQL replay summing dimensions in any order agrees.
+          def r6(x: Double): Double = new java.math.BigDecimal(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
           val n = cand.length
           val picks = Array.newBuilder[(Long, Int)]
           val minD = Array.fill(n)(Double.MaxValue)
@@ -429,7 +495,7 @@ object Ann {
           var cur = 0
           var best = Double.MaxValue
           for (i <- 0 until n) {
-            val dd = d2(cand(i)._2, center)
+            val dd = r6(d2(cand(i)._2, center))
             if (dd < best) { best = dd; cur = i }
           }
           var k = 0
@@ -444,7 +510,8 @@ object Ann {
               for (i <- 0 until n if !taken(i)) {
                 val dd = d2(cand(i)._2, cand(cur)._2)
                 if (dd < minD(i)) minD(i) = dd
-                if (minD(i) > far) { far = minD(i); next = i }
+                val rd = r6(minD(i))
+                if (rd > far) { far = rd; next = i }
               }
               cur = next
             }
@@ -453,6 +520,11 @@ object Ann {
         }
       }(enc)
       .toDF("id", "cluster", "rank")
+    DiverseSelection(
+      picks = picksDf,
+      assignments = assigned.select(col("id"), col("cluster")),
+      centroids = centroidsDf,
+      quotas = quotasDf)
   }
 
   /** EXACT global farthest-first (k-center greedy) — the bounded oracle

@@ -147,12 +147,53 @@ object RangeBuckets {
     * saves recomputing the tagged subtree for each consumer. Disabled
     * via GRAFT_PREFIX_PERSIST=0 (the BASELINE.md A/B switch; at cluster
     * scale an input-sized cache may cost more than the extra scan).
-    * NOTE the cache is never unpersisted by the operators themselves:
-    * Bench/Verify clearCache() between queries; other long-lived
-    * callers own that hygiene (blocks are LRU-evictable from memory,
-    * but spilled disk blocks are not). */
+    *
+    * The cache SELF-UNPERSISTS: a QueryExecutionListener watches for the
+    * first completed action whose analyzed plan contains this subtree
+    * (the operator composes everything into ONE final action, so by then
+    * every consumer expansion has read the cache) and drops it. Callers
+    * need no clearCache() hygiene; an external clearCache() is also
+    * detected (storageLevel == NONE) and just retires the listener. The
+    * unpersist is non-blocking and perf-only — a caller running a SECOND
+    * action on the operator output recomputes the subtree, correctly. */
   private[operators] def maybePersist(df: DataFrame): DataFrame =
-    if (sys.env.get("GRAFT_PREFIX_PERSIST").contains("0")) df else df.persist()
+    if (sys.env.get("GRAFT_PREFIX_PERSIST").contains("0")) df
+    else {
+      import org.apache.spark.sql.execution.QueryExecution
+      import org.apache.spark.sql.util.QueryExecutionListener
+      import org.apache.spark.storage.StorageLevel
+      val p = df.persist()
+      val target = p.queryExecution.analyzed
+      val spark = p.sparkSession
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val listener = new QueryExecutionListener {
+        private def retire(unpersist: Boolean): Unit =
+          if (done.compareAndSet(false, true)) {
+            if (unpersist) {
+              try p.unpersist(blocking = false) catch { case _: Throwable => () }
+            }
+            spark.listenerManager.unregister(this)
+          }
+        private def check(qe: QueryExecution): Unit = {
+          val gone =
+            try p.storageLevel == StorageLevel.NONE
+            catch { case _: Throwable => true }
+          if (gone) retire(unpersist = false) // external clearCache beat us
+          else {
+            val hit =
+              try qe.analyzed.exists(_.sameResult(target))
+              catch { case _: Throwable => false }
+            if (hit) retire(unpersist = true)
+          }
+        }
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+          check(qe)
+        override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+          check(qe)
+      }
+      spark.listenerManager.register(listener)
+      p
+    }
 
   /** The generated id expression: first boundary b with (row <= b)
     * decides the bucket; rows past every boundary land in the last

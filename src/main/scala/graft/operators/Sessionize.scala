@@ -45,11 +45,13 @@ object Sessionize {
     // broadcast join preserves the window exchange's partitioning and
     // ordering, so the second WindowExec adds no exchange and no sort —
     // and persists NARROW (4 cols) because two consumers (offsets, the
-    // final assembly) read it. `ranged` itself is no longer persisted:
+    // final assembly) read it — [[RangeBuckets.maybePersist]], the A/B-
+    // switchable self-unpersisting cache the other prefix-scan operators
+    // use. `ranged` itself is no longer persisted:
     // pid is a pure row function, so the tiny perPid/bounds chain just
     // re-scans the (column-pruned) input once. The persist is perf-only
-    // and LRU-evictable; long-lived callers should clearCache() (Bench/
-    // Verify do) — correctness never depends on it.
+    // and self-unpersisting (first completed action drops it) —
+    // correctness never depends on it.
     // No Par.ensure: the first real work is the window's own hash
     // exchange on (pid, user), which redistributes regardless of scan
     // parallelism — a pre-repartition would shuffle the input twice.
@@ -83,6 +85,7 @@ object Sessionize {
       .withColumn("lidx",
         sum(col("new_session")).over(wL.rowsBetween(Window.unboundedPreceding, 0)))
       .select("pid", "user_id", "us", "lidx")
+      .transform(RangeBuckets.maybePersist) // perf-only (A/B: GRAFT_PREFIX_PERSIST=0)
     // max(lidx) per (pid, user) IS the group's break count — no second
     // pass over new_session needed
     val offsets = scanned.groupBy("pid", "user_id")

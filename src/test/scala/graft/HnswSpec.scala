@@ -229,4 +229,30 @@ class HnswSpec extends SparkSuite {
       .sorted.take(4).map(_._2)
     assert(got.toSeq === want.toSeq)
   }
+
+  test("hnswProbe restart path: loads the persisted graph, answers equal the build path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnswprobe").toString
+    val rng = new scala.util.Random(11)
+    val cents = Seq.tabulate(24) { i =>
+      (i.toLong, Array.fill(8)(rng.nextDouble()))
+    }
+    val cdf = cents.toDF("centroid_id", "vector")
+    val q = Array.fill(8)(rng.nextDouble())
+    val fresh = Ann.hnswProbe(cdf, q.toSeq, nprobe = 4)          // build path
+    val built = Ann.hnswProbe(cdf, q.toSeq, nprobe = 4, binDir = Some(dir)) // build + save
+    val bins = new java.io.File(dir).listFiles()
+    assert(bins != null && bins.length == 1, "expected one persisted hnsw bin")
+    val mtime = bins(0).lastModified
+    Thread.sleep(5)
+    val loaded = Ann.hnswProbe(cdf, q.toSeq, nprobe = 4, binDir = Some(dir)) // load
+    assert(bins(0).lastModified === mtime, "second probe must LOAD, not rebuild+resave")
+    assert(built.toSeq === fresh.toSeq && loaded.toSeq === fresh.toSeq)
+    // content change with the SAME ids must miss the hash key (a new bin
+    // appears) instead of serving stale links
+    val cdf2 = cents.map { case (id, v) => (id, v.map(_ + 1.0)) }
+      .toDF("centroid_id", "vector")
+    Ann.hnswProbe(cdf2, q.toSeq, nprobe = 4, binDir = Some(dir))
+    assert(new java.io.File(dir).listFiles().length == 2,
+      "changed vectors with same ids must key a NEW persisted graph")
+  }
 }

@@ -86,4 +86,23 @@ class RangeBucketsSpec extends SparkSuite {
     val distinct = df.withColumn("__b", bucket).select("__b").distinct().count()
     assert(distinct > 1, s"expected >1 bucket for 4000 distinct keys, got $distinct")
   }
+
+  test("prefix-scan persist self-unpersists after the first completed action") {
+    import spark.implicits._
+    // maybePersist's QueryExecutionListener must drop the cache once the
+    // consuming action completes — callers owe NO clearCache() hygiene.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val events = (0 until 500)
+      .map(i => (i.toLong % 7, i.toLong * 60000000L, i.toLong))
+      .toDF("user_id", "us", "event_id")
+    val out = graft.operators.Sessionize.batch(events, 30).collect()
+    assert(out.nonEmpty)
+    // the listener fires on the async listener bus — poll with a deadline
+    def extra = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val deadline = System.currentTimeMillis() + 30000
+    while (extra.nonEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(extra.isEmpty,
+      s"prefix-scan cache survived its consuming action: RDDs $extra")
+  }
 }
