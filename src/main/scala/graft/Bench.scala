@@ -40,6 +40,13 @@ object Bench {
     // past 1.5x flags that this run's absolute numbers are not
     // comparable across rounds.
     val CANARY_REF = 0.52 // min-of-two on a healthy 32-cpu sandbox (r11)
+    // Fixed I/O probe (round-11 verdict #1): two degraded driver captures
+    // in a row concentrated their inflation in I/O- and job-count-heavy
+    // queries (artifact writes 19.1 s vs 6.0 s healthy) that the pure-CPU
+    // canary missed. This constant-shape parquet write+read-back pairs
+    // with it; IO_REF is its min-of-two on a healthy 32-cpu sandbox
+    // (measured 0.90/0.98/0.99 across three r12 calibration runs).
+    val IO_REF = 0.95
     def canaryOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(60000000L)
@@ -50,10 +57,20 @@ object Bench {
         .selectExpr("sum(`sum(h)`)", "sum(`count(1)`)").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    def ioProbeOnce(): Double = {
+      val p = "/tmp/graft_bench_ioprobe"
+      val t0 = System.nanoTime()
+      spark.range(2000000L).selectExpr("id", "id % 97 as k")
+        .repartition(8).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p).selectExpr("sum(k)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     val canary = math.min(canaryOnce(), canaryOnce())
-    // the reference is a 32-thread measurement; at other local[N] the
-    // canary still prints (ratio-to-ref is meaningless there, so no flag)
-    val degraded = cpus == "32" && canary > CANARY_REF * 1.5
+    val ioProbe = math.min(ioProbeOnce(), ioProbeOnce())
+    if (sys.env.contains("GRAFT_BENCH_CANARY_ONLY")) {
+      println(s"""{"canary":$canary,"canary_ref":$CANARY_REF,"io_probe":$ioProbe,"io_ref":$IO_REF,"cpus":$cpus}""")
+      spark.stop(); return
+    }
     // Each query is executed twice. The FIRST execution carries one-time
     // costs that are not plan cost — whole-stage codegen compilation of
     // every operator the query introduces, AQE setup, file-footer reads —
@@ -66,7 +83,21 @@ object Bench {
     // regression (round-5 verdict finding #2). The cache is cleared
     // between executions: warm means compiled-and-planned, not cached
     // data.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Interleaved health capture (round-11 verdict #1): sandbox
+    // degradation can start MID-RUN — r10 and r11 both shipped captures
+    // whose up-front canary read healthy while later queries ran 3-25x
+    // slow. Every 10th query (and once at the end) the cheap canary and
+    // the I/O probe re-run; each 10-query segment therefore carries its
+    // own health sample, `degraded` is true if ANY segment exceeds 1.5x
+    // its reference, and `degraded_segments` names the segments whose
+    // per-query numbers should be discarded (queries are in sorted-name
+    // order, segment i covers queries [10*i, 10*i+9]) — the JSON
+    // self-adjudicates per segment without a rerun.
+    val segCanary = scala.collection.mutable.ArrayBuffer[Double]()
+    val segIo = scala.collection.mutable.ArrayBuffer[Double]()
+    val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val segSize = 10
+    val results = allQueries.zipWithIndex.map { case ((name, fn), qi) =>
       // A query that throws is recorded as -1 with an explicit error entry
       // — never as a plausible-looking "fast" timing (round-8 verdict
       // finding #2: a broken query's 0.06 s exception masqueraded as work).
@@ -118,6 +149,10 @@ object Bench {
         case s if s.isEmpty => -1.0
         case s => s((s.length - 1) / 2)
       }
+      if ((qi + 1) % segSize == 0 || qi == allQueries.length - 1) {
+        segCanary += canaryOnce()
+        segIo += ioProbeOnce()
+      }
       (name, cold, warm, med, artWarm, coldErr.orElse(warmErr1).orElse(warmErr2))
     }
     def jsonEsc(s: String): String = "\"" + s.flatMap {
@@ -139,8 +174,19 @@ object Bench {
     // compact line must stay under the driver's ~2000-byte tail capture
     val errorsCompact = errorList.take(5).mkString("[", ",", "]")
     def fmt(d: Double): String = f"$d%.4f"
+    // per-segment adjudication: a segment is degraded if EITHER its
+    // canary or its I/O probe exceeded 1.5x the healthy reference
+    // (ratio-to-ref only meaningful at the reference's 32 threads)
+    val degradedSegments = segCanary.indices.filter(i =>
+      segCanary(i) > CANARY_REF * 1.5 || segIo(i) > IO_REF * 1.5)
+    val degraded = cpus == "32" &&
+      (canary > CANARY_REF * 1.5 || ioProbe > IO_REF * 1.5 || degradedSegments.nonEmpty)
+    val segJson =
+      s""""canary_segments":${segCanary.map(fmt).mkString("[", ",", "]")},"io_segments":${segIo.map(fmt).mkString("[", ",", "]")},"degraded_segments":${degradedSegments.mkString("[", ",", "]")},"segment_size":$segSize"""
+    val healthJson =
+      s""""canary":${fmt(canary)},"canary_ref":$CANARY_REF,"io_probe":${fmt(ioProbe)},"io_ref":$IO_REF,"degraded":$degraded"""
     val full =
-      s"""{"metric":"total","value":$totalWarm,"unit":"sec","queries":${json(_._3)},"queries_cold":${json(_._2)},"queries_median":${json(_._4)},"queries_artifact":${json(_._5)},"total_cold":$totalCold,"median":$totalMedian,"artifact_sec":${fmt(totalArtifact)},"canary":${fmt(canary)},"canary_ref":$CANARY_REF,"degraded":$degraded,"cpus":$cpus,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalWarm,"unit":"sec","queries":${json(_._3)},"queries_cold":${json(_._2)},"queries_median":${json(_._4)},"queries_artifact":${json(_._5)},"total_cold":$totalCold,"median":$totalMedian,"artifact_sec":${fmt(totalArtifact)},$healthJson,$segJson,"cpus":$cpus,"errors":$errors,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/tmp/graft_bench_full.json"), full)
     catch { case _: Throwable => () }
@@ -149,6 +195,8 @@ object Bench {
     // The driver keeps only the last ~2000 bytes of output, and the full
     // per-query line above is bigger than that — so the LAST line printed
     // is a compact summary that always fits the tail capture and parses.
-    println(s"""{"metric":"total","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"median":$totalMedian,"artifact_sec":${fmt(totalArtifact)},"canary":${fmt(canary)},"canary_ref":$CANARY_REF,"degraded":$degraded,"cpus":$cpus,"n_queries":${results.size},"n_errors":${results.count(_._6.isDefined)},"errors":$errorsCompact,"sf":"$sfDir"}""")
+    // (12 segments x 2 arrays at 6 bytes each ≈ 160 bytes: the segment
+    // arrays fit the compact line too.)
+    println(s"""{"metric":"total","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"median":$totalMedian,"artifact_sec":${fmt(totalArtifact)},$healthJson,$segJson,"cpus":$cpus,"n_queries":${results.size},"n_errors":${results.count(_._6.isDefined)},"errors":$errorsCompact,"sf":"$sfDir"}""")
   }
 }
