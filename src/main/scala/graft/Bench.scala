@@ -150,8 +150,12 @@ object Bench {
         case s => s((s.length - 1) / 2)
       }
       if ((qi + 1) % segSize == 0 || qi == allQueries.length - 1) {
-        segCanary += canaryOnce()
-        segIo += ioProbeOnce()
+        // min-of-two per checkpoint, same as the up-front probes: a single
+        // sample right after a heavy query can carry its GC/JIT tail and
+        // flip the segment degraded on one-off noise (seen on the first
+        // r12 capture: one 0.83 canary spike in an otherwise healthy run)
+        segCanary += math.min(canaryOnce(), canaryOnce())
+        segIo += math.min(ioProbeOnce(), ioProbeOnce())
       }
       (name, cold, warm, med, artWarm, coldErr.orElse(warmErr1).orElse(warmErr2))
     }

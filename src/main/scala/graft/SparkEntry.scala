@@ -1168,21 +1168,25 @@ object SparkEntry {
     "q93_u128_search" -> ((s, d) => {
       import graft.core.{Collection, CollectionConfig, Ids}
       val base = artifact("q93")
-      deleteRecursively(base)
       val emb = T(s, d, "embeddings")
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
-      val coll = Collection.create(s, base, CollectionConfig(
+      val cfg = CollectionConfig(
         name = "u128_search", numFeatures = dim,
-        initialNumCentroids = 8, maxClustersPerVector = 2))
-      val ids = md5(col("vec_id").cast("string").cast("binary"))
-      coll.insert(emb.select(lit(0L).as("user_id"),
-        Ids.fromUuid(ids).as("doc_id"),
-        col("embedding").cast("array<double>").as("vector")))
-      coll.flush()
-      // tombstone every doc whose id's LAST hex nibble is '0' — a
-      // binary-keyed delete (≈1/16 of the corpus)
-      coll.delete(emb.select(lit(0L).as("user_id"), Ids.fromUuid(ids).as("doc_id"))
-        .filter(substring(lower(hex(Ids.fromUuid(ids))), 32, 1) === "0"))
+        initialNumCentroids = 8, maxClustersPerVector = 2)
+      stampedBuild(base, Seq("q93v1", inputStamp(d, Seq("embeddings")),
+        cfg.toString, codeStamp).mkString("|")) {
+        val coll = Collection.create(s, base, cfg)
+        val ids = md5(col("vec_id").cast("string").cast("binary"))
+        coll.insert(emb.select(lit(0L).as("user_id"),
+          Ids.fromUuid(ids).as("doc_id"),
+          col("embedding").cast("array<double>").as("vector")))
+        coll.flush()
+        // tombstone every doc whose id's LAST hex nibble is '0' — a
+        // binary-keyed delete (≈1/16 of the corpus)
+        coll.delete(emb.select(lit(0L).as("user_id"), Ids.fromUuid(ids).as("doc_id"))
+          .filter(substring(lower(hex(Ids.fromUuid(ids))), 32, 1) === "0"))
+      }
+      val coll = Collection.open(s, base, cfg)
       val params = SearchParams(topK = 10,
         numExploredCentroids = Some(Int.MaxValue), centroidDistanceRatio = 1e18)
       coll.snapshot().search(q0(s, d), params, userIds = Seq(0L))
@@ -1202,27 +1206,30 @@ object SparkEntry {
     "q94_insert_packed" -> ((s, d) => {
       import graft.core.{Collection, CollectionConfig}
       val base = artifact("q94")
-      deleteRecursively(base)
       val emb = T(s, d, "embeddings")
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
-      val reqs = emb
-        .groupBy((col("vec_id") % 20).as("batch"))
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("docs"))
-        .select(
-          transform(col("docs"), x => x.getField("vec_id")).as("ids"),
-          aggregate(col("docs"), lit(Array.emptyByteArray),
-            (acc, x) => concat(acc, pack_f32_le(x.getField("embedding")))).as("blob"))
-      val decoded = reqs
-        .select(col("blob"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
-        .select(lit(0L).as("user_id"), col("doc_id"),
-          slice(unpack_f32_le(col("blob")), col("pos") * dim + 1, lit(dim))
-            .cast("array<double>").as("vector"))
-      val coll = Collection.create(s, base, CollectionConfig(
+      val cfg = CollectionConfig(
         name = "insert_packed", numFeatures = dim,
-        initialNumCentroids = 8, maxClustersPerVector = 2))
-      coll.insert(decoded)
-      coll.flush()
-      coll.snapshot().search(q0(s, d),
+        initialNumCentroids = 8, maxClustersPerVector = 2)
+      stampedBuild(base, Seq("q94v1", inputStamp(d, Seq("embeddings")),
+        cfg.toString, codeStamp).mkString("|")) {
+        val reqs = emb
+          .groupBy((col("vec_id") % 20).as("batch"))
+          .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("docs"))
+          .select(
+            transform(col("docs"), x => x.getField("vec_id")).as("ids"),
+            aggregate(col("docs"), lit(Array.emptyByteArray),
+              (acc, x) => concat(acc, pack_f32_le(x.getField("embedding")))).as("blob"))
+        val decoded = reqs
+          .select(col("blob"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
+          .select(lit(0L).as("user_id"), col("doc_id"),
+            slice(unpack_f32_le(col("blob")), col("pos") * dim + 1, lit(dim))
+              .cast("array<double>").as("vector"))
+        val coll = Collection.create(s, base, cfg)
+        coll.insert(decoded)
+        coll.flush()
+      }
+      Collection.open(s, base, cfg).snapshot().search(q0(s, d),
         SearchParams(topK = 10, numExploredCentroids = Some(Int.MaxValue),
           centroidDistanceRatio = 1e18),
         userIds = Seq(0L))
@@ -1305,16 +1312,20 @@ object SparkEntry {
     "q97_multi_user" -> ((s, d) => {
       import graft.core.{Collection, CollectionConfig}
       val base = artifact("q97")
-      deleteRecursively(base)
       val emb = T(s, d, "embeddings")
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
-      val coll = Collection.create(s, base, CollectionConfig(
+      val cfg = CollectionConfig(
         name = "multi_user", numFeatures = dim,
-        initialNumCentroids = 8, maxClustersPerVector = 2))
-      coll.insert(emb.select((col("vec_id") % 3).as("user_id"),
-        col("vec_id").as("doc_id"),
-        col("embedding").cast("array<double>").as("vector")))
-      coll.flush()
+        initialNumCentroids = 8, maxClustersPerVector = 2)
+      stampedBuild(base, Seq("q97v1", inputStamp(d, Seq("embeddings")),
+        cfg.toString, codeStamp).mkString("|")) {
+        val coll = Collection.create(s, base, cfg)
+        coll.insert(emb.select((col("vec_id") % 3).as("user_id"),
+          col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("vector")))
+        coll.flush()
+      }
+      val coll = Collection.open(s, base, cfg)
       val params = SearchParams(topK = 10,
         numExploredCentroids = Some(Int.MaxValue), centroidDistanceRatio = 1e18)
       (0L to 2L).map { u =>
