@@ -784,15 +784,51 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     Some(seg)
   }
 
+  /** Size-tiered merge — the 100 TB compaction posture. [[merge]] rewrites
+    * the WHOLE corpus into one segment; fine as the explicit M1 operation
+    * and at toy scale, but as a recurring policy it makes every compaction
+    * tick O(corpus) in write volume. This merges only the `k` smallest
+    * live segments (sized from build-time meta.json — the policy tick
+    * never rescans data), so steady-state ingest pays the classic
+    * size-tiered amortized O(N log N) total rewrite instead of O(N) per
+    * tick. Logically silent exactly like [[merge]]: rows keep their
+    * `src_batch` WAL positions, current tombstones are physically dropped
+    * from the rewritten subset only (older TOC versions still reference
+    * the original segment files, so time travel across a tiered merge is
+    * unaffected), and the un-merged segments pass through untouched. */
+  def mergeSmallest(k: Int): Option[String] = {
+    val t = toc
+    val take = math.min(k, t.segments.size)
+    if (t.segments.size < 2 || take < 2) return None
+    val sized = t.segments.map(s => s -> segmentRowCount(s).getOrElse(
+      spark.read.parquet(s"${segPath(s)}/vectors").count()))
+    val victims = sized.sortBy { case (n, c) => (c, n) }.take(take).map(_._1)
+    var rows = victims.map { s =>
+      spark.read.parquet(s"${segPath(s)}/vectors")
+        .drop("point_id", "user_bucket", "pq_codes", "rq_code", "rq_f", "rq_norm")
+    }.reduce(_ unionByName _)
+    for (tb <- tombstones) rows = Search.dropTombstoned(rows, tb)
+    val seg = s"tiered_${t.version + 1}"
+    buildSegment(rows, seg)
+    Toc.write(path, Toc(t.version + 1,
+      t.segments.filterNot(victims.contains) :+ seg,
+      t.lastFlushedBatch, maxBatchId().getOrElse(-1L)))
+    Some(seg)
+  }
+
   /** Auto-optimizer policy (M3, rs/index/src/optimizers/engine.rs:27-60;
-    * server loop rs/index_server/src/main.rs:202-222): merge when the
-    * segment count exceeds `maxNumberOfSegments`; otherwise vacuum the
+    * server loop rs/index_server/src/main.rs:202-222): when the segment
+    * count exceeds `maxNumberOfSegments`, TIER — merge just enough of the
+    * smallest segments to return to the cap ([[mergeSmallest]]; merge-all
+    * would rewrite the corpus every tick at scale); otherwise vacuum the
     * first segment whose tombstone fraction crosses the auto-vacuum
     * threshold (should_auto_vacuum, rs/index/src/segment/mod.rs:110-117).
     * Call from a scheduler; returns the action taken. */
   def maybeCompact(vacuumTombstoneFraction: Double = 0.1): Option[String] = {
     val t = toc
-    if (t.segments.size > config.maxNumberOfSegments) merge().map(s => s"merged -> $s")
+    if (t.segments.size > config.maxNumberOfSegments)
+      mergeSmallest(t.segments.size - config.maxNumberOfSegments + 1)
+        .map(s => s"merged -> $s")
     else tombstones.flatMap { tomb =>
       val tombCount = tomb.count()
       if (tombCount == 0) None

@@ -172,6 +172,39 @@ class CollectionSpec extends SparkSuite {
     assert(all === Seq(700L, 699L, 701L))
   }
 
+  test("size-tiered merge: smallest segments only, logically silent, time-travel safe") {
+    val base = tmpBase()
+    val cfg = CollectionConfig(name = "tiered", numFeatures = 4,
+      initialNumCentroids = 4, maxNumberOfSegments = 2)
+    val coll = Collection.create(spark, base, cfg)
+    def batch(from: Int, until: Int) = (from until until).map { i =>
+      (0L, i.toLong, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble))
+    }.toDF("user_id", "doc_id", "vector")
+    coll.insert(batch(0, 200)); coll.flush()    // v1: seg_1 (200 rows, biggest)
+    coll.insert(batch(200, 230)); coll.flush()  // v2: seg_2 (30)
+    coll.insert(batch(230, 240)); coll.flush()  // v3: seg_3 (10)
+    val preVersion = coll.toc.version
+    def allDocs = coll.snapshot().search(Seq(-1.0, -1.0, -1.0, -1.0),
+      SearchParams(topK = 500, numExploredCentroids = Some(Int.MaxValue),
+        centroidDistanceRatio = 1e18))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(allDocs === (0L until 240L))
+    // policy tick: 3 segments > max 2 -> tier the TWO smallest together;
+    // the 200-row segment must pass through physically untouched
+    assert(coll.maybeCompact().exists(_.startsWith("merged")))
+    val t = coll.toc
+    assert(t.segments.size === 2)
+    assert(t.segments.contains("seg_1"), s"big segment rewritten: ${t.segments}")
+    assert(t.segments.exists(_.startsWith("tiered_")))
+    assert(allDocs === (0L until 240L)) // logically silent
+    // CDC across the tiered merge: zero change rows
+    assert(coll.changes(preVersion, coll.toc.version).count() === 0L)
+    // time travel: v2 still reads its own (pre-merge) segment list
+    val v2docs = coll.snapshotAt(2L).liveDocs.get
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(v2docs === (0L until 230L))
+  }
+
   test("delete of a tail-only doc survives the bloom short-circuit") {
     val base = tmpBase()
     val coll = Collection.create(spark, base, config)
