@@ -62,9 +62,14 @@ object ScaleSoak {
       if (p.isDirectory) p.listFiles.foreach(deleteRec); p.delete()
     }
     deleteRec(new java.io.File(base))
+    // deliberately FEWER centroids than the search-quality harnesses
+    // (n/4000 vs n/700): every maintenance round rebuilds a ~n-row
+    // segment, the rebuild's assignment pass is O(n x centroids x dim),
+    // and this harness exercises pin/GC concurrency — recall is not
+    // under test here (ScaleTenants/Scale carry the search-shape runs)
     val coll = Collection.create(spark, base, CollectionConfig(
       name = "soak", numFeatures = dim,
-      initialNumCentroids = math.max(16, (n / 700L).toInt),
+      initialNumCentroids = math.max(16, (n / 4000L).toInt),
       maxClustersPerVector = 2))
 
     // expected LIVE count per committed version, recorded by the writer —

@@ -364,6 +364,16 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
     Map("segments" -> svc.getSegments(name))
   })
 
+  // one optimizer tick: size-tiered merge back to the segment cap, else
+  // auto-vacuum past the tombstone threshold (the reference's background
+  // loop as an admin call); returns the action taken, null when a no-op
+  server.createContext("/optimize", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val name = b.getOrElse("collection_name",
+      sys.error("missing collection_name")).toString
+    Map("action" -> svc.optimize(name).orNull)
+  })
+
   def start(): GraftHttpServer = { server.start(); this }
   def stop(): Unit = server.stop(0)
 }

@@ -185,4 +185,11 @@ class GraftService(spark: SparkSession, basePath: String) {
 
   def mergeSegments(collectionName: String): Option[String] =
     collection(collectionName).merge()
+
+  /** One optimizer tick (M3): size-tiered merge back to the segment cap,
+    * else auto-vacuum the first segment past the tombstone threshold —
+    * the reference's background optimizer loop exposed as an admin call
+    * (rs/index_server/src/main.rs:202-222). Returns the action taken. */
+  def optimize(collectionName: String): Option[String] =
+    collection(collectionName).maybeCompact()
 }

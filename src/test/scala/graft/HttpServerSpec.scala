@@ -102,6 +102,17 @@ class HttpServerSpec extends SparkSuite {
         "centroid_distance_ratio" -> 1e9)))
       assert(after("doc_ids") === Vector(uuid(2)))
 
+      // one optimizer tick over the wire (M3 as an admin call): half the
+      // only segment is tombstoned -> auto-vacuum rewrites it in place
+      val opt = post("/optimize", Json.write(Map("collection_name" -> "wire")))
+      assert(String.valueOf(opt("action")).startsWith("vacuumed"))
+      assert(get("/segments?collection=wire")("segments") === Vector("seg_1_v"))
+      val postOpt = post("/search", Json.write(Map(
+        "collection_name" -> "wire", "vector" -> Seq(1.1, 2.1, 3.1, 4.1),
+        "top_k" -> 5, "num_explored_centroids" -> 2,
+        "centroid_distance_ratio" -> 1e9)))
+      assert(postOpt("doc_ids") === Vector(uuid(2)))
+
       // malformed request -> 400 with an error body, server stays up
       val bad = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.boundPort}/search"))
         .POST(HttpRequest.BodyPublishers.ofString("{not json")).build()
