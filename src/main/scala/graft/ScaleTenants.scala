@@ -32,6 +32,9 @@ object ScaleTenants {
     val users = args.headOption.map(_.toInt).getOrElse(10000)
     val perUser = if (args.length > 1) args(1).toInt else 100
     val buckets = if (args.length > 2) args(2).toInt else 64
+    // 4th arg: flush-time assignment probe groups (0 = exact full scan;
+    // e.g. 8 = two-level pruned assignment — the big-segment flush lever)
+    val probeGroups = if (args.length > 3) args(3).toInt else 0
     val n = users.toLong * perUser
     val dim = 768
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -73,7 +76,8 @@ object ScaleTenants {
     val coll = Collection.create(spark, base, CollectionConfig(
       name = "tenants", numFeatures = dim,
       initialNumCentroids = math.max(16, (n / 700L).toInt),
-      maxClustersPerVector = 2, userBuckets = buckets))
+      maxClustersPerVector = 2, userBuckets = buckets,
+      assignProbeGroups = probeGroups))
 
     val rows = spark.range(n).select(
       (col("id") / perUser).cast("long").as("user_id"),
@@ -131,7 +135,7 @@ object ScaleTenants {
       while (i < 100) { view.search(queryFor(u0 * perUser).toArray, 10, nprobe = 8); i += 1 }
     }
 
-    println(s"""{"op":"tenants","users":$users,"rows":$n,"buckets":$buckets,""" +
+    println(s"""{"op":"tenants","users":$users,"rows":$n,"buckets":$buckets,"probe_groups":$probeGroups,""" +
       f""""tenant_search_median_sec":$medTenant%.3f,"batch10_sec":$tBatch%.3f,""" +
       f""""unpruned_sec":$tUnpruned%.3f,"serve_build_sec":$tServe%.3f,""" +
       f""""served_query_us":${tServedQ * 1e6 / 100}%.1f,"plan_pruned":true}""")

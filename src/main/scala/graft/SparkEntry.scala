@@ -142,6 +142,37 @@ object SparkEntry {
   private def docUniverse(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents").select(lit(0L).as("user_id"), col("doc_id").as("point_id"))
 
+  /** The shared q102/q103 four-version CDC lifecycle (content-stamped,
+    * built at most once per code+input fingerprint): v1 = evens flushed,
+    * v2 = odds inserted + %10 deleted, v3 = merge (logically silent),
+    * v4 = %20 re-inserted (a delete + re-insert = `update` in a composed
+    * v1->v4 diff). Both queries open the same on-disk collection. */
+  private def cdcLifecycle(s: SparkSession, d: String): (String, graft.core.CollectionConfig) = {
+    import graft.core.{Collection, CollectionConfig}
+    val base = artifact("q102")
+    val emb = T(s, d, "embeddings").filter(col("vec_id") < 600L)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val cfg = CollectionConfig(
+      name = "cdc", numFeatures = dim,
+      initialNumCentroids = 8, maxClustersPerVector = 2)
+    stampedBuild(base, Seq("q102v1", inputStamp(d, Seq("embeddings")),
+      cfg.toString, codeStamp).mkString("|")) {
+      // the 600-row subset feeds 4 inserts + the delete — cache it once
+      // instead of re-scanning the full embeddings parquet five times
+      // (Bench/Verify clearCache() between queries)
+      val rows = emb.select(lit(0L).as("user_id"), col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("vector")).cache()
+      val coll = Collection.create(s, base, cfg)
+      coll.insert(rows.filter(col("doc_id") % 2 === 0)); coll.flush()  // v1
+      coll.insert(rows.filter(col("doc_id") % 2 =!= 0))
+      coll.delete(rows.filter(col("doc_id") % 10 === 0).select("user_id", "doc_id"))
+      coll.flush()                                                     // v2
+      coll.merge()                                                     // v3
+      coll.insert(rows.filter(col("doc_id") % 20 === 0)); coll.flush() // v4
+    }
+    (base, cfg)
+  }
+
   /** Flagship: SPANN-style ANN top-10 on sf0.001 embeddings. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -1440,34 +1471,114 @@ object SparkEntry {
     // key live at both ends, surviving row moved WAL position) while
     // un-revived %10 keys stay deletes.
     "q102_changes" -> ((s, d) => {
-      import graft.core.{Collection, CollectionConfig}
-      val base = artifact("q102")
-      val emb = T(s, d, "embeddings").filter(col("vec_id") < 600L)
-      val dim = emb.select(size(col("embedding"))).head().getInt(0)
-      val cfg = CollectionConfig(
-        name = "cdc", numFeatures = dim,
-        initialNumCentroids = 8, maxClustersPerVector = 2)
-      stampedBuild(base, Seq("q102v1", inputStamp(d, Seq("embeddings")),
-        cfg.toString, codeStamp).mkString("|")) {
-        // the 600-row subset feeds 4 inserts + the delete — cache it once
-        // instead of re-scanning the full embeddings parquet five times
-        // (Bench/Verify clearCache() between queries)
-        val rows = emb.select(lit(0L).as("user_id"), col("vec_id").as("doc_id"),
-          col("embedding").cast("array<double>").as("vector")).cache()
-        val coll = Collection.create(s, base, cfg)
-        coll.insert(rows.filter(col("doc_id") % 2 === 0)); coll.flush()  // v1
-        coll.insert(rows.filter(col("doc_id") % 2 =!= 0))
-        coll.delete(rows.filter(col("doc_id") % 10 === 0).select("user_id", "doc_id"))
-        coll.flush()                                                     // v2
-        coll.merge()                                                     // v3
-        coll.insert(rows.filter(col("doc_id") % 20 === 0)); coll.flush() // v4
-      }
+      import graft.core.Collection
+      val (base, cfg) = cdcLifecycle(s, d)
       val coll = Collection.open(s, base, cfg)
       Seq((1L, 2L), (2L, 3L), (1L, 4L)).map { case (f, t) =>
         coll.changes(f, t)
           .select(lit(f).as("from_v"), lit(t).as("to_v"),
             col("doc_id").as("vec_id"), col("change_type"))
       }.reduce(_ unionByName _).orderBy("from_v", "to_v", "vec_id", "change_type")
+    }),
+
+    // The CDC CONSUMER, end-to-end: a downstream mirror is maintained
+    // purely from changes() deltas — deletes/updates drop their key,
+    // inserts/updates fetch the payload from the target version's
+    // liveRows restricted to the delta keys (O(delta) semi-join probe,
+    // never a corpus re-read). Applied two ways over the shared q102
+    // lifecycle: stepwise v1->v2->v3->v4 (the merge delta must be empty
+    // or the mirror breaks) and composed v1->v4 in one delta (where the
+    // %20 revives surface as `update`s — exercising the upsert path the
+    // stepwise run sees only as insert/delete). Both mirrors must equal
+    // the final version's live rows, stated by the oracle as pure vec_id
+    // arithmetic + the vector norm from the embeddings table.
+    "q103_cdc_apply" -> ((s, d) => {
+      import graft.core.Collection
+      val (base, cfg) = cdcLifecycle(s, d)
+      val coll = Collection.open(s, base, cfg)
+      def applyDelta(mirror: DataFrame, f: Long, t: Long): DataFrame = {
+        val delta = coll.changes(f, t)
+        val gone = delta.filter(col("change_type").isin("delete", "update"))
+          .select("doc_id")
+        val upserts = delta.filter(col("change_type").isin("insert", "update"))
+          .select("user_id", "doc_id")
+        val fetched = coll.snapshotAt(t).liveRows.get
+          .join(upserts, Seq("user_id", "doc_id"), "left_semi")
+          .select(col("doc_id"), col("vector"))
+        mirror.join(gone, Seq("doc_id"), "left_anti").unionByName(fetched)
+      }
+      val v1 = coll.snapshotAt(1L).liveRows.get.select(col("doc_id"), col("vector"))
+      val stepped = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+        .foldLeft(v1) { case (m, (f, t)) => applyDelta(m, f, t) }
+      val composed = applyDelta(v1, 1L, 4L)
+      def proj(df: DataFrame, phase: String) = df.select(
+        lit(phase).as("phase"),
+        col("doc_id").cast("long").as("vec_id"),
+        round(sqrt(aggregate(col("vector"), lit(0.0), (acc, x) => acc + x * x)), 4)
+          .as("vnorm"))
+      proj(stepped, "steps").unionByName(proj(composed, "composed"))
+        .orderBy("phase", "vec_id")
+    }),
+
+    // MMR reranking (Carbonell & Goldstein SIGIR'98): distributed exact
+    // top-30 by cosine (selection by RAW score with id tiebreak — q93's
+    // posture), then the greedy λ=0.7 relevance/diversity rerank over the
+    // bounded candidate set. Picks are pinned as an artifact; DuckDB
+    // conditionally replays the greedy recurrence — rank 1 is the rel
+    // argmax, rank k the argmax of round(λ·rel − (1−λ)·maxsim, 6) over
+    // the artifact's earlier picks (q91's pattern, MMR's recurrence).
+    "q104_mmr_rerank" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val q = q0(s, d)
+      val cands = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vector"))
+        .withColumn("rel", cosine_similarity(col("vector"), vec(q)))
+        .orderBy(col("rel").desc, col("vec_id").asc)
+        .limit(30)
+      Search.mmrRerank(cands, k = 10, lambda = 0.7)
+        .select(col("rank").cast("long").as("rank"),
+          col("vec_id").cast("long").as("vec_id"),
+          (col("score") + lit(0.0)).as("score"))
+        .repartition(1).saveArtifact(artifact("q104_picks"))
+      s.read.parquet(artifact("q104_picks")).orderBy("rank")
+    }),
+
+    // Selectivity-adaptive filtered ANN: a 1% id filter (vec_id % 97 = 0)
+    // routes to the exact fetch-and-score branch (recall 1.0 over the
+    // filter set by construction — the probe-then-post-filter posture the
+    // reference always uses would MISS survivors outside the nprobe
+    // lists), so the oracle is plain brute force over the filtered rows.
+    // The dense-filter branch is spec-gated (FilteredAnnSpec).
+    "q105_filtered_ann" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val (centroids, postings) = Ann.ivfIndex(emb, numCentroids = 16)
+      val filt = emb.filter(col("vec_id") % 97 === 0).select("vec_id")
+      Ann.ivfTopKFiltered(emb, centroids, postings, q0(s, d),
+          k = 10, nprobe = 4, filterIds = filt)
+        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+        .orderBy("dist", "vec_id")
+    }),
+
+    // Backup/restore: clone EXACTLY the state visible at v2 of the shared
+    // CDC lifecycle (one flushed segment + the odds still in the WAL tail
+    // + the %10 tombstones — all three state kinds cross the copy) into a
+    // fresh root, open it cold, exact-search it. The restored collection
+    // must serve precisely snapshotAt(2): later versions, the v4 revives
+    // and the merge do not exist there.
+    "q106_backup_restore" -> ((s, d) => {
+      import graft.core.Collection
+      val (base, cfg) = cdcLifecycle(s, d)
+      val dst = artifact("q106")
+      stampedBuild(dst, Seq("q106v1", inputStamp(d, Seq("embeddings")),
+        cfg.toString, codeStamp).mkString("|")) {
+        Collection.open(s, base, cfg).backup(dst, 2L)
+      }
+      val restored = Collection.open(s, dst, cfg)
+      val params = SearchParams(topK = 10,
+        numExploredCentroids = Some(Int.MaxValue), centroidDistanceRatio = 1e18)
+      restored.snapshot().search(q0(s, d), params, userIds = Seq(0L))
+        .select(col("doc_id").as("vec_id"), round(col("score"), 4).as("dist"))
+        .orderBy("dist", "vec_id")
     })
   )
 
@@ -2803,6 +2914,83 @@ object SparkEntry {
            UNION ALL
            SELECT 1::BIGINT, 4::BIGINT, vec_id, 'update' FROM ids WHERE vec_id % 20 = 0)
          SELECT * FROM (SELECT * FROM c12 UNION ALL SELECT * FROM c14)
-         ORDER BY from_v, to_v, vec_id, change_type"""
+         ORDER BY from_v, to_v, vec_id, change_type""",
+    // Both mirror phases must land on the final version's live set:
+    // everything under 600 except the %10 deletes that were never
+    // re-inserted (vec_id % 20 = 10), payload-checked via the L2 norm
+    // (summed in index order on both engines, rounded to 4).
+    "q103_cdc_apply" ->
+      """WITH live AS (
+           SELECT vec_id,
+                  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS vnorm
+           FROM embeddings WHERE vec_id < 600 AND vec_id % 20 <> 10)
+         SELECT 'composed' AS phase, vec_id, vnorm FROM live
+         UNION ALL
+         SELECT 'steps' AS phase, vec_id, vnorm FROM live
+         ORDER BY phase, vec_id""",
+    // Conditional replay of the MMR greedy recurrence from the picks
+    // artifact (q91's pattern): candidates = exact top-30 by raw cosine
+    // (id tiebreak), rel and every pairwise cosine rounded to 6, rank 1
+    // = rel argmax, rank k = argmax of round(λ·rel − (1−λ)·maxsim, 6)
+    // over picks with rank < k. (1.0 - 0.7) spelled as arithmetic so
+    // both engines use the same double (0.30000000000000004).
+    "q104_mmr_rerank" ->
+      """WITH picks AS (SELECT rank, vec_id AS id
+                        FROM read_parquet('/tmp/graft_artifacts/q104_picks/*.parquet')),
+         qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+         cand AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                         list_cosine_similarity(embedding::DOUBLE[],
+                           (SELECT v FROM qv))::DOUBLE AS raw
+                  FROM embeddings
+                  ORDER BY raw DESC, vec_id LIMIT 30),
+         rel AS (SELECT vec_id, round(raw, 6) AS rel FROM cand),
+         sims AS (SELECT c.vec_id AS cand, p.rank,
+                         round(list_cosine_similarity(c.v, pc.v)::DOUBLE, 6) AS sim
+                  FROM cand c
+                  JOIN picks p ON true
+                  JOIN cand pc ON pc.vec_id = p.id),
+         ranks AS (SELECT k FROM generate_series(2, 10) t(k)),
+         ms AS (SELECT r.k, s.cand, max(s.sim) AS m
+                FROM ranks r
+                JOIN sims s ON s.rank < r.k
+                LEFT JOIN picks pp ON pp.id = s.cand AND pp.rank < r.k
+                WHERE pp.id IS NULL
+                GROUP BY r.k, s.cand),
+         scored AS (SELECT ms.k, ms.cand,
+                           round(0.7 * rel.rel - (1.0 - 0.7) * ms.m, 6) AS score,
+                           row_number() OVER (PARTITION BY ms.k
+                             ORDER BY round(0.7 * rel.rel - (1.0 - 0.7) * ms.m, 6) DESC,
+                                      ms.cand) AS rn
+                    FROM ms JOIN rel ON rel.vec_id = ms.cand),
+         first AS (SELECT vec_id, rel AS score FROM rel
+                   ORDER BY rel DESC, vec_id LIMIT 1)
+         SELECT CAST(1 AS BIGINT) AS rank, vec_id, score + 0.0 AS score FROM first
+         UNION ALL
+         SELECT CAST(k AS BIGINT) AS rank, cand AS vec_id, score + 0.0 AS score
+         FROM scored WHERE rn = 1
+         ORDER BY rank""",
+    // the selective filter routes to the exact branch, so the oracle is
+    // brute force over the filter's survivors (selection by raw distance
+    // with id tiebreak, display rounded — q93's posture)
+    "q105_filtered_ann" ->
+      """WITH r AS (SELECT vec_id,
+                  list_distance(embedding::DOUBLE[],
+                    (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])::DOUBLE AS raw
+                FROM embeddings WHERE vec_id % 97 = 0),
+         ranked AS (SELECT vec_id, raw, row_number() OVER (ORDER BY raw, vec_id) AS rn FROM r)
+         SELECT vec_id, round(raw, 4) AS dist FROM ranked
+         WHERE rn <= 10 ORDER BY dist, vec_id""",
+    // the restored clone serves exactly v2's live set: everything under
+    // 600 minus the %10 deletes (the v4 revives don't exist at v2)
+    "q106_backup_restore" ->
+      """WITH live AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id < 600 AND vec_id % 10 <> 0),
+         q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         r AS (SELECT vec_id,
+                      list_distance(embedding::DOUBLE[], (SELECT qe FROM q))::DOUBLE AS raw
+               FROM live),
+         ranked AS (SELECT vec_id, raw, row_number() OVER (ORDER BY raw, vec_id) AS rn FROM r)
+         SELECT vec_id, round(raw, 4) AS dist FROM ranked
+         WHERE rn <= 10 ORDER BY dist, vec_id"""
   )
 }

@@ -49,6 +49,14 @@ final case class CollectionConfig(
       * reference's flush-time HNSW write, rs/index/src/hnsw/writer.rs) so
       * serving restarts load it instead of rebuilding. */
     centroidIndexType: String = "exact",
+    /** >0: the flush-time posting assignment scans only the member
+      * centroids of this many nearest super-groups per vector instead of
+      * all k (IvfBuilder's two-level pruned assignment — ~sqrt(k)-fold
+      * fewer distance evals; near-exact, agreement-gated in SearchSpec).
+      * 0 (default) = exact full scan. The big-segment flush lever: the
+      * assignment pass dominates build cost once k reaches the
+      * thousands. */
+    assignProbeGroups: Int = 0,
     attributeSchema: Seq[AttrField] = Nil) {
   require(Seq("noq", "pq", "rabitq", "sq8").contains(quantizer),
     s"unknown quantizer: $quantizer")
@@ -488,7 +496,8 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       maxClustersPerVector = config.maxClustersPerVector,
       distanceThresholdPct = config.clusteringDistanceThresholdPct,
       maxPostingListSize = config.maxPostingListSize,
-      sampleSize = config.clusteringSample)
+      sampleSize = config.clusteringSample,
+      assignProbeGroups = config.assignProbeGroups)
     val centroids = IvfBuilder.buildCentroids(vectors, params)
     centroids.write.mode("overwrite").parquet(s"${segPath(seg)}/centroids")
     // Flush-time centroid-graph write (the reference's on-disk HNSW,
@@ -738,6 +747,67 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
   private def deleteTree(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       Fs.walkAll(p).reverse.foreach(Files.deleteIfExists(_))
+    }
+
+  /** Back up EXACTLY the state visible at `version` into a fresh
+    * collection root under `destBase` (disaster recovery / environment
+    * clone — the admin story on top of S11's segment listing): the
+    * version's segments (file-level copy — segments are immutable, so
+    * copying is consistent under concurrent writers), its single TOC
+    * entry, the tail ops batches in `(lastFlushedBatch, pos]`, and only
+    * the tombstones visible at that position (legacy unsequenced
+    * tombstones hide every batch, so they come along). The source
+    * version is PINNED for the duration, so `expireVersions` on another
+    * thread can never GC segments mid-copy. `Collection.open` on the
+    * clone then serves precisely `snapshotAt(version)`; later versions,
+    * later deletes and later tail batches do not exist there. Returns
+    * the restored collection. */
+  def backup(destBase: String, version: Long): Collection = {
+    val snap = snapshotAt(version) // pin against expiry while copying
+    try {
+      val t = snap.toc
+      val pos = Collection.walPosition(t)
+      val dest = Paths.get(destBase, config.name)
+      require(!Files.exists(dest) || Fs.listNames(dest).isEmpty,
+        s"backup destination $dest already exists and is non-empty")
+      Files.createDirectories(dest)
+      t.segments.foreach { seg =>
+        copyTree(Paths.get(segPath(seg)), dest.resolve("segments").resolve(seg))
+      }
+      allBatchIds().filter(b => b > t.lastFlushedBatch && b <= pos).foreach { b =>
+        copyTree(Paths.get(s"$opsPath/batch=$b"), dest.resolve("ops").resolve(s"batch=$b"))
+      }
+      // Pin the clone's WAL position: when the copied tail doesn't reach
+      // `pos` (e.g. the version had no unflushed tail), a fresh insert on
+      // the clone would allocate a batch id BELOW the TOC's flush
+      // watermark and silently never flush. A rowless position-claim
+      // marker at `pos` (the delete-marker convention — readers skip it)
+      // makes the clone's next batch id pos+1.
+      if (pos >= 0 && !Files.exists(dest.resolve("ops").resolve(s"batch=$pos"))) {
+        val marker = dest.resolve("ops").resolve(s"batch=$pos")
+        Files.createDirectories(marker)
+        Files.writeString(marker.resolve("_TOMB"), "")
+      }
+      tombstones.foreach { tb =>
+        val visible = tb.filter(
+          col("tomb_batch") <= pos || col("tomb_batch") === Long.MaxValue)
+        if (!visible.isEmpty)
+          visible.write.mode("overwrite").parquet(dest.resolve("tombstones").toString)
+      }
+      Toc.write(dest.toString, t)
+      new Collection(spark, dest.toString, config)
+    } finally java.lang.ref.Reference.reachabilityFence(snap)
+  }
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+    Fs.walkAll(src).foreach { p =>
+      val rel = src.relativize(p).toString
+      val t = if (rel.isEmpty) dst else dst.resolve(rel)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else {
+        Files.createDirectories(t.getParent)
+        Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
     }
 
   private[core] def tailFor(t: Toc): Option[DataFrame] = tail(t)
@@ -1003,6 +1073,32 @@ final class Snapshot(
     (segRows ++ tailKeyed).reduceOption(_ unionByName _).map { rows =>
       val alive = tombRows.fold(rows)(tb => Search.dropTombstoned(rows, tb))
       alive.groupBy("user_id", "doc_id").agg(max(col("src_batch")).as("src_batch"))
+    }
+  }
+
+  /** [[liveDocs]] WITH payload: one row per live (user_id, doc_id)
+    * carrying the vector of its newest surviving physical row. This is
+    * the fetch side of a CDC consumer — `changes()` names the touched
+    * keys, `liveRows` (semi-joined to those keys) supplies the bytes to
+    * upsert, so a downstream mirror is maintained end-to-end in O(delta)
+    * reads (the semi-join probe is bucket/bloom-prunable like every
+    * other key probe). None when the snapshot is empty. */
+  def liveRows: Option[DataFrame] = {
+    val segRows = segments.map { seg =>
+      val v = coll.segmentTable(seg, "vectors")
+      v.select(col("user_id"), col("doc_id"), col("vector"),
+        (if (v.columns.contains("src_batch")) col("src_batch")
+         else lit(Long.MinValue)).as("src_batch"))
+    }
+    val tailKeyed = tailRows.map(
+      _.select(col("user_id"), col("doc_id"), col("vector"), col("src_batch")))
+    (segRows ++ tailKeyed).reduceOption(_ unionByName _).map { rows =>
+      val alive = tombRows.fold(rows)(tb => Search.dropTombstoned(rows, tb))
+      // newest WAL position wins per key — the same row liveDocs reports
+      val w = Window.partitionBy("user_id", "doc_id")
+        .orderBy(col("src_batch").desc)
+      alive.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
     }
   }
 

@@ -294,6 +294,43 @@ object Ann {
       .select(col(idCol), col("dist"))
   }
 
+  /** Selectivity-adaptive FILTERED ANN. The reference always probes the
+    * index and post-filters the scanned candidates through the attribute
+    * plan (rs/index/src/ivf/block_based/index.rs:198-226 `plan_with_ids`)
+    * — which both wastes the probe (most scanned candidates fail a
+    * selective filter) and can return FEWER than k matches even though k
+    * exist (the classic filtered-ANN recall cliff: the survivors of a
+    * 0.1% filter rarely all live in the nprobe nearest lists). The
+    * adaptive rule — the same shape as Catalyst choosing a broadcast
+    * join under a size threshold — closes both: when the filter's id
+    * list is small (≤ `bruteForceThreshold`), fetch and score exactly
+    * those rows (id-keyed semi-join, bucket/bloom-prunable: recall 1.0
+    * at cost O(|filter|)); otherwise the filter is dense enough that the
+    * standard probe-then-post-filter keeps its recall and its O(nprobe
+    * lists) cost. The threshold trades one count() job on the id list —
+    * at serving time the filter output is already materialized, so the
+    * count is a cached-side effect, not a corpus pass. */
+  def ivfTopKFiltered(
+      embeddings: DataFrame, centroids: DataFrame, postings: DataFrame,
+      query: Seq[Double], k: Int, nprobe: Int,
+      filterIds: DataFrame, // single column: the idCol values that pass
+      bruteForceThreshold: Long = 100000L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val ids = filterIds.select(col(filterIds.columns.head).as(idCol))
+    if (chooseBruteForce(ids, bruteForceThreshold))
+      bruteForceTopK(embeddings.join(ids, Seq(idCol), "left_semi"),
+        query, k, idCol, vecCol)
+    else
+      ivfTopK(embeddings.join(ids, Seq(idCol), "left_semi"),
+        centroids, postings, query, k, nprobe, idCol, vecCol)
+  }
+
+  /** The [[ivfTopKFiltered]] plan choice, exposed for specs/telemetry. */
+  private[graft] def chooseBruteForce(ids: DataFrame, threshold: Long): Boolean = {
+    val probe = math.min(threshold, Int.MaxValue - 1L).toInt + 1
+    ids.limit(probe).count() <= threshold
+  }
+
   /** K1 on the SPANN read path: HNSW as the stage-1 probe over the
     * centroid set. The reference keeps exactly this tier resident — the
     * centroid HNSW is the in-RAM index that routes a query to its

@@ -307,4 +307,100 @@ object Search {
       .orderBy(col("rrf_score").desc, col("id").asc)
       .limit(k)
   }
+
+  /** Maximal Marginal Relevance reranking (Carbonell & Goldstein,
+    * SIGIR'98) — the standard relevance/diversity tradeoff over a
+    * retrieved candidate set:
+    *
+    *   mmr(d) = λ·rel(d) − (1−λ)·max_{s ∈ picked} sim(d, s)
+    *
+    * greedily, starting from the most relevant candidate. `candidates`
+    * is `[id, vector, rel]` — a top-N search result (rel = relevance,
+    * higher better), so it is broadcast-scale by construction; the
+    * greedy runs on the collected set like the reference's aggregator
+    * reranks its fan-in (rs/aggregator/src/aggregator.rs:41-146), capped
+    * at `maxCandidates`. The 100 TB path is: distributed ANN top-N →
+    * this rerank — the corpus never reaches the driver.
+    *
+    * The selection rule is ENGINE-REPLAYABLE (q91's posture): rel and
+    * every pairwise cosine are rounded HALF_UP to 6 decimals before
+    * comparison, the combined score again (so a SQL replay agrees on
+    * every argmax), ties break id-asc. Pairwise cosine uses exactly the
+    * [[graft.functions.VectorKernels]] formula: dot/(√nx·√ny), summed in
+    * index order, 0.0 on a zero norm. Returns `[rank, <id>, score]` —
+    * score is the winning rounded metric (rank 1 = rounded rel). */
+  def mmrRerank(
+      candidates: DataFrame,
+      k: Int,
+      lambda: Double = 0.7,
+      idCol: String = "vec_id",
+      vecCol: String = "vector",
+      relCol: String = "rel",
+      maxCandidates: Int = 10000): DataFrame = {
+    require(k >= 1, s"k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
+        col(relCol).cast("double"))
+      .limit(maxCandidates + 1).collect()
+    require(rows.length <= maxCandidates,
+      s"mmrRerank caps candidates at $maxCandidates — pass a top-N result, not a corpus")
+    require(rows.nonEmpty, "mmrRerank on an empty candidate set")
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Double](1).toArray)
+    val norms = vecs.map { v =>
+      var s = 0.0; var j = 0; while (j < v.length) { s += v(j) * v(j); j += 1 }
+      math.sqrt(s)
+    }
+    def r6(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(i: Int, j: Int): Double = {
+      if (norms(i) == 0.0 || norms(j) == 0.0) 0.0
+      else {
+        val a = vecs(i); val b = vecs(j)
+        var d = 0.0; var t = 0
+        while (t < a.length) { d += a(t) * b(t); t += 1 }
+        d / (norms(i) * norms(j))
+      }
+    }
+    val rel = rows.map(r => r6(r.getDouble(2)))
+    val n = ids.length
+    val picked = Array.fill(n)(false)
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    def argmax(metric: Int => Double): (Int, Double) = {
+      var b = -1; var bs = 0.0; var i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val s = r6(metric(i))
+          if (b < 0 || s > bs || (s == bs && ids(i) < ids(b))) { b = i; bs = s }
+        }
+        i += 1
+      }
+      (b, bs)
+    }
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    val take = math.min(k, n)
+    var (best, bestScore) = argmax(i => rel(i))
+    var rank = 1
+    while (rank <= take) {
+      out += ((rank.toLong, ids(best), bestScore))
+      picked(best) = true
+      var i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val s = r6(cos(i, best))
+          if (s > maxSim(i)) maxSim(i) = s
+        }
+        i += 1
+      }
+      if (rank < take) {
+        val t = argmax(i => lambda * rel(i) - (1.0 - lambda) * maxSim(i))
+        best = t._1; bestScore = t._2
+      }
+      rank += 1
+    }
+    out.result().toDF("rank", idCol, "score")
+  }
 }

@@ -158,4 +158,49 @@ class PlanAuditSpec extends SparkSuite {
         s"changes() reads the vector payload from the base:\n$l")
     }
   }
+
+  test("CDC mirror apply is key-joined: semi/anti probes, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    import graft.core.{Collection, CollectionConfig}
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_applyplan").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "applyplan", numFeatures = 4, initialNumCentroids = 4))
+    def rows(ids: Seq[Long]) = ids.map(i =>
+      (0L, i, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble)))
+      .toDF("user_id", "doc_id", "vector")
+    coll.insert(rows(0L until 8L)); coll.flush()               // v1
+    coll.insert(rows(8L until 10L))
+    coll.delete(rows(Seq(1L)).select("user_id", "doc_id")); coll.flush() // v2
+    val delta = coll.changes(1L, 2L)
+    val gone = delta.filter(col("change_type").isin("delete", "update")).select("doc_id")
+    val ups = delta.filter(col("change_type").isin("insert", "update"))
+      .select("user_id", "doc_id")
+    val fetched = coll.snapshotAt(2L).liveRows.get
+      .join(ups, Seq("user_id", "doc_id"), "left_semi").select("doc_id", "vector")
+    val mirror = coll.snapshotAt(1L).liveRows.get.select("doc_id", "vector")
+      .join(gone, Seq("doc_id"), "left_anti").unionByName(fetched)
+    val p = mirror.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"CDC apply grew a cartesian/nested-loop plan:\n$p")
+    assert(p.contains("LeftSemi"), s"upsert fetch lost its semi-join probe:\n$p")
+    assert(p.contains("LeftAnti"), s"delete application lost its anti-join:\n$p")
+  }
+
+  test("adaptive filtered ANN, exact branch: semi-join + bounded top-k") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = (0 until 100).map(i =>
+      (i.toLong, Seq(i.toDouble, (i % 5).toDouble))).toDF("vec_id", "embedding")
+    val (c, po) = graft.operators.Ann.ivfIndex(emb, numCentroids = 4)
+    val filt = emb.filter(col("vec_id") % 11 === 0).select("vec_id")
+    val df = graft.operators.Ann.ivfTopKFiltered(
+      emb, c, po, Seq(50.0, 2.0), k = 3, nprobe = 1, filterIds = filt)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"q105 path lost the bounded top-k:\n$p")
+    assert(p.contains("LeftSemi"), s"q105 path lost the filter semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q105 path grew a cartesian:\n$p")
+  }
 }

@@ -254,4 +254,49 @@ class TimeTravelSpec extends SparkSuite {
     assert(coll.versions === Seq(3L), "dropped pin must stop protecting v1")
     assert(!Files.exists(Paths.get(coll.path, "segments", "seg_1")))
   }
+
+  test("backup clones exactly one version: segment + tail + visible tombstones") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    coll.insert(rows(0L until 10L)); coll.flush()              // v1 (segment)
+    coll.insert(rows(10L until 14L))                           // unflushed tail
+    coll.delete(rows(Seq(2L)).select("user_id", "doc_id"))     // pre-commit tomb
+    coll.flush()                                               // v2
+    coll.insert(rows(14L until 16L))
+    coll.delete(rows(Seq(4L)).select("user_id", "doc_id"))     // post-v2: must NOT leak
+    coll.flush()                                               // v3
+
+    val destBase = tmpBase()
+    val restored = coll.backup(destBase, 2L)
+    val v2Live = (0L until 14L).filterNot(_ == 2L)
+    assert(docsOf(restored.snapshot()) === v2Live)
+    assert(docsOf(coll.snapshotAt(2L)) === v2Live)
+    // the clone holds ONLY v2 — later versions/writes do not exist there
+    assert(restored.versions === Seq(2L))
+    // mutating the source never touches the clone
+    coll.delete(rows(Seq(6L)).select("user_id", "doc_id")); coll.flush()
+    coll.merge()
+    coll.expireVersions(keep = 1)
+    assert(docsOf(restored.snapshot()) === v2Live)
+    // the clone is a real collection: it can keep writing independently
+    restored.insert(rows(Seq(90L))); restored.flush()
+    assert(docsOf(restored.snapshot()) === (v2Live :+ 90L))
+    assert(docsOf(coll.snapshot()) !== (v2Live :+ 90L))
+    // a non-empty destination is refused
+    intercept[IllegalArgumentException] { coll.backup(destBase, 3L) }
+  }
+
+  test("backup of a version whose tail holds a revive keeps the newest payload") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    coll.insert(rows(0L until 6L)); coll.flush()               // v1
+    coll.delete(rows(Seq(3L)).select("user_id", "doc_id"))
+    coll.insert(Seq((0L, 3L, Seq(9.0, 9.0, 9.0, 9.0))).toDF("user_id", "doc_id", "vector"))
+    coll.flush()                                               // v2: 3 revived
+    val restored = coll.backup(tmpBase(), 2L)
+    val live = restored.snapshot().liveRows.get
+      .select("doc_id", "vector").as[(Long, Seq[Double])].collect().toMap
+    assert(live.keySet === (0L until 6L).toSet)
+    assert(live(3L) === Seq(9.0, 9.0, 9.0, 9.0))
+  }
 }
