@@ -75,7 +75,21 @@ object SparkEntry {
     try {
       val loc = new java.io.File(
         SparkEntry.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
-      if (loc.isFile) s"${loc.getName}:${loc.length}:${loc.lastModified}"
+      if (loc.isFile) {
+        // content hash, NOT mtime: sbt repackages the forked-run jar on
+        // every invocation, so an mtime stamp invalidated every lifecycle
+        // collection once per sbt run even with unchanged code (the jar
+        // bytes only change on a real recompile — zip entry times come
+        // from the classfile mtimes)
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val in = java.nio.file.Files.newInputStream(loc.toPath)
+        try {
+          val buf = new Array[Byte](1 << 16)
+          var r = in.read(buf)
+          while (r >= 0) { md.update(buf, 0, r); r = in.read(buf) }
+        } finally in.close()
+        s"${loc.getName}:${loc.length}:${md.digest().map("%02x".format(_)).mkString}"
+      }
       else {
         // sbt classes directory: count + max mtime over every classfile,
         // so recompiling anything (Collection, IvfBuilder, Search, this
@@ -1497,7 +1511,10 @@ object SparkEntry {
       val (base, cfg) = cdcLifecycle(s, d)
       val coll = Collection.open(s, base, cfg)
       def applyDelta(mirror: DataFrame, f: Long, t: Long): DataFrame = {
-        val delta = coll.changes(f, t)
+        // each delta feeds two consumers (the drop keys and the upsert
+        // keys) and is O(delta)-small by construction — cache it so the
+        // full diff subtree (2 snapshot liveDocs + full_outer) runs once
+        val delta = coll.changes(f, t).cache()
         val gone = delta.filter(col("change_type").isin("delete", "update"))
           .select("doc_id")
         val upserts = delta.filter(col("change_type").isin("insert", "update"))
@@ -1507,7 +1524,9 @@ object SparkEntry {
           .select(col("doc_id"), col("vector"))
         mirror.join(gone, Seq("doc_id"), "left_anti").unionByName(fetched)
       }
-      val v1 = coll.snapshotAt(1L).liveRows.get.select(col("doc_id"), col("vector"))
+      // the v1 base state feeds both the stepped and the composed mirror
+      val v1 = coll.snapshotAt(1L).liveRows.get
+        .select(col("doc_id"), col("vector")).cache()
       val stepped = Seq((1L, 2L), (2L, 3L), (3L, 4L))
         .foldLeft(v1) { case (m, (f, t)) => applyDelta(m, f, t) }
       val composed = applyDelta(v1, 1L, 4L)
@@ -1577,6 +1596,44 @@ object SparkEntry {
       val params = SearchParams(topK = 10,
         numExploredCentroids = Some(Int.MaxValue), centroidDistanceRatio = 1e18)
       restored.snapshot().search(q0(s, d), params, userIds = Seq(0L))
+        .select(col("doc_id").as("vec_id"), round(col("score"), 4).as("dist"))
+        .orderBy("dist", "vec_id")
+    }),
+
+    // The SERVED adaptive filtered search on the gate: a text-attributed
+    // collection (documents ⋈ embeddings), a Contains filter, and a
+    // deliberately hostile nprobe=1 probe budget — only the adaptive
+    // branch (SearchParams.adaptiveFilterThreshold: the compiled filter's
+    // points scanned exactly) makes the result equal DuckDB's brute force
+    // over the matching docs. Same stem-stable term trick as q21-q24:
+    // the oracle matches the raw token where the engine matches the stem.
+    "q107_served_filtered" -> ((s, d) => {
+      import graft.core.{AttrField, Collection, CollectionConfig}
+      import graft.operators.DocFilter
+      val base = artifact("q107")
+      val emb = T(s, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val cfg = CollectionConfig(
+        name = "served", numFeatures = dim,
+        initialNumCentroids = 8, maxClustersPerVector = 2,
+        attributeSchema = Seq(AttrField("content", "text", "english")))
+      stampedBuild(base, Seq("q107v1",
+        inputStamp(d, Seq("documents", "embeddings")),
+        cfg.toString, codeStamp).mkString("|")) {
+        val rows = T(s, d, "documents")
+          .join(emb, col("doc_id") === col("vec_id"))
+          .select(lit(0L).as("user_id"), col("doc_id"),
+            col("embedding").cast("array<double>").as("vector"),
+            col("text").as("content"))
+        val coll = Collection.create(s, base, cfg)
+        coll.insert(rows); coll.flush()
+      }
+      val coll = Collection.open(s, base, cfg)
+      coll.snapshot().search(q0(s, d),
+          SearchParams(topK = 10, numExploredCentroids = Some(1),
+            centroidDistanceRatio = 0.0, adaptiveFilterThreshold = 100000L),
+          userIds = Seq(0L),
+          filter = Some(DocFilter.Contains("content", "merge")))
         .select(col("doc_id").as("vec_id"), round(col("score"), 4).as("dist"))
         .orderBy("dist", "vec_id")
     })
@@ -2989,6 +3046,22 @@ object SparkEntry {
          r AS (SELECT vec_id,
                       list_distance(embedding::DOUBLE[], (SELECT qe FROM q))::DOUBLE AS raw
                FROM live),
+         ranked AS (SELECT vec_id, raw, row_number() OVER (ORDER BY raw, vec_id) AS rn FROM r)
+         SELECT vec_id, round(raw, 4) AS dist FROM ranked
+         WHERE rn <= 10 ORDER BY dist, vec_id""",
+    // exact top-10 over the docs whose tokens contain 'merge' (the
+    // engine's stemmed index/query agree with the raw token on this
+    // corpus — the q21-q24 contract); only the adaptive exact branch
+    // can satisfy this under the query's nprobe=1 probe budget
+    "q107_served_filtered" ->
+      s"""WITH m AS (SELECT doc_id FROM
+             (SELECT doc_id, $docToksSql AS toks FROM documents) t
+           WHERE list_contains(toks, 'merge')),
+         e AS (SELECT vec_id, embedding FROM embeddings JOIN m ON vec_id = doc_id),
+         q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         r AS (SELECT vec_id,
+                      list_distance(embedding::DOUBLE[], (SELECT qe FROM q))::DOUBLE AS raw
+               FROM e),
          ranked AS (SELECT vec_id, raw, row_number() OVER (ORDER BY raw, vec_id) AS rn FROM r)
          SELECT vec_id, round(raw, 4) AS dist FROM ranked
          WHERE rn <= 10 ORDER BY dist, vec_id"""

@@ -1012,6 +1012,26 @@ final class Snapshot(
       userIds: Seq[Any] = Nil,
       filter: Option[DocFilter] = None): DataFrame = {
     val perSegment = segments.map { seg =>
+      // Selectivity-adaptive filtered search (opt-in via
+      // SearchParams.adaptiveFilterThreshold): a selective filter's
+      // survivors rarely all live in the nprobe nearest posting lists, so
+      // the probe-then-semi-join pipeline below can return fewer than k
+      // matches even though k exist. When this segment's compiled filter
+      // passes at most `threshold` points, answer the segment with an
+      // exact scan of exactly those points (the id-keyed semi-join rides
+      // the same bucket-pruned scan) — recall 1.0 at O(|filter|). The
+      // count costs one bounded job on the already-compiled filter frame.
+      val adaptiveBrute: Option[DataFrame] =
+        if (params.adaptiveFilterThreshold <= 0L || filter.isEmpty) None
+        else filterPoints(seg, filter, userIds).flatMap { fp =>
+          val th = params.adaptiveFilterThreshold
+          val probe = math.min(th, Int.MaxValue - 1L).toInt + 1
+          if (fp.limit(probe).count() > th) None
+          else Some(Search.bruteForce(
+            coll.vectorsFor(seg, userIds), query, params.topK, userIds,
+            filterPoints = Some(fp), tombstones = tombRows))
+        }
+      adaptiveBrute.getOrElse {
       (coll.config.quantizer match {
         case "pq" => coll.readPqModel(seg).map(m => (df: DataFrame) =>
           Search.spannAdc(df,
@@ -1039,6 +1059,7 @@ final class Snapshot(
           query, params, userIds,
           filterPoints(seg, filter, userIds), tombRows))
         .apply(coll.vectorsFor(seg, userIds)) // bucket-pruned scan for named users
+      }
     }
     val tailResult = tailRows.map { rows =>
       // Brute-force over the unindexed tail; attribute filters evaluated

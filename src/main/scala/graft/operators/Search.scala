@@ -6,11 +6,22 @@ import graft.functions.GraftFunctions._
 
 /** Search parameters (rs/config/src/search_params.rs:11-23): `nprobe`
   * defaults to `topK` (num_explored_centroids), ratio pruning keeps
-  * centroids with dist <= min * (1 + centroidDistanceRatio). */
+  * centroids with dist <= min * (1 + centroidDistanceRatio).
+  *
+  * `adaptiveFilterThreshold` > 0 enables selectivity-adaptive FILTERED
+  * search on the served path (the [[graft.operators.Ann.ivfTopKFiltered]]
+  * rule at the collection surface): when a segment's compiled attribute
+  * filter passes at most this many points, the segment is answered by an
+  * exact scan of exactly those points instead of the index probe —
+  * recall 1.0 at O(|filter|) where the reference's probe-then-post-filter
+  * posture (rs/index/src/ivf/block_based/index.rs:198-226) can return
+  * fewer than k survivors. 0 (default) keeps the probe posture
+  * unconditionally. */
 final case class SearchParams(
     topK: Int = 10,
     numExploredCentroids: Option[Int] = None,
-    centroidDistanceRatio: Double = 0.1) {
+    centroidDistanceRatio: Double = 0.1,
+    adaptiveFilterThreshold: Long = 0L) {
   def nprobe: Int = numExploredCentroids.getOrElse(topK)
 }
 

@@ -70,6 +70,45 @@ class CollectionSpec extends SparkSuite {
     assert(not === Seq(2L))
   }
 
+  test("adaptive filtered search: selective filter answered exactly where the probe misses") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    coll.insert(lineRows(1000))
+    coll.flush()
+    val snap = coll.snapshot()
+    val q = Seq(2.4, 3.4, 4.4, 5.4)
+    // doc 999's term lives at the far end of the line: a 1-list probe
+    // around the query can never scan it, so probe-then-post-filter
+    // returns nothing — the filtered-ANN recall cliff
+    val far = Some(DocFilter.Contains("content", "999"))
+    val tight = SearchParams(topK = 10,
+      numExploredCentroids = Some(1), centroidDistanceRatio = 0.0)
+    val probed = snap.search(q, tight, filter = far)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(probed.isEmpty, "1-list probe unexpectedly reached the far cluster — fixture drifted")
+    // identical query with the adaptive threshold: the filter passes one
+    // point, so the segment is answered by an exact scan of exactly it
+    val adaptive = snap.search(q,
+        tight.copy(adaptiveFilterThreshold = 100L), filter = far)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(adaptive === Seq(999L))
+    // a dense filter above the threshold keeps the probe posture...
+    val dense = Some(DocFilter.Contains("content", "document"))
+    val probePosture = snap.search(q, tight.copy(adaptiveFilterThreshold = 10L),
+      filter = dense).select("doc_id").collect().map(_.getLong(0)).toSeq
+    val probeBaseline = snap.search(q, tight, filter = dense)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(probePosture === probeBaseline)
+    // ...and under a large threshold the exact branch equals the
+    // exhaustive probe on the same dense filter
+    val exhaustive = snap.search(q, SearchParams(topK = 5,
+        numExploredCentroids = Some(Int.MaxValue), centroidDistanceRatio = 1e18),
+      filter = dense).select("doc_id").collect().map(_.getLong(0)).toSeq
+    val bruteAll = snap.search(q, tight.copy(topK = 5, adaptiveFilterThreshold = 100000L),
+      filter = dense).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(bruteAll === exhaustive)
+  }
+
   test("centroidIndexType=hnsw: flush persists hnsw.bin; served answers match exact") {
     val baseH = tmpBase()
     val baseE = tmpBase()

@@ -337,4 +337,48 @@ class StreamingSpec extends SparkSuite {
         graft.operators.Sessionize.FunnelAdvance(2L, 1L, 9L)))
     } finally q.stop()
   }
+
+  test("a CDC follower tails changes() across streaming flushes to a converged mirror") {
+    val base = Files.createTempDirectory("graft_follow").toString
+    val cp = Files.createTempDirectory("graft_follow_cp").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "fw", numFeatures = 4, initialNumCentroids = 4, maxPendingOps = 50L))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Seq[Double])]
+    val rows = stream.toDF().toDF("user_id", "doc_id", "vector")
+    val q = StreamingIngest.start(rows, coll, cp, Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      def batch(from: Int, until: Int) = (from until until).map { i =>
+        (0L, i.toLong, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble))
+      }
+      // the follower: a key-set mirror fed ONLY by changes() between the
+      // versions it has seen — the downstream-consumer loop q103 gates in
+      // batch form, here driven by streaming auto-flush commits
+      var mirror = Set.empty[Long]
+      var seenV = coll.versions.last
+      def follow(): Unit = coll.versions.last match {
+        case now if now > seenV =>
+          coll.changes(seenV, now).collect().foreach { r =>
+            r.getString(2) match {
+              case "insert" | "update" => mirror += r.getLong(1)
+              case "delete" => mirror -= r.getLong(1)
+            }
+          }
+          seenV = now
+          val want = coll.snapshotAt(now).liveDocs.get
+            .select("doc_id").collect().map(_.getLong(0)).toSet
+          assert(mirror === want, s"mirror diverged at version $now")
+        case _ => ()
+      }
+      stream.addData(batch(0, 60)) // > maxPendingOps -> auto-flush commits v1
+      q.processAllAvailable()
+      follow()
+      coll.delete(Seq((0L, 10L), (0L, 11L)).toDF("user_id", "doc_id"))
+      stream.addData(batch(60, 120)) // auto-flush commits v2 (with the deletes)
+      q.processAllAvailable()
+      follow()
+      assert(seenV >= 2L, "auto-flush never committed a second version")
+      assert(mirror === ((0L until 120L).toSet -- Set(10L, 11L)))
+    } finally q.stop()
+  }
 }

@@ -97,8 +97,11 @@ class SurfaceSpec extends SparkSuite {
     }
     assert(coll.toc.segments.size === 3)
     assert(coll.maybeCompact().isDefined)
-    assert(coll.toc.segments.size === 1)
-    assert(coll.maybeCompact().isEmpty) // under the cap, no tombstones
+    // SIZE-TIERED: one tick merges just enough of the smallest segments
+    // to return to the cap (merge-all would rewrite the corpus every
+    // tick at scale) — 3 segments over cap 2 -> merge the 2 smallest
+    assert(coll.toc.segments.size === 2)
+    assert(coll.maybeCompact().isEmpty) // at the cap, no tombstones
     // all 90 docs still searchable after the merge
     def live(): Long = coll.snapshot().search(Seq(0.0, 0.0, 0.0, 0.0),
       SearchParams(topK = 1000, numExploredCentroids = Some(100),
