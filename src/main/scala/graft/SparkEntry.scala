@@ -1636,6 +1636,22 @@ object SparkEntry {
           filter = Some(DocFilter.Contains("content", "merge")))
         .select(col("doc_id").as("vec_id"), round(col("score"), 4).as("dist"))
         .orderBy("dist", "vec_id")
+    }),
+
+    // Batched IVF search: the WHOLE query set in one distributed job
+    // (per-query probe window -> postings join -> bounded per-query
+    // top-k aggregate — the batch-throughput path SURVEY §7.4 targets).
+    // Exhaustive nprobe makes it exact, so the oracle is q15's brute
+    // force driven through this very different plan shape.
+    "q108_ivf_batch" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val (centroids, postings) = Ann.ivfIndex(emb, numCentroids = 16)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Ann.ivfTopKBatch(queries, emb, centroids, postings, k = 3, nprobe = 16)
+        .select(col("q_id"), col("vec_id"), round(col("dist"), 4).as("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -3064,6 +3080,16 @@ object SparkEntry {
                FROM e),
          ranked AS (SELECT vec_id, raw, row_number() OVER (ORDER BY raw, vec_id) AS rn FROM r)
          SELECT vec_id, round(raw, 4) AS dist FROM ranked
-         WHERE rn <= 10 ORDER BY dist, vec_id"""
+         WHERE rn <= 10 ORDER BY dist, vec_id""",
+    // exhaustive-nprobe batched IVF == per-query brute force (q15's
+    // oracle shape, k=3)
+    "q108_ivf_batch" ->
+      """SELECT q_id, vec_id, dist, rank FROM (
+           SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                  round(list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[])::DOUBLE, 4) AS dist,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[])::DOUBLE, e.vec_id) AS rank
+           FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q) t
+         WHERE rank <= 3 ORDER BY q_id, rank"""
   )
 }

@@ -32,6 +32,8 @@ import graft.operators.DocFilter
   *                                limit?} — zero-Spark-jobs
   *  - `POST /remove`             {collection_name, user_ids, doc_ids}
   *  - `GET  /segments?collection=<name>`
+  *  - `POST /optimize`           {collection_name} — one compaction tick
+  *  - `POST /backup`             {collection_name, dest_base, version?}
   *
   * Filter trees mirror the proto's DocumentFilter (muopdb.proto:83-114):
   * a Contains leaf `{field, value, keyword?}`, plus `{and: [...]}`,
@@ -372,6 +374,18 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
     val name = b.getOrElse("collection_name",
       sys.error("missing collection_name")).toString
     Map("action" -> svc.optimize(name).orNull)
+  })
+
+  // back up one retained version (default: current) into dest_base — the
+  // disaster-recovery/clone admin call over Collection.backup; the clone
+  // is an independently servable collection root
+  server.createContext("/backup", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val name = b.getOrElse("collection_name",
+      sys.error("missing collection_name")).toString
+    val dest = b.getOrElse("dest_base", sys.error("missing dest_base")).toString
+    val v = b.get("version").map(x => x.toString.toDouble.toLong)
+    Map("version" -> svc.backup(name, dest, v))
   })
 
   def start(): GraftHttpServer = { server.start(); this }

@@ -192,4 +192,16 @@ class GraftService(spark: SparkSession, basePath: String) {
     * (rs/index_server/src/main.rs:202-222). Returns the action taken. */
   def optimize(collectionName: String): Option[String] =
     collection(collectionName).maybeCompact()
+
+  /** Back up one retained TOC version of a collection into `destBase`
+    * ([[graft.core.Collection.backup]] — segments + tail + visible
+    * tombstones, version pinned during the copy). `version` defaults to
+    * the current TOC version. Returns the version backed up. */
+  def backup(collectionName: String, destBase: String,
+      version: Option[Long] = None): Long = {
+    val coll = collection(collectionName)
+    val v = version.getOrElse(coll.toc.version)
+    coll.backup(destBase, v)
+    v
+  }
 }

@@ -113,6 +113,22 @@ class HttpServerSpec extends SparkSuite {
         "centroid_distance_ratio" -> 1e9)))
       assert(postOpt("doc_ids") === Vector(uuid(2)))
 
+      // backup over the wire: clone the current version, reopen it as an
+      // independent collection, search it (doc 1 was removed above, doc 2
+      // survives the vacuum -> the clone serves exactly that state)
+      val destBase = java.nio.file.Files.createTempDirectory("graft_wire_bk").toString
+      val bk = post("/backup", Json.write(Map(
+        "collection_name" -> "wire", "dest_base" -> destBase)))
+      assert(bk.contains("version"))
+      val wireConfig = graft.core.CollectionConfig(name = "wire",
+        numFeatures = 4, initialNumCentroids = 2,
+        attributeSchema = Seq(graft.core.AttrField("content", "text", "english")))
+      val restored = graft.core.Collection.open(spark, destBase, wireConfig)
+      val clone = restored.snapshot().search(Seq(1.1, 2.1, 3.1, 4.1),
+        graft.operators.SearchParams(topK = 5, numExploredCentroids = Some(2),
+          centroidDistanceRatio = 1e9))
+      assert(clone.select("doc_id").count() === 1L)
+
       // malformed request -> 400 with an error body, server stays up
       val bad = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.boundPort}/search"))
         .POST(HttpRequest.BodyPublishers.ofString("{not json")).build()
