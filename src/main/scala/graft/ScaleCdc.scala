@@ -92,8 +92,35 @@ object ScaleCdc {
     val (cu, tFull) = time("full-corpus diff (contrast)")(unrestricted())
     require(cr == cu, s"restricted $cr != unrestricted $cu")
     require(cr("delete") == nDel && cr("insert") == nIns, s"unexpected delta: $cr")
+
+    // the CONSUMER side (q103's shape at scale): apply the delta to a
+    // parquet mirror of v1 — deletes/updates anti-join out, inserts/
+    // updates fetch payload from v2's liveRows semi-joined to the delta
+    // keys. The claim: apply cost is O(delta) fetch + O(mirror) rewrite,
+    // never a corpus-wide join of vector payloads.
+    val mirrorPath = s"$base/mirror"
+    time("mirror seed (v1 liveRows)") {
+      coll.snapshotAt(1L).liveRows.get.select("doc_id", "vector")
+        .write.mode("overwrite").parquet(mirrorPath)
+    }
+    val (_, tApply) = time(s"mirror apply (${nDel + nIns} delta)") {
+      val delta = coll.changes(1L, 2L).cache()
+      val gone = delta.filter(col("change_type").isin("delete", "update")).select("doc_id")
+      val ups = delta.filter(col("change_type").isin("insert", "update"))
+        .select("user_id", "doc_id")
+      val fetched = coll.snapshotAt(2L).liveRows.get
+        .join(ups, Seq("user_id", "doc_id"), "left_semi").select("doc_id", "vector")
+      spark.read.parquet(mirrorPath)
+        .join(gone, Seq("doc_id"), "left_anti").unionByName(fetched)
+        .write.mode("overwrite").parquet(s"$base/mirror_v2")
+      delta.unpersist()
+    }
+    val mirrorCount = spark.read.parquet(s"$base/mirror_v2").count()
+    require(mirrorCount == n - nDel + nIns, s"mirror diverged: $mirrorCount")
+
     println(s"""{"op":"cdc","n":$n,"delta":${nDel + nIns},""" +
-      f""""changes_sec":$tRestricted%.2f,"full_diff_sec":$tFull%.2f}""")
+      f""""changes_sec":$tRestricted%.2f,"full_diff_sec":$tFull%.2f,""" +
+      f""""mirror_apply_sec":$tApply%.2f}""")
     spark.stop()
   }
 }

@@ -1652,6 +1652,20 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id"), round(col("dist"), 4).as("dist"),
           col("rank").cast("long").as("rank"))
         .orderBy("q_id", "rank")
+    }),
+
+    // Leakage-safe train/test split: near-dup components (q40's pairs)
+    // never straddle the split — assignment is an md5 hash of the
+    // component representative, so DuckDB replays the exact split from
+    // its own recursive components (and the no-straddle property holds
+    // by construction: same rep -> same side).
+    "q109_leakage_split" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs,
+        shingleLen = 3, threshold = 0.3, maxShinglePostings = 1000000)
+      Dedup.leakageSafeSplit(docs.select(col("doc_id")), pairs,
+          testPermille = 200, idCol = "doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -3090,6 +3104,38 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY q.vec_id
                     ORDER BY list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[])::DOUBLE, e.vec_id) AS rank
            FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q) t
-         WHERE rank <= 3 ORDER BY q_id, rank"""
+         WHERE rank <= 3 ORDER BY q_id, rank""",
+    // q40's recursive components; singletons are their own rep; the split
+    // is md5(rep-as-decimal-string) first 4 hex digits (replayed
+    // digit-by-digit — q85's trick) mod 1000 vs the 200-permille budget
+    "q109_leakage_split" ->
+      s"""WITH RECURSIVE t AS (
+            SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) AS sh
+            FROM (SELECT doc_id, $docToksSql AS toks FROM documents) d),
+          pairs AS (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM t a, t b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+          edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+          reach(id, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT reach.id, edges.v FROM reach JOIN edges ON edges.u = reach.r),
+          comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+          withrep AS (
+            SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+          hashed AS (
+            SELECT doc_id, rep,
+              ((strpos('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)), 4, 1)) - 1)) % 1000 AS bucket
+            FROM withrep)
+         SELECT doc_id, rep,
+                CASE WHEN bucket < 200 THEN 'test' ELSE 'train' END AS split
+         FROM hashed ORDER BY doc_id"""
   )
 }

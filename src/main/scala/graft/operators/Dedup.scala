@@ -566,6 +566,41 @@ object Dedup {
       .select(col("id"), col("best_id").as("keep_id"))
   }
 
+  /** Leakage-safe train/test split: a near-dup PAIR must never straddle
+    * the split (a test doc with a train-side near-copy leaks the answer
+    * into training — the decontamination failure mode, at split time).
+    * Assignment is by connected COMPONENT, not by doc: every id maps to
+    * its component representative ([[keepList]]; singletons are their
+    * own), and the split is a deterministic hash of the representative —
+    * md5 of its decimal string, first 4 hex digits mod 1000 vs
+    * `testPermille` — so any engine reproduces the exact split and both
+    * sides of any near-dup pair land together by construction.
+    *
+    * Scale: component labeling is [[keepList]] (near-dup-subset sized),
+    * one id-keyed left join back to the corpus, then a map-only hash —
+    * the corpus is never shuffled beyond that join. Returns
+    * `[<id>, rep, split]`. The permille granularity is exact in
+    * expectation only (4 hex digits = 65536 buckets folded mod 1000). */
+  def leakageSafeSplit(
+      ids: DataFrame,
+      pairs: DataFrame,
+      testPermille: Int = 200,
+      idCol: String = "id",
+      maxIters: Int = 50,
+      localEdgeLimit: Long = 1000000L): DataFrame = {
+    require(testPermille >= 0 && testPermille <= 1000, s"testPermille=$testPermille")
+    val reps = keepList(pairs, maxIters, localEdgeLimit)
+      .withColumnRenamed("keep_id", "rep")
+    ids.select(col(idCol).cast("long").as("id"))
+      .join(reps, Seq("id"), "left")
+      .withColumn("rep", coalesce(col("rep"), col("id")))
+      .withColumn("bucket",
+        conv(substring(md5(col("rep").cast("string")), 1, 4), 16, 10).cast("long") % 1000)
+      .withColumn("split",
+        when(col("bucket") < testPermille, lit("test")).otherwise(lit("train")))
+      .select(col("id").as(idCol), col("rep"), col("split"))
+  }
+
   private def keepListDistributed(init: DataFrame, maxIters: Int): DataFrame = {
     val nodes = init.select(col("u").as("id")).union(init.select(col("v").as("id"))).distinct()
     // canonical child->parent orientation: (larger, smaller), no self-loops

@@ -383,4 +383,27 @@ class DedupSpec extends SparkSuite {
       assert(got === ref, s"p=$p")
     }
   }
+
+  test("leakageSafeSplit: near-dup pairs never straddle; singletons deterministic") {
+    val ids = (0L until 200L).toDF("id")
+    // components: {0,1,2} (chain), {10,11}, rest singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("a", "b")
+    val split = Dedup.leakageSafeSplit(ids, pairs, testPermille = 300)
+    val m = split.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(m.size === 200)
+    // every pair's two ends share rep AND side
+    for ((a, b) <- Seq((0L, 1L), (1L, 2L), (10L, 11L))) {
+      assert(m(a) === m(b), s"pair ($a,$b) straddles the split")
+    }
+    // singleton rep = itself
+    assert(m(50L)._1 === 50L)
+    // both sides populated at 30% test on 200 ids (hash split: expect
+    // roughly 60/140; assert the loose envelope, determinism is exact)
+    val nTest = m.values.count(_._2 == "test")
+    assert(nTest > 20 && nTest < 120, s"test fraction off: $nTest/200")
+    // deterministic: a second run over a different partitioning agrees
+    val again = Dedup.leakageSafeSplit(ids.repartition(7), pairs, testPermille = 300)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(again === m)
+  }
 }
