@@ -108,8 +108,8 @@ object ScaleCdc {
       val gone = delta.filter(col("change_type").isin("delete", "update")).select("doc_id")
       val ups = delta.filter(col("change_type").isin("insert", "update"))
         .select("user_id", "doc_id")
-      val fetched = coll.snapshotAt(2L).liveRows.get
-        .join(ups, Seq("user_id", "doc_id"), "left_semi").select("doc_id", "vector")
+      val fetched = coll.snapshotAt(2L).liveRowsFor(Some(ups)).get
+        .select("doc_id", "vector")
       spark.read.parquet(mirrorPath)
         .join(gone, Seq("doc_id"), "left_anti").unionByName(fetched)
         .write.mode("overwrite").parquet(s"$base/mirror_v2")

@@ -1519,8 +1519,9 @@ object SparkEntry {
           .select("doc_id")
         val upserts = delta.filter(col("change_type").isin("insert", "update"))
           .select("user_id", "doc_id")
-        val fetched = coll.snapshotAt(t).liveRows.get
-          .join(upserts, Seq("user_id", "doc_id"), "left_semi")
+        // liveRowsFor restricts BEFORE the newest-row window — the
+        // O(delta) fetch (liveRows-then-join would window the corpus)
+        val fetched = coll.snapshotAt(t).liveRowsFor(Some(upserts)).get
           .select(col("doc_id"), col("vector"))
         mirror.join(gone, Seq("doc_id"), "left_anti").unionByName(fetched)
       }

@@ -1100,11 +1100,19 @@ final class Snapshot(
   /** [[liveDocs]] WITH payload: one row per live (user_id, doc_id)
     * carrying the vector of its newest surviving physical row. This is
     * the fetch side of a CDC consumer — `changes()` names the touched
-    * keys, `liveRows` (semi-joined to those keys) supplies the bytes to
-    * upsert, so a downstream mirror is maintained end-to-end in O(delta)
-    * reads (the semi-join probe is bucket/bloom-prunable like every
-    * other key probe). None when the snapshot is empty. */
-  def liveRows: Option[DataFrame] = {
+    * keys, [[liveRowsFor]] supplies the bytes to upsert. None when the
+    * snapshot is empty. */
+  def liveRows: Option[DataFrame] = liveRowsFor(None)
+
+  /** [[liveRows]] restricted to `keys` (`[user_id, doc_id]`) — the
+    * O(delta) fetch shape: the key semi-join lands directly on the
+    * bucket/bloom-prunable segment scans, BEFORE the newest-row window,
+    * so the window's shuffle carries only the touched keys' rows.
+    * (Restricting liveRows' OUTPUT instead would window the whole corpus
+    * first — correct, but an O(corpus) shuffle per delta fetch.)
+    * Identical result by construction: the window partitions by the
+    * same key the semi-join filters on. */
+  def liveRowsFor(keys: Option[DataFrame]): Option[DataFrame] = {
     val segRows = segments.map { seg =>
       val v = coll.segmentTable(seg, "vectors")
       v.select(col("user_id"), col("doc_id"), col("vector"),
@@ -1113,7 +1121,9 @@ final class Snapshot(
     }
     val tailKeyed = tailRows.map(
       _.select(col("user_id"), col("doc_id"), col("vector"), col("src_batch")))
-    (segRows ++ tailKeyed).reduceOption(_ unionByName _).map { rows =>
+    (segRows ++ tailKeyed).reduceOption(_ unionByName _).map { rows0 =>
+      val rows = keys.fold(rows0)(k =>
+        rows0.join(k.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_semi"))
       val alive = tombRows.fold(rows)(tb => Search.dropTombstoned(rows, tb))
       // newest WAL position wins per key — the same row liveDocs reports
       val w = Window.partitionBy("user_id", "doc_id")

@@ -130,6 +130,15 @@ class MmrFilteredSpec extends SparkSuite {
       val b = snap.liveDocs.get.select("doc_id").as[Long].collect().toSet
       assert(a === b, s"version $v")
     }
+
+    // the pre-window key restriction returns exactly the filtered rows
+    // (same newest-payload semantics — including the revived doc 3)
+    val keys = Seq((0L, 3L), (0L, 7L), (0L, 99L)).toDF("user_id", "doc_id")
+    val restricted = coll.snapshot().liveRowsFor(Some(keys))
+      .get.select("doc_id", "vector").as[(Long, Seq[Double])].collect().toMap
+    assert(restricted.keySet === Set(3L, 7L)) // 99 doesn't exist
+    assert(restricted(3L) === Seq(9.0, 9.0, 9.0, 9.0))
+    assert(restricted(7L) === live(7L))
   }
 
   test("a changes()-driven mirror converges to the target snapshot") {
@@ -149,8 +158,8 @@ class MmrFilteredSpec extends SparkSuite {
       val delta = coll.changes(f, t)
       val gone = delta.filter(col("change_type").isin("delete", "update")).select("doc_id")
       val ups = delta.filter(col("change_type").isin("insert", "update")).select("user_id", "doc_id")
-      val fetched = coll.snapshotAt(t).liveRows.get
-        .join(ups, Seq("user_id", "doc_id"), "left_semi").select("doc_id", "vector")
+      val fetched = coll.snapshotAt(t).liveRowsFor(Some(ups)).get
+        .select("doc_id", "vector")
       mirror = mirror.join(gone, Seq("doc_id"), "left_anti").unionByName(fetched)
     }
     val got = mirror.as[(Long, Seq[Double])].collect().toMap

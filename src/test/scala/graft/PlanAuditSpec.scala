@@ -177,8 +177,8 @@ class PlanAuditSpec extends SparkSuite {
     val gone = delta.filter(col("change_type").isin("delete", "update")).select("doc_id")
     val ups = delta.filter(col("change_type").isin("insert", "update"))
       .select("user_id", "doc_id")
-    val fetched = coll.snapshotAt(2L).liveRows.get
-      .join(ups, Seq("user_id", "doc_id"), "left_semi").select("doc_id", "vector")
+    val fetched = coll.snapshotAt(2L).liveRowsFor(Some(ups)).get
+      .select("doc_id", "vector")
     val mirror = coll.snapshotAt(1L).liveRows.get.select("doc_id", "vector")
       .join(gone, Seq("doc_id"), "left_anti").unionByName(fetched)
     val p = mirror.queryExecution.executedPlan.toString
