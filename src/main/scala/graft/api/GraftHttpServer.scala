@@ -363,7 +363,12 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
     val name = q.split("&").collectFirst {
       case kv if kv.startsWith("collection=") => kv.stripPrefix("collection=")
     }.getOrElse(sys.error("missing collection query param"))
-    Map("segments" -> svc.getSegments(name))
+    // names for compatibility, plus the reference's size reporting
+    // (build-time row counts from segment metadata — no data scan)
+    Map("segments" -> svc.getSegments(name),
+      "segment_stats" -> svc.getSegmentStats(name).map { case (s, n) =>
+        Map("name" -> s, "rows" -> n)
+      })
   })
 
   // one optimizer tick: size-tiered merge back to the segment cap, else

@@ -183,6 +183,14 @@ class GraftService(spark: SparkSession, basePath: String) {
   def getSegments(collectionName: String): Seq[String] =
     collection(collectionName).toc.segments
 
+  /** Segments with their build-time row counts (from each segment's
+    * meta.json — no data scan; -1 for pre-metadata segments), the
+    * reference's GetSegments size reporting. */
+  def getSegmentStats(collectionName: String): Seq[(String, Long)] = {
+    val coll = collection(collectionName)
+    coll.toc.segments.map(s => s -> coll.segmentRowCount(s).getOrElse(-1L))
+  }
+
   def mergeSegments(collectionName: String): Option[String] =
     collection(collectionName).merge()
 

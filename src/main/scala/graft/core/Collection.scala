@@ -185,7 +185,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
 
   /** Build-time row count from the segment's meta.json (None for
     * segments written before the metadata existed). */
-  private def segmentRowCount(seg: String): Option[Long] = {
+  private[graft] def segmentRowCount(seg: String): Option[Long] = {
     val p = Paths.get(segPath(seg), "meta.json")
     if (!Files.exists(p)) None
     else """"rows"\s*:\s*(\d+)""".r.findFirstMatchIn(Files.readString(p))

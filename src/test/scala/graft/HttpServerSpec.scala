@@ -106,7 +106,14 @@ class HttpServerSpec extends SparkSuite {
       // only segment is tombstoned -> auto-vacuum rewrites it in place
       val opt = post("/optimize", Json.write(Map("collection_name" -> "wire")))
       assert(String.valueOf(opt("action")).startsWith("vacuumed"))
-      assert(get("/segments?collection=wire")("segments") === Vector("seg_1_v"))
+      val segs = get("/segments?collection=wire")
+      assert(segs("segments") === Vector("seg_1_v"))
+      // size reporting: the vacuumed segment holds exactly the one
+      // surviving doc (build-time metadata, no data scan)
+      val stats = segs("segment_stats").asInstanceOf[Vector[Any]]
+        .map(Json.obj(_))
+      assert(stats.map(s => String.valueOf(s("name"))) === Vector("seg_1_v"))
+      assert(stats.map(s => String.valueOf(s("rows")).toDouble.toLong) === Vector(1L))
       val postOpt = post("/search", Json.write(Map(
         "collection_name" -> "wire", "vector" -> Seq(1.1, 2.1, 3.1, 4.1),
         "top_k" -> 5, "num_explored_centroids" -> 2,
