@@ -206,6 +206,33 @@ class TimeTravelSpec extends SparkSuite {
     assert(full.unionByName(empty).count() === full.count())
   }
 
+  test("backup and liveRowsFor are u128-id agnostic (binary keys end to end)") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    def bin(ids: Seq[Long]) = rows(ids).select(col("user_id"),
+      graft.core.Ids.fromLong(col("doc_id")).as("doc_id"), col("vector"))
+    coll.insert(bin(0L until 8L)); coll.flush()                // v1
+    coll.delete(bin(Seq(3L)).select("user_id", "doc_id"))
+    coll.insert(bin(8L until 10L))
+    coll.flush()                                               // v2
+
+    val restored = coll.backup(tmpBase(), 2L)
+    def keySet(s: graft.core.Snapshot): Set[Seq[Byte]] =
+      s.liveDocs.get.select("doc_id").collect()
+        .map(_.getAs[Array[Byte]](0).toSeq).toSet
+    assert(keySet(restored.snapshot()) === keySet(coll.snapshotAt(2L)))
+    assert(keySet(restored.snapshot()).size === 9) // 10 minus the delete
+
+    // restricted fetch on binary keys: ask for one live + one deleted —
+    // only the live key (2) comes back; the tombstoned key (3) does not
+    val want = bin(Seq(2L, 3L)).select("user_id", "doc_id")
+    val got = restored.snapshot().liveRowsFor(Some(want)).get
+      .select("doc_id").collect().map(_.getAs[Array[Byte]](0).toSeq).toSet
+    val expect = bin(Seq(2L)).select("doc_id").collect()
+      .map(_.getAs[Array[Byte]](0).toSeq).toSet
+    assert(got === expect)
+  }
+
   test("expireVersions trims TOCs, unreferenced segments and flushed WAL batches") {
     val base = tmpBase()
     val coll = Collection.create(spark, base, config)
