@@ -21,11 +21,14 @@ import graft.core.{Collection, CollectionConfig, Toc}
   * [[Collection]]) is what's under test; reader threads deliberately churn
   * snapshots so expiry keeps racing live pins.
   *
-  * `runMain graft.ScaleSoak [N] [rounds] [readers]` — defaults 1000000, 6, 3.
+  * `runMain graft.ScaleSoak [N] [rounds] [readers]` — defaults 200000, 6, 3.
+  * The default fits the 8g forked-JVM envelope (build.sbt); a 1M-row soak
+  * needs `SPARK_DRIVER_MEM=24g` — at 8g the 1M x 768 merge rounds die with
+  * Spark's OOM exit (52), measured r12.
   */
 object ScaleSoak {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val n = args.headOption.map(_.toLong).getOrElse(200000L)
     val rounds = if (args.length > 1) args(1).toInt else 6
     val nReaders = if (args.length > 2) args(2).toInt else 3
     val nDel = math.max(1000L, n / 100)
