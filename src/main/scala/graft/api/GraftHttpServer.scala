@@ -383,14 +383,25 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
 
   // back up one retained version (default: current) into dest_base — the
   // disaster-recovery/clone admin call over Collection.backup; the clone
-  // is an independently servable collection root
+  // is an independently servable collection root. dest_base is RELATIVE
+  // to <basePath>/_backups: the wire surface never writes outside the
+  // service root (the bind is localhost-only, but DNS rebinding or a
+  // cross-origin text/plain POST can still reach 127.0.0.1 — an absolute
+  // path here would let a browser write a clone anywhere the process
+  // can). Programmatic callers keep the unrestricted Collection.backup.
   server.createContext("/backup", (ex: HttpExchange) => handle(ex) {
     val b = readBody(ex)
     val name = b.getOrElse("collection_name",
       sys.error("missing collection_name")).toString
-    val dest = b.getOrElse("dest_base", sys.error("missing dest_base")).toString
+    val rel = b.getOrElse("dest_base", sys.error("missing dest_base")).toString
+    val root = java.nio.file.Paths.get(svc.basePath, "_backups")
+      .toAbsolutePath.normalize
+    val dest = root.resolve(rel).normalize
+    require(!java.nio.file.Paths.get(rel).isAbsolute && dest.startsWith(root),
+      s"dest_base must be a relative path under the service backup root")
     val v = b.get("version").map(x => x.toString.toDouble.toLong)
-    Map("version" -> svc.backup(name, dest, v))
+    Map("version" -> svc.backup(name, dest.toString, v),
+      "dest_base" -> dest.toString)
   })
 
   def start(): GraftHttpServer = { server.start(); this }

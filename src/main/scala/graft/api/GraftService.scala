@@ -45,7 +45,7 @@ final case class InsertPackedRequest(
     userIds: Seq[String],
     packedVectors: Array[Byte]) // little-endian f32s (muopdb.proto:199-213)
 
-class GraftService(spark: SparkSession, basePath: String) {
+class GraftService(spark: SparkSession, val basePath: String) {
   import spark.implicits._
 
   private val catalog = TrieMap.empty[String, Collection]
@@ -208,8 +208,11 @@ class GraftService(spark: SparkSession, basePath: String) {
   def backup(collectionName: String, destBase: String,
       version: Option[Long] = None): Long = {
     val coll = collection(collectionName)
-    val v = version.getOrElse(coll.toc.version)
-    coll.backup(destBase, v)
-    v
+    version match {
+      case Some(v) => coll.backup(destBase, v); v
+      // no explicit version: resolve + pin atomically inside Collection —
+      // a toc.version read here could race a concurrent expireVersions
+      case None => coll.backup(destBase)._2
+    }
   }
 }

@@ -764,7 +764,23 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     * the restored collection. */
   def backup(destBase: String, version: Long): Collection = {
     val snap = snapshotAt(version) // pin against expiry while copying
-    try {
+    try copyPinned(destBase, snap)
+    finally java.lang.ref.Reference.reachabilityFence(snap)
+  }
+
+  /** Back up the CURRENT version. The version is resolved and pinned in
+    * one `snapshot()` call, so a concurrent `expireVersions` between a
+    * caller-side `toc.version` read and the pin can never invalidate it
+    * (the read-then-pin race GraftService.backup used to carry). Returns
+    * the restored collection and the version that was backed up. */
+  def backup(destBase: String): (Collection, Long) = {
+    val snap = snapshot() // atomically: read current version + pin
+    try (copyPinned(destBase, snap), snap.toc.version)
+    finally java.lang.ref.Reference.reachabilityFence(snap)
+  }
+
+  private def copyPinned(destBase: String, snap: Snapshot): Collection = {
+    {
       val t = snap.toc
       val pos = Collection.walPosition(t)
       val dest = Paths.get(destBase, config.name)
@@ -796,7 +812,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       }
       Toc.write(dest.toString, t)
       new Collection(spark, dest.toString, config)
-    } finally java.lang.ref.Reference.reachabilityFence(snap)
+    }
   }
 
   private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
@@ -1006,6 +1022,14 @@ final class Snapshot(
         fieldLang)
     }
 
+  /** Memoized "does this segment's compiled filter pass ≤ threshold
+    * points" decisions for the adaptive filtered-search branch. Segments
+    * are immutable and this Snapshot pins one TOC version, so the answer
+    * can never change for the life of the snapshot — repeated serves of
+    * the same filter skip the bounded count job entirely. */
+  private val adaptiveFit =
+    new java.util.concurrent.ConcurrentHashMap[(String, DocFilter, Seq[Any], Long), java.lang.Boolean]()
+
   def search(
       query: Seq[Double],
       params: SearchParams = SearchParams(),
@@ -1020,16 +1044,24 @@ final class Snapshot(
       // passes at most `threshold` points, answer the segment with an
       // exact scan of exactly those points (the id-keyed semi-join rides
       // the same bucket-pruned scan) — recall 1.0 at O(|filter|). The
-      // count costs one bounded job on the already-compiled filter frame.
+      // count costs one bounded job on the already-compiled filter frame,
+      // and ONLY on the first serve: the outcome is memoized per snapshot
+      // (segments immutable, version pinned), and the same compiled frame
+      // `fp` is reused by the probe fallback — no recompilation either way.
+      val fp: Option[DataFrame] = filterPoints(seg, filter, userIds)
       val adaptiveBrute: Option[DataFrame] =
         if (params.adaptiveFilterThreshold <= 0L || filter.isEmpty) None
-        else filterPoints(seg, filter, userIds).flatMap { fp =>
+        else fp.flatMap { f =>
           val th = params.adaptiveFilterThreshold
-          val probe = math.min(th, Int.MaxValue - 1L).toInt + 1
-          if (fp.limit(probe).count() > th) None
+          val fits = adaptiveFit.computeIfAbsent(
+            (seg, filter.get, userIds, th), { _ =>
+              val probe = math.min(th, Int.MaxValue - 1L).toInt + 1
+              java.lang.Boolean.valueOf(f.limit(probe).count() <= th)
+            })
+          if (!fits) None
           else Some(Search.bruteForce(
             coll.vectorsFor(seg, userIds), query, params.topK, userIds,
-            filterPoints = Some(fp), tombstones = tombRows))
+            filterPoints = Some(f), tombstones = tombRows))
         }
       adaptiveBrute.getOrElse {
       (coll.config.quantizer match {
@@ -1037,27 +1069,23 @@ final class Snapshot(
           Search.spannAdc(df,
             coll.segmentTable(seg, "centroids"),
             coll.segmentTable(seg, "postings"),
-            m, query, params, userIds,
-            filterPoints(seg, filter, userIds), tombRows))
+            m, query, params, userIds, fp, tombRows))
         case "rabitq" => coll.readRabitqModel(seg).map(m => (df: DataFrame) =>
           Search.spannRabitq(df,
             coll.segmentTable(seg, "centroids"),
             coll.segmentTable(seg, "postings"),
-            m, query, params, userIds,
-            filterPoints(seg, filter, userIds), tombRows))
+            m, query, params, userIds, fp, tombRows))
         case "sq8" => coll.readSqModel(seg).map(m => (df: DataFrame) =>
           Search.spannSq8(df,
             coll.segmentTable(seg, "centroids"),
             coll.segmentTable(seg, "postings"),
-            m, query, params, userIds,
-            filterPoints(seg, filter, userIds), tombRows))
+            m, query, params, userIds, fp, tombRows))
         case _ => None
       }).getOrElse((df: DataFrame) =>
         Search.spann(df,
           coll.segmentTable(seg, "centroids"),
           coll.segmentTable(seg, "postings"),
-          query, params, userIds,
-          filterPoints(seg, filter, userIds), tombRows))
+          query, params, userIds, fp, tombRows))
         .apply(coll.vectorsFor(seg, userIds)) // bucket-pruned scan for named users
       }
     }

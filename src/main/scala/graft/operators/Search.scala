@@ -365,8 +365,14 @@ object Search {
       var s = 0.0; var j = 0; while (j < v.length) { s += v(j) * v(j); j += 1 }
       math.sqrt(s)
     }
-    def r6(x: Double): Double = new java.math.BigDecimal(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // BigDecimal(NaN/∞) throws NumberFormatException; a degenerate
+    // candidate (NaN rel, or a vector whose dot overflows to ∞) must rank
+    // last per the repo's NaN-last convention, not crash the rerank.
+    def r6(x: Double): Double =
+      if (java.lang.Double.isNaN(x)) Double.NegativeInfinity
+      else if (java.lang.Double.isInfinite(x)) x
+      else new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     def cos(i: Int, j: Int): Double = {
       if (norms(i) == 0.0 || norms(j) == 0.0) 0.0
       else {

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench capture's self-adjudication logic (round-12 verdict #1):
+  * a per-query sandbox stall must flag itself for requeue instead of
+  * shipping as a plausible plan cost. Pure-function tests — the timings
+  * below are the actual figures from the r12 incident and healthy runs. */
+class BenchHarnessSpec extends AnyFunSuite {
+
+  test("r12 q24 incident flags: warm 15.49 s on cold 5.16 s is a stall") {
+    assert(Bench.stallInverted(cold = 5.16, warm = 15.49))
+  }
+
+  test("healthy warm-below-cold never flags (the normal shape)") {
+    assert(!Bench.stallInverted(cold = 5.16, warm = 1.14))
+    assert(!Bench.stallInverted(cold = 0.8, warm = 0.3))
+  }
+
+  test("sub-second queries need the 3x ratio AND +5s absolute guard") {
+    // 3x on a 0.2 s query is ordinary sandbox variance — must not flag
+    assert(!Bench.stallInverted(cold = 0.2, warm = 0.7))
+    // but a genuine multi-second stall on a tiny query does flag
+    assert(Bench.stallInverted(cold = 0.2, warm = 5.5))
+  }
+
+  test("heavy queries: 3x alone doesn't flag without the +5s margin") {
+    // warm slightly over cold on a 30 s query is variance, not a stall
+    assert(!Bench.stallInverted(cold = 30.0, warm = 34.0))
+    // 3x a heavy query is way past cold+5s — flags
+    assert(Bench.stallInverted(cold = 30.0, warm = 95.0))
+  }
+
+  test("errored executions (-1 sentinel) never flag") {
+    assert(!Bench.stallInverted(cold = -1.0, warm = 15.0))
+    assert(!Bench.stallInverted(cold = 5.0, warm = -1.0))
+  }
+}

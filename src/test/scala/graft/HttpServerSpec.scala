@@ -122,11 +122,23 @@ class HttpServerSpec extends SparkSuite {
 
       // backup over the wire: clone the current version, reopen it as an
       // independent collection, search it (doc 1 was removed above, doc 2
-      // survives the vacuum -> the clone serves exactly that state)
-      val destBase = java.nio.file.Files.createTempDirectory("graft_wire_bk").toString
+      // survives the vacuum -> the clone serves exactly that state).
+      // dest_base is RELATIVE — the route jails it under <base>/_backups
       val bk = post("/backup", Json.write(Map(
-        "collection_name" -> "wire", "dest_base" -> destBase)))
+        "collection_name" -> "wire", "dest_base" -> "bk1")))
       assert(bk.contains("version"))
+      val destBase = String.valueOf(bk("dest_base"))
+      assert(destBase == java.nio.file.Paths.get(svc.basePath, "_backups", "bk1")
+        .toAbsolutePath.normalize.toString)
+      // escape attempts are rejected (path traversal + absolute path)
+      for (evil <- Seq("../outside", "/tmp/graft_evil_bk")) {
+        val req = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${server.boundPort}/backup"))
+          .POST(HttpRequest.BodyPublishers.ofString(Json.write(Map(
+            "collection_name" -> "wire", "dest_base" -> evil)))).build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() >= 400, s"$evil accepted: ${resp.body()}")
+      }
       val wireConfig = graft.core.CollectionConfig(name = "wire",
         numFeatures = 4, initialNumCentroids = 2,
         attributeSchema = Seq(graft.core.AttrField("content", "text", "english")))

@@ -53,6 +53,19 @@ class MmrFilteredSpec extends SparkSuite {
     assert(picks === Seq(3L, 5L, 7L)) // 3 before 7 (tie), 5 is diverse
   }
 
+  test("mmr: NaN relevance ranks last instead of crashing the rerank") {
+    // BigDecimal(NaN) throws NumberFormatException — a degenerate
+    // candidate must follow the NaN-last convention, not kill the query
+    val cands = Seq(
+      (1L, Seq(1.0, 0.0), 0.9),
+      (2L, Seq(0.0, 1.0), Double.NaN),
+      (3L, Seq(0.5, 0.5), 0.8)
+    ).toDF("vec_id", "vector", "rel")
+    val picks = Search.mmrRerank(cands, k = 3, lambda = 1.0)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(picks === Seq(1L, 3L, 2L)) // NaN rel last
+  }
+
   test("mmr: caps the candidate set") {
     val q = Seq(1.0, 0.0)
     intercept[IllegalArgumentException] {
