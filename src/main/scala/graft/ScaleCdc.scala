@@ -30,6 +30,11 @@ object ScaleCdc {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // 32 concurrent parquet writers × the default 128 MB row-group buffer
+    // is ~4 GB of writer state in this single 8 GB JVM — a real cluster
+    // spreads those writers across executors. 32 MB row groups keep the
+    // wide-payload (768-dim array) rewrites inside the harness envelope.
+    spark.sparkContext.hadoopConfiguration.setInt("parquet.block.size", 32 << 20)
 
     def time[A](label: String)(f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val r = f
@@ -118,9 +123,107 @@ object ScaleCdc {
     val mirrorCount = spark.read.parquet(s"$base/mirror_v2").count()
     require(mirrorCount == n - nDel + nIns, s"mirror diverged: $mirrorCount")
 
+    // The BUCKETED mirror (round-12 verdict #2): the naive apply above is
+    // O(delta) fetch + O(mirror) rewrite — the rewrite half is the
+    // storage-format floor this layout removes. A small follow-up delta
+    // (60 keys) is applied two ways to the same v2 state: the naive
+    // full-rewrite, and CdcMirror's bucket-granular apply (touched
+    // buckets only). At 100 TB the bucket count scales with the corpus
+    // (bucket ≈ a task's worth of bytes), so a small delta always
+    // touches a small fraction — numBuckets=1024 at 200k rows models
+    // that regime (~60 touched of 1024 -> ~6% of the corpus rewritten).
+    import graft.operators.CdcMirror
+    val nSmall = 30L
+    val delKeys3 = spark.range(nSmall)
+      .select(lit(0L).as("user_id"), (col("id") * (n / nSmall) + 1L).as("doc_id"))
+    val insRows3 = spark.range(n + nIns, n + nIns + nSmall).select(
+      lit(0L).as("user_id"), col("id").as("doc_id"),
+      genUdf(col("id")).cast("array<double>").as("vector"))
+    coll.delete(delKeys3); coll.insert(insRows3)
+    time("small delta flush -> v3")(coll.flush())
+    val numBuckets = 1024
+    time(s"bucketed mirror seed ($numBuckets buckets)") {
+      CdcMirror.seed(coll.snapshotAt(2L).liveRows.get.select("doc_id", "vector"),
+        s"$base/mirror_bucketed", "doc_id", numBuckets)
+    }
+    // Materialize the O(delta) fetch ONCE, outside both timed windows —
+    // it is identical on both sides (and already measured by the q103
+    // path above), so timing it twice would just bury the quantity under
+    // test: the mirror REWRITE cost, naive O(mirror) vs bucketed
+    // O(touched buckets).
+    val delta3 = coll.changes(2L, 3L).cache()
+    val gone3 = delta3.filter(col("change_type").isin("delete", "update"))
+      .select("doc_id").cache()
+    val ups3 = delta3.filter(col("change_type").isin("insert", "update"))
+      .select("user_id", "doc_id")
+    val fetched3 = coll.snapshotAt(3L).liveRowsFor(Some(ups3)).get
+      .select("doc_id", "vector").cache()
+    gone3.count(); fetched3.count()
+    val (_, tNaiveSmall) = time(s"naive rewrite (${2 * nSmall} delta)") {
+      spark.read.parquet(s"$base/mirror_v2")
+        .join(gone3, Seq("doc_id"), "left_anti").unionByName(fetched3)
+        .write.mode("overwrite").parquet(s"$base/mirror_v3")
+    }
+    val (touched, tBucketed) = time(s"bucketed rewrite (${2 * nSmall} delta)") {
+      CdcMirror.applyDelta(spark, s"$base/mirror_bucketed", gone3, fetched3)
+    }
+    delta3.unpersist(); gone3.unpersist(); fetched3.unpersist()
+    val bCount = CdcMirror.read(spark, s"$base/mirror_bucketed").count()
+    val naiveCount = spark.read.parquet(s"$base/mirror_v3").count()
+    require(bCount == naiveCount && bCount == n - nDel + nIns,
+      s"bucketed mirror diverged: $bCount vs $naiveCount")
+
+    // The SLOPE demonstration: the bucketed apply carries a flat ~2-3 s
+    // of job/commit overhead that masks its advantage when the naive
+    // rewrite is also ~3 s, so scale the MIRROR (not the delta) — a
+    // synthetic mirror (no collection machinery needed; the rewrite
+    // claim is pure storage-layout) at `mirrorN` rows, same 60-key
+    // delta. Naive rewrite cost grows with the mirror; the bucketed one
+    // must stay ~flat (touched buckets only).
+    // default sized to the 8g forked JVM + a half-full /tmp (three 3 GB
+    // copies + shuffle live at once); the 1M arm ran at
+    // SPARK_DRIVER_MEM=16g with ~25 GB free
+    val mirrorN = if (args.length > 3) args(3).toLong else 500000L
+    // the collection + first-mirror intermediates are no longer needed —
+    // drop them so three synthetic copies fit alongside shuffle spill
+    Seq("mirror", "mirror_v2", "mirror_v3", "mirror_bucketed").foreach(p =>
+      deleteRec(new java.io.File(s"$base/$p")))
+    val mRows = spark.range(mirrorN).select(col("id").as("doc_id"),
+      genUdf(col("id")).cast("array<double>").as("vector"))
+    time(s"synthetic naive seed ($mirrorN)") {
+      mRows.write.mode("overwrite").parquet(s"$base/syn_naive")
+    }
+    time(s"synthetic bucketed seed ($mirrorN)") {
+      CdcMirror.seed(mRows, s"$base/syn_bucketed", "doc_id", numBuckets)
+    }
+    val sGone = spark.range(nSmall)
+      .select((col("id") * (mirrorN / nSmall) + 1L).as("doc_id")).cache()
+    val sUps = spark.range(mirrorN, mirrorN + nSmall).select(
+      col("id").as("doc_id"),
+      genUdf(col("id")).cast("array<double>").as("vector")).cache()
+    sGone.count(); sUps.count()
+    val (_, tSynNaive) = time(s"synthetic naive rewrite ($mirrorN)") {
+      spark.read.parquet(s"$base/syn_naive")
+        .join(sGone, Seq("doc_id"), "left_anti").unionByName(sUps)
+        .write.mode("overwrite").parquet(s"$base/syn_naive_v2")
+    }
+    val (sTouched, tSynBucketed) = time(s"synthetic bucketed rewrite ($mirrorN)") {
+      CdcMirror.applyDelta(spark, s"$base/syn_bucketed", sGone, sUps)
+    }
+    sGone.unpersist(); sUps.unpersist()
+    val sbCount = CdcMirror.read(spark, s"$base/syn_bucketed").count()
+    require(sbCount == mirrorN && sbCount == spark.read.parquet(s"$base/syn_naive_v2").count(),
+      s"synthetic mirrors diverged: $sbCount")
+
     println(s"""{"op":"cdc","n":$n,"delta":${nDel + nIns},""" +
       f""""changes_sec":$tRestricted%.2f,"full_diff_sec":$tFull%.2f,""" +
-      f""""mirror_apply_sec":$tApply%.2f}""")
+      f""""mirror_apply_sec":$tApply%.2f,""" +
+      f""""small_delta":${2 * nSmall},"naive_small_apply_sec":$tNaiveSmall%.2f,""" +
+      f""""bucketed_apply_sec":$tBucketed%.2f,"touched_buckets":${touched.size},""" +
+      f""""num_buckets":$numBuckets,"mirror_n":$mirrorN,""" +
+      f""""syn_naive_rewrite_sec":$tSynNaive%.2f,""" +
+      f""""syn_bucketed_rewrite_sec":$tSynBucketed%.2f,""" +
+      s""""syn_touched_buckets":${sTouched.size}}""")
     spark.stop()
   }
 }

@@ -341,10 +341,27 @@ object Ann {
     * collect: centroid count is fixed by config regardless of corpus
     * size. Returns the `nprobe` chosen centroid ids (graph-approximate;
     * recall governed by `ef` exactly as in the reference). */
+  /** Resident centroid graphs keyed by the caller's `cacheKey` (round-12
+    * verdict minor #3): a warm hit serves the probe with ZERO Spark jobs
+    * — no centroid collect, no content hash. The key must change whenever
+    * the centroid set could (the served path keys on the collection
+    * `stateFingerprint` the way GraftService keys its served views; the
+    * gate keys on the input stamp). Centroid sets are broadcast-size by
+    * design; the cache is cleared wholesale past a small bound. */
+  private val residentGraphs =
+    new java.util.concurrent.ConcurrentHashMap[String, Hnsw]()
+
   def hnswProbe(
       centroids: DataFrame, query: Seq[Double], nprobe: Int,
       m: Int = 8, efConstruction: Int = 100, ef: Int = 64,
-      seed: Long = 42L, binDir: Option[String] = None): Array[Long] = {
+      seed: Long = 42L, binDir: Option[String] = None,
+      cacheKey: Option[String] = None): Array[Long] = {
+    val fullKey = cacheKey.map(k => s"$k|m=$m|efc=$efConstruction|seed=$seed")
+    fullKey.flatMap(k => Option(residentGraphs.get(k))) match {
+      case Some(resident) =>
+        return resident.search(query.toArray, nprobe, ef).map(_._1)
+      case None => ()
+    }
     val rows = centroids
       .select(col("centroid_id").cast("long"), col("vector").cast("array<double>"))
       .collect()
@@ -378,6 +395,10 @@ object Ann {
           Hnsw.save(path, g)
           g
         }
+    }
+    fullKey.foreach { k =>
+      if (residentGraphs.size >= 16) residentGraphs.clear() // bounded
+      residentGraphs.put(k, graph)
     }
     graph.search(query.toArray, nprobe, ef).map(_._1)
   }

@@ -255,4 +255,36 @@ class HnswSpec extends SparkSuite {
     assert(new java.io.File(dir).listFiles().length == 2,
       "changed vectors with same ids must key a NEW persisted graph")
   }
+
+  test("hnswProbe cacheKey: a warm re-probe runs ZERO Spark jobs") {
+    val rng = new scala.util.Random(23)
+    val cents = Seq.tabulate(24) { i =>
+      (i.toLong, Array.fill(8)(rng.nextDouble()))
+    }
+    val cdf = cents.toDF("centroid_id", "vector")
+    val q = Array.fill(8)(rng.nextDouble())
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val key = Some(s"hnswspec-resident-${System.nanoTime()}")
+    val first = Ann.hnswProbe(cdf, q.toSeq, nprobe = 4, cacheKey = key)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val warm = Ann.hnswProbe(cdf, q.toSeq, nprobe = 4, cacheKey = key)
+      // listener events are async — give the bus a moment to drain; a
+      // false negative here would need a job START to lag >1s, and the
+      // assert is jobs == 0 so late events only make it stricter to pass
+      Thread.sleep(1000)
+      assert(warm.toSeq === first.toSeq)
+      assert(jobs.get() === 0,
+        s"warm resident probe launched ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // a DIFFERENT key must not serve the resident graph of another set
+    val other = Ann.hnswProbe(cdf, q.toSeq, nprobe = 4,
+      cacheKey = Some(s"hnswspec-other-${System.nanoTime()}"))
+    assert(other.toSeq === first.toSeq)
+  }
 }
