@@ -55,5 +55,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "window_hashes(tokens, L) - positioned rolling hashes of every L-token window") {
       es => WindowHashes(es(0), es(1).eval().asInstanceOf[Number].intValue())
     }
+
+    // SQL table-valued ANN search (SURVEY §4's one optional custom-Catalyst
+    // item): `SELECT * FROM graft_ann('<base>', '<name>', <dim>,
+    // array(<q...>), <k>[, <nprobe>])` opens the collection, runs the
+    // engine's snapshot search, and exposes the result relation — a
+    // pure-SQL round trip of the §7.3 minimum slice. The builder runs at
+    // analysis time with literal arguments (the TVF contract); the
+    // returned plan is the search DataFrame's analyzed plan, so execution
+    // stays the ordinary distributed search (centroid prune -> broadcast
+    // postings probe -> tombstone-aware top-k), not a driver loop.
+    ext.injectTableFunction((FunctionIdentifier("graft_ann"),
+      info("graft_ann",
+        "graft_ann(base, name, dim, query, k[, nprobe]) - ANN search over a graft collection"),
+      { (es: Seq[Expression]) =>
+        require(es.length == 5 || es.length == 6,
+          "graft_ann(base, name, dim, query, k[, nprobe])")
+        def str(e: Expression): String = e.eval() match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case other => String.valueOf(other)
+        }
+        def int(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+        val base = str(es(0)); val name = str(es(1)); val dim = int(es(2))
+        val q: Seq[Double] = es(3).eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toDoubleArray().toSeq
+          case other => sys.error(s"graft_ann: query must be array<double>, got $other")
+        }
+        val k = int(es(4))
+        val nprobe = if (es.length == 6) Some(int(es(5))) else None
+        val spark = org.apache.spark.sql.SparkSession.active
+        val coll = graft.core.Collection.open(spark, base,
+          graft.core.CollectionConfig(name = name, numFeatures = dim))
+        coll.snapshot()
+          .search(q, graft.operators.SearchParams(topK = k,
+            numExploredCentroids = nprobe))
+          .queryExecution.analyzed
+      }))
   }
 }

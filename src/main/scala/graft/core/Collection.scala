@@ -408,18 +408,30 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
 
   /** Build the four tables of one immutable segment from raw rows. */
   private def buildSegment(rows: DataFrame, seg: String): Unit = {
+    // Single-pass build (round 13): the segment's vectors parquet IS the
+    // durable copy of this exact frame, so every downstream pass (bloom,
+    // centroid sample, postings assignment, terms) reads the WRITTEN
+    // table with column pruning instead of a persisted cache. The old
+    // persist() held ~the corpus in unified-memory storage, which both
+    // double-paid the I/O (cache write + cache reads alongside the
+    // parquet write) and starved the write-stage sorters at scale (1M x
+    // 768 on the 8g harness JVM dies with UNABLE_TO_ACQUIRE_MEMORY when
+    // cache construction shares the stage); parquet reads are pruned to
+    // the columns each pass needs, which the cache scan also couldn't
+    // beat for the vector-payload passes.
     // Dense per-user point ids (rs/index/src/multi_spann/builder.rs:56-70).
     val w = Window.partitionBy("user_id").orderBy("doc_id")
-    val preEncode = rows
+    var vectors = rows
       .withColumn("point_id", row_number().over(w))
-      .persist()
-    var vectors = preEncode
 
     // PQ quantizer: train a per-segment codebook, persist it, and store
     // byte codes alongside (V3; rs/quantization/src/pq/pq_builder.rs).
+    // Quantizer training needs only the vector column — it samples `rows`
+    // directly, so the bounded training collect never recomputes the
+    // point-id window.
     if (config.quantizer == "pq") {
       val model = graft.operators.ProductQuantizer.train(
-        vectors, "vector", config.pqSubvectors, config.pqBits,
+        rows, "vector", config.pqSubvectors, config.pqBits,
         sampleSize = config.clusteringSample)
       Files.createDirectories(Paths.get(segPath(seg)))
       val oos = new java.io.ObjectOutputStream(
@@ -427,13 +439,12 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       try oos.writeObject(model) finally oos.close()
       vectors = vectors.withColumn("pq_codes",
         graft.operators.ProductQuantizer.encodeCol(model, col("vector")))
-        .persist()
     }
     // RaBitQ quantizer: sign-bit codes + per-vector factor/norm (V6;
     // rs/quantization/src/rabitq/, unwired in the reference's server).
     if (config.quantizer == "rabitq") {
       val model = graft.operators.RaBitQ.train(
-        vectors, "vector", sampleSize = config.clusteringSample)
+        rows, "vector", sampleSize = config.clusteringSample)
       Files.createDirectories(Paths.get(segPath(seg)))
       val oos = new java.io.ObjectOutputStream(
         Files.newOutputStream(Paths.get(segPath(seg), "rabitq_model.bin")))
@@ -444,19 +455,17 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
         .withColumn("rq_f", col("rq._2"))
         .withColumn("rq_norm", col("rq._3"))
         .drop("rq")
-        .persist()
     }
     // SQ8 quantizer: exact per-dim ranges + 1-byte codes (V-family;
     // the scalar sibling of PQ with trivial training).
     if (config.quantizer == "sq8") {
-      val model = graft.operators.ScalarQuantizer.train(vectors, "vector")
+      val model = graft.operators.ScalarQuantizer.train(rows, "vector")
       Files.createDirectories(Paths.get(segPath(seg)))
       val oos = new java.io.ObjectOutputStream(
         Files.newOutputStream(Paths.get(segPath(seg), "sq_model.bin")))
       try oos.writeObject(model) finally oos.close()
       vectors = vectors.withColumn("sq_codes",
         graft.operators.ScalarQuantizer.encodeCol(model, col("vector")))
-        .persist()
     }
     // Full rows (attrs included) persist in the vectors table so merge /
     // vacuum can rebuild the term index without a separate attrs store.
@@ -467,16 +476,29 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     // Row count rides the write job as an observed metric — the bloom
     // sizing below must not pay a second full pass over the segment.
     val rowCountObs = org.apache.spark.sql.Observation()
+    // NO repartition before this write (round 13): the point-id window
+    // above already exchanged the corpus hash-by-user_id, so every task
+    // holds whole users. A repartition(user_bucket, user_id) here paid a
+    // SECOND full-corpus shuffle without changing the file layout — it
+    // hashes on (bucket, user), so each output partition still spans
+    // ~every bucket and the partitioned write emits the same
+    // ~tasks-per-bucket files either way (BASELINE.md round 13). The
+    // in-task sort alone gives the M4 locality order within each file.
     val w0 = vectors
       .withColumn("user_bucket", userBucket(col("user_id")))
       .observe(rowCountObs, count(lit(1)).as("n"))
-      .repartition(col("user_bucket"), col("user_id"))
       .sortWithinPartitions("user_bucket", "user_id", "point_id") // M4 locality
       .write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#doc_id", "true")
     (if (config.userBuckets > 0) w0.partitionBy("user_bucket") else w0)
       .parquet(s"${segPath(seg)}/vectors")
     val segRows = rowCountObs.get.apply("n").asInstanceOf[Long]
+    // Every later pass reads the just-written table (column-pruned). An
+    // all-empty partitioned write leaves no files to infer from — keep
+    // the logical frame in that degenerate case (passes produce empty
+    // outputs of the right shape either way).
+    if (segRows > 0) vectors = spark.read.parquet(s"${segPath(seg)}/vectors")
+    else vectors = vectors.withColumn("user_bucket", userBucket(col("user_id")))
 
     // Segment-level blocked bloom over xxhash64(doc_id) (F9; fpr from config
     // mirror rs/config/src/collection.rs:146-149) for the delete
@@ -551,8 +573,6 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       .write.mode("overwrite")
       .partitionBy("term_bucket")
       .parquet(s"${segPath(seg)}/terms")
-    vectors.unpersist()
-    if (vectors ne preEncode) preEncode.unpersist() // pq path caches two frames
   }
 
   // ---- read path ----

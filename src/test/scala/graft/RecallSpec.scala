@@ -193,6 +193,49 @@ class RecallSpec extends SparkSuite {
     }
   }
 
+  test("extensions: graft_ann TVF — a pure-SQL round trip of the minimum slice") {
+    val prev = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-tvf-test")
+        .withExtensions(new GraftExtensions())
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import s2.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_tvf").toString
+      val cfg = graft.core.CollectionConfig(
+        name = "sqlcoll", numFeatures = 4, initialNumCentroids = 2)
+      val coll = graft.core.Collection.create(s2, base, cfg)
+      val rows = Seq.tabulate(20) { i =>
+        (0L, i.toLong, Seq.tabulate(4)(d => (i * 4 + d).toDouble))
+      }.toDF("user_id", "doc_id", "vector")
+      coll.insert(rows); coll.flush()
+      // SQL only from here: the TVF opens the collection and runs the
+      // engine's snapshot search; compare against the Scala API result
+      val sql = s2.sql(
+        s"SELECT doc_id, round(score, 6) AS score FROM graft_ann('$base', 'sqlcoll', 4, " +
+          "array(8.1d, 9.1d, 10.1d, 11.1d), 3, 2) ORDER BY score, doc_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val api = coll.snapshot()
+        .search(Seq(8.1, 9.1, 10.1, 11.1),
+          graft.operators.SearchParams(topK = 3, numExploredCentroids = Some(2)))
+        .selectExpr("doc_id", "round(score, 6) AS score")
+        .orderBy("score", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(sql === api)
+      assert(sql.head._1 === 2L) // nearest to the planted query
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setActiveSession(p)
+        SparkSession.setDefaultSession(p)
+      }
+    }
+  }
+
   test("diverseSelect: covers every planted mode, deterministic, beats head-of-corpus coverage") {
     val r = new scala.util.Random(17)
     val centers = Array.fill(8)(Array.fill(12)(r.nextGaussian() * 4.0))
