@@ -14,6 +14,19 @@ object Bench {
   def stallInverted(cold: Double, warm: Double): Boolean =
     cold >= 0 && warm >= 0 && warm > math.max(3.0 * cold, cold + 5.0)
 
+  /** Merge one requeue execution into a flagged query's figures: the
+    * reported warm is the min of the original and the requeue (plus its
+    * matching artifact split), the sample list grows for the median —
+    * unless the requeue itself errored or was slower, in which case the
+    * original figures stand (a requeue can only ever improve a number,
+    * never make a healthy one look worse). */
+  def requeueMerge(
+      warm: Double, artWarm: Double, samples: Seq[Double],
+      rq: Double, rqArt: Double, rqErr: Option[String])
+      : (Double, Double, Seq[Double]) =
+    if (rqErr.isDefined || rq < 0 || rq >= warm) (warm, artWarm, samples)
+    else (rq, rqArt, samples :+ rq)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -179,8 +192,7 @@ object Bench {
       val (warmF, artF, allSamples) = if (!inverted) (warm, artWarm, samples) else {
         requeuedNames += name
         val (rq, rqArt, rqErr) = once(fn)
-        if (rqErr.isDefined || rq < 0 || rq >= warm) (warm, artWarm, samples)
-        else (rq, rqArt, samples :+ rq)
+        requeueMerge(warm, artWarm, samples, rq, rqArt, rqErr)
       }
       // median over all valid executions: the variance-robust middle
       // figure (BASELINE.md documents ±40% single-run spread in this

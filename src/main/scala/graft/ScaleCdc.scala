@@ -225,5 +225,10 @@ object ScaleCdc {
       f""""syn_bucketed_rewrite_sec":$tSynBucketed%.2f,""" +
       s""""syn_touched_buckets":${sTouched.size}}""")
     spark.stop()
+    // a successful run leaves nothing behind — the 768-dim intermediates
+    // are tens of GB and a few stale runs fill the sandbox disk (a 1M
+    // soak died on "No space left" from exactly this); failures keep
+    // their dirs for debugging because this line is never reached
+    deleteRec(new java.io.File(base))
   }
 }

@@ -153,5 +153,8 @@ object ScaleSoak {
       s""""clean_expired_races":${cleanExpired.get()},"errors":0,""" +
       f""""max_round_sec":$maxWriter%.2f}""")
     spark.stop()
+    // successful runs leave nothing behind (stale multi-GB harness dirs
+    // have filled the sandbox disk); failures keep theirs for debugging
+    deleteRec(new java.io.File(base))
   }
 }

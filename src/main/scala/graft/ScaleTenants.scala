@@ -140,5 +140,8 @@ object ScaleTenants {
       f""""unpruned_sec":$tUnpruned%.3f,"serve_build_sec":$tServe%.3f,""" +
       f""""served_query_us":${tServedQ * 1e6 / 100}%.1f,"plan_pruned":true}""")
     spark.stop()
+    // successful runs leave nothing behind (stale multi-GB harness dirs
+    // have filled the sandbox disk); failures keep theirs for debugging
+    deleteRec(new java.io.File(base))
   }
 }

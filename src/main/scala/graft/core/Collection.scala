@@ -420,8 +420,16 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     // the columns each pass needs, which the cache scan also couldn't
     // beat for the vector-payload passes.
     // Dense per-user point ids (rs/index/src/multi_spann/builder.rs:56-70).
-    val w = Window.partitionBy("user_id").orderBy("doc_id")
+    // The window partitions by (user_bucket, user_id) — identical groups
+    // to user_id alone (the bucket is a pure function of the user), but
+    // the window's own in-task sort is then (bucket, user, doc_id), which
+    // already IS the M4 locality order and satisfies the bucketed write's
+    // required ordering — the write stage carries ZERO additional sorters
+    // (two fused sorters in one stage OOM'd the 1M x 768 merge under
+    // concurrent readers even at 24g, round-13 soak).
+    val w = Window.partitionBy("user_bucket", "user_id").orderBy("doc_id")
     var vectors = rows
+      .withColumn("user_bucket", userBucket(col("user_id")))
       .withColumn("point_id", row_number().over(w))
 
     // PQ quantizer: train a per-segment codebook, persist it, and store
@@ -476,18 +484,18 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     // Row count rides the write job as an observed metric — the bloom
     // sizing below must not pay a second full pass over the segment.
     val rowCountObs = org.apache.spark.sql.Observation()
-    // NO repartition before this write (round 13): the point-id window
-    // above already exchanged the corpus hash-by-user_id, so every task
-    // holds whole users. A repartition(user_bucket, user_id) here paid a
-    // SECOND full-corpus shuffle without changing the file layout — it
-    // hashes on (bucket, user), so each output partition still spans
-    // ~every bucket and the partitioned write emits the same
-    // ~tasks-per-bucket files either way (BASELINE.md round 13). The
-    // in-task sort alone gives the M4 locality order within each file.
+    // NO repartition and NO explicit sort before this write (round 13):
+    // the point-id window above already exchanged the corpus (hash by
+    // (bucket, user) — whole users per task) AND sorted each task by
+    // (user_bucket, user_id, doc_id), which is the M4 locality order and
+    // a superset of the partitioned write's required ordering, so
+    // FileFormatWriter adds no sorter. The old pre-write
+    // repartition(user_bucket, user_id) was a second full-corpus shuffle
+    // that didn't co-locate buckets (hash on both columns leaves every
+    // output partition spanning ~all buckets — same file layout without
+    // it); measured: 1M x 768 flush 252 s -> ~150 s (BASELINE.md r13).
     val w0 = vectors
-      .withColumn("user_bucket", userBucket(col("user_id")))
       .observe(rowCountObs, count(lit(1)).as("n"))
-      .sortWithinPartitions("user_bucket", "user_id", "point_id") // M4 locality
       .write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#doc_id", "true")
     (if (config.userBuckets > 0) w0.partitionBy("user_bucket") else w0)
@@ -498,7 +506,6 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     // the logical frame in that degenerate case (passes produce empty
     // outputs of the right shape either way).
     if (segRows > 0) vectors = spark.read.parquet(s"${segPath(seg)}/vectors")
-    else vectors = vectors.withColumn("user_bucket", userBucket(col("user_id")))
 
     // Segment-level blocked bloom over xxhash64(doc_id) (F9; fpr from config
     // mirror rs/config/src/collection.rs:146-149) for the delete

@@ -35,4 +35,28 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(!Bench.stallInverted(cold = -1.0, warm = 15.0))
     assert(!Bench.stallInverted(cold = 5.0, warm = -1.0))
   }
+
+  test("synthetic stall end-to-end: flag -> requeue -> min reported") {
+    // the r12 q24 shape: cold 5.16, both warms stalled at ~15.5; the
+    // suite-end requeue (after the stall) lands at the true 1.4 s
+    val samples = Seq(5.16, 15.49, 15.61)
+    val warm = samples.drop(1).min
+    assert(Bench.stallInverted(5.16, warm)) // flags
+    val (w, a, s) = Bench.requeueMerge(warm, 0.2, samples,
+      rq = 1.41, rqArt = 0.1, rqErr = None)
+    assert(w === 1.41 && a === 0.1 && s === samples :+ 1.41)
+    // median over all four samples: lower-middle = the second smallest
+    val med = s.sorted.apply((s.length - 1) / 2)
+    assert(med === 5.16)
+  }
+
+  test("requeue merge: slower or errored requeues never worsen the figures") {
+    val samples = Seq(5.16, 15.49, 15.61)
+    // slower requeue (stall not over): original stands
+    val (w1, a1, s1) = Bench.requeueMerge(15.49, 0.2, samples, 20.0, 0.3, None)
+    assert(w1 === 15.49 && a1 === 0.2 && s1 === samples)
+    // errored requeue: original stands
+    val (w2, _, s2) = Bench.requeueMerge(15.49, 0.2, samples, -1.0, 0.0, Some("boom"))
+    assert(w2 === 15.49 && s2 === samples)
+  }
 }
