@@ -381,4 +381,52 @@ class StreamingSpec extends SparkSuite {
       assert(mirror === ((0L until 120L).toSet -- Set(10L, 11L)))
     } finally q.stop()
   }
+
+  test("CdcFollower keeps a bucketed parquet mirror converged across streaming flushes") {
+    val base = Files.createTempDirectory("graft_follow2").toString
+    val cp = Files.createTempDirectory("graft_follow2_cp").toString
+    val mirror = Files.createTempDirectory("graft_follow2_m").resolve("m").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "fw2", numFeatures = 4, initialNumCentroids = 4, maxPendingOps = 50L))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Seq[Double])]
+    val rows = stream.toDF().toDF("user_id", "doc_id", "vector")
+    val q = StreamingIngest.start(rows, coll, cp, Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      def batch(from: Int, until: Int) = (from until until).map { i =>
+        (0L, i.toLong, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble))
+      }
+      stream.addData(batch(0, 60)) // > maxPendingOps -> auto-flush commits v1
+      q.processAllAvailable()
+      var seen = graft.streaming.CdcFollower.seed(coll, mirror, numBuckets = 16)
+      def mirrorIds(): Set[Long] =
+        graft.operators.CdcMirror.read(spark, mirror)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      def liveIds(): Set[Long] =
+        coll.snapshot().liveDocs.get.select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+      assert(mirrorIds() === liveIds())
+      // an idle follow is a version-level no-op: nothing committed,
+      // nothing rewritten
+      assert(graft.streaming.CdcFollower.followOnce(coll, mirror, seen) === seen)
+      coll.delete(Seq((0L, 10L), (0L, 11L)).toDF("user_id", "doc_id"))
+      stream.addData(batch(60, 120)) // auto-flush commits v2 (with the deletes)
+      q.processAllAvailable()
+      seen = graft.streaming.CdcFollower.followOnce(coll, mirror, seen)
+      assert(seen >= 2L, "auto-flush never committed a second version")
+      assert(mirrorIds() === ((0L until 120L).toSet -- Set(10L, 11L)))
+      assert(mirrorIds() === liveIds())
+      // the follower composes: sleep through TWO commits, catch up in one
+      coll.delete(Seq((0L, 70L)).toDF("user_id", "doc_id")); coll.flush()
+      stream.addData(batch(120, 180))
+      q.processAllAvailable()
+      seen = graft.streaming.CdcFollower.followOnce(coll, mirror, seen)
+      assert(mirrorIds() === liveIds())
+      // and the payloads ride along, not just the keys
+      val v = graft.operators.CdcMirror.read(spark, mirror)
+        .filter(col("doc_id") === 150L)
+        .select("vector").head().getSeq[Double](0)
+      assert(v === Seq(150.0, 150.0, 150.0, 150.0))
+    } finally q.stop()
+  }
 }
