@@ -57,40 +57,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     // SQL table-valued ANN search (SURVEY §4's one optional custom-Catalyst
-    // item): `SELECT * FROM graft_ann('<base>', '<name>', <dim>,
-    // array(<q...>), <k>[, <nprobe>])` opens the collection, runs the
-    // engine's snapshot search, and exposes the result relation — a
-    // pure-SQL round trip of the §7.3 minimum slice. The builder runs at
-    // analysis time with literal arguments (the TVF contract); the
-    // returned plan is the search DataFrame's analyzed plan, so execution
-    // stays the ordinary distributed search (centroid prune -> broadcast
-    // postings probe -> tombstone-aware top-k), not a driver loop.
+    // item): `SELECT * FROM graft_ann('<base>', '<name>', array(<q...>),
+    // <k>[, <nprobe>])` — a pure-SQL round trip of the §7.3 minimum slice.
+    // Two deliberate choices (both from the round-13 review):
+    //   - the collection opens from its PERSISTED config
+    //     (Collection.openPersisted), so a PQ/RaBitQ/SQ8 collection serves
+    //     SQL users through the same quantizer path as the Scala surface —
+    //     a guessed default config would silently diverge the two;
+    //   - the distributed search EXECUTES here, under the snapshot's pin,
+    //     and the top-k result (≤ k rows by construction) returns as a
+    //     LocalRelation. Returning the lazy plan instead would drop the
+    //     pin at analysis end, letting a concurrent expireVersions delete
+    //     segment files before the user executes the DataFrame — the
+    //     read-during-expiry race the pin registry exists to prevent. The
+    //     arguments are literals (the TVF contract), so there is no late
+    //     binding to preserve.
     ext.injectTableFunction((FunctionIdentifier("graft_ann"),
       info("graft_ann",
-        "graft_ann(base, name, dim, query, k[, nprobe]) - ANN search over a graft collection"),
+        "graft_ann(base, name, query, k[, nprobe]) - ANN search over a graft collection"),
       { (es: Seq[Expression]) =>
-        require(es.length == 5 || es.length == 6,
-          "graft_ann(base, name, dim, query, k[, nprobe])")
+        require(es.length == 4 || es.length == 5,
+          "graft_ann(base, name, query, k[, nprobe])")
         def str(e: Expression): String = e.eval() match {
           case u: org.apache.spark.unsafe.types.UTF8String => u.toString
           case other => String.valueOf(other)
         }
         def int(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
-        val base = str(es(0)); val name = str(es(1)); val dim = int(es(2))
-        val q: Seq[Double] = es(3).eval() match {
+        val base = str(es(0)); val name = str(es(1))
+        val q: Seq[Double] = es(2).eval() match {
           case a: org.apache.spark.sql.catalyst.util.ArrayData =>
             a.toDoubleArray().toSeq
           case other => sys.error(s"graft_ann: query must be array<double>, got $other")
         }
-        val k = int(es(4))
-        val nprobe = if (es.length == 6) Some(int(es(5))) else None
+        val k = int(es(3))
+        val nprobe = if (es.length == 5) Some(int(es(4))) else None
         val spark = org.apache.spark.sql.SparkSession.active
-        val coll = graft.core.Collection.open(spark, base,
-          graft.core.CollectionConfig(name = name, numFeatures = dim))
-        coll.snapshot()
-          .search(q, graft.operators.SearchParams(topK = k,
+        val coll = graft.core.Collection.openPersisted(spark, base, name)
+        val snap = coll.snapshot() // pin the version across the execution
+        try {
+          val df = snap.search(q, graft.operators.SearchParams(topK = k,
             numExploredCentroids = nprobe))
-          .queryExecution.analyzed
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+            df.queryExecution.analyzed.output.map(_.toAttribute),
+            df.queryExecution.executedPlan.executeCollect().toIndexedSeq)
+        } finally java.lang.ref.Reference.reachabilityFence(snap)
       }))
   }
 }

@@ -838,6 +838,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
           visible.write.mode("overwrite").parquet(dest.resolve("tombstones").toString)
       }
       Toc.write(dest.toString, t)
+      Collection.writeConfig(dest.toString, config) // clone is self-describing
       new Collection(spark, dest.toString, config)
     }
   }
@@ -973,6 +974,32 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
   }
 
   /** Hash bucket for partition pruning (stable across writes/reads). */
+  /** Memoized "does segment's compiled filter pass ≤ threshold points"
+    * decisions for the adaptive filtered-search branch. COLLECTION-scoped,
+    * not per-Snapshot: the served path builds a fresh Snapshot per request
+    * (GraftService.search), which would make a per-Snapshot memo never hit
+    * exactly where it matters. Safe because segments are immutable and
+    * segment names are unique within a collection path — an entry can
+    * never go stale. Bounded: cleared wholesale past 256 entries (each key
+    * retains its filter tree and user list, so an unbounded map over
+    * per-request Ids filters would leak). The count job runs OUTSIDE the
+    * map (a concurrent duplicate computes the same immutable answer —
+    * cheaper than serializing unrelated searches behind a CHM bin lock
+    * held across a Spark job). */
+  private val adaptiveFit =
+    new java.util.concurrent.ConcurrentHashMap[(String, graft.operators.DocFilter, Seq[Any], Long), java.lang.Boolean]()
+
+  private[core] def adaptiveFits(
+      key: (String, graft.operators.DocFilter, Seq[Any], Long))(
+      count: => Boolean): Boolean = {
+    val cached = adaptiveFit.get(key)
+    if (cached != null) return cached.booleanValue()
+    val v = count
+    if (adaptiveFit.size >= 256) adaptiveFit.clear()
+    adaptiveFit.put(key, java.lang.Boolean.valueOf(v))
+    v
+  }
+
   private[core] def userBucket(userId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     if (config.userBuckets > 0) pmod(xxhash64(userId), lit(config.userBuckets.toLong))
     else lit(0L)
@@ -1009,11 +1036,77 @@ object Collection {
     val p = s"$base/${config.name}"
     Files.createDirectories(Paths.get(p))
     Toc.write(p, Toc(0L, Nil, -1L))
+    writeConfig(p, config)
     new Collection(spark, p, config)
   }
 
   def open(spark: SparkSession, base: String, config: CollectionConfig): Collection =
     new Collection(spark, s"$base/${config.name}", config)
+
+  /** Open a collection from its PERSISTED config (written by [[create]]
+    * since round 13). This is what config-less surfaces use — the
+    * `graft_ann` SQL table function has no way to pass a
+    * [[CollectionConfig]], and guessing defaults silently serves a
+    * quantized collection through the un-quantized path. */
+  def openPersisted(spark: SparkSession, base: String, name: String): Collection = {
+    val p = s"$base/$name"
+    val cfg = readConfig(p).getOrElse(sys.error(
+      s"no persisted config at $p/CONFIG — create the collection with " +
+        "Collection.create (which persists it) or open with an explicit config"))
+    new Collection(spark, p, cfg)
+  }
+
+  /** Line-oriented config codec (no JSON dependency in core): one
+    * `key=value` per scalar field, one `attr=name|kind|lang` line per
+    * attribute-schema field. */
+  private[core] def writeConfig(path: String, c: CollectionConfig): Unit = {
+    val lines = Seq(
+      s"name=${c.name}", s"numFeatures=${c.numFeatures}",
+      s"initialNumCentroids=${c.initialNumCentroids}",
+      s"maxClustersPerVector=${c.maxClustersPerVector}",
+      s"clusteringDistanceThresholdPct=${c.clusteringDistanceThresholdPct}",
+      s"maxPostingListSize=${c.maxPostingListSize}",
+      s"clusteringSample=${c.clusteringSample}",
+      s"maxPendingOps=${c.maxPendingOps}",
+      s"maxNumberOfSegments=${c.maxNumberOfSegments}",
+      s"userBuckets=${c.userBuckets}",
+      s"quantizer=${c.quantizer}",
+      s"pqSubvectors=${c.pqSubvectors}", s"pqBits=${c.pqBits}",
+      s"centroidIndexType=${c.centroidIndexType}",
+      s"assignProbeGroups=${c.assignProbeGroups}") ++
+      c.attributeSchema.map(f => s"attr=${f.name}|${f.kind}|${f.lang}")
+    Files.writeString(Paths.get(path, "CONFIG"), lines.mkString("\n") + "\n")
+  }
+
+  private[core] def readConfig(path: String): Option[CollectionConfig] = {
+    val p = Paths.get(path, "CONFIG")
+    if (!Files.exists(p)) return None
+    val kv = scala.collection.mutable.Map[String, String]()
+    val attrs = scala.collection.mutable.ArrayBuffer[AttrField]()
+    Files.readString(p).split("\n").filter(_.nonEmpty).foreach { line =>
+      val i = line.indexOf('=')
+      val (k, v) = (line.take(i), line.drop(i + 1))
+      if (k == "attr") {
+        val parts = v.split("\\|", -1)
+        attrs += AttrField(parts(0), parts(1), parts(2))
+      } else kv(k) = v
+    }
+    Some(CollectionConfig(
+      name = kv("name"), numFeatures = kv("numFeatures").toInt,
+      initialNumCentroids = kv("initialNumCentroids").toInt,
+      maxClustersPerVector = kv("maxClustersPerVector").toInt,
+      clusteringDistanceThresholdPct = kv("clusteringDistanceThresholdPct").toDouble,
+      maxPostingListSize = kv("maxPostingListSize").toLong,
+      clusteringSample = kv("clusteringSample").toInt,
+      maxPendingOps = kv("maxPendingOps").toLong,
+      maxNumberOfSegments = kv("maxNumberOfSegments").toInt,
+      userBuckets = kv("userBuckets").toInt,
+      quantizer = kv("quantizer"),
+      pqSubvectors = kv("pqSubvectors").toInt, pqBits = kv("pqBits").toInt,
+      centroidIndexType = kv("centroidIndexType"),
+      assignProbeGroups = kv("assignProbeGroups").toInt,
+      attributeSchema = attrs.toSeq))
+  }
 
   /** A version's logical WAL position: maxOpsBatch when recorded at
     * commit; legacy TOCs fall back to the flush watermark (segments-only
@@ -1049,13 +1142,6 @@ final class Snapshot(
         fieldLang)
     }
 
-  /** Memoized "does this segment's compiled filter pass ≤ threshold
-    * points" decisions for the adaptive filtered-search branch. Segments
-    * are immutable and this Snapshot pins one TOC version, so the answer
-    * can never change for the life of the snapshot — repeated serves of
-    * the same filter skip the bounded count job entirely. */
-  private val adaptiveFit =
-    new java.util.concurrent.ConcurrentHashMap[(String, DocFilter, Seq[Any], Long), java.lang.Boolean]()
 
   def search(
       query: Seq[Double],
@@ -1080,11 +1166,10 @@ final class Snapshot(
         if (params.adaptiveFilterThreshold <= 0L || filter.isEmpty) None
         else fp.flatMap { f =>
           val th = params.adaptiveFilterThreshold
-          val fits = adaptiveFit.computeIfAbsent(
-            (seg, filter.get, userIds, th), { _ =>
-              val probe = math.min(th, Int.MaxValue - 1L).toInt + 1
-              java.lang.Boolean.valueOf(f.limit(probe).count() <= th)
-            })
+          val fits = coll.adaptiveFits((seg, filter.get, userIds, th)) {
+            val probe = math.min(th, Int.MaxValue - 1L).toInt + 1
+            f.limit(probe).count() <= th
+          }
           if (!fits) None
           else Some(Search.bruteForce(
             coll.vectorsFor(seg, userIds), query, params.topK, userIds,

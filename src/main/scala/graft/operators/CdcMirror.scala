@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Key-bucketed downstream mirror for CDC consumers (round-12 verdict
   * #2). A consumer following [[graft.core.Collection.changes]] gets an
@@ -13,15 +14,24 @@ import org.apache.spark.sql.functions._
   * copy-on-write tables do, at bucket granularity:
   *
   *   - the mirror lives as a hash-partitioned parquet table
-  *     `data/bucket=<pmod(xxhash64(key), numBuckets)>/...`;
+  *     `data/bucket=<pmod(xxhash64(keys...), numBuckets)>/...`;
   *   - an apply computes the touched bucket set from the DELTA keys
   *     (bounded by numBuckets — a driver-safe collect), reads ONLY those
-  *     buckets (partition-pruned scan), anti-joins the gone keys, unions
-  *     the fetched upserts, and rewrites ONLY those bucket directories
-  *     (staged write + per-bucket swap);
+  *     buckets (partition-pruned scan), drops every row whose key is in
+  *     the delta (gone keys AND upsert keys — so replaying a delta is
+  *     idempotent), unions the fetched upserts, and rewrites ONLY those
+  *     bucket directories (staged write + per-bucket swap);
   *   - untouched buckets are never read and never rewritten, so apply
   *     cost tracks `|delta| + touchedBuckets × bucketSize`, not the
   *     corpus.
+  *
+  * Keys are COMPOSITE (`keyCols`): a multi-tenant collection's CDC is
+  * keyed by (user_id, doc_id), and a mirror keyed by doc_id alone would
+  * let one tenant's delete clobber another tenant's row with the same
+  * doc_id. Key columns are CAST to the types pinned in the mirror
+  * metadata before hashing or joining — xxhash64(int 5) differs from
+  * xxhash64(long 5), so an uncast mismatch would probe the wrong buckets
+  * and silently drop the delta.
   *
   * At 100 TB, size `numBuckets` so a bucket is a few
   * `maxPartitionBytes` (e.g. 1 GiB of vectors → one task rewrites it);
@@ -50,86 +60,103 @@ object CdcMirror {
     f.delete()
   }
 
-  private def bucketOf(keyCol: String, numBuckets: Int): Column =
-    pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)).cast("int")
+  private final case class Meta(keyCols: Seq[String], numBuckets: Int,
+      schema: StructType) {
+    /** Delta key columns cast to the mirror's pinned key types. */
+    def keyExprs(df: DataFrame): Seq[Column] =
+      keyCols.map(k => df(k).cast(schema(k).dataType).as(k))
+    def bucketOf(df: DataFrame): Column =
+      pmod(xxhash64(keyExprs(df): _*), lit(numBuckets.toLong)).cast("int")
+  }
 
-  /** Materialize `df` (must contain `keyCol`; one row per key) as a new
-    * bucketed mirror at `path`, replacing anything there. The payload
-    * schema is pinned in the metadata so a mirror whose buckets have all
-    * emptied still reads back as an empty frame of the right shape. */
-  def seed(df: DataFrame, path: String, keyCol: String, numBuckets: Int): Unit = {
+  private def meta(path: String): Meta = {
+    val lines = java.nio.file.Files.readString(metaPath(path)).split("\n")
+    Meta(lines(0).split(",").toSeq, lines(1).trim.toInt,
+      StructType.fromDDL(lines(2)))
+  }
+
+  /** Materialize `df` (must contain every key column; one row per key)
+    * as a new bucketed mirror at `path`, replacing anything there. The
+    * payload schema is pinned in the metadata: an all-empty mirror still
+    * reads back with the right shape, and later deltas have their key
+    * types validated/cast against it. */
+  def seed(df: DataFrame, path: String, keyCols: Seq[String],
+      numBuckets: Int): Unit = {
     require(numBuckets > 0, s"numBuckets=$numBuckets")
-    require(df.columns.contains(keyCol), s"missing key column $keyCol")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    keyCols.foreach(k =>
+      require(df.columns.contains(k), s"missing key column $k"))
     deleteRecursively(java.nio.file.Paths.get(path))
+    val m = Meta(keyCols, numBuckets, df.schema)
     // repartition BY BUCKET before the partitioned write: without it every
     // task holds rows of ~every bucket and writes one tiny file per
     // (task, bucket) — thousands of near-empty files. With it each bucket
     // is one task's contiguous rows -> one file per bucket.
-    df.withColumn("bucket", bucketOf(keyCol, numBuckets))
+    df.withColumn("bucket", m.bucketOf(df))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/data")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
     java.nio.file.Files.writeString(metaPath(path),
-      s"$keyCol\n$numBuckets\n${df.schema.toDDL}\n")
+      s"${keyCols.mkString(",")}\n$numBuckets\n${df.schema.toDDL}\n")
   }
+
+  /** Single-key convenience overload. */
+  def seed(df: DataFrame, path: String, keyCol: String, numBuckets: Int): Unit =
+    seed(df, path, Seq(keyCol), numBuckets)
 
   /** The mirror's current contents (bucket column stripped). Plain
     * partition-pruned parquet — pushing a key predicate through this
     * frame prunes to one bucket. */
   def read(spark: SparkSession, path: String): DataFrame =
-    readRaw(spark, path).drop("bucket")
+    spark.read.schema(meta(path).schema
+        .add("bucket", org.apache.spark.sql.types.IntegerType))
+      .parquet(s"$path/data")
+      .drop("bucket")
 
-  /** The mirror WITH its `bucket` partition column, schema pinned from
-    * the metadata (no inference — an all-empty mirror still resolves). */
-  private def readRaw(spark: SparkSession, path: String): DataFrame = {
-    val (_, _, ddl) = meta(path)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-      .add("bucket", org.apache.spark.sql.types.IntegerType)
-    spark.read.schema(schema).parquet(s"$path/data")
-  }
-
-  private def meta(path: String): (String, Int, String) = {
-    val lines = java.nio.file.Files.readString(metaPath(path)).split("\n")
-    (lines(0), lines(1).trim.toInt, lines(2))
-  }
-
-  /** Apply one CDC delta: drop `goneKeys` (deletes + update keys, one
-    * column = the mirror key), add `upserts` (full mirror-schema rows for
-    * inserts + updates — the [[graft.core.Snapshot.liveRowsFor]] fetch).
-    * Only buckets containing a delta key are read and rewritten; a
-    * touched bucket whose rows all vanish is removed. Returns the touched
-    * bucket ids (the unit the cost tracks). */
+  /** Apply one CDC delta: drop `goneKeys` (deletes + update keys, the
+    * key columns), add `upserts` (full mirror-schema rows for inserts +
+    * updates — the [[graft.core.Snapshot.liveRowsFor]] fetch). Rows whose
+    * key appears in `upserts` are dropped before the union, so replaying
+    * the same delta (a consumer retry after a crash between the apply and
+    * recording its new seen-version) converges instead of duplicating
+    * insert keys. Only buckets containing a delta key are read and
+    * rewritten; a touched bucket whose rows all vanish is removed.
+    * Returns the touched bucket ids (the unit the cost tracks). */
   def applyDelta(spark: SparkSession, path: String,
       goneKeys: DataFrame, upserts: DataFrame): Seq[Int] = {
-    val (keyCol, numBuckets, _) = meta(path)
-    val b = bucketOf(keyCol, numBuckets)
+    val m = meta(path)
     // touched buckets: bounded by numBuckets, so the collect is driver-
     // safe by construction (the delta KEY set may be large; its bucket
     // projection may not)
-    val touched = goneKeys.select(b.as("bucket"))
-      .union(upserts.select(b.as("bucket")))
+    val touched = goneKeys.select(m.bucketOf(goneKeys).as("bucket"))
+      .union(upserts.select(m.bucketOf(upserts).as("bucket")))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return Nil
     // read ONLY the touched bucket directories, listed explicitly — at a
     // large numBuckets, partition discovery over every bucket dir costs
     // more than the touched data itself (basePath keeps the bucket
     // partition column derivable, schema comes from the metadata)
-    val (_, _, ddl) = meta(path)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
     val touchedPaths = touched.map(bk => s"$path/data/bucket=$bk")
       .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
     val old =
       if (touchedPaths.isEmpty)
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      else spark.read.schema(m.schema)
         .option("basePath", s"$path/data")
         .parquet(touchedPaths: _*)
         .drop("bucket")
+    // drop BOTH gone and upsert keys before the union (idempotent upsert)
+    val dropKeys = goneKeys.select(m.keyExprs(goneKeys): _*)
+      .union(upserts.select(m.keyExprs(upserts): _*))
+      .distinct()
     val updated = old
-      .join(goneKeys.select(keyCol).distinct(), Seq(keyCol), "left_anti")
-      .unionByName(upserts)
-      .withColumn("bucket", b)
+      .join(dropKeys, m.keyCols, "left_anti")
+      .unionByName(upserts.select(m.schema.fieldNames.map { f =>
+        if (m.keyCols.contains(f)) upserts(f).cast(m.schema(f).dataType).as(f)
+        else upserts(f).as(f)
+      }: _*))
+    val staged = updated.withColumn("bucket", m.bucketOf(updated))
     // Stage-and-swap: the rewritten buckets land in a staging dir (Spark
     // refuses an overwrite of a path it is reading), then each touched
     // bucket directory is swapped into place with a local rename — the
@@ -145,7 +172,7 @@ object CdcMirror {
     // file per bucket holding that bucket's upserts — bounded at ~2 files
     // per touched bucket (re-merged on the next rewrite of that bucket),
     // and the touched payload never pays a shuffle.
-    updated.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    staged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
     touched.foreach { bk =>
       val src = java.nio.file.Paths.get(stage, s"bucket=$bk")
       val dst = java.nio.file.Paths.get(s"$path/data", s"bucket=$bk")

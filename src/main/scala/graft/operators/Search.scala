@@ -366,11 +366,13 @@ object Search {
       math.sqrt(s)
     }
     // BigDecimal(NaN/∞) throws NumberFormatException; a degenerate
-    // candidate (NaN rel, or a vector whose dot overflows to ∞) must rank
-    // last per the repo's NaN-last convention, not crash the rerank.
+    // candidate (NaN rel, or a vector whose dot overflows to ±∞) must
+    // rank LAST per the repo's NaN-last convention, not crash the rerank
+    // — and +∞ must not win the argmax either (it would surface an
+    // Infinity score that breaks the oracle/JSON surface downstream), so
+    // every non-finite value maps to -∞.
     def r6(x: Double): Double =
-      if (java.lang.Double.isNaN(x)) Double.NegativeInfinity
-      else if (java.lang.Double.isInfinite(x)) x
+      if (!java.lang.Double.isFinite(x)) Double.NegativeInfinity
       else new java.math.BigDecimal(x)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     def cos(i: Int, j: Int): Double = {

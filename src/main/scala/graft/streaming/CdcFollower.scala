@@ -20,27 +20,34 @@ import graft.operators.CdcMirror
   *      containing touched keys.
   *
   * So one follow costs O(|delta| + touched buckets), at any corpus and
-  * any mirror size. The loop is idempotent at the version level (a
-  * follow with no new version is a no-op) and composes across versions
-  * (changes() emits the NET delta, the same composability q103 proves),
-  * so a follower that slept through five commits catches up in one
-  * apply. Reference anchor: the consumer side of WAL shipping —
-  * rs/index_server keeps replicas current the same
+  * any mirror size. The mirror is keyed by (user_id, doc_id) — the
+  * collection's own CDC key — so tenants with overlapping doc_ids never
+  * clobber each other's rows. The loop is idempotent at the version
+  * level (a follow with no new version is a no-op), the APPLY is
+  * idempotent at the delta level (CdcMirror drops upsert keys before
+  * re-adding them, so a crash-retry between the apply and recording the
+  * new seen-version converges instead of duplicating inserts), and
+  * deltas compose across versions (changes() emits the NET delta, the
+  * same composability q103 proves) — a follower that slept through five
+  * commits catches up in one apply. Reference anchor: the consumer side
+  * of WAL shipping — rs/index_server keeps replicas current the same
   * diff-fetch-apply way, segment-by-segment. */
 object CdcFollower {
+
+  private val keyCols = Seq("user_id", "doc_id")
 
   /** Seed the mirror from the collection's CURRENT version (pinned while
     * copying). Returns the seeded version — pass it as `seenVersion` to
     * the first `followOnce`. */
   def seed(coll: Collection, mirrorPath: String, numBuckets: Int,
-      payloadCols: Seq[String] = Seq("doc_id", "vector")): Long = {
-    require(payloadCols.contains("doc_id"),
-      "the mirror is keyed by doc_id — payloadCols must include it")
+      payloadCols: Seq[String] = Seq("user_id", "doc_id", "vector")): Long = {
+    require(keyCols.forall(payloadCols.contains),
+      s"the mirror is keyed by ${keyCols.mkString("+")} — payloadCols must include them")
     val snap = coll.snapshot() // atomically: resolve current version + pin
     try {
       CdcMirror.seed(
         snap.liveRows.get.select(payloadCols.map(col): _*),
-        mirrorPath, "doc_id", numBuckets)
+        mirrorPath, keyCols, numBuckets)
       snap.toc.version
     } finally java.lang.ref.Reference.reachabilityFence(snap)
   }
@@ -48,17 +55,19 @@ object CdcFollower {
   /** Apply everything committed since `seenVersion`. Returns the version
     * the mirror now reflects (== `seenVersion` when nothing committed). */
   def followOnce(coll: Collection, mirrorPath: String, seenVersion: Long,
-      payloadCols: Seq[String] = Seq("doc_id", "vector")): Long = {
-    val now = coll.versions.last
+      payloadCols: Seq[String] = Seq("user_id", "doc_id", "vector")): Long = {
+    // lastOption: an opened path whose TOC history is missing/empty is
+    // "nothing committed", not a NoSuchElementException
+    val now = coll.versions.lastOption.getOrElse(seenVersion)
     if (now <= seenVersion) return seenVersion
     val snap = coll.snapshotAt(now) // pin the fetch target against expiry
     try {
       val delta = coll.changes(seenVersion, now).cache()
       try {
         val gone = delta.filter(col("change_type").isin("delete", "update"))
-          .select("doc_id")
+          .select(keyCols.map(col): _*)
         val ups = delta.filter(col("change_type").isin("insert", "update"))
-          .select("user_id", "doc_id")
+          .select(keyCols.map(col): _*)
         val fetched = snap.liveRowsFor(Some(ups)).get
           .select(payloadCols.map(col): _*)
         CdcMirror.applyDelta(coll.spark, mirrorPath, gone, fetched)

@@ -84,6 +84,57 @@ class CdcMirrorSpec extends SparkSuite {
     assert(CdcMirror.read(spark, path).count() === 0L)
   }
 
+  test("replaying the same delta is idempotent (crash-retry convergence)") {
+    // a consumer that crashes between the apply and recording its new
+    // seen-version re-applies the identical delta: inserts must not
+    // duplicate, deletes/updates must stay applied
+    val path = tmp()
+    CdcMirror.seed(corpus(300), path, "doc_id", numBuckets = 16)
+    val gone = Seq(5L, 123L).toDF("doc_id")
+    val ups = Seq((123L, "updated-123"), (500L, "payload-500"))
+      .toDF("doc_id", "payload")
+    CdcMirror.applyDelta(spark, path, gone, ups)
+    val after1 = CdcMirror.read(spark, path)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    CdcMirror.applyDelta(spark, path, gone, ups) // the replay
+    val after2 = CdcMirror.read(spark, path)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(after2 === after1, "replay changed the mirror")
+    assert(after1.count(_._1 == 500L) === 1, "insert key duplicated")
+    assert(after1.count(_._1 == 123L) === 1)
+  }
+
+  test("key-type mismatch between seed and delta is cast, not silently dropped") {
+    // xxhash64(int 5) != xxhash64(long 5): without the metadata-pinned
+    // cast, an IntegerType delta would probe the wrong buckets and the
+    // delete would vanish without error
+    val path = tmp()
+    CdcMirror.seed(corpus(100), path, "doc_id", numBuckets = 16) // LongType key
+    val goneInt = Seq(7, 42).toDF("doc_id") // IntegerType
+    CdcMirror.applyDelta(spark, path, goneInt,
+      Seq.empty[(Long, String)].toDF("doc_id", "payload"))
+    val ids = CdcMirror.read(spark, path)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(7L) && !ids.contains(42L), "int-typed delete dropped")
+    assert(ids.size === 98)
+  }
+
+  test("composite keys: same doc_id under two tenants stays independent") {
+    val path = tmp()
+    val two = spark.range(50).selectExpr("id % 2 as user_id", "id / 2 as doc_id")
+      .selectExpr("user_id", "cast(doc_id as long) doc_id",
+        "concat('u', user_id, '-', doc_id) as payload")
+    CdcMirror.seed(two, path, Seq("user_id", "doc_id"), numBuckets = 8)
+    // delete (0, 3) only
+    val gone = Seq((0L, 3L)).toDF("user_id", "doc_id")
+    CdcMirror.applyDelta(spark, path, gone,
+      Seq.empty[(Long, Long, String)].toDF("user_id", "doc_id", "payload"))
+    val left = CdcMirror.read(spark, path)
+      .select("user_id", "doc_id").as[(Long, Long)].collect().toSet
+    assert(!left.contains((0L, 3L)) && left.contains((1L, 3L)))
+    assert(left.size === 49)
+  }
+
   test("empty delta is a no-op: zero touched buckets, nothing rewritten") {
     val path = tmp()
     CdcMirror.seed(corpus(100), path, "doc_id", numBuckets = 8)

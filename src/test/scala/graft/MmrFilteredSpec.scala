@@ -66,6 +66,20 @@ class MmrFilteredSpec extends SparkSuite {
     assert(picks === Seq(1L, 3L, 2L)) // NaN rel last
   }
 
+  test("mmr: +Infinity relevance ranks last too (no Infinity in the output)") {
+    // +Inf passing through the rounding would WIN the argmax and surface
+    // an Infinity score downstream — all non-finite rel ranks last
+    val cands = Seq(
+      (1L, Seq(1.0, 0.0), 0.9),
+      (2L, Seq(0.0, 1.0), Double.PositiveInfinity),
+      (3L, Seq(0.5, 0.5), 0.8)
+    ).toDF("vec_id", "vector", "rel")
+    val got = Search.mmrRerank(cands, k = 3, lambda = 1.0)
+      .orderBy("rank").select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) === Seq(1L, 3L, 2L))
+    assert(got.head._2 === 0.9) // rank 1 carries the finite max, not Inf
+  }
+
   test("mmr: caps the candidate set") {
     val q = Seq(1.0, 0.0)
     intercept[IllegalArgumentException] {

@@ -217,7 +217,7 @@ class RecallSpec extends SparkSuite {
       // SQL only from here: the TVF opens the collection and runs the
       // engine's snapshot search; compare against the Scala API result
       val sql = s2.sql(
-        s"SELECT doc_id, round(score, 6) AS score FROM graft_ann('$base', 'sqlcoll', 4, " +
+        s"SELECT doc_id, round(score, 6) AS score FROM graft_ann('$base', 'sqlcoll', " +
           "array(8.1d, 9.1d, 10.1d, 11.1d), 3, 2) ORDER BY score, doc_id")
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       val api = coll.snapshot()

@@ -393,40 +393,46 @@ class StreamingSpec extends SparkSuite {
     val rows = stream.toDF().toDF("user_id", "doc_id", "vector")
     val q = StreamingIngest.start(rows, coll, cp, Trigger.ProcessingTime("100 milliseconds"))
     try {
-      def batch(from: Int, until: Int) = (from until until).map { i =>
-        (0L, i.toLong, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble))
+      // TWO tenants with OVERLAPPING doc_ids: the mirror must key by
+      // (user_id, doc_id) — a doc_id-only key would let user 0's delete
+      // clobber user 1's row with the same id
+      def batch(from: Int, until: Int) = (from until until).flatMap { i =>
+        Seq((0L, i.toLong, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble)),
+          (1L, i.toLong, Seq(-i.toDouble, -i.toDouble, -i.toDouble, -i.toDouble)))
       }
-      stream.addData(batch(0, 60)) // > maxPendingOps -> auto-flush commits v1
+      stream.addData(batch(0, 30)) // > maxPendingOps -> auto-flush commits v1
       q.processAllAvailable()
       var seen = graft.streaming.CdcFollower.seed(coll, mirror, numBuckets = 16)
-      def mirrorIds(): Set[Long] =
+      def mirrorIds(): Set[(Long, Long)] =
         graft.operators.CdcMirror.read(spark, mirror)
-          .select("doc_id").collect().map(_.getLong(0)).toSet
-      def liveIds(): Set[Long] =
-        coll.snapshot().liveDocs.get.select("doc_id")
-          .collect().map(_.getLong(0)).toSet
+          .select("user_id", "doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def liveIds(): Set[(Long, Long)] =
+        coll.snapshot().liveDocs.get.select("user_id", "doc_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(mirrorIds() === liveIds())
       // an idle follow is a version-level no-op: nothing committed,
       // nothing rewritten
       assert(graft.streaming.CdcFollower.followOnce(coll, mirror, seen) === seen)
       coll.delete(Seq((0L, 10L), (0L, 11L)).toDF("user_id", "doc_id"))
-      stream.addData(batch(60, 120)) // auto-flush commits v2 (with the deletes)
+      stream.addData(batch(30, 60)) // auto-flush commits v2 (with the deletes)
       q.processAllAvailable()
       seen = graft.streaming.CdcFollower.followOnce(coll, mirror, seen)
       assert(seen >= 2L, "auto-flush never committed a second version")
-      assert(mirrorIds() === ((0L until 120L).toSet -- Set(10L, 11L)))
       assert(mirrorIds() === liveIds())
+      // user 0's delete of docs 10/11 must NOT touch user 1's 10/11
+      assert(!mirrorIds().contains((0L, 10L)) && mirrorIds().contains((1L, 10L)))
       // the follower composes: sleep through TWO commits, catch up in one
-      coll.delete(Seq((0L, 70L)).toDF("user_id", "doc_id")); coll.flush()
-      stream.addData(batch(120, 180))
+      coll.delete(Seq((0L, 35L)).toDF("user_id", "doc_id")); coll.flush()
+      stream.addData(batch(60, 90))
       q.processAllAvailable()
       seen = graft.streaming.CdcFollower.followOnce(coll, mirror, seen)
       assert(mirrorIds() === liveIds())
-      // and the payloads ride along, not just the keys
+      // and the payloads ride along per tenant, not just the keys
       val v = graft.operators.CdcMirror.read(spark, mirror)
-        .filter(col("doc_id") === 150L)
+        .filter(col("doc_id") === 75L && col("user_id") === 1L)
         .select("vector").head().getSeq[Double](0)
-      assert(v === Seq(150.0, 150.0, 150.0, 150.0))
+      assert(v === Seq(-75.0, -75.0, -75.0, -75.0))
     } finally q.stop()
   }
 }
