@@ -1,8 +1,10 @@
 package graft.operators
 
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{IntegerType, StructType}
 
 /** Key-bucketed downstream mirror for CDC consumers (round-12 verdict
   * #2). A consumer following [[graft.core.Collection.changes]] gets an
@@ -14,16 +16,37 @@ import org.apache.spark.sql.types.StructType
   * copy-on-write tables do, at bucket granularity:
   *
   *   - the mirror lives as a hash-partitioned parquet table
-  *     `data/bucket=<pmod(xxhash64(keys...), numBuckets)>/...`;
+  *     `data/g=<generation>/bucket=<pmod(xxhash64(keys...), numBuckets)>`,
+  *     with a tiny MANIFEST file mapping each live bucket to the
+  *     generation holding its current data;
   *   - an apply computes the touched bucket set from the DELTA keys
   *     (bounded by numBuckets — a driver-safe collect), reads ONLY those
-  *     buckets (partition-pruned scan), drops every row whose key is in
-  *     the delta (gone keys AND upsert keys — so replaying a delta is
-  *     idempotent), unions the fetched upserts, and rewrites ONLY those
-  *     bucket directories (staged write + per-bucket swap);
+  *     buckets (explicit manifest paths — no partition discovery over
+  *     the untouched ones), drops every row whose key is in the delta
+  *     (gone keys AND upsert keys — so replaying a delta is idempotent),
+  *     unions the fetched upserts, and writes the rewritten buckets to a
+  *     FRESH generation directory;
+  *   - the apply COMMITS by atomically replacing the manifest (write
+  *     tmp + atomic rename — the repo's own TOC pattern). Nothing under
+  *     an existing generation is ever modified or renamed, so a reader
+  *     is snapshot-isolated: it resolves the manifest once in [[read]]
+  *     and sees fully-old or fully-new, never a mix — and a crash at ANY
+  *     point before the manifest rename leaves the old manifest (and
+  *     every file it references) fully intact, so the consumer's
+  *     idempotent retry converges without data loss (round-13 verdict
+  *     #3 / ADVICE: the previous per-bucket delete-then-rename swap
+  *     could lose a bucket to a crash between the delete and the move);
   *   - untouched buckets are never read and never rewritten, so apply
   *     cost tracks `|delta| + touchedBuckets × bucketSize`, not the
   *     corpus.
+  *
+  * Retired generation files (buckets superseded by an apply) are kept
+  * for exactly ONE more apply before garbage collection, so a reader
+  * concurrent with a single apply never loses its pinned files; a
+  * reader that lags TWO applies behind the single writer is outside the
+  * documented single-writer/keep-1 retention window (the same posture
+  * as `Collection.expireVersions(keep = 2)`). Crash-orphaned
+  * generations (staged but never committed) are swept by the same GC.
   *
   * Keys are COMPOSITE (`keyCols`): a multi-tenant collection's CDC is
   * keyed by (user_id, doc_id), and a mirror keyed by doc_id alone would
@@ -38,20 +61,22 @@ import org.apache.spark.sql.types.StructType
   * a delta touching 0.1% of keys then rewrites ≤ 0.1%×numBuckets
   * buckets in one job whose tasks are all bucket-local. Bucket-granular
   * copy-on-write is chosen over row-level merge-on-read deliberately:
-  * reads stay plain partition-pruned parquet scans with zero merge work
-  * (the hot path for an analytics mirror), and the write amplification
-  * is bounded by bucket size, which the caller controls.
+  * reads stay plain parquet scans of manifest-named files with zero
+  * merge work (the hot path for an analytics mirror), and the write
+  * amplification is bounded by bucket size, which the caller controls.
+  * The manifest is O(numBuckets) text — at a million buckets it is a
+  * few MB read once per apply/read, never per row.
   *
   * Reference anchor: this is the consumer side of the reference's WAL
   * shipping (rs/index_server mirrors state segment-by-segment); the
-  * bucketed layout is the Spark-native equivalent of its per-shard
-  * incremental apply. */
+  * bucketed layout + manifest commit is the Spark-native equivalent of
+  * its per-shard incremental apply under an atomically-swapped TOC. */
 object CdcMirror {
 
-  private def metaPath(path: String) =
-    java.nio.file.Paths.get(path, "MIRROR_META")
+  private def metaPath(path: String) = Paths.get(path, "MIRROR_META")
+  private def manifestPath(path: String) = Paths.get(path, "MANIFEST")
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private def deleteRecursively(p: Path): Unit = {
     val f = p.toFile
     if (f.isDirectory) {
       val cs = f.listFiles()
@@ -70,9 +95,90 @@ object CdcMirror {
   }
 
   private def meta(path: String): Meta = {
-    val lines = java.nio.file.Files.readString(metaPath(path)).split("\n")
+    val lines = Files.readString(metaPath(path)).split("\n")
     Meta(lines(0).split(",").toSeq, lines(1).trim.toInt,
       StructType.fromDDL(lines(2)))
+  }
+
+  /** The mirror's pinned payload schema (key types included) — what
+    * [[read]] returns and what `applyDelta`'s `upserts` must carry.
+    * Lets a consumer build a correctly-shaped EMPTY upsert frame when
+    * its source has nothing to fetch. */
+  def schemaOf(path: String): StructType = meta(path).schema
+
+  /** An empty frame with the mirror's pinned payload schema. */
+  def emptyFrame(spark: SparkSession, path: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta(path).schema)
+
+  /** The committed manifest: current generation counter + each live
+    * bucket's generation. Missing manifest = empty mirror (a seed that
+    * crashed before its commit reads as empty, never as partial). */
+  private final case class Manifest(gen: Long, entries: Map[Int, Long])
+
+  private def readManifest(path: String): Manifest = {
+    val p = manifestPath(path)
+    if (!Files.exists(p)) return Manifest(-1L, Map.empty)
+    val lines = Files.readString(p).split("\n").filter(_.nonEmpty)
+    val gen = lines.head.stripPrefix("gen=").toLong
+    val entries = lines.tail.map { l =>
+      val Array(bk, g) = l.split("=", 2)
+      bk.toInt -> g.toLong
+    }.toMap
+    Manifest(gen, entries)
+  }
+
+  /** The commit point: write the manifest beside its target and swap it
+    * in with an atomic rename. A crash before the rename leaves the old
+    * manifest (and every generation file it references) fully intact. */
+  private def commitManifest(path: String, m: Manifest): Unit = {
+    val body = (s"gen=${m.gen}" +:
+      m.entries.toSeq.sortBy(_._1).map { case (bk, g) => s"$bk=$g" })
+      .mkString("", "\n", "\n")
+    val tmp = Paths.get(path, s"MANIFEST.tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, manifestPath(path),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def bucketDir(path: String, gen: Long, bk: Int): Path =
+    Paths.get(path, "data", s"g=$gen", s"bucket=$bk")
+
+  /** Bucket directories present under one generation after a write
+    * (partitionBy emits a dir only for buckets that received rows). */
+  private def bucketsIn(path: String, gen: Long): Seq[Int] = {
+    val d = Paths.get(path, "data", s"g=$gen").toFile
+    val cs = d.listFiles()
+    (if (cs == null) Array.empty[java.io.File] else cs)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getName.stripPrefix("bucket=").toInt).toSeq.sorted
+  }
+
+  /** Delete every (generation, bucket) directory referenced by NEITHER
+    * manifest — generations retired before `previous` (safe: any reader
+    * pinned them ≥ two applies ago) and crash-orphaned generations that
+    * never committed. Runs after the commit, so a crash mid-GC only
+    * leaves garbage for the next apply's sweep. */
+  private def gc(path: String, current: Manifest, previous: Manifest): Unit = {
+    // toSeq BEFORE the pair-swap: mapping a Map to pairs re-keys it (two
+    // buckets sharing a generation would collapse to one surviving entry)
+    val live: Set[(Long, Int)] =
+      (current.entries.toSeq ++ previous.entries.toSeq)
+        .map { case (bk, g) => (g, bk) }.toSet
+    val data = Paths.get(path, "data").toFile
+    val gens = data.listFiles()
+    if (gens == null) return
+    gens.filter(f => f.isDirectory && f.getName.startsWith("g=")).foreach { gd =>
+      val g = gd.getName.stripPrefix("g=").toLong
+      val bks = gd.listFiles()
+      if (bks != null) bks.foreach { bd =>
+        val keep = bd.getName.startsWith("bucket=") &&
+          live((g, bd.getName.stripPrefix("bucket=").toInt))
+        if (!keep) deleteRecursively(bd.toPath)
+      }
+      val left = gd.listFiles()
+      if (left == null || left.forall(f => !f.isDirectory)) deleteRecursively(gd.toPath)
+    }
   }
 
   /** Materialize `df` (must contain every key column; one row per key)
@@ -86,7 +192,7 @@ object CdcMirror {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     keyCols.foreach(k =>
       require(df.columns.contains(k), s"missing key column $k"))
-    deleteRecursively(java.nio.file.Paths.get(path))
+    deleteRecursively(Paths.get(path))
     val m = Meta(keyCols, numBuckets, df.schema)
     // repartition BY BUCKET before the partitioned write: without it every
     // task holds rows of ~every bucket and writes one tiny file per
@@ -94,24 +200,37 @@ object CdcMirror {
     // is one task's contiguous rows -> one file per bucket.
     df.withColumn("bucket", m.bucketOf(df))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/data")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    java.nio.file.Files.writeString(metaPath(path),
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(Paths.get(path, "data", "g=0").toString)
+    Files.writeString(metaPath(path),
       s"${keyCols.mkString(",")}\n$numBuckets\n${df.schema.toDDL}\n")
+    commitManifest(path,
+      Manifest(0L, bucketsIn(path, 0L).map(_ -> 0L).toMap))
   }
 
   /** Single-key convenience overload. */
   def seed(df: DataFrame, path: String, keyCol: String, numBuckets: Int): Unit =
     seed(df, path, Seq(keyCol), numBuckets)
 
-  /** The mirror's current contents (bucket column stripped). Plain
-    * partition-pruned parquet — pushing a key predicate through this
-    * frame prunes to one bucket. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(meta(path).schema
-        .add("bucket", org.apache.spark.sql.types.IntegerType))
-      .parquet(s"$path/data")
-      .drop("bucket")
+  /** The mirror's current contents (bucket column stripped). Resolves
+    * the manifest ONCE — the returned frame is a snapshot-isolated plain
+    * parquet scan of that manifest's files, unaffected by (and safe
+    * across) one concurrent apply. Pushing a key predicate through this
+    * frame still prunes to one bucket: `bucket` is a partition column of
+    * the explicit paths. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val m = meta(path)
+    val man = readManifest(path)
+    if (man.entries.isEmpty) return emptyFrame(spark, path)
+    val paths = man.entries.toSeq.sortBy(_._1)
+      .map { case (bk, g) => bucketDir(path, g, bk).toString }
+    spark.read
+      .schema(m.schema.add("g", org.apache.spark.sql.types.LongType)
+        .add("bucket", IntegerType))
+      .option("basePath", Paths.get(path, "data").toString)
+      .parquet(paths: _*)
+      .drop("g", "bucket")
+  }
 
   /** Apply one CDC delta: drop `goneKeys` (deletes + update keys, the
     * key columns), add `upserts` (full mirror-schema rows for inserts +
@@ -120,67 +239,68 @@ object CdcMirror {
     * the same delta (a consumer retry after a crash between the apply and
     * recording its new seen-version) converges instead of duplicating
     * insert keys. Only buckets containing a delta key are read and
-    * rewritten; a touched bucket whose rows all vanish is removed.
+    * rewritten — into a fresh generation, committed by an atomic
+    * manifest swap; a touched bucket whose rows all vanish simply leaves
+    * the new manifest. Both inputs are consumed more than once, so they
+    * are cached here for the duration of the apply (the upsert fetch is
+    * an O(delta) semi-join + window — re-executing it per consumption
+    * tripled the fetch cost in the follower loop).
     * Returns the touched bucket ids (the unit the cost tracks). */
   def applyDelta(spark: SparkSession, path: String,
       goneKeys: DataFrame, upserts: DataFrame): Seq[Int] = {
     val m = meta(path)
-    // touched buckets: bounded by numBuckets, so the collect is driver-
-    // safe by construction (the delta KEY set may be large; its bucket
-    // projection may not)
-    val touched = goneKeys.select(m.bucketOf(goneKeys).as("bucket"))
-      .union(upserts.select(m.bucketOf(upserts).as("bucket")))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    if (touched.isEmpty) return Nil
-    // read ONLY the touched bucket directories, listed explicitly — at a
-    // large numBuckets, partition discovery over every bucket dir costs
-    // more than the touched data itself (basePath keeps the bucket
-    // partition column derivable, schema comes from the metadata)
-    val touchedPaths = touched.map(bk => s"$path/data/bucket=$bk")
-      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-    val old =
-      if (touchedPaths.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-      else spark.read.schema(m.schema)
-        .option("basePath", s"$path/data")
-        .parquet(touchedPaths: _*)
-        .drop("bucket")
-    // drop BOTH gone and upsert keys before the union (idempotent upsert)
-    val dropKeys = goneKeys.select(m.keyExprs(goneKeys): _*)
-      .union(upserts.select(m.keyExprs(upserts): _*))
-      .distinct()
-    val updated = old
-      .join(dropKeys, m.keyCols, "left_anti")
-      .unionByName(upserts.select(m.schema.fieldNames.map { f =>
-        if (m.keyCols.contains(f)) upserts(f).cast(m.schema(f).dataType).as(f)
-        else upserts(f).as(f)
-      }: _*))
-    val staged = updated.withColumn("bucket", m.bucketOf(updated))
-    // Stage-and-swap: the rewritten buckets land in a staging dir (Spark
-    // refuses an overwrite of a path it is reading), then each touched
-    // bucket directory is swapped into place with a local rename — the
-    // same commit shape as a table format swapping data files under a
-    // manifest. A touched bucket that produced zero rows (all its keys
-    // deleted) simply has no staged dir and is removed. Single-writer
-    // semantics, like the consumer loop that owns the mirror.
-    val stage = s"$path/.stage_apply"
-    deleteRecursively(java.nio.file.Paths.get(stage))
-    // No repartition here, unlike seed: the surviving old rows are ALREADY
-    // bucket-aligned (each input task holds one bucket's file), so the
-    // partitioned write emits ~1 file per bucket from them plus a small
-    // file per bucket holding that bucket's upserts — bounded at ~2 files
-    // per touched bucket (re-merged on the next rewrite of that bucket),
-    // and the touched payload never pays a shuffle.
-    staged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
-    touched.foreach { bk =>
-      val src = java.nio.file.Paths.get(stage, s"bucket=$bk")
-      val dst = java.nio.file.Paths.get(s"$path/data", s"bucket=$bk")
-      deleteRecursively(dst)
-      if (java.nio.file.Files.exists(src))
-        java.nio.file.Files.move(src, dst)
-    }
-    deleteRecursively(java.nio.file.Paths.get(stage))
-    touched
+    val man = readManifest(path)
+    val gone = goneKeys.cache()
+    val ups = upserts.cache()
+    try {
+      // touched buckets: bounded by numBuckets, so the collect is driver-
+      // safe by construction (the delta KEY set may be large; its bucket
+      // projection may not)
+      val touched = gone.select(m.bucketOf(gone).as("bucket"))
+        .union(ups.select(m.bucketOf(ups).as("bucket")))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.isEmpty) return Nil
+      // read ONLY the touched buckets, at the exact paths the manifest
+      // names — at a large numBuckets, partition discovery over every
+      // bucket dir costs more than the touched data itself
+      val touchedPaths = touched
+        .flatMap(bk => man.entries.get(bk).map(g => bucketDir(path, g, bk).toString))
+      val old =
+        if (touchedPaths.isEmpty) emptyFrame(spark, path)
+        else spark.read.schema(m.schema)
+          .parquet(touchedPaths: _*)
+      // drop BOTH gone and upsert keys before the union (idempotent upsert)
+      val dropKeys = gone.select(m.keyExprs(gone): _*)
+        .union(ups.select(m.keyExprs(ups): _*))
+        .distinct()
+      val updated = old
+        .join(dropKeys, m.keyCols, "left_anti")
+        .unionByName(ups.select(m.schema.fieldNames.map { f =>
+          if (m.keyCols.contains(f)) ups(f).cast(m.schema(f).dataType).as(f)
+          else ups(f).as(f)
+        }: _*))
+      // Write the rewritten buckets into a FRESH generation: nothing an
+      // existing reader references is modified. No repartition, unlike
+      // seed: the surviving old rows are ALREADY bucket-aligned (each
+      // input task holds one bucket's file), so the partitioned write
+      // emits ~1 file per bucket from them plus a small file per bucket
+      // holding that bucket's upserts — bounded at ~2 files per touched
+      // bucket (re-merged on the next rewrite of that bucket), and the
+      // touched payload never pays a shuffle. A crash-orphaned stage dir
+      // from a previous attempt at this same generation number is
+      // clobbered by mode("overwrite") and swept by gc() regardless.
+      val newGen = man.gen + 1
+      updated.withColumn("bucket", m.bucketOf(updated))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(Paths.get(path, "data", s"g=$newGen").toString)
+      val present = bucketsIn(path, newGen).toSet
+      val next = Manifest(newGen,
+        (man.entries -- touched) ++ present.map(_ -> newGen))
+      commitManifest(path, next) // the atomic commit point
+      // GC with one-apply retention: drop everything referenced by
+      // neither the new manifest nor the one this apply replaced
+      gc(path, next, man)
+      touched
+    } finally { gone.unpersist(); ups.unpersist() }
   }
 }

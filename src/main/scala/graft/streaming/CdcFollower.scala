@@ -38,15 +38,22 @@ object CdcFollower {
 
   /** Seed the mirror from the collection's CURRENT version (pinned while
     * copying). Returns the seeded version — pass it as `seenVersion` to
-    * the first `followOnce`. */
+    * the first `followOnce`. The collection must hold at least one row
+    * (segments or unflushed tail): an empty collection has no row schema
+    * to pin the mirror's metadata on, so seeding one fails with a
+    * descriptive error instead of a bare NoSuchElementException — insert
+    * first, or seed after the first flush. */
   def seed(coll: Collection, mirrorPath: String, numBuckets: Int,
       payloadCols: Seq[String] = Seq("user_id", "doc_id", "vector")): Long = {
     require(keyCols.forall(payloadCols.contains),
       s"the mirror is keyed by ${keyCols.mkString("+")} — payloadCols must include them")
     val snap = coll.snapshot() // atomically: resolve current version + pin
     try {
-      CdcMirror.seed(
-        snap.liveRows.get.select(payloadCols.map(col): _*),
+      val rows = snap.liveRows.getOrElse(throw new IllegalStateException(
+        "CdcFollower.seed: the collection has no segments and no unflushed " +
+          "tail — an empty collection carries no row schema to pin the " +
+          "mirror on; insert (or flush) before seeding"))
+      CdcMirror.seed(rows.select(payloadCols.map(col): _*),
         mirrorPath, keyCols, numBuckets)
       snap.toc.version
     } finally java.lang.ref.Reference.reachabilityFence(snap)
@@ -68,8 +75,14 @@ object CdcFollower {
           .select(keyCols.map(col): _*)
         val ups = delta.filter(col("change_type").isin("insert", "update"))
           .select(keyCols.map(col): _*)
-        val fetched = snap.liveRowsFor(Some(ups)).get
-          .select(payloadCols.map(col): _*)
+        // liveRowsFor is None only when the snapshot holds no rows at all
+        // (everything deleted and vacuumed away) — then there is nothing
+        // to fetch, and the mirror's pinned schema shapes the empty frame
+        val fetched = snap.liveRowsFor(Some(ups))
+          .map(_.select(payloadCols.map(col): _*))
+          .getOrElse(CdcMirror.emptyFrame(coll.spark, mirrorPath))
+        // applyDelta caches both inputs for its own multi-consumption —
+        // the O(delta) fetch executes once per follow, not three times
         CdcMirror.applyDelta(coll.spark, mirrorPath, gone, fetched)
       } finally delta.unpersist()
       now
