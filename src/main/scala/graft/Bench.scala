@@ -14,6 +14,32 @@ object Bench {
   def stallInverted(cold: Double, warm: Double): Boolean =
     cold >= 0 && warm >= 0 && warm > math.max(3.0 * cold, cold + 5.0)
 
+  /** Reference-based stall detection (round-13 verdict #1): a sandbox
+    * stall spanning a query's WHOLE window inflates cold and warm alike,
+    * so the inversion test above never fires — r13's q24 read 12.5 s
+    * warm / 11.0 s cold against a 0.93 s healthy plan and shipped
+    * unflagged. The committed per-query medians of the last HEALTHY
+    * capture (tools/bench_reference.json, updated whenever a healthy run
+    * improves it) close that blind spot: any query whose warm exceeds
+    * max(3× its reference, reference + 5 s) is requeued at suite end
+    * regardless of its own cold/warm ratio. The ratio guard absorbs
+    * plan-level drift and sandbox variance for sub-second queries; the
+    * absolute guard stops 3× tripping on ordinary variance of heavy
+    * ones. Only meaningful at the reference's 32 threads — callers gate
+    * on that. A genuinely regressed plan also trips this, and the
+    * requeue then simply re-measures the same slow figure (requeueMerge
+    * keeps the min), so a real regression still ships visibly. */
+  def refStalled(ref: Double, warm: Double): Boolean =
+    ref > 0 && warm >= 0 && warm > math.max(3.0 * ref, ref + 5.0)
+
+  /** Parse the flat `{"name": seconds, ...}` reference JSON (no JSON lib
+    * in core — same posture as the emitters). Missing/garbled file =>
+    * empty map => the reference rule simply never fires. */
+  def parseReference(body: String): Map[String, Double] =
+    "\"([^\"]+)\"\\s*:\\s*(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+      .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+      .toMap
+
   /** Merge one requeue execution into a flagged query's figures: the
     * reported warm is the min of the original and the requeue (plus its
     * matching artifact split), the sample list grows for the median —
@@ -186,10 +212,22 @@ object Bench {
     // max(3x cold, cold + 5 s) is re-executed ONCE at suite end, after
     // the stall has passed; the reported warm is the min of all samples
     // and `requeued` names the queries so the capture self-adjudicates.
+    // Reference-based requeue (round-13 verdict #1) joins the inversion
+    // rule: the committed medians of the last healthy capture flag
+    // whole-window stalls the inversion test is blind to (cold and warm
+    // inflated together). Reference timings are only comparable at the
+    // reference's 32 threads.
+    val reference: Map[String, Double] =
+      if (cpus != "32") Map.empty
+      else try parseReference(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "GRAFT_BENCH_REF", "tools/bench_reference.json"))))
+      catch { case _: Throwable => Map.empty }
     val requeuedNames = scala.collection.mutable.ArrayBuffer[String]()
     val results = firstPass.map { case (name, fn, cold, warm, samples, artWarm, err) =>
-      val inverted = err.isEmpty && stallInverted(cold, warm)
-      val (warmF, artF, allSamples) = if (!inverted) (warm, artWarm, samples) else {
+      val flagged = err.isEmpty && (stallInverted(cold, warm) ||
+        refStalled(reference.getOrElse(name, 0.0), warm))
+      val (warmF, artF, allSamples) = if (!flagged) (warm, artWarm, samples) else {
         requeuedNames += name
         val (rq, rqArt, rqErr) = once(fn)
         requeueMerge(warm, artWarm, samples, rq, rqArt, rqErr)
@@ -237,8 +275,10 @@ object Bench {
     val segJson = segJsonFor(requeuedNames.toSeq)
     // a heavily-degraded run could requeue dozens — cap the compact line
     val segJsonCompact = segJsonFor(requeuedNames.toSeq.take(5))
+    // n_ref: how many per-query reference figures loaded — 0 means the
+    // reference rule was inert this run (wrong cpu count / missing file)
     val healthJson =
-      s""""canary":${fmt(canary)},"canary_ref":$CANARY_REF,"io_probe":${fmt(ioProbe)},"io_ref":$IO_REF,"degraded":$degraded"""
+      s""""canary":${fmt(canary)},"canary_ref":$CANARY_REF,"io_probe":${fmt(ioProbe)},"io_ref":$IO_REF,"degraded":$degraded,"n_ref":${reference.size}"""
     val full =
       s"""{"metric":"total","value":$totalWarm,"unit":"sec","queries":${json(_._3)},"queries_cold":${json(_._2)},"queries_median":${json(_._4)},"queries_artifact":${json(_._5)},"total_cold":$totalCold,"median":$totalMedian,"artifact_sec":${fmt(totalArtifact)},$healthJson,$segJson,"cpus":$cpus,"errors":$errors,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(

@@ -6,6 +6,36 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions._
 
+object GraftExtensions {
+  /** Bounded memo for `graft_ann` results, keyed on (base, name, the
+    * collection's [[graft.core.Collection.stateFingerprint]], query, k,
+    * nprobe) — the same key discipline as the served-view cache. The TVF
+    * executes at ANALYSIS time (see the injection-site rationale), so
+    * EXPLAIN, schema-only resolution, and a twice-referenced CTE each
+    * re-resolve it; with the memo, every re-resolution of an identical
+    * call on an unchanged collection is a driver-local map hit — zero
+    * Spark jobs (the fingerprint itself is TOC + file-listing reads).
+    * Any flush/delete/merge changes the fingerprint and misses. Values
+    * are the collected top-k rows (≤ k by construction — small); the
+    * access-ordered map evicts past 64 entries. */
+  private val memoMax = 64
+  private type MemoVal =
+    (Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      IndexedSeq[org.apache.spark.sql.catalyst.InternalRow])
+  private val memo =
+    new java.util.LinkedHashMap[String, MemoVal](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, MemoVal]): Boolean = size() > memoMax
+    }
+  private def memoGet(k: String): Option[MemoVal] =
+    memo.synchronized(Option(memo.get(k)))
+  private def memoPut(k: String, v: MemoVal): Unit =
+    memo.synchronized { memo.put(k, v); () }
+  /** Test hooks: misses counts actual search executions. */
+  private[graft] val memoMisses = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def clearMemo(): Unit = memo.synchronized(memo.clear())
+}
+
 /** SparkSessionExtensions entry point: injects the engine's SQL functions
   * at session build time — the idiomatic deployment hook
   * (`spark.sql.extensions=graft.GraftExtensions`), so pure-SQL users get
@@ -74,7 +104,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     //     binding to preserve.
     ext.injectTableFunction((FunctionIdentifier("graft_ann"),
       info("graft_ann",
-        "graft_ann(base, name, query, k[, nprobe]) - ANN search over a graft collection"),
+        "graft_ann(base, name, query, k[, nprobe]) - ANN search over a graft " +
+          "collection. CONTRACT: the distributed search executes at ANALYSIS " +
+          "time (under the collection's snapshot pin) and plans as a literal " +
+          "top-k relation — EXPLAIN performs the search, and each re-analysis " +
+          "of a view/CTE referencing the call re-resolves it. Repeated " +
+          "identical calls on an unchanged collection are served from a " +
+          "bounded driver memo (zero Spark jobs); any flush/delete/merge " +
+          "invalidates it."),
       { (es: Seq[Expression]) =>
         require(es.length == 4 || es.length == 5,
           "graft_ann(base, name, query, k[, nprobe])")
@@ -93,14 +130,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val nprobe = if (es.length == 5) Some(int(es(4))) else None
         val spark = org.apache.spark.sql.SparkSession.active
         val coll = graft.core.Collection.openPersisted(spark, base, name)
-        val snap = coll.snapshot() // pin the version across the execution
-        try {
-          val df = snap.search(q, graft.operators.SearchParams(topK = k,
-            numExploredCentroids = nprobe))
-          org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
-            df.queryExecution.analyzed.output.map(_.toAttribute),
-            df.queryExecution.executedPlan.executeCollect().toIndexedSeq)
-        } finally java.lang.ref.Reference.reachabilityFence(snap)
+        // Memo on (args, state): EXPLAIN / re-resolved CTEs / repeated
+        // identical queries cost one driver map hit instead of a full
+        // re-search (round-13 verdict #6). The fingerprint read is
+        // driver-only (TOC + listings) — no Spark jobs on a hit.
+        val memoKey =
+          s"$base|$name|${coll.stateFingerprint()}|${q.mkString(",")}|$k|$nprobe"
+        val (attrs, rows) = GraftExtensions.memoGet(memoKey).getOrElse {
+          GraftExtensions.memoMisses.incrementAndGet()
+          val snap = coll.snapshot() // pin the version across the execution
+          val v = try {
+            val df = snap.search(q, graft.operators.SearchParams(topK = k,
+              numExploredCentroids = nprobe))
+            (df.queryExecution.analyzed.output.map(_.toAttribute),
+              df.queryExecution.executedPlan.executeCollect().toIndexedSeq)
+          } finally java.lang.ref.Reference.reachabilityFence(snap)
+          GraftExtensions.memoPut(memoKey, v)
+          v
+        }
+        // fresh exprIds per resolution: the same call referenced twice in
+        // one query (self-join of a CTE) must not alias attributes
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          attrs.map(_.newInstance()), rows)
       }))
   }
 }

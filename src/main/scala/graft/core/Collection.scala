@@ -1091,20 +1091,39 @@ object Collection {
         attrs += AttrField(parts(0), parts(1), parts(2))
       } else kv(k) = v
     }
+    // Forward compatibility (ADVICE r13): every field beyond the two
+    // identity ones falls back to the case-class default, so a CONFIG
+    // written by an older build (fewer fields) opens cleanly after a
+    // field is added to writeConfig — and unknown keys written by a
+    // NEWER build are simply ignored. The identity fields stay required:
+    // a CONFIG missing `name`/`numFeatures` is corrupt, and the error
+    // says which file and key.
+    def req(k: String): String = kv.getOrElse(k, sys.error(
+      s"corrupt collection config $p: missing required key '$k'"))
+    val dflt = CollectionConfig(name = "", numFeatures = 0)
     Some(CollectionConfig(
-      name = kv("name"), numFeatures = kv("numFeatures").toInt,
-      initialNumCentroids = kv("initialNumCentroids").toInt,
-      maxClustersPerVector = kv("maxClustersPerVector").toInt,
-      clusteringDistanceThresholdPct = kv("clusteringDistanceThresholdPct").toDouble,
-      maxPostingListSize = kv("maxPostingListSize").toLong,
-      clusteringSample = kv("clusteringSample").toInt,
-      maxPendingOps = kv("maxPendingOps").toLong,
-      maxNumberOfSegments = kv("maxNumberOfSegments").toInt,
-      userBuckets = kv("userBuckets").toInt,
-      quantizer = kv("quantizer"),
-      pqSubvectors = kv("pqSubvectors").toInt, pqBits = kv("pqBits").toInt,
-      centroidIndexType = kv("centroidIndexType"),
-      assignProbeGroups = kv("assignProbeGroups").toInt,
+      name = req("name"), numFeatures = req("numFeatures").toInt,
+      initialNumCentroids =
+        kv.get("initialNumCentroids").map(_.toInt).getOrElse(dflt.initialNumCentroids),
+      maxClustersPerVector =
+        kv.get("maxClustersPerVector").map(_.toInt).getOrElse(dflt.maxClustersPerVector),
+      clusteringDistanceThresholdPct = kv.get("clusteringDistanceThresholdPct")
+        .map(_.toDouble).getOrElse(dflt.clusteringDistanceThresholdPct),
+      maxPostingListSize =
+        kv.get("maxPostingListSize").map(_.toLong).getOrElse(dflt.maxPostingListSize),
+      clusteringSample =
+        kv.get("clusteringSample").map(_.toInt).getOrElse(dflt.clusteringSample),
+      maxPendingOps =
+        kv.get("maxPendingOps").map(_.toLong).getOrElse(dflt.maxPendingOps),
+      maxNumberOfSegments =
+        kv.get("maxNumberOfSegments").map(_.toInt).getOrElse(dflt.maxNumberOfSegments),
+      userBuckets = kv.get("userBuckets").map(_.toInt).getOrElse(dflt.userBuckets),
+      quantizer = kv.getOrElse("quantizer", dflt.quantizer),
+      pqSubvectors = kv.get("pqSubvectors").map(_.toInt).getOrElse(dflt.pqSubvectors),
+      pqBits = kv.get("pqBits").map(_.toInt).getOrElse(dflt.pqBits),
+      centroidIndexType = kv.getOrElse("centroidIndexType", dflt.centroidIndexType),
+      assignProbeGroups =
+        kv.get("assignProbeGroups").map(_.toInt).getOrElse(dflt.assignProbeGroups),
       attributeSchema = attrs.toSeq))
   }
 

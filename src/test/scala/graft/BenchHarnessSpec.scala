@@ -50,6 +50,43 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(med === 5.16)
   }
 
+  test("r13 q24 incident: whole-window stall escapes inversion, reference catches it") {
+    // the round-13 blind spot: 12.5 s warm / 11.0 s cold — both passes
+    // inside the stall, so nothing inverted...
+    assert(!Bench.stallInverted(cold = 11.0, warm = 12.5))
+    // ...but against the healthy reference (0.93 s) it flags
+    assert(Bench.refStalled(ref = 0.93, warm = 12.5))
+  }
+
+  test("reference rule: ratio for sub-second refs, +5s margin for heavy ones") {
+    // 3x a 0.4 s reference is sandbox variance — needs the +5s margin too
+    assert(!Bench.refStalled(ref = 0.4, warm = 1.3))
+    assert(Bench.refStalled(ref = 0.4, warm = 5.5))
+    // a 10 s reference: 3x dominates the margin
+    assert(!Bench.refStalled(ref = 10.0, warm = 16.0))
+    assert(Bench.refStalled(ref = 10.0, warm = 31.0))
+    // ordinary healthy spread never flags
+    assert(!Bench.refStalled(ref = 2.0, warm = 2.9))
+  }
+
+  test("reference rule: missing reference or errored execution never flags") {
+    assert(!Bench.refStalled(ref = 0.0, warm = 50.0))  // query not in file
+    assert(!Bench.refStalled(ref = -1.0, warm = 50.0))
+    assert(!Bench.refStalled(ref = 1.0, warm = -1.0))  // errored run
+  }
+
+  test("reference JSON parses flat name->seconds and shrugs off garbage") {
+    val ref = Bench.parseReference(
+      """{"q01_agg": 0.45, "q24_term_or": 0.93,
+         "q88_range_join": 3.14e0}""")
+    assert(ref === Map("q01_agg" -> 0.45, "q24_term_or" -> 0.93,
+      "q88_range_join" -> 3.14))
+    assert(Bench.parseReference("") === Map.empty)
+    assert(Bench.parseReference("not json at all") === Map.empty)
+    // a name with no numeric value contributes nothing
+    assert(Bench.parseReference("""{"a": "xyz", "b": 1.5}""") === Map("b" -> 1.5))
+  }
+
   test("requeue merge: slower or errored requeues never worsen the figures") {
     val samples = Seq(5.16, 15.49, 15.61)
     // slower requeue (stall not over): original stands

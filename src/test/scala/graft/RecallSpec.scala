@@ -236,6 +236,66 @@ class RecallSpec extends SparkSuite {
     }
   }
 
+  test("extensions: repeated identical graft_ann calls hit the memo (zero re-executions)") {
+    // round-13 verdict #6: the TVF executes at analysis time, so EXPLAIN
+    // and re-resolved CTEs re-ran the full search. The memo keyed on
+    // (args, stateFingerprint) makes every repeat a driver map hit; a
+    // mutation (flush) changes the fingerprint and re-executes.
+    val prev = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-tvf-memo-test")
+        .withExtensions(new GraftExtensions())
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import s2.implicits._
+      GraftExtensions.clearMemo()
+      val base = java.nio.file.Files.createTempDirectory("graft_tvf_memo").toString
+      val cfg = graft.core.CollectionConfig(
+        name = "memocoll", numFeatures = 4, initialNumCentroids = 2)
+      val coll = graft.core.Collection.create(s2, base, cfg)
+      coll.insert(Seq.tabulate(20) { i =>
+        (0L, i.toLong, Seq.tabulate(4)(d => (i * 4 + d).toDouble))
+      }.toDF("user_id", "doc_id", "vector"))
+      coll.flush()
+      val sqlText = s"SELECT doc_id, round(score, 6) AS score FROM " +
+        s"graft_ann('$base', 'memocoll', array(8.1d, 9.1d, 10.1d, 11.1d), 3, 2) " +
+        "ORDER BY score, doc_id"
+      val m0 = GraftExtensions.memoMisses.get()
+      val first = s2.sql(sqlText).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(GraftExtensions.memoMisses.get() === m0 + 1)
+      // EXPLAIN + an identical repeat: both resolve from the memo
+      s2.sql(s"EXPLAIN $sqlText").collect()
+      val second = s2.sql(sqlText).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(second === first)
+      assert(GraftExtensions.memoMisses.get() === m0 + 1, "memo missed on a repeat")
+      // the same call referenced twice in one query resolves cleanly
+      // (fresh exprIds per resolution) and still costs zero re-executions
+      val joined = s2.sql(
+        s"WITH a AS (SELECT doc_id FROM graft_ann('$base', 'memocoll', " +
+          "array(8.1d, 9.1d, 10.1d, 11.1d), 3, 2)) " +
+          "SELECT x.doc_id FROM a x JOIN a y ON x.doc_id = y.doc_id")
+        .collect()
+      assert(joined.length === 3)
+      // a mutation changes the fingerprint -> re-executes exactly once
+      coll.insert(Seq((0L, 99L, Seq(8.1, 9.1, 10.1, 11.1)))
+        .toDF("user_id", "doc_id", "vector"))
+      coll.flush()
+      val third = s2.sql(sqlText).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(GraftExtensions.memoMisses.get() >= m0 + 2, "stale memo served after a flush")
+      assert(third.head._1 === 99L) // the new exact-match doc wins
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setActiveSession(p)
+        SparkSession.setDefaultSession(p)
+      }
+    }
+  }
+
   test("diverseSelect: covers every planted mode, deterministic, beats head-of-corpus coverage") {
     val r = new scala.util.Random(17)
     val centers = Array.fill(8)(Array.fill(12)(r.nextGaussian() * 4.0))
