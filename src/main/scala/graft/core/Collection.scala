@@ -233,15 +233,36 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
 
   private def maxBatchId(): Option[Long] = allBatchIds().maxOption
 
+  /** The WAL clock: one past the highest position ever claimed. On-disk
+    * batch dirs alone are NOT enough — [[expireVersions]]' truncation can
+    * legally delete every fully-flushed batch dir, and a dir-derived
+    * clock would then REWIND: the next delete/insert would claim a
+    * position at or below every retained TOC's watermark, leaking into
+    * pinned history, vanishing from every `changes()` interval (the
+    * ScaleFollow round-5 divergence: a post-expiry delete's tombstone
+    * landed below the diff window), and in the insert case never
+    * flushing. The current TOC's committed position is the floor. */
+  private def nextWalPosition(): Long = commitWalPosition(toc) + 1L
+
+  /** The WAL position a new TOC commit records (`maxOpsBatch`): the
+    * on-disk batch high-water mark, floored by the position the previous
+    * TOC already committed — same rewind hazard as [[nextWalPosition]],
+    * on the commit side: a flush/merge/vacuum right after an expiry
+    * truncated every batch dir must not record a position BELOW its
+    * predecessor's (changes() intervals and the clock floor both read
+    * it). */
+  private def commitWalPosition(t: Toc): Long =
+    math.max(maxBatchId().getOrElse(-1L), Collection.walPosition(t))
+
   /** Next id in the manual (even) lane. */
   private[graft] def nextBatchId(): Long = {
-    val next = maxBatchId().map(_ + 1).getOrElse(0L)
+    val next = nextWalPosition()
     if (next % 2 == 0) next else next + 1
   }
 
   /** First id in the streaming (odd) lane at or after the current max. */
   private[graft] def nextStreamingBase(): Long = {
-    val next = maxBatchId().map(_ + 1).getOrElse(0L)
+    val next = nextWalPosition()
     if (next % 2 == 1) next else next + 1
   }
 
@@ -395,13 +416,13 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
         // pending tombstones commit into a readable history version.
         if (batches.nonEmpty)
           Toc.write(path, Toc(t.version + 1, t.segments, batches.max,
-            maxBatchId().getOrElse(-1L)))
+            commitWalPosition(t)))
         None
       case Some(df) =>
         val seg = s"seg_${t.version + 1}"
         buildSegment(df, seg)
         Toc.write(path, Toc(t.version + 1, t.segments :+ seg, batches.max,
-          maxBatchId().getOrElse(-1L)))
+          commitWalPosition(t)))
         Some(seg)
     }
   }
@@ -894,7 +915,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     val seg = s"merged_${t.version + 1}"
     buildSegment(rows, seg)
     Toc.write(path, Toc(t.version + 1, Seq(seg), t.lastFlushedBatch,
-      maxBatchId().getOrElse(-1L)))
+      commitWalPosition(t)))
     Some(seg)
   }
 
@@ -926,7 +947,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     buildSegment(rows, seg)
     Toc.write(path, Toc(t.version + 1,
       t.segments.filterNot(victims.contains) :+ seg,
-      t.lastFlushedBatch, maxBatchId().getOrElse(-1L)))
+      t.lastFlushedBatch, commitWalPosition(t)))
     Some(seg)
   }
 
@@ -970,7 +991,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     val seg = s"${segment}_v"
     buildSegment(rows, seg)
     Toc.write(path, Toc(t.version + 1, t.segments.map(s => if (s == segment) seg else s),
-      t.lastFlushedBatch, maxBatchId().getOrElse(-1L)))
+      t.lastFlushedBatch, commitWalPosition(t)))
   }
 
   /** Hash bucket for partition pruning (stable across writes/reads). */

@@ -69,4 +69,54 @@ class CdcInvarianceSpec extends SparkSuite {
       assert(got === expected.toSet, s"changes($i, $j) diverged from simulation")
     }
   }
+
+  test("WAL clock never rewinds after expiry truncates every batch dir (r14 soak bug)") {
+    // ScaleFollow round-5 divergence: expireVersions legally deletes ALL
+    // fully-flushed ops batch dirs; the batch-id clock was derived from
+    // the dirs alone, so the NEXT delete claimed a position at/below the
+    // retained TOCs' watermark — its tombstone vanished from every
+    // changes() interval (and leaked into pinned history), while
+    // liveRows still masked the row: consumer mirrors silently diverged.
+    // The clock (and every TOC commit) is now floored by the committed
+    // walPosition.
+    val base = Files.createTempDirectory("graft_cdcclock").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "clock", numFeatures = 4, initialNumCentroids = 4))
+    def toDf(ids: Seq[Long]) = ids.map(i =>
+      (0L, i, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble)))
+      .toDF("user_id", "doc_id", "vector")
+    coll.insert(toDf(0L until 20L)); coll.flush() // v1
+    coll.insert(toDf(20L until 30L)); coll.flush() // v2
+    val v2 = coll.versions.last
+    // fully-flushed history: truncation deletes every ops batch dir
+    coll.expireVersions(keep = 1)
+    assert(coll.versions === Seq(v2))
+    val v2Live = coll.snapshot().liveDocs.get.count()
+    // post-expiry delete + insert must claim positions ABOVE v2's
+    coll.delete(Seq((0L, 5L), (0L, 6L)).toDF("user_id", "doc_id"))
+    coll.insert(toDf(Seq(40L)))
+    coll.flush() // v3
+    val v3 = coll.versions.last
+    val delta = coll.changes(v2, v3).select("doc_id", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(delta === Set(5L -> "delete", 6L -> "delete", 40L -> "insert"),
+      s"post-expiry ops missing from the delta: $delta")
+    // pinned history stays clean: v2 (committed BEFORE the delete) must
+    // still see docs 5 and 6 — a rewound tombstone position would mask
+    // them retroactively
+    assert(coll.snapshotAt(v2).liveDocs.get.count() === v2Live)
+    assert(coll.snapshot().liveDocs.get.count() === v2Live - 2 + 1)
+    // and a post-expiry maintenance commit must not rewind maxOpsBatch:
+    // merge, then diff across it — still exactly the same delta story
+    coll.insert(toDf(Seq(41L))); coll.flush() // v4
+    coll.expireVersions(keep = 2)
+    coll.merge() // v5 (logically silent)
+    val v5 = coll.versions.last
+    coll.delete(Seq((0L, 7L)).toDF("user_id", "doc_id")); coll.flush() // v6
+    val d2 = coll.changes(v5, coll.versions.last)
+      .select("doc_id", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(d2 === Set(7L -> "delete"),
+      s"delete after expiry+merge missing from the delta: $d2")
+  }
 }
