@@ -87,6 +87,18 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(Bench.parseReference("""{"a": "xyz", "b": 1.5}""") === Map("b" -> 1.5))
   }
 
+  test("the committed reference file parses and covers the query surface") {
+    // tools/bench_reference.json is the last healthy capture's per-query
+    // medians — the whole-window stall detector is inert if it goes
+    // missing or garbled, so pin that it loads and covers every query
+    val ref = Bench.parseReference(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("tools/bench_reference.json")))
+    assert(ref.size >= 100, s"reference too small: ${ref.size}")
+    assert(ref.values.forall(v => v > 0 && v < 120), "implausible reference figure")
+    val missing = SparkEntry.queries.keySet -- ref.keySet
+    assert(missing.isEmpty, s"queries missing from the reference: $missing")
+  }
+
   test("requeue merge: slower or errored requeues never worsen the figures") {
     val samples = Seq(5.16, 15.49, 15.61)
     // slower requeue (stall not over): original stands
