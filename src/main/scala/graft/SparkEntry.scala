@@ -156,6 +156,17 @@ object SparkEntry {
   private def docUniverse(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents").select(lit(0L).as("user_id"), col("doc_id").as("point_id"))
 
+  /** [[docTerms]] WITH POSITIONS (`term_postings`) — the phrase/proximity
+    * query surface. The analyzed token array is materialized once per row
+    * so the stemming UDF never re-evaluates inside the postings lambdas. */
+  private def docTermsPos(s: SparkSession, dir: String): DataFrame =
+    Gen.explodeOnce(
+      Par.ensure(T(s, dir, "documents")).withColumn("_toks", analyze_text(col("text"))),
+      Seq(lit(0L).as("user_id"), col("doc_id").as("point_id")),
+      term_postings("text", col("_toks")), "tp")
+      .select(col("user_id"), col("tp.term").as("term"), col("point_id"),
+        col("tp.positions").as("positions"))
+
   /** The shared q102/q103 four-version CDC lifecycle (content-stamped,
     * built at most once per code+input fingerprint): v1 = evens flushed,
     * v2 = odds inserted + %10 deleted, v3 = merge (logically silent),
@@ -389,6 +400,20 @@ object SparkEntry {
           DocFilter.Contains("text", "stream"))),
         limit = 50)
         .select("doc_id")),
+    "q111_phrase_search" -> ((s, d) =>
+      // Phrase query (beyond the reference: its term index has no
+      // positions) — "merge join" at consecutive analyzed positions,
+      // via the positions-bearing term-index path
+      FilterCompiler.compile(
+        DocFilter.Phrase("text", "merge join"),
+        docTermsPos(s, d), docUniverse(s, d))
+        .select(col("point_id").as("doc_id")).orderBy("doc_id")),
+    "q112_near_search" -> ((s, d) =>
+      // Proximity query: "hash" within 3 tokens of "join" (unordered)
+      FilterCompiler.compile(
+        DocFilter.Near("text", "hash", "join", 3),
+        docTermsPos(s, d), docUniverse(s, d))
+        .select(col("point_id").as("doc_id")).orderBy("doc_id")),
 
     // ---- training-data pipeline ----
     "q25_ngram_jaccard" -> ((s, d) =>
@@ -1859,6 +1884,20 @@ object SparkEntry {
       s"""SELECT doc_id FROM (SELECT doc_id, $docToksSql AS toks FROM documents) t
           WHERE list_contains(toks, 'batch') OR list_contains(toks, 'stream')
           ORDER BY doc_id LIMIT 50""",
+    "q111_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $docToksSql AS toks FROM documents),
+            p AS (SELECT doc_id, unnest(toks) AS tok,
+                         generate_subscripts(toks, 1) AS pos FROM t)
+          SELECT DISTINCT a.doc_id AS doc_id
+          FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          WHERE a.tok = 'merge' AND b.tok = 'join' ORDER BY doc_id""",
+    "q112_near_search" ->
+      s"""WITH t AS (SELECT doc_id, $docToksSql AS toks FROM documents),
+            p AS (SELECT doc_id, unnest(toks) AS tok,
+                         generate_subscripts(toks, 1) AS pos FROM t)
+          SELECT DISTINCT a.doc_id AS doc_id
+          FROM p a JOIN p b ON a.doc_id = b.doc_id AND abs(b.pos - a.pos) <= 3
+          WHERE a.tok = 'hash' AND b.tok = 'join' ORDER BY doc_id""",
     "q25_ngram_jaccard" ->
       s"""WITH t AS (
             SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),

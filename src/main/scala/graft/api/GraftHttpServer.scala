@@ -38,7 +38,9 @@ import graft.operators.DocFilter
   * Filter trees mirror the proto's DocumentFilter (muopdb.proto:83-114):
   * a Contains leaf `{field, value, keyword?}`, plus `{and: [...]}`,
   * `{or: [...]}`, `{not_contains: {field, value, keyword?}}`, and
-  * `{ids: [1, 2, ...]}`.
+  * `{ids: [1, 2, ...]}`; beyond-proto positional extensions
+  * `{phrase: {field, value}}` (consecutive analyzed tokens) and
+  * `{near: {field, left, right, window}}` (unordered proximity).
   *
   * Every route ALSO accepts the exact protobuf-JSON request shape of the
   * corresponding muopdb.proto message — the README Quick Start payloads
@@ -269,6 +271,20 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
     } else if (m.contains("contains")) {
       val (f, value, kw) = leaf(Json.obj(m("contains")))
       DocFilter.Contains(f, value, kw)
+    } else if (m.contains("phrase")) {
+      // beyond-proto extension: {phrase: {path|field, value, keyword?}} —
+      // consecutive analyzed tokens via the positions-bearing term index
+      val (f, value, kw) = leaf(Json.obj(m("phrase")))
+      DocFilter.Phrase(f, value, kw)
+    } else if (m.contains("near")) {
+      // beyond-proto extension: {near: {path|field, left, right, window}}
+      val c = Json.obj(m("near"))
+      DocFilter.Near(
+        c.getOrElse("path", c.getOrElse("field", sys.error(s"missing path: $c")))
+          .asInstanceOf[String],
+        c("left").asInstanceOf[String],
+        c("right").asInstanceOf[String],
+        u64(c.getOrElse("window", 1)).intValue())
     } else if (m.contains("ids")) {
       // proto IdsFilter nests {ids: [...]} one level when the filter
       // arrives as {ids: {ids: [...]}}; the legacy shape is flat. Ids may

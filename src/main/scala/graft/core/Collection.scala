@@ -571,18 +571,28 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       .sortWithinPartitions("centroid_id", "point_id")
       .write.mode("overwrite").parquet(s"${segPath(seg)}/postings")
 
-    // Term index: field:stemmedToken -> point ids (S9; mutable_segment.rs:73-103).
+    // Term index: field:stemmedToken -> point ids + POSITIONS in the
+    // analyzed token stream (S9; mutable_segment.rs:73-103 — the reference
+    // stores ids only; positions are the beyond-reference column that
+    // phrase/proximity filters consume, Lucene-style). Construction is
+    // per-row (term_postings' higher-order functions), so this stage adds
+    // no shuffle before the term-bucket repartition below; the analyzed
+    // token array is materialized once per row (`_toks`) so the stemming
+    // UDF runs once, not per (token × position).
     val textCols = config.textFields.filter(f => rows.columns.contains(f.name))
     val terms =
       if (textCols.isEmpty)
-        vectors.select(col("user_id"), lit("").as("term"), col("point_id")).limit(0)
+        vectors.select(col("user_id"), lit("").as("term"), col("point_id"),
+          array().cast("array<int>").as("positions")).limit(0)
       else textCols.map { f =>
         val toks =
           if (f.kind == "keyword") array(lower(col(f.name)))
           else analyze_text(col(f.name), lit(f.lang))
-        graft.operators.Gen.explodeOnce(vectors,
-          Seq(col("user_id"), col("point_id")), term_keys(f.name, toks), "term")
-          .select(col("user_id"), col("term"), col("point_id"))
+        graft.operators.Gen.explodeOnce(vectors.withColumn("_toks", toks),
+          Seq(col("user_id"), col("point_id")),
+          term_postings(f.name, col("_toks")), "tp")
+          .select(col("user_id"), col("tp.term").as("term"), col("point_id"),
+            col("tp.positions").as("positions"))
       }.reduce(_ unionByName _).dropDuplicates("user_id", "term", "point_id")
     // Physically partitioned by term-hash bucket (same pattern as the
     // user-bucket pruning on vectors, F11): a term lookup prunes to one
@@ -1356,5 +1366,45 @@ final class Snapshot(
       else qts.map(t => array_contains(docToks, t)).reduce(_ && _)
     case DocFilter.NotContains(field, value, kw) =>
       !compileRaw(DocFilter.Contains(field, value, kw), df)
+    case DocFilter.Phrase(field, value, kw) =>
+      // consecutive-window scan over the analyzed tail tokens; the
+      // when() guard keeps the descending-sequence/0-index hazards of
+      // short documents out (CaseWhen branches evaluate lazily per row)
+      val lang = coll.config.attributeSchema.find(_.name == field).map(_.lang).getOrElse("english")
+      val docToks =
+        if (kw) array(lower(col(field)))
+        else analyze_text(col(field), lit(lang))
+      val qts = graft.operators.FilterCompiler.queryTerms(field, value, kw, lang)
+        .map(_.stripPrefix(s"$field:"))
+      if (qts.isEmpty) lit(false)
+      else if (qts.size == 1) array_contains(docToks, qts.head)
+      else {
+        // docToks re-evaluates inside the lambda per window index — fine
+        // here and only here: the tail is bounded (unflushed batches) and
+        // the stemmer memoizes per token, so the per-element cost is a
+        // dictionary hit. Flushed segments take the positions-join path.
+        val n = qts.size
+        when(size(docToks) >= n,
+          exists(sequence(lit(0), size(docToks) - n), i =>
+            qts.zipWithIndex.map { case (t, j) =>
+              element_at(docToks, i + j + 1) === t
+            }.reduce(_ && _)))
+          .otherwise(lit(false))
+      }
+    case DocFilter.Near(field, l, r, w) =>
+      val lang = coll.config.attributeSchema.find(_.name == field).map(_.lang).getOrElse("english")
+      val docToks = analyze_text(col(field), lit(lang))
+      val lt = graft.operators.FilterCompiler.queryTerms(field, l, keyword = false, lang)
+        .map(_.stripPrefix(s"$field:"))
+      val rt = graft.operators.FilterCompiler.queryTerms(field, r, keyword = false, lang)
+        .map(_.stripPrefix(s"$field:"))
+      if (lt.isEmpty || rt.isEmpty) lit(false)
+      else when(size(docToks) > 0,
+        exists(sequence(lit(0), size(docToks) - 1), i =>
+          element_at(docToks, i + 1) === lt.head &&
+            exists(sequence(greatest(i - w, lit(0)),
+              least(i + w, size(docToks) - 1)),
+              j => element_at(docToks, j + 1) === rt.head)))
+        .otherwise(lit(false))
   }
 }

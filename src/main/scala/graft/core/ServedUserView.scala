@@ -69,10 +69,47 @@ final class ServedUserView private[core] (
       val qts = FilterCompiler.queryTerms(field, value, kw,
         fieldLang.getOrElse(field, "english"))
       if (qts.isEmpty) Set.empty
-      else qts.map(t => sv.termPostings.getOrElse(t, ServedUserView.noPoints).toSet)
-        .reduce(_ intersect _)
+      else qts.map(t => sv.termPostings.getOrElse(t, ServedUserView.noPostings)
+        .map(_._1).toSet).reduce(_ intersect _)
     case DocFilter.NotContains(field, value, kw) =>
       sv.universe.diff(evalSegment(DocFilter.Contains(field, value, kw), sv))
+    case DocFilter.Phrase(field, value, kw) =>
+      // served mirror of FilterCompiler's shifted-intersection phrase:
+      // token i's positions shifted by -i, match iff all legs share one
+      require(sv.hasPositions,
+        s"Phrase($field, $value) needs a positions-bearing term index " +
+          "(segment flushed before the positions column landed — re-flush)")
+      val qts = FilterCompiler.queryTerms(field, value, kw,
+        fieldLang.getOrElse(field, "english"))
+      if (qts.isEmpty) Set.empty
+      else {
+        val legs = qts.zipWithIndex.map { case (t, i) =>
+          sv.termPostings.getOrElse(t, ServedUserView.noPostings)
+            .map { case (pid, pos) => pid -> pos.map(_ - i).toSet }.toMap
+        }
+        // fold ONE common shifted position through all legs (pairwise
+        // overlap is not enough: "a b x a y c" overlaps a-b and a-c at
+        // different anchors without containing "a b c")
+        legs.head.collect { case (pid, p0)
+          if legs.tail.foldLeft(p0)((acc, leg) =>
+            leg.get(pid).fold(Set.empty[Int])(acc.intersect)).nonEmpty =>
+            pid }.toSet
+      }
+    case DocFilter.Near(field, l, r, w) =>
+      require(sv.hasPositions,
+        s"Near($field, $l, $r, $w) needs a positions-bearing term index " +
+          "(segment flushed before the positions column landed — re-flush)")
+      val lang = fieldLang.getOrElse(field, "english")
+      val lt = FilterCompiler.queryTerms(field, l, keyword = false, lang)
+      val rt = FilterCompiler.queryTerms(field, r, keyword = false, lang)
+      if (lt.isEmpty || rt.isEmpty) Set.empty
+      else {
+        val a = sv.termPostings.getOrElse(lt.head, ServedUserView.noPostings)
+        val b = sv.termPostings.getOrElse(rt.head, ServedUserView.noPostings)
+          .toMap
+        a.collect { case (pid, pa) if b.get(pid).exists(pb =>
+          pa.exists(x => pb.exists(y => math.abs(x - y) <= w))) => pid }.toSet
+      }
     case DocFilter.And(cs) =>
       if (cs.isEmpty) sv.universe
       else cs.map(evalSegment(_, sv)).reduce(_ intersect _)
@@ -100,6 +137,28 @@ final class ServedUserView private[core] (
       }
     case DocFilter.NotContains(field, value, kw) =>
       !evalTail(DocFilter.Contains(field, value, kw), row)
+    case DocFilter.Phrase(field, value, kw) =>
+      val qts = FilterCompiler.queryTerms(field, value, kw,
+          fieldLang.getOrElse(field, "english"))
+        .map(_.stripPrefix(s"$field:"))
+      if (qts.isEmpty) false
+      else if (kw) row.keywords.get(field).exists(v => qts.forall(_ == v))
+      else row.toks.get(field) match {
+        case Some(toks) if toks.size >= qts.size =>
+          toks.sliding(qts.size).exists(_ == qts)
+        case _ => false
+      }
+    case DocFilter.Near(field, l, r, w) =>
+      val lang = fieldLang.getOrElse(field, "english")
+      val lt = FilterCompiler.queryTerms(field, l, keyword = false, lang)
+        .map(_.stripPrefix(s"$field:"))
+      val rt = FilterCompiler.queryTerms(field, r, keyword = false, lang)
+        .map(_.stripPrefix(s"$field:"))
+      if (lt.isEmpty || rt.isEmpty) false
+      else row.toks.get(field).exists { toks =>
+        toks.indices.exists(i => toks(i) == lt.head &&
+          toks.indices.exists(j => toks(j) == rt.head && math.abs(i - j) <= w))
+      }
   }
 
   /** Single-query top-k over segments + tail, zero Spark jobs. An
@@ -147,19 +206,26 @@ final class ServedUserView private[core] (
 
 object ServedUserView {
 
-  private val noPoints = Array.empty[Long]
+  private val noPostings = Array.empty[(Long, Array[Int])]
 
   private[core] final case class SegmentView(
       index: ServedIvfIndex,
       docOf: Map[Long, Any], // point_id -> doc_id (tombstoned points absent)
-      termPostings: Map[String, Array[Long]]) { // term key -> point ids
+      // term key -> (point id, positions in the analyzed stream); the
+      // positions ride the same per-user collect as the ids — memory
+      // stays bounded by one user's corpus, and phrase/proximity queries
+      // serve with zero Spark jobs like everything else here
+      termPostings: Map[String, Array[(Long, Array[Int])]],
+      // false for segments flushed before the positions column landed:
+      // Contains still serves; Phrase/Near fail descriptively
+      hasPositions: Boolean) {
     val universe: Set[Long] = docOf.keySet
   }
 
   private[core] final case class TailRow(
       docId: Any,
       vector: Array[Double],
-      toks: Map[String, Set[String]], // text field -> analyzed tokens
+      toks: Map[String, Vector[String]], // text field -> analyzed tokens, IN ORDER
       keywords: Map[String, String]) // text/keyword field -> lowercased value
 
   private[core] def build(coll: Collection, userId: Any): ServedUserView = {
@@ -197,13 +263,17 @@ object ServedUserView {
       // the user's slice of the term index, in memory (MultiTermIndex
       // analogue). Tombstoned points stay out via the docOf remap at
       // query time; sizes are bounded by one user's corpus.
-      val termPostings: Map[String, Array[Long]] =
-        coll.segmentTable(seg, "terms").filter(col("user_id") === uid)
-          .select(col("term"), col("point_id").cast("long"))
+      val tseg = coll.segmentTable(seg, "terms").filter(col("user_id") === uid)
+      val hasPositions = tseg.columns.contains("positions")
+      val termPostings: Map[String, Array[(Long, Array[Int])]] =
+        tseg.select(col("term"), col("point_id").cast("long"),
+          (if (hasPositions) col("positions")
+           else lit(null).cast("array<int>")).as("positions"))
           .collect()
           .groupBy(_.getString(0))
-          .map { case (term, rows) => term -> rows.map(_.getLong(1)) }
-      SegmentView(served, docOf, termPostings)
+          .map { case (term, rows) => term -> rows.map(r => r.getLong(1) ->
+            Option(r.getSeq[Int](2)).fold(Array.empty[Int])(_.toArray)) }
+      SegmentView(served, docOf, termPostings, hasPositions)
     }
     // analyzed text rides out of the same Spark expressions the index side
     // uses (analyze_text per field lang), so tail term matching keeps the
@@ -223,7 +293,7 @@ object ServedUserView {
           .collect()
         selected.map { r =>
           val toks = present.zipWithIndex.map { case (f, i) =>
-            f.name -> Option(r.getSeq[String](2 + 2 * i)).getOrElse(Nil).toSet
+            f.name -> Option(r.getSeq[String](2 + 2 * i)).getOrElse(Nil).toVector
           }.toMap
           val kws = present.zipWithIndex.flatMap { case (f, i) =>
             Option(r.getString(3 + 2 * i)).map(f.name -> _)

@@ -114,6 +114,32 @@ object GraftFunctions {
   def term_keys(field: String, tokens: Column): Column =
     transform(tokens, t => concat(lit(field + ":"), t))
 
+  /** Per-row inverted postings WITH POSITIONS over an analyzed token
+    * array: `array<struct<term:string, positions:array<int>>>`, one entry
+    * per DISTINCT token, positions = 0-based indexes of that token in the
+    * analyzed stream (ascending by construction). Beyond the reference —
+    * its term index stores point ids only
+    * (rs/index/src/segment/mutable_segment.rs:73-103); positions are what
+    * phrase and proximity queries (Lucene-style) consume. Built entirely
+    * from native higher-order functions, so the terms-table stage of a
+    * flush stays map-only (no groupBy/collect_list shuffle): the inner
+    * `filter(sequence(...))` is O(distinct × len) per row — bounded by the
+    * document itself, embarrassingly parallel at any corpus size. The
+    * lambda never evaluates on an empty token array (`array_distinct` of
+    * empty is empty), so `sequence(0, len-1)` cannot see len = 0.
+    *
+    * `tokens` is referenced once per element inside the lambdas — pass a
+    * MATERIALIZED column (`withColumn("_toks", analyze_text(...))`, then
+    * `col("_toks")`), never the stemming UDF expression itself, or the
+    * UDF re-evaluates per (distinct token × position). Attribute reads
+    * are free; CollapseProject keeps non-cheap aliases un-inlined. */
+  def term_postings(field: String, tokens: Column): Column =
+    transform(array_distinct(tokens), t =>
+      struct(
+        concat(lit(field + ":"), t).as("term"),
+        filter(sequence(lit(0), size(tokens) - 1),
+          i => element_at(tokens, i + 1) === t).as("positions")))
+
   // ---- shingles / minhash / simhash (training-data dedup surface) ----
 
   /** 64-bit hashes of word n-gram shingles of a token array (one-pass

@@ -21,6 +21,19 @@ object DocFilter {
   /** Literal point-id list (IdsIter; planner.rs:52-54 sorts+dedups at plan
     * time — Catalyst's OptimizeIn does the same for us). */
   final case class Ids(pointIds: Seq[Long]) extends DocFilter
+  /** Exact phrase: the analyzed tokens of `value` must occur at
+    * CONSECUTIVE positions in `field` (Lucene PhraseQuery semantics).
+    * Beyond the reference — its term index stores point ids only
+    * (rs/index/src/segment/mutable_segment.rs:73-103), so phrase queries
+    * are inexpressible there; here the term index carries per-(term,
+    * point) position arrays. Keyword fields index the whole value as one
+    * term at position 0, so a keyword Phrase degrades to equality. */
+  final case class Phrase(field: String, value: String, keyword: Boolean = false) extends DocFilter
+  /** Unordered proximity: some occurrence of the single analyzed term of
+    * `left` within `window` token positions of some occurrence of
+    * `right`'s term (Lucene-style NEAR/slop). `window = 1` with order
+    * ignored; use [[Phrase]] for ordered adjacency. */
+  final case class Near(field: String, left: String, right: String, window: Int) extends DocFilter
 }
 
 /** Compiles a [[DocFilter]] tree against a terms table
@@ -52,28 +65,76 @@ object FilterCompiler {
 
   /** @param universe all live `[user_id, point_id]` — needed by negations.
     * @param fieldLang text-field language map (defaults to English). */
+  /** Single-term scan, directory-pruned when the terms table is
+    * term-hash partitioned (collection segment indexes): the bucket
+    * predicate constant-folds and prunes to one of
+    * [[graft.core.Collection.termBuckets]] directories pre-scan; the
+    * sorted `term` column then prunes row groups by min/max (measured in
+    * `graft.ProfTerms`). Phrase/Near ride the exact same scan shape as
+    * Contains — positions add a payload column, never a different plan. */
+  private def termScan(terms: DataFrame, t: String): DataFrame =
+    if (terms.columns.contains("term_bucket")) terms.filter(
+      col("term_bucket") ===
+        pmod(xxhash64(lit(t)), lit(graft.core.Collection.termBuckets)) &&
+        col("term") === lit(t))
+    else terms.filter(col("term") === lit(t))
+
   def compile(filter: DocFilter, terms: DataFrame, universe: DataFrame,
       fieldLang: Map[String, String] = Map.empty): DataFrame = {
     val spark = terms.sparkSession
     def empty: DataFrame = universe.limit(0).select(cols.map(col): _*)
+    def positional(what: String): Unit =
+      require(terms.columns.contains("positions"),
+        s"$what needs a positions-bearing terms table (segments flushed " +
+          "before the positions column landed must re-flush; on-the-fly " +
+          "term frames must use term_postings, not term_keys)")
     def go(f: DocFilter): DataFrame = f match {
       case DocFilter.Ids(ids) =>
         universe.filter(col("point_id").isin(ids: _*)).select(cols.map(col): _*)
       case DocFilter.Contains(field, value, kw) =>
         val qts = queryTerms(field, value, kw, fieldLang.getOrElse(field, "english"))
-        val bucketed = terms.columns.contains("term_bucket")
         if (qts.isEmpty) empty // empty token stream -> empty result (planner.rs:90-93)
-        else qts.map { t =>
-          // collection term indexes are term-hash partitioned: the bucket
-          // predicate constant-folds and prunes directories pre-scan
-          val scan =
-            if (bucketed) terms.filter(
-              col("term_bucket") ===
-                pmod(xxhash64(lit(t)), lit(graft.core.Collection.termBuckets)) &&
-                col("term") === lit(t))
-            else terms.filter(col("term") === lit(t))
-          scan.select(cols.map(col): _*)
-        }.reduce((a, b) => a.join(b, cols, "left_semi")) // AndIter (and_iter.rs:26)
+        else qts.map(t => termScan(terms, t).select(cols.map(col): _*))
+          .reduce((a, b) => a.join(b, cols, "left_semi")) // AndIter (and_iter.rs:26)
+      case DocFilter.Phrase(field, value, kw) =>
+        positional(s"Phrase($field, $value)")
+        val qts = queryTerms(field, value, kw, fieldLang.getOrElse(field, "english"))
+        if (qts.isEmpty) empty
+        else {
+          // Lucene PhraseQuery as relational algebra: token i's positions
+          // shifted by -i, inner-joined on the doc key, match iff the
+          // shifted arrays share an element (= consecutive occurrence).
+          // Each leg is the same bucket-pruned single-term scan as
+          // Contains, so a phrase costs n term lookups + (n-1) key joins
+          // on already-tiny posting frames — no corpus scan at any scale.
+          val legs = qts.zipWithIndex.map { case (t, i) =>
+            termScan(terms, t).select(col("user_id"), col("point_id"),
+              transform(col("positions"), p => p - i).as(s"_p$i"))
+          }
+          val joined = legs.reduce((a, b) => a.join(b, cols))
+          val inter = (1 until qts.size).foldLeft(col("_p0"))(
+            (acc, i) => array_intersect(acc, col(s"_p$i")))
+          joined.filter(size(inter) > 0).select(cols.map(col): _*)
+        }
+      case DocFilter.Near(field, l, r, w) =>
+        positional(s"Near($field, $l, $r, $w)")
+        val lang = fieldLang.getOrElse(field, "english")
+        val lt = queryTerms(field, l, keyword = false, lang)
+        val rt = queryTerms(field, r, keyword = false, lang)
+        if (lt.isEmpty || rt.isEmpty) empty
+        else {
+          // single analyzed term per side by contract (head of the
+          // analyzed stream); two pruned term scans + one key join, the
+          // window test a codegen HOF over the two position arrays
+          val a = termScan(terms, lt.head)
+            .select(col("user_id"), col("point_id"), col("positions").as("_pa"))
+          val b = termScan(terms, rt.head)
+            .select(col("user_id"), col("point_id"), col("positions").as("_pb"))
+          a.join(b, cols)
+            .filter(exists(col("_pa"),
+              x => exists(col("_pb"), y => abs(x - y) <= w)))
+            .select(cols.map(col): _*)
+        }
       case DocFilter.NotContains(field, value, kw) =>
         universe.select(cols.map(col): _*)
           .join(go(DocFilter.Contains(field, value, kw)), cols, "left_anti")

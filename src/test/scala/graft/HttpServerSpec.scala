@@ -93,6 +93,22 @@ class HttpServerSpec extends SparkSuite {
         "filter" -> Map("field" -> "content", "value" -> "searchable"))))
       assert(servedTs("doc_ids") === Vector(uuid(2)))
 
+      // positional filters over the wire (beyond-proto): phrase matches
+      // consecutive analyzed tokens only; near bounds the distance
+      val phrase = post("/term_search", Json.write(Map(
+        "collection_name" -> "wire",
+        "filter" -> Map("phrase" -> Map("field" -> "content", "value" -> "hello world")))))
+      assert(phrase("doc_ids") === Vector(uuid(1)))
+      val phraseRev = post("/term_search", Json.write(Map(
+        "collection_name" -> "wire",
+        "filter" -> Map("phrase" -> Map("field" -> "content", "value" -> "world hello")))))
+      assert(phraseRev("doc_ids") === Vector())
+      val near = post("/serve_term_search", Json.write(Map(
+        "collection_name" -> "wire", "user_ids" -> Seq(uuid(0)),
+        "filter" -> Map("near" -> Map("field" -> "content",
+          "left" -> "world", "right" -> "hello", "window" -> 1)))))
+      assert(near("doc_ids") === Vector(uuid(1)))
+
       post("/remove", Json.write(Map(
         "collection_name" -> "wire",
         "user_ids" -> Seq(uuid(0)), "doc_ids" -> Seq(uuid(1)))))

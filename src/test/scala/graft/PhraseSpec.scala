@@ -1,0 +1,203 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{AttrField, Collection, CollectionConfig}
+import graft.functions.GraftFunctions._
+import graft.operators.{DocFilter, FilterCompiler, Gen}
+
+/** Phrase/proximity queries over the positions-bearing term index —
+  * beyond the reference (its term index stores point ids only,
+  * rs/index/src/segment/mutable_segment.rs:73-103). Pins:
+  * term_postings position arithmetic, the shifted-intersection phrase
+  * join, the Near window test, parity with an independent naive
+  * sliding-window scan, the flushed-segment + unflushed-tail paths
+  * through Snapshot.termSearch, and the descriptive failure on a
+  * positions-less terms table. */
+class PhraseSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.map { case (id, text) => (0L, id, text) }
+      .toDF("user_id", "point_id", "text")
+
+  private def termsPos(df: DataFrame): DataFrame =
+    Gen.explodeOnce(df.withColumn("_toks", analyze_text(col("text"))),
+      Seq(col("user_id"), col("point_id")),
+      term_postings("text", col("_toks")), "tp")
+      .select(col("user_id"), col("tp.term").as("term"), col("point_id"),
+        col("tp.positions").as("positions"))
+
+  private def universe(df: DataFrame): DataFrame =
+    df.select("user_id", "point_id")
+
+  private def pts(df: DataFrame): Seq[Long] =
+    df.select("point_id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("term_postings: distinct terms, 0-based ascending positions") {
+    val tp = termsPos(docs(1L -> "a b a c b a"))
+      .collect().map(r => r.getString(1) -> r.getSeq[Int](3).toSeq).toMap
+    assert(tp === Map(
+      "text:a" -> Seq(0, 2, 5), "text:b" -> Seq(1, 4), "text:c" -> Seq(3)))
+  }
+
+  test("phrase: consecutive matches, order matters, gaps don't match") {
+    val d = docs(
+      1L -> "merge join is fast",     // phrase present
+      2L -> "join merge",             // reversed
+      3L -> "merge the join",         // gap
+      4L -> "fast merge join")        // phrase present, later offset
+    val t = termsPos(d)
+    val got = FilterCompiler.compile(
+      DocFilter.Phrase("text", "merge join"), t, universe(d))
+    assert(pts(got) === Seq(1L, 4L))
+  }
+
+  test("three-token phrase folds the intersection across all legs") {
+    val d = docs(
+      1L -> "sort merge join wins",
+      2L -> "merge join sort",        // all tokens, wrong order
+      3L -> "sort merge quick join")  // gap in the middle
+    val t = termsPos(d)
+    val got = FilterCompiler.compile(
+      DocFilter.Phrase("text", "sort merge join"), t, universe(d))
+    assert(pts(got) === Seq(1L))
+  }
+
+  test("single-token phrase degrades to Contains; empty phrase to empty") {
+    val d = docs(1L -> "alpha beta", 2L -> "gamma")
+    val t = termsPos(d)
+    val phrase = FilterCompiler.compile(
+      DocFilter.Phrase("text", "alpha"), t, universe(d))
+    val contains = FilterCompiler.compile(
+      DocFilter.Contains("text", "alpha"), t, universe(d))
+    assert(pts(phrase) === pts(contains))
+    assert(pts(FilterCompiler.compile(
+      DocFilter.Phrase("text", "   "), t, universe(d))).isEmpty)
+  }
+
+  test("phrase repeated token: 'go go' needs genuinely consecutive occurrences") {
+    val d = docs(
+      1L -> "go stop go",  // two 'go's, never adjacent
+      2L -> "stop go go")  // adjacent
+    val t = termsPos(d)
+    val got = FilterCompiler.compile(
+      DocFilter.Phrase("text", "go go"), t, universe(d))
+    assert(pts(got) === Seq(2L))
+  }
+
+  test("near: unordered window, inclusive bound, symmetric") {
+    val d = docs(
+      1L -> "hash x x join",   // distance 3
+      2L -> "join x hash",     // distance 2, reversed order
+      3L -> "hash x x x join", // distance 4 — outside w=3
+      4L -> "hash join")       // adjacent
+    val t = termsPos(d)
+    val got = FilterCompiler.compile(
+      DocFilter.Near("text", "hash", "join", 3), t, universe(d))
+    assert(pts(got) === Seq(1L, 2L, 4L))
+    val flipped = FilterCompiler.compile(
+      DocFilter.Near("text", "join", "hash", 3), t, universe(d))
+    assert(pts(flipped) === pts(got))
+  }
+
+  test("phrase/near parity with an independent naive sliding-window scan") {
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("merge", "join", "hash", "scan", "sort", "x")
+    val corpus = (0L until 200L).map(i =>
+      i -> Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val d = docs(corpus: _*)
+    val t = termsPos(d)
+    val phrase = Seq("merge", "join")
+    val naivePhrase = corpus.collect { case (id, text)
+      if text.split(" ").sliding(2).exists(_.sameElements(phrase)) => id }
+    assert(pts(FilterCompiler.compile(
+      DocFilter.Phrase("text", "merge join"), t, universe(d))) === naivePhrase)
+    val w = 2
+    val naiveNear = corpus.collect { case (id, text)
+      if {
+        val toks = text.split(" ")
+        toks.indices.exists(i => toks(i) == "hash" &&
+          toks.indices.exists(j => toks(j) == "scan" && math.abs(i - j) <= w))
+      } => id }
+    assert(pts(FilterCompiler.compile(
+      DocFilter.Near("text", "hash", "scan", w), t, universe(d))) === naiveNear)
+  }
+
+  test("positions-less terms table fails with a descriptive error") {
+    val t = Seq((0L, "text:a", 1L)).toDF("user_id", "term", "point_id")
+    val u = Seq((0L, 1L)).toDF("user_id", "point_id")
+    val e = intercept[IllegalArgumentException] {
+      FilterCompiler.compile(DocFilter.Phrase("text", "a b"), t, u)
+    }
+    assert(e.getMessage.contains("positions"))
+  }
+
+  test("collection termSearch: phrase over flushed segment AND unflushed tail") {
+    val base = Files.createTempDirectory("graft_phrase").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "cp", numFeatures = 2, initialNumCentroids = 2,
+      attributeSchema = Seq(AttrField("content", "text", "english"))))
+    val flushed = Seq(
+      (0L, 1L, Seq(1.0, 0.0), "fast merge join plan"),
+      (0L, 2L, Seq(0.0, 1.0), "join then merge later"),
+      (0L, 3L, Seq(1.0, 1.0), "nothing here"))
+      .toDF("user_id", "doc_id", "vector", "content")
+    coll.insert(flushed)
+    coll.flush()
+    // tail doc with the phrase stays unflushed — exercises compileRaw
+    coll.insert(Seq((0L, 4L, Seq(0.5, 0.5), "another merge join here"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    val snap = coll.snapshot()
+    val got = snap.termSearch(DocFilter.Phrase("content", "merge join"), limit = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got === Seq(1L, 4L))
+    val near = snap.termSearch(DocFilter.Near("content", "join", "merge", 2), limit = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(near === Seq(1L, 2L, 4L))
+    // stemming symmetry: inflected phrase stems to the indexed terms
+    val stemmed = snap.termSearch(DocFilter.Phrase("content", "merges joins"), limit = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(stemmed === Seq(1L, 4L))
+
+    // served (zero-Spark-jobs) parity across segment AND tail paths,
+    // including the three-token fold (common-anchor, not pairwise)
+    coll.insert(Seq((0L, 5L, Seq(0.2, 0.8), "sort merge join tail"),
+      (0L, 6L, Seq(0.8, 0.2), "sort merge quick join tail"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    val snap2 = coll.snapshot()
+    val served = coll.serveUser(0L)
+    for (f <- Seq(
+        DocFilter.Phrase("content", "merge join"),
+        DocFilter.Phrase("content", "sort merge join"),
+        DocFilter.Near("content", "join", "merge", 2),
+        DocFilter.And(Seq(
+          DocFilter.Phrase("content", "merge join"),
+          DocFilter.NotContains("content", "plan"))))) {
+      val dist = snap2.termSearch(f, limit = 10)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val srv = served.termSearch(f, limit = 10).map(_.asInstanceOf[Long])
+      assert(srv === dist, s"served parity for $f")
+    }
+  }
+
+  test("served segment phrase: three-token fold needs one common anchor") {
+    // flushed (not tail) doc where every adjacent pair of the phrase
+    // occurs but never the full run — pairwise intersection would pass,
+    // the common-anchor fold must not
+    val base = Files.createTempDirectory("graft_phrase3").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "cp3", numFeatures = 2, initialNumCentroids = 2,
+      attributeSchema = Seq(AttrField("content", "text", "english"))))
+    coll.insert(Seq(
+      (0L, 1L, Seq(1.0, 0.0), "a b x a y c and later b c"), // a-b, b-c adjacent; no a b c
+      (0L, 2L, Seq(0.0, 1.0), "z a b c z"))                 // the real phrase
+      .toDF("user_id", "doc_id", "vector", "content"))
+    coll.flush()
+    val f = DocFilter.Phrase("content", "a b c")
+    assert(coll.snapshot().termSearch(f, limit = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(coll.serveUser(0L).termSearch(f, limit = 10) === Seq(2L))
+  }
+}
