@@ -578,6 +578,34 @@ object SparkEntry {
       RaBitQ.topK(s.read.parquet(cdArt), model, q0(s, d), k = 10, rerank = 100)
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     }),
+    // OPQ ANN with a FULL SQL replay (q35's artifact pattern, rotated):
+    // codebooks live in the learned rotation's space, so the persisted
+    // artifacts are the rotated-space codebook, the codes, and the
+    // ROTATED query; DuckDB rebuilds the LUT against the rotated query,
+    // ADC-ranks the same codes, and exact-re-ranks against the ORIGINAL
+    // embeddings + query (orthogonality makes the two spaces isometric).
+    "q113_opq_ann" -> ((s, d) => {
+      import graft.functions.GraftFunctions.unpack_u8
+      val emb = Par.ensure(T(s, d, "embeddings"))
+      val model = Opq.train(emb, "embedding", numSubvectors = 16,
+        numBits = 6, sampleSize = 5000, opqIters = 4)
+      val cbArt = artifact("q113_codebook")
+      val cdArt = artifact("q113_codes")
+      val qArt = artifact("q113_query")
+      val cbRows = for (j <- model.pq.codebooks.indices; c <- model.pq.codebooks(j).indices)
+        yield (j, c, model.pq.codebooks(j)(c).toSeq)
+      import s.implicits._
+      cbRows.toDF("sub", "code", "centroid")
+        .repartition(1).saveArtifact(cbArt)
+      Seq(Tuple1(model.rotate(q0(s, d).toArray).toSeq)).toDF("qrot")
+        .repartition(1).saveArtifact(qArt)
+      emb.withColumn("opq_codes", Opq.encodeCol(model, col("embedding")))
+        .withColumn("codes", unpack_u8(col("opq_codes")))
+        .select("vec_id", "opq_codes", "codes", "embedding")
+        .repartition(4).saveArtifact(cdArt)
+      Opq.topK(s.read.parquet(cdArt), model, q0(s, d), k = 10, rerank = 100)
+        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+    }),
     "q42_decontaminate" -> ((s, d) => {
       // benchmark set = every 20th doc; flag the rest on >= 3 shared
       // distinct 3-gram shingles (postings guard off for the exact oracle,
@@ -1995,6 +2023,32 @@ object SparkEntry {
          cds AS (SELECT vec_id, unnest(codes) AS code,
                         generate_subscripts(codes, 1) - 1 AS sub
                  FROM read_parquet('/tmp/graft_artifacts/q35_codes/*.parquet')),
+         adc AS (SELECT c.vec_id, sqrt(sum(l.d2)) AS adc
+                 FROM cds c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+                 GROUP BY c.vec_id),
+         cand AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 100)
+         SELECT e.vec_id,
+           round(list_distance(e.embedding::DOUBLE[], (SELECT q FROM qv))::DOUBLE, 4) AS dist
+         FROM embeddings e JOIN cand USING (vec_id)
+         ORDER BY list_distance(e.embedding::DOUBLE[], (SELECT q FROM qv))::DOUBLE, e.vec_id
+         LIMIT 10""",
+    // OPQ replay: q35's LUT/ADC arithmetic verbatim, but against the
+    // persisted ROTATED query; exact re-rank in the original space
+    "q113_opq_ann" ->
+      """WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+         qr AS (SELECT qrot::DOUBLE[] AS q FROM read_parquet('/tmp/graft_artifacts/q113_query/*.parquet')),
+         cb AS (SELECT sub, code, centroid
+                FROM read_parquet('/tmp/graft_artifacts/q113_codebook/*.parquet')),
+         lut AS (
+           SELECT x.sub, x.code, sum(pow(x.ce - qq.qel, 2)) AS d2
+           FROM (SELECT sub, code, unnest(centroid)::DOUBLE AS ce,
+                        generate_subscripts(centroid, 1) AS t FROM cb) x
+           JOIN (SELECT unnest(q)::DOUBLE AS qel, generate_subscripts(q, 1) AS qi FROM qr) qq
+             ON qq.qi = x.sub * (SELECT len(q) // 16 FROM qr) + x.t
+           GROUP BY x.sub, x.code),
+         cds AS (SELECT vec_id, unnest(codes) AS code,
+                        generate_subscripts(codes, 1) - 1 AS sub
+                 FROM read_parquet('/tmp/graft_artifacts/q113_codes/*.parquet')),
          adc AS (SELECT c.vec_id, sqrt(sum(l.d2)) AS adc
                  FROM cds c JOIN lut l ON l.sub = c.sub AND l.code = c.code
                  GROUP BY c.vec_id),

@@ -38,8 +38,10 @@ final case class CollectionConfig(
       * the served config — wired here). With "pq" segments carry byte
       * codes scored via ADC; with "rabitq" they carry 1-bit sign codes
       * scored via the RaBitQ estimator; with "sq8" they carry 1-byte-per-
-      * dim scalar codes scored via the SQ8 asymmetric estimator; all
-      * three re-rank exactly. */
+      * dim scalar codes scored via the SQ8 asymmetric estimator; with
+      * "opq" (beyond the reference: Ge et al., CVPR'13) PQ codes in a
+      * learned orthogonal rotation, scored via the same ADC kernel over
+      * the rotated query; all re-rank exactly. */
     quantizer: String = "noq",
     pqSubvectors: Int = 8,
     pqBits: Int = 8,
@@ -58,7 +60,7 @@ final case class CollectionConfig(
       * thousands. */
     assignProbeGroups: Int = 0,
     attributeSchema: Seq[AttrField] = Nil) {
-  require(Seq("noq", "pq", "rabitq", "sq8").contains(quantizer),
+  require(Seq("noq", "pq", "opq", "rabitq", "sq8").contains(quantizer),
     s"unknown quantizer: $quantizer")
   require(centroidIndexType == "exact" || centroidIndexType == "hnsw",
     s"unknown centroidIndexType: $centroidIndexType")
@@ -321,6 +323,16 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     }
   }
 
+  def readOpqModel(seg: String): Option[graft.operators.Opq.Model] = {
+    val p = Paths.get(segPath(seg), "opq_model.bin")
+    if (!Files.exists(p)) None
+    else {
+      val ois = new java.io.ObjectInputStream(Files.newInputStream(p))
+      try Some(ois.readObject().asInstanceOf[graft.operators.Opq.Model])
+      finally ois.close()
+    }
+  }
+
   def readRabitqModel(seg: String): Option[graft.operators.RaBitQ.Model] = {
     val p = Paths.get(segPath(seg), "rabitq_model.bin")
     if (!Files.exists(p)) None
@@ -468,6 +480,21 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       try oos.writeObject(model) finally oos.close()
       vectors = vectors.withColumn("pq_codes",
         graft.operators.ProductQuantizer.encodeCol(model, col("vector")))
+    }
+    // OPQ quantizer (beyond the reference): PQ codes in a learned
+    // orthogonal rotation — same storage shape as PQ (byte codes + a
+    // per-segment model blob), strictly-no-worse reconstruction by
+    // construction (operators/Opq.scala).
+    if (config.quantizer == "opq") {
+      val model = graft.operators.Opq.train(
+        rows, "vector", config.pqSubvectors, config.pqBits,
+        sampleSize = config.clusteringSample)
+      Files.createDirectories(Paths.get(segPath(seg)))
+      val oos = new java.io.ObjectOutputStream(
+        Files.newOutputStream(Paths.get(segPath(seg), "opq_model.bin")))
+      try oos.writeObject(model) finally oos.close()
+      vectors = vectors.withColumn("opq_codes",
+        graft.operators.Opq.encodeCol(model, col("vector")))
     }
     // RaBitQ quantizer: sign-bit codes + per-vector factor/norm (V6;
     // rs/quantization/src/rabitq/, unwired in the reference's server).
@@ -1229,6 +1256,11 @@ final class Snapshot(
       (coll.config.quantizer match {
         case "pq" => coll.readPqModel(seg).map(m => (df: DataFrame) =>
           Search.spannAdc(df,
+            coll.segmentTable(seg, "centroids"),
+            coll.segmentTable(seg, "postings"),
+            m, query, params, userIds, fp, tombRows))
+        case "opq" => coll.readOpqModel(seg).map(m => (df: DataFrame) =>
+          Search.spannOpq(df,
             coll.segmentTable(seg, "centroids"),
             coll.segmentTable(seg, "postings"),
             m, query, params, userIds, fp, tombRows))

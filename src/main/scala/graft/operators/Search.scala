@@ -174,6 +174,31 @@ object Search {
       .limit(params.topK)
       .select("user_id", "doc_id", "score")
 
+  /** SPANN search over an OPQ-quantized segment: [[spannAdc]]'s exact
+    * pipeline — the shared codegen ADC kernel ranks byte codes — with the
+    * LUT built from the ROTATED query (orthogonal rotation preserves L2,
+    * so the estimate targets the same distances; operators/Opq.scala). */
+  def spannOpq(
+      vectors: DataFrame, // must carry opq_codes
+      centroids: DataFrame,
+      postings: DataFrame,
+      model: Opq.Model,
+      query: Seq[Double],
+      params: SearchParams = SearchParams(),
+      userIds: Seq[Any] = Nil,
+      filterPoints: Option[DataFrame] = None,
+      tombstones: Option[DataFrame] = None,
+      rerank: Int = 100): DataFrame =
+    probeVectors(vectors, postings, chooseCentroids(centroids, query, params),
+        userIds, filterPoints, tombstones)
+      .withColumn("adc", Opq.adcDistance(model, col("opq_codes"), query))
+      .orderBy(col("adc").asc, col("doc_id").asc)
+      .limit(math.max(params.topK, rerank))
+      .withColumn("score", l2_distance(col("vector"), vec(query)))
+      .orderBy(scoreOrder: _*)
+      .limit(params.topK)
+      .select("user_id", "doc_id", "score")
+
   /** Late-interaction (ColBERT-style MaxSim) retrieval over a
     * multi-vector document table — one row per document TOKEN vector:
     *

@@ -310,6 +310,22 @@ class CollectionSpec extends SparkSuite {
     assert(got === Seq(4L, 3L)) // exact re-rank recovers the golden answer
   }
 
+  test("OPQ-quantized collection: rotated ADC + exact re-rank returns the golden neighbors") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config.copy(
+      name = "copq", quantizer = "opq", pqSubvectors = 2, pqBits = 6))
+    coll.insert(lineRows(1000))
+    coll.flush()
+    // rotation + codebooks persisted per segment, codes in the vectors table
+    assert(coll.readOpqModel("seg_1").isDefined)
+    assert(spark.read.parquet(s"${coll.path}/segments/seg_1/vectors")
+      .columns.contains("opq_codes"))
+    val got = coll.snapshot().search(Seq(2.4, 3.4, 4.4, 5.4),
+      SearchParams(topK = 2, numExploredCentroids = Some(10)))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(4L, 3L)) // exact re-rank recovers the golden answer
+  }
+
   test("SQ8-quantized collection: byte-code estimate + exact re-rank returns the golden neighbors") {
     val base = tmpBase()
     val coll = Collection.create(spark, base, config.copy(
