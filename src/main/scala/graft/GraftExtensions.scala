@@ -153,5 +153,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
           attrs.map(_.newInstance()), rows)
       }))
+
+    // SQL table-valued term search: `SELECT * FROM graft_term_search(
+    // '<base>', '<name>', '<filter-json>'[, <limit>])` — the same filter
+    // JSON the HTTP surface accepts (FilterJson: proto DocumentFilter
+    // shapes + the beyond-proto phrase/near positional extensions), so
+    // SQL users get the full attribute-filter surface including phrase
+    // and proximity queries. Same execution contract + memo discipline
+    // as graft_ann above (analysis-time execution under the snapshot
+    // pin; bounded driver memo keyed on args + stateFingerprint).
+    ext.injectTableFunction((FunctionIdentifier("graft_term_search"),
+      info("graft_term_search",
+        "graft_term_search(base, name, filterJson[, limit]) - attribute/term " +
+          "search over a graft collection; filterJson is the HTTP surface's " +
+          "DocumentFilter JSON (and/or/contains/not_contains/ids/phrase/near). " +
+          "CONTRACT: executes at ANALYSIS time under the snapshot pin and " +
+          "plans as a literal relation (graft_ann's contract); repeated " +
+          "identical calls on an unchanged collection hit a bounded driver " +
+          "memo."),
+      { (es: Seq[Expression]) =>
+        require(es.length == 3 || es.length == 4,
+          "graft_term_search(base, name, filterJson[, limit])")
+        def str(e: Expression): String = e.eval() match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case other => String.valueOf(other)
+        }
+        val base = str(es(0)); val name = str(es(1))
+        val filterJson = str(es(2))
+        val limit =
+          if (es.length == 4) es(3).eval().asInstanceOf[Number].intValue() else 100
+        val filter = graft.api.FilterJson.parse(
+          graft.api.Json.parse(filterJson))
+        val spark = org.apache.spark.sql.SparkSession.active
+        val coll = graft.core.Collection.openPersisted(spark, base, name)
+        val memoKey =
+          s"ts|$base|$name|${coll.stateFingerprint()}|$filterJson|$limit"
+        val (attrs, rows) = GraftExtensions.memoGet(memoKey).getOrElse {
+          GraftExtensions.memoMisses.incrementAndGet()
+          val snap = coll.snapshot() // pin the version across the execution
+          val v = try {
+            val df = snap.termSearch(filter, limit)
+            (df.queryExecution.analyzed.output.map(_.toAttribute),
+              df.queryExecution.executedPlan.executeCollect().toIndexedSeq)
+          } finally java.lang.ref.Reference.reachabilityFence(snap)
+          GraftExtensions.memoPut(memoKey, v)
+          v
+        }
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          attrs.map(_.newInstance()), rows)
+      }))
   }
 }

@@ -842,6 +842,43 @@ object SparkEntry {
       Search.rrfFuse(Seq(bm25, vrank), k = 10)
         .select(col("id").as("doc_id"), col("rrf_score"), col("n_lists"))
     }),
+    // Convex-combination hybrid (q70's lists, weighted min-max fusion
+    // instead of RRF): BM25 top-50 at weight 0.6, cosine top-50 at 0.4.
+    "q114_hybrid_convex" -> ((s, d) => {
+      val bm25 = TextPipeline.bm25TopK(T(s, d, "documents"),
+        Seq("merge", "join", "vector"), k = 50)
+      val vtop = T(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          round(cosine_similarity(col("embedding"), vec(q0(s, d))), 4).as("score"))
+        .orderBy(col("score").desc, col("id").asc).limit(50)
+      Search.convexFuse(Seq((bm25, 0.6), (vtop, 0.4)), k = 10)
+        .select(col("id").as("doc_id"), col("hybrid_score"), col("n_lists"))
+    }),
+    // Phrase highlighting (Lucene-highlighter style) over the positional
+    // analysis: anchor = first position where the ANALYZED stream holds
+    // the phrase (q111's machinery), snippet = the RAW tokens around it
+    // (stemming is per-token, so analyzed positions index the raw stream
+    // 1:1 — users see original words, matching stays analysis-true).
+    "q115_phrase_highlight" -> ((s, d) => {
+      val qts = FilterCompiler.queryTerms("text", "merge join",
+        keyword = false, "english").map(_.stripPrefix("text:"))
+      // the anchor rides a Generate (explodeOnce) instead of a Filter: a
+      // filter on a derived column pushes down INLINING the stemmer into
+      // the per-anchor lambda (O(len) stems per doc — measured 5.4 s vs
+      // 0.6 s at sf0.1); a no-match row instead yields an empty generator
+      // array and is dropped by the explode, with the analyzed array
+      // materialized once per row like every other positional query
+      val base = Par.ensure(T(s, d, "documents"))
+        .withColumn("_toks", analyze_text(col("text")))
+        .withColumn("_raw", tokenize(col("text")))
+      val anchor = phrase_position(col("_toks"), qts)
+      val hit = filter(array(struct(anchor.as("anchor"))),
+        m => m.getField("anchor").isNotNull)
+      Gen.explodeOnce(base, Seq(col("doc_id"), col("_raw")), hit, "m")
+        .select(col("doc_id"), col("m.anchor").cast("long").as("anchor"),
+          snippet_around(col("_raw"), col("m.anchor"), qts.size, 2).as("snippet"))
+        .orderBy("doc_id")
+    }),
     // Image near-dup: REAL BMP decode -> 64-bit dHash -> the q28 blocked-
     // LSH pair machinery. The hash artifact persists so the oracle
     // replays the pair derivation (Hamming <= 6) over the same bytes.
@@ -2666,6 +2703,52 @@ object SparkEntry {
           SELECT id AS doc_id, round(sum(contrib), 6) AS rrf_score,
                  count(*) AS n_lists
           FROM c GROUP BY id ORDER BY rrf_score DESC, doc_id LIMIT 10""",
+    // convex fusion replay: q70's two top-50 CTEs, min-max normalized via
+    // one-row aggregates, weighted 0.6/0.4
+    "q114_hybrid_convex" ->
+      s"""WITH t AS (SELECT doc_id, $docToksSql AS toks FROM documents),
+          base AS (SELECT doc_id, toks, len(toks)::DOUBLE AS dl FROM t),
+          stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM base),
+          tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+                 FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+                 WHERE term IN ('merge', 'join', 'vector')
+                 GROUP BY doc_id, dl, term),
+          dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+          bmtop AS (
+            SELECT doc_id,
+              round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+            FROM tf JOIN dfq USING (term), stats
+            GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+          vtop AS (
+            SELECT vec_id AS id,
+              round(list_cosine_similarity(embedding::DOUBLE[],
+                (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])::DOUBLE, 4) AS score
+            FROM embeddings ORDER BY score DESC, id LIMIT 50),
+          c AS (
+            SELECT doc_id AS id,
+              0.6 * (CASE WHEN mx = mn THEN 1.0 ELSE (score - mn) / (mx - mn) END) AS contrib
+            FROM bmtop, (SELECT min(score) AS mn, max(score) AS mx FROM bmtop)
+            UNION ALL
+            SELECT id,
+              0.4 * (CASE WHEN mx = mn THEN 1.0 ELSE (score - mn) / (mx - mn) END)
+            FROM vtop, (SELECT min(score) AS mn, max(score) AS mx FROM vtop))
+          SELECT id AS doc_id, round(sum(contrib), 6) AS hybrid_score,
+                 count(*) AS n_lists
+          FROM c GROUP BY id ORDER BY hybrid_score DESC, doc_id LIMIT 10""",
+    // highlight replay: anchor = min raw-token position of the adjacent
+    // pair (the stem-stable corpus contract makes raw == analyzed
+    // matching), snippet = tokens[anchor-2 .. anchor+3] space-joined
+    "q115_phrase_highlight" ->
+      s"""WITH t AS (SELECT doc_id, $docToksSql AS toks FROM documents),
+          p AS (SELECT doc_id, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS pos FROM t),
+          m AS (SELECT a.doc_id, min(a.pos) AS anchor
+                FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                WHERE a.tok = 'merge' AND b.tok = 'join' GROUP BY a.doc_id)
+          SELECT t.doc_id, CAST(anchor AS BIGINT) AS anchor,
+            array_to_string(toks[greatest(anchor - 2, 1):least(anchor + 3, len(toks))], ' ') AS snippet
+          FROM t JOIN m USING (doc_id) ORDER BY doc_id""",
     // full NB replay: add-1 smoothed per-term class counts over token
     // instances (== tf-weighted), one-row class totals/vocab/prior,
     // score = prior + Σ tf·logodds; keep = MAP decision

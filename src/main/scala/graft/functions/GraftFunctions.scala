@@ -140,6 +140,37 @@ object GraftFunctions {
         filter(sequence(lit(0), size(tokens) - 1),
           i => element_at(tokens, i + 1) === t).as("positions")))
 
+  /** 1-based position of the FIRST occurrence of `phrase` as consecutive
+    * elements of an analyzed token array; null when absent. Pure
+    * higher-order functions (codegen-friendly, map-only): the candidate
+    * anchors are `sequence(0, len-n)` filtered by an all-terms-match
+    * conjunction. The analyzed stream maps 1:1 onto the raw token stream
+    * (stemming is per-token), so the returned position indexes BOTH —
+    * match on the analyzed tokens, then excerpt the raw ones
+    * ([[snippet_around]], Lucene-highlighter style). */
+  def phrase_position(tokens: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "empty phrase")
+    val n = phrase.size
+    when(size(tokens) >= n,
+      // try_element_at: a no-match filter result is EMPTY, and ANSI mode
+      // makes plain element_at throw there instead of returning null
+      try_element_at(
+        filter(sequence(lit(0), size(tokens) - n), i =>
+          phrase.zipWithIndex.map { case (t, j) =>
+            element_at(tokens, i + j + 1) === lit(t)
+          }.reduce(_ && _)),
+        lit(1)) + 1)
+  }
+
+  /** Space-joined excerpt of `window` tokens around a 1-based anchor of a
+    * `phraseLen`-token match (the match itself included), clamped to the
+    * array bounds. */
+  def snippet_around(tokens: Column, anchor: Column, phraseLen: Int, window: Int): Column = {
+    val start = greatest(anchor - window, lit(1))
+    val end = least(anchor + lit(phraseLen - 1) + lit(window), size(tokens))
+    array_join(slice(tokens, start, end - start + 1), " ")
+  }
+
   // ---- shingles / minhash / simhash (training-data dedup surface) ----
 
   /** 64-bit hashes of word n-gram shingles of a token array (one-pass

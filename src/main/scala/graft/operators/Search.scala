@@ -344,6 +344,38 @@ object Search {
       .limit(k)
   }
 
+  /** Convex-combination hybrid fusion ("relative score fusion" — the
+    * weighted alternative to [[rrfFuse]] used when calibrated list
+    * weights are available, e.g. dense + BM25 in production RAG stacks):
+    * each ranked list `[id, score]` (higher-better, top-N bounded) is
+    * min-max normalized to [0,1] and contributes `weight × normalized`;
+    * ids absent from a list contribute 0 for it. A constant list (max =
+    * min) normalizes to 1.0 — every member is equally "best".
+    *
+    * Scale shape: inputs are top-N results (bounded by construction), so
+    * the min/max ride a broadcast one-row aggregate per list (NOT a
+    * constant-key window — same posture as the SPANN stage-1 min-prune),
+    * and the fuse is one bounded union + groupBy. Scores round to 6
+    * before ranking so a SQL replay agrees on every comparison. */
+  def convexFuse(lists: Seq[(DataFrame, Double)], k: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "no lists to fuse")
+    lists.map { case (df, w) =>
+      val s = df.select(col("id").cast("long").as("id"),
+        col("score").cast("double").as("score"))
+      val mm = s.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+      s.crossJoin(broadcast(mm))
+        .select(col("id"),
+          (lit(w) * when(col("mx") === col("mn"), lit(1.0))
+            .otherwise((col("score") - col("mn")) / (col("mx") - col("mn"))))
+            .as("contrib"))
+    }.reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(round(sum(col("contrib")), 6).as("hybrid_score"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("hybrid_score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Maximal Marginal Relevance reranking (Carbonell & Goldstein,
     * SIGIR'98) — the standard relevance/diversity tradeoff over a
     * retrieved candidate set:

@@ -182,6 +182,28 @@ class PhraseSpec extends SparkSuite {
     }
   }
 
+  test("phrase_position + snippet_around: anchors, bounds clamping, null on no match") {
+    val df = Seq(
+      (1L, "merge join starts the doc"),          // match at position 1
+      (2L, "the doc ends with merge join"),       // match at the end
+      (3L, "one two merge join five six seven"),  // interior match
+      (4L, "merge only, join elsewhere merge"),   // no adjacent pair
+      (5L, ""))                                   // empty text
+      .toDF("id", "text")
+      .withColumn("toks", tokenize(col("text")))
+    val byId = df.select(col("id"),
+        phrase_position(col("toks"), Seq("merge", "join")).as("anchor"),
+        snippet_around(col("toks"),
+          phrase_position(col("toks"), Seq("merge", "join")), 2, 2).as("snip"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getString(2))))).toMap
+    assert(byId(1L) === Some((1, "merge join starts the")))    // start clamp
+    assert(byId(2L) === Some((5, "ends with merge join")))     // end clamp
+    assert(byId(3L) === Some((3, "one two merge join five six"))) // full window
+    assert(byId(4L) === None)
+    assert(byId(5L) === None)
+  }
+
   test("served segment phrase: three-token fold needs one common anchor") {
     // flushed (not tail) doc where every adjacent pair of the phrase
     // occurs but never the full run — pairwise intersection would pass,

@@ -296,6 +296,61 @@ class RecallSpec extends SparkSuite {
     }
   }
 
+  test("extensions: graft_term_search TVF — HTTP-shape filter JSON incl. phrase, SQL == Scala") {
+    val prev = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-termsearch-tvf-test")
+        .withExtensions(new GraftExtensions())
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import s2.implicits._
+      GraftExtensions.clearMemo()
+      val base = java.nio.file.Files.createTempDirectory("graft_tvf_ts").toString
+      val cfg = graft.core.CollectionConfig(
+        name = "tscoll", numFeatures = 2, initialNumCentroids = 2,
+        attributeSchema = Seq(graft.core.AttrField("content", "text", "english")))
+      val coll = graft.core.Collection.create(s2, base, cfg)
+      coll.insert(Seq(
+        (0L, 1L, Seq(1.0, 1.0), "hello world of search"),
+        (0L, 2L, Seq(2.0, 2.0), "world hello reversed order"),
+        (0L, 3L, Seq(3.0, 3.0), "hello world again here"),
+        (0L, 4L, Seq(4.0, 4.0), "nothing relevant at all"))
+        .toDF("user_id", "doc_id", "vector", "content"))
+      coll.flush()
+      def sqlIds(filterJson: String): Seq[Long] = s2.sql(
+        s"SELECT doc_id FROM graft_term_search('$base', 'tscoll', '$filterJson', 10) " +
+          "ORDER BY doc_id").collect().map(_.getLong(0)).toSeq
+      // phrase: consecutive analyzed tokens only (doc 2 is reversed)
+      assert(sqlIds("""{"phrase": {"field": "content", "value": "hello world"}}""")
+        === Seq(1L, 3L))
+      // the same JSON the HTTP surface takes: contains + and
+      assert(sqlIds(
+        """{"and": [{"contains": {"path": "content", "value": "hello"}},
+                    {"contains": {"path": "content", "value": "again"}}]}""")
+        === Seq(3L))
+      // SQL == Scala on the identical filter
+      val m0 = GraftExtensions.memoMisses.get()
+      val viaSql = sqlIds("""{"near": {"field": "content", "left": "world", "right": "order", "window": 3}}""")
+      val viaApi = coll.snapshot()
+        .termSearch(graft.operators.DocFilter.Near("content", "world", "order", 3), 10)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(viaSql === viaApi && viaSql === Seq(2L))
+      // repeat = memo hit, zero re-executions
+      sqlIds("""{"near": {"field": "content", "left": "world", "right": "order", "window": 3}}""")
+      assert(GraftExtensions.memoMisses.get() === m0 + 1, "memo missed on a repeat")
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setActiveSession(p)
+        SparkSession.setDefaultSession(p)
+      }
+    }
+  }
+
   test("diverseSelect: covers every planted mode, deterministic, beats head-of-corpus coverage") {
     val r = new scala.util.Random(17)
     val centers = Array.fill(8)(Array.fill(12)(r.nextGaussian() * 4.0))
