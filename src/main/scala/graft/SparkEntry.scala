@@ -879,6 +879,19 @@ object SparkEntry {
           snippet_around(col("_raw"), col("m.anchor"), qts.size, 2).as("snippet"))
         .orderBy("doc_id")
     }),
+    // Facet counts over a filtered match (search-engine aggregations —
+    // Search.termMatches keeps the FULL match set, no top-limit bias):
+    // docs containing "merge", bucketed by source, count desc.
+    "q116_facet_counts" -> ((s, d) => {
+      val matched = FilterCompiler.compile(
+        DocFilter.Contains("text", "merge"),
+        docTerms(s, d), docUniverse(s, d))
+        .select(col("point_id").as("doc_id"))
+      T(s, d, "documents").join(matched, Seq("doc_id"), "left_semi")
+        .groupBy(col("source").cast("string").as("facet_value"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("facet_value").asc)
+    }),
     // Image near-dup: REAL BMP decode -> 64-bit dHash -> the q28 blocked-
     // LSH pair machinery. The hash artifact persists so the oracle
     // replays the pair derivation (Hamming <= 6) over the same bytes.
@@ -2749,6 +2762,11 @@ object SparkEntry {
           SELECT t.doc_id, CAST(anchor AS BIGINT) AS anchor,
             array_to_string(toks[greatest(anchor - 2, 1):least(anchor + 3, len(toks))], ' ') AS snippet
           FROM t JOIN m USING (doc_id) ORDER BY doc_id""",
+    "q116_facet_counts" ->
+      s"""SELECT source::VARCHAR AS facet_value, count(*) AS n_docs
+          FROM (SELECT doc_id, source, $docToksSql AS toks FROM documents) t
+          WHERE list_contains(toks, 'merge')
+          GROUP BY facet_value ORDER BY n_docs DESC, facet_value""",
     // full NB replay: add-1 smoothed per-term class counts over token
     // instances (== tf-weighted), one-row class totals/vocab/prior,
     // score = prior + Σ tf·logodds; keep = MAP decision

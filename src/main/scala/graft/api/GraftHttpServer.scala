@@ -26,6 +26,8 @@ import graft.operators.DocFilter
   *                                num_explored_centroids?, centroid_distance_ratio?,
   *                                filter?: filter tree (below)}
   *  - `POST /term_search`        {collection_name, filter, limit?, user_ids?}
+  *  - `POST /facets`             {collection_name, filter, field, k?,
+  *                                user_ids?} — facet counts over the match
   *  - `POST /serve_search`       {collection_name, user_ids: [uuid], vector,
   *                                top_k?, nprobe?, filter?} — zero-Spark-jobs
   *  - `POST /serve_term_search`  {collection_name, user_ids: [uuid], filter,
@@ -280,6 +282,20 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
       userIds = b.get("user_ids").map(parseIds).getOrElse(Nil))
     // proto TermSearchResponse carries num_docs alongside the ids
     Map("doc_ids" -> idsOut(docIds, proto), "num_docs" -> docIds.length.toLong)
+  })
+
+  // Facet aggregation over a filtered match (beyond the proto surface):
+  // {collection_name, filter, field, k?, user_ids?} ->
+  // {values: [...], counts: [...]}
+  server.createContext("/facets", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val fc = svc.facetCounts(
+      b("collection_name").asInstanceOf[String],
+      parseFilter(b("filter")),
+      field = b("field").asInstanceOf[String],
+      k = b.getOrElse("k", 10.0).asInstanceOf[Double].toInt,
+      userIds = b.get("user_ids").map(parseIds).getOrElse(Nil))
+    Map("values" -> fc.map(_._1), "counts" -> fc.map(_._2))
   })
 
   // Served (zero-Spark-jobs) per-user query paths — the reference's main

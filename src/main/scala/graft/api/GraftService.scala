@@ -136,6 +136,15 @@ class GraftService(spark: SparkSession, val basePath: String) {
       .termSearch(filter, limit, userIds.map(toBytes))
       .select("doc_id").collect().map(r => toUuidStr(r.getAs[Array[Byte]](0))).toSeq
 
+  /** Facet counts over a filtered match (beyond the reference's proto —
+    * the search-engine aggregation surface). Returns (value, count)
+    * pairs, (count desc, value asc), top `k`. */
+  def facetCounts(collectionName: String, filter: DocFilter, field: String,
+      k: Int, userIds: Seq[String] = Nil): Seq[(String, Long)] =
+    collection(collectionName).snapshot()
+      .facetCounts(filter, field, k, userIds.map(toBytes))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
   private val servedCache = TrieMap.empty[(String, String), (String, ServedUserSearch)]
 
   /** Per-user online serving session (collection_manager.rs:27-94 — the

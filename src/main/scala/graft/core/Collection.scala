@@ -1355,6 +1355,80 @@ final class Snapshot(
     }
   }
 
+  /** Every live `[user_id, doc_id]` matching `filter` — [[termSearch]]'s
+    * match set without the order/limit: the input to aggregations over
+    * matches, where a top-limit would bias every bucket. None when the
+    * snapshot holds no rows at all. */
+  def matchedDocs(filter: DocFilter, userIds: Seq[Any] = Nil): Option[DataFrame] = {
+    val perSegment = segments.map { seg =>
+      val v = coll.vectorsFor(seg, userIds)
+      val idCols = Seq("user_id", "point_id", "doc_id") ++
+        (if (v.columns.contains("src_batch")) Seq("src_batch") else Nil)
+      Search.termMatches(
+        coll.segmentTable(seg, "terms"),
+        v.select(idCols.map(col): _*),
+        filter, userIds, tombRows, fieldLang)
+    }
+    val tailResult = tailRows.map { rows =>
+      var df = rows
+      if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
+      df = df.filter(compileRaw(filter, df))
+      for (tb <- tombRows)
+        df = Search.dropTombstoned(df, tb)
+      df.select("user_id", "doc_id")
+    }
+    (perSegment.map(_.select("user_id", "doc_id")) ++ tailResult)
+      .reduceOption(_ unionByName _)
+      .map(_.dropDuplicates("user_id", "doc_id"))
+  }
+
+  /** Facet counts over a filtered match (the search-engine aggregation
+    * surface — beyond the reference, whose term index answers membership
+    * only): every live doc matching `filter`, bucketed by its
+    * `facetField` attribute value, top `k` buckets by (count desc, value
+    * asc). The newest live row per key supplies the attribute (a
+    * re-insert may have changed it — same rule as [[liveRowsFor]]).
+    *
+    * Scale shape: the match set stays distributed (semi-join against the
+    * attribute rows), the per-key newest-row window is O(matched), and
+    * the group-count partial-aggregates every task down to its distinct
+    * bucket values — output is bounded by the attribute's cardinality,
+    * never the corpus. Returns `[facet_value string, n_docs long]`. */
+  def facetCounts(filter: DocFilter, facetField: String, k: Int = 10,
+      userIds: Seq[Any] = Nil): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val out = StructType(Seq(
+      StructField("facet_value", StringType), StructField("n_docs", LongType, nullable = false)))
+    matchedDocs(filter, userIds).map { matched =>
+      val segRows = segments.map { seg =>
+        val v = coll.vectorsFor(seg, userIds)
+        v.select(col("user_id"), col("doc_id"),
+          (if (v.columns.contains(facetField)) col(facetField).cast("string")
+           else lit(null).cast("string")).as("facet_value"),
+          (if (v.columns.contains("src_batch")) col("src_batch")
+           else lit(Long.MinValue)).as("src_batch"))
+      }
+      val tailR = tailRows.map { rows =>
+        var df = rows
+        if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
+        df.select(col("user_id"), col("doc_id"),
+          (if (rows.columns.contains(facetField)) col(facetField).cast("string")
+           else lit(null).cast("string")).as("facet_value"),
+          col("src_batch"))
+      }
+      val w = Window.partitionBy("user_id", "doc_id").orderBy(col("src_batch").desc)
+      (segRows ++ tailR).reduce(_ unionByName _)
+        .join(matched, Seq("user_id", "doc_id"), "left_semi")
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .groupBy("facet_value")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("facet_value").asc)
+        .limit(k)
+    }.getOrElse(coll.spark.createDataFrame(
+      coll.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out))
+  }
+
   def termSearch(filter: DocFilter, limit: Int, userIds: Seq[Any] = Nil): DataFrame = {
     val perSegment = segments.map { seg =>
       val v = coll.vectorsFor(seg, userIds)

@@ -307,6 +307,19 @@ object Search {
       limit: Int,
       userIds: Seq[Any] = Nil,
       tombstones: Option[DataFrame] = None,
+      fieldLang: Map[String, String] = Map.empty): DataFrame =
+    termMatches(terms, idMap, filter, userIds, tombstones, fieldLang)
+      .orderBy("doc_id").limit(limit)
+
+  /** [[termSearch]]'s full match set, unordered and unlimited — the input
+    * to aggregations over matches (facet counts), where a top-limit would
+    * silently bias every bucket. */
+  def termMatches(
+      terms: DataFrame,
+      idMap: DataFrame, // [user_id, point_id, doc_id]
+      filter: DocFilter,
+      userIds: Seq[Any] = Nil,
+      tombstones: Option[DataFrame] = None,
       fieldLang: Map[String, String] = Map.empty): DataFrame = {
     var t = terms
     if (userIds.nonEmpty) t = t.filter(col("user_id").isin(userIds: _*))
@@ -317,8 +330,7 @@ object Search {
       (if (idMap.columns.contains("src_batch")) Seq("src_batch") else Nil)
     var docs = pts.join(idMap, Seq("user_id", "point_id")).select(keep.map(col): _*)
     for (tb <- tombstones) docs = dropTombstoned(docs, tb)
-    docs.select("user_id", "doc_id")
-      .dropDuplicates("user_id", "doc_id").orderBy("doc_id").limit(limit)
+    docs.select("user_id", "doc_id").dropDuplicates("user_id", "doc_id")
   }
 
   /** Reciprocal-rank fusion of independent rankings — the standard hybrid

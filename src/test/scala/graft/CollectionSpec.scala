@@ -342,6 +342,36 @@ class CollectionSpec extends SparkSuite {
     assert(got === Seq(4L, 3L)) // exact re-rank recovers the golden answer
   }
 
+  test("facetCounts: filtered aggregation over live docs across flush/delete/re-insert") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    def rows(ids: Seq[Int], source: Int => String) = ids.map { i =>
+      (0L, i.toLong, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble),
+        s"searchable document $i", source(i))
+    }.toDF("user_id", "doc_id", "vector", "content", "source")
+    coll.insert(rows(0 until 12, i => s"src${i % 3}"))
+    coll.flush()
+    def facets() = coll.snapshot()
+      .facetCounts(DocFilter.Contains("content", "searchable"), "source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(facets() === Seq("src0" -> 4L, "src1" -> 4L, "src2" -> 4L))
+    // tombstoned docs leave their bucket
+    coll.delete(Seq((0L, 0L), (0L, 3L)).toDF("user_id", "doc_id"))
+    assert(facets() === Seq("src1" -> 4L, "src2" -> 4L, "src0" -> 2L))
+    // a re-insert in the TAIL with a changed attribute moves buckets
+    // (newest live row supplies the facet value)
+    coll.insert(Seq((0L, 1L, Seq(1.0, 1.0, 1.0, 1.0), "searchable document 1", "src2"))
+      .toDF("user_id", "doc_id", "vector", "content", "source"))
+    assert(facets() === Seq("src2" -> 5L, "src1" -> 3L, "src0" -> 2L))
+    // non-matching filter -> no buckets; top-k bounds the output
+    assert(coll.snapshot()
+      .facetCounts(DocFilter.Contains("content", "absent"), "source")
+      .collect().isEmpty)
+    assert(coll.snapshot()
+      .facetCounts(DocFilter.Contains("content", "searchable"), "source", k = 1)
+      .collect().map(_.getString(0)).toSeq === Seq("src2"))
+  }
+
   test("re-insert after delete revives the doc (sequenced tombstones)") {
     val base = tmpBase()
     val coll = Collection.create(spark, base, config)

@@ -109,6 +109,18 @@ class HttpServerSpec extends SparkSuite {
           "left" -> "world", "right" -> "hello", "window" -> 1)))))
       assert(near("doc_ids") === Vector(uuid(1)))
 
+      // facet counts over the wire (beyond-proto aggregation surface):
+      // every live doc matches 'hello' OR 'searchable'; bucket by the raw
+      // content attribute -> one bucket per distinct string, count 1 each
+      val facets = post("/facets", Json.write(Map(
+        "collection_name" -> "wire",
+        "filter" -> Map("or" -> Seq(
+          Map("field" -> "content", "value" -> "hello"),
+          Map("field" -> "content", "value" -> "searchable"))),
+        "field" -> "content", "k" -> 10)))
+      assert(facets("counts") === Vector(1.0, 1.0))
+      assert(facets("values").asInstanceOf[Vector[Any]].size === 2)
+
       post("/remove", Json.write(Map(
         "collection_name" -> "wire",
         "user_ids" -> Seq(uuid(0)), "doc_ids" -> Seq(uuid(1)))))
