@@ -34,6 +34,31 @@ object GraftExtensions {
   /** Test hooks: misses counts actual search executions. */
   private[graft] val memoMisses = new java.util.concurrent.atomic.AtomicLong(0L)
   private[graft] def clearMemo(): Unit = memo.synchronized(memo.clear())
+
+  /** The shared TVF execution contract (graft_ann AND graft_term_search):
+    * memo lookup on (args, stateFingerprint), else execute the
+    * distributed query UNDER THE SNAPSHOT'S PIN and collect its (small by
+    * construction) result; plan as a LocalRelation with FRESH exprIds per
+    * resolution so the same call referenced twice in one query never
+    * aliases attributes. One definition so the pin/memo/aliasing
+    * discipline can never diverge between the two functions. */
+  private[graft] def memoizedRelation(coll: graft.core.Collection, memoKey: String)(
+      run: graft.core.Snapshot => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LocalRelation = {
+    val (attrs, rows) = memoGet(memoKey).getOrElse {
+      memoMisses.incrementAndGet()
+      val snap = coll.snapshot() // pin the version across the execution
+      val v = try {
+        val df = run(snap)
+        (df.queryExecution.analyzed.output.map(_.toAttribute),
+          df.queryExecution.executedPlan.executeCollect().toIndexedSeq)
+      } finally java.lang.ref.Reference.reachabilityFence(snap)
+      memoPut(memoKey, v)
+      v
+    }
+    org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+      attrs.map(_.newInstance()), rows)
+  }
 }
 
 /** SparkSessionExtensions entry point: injects the engine's SQL functions
@@ -134,24 +159,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // identical queries cost one driver map hit instead of a full
         // re-search (round-13 verdict #6). The fingerprint read is
         // driver-only (TOC + listings) — no Spark jobs on a hit.
-        val memoKey =
-          s"$base|$name|${coll.stateFingerprint()}|${q.mkString(",")}|$k|$nprobe"
-        val (attrs, rows) = GraftExtensions.memoGet(memoKey).getOrElse {
-          GraftExtensions.memoMisses.incrementAndGet()
-          val snap = coll.snapshot() // pin the version across the execution
-          val v = try {
-            val df = snap.search(q, graft.operators.SearchParams(topK = k,
-              numExploredCentroids = nprobe))
-            (df.queryExecution.analyzed.output.map(_.toAttribute),
-              df.queryExecution.executedPlan.executeCollect().toIndexedSeq)
-          } finally java.lang.ref.Reference.reachabilityFence(snap)
-          GraftExtensions.memoPut(memoKey, v)
-          v
-        }
-        // fresh exprIds per resolution: the same call referenced twice in
-        // one query (self-join of a CTE) must not alias attributes
-        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
-          attrs.map(_.newInstance()), rows)
+        GraftExtensions.memoizedRelation(coll,
+          s"$base|$name|${coll.stateFingerprint()}|${q.mkString(",")}|$k|$nprobe")(
+          _.search(q, graft.operators.SearchParams(topK = k,
+            numExploredCentroids = nprobe)))
       }))
 
     // SQL table-valued term search: `SELECT * FROM graft_term_search(
@@ -186,21 +197,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.api.Json.parse(filterJson))
         val spark = org.apache.spark.sql.SparkSession.active
         val coll = graft.core.Collection.openPersisted(spark, base, name)
-        val memoKey =
-          s"ts|$base|$name|${coll.stateFingerprint()}|$filterJson|$limit"
-        val (attrs, rows) = GraftExtensions.memoGet(memoKey).getOrElse {
-          GraftExtensions.memoMisses.incrementAndGet()
-          val snap = coll.snapshot() // pin the version across the execution
-          val v = try {
-            val df = snap.termSearch(filter, limit)
-            (df.queryExecution.analyzed.output.map(_.toAttribute),
-              df.queryExecution.executedPlan.executeCollect().toIndexedSeq)
-          } finally java.lang.ref.Reference.reachabilityFence(snap)
-          GraftExtensions.memoPut(memoKey, v)
-          v
-        }
-        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
-          attrs.map(_.newInstance()), rows)
+        GraftExtensions.memoizedRelation(coll,
+          s"ts|$base|$name|${coll.stateFingerprint()}|$filterJson|$limit")(
+          _.termSearch(filter, limit))
       }))
   }
 }

@@ -313,45 +313,37 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       .write.mode("append").parquet(tombPath)
   }
 
-  def readPqModel(seg: String): Option[graft.operators.ProductQuantizer.Model] = {
-    val p = Paths.get(segPath(seg), "pq_model.bin")
+  /** Per-segment quantizer model blob (java serialization — the models
+    * are small driver-side case classes; one file per segment beside its
+    * parquet tables). One reader/writer pair serves every quantizer. */
+  private def readModel[T](seg: String, file: String): Option[T] = {
+    val p = Paths.get(segPath(seg), file)
     if (!Files.exists(p)) None
     else {
       val ois = new java.io.ObjectInputStream(Files.newInputStream(p))
-      try Some(ois.readObject().asInstanceOf[graft.operators.ProductQuantizer.Model])
+      try Some(ois.readObject().asInstanceOf[T])
       finally ois.close()
     }
   }
 
-  def readOpqModel(seg: String): Option[graft.operators.Opq.Model] = {
-    val p = Paths.get(segPath(seg), "opq_model.bin")
-    if (!Files.exists(p)) None
-    else {
-      val ois = new java.io.ObjectInputStream(Files.newInputStream(p))
-      try Some(ois.readObject().asInstanceOf[graft.operators.Opq.Model])
-      finally ois.close()
-    }
+  private[core] def writeModel(seg: String, file: String, m: AnyRef): Unit = {
+    Files.createDirectories(Paths.get(segPath(seg)))
+    val oos = new java.io.ObjectOutputStream(
+      Files.newOutputStream(Paths.get(segPath(seg), file)))
+    try oos.writeObject(m) finally oos.close()
   }
 
-  def readRabitqModel(seg: String): Option[graft.operators.RaBitQ.Model] = {
-    val p = Paths.get(segPath(seg), "rabitq_model.bin")
-    if (!Files.exists(p)) None
-    else {
-      val ois = new java.io.ObjectInputStream(Files.newInputStream(p))
-      try Some(ois.readObject().asInstanceOf[graft.operators.RaBitQ.Model])
-      finally ois.close()
-    }
-  }
+  def readPqModel(seg: String): Option[graft.operators.ProductQuantizer.Model] =
+    readModel(seg, "pq_model.bin")
 
-  def readSqModel(seg: String): Option[graft.operators.ScalarQuantizer.Model] = {
-    val p = Paths.get(segPath(seg), "sq_model.bin")
-    if (!Files.exists(p)) None
-    else {
-      val ois = new java.io.ObjectInputStream(Files.newInputStream(p))
-      try Some(ois.readObject().asInstanceOf[graft.operators.ScalarQuantizer.Model])
-      finally ois.close()
-    }
-  }
+  def readOpqModel(seg: String): Option[graft.operators.Opq.Model] =
+    readModel(seg, "opq_model.bin")
+
+  def readRabitqModel(seg: String): Option[graft.operators.RaBitQ.Model] =
+    readModel(seg, "rabitq_model.bin")
+
+  def readSqModel(seg: String): Option[graft.operators.ScalarQuantizer.Model] =
+    readModel(seg, "sq_model.bin")
 
   private def readBloom(seg: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
     val p = Paths.get(segPath(seg), "bloom.bin")
@@ -474,10 +466,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       val model = graft.operators.ProductQuantizer.train(
         rows, "vector", config.pqSubvectors, config.pqBits,
         sampleSize = config.clusteringSample)
-      Files.createDirectories(Paths.get(segPath(seg)))
-      val oos = new java.io.ObjectOutputStream(
-        Files.newOutputStream(Paths.get(segPath(seg), "pq_model.bin")))
-      try oos.writeObject(model) finally oos.close()
+      writeModel(seg, "pq_model.bin", model)
       vectors = vectors.withColumn("pq_codes",
         graft.operators.ProductQuantizer.encodeCol(model, col("vector")))
     }
@@ -489,10 +478,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       val model = graft.operators.Opq.train(
         rows, "vector", config.pqSubvectors, config.pqBits,
         sampleSize = config.clusteringSample)
-      Files.createDirectories(Paths.get(segPath(seg)))
-      val oos = new java.io.ObjectOutputStream(
-        Files.newOutputStream(Paths.get(segPath(seg), "opq_model.bin")))
-      try oos.writeObject(model) finally oos.close()
+      writeModel(seg, "opq_model.bin", model)
       vectors = vectors.withColumn("opq_codes",
         graft.operators.Opq.encodeCol(model, col("vector")))
     }
@@ -501,10 +487,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     if (config.quantizer == "rabitq") {
       val model = graft.operators.RaBitQ.train(
         rows, "vector", sampleSize = config.clusteringSample)
-      Files.createDirectories(Paths.get(segPath(seg)))
-      val oos = new java.io.ObjectOutputStream(
-        Files.newOutputStream(Paths.get(segPath(seg), "rabitq_model.bin")))
-      try oos.writeObject(model) finally oos.close()
+      writeModel(seg, "rabitq_model.bin", model)
       vectors = vectors
         .withColumn("rq", graft.operators.RaBitQ.encodeCols(model, col("vector")))
         .withColumn("rq_code", col("rq._1"))
@@ -516,10 +499,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     // the scalar sibling of PQ with trivial training).
     if (config.quantizer == "sq8") {
       val model = graft.operators.ScalarQuantizer.train(rows, "vector")
-      Files.createDirectories(Paths.get(segPath(seg)))
-      val oos = new java.io.ObjectOutputStream(
-        Files.newOutputStream(Paths.get(segPath(seg), "sq_model.bin")))
-      try oos.writeObject(model) finally oos.close()
+      writeModel(seg, "sq_model.bin", model)
       vectors = vectors.withColumn("sq_codes",
         graft.operators.ScalarQuantizer.encodeCol(model, col("vector")))
     }
@@ -1119,6 +1099,7 @@ object Collection {
     * attribute-schema field. */
   private[core] def writeConfig(path: String, c: CollectionConfig): Unit = {
     val lines = Seq(
+      "v=2", // header + `end=1` terminator pair: truncation detectable
       s"name=${c.name}", s"numFeatures=${c.numFeatures}",
       s"initialNumCentroids=${c.initialNumCentroids}",
       s"maxClustersPerVector=${c.maxClustersPerVector}",
@@ -1132,8 +1113,17 @@ object Collection {
       s"pqSubvectors=${c.pqSubvectors}", s"pqBits=${c.pqBits}",
       s"centroidIndexType=${c.centroidIndexType}",
       s"assignProbeGroups=${c.assignProbeGroups}") ++
-      c.attributeSchema.map(f => s"attr=${f.name}|${f.kind}|${f.lang}")
-    Files.writeString(Paths.get(path, "CONFIG"), lines.mkString("\n") + "\n")
+      c.attributeSchema.map(f => s"attr=${f.name}|${f.kind}|${f.lang}") :+
+      "end=1" // terminator: readConfig rejects a truncated file
+    // tmp + atomic rename (the TOC commit pattern): a crash/disk-full
+    // mid-write must never leave a partial CONFIG that readConfig's
+    // per-field forward-compat defaults would silently "repair" into a
+    // wrong quantizer/bucket layout
+    val tmp = Paths.get(path, "CONFIG.tmp")
+    Files.writeString(tmp, lines.mkString("\n") + "\n")
+    Files.move(tmp, Paths.get(path, "CONFIG"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private[core] def readConfig(path: String): Option[CollectionConfig] = {
@@ -1156,6 +1146,16 @@ object Collection {
     // NEWER build are simply ignored. The identity fields stay required:
     // a CONFIG missing `name`/`numFeatures` is corrupt, and the error
     // says which file and key.
+    // The v=2 header / `end=1` terminator pair guards the defaults' blind
+    // spot: a TRUNCATED v=2 file keeps its first line but loses the last,
+    // so it fails loudly here instead of silently opening with a
+    // defaulted quantizer/bucket layout. Truncation is also prevented at
+    // the source (writeConfig commits via tmp + atomic rename, the TOC
+    // pattern) — this is defense in depth for files copied by external
+    // tooling. Legacy headerless files stay readable via the defaults.
+    if (kv.contains("v") && !kv.get("end").contains("1")) sys.error(
+      s"corrupt collection config $p: v=${kv("v")} header without its " +
+        "end terminator — the file is truncated")
     def req(k: String): String = kv.getOrElse(k, sys.error(
       s"corrupt collection config $p: missing required key '$k'"))
     val dflt = CollectionConfig(name = "", numFeatures = 0)
@@ -1207,6 +1207,15 @@ final class Snapshot(
   private def fieldLang: Map[String, String] =
     coll.config.attributeSchema.map(f => f.name -> f.lang).toMap
 
+  /** Every filter entering this snapshot is normalized against the
+    * attribute SCHEMA ([[DocFilter.normalize]]): the field kind decides
+    * keyword-vs-analyzed matching on every read path (flushed segments,
+    * unflushed tail), so a caller's keyword flag can never make the tail
+    * and the index disagree across a flush. */
+  private def norm(f: DocFilter): DocFilter =
+    DocFilter.normalize(f,
+      fl => coll.config.attributeSchema.exists(a => a.name == fl && a.kind == "keyword"))
+
   private def filterPoints(seg: String, filter: Option[DocFilter],
       userIds: Seq[Any]): Option[DataFrame] =
     filter.map { f =>
@@ -1225,6 +1234,7 @@ final class Snapshot(
       params: SearchParams = SearchParams(),
       userIds: Seq[Any] = Nil,
       filter: Option[DocFilter] = None): DataFrame = {
+    val nf = filter.map(norm)
     val perSegment = segments.map { seg =>
       // Selectivity-adaptive filtered search (opt-in via
       // SearchParams.adaptiveFilterThreshold): a selective filter's
@@ -1238,12 +1248,12 @@ final class Snapshot(
       // and ONLY on the first serve: the outcome is memoized per snapshot
       // (segments immutable, version pinned), and the same compiled frame
       // `fp` is reused by the probe fallback — no recompilation either way.
-      val fp: Option[DataFrame] = filterPoints(seg, filter, userIds)
+      val fp: Option[DataFrame] = filterPoints(seg, nf, userIds)
       val adaptiveBrute: Option[DataFrame] =
-        if (params.adaptiveFilterThreshold <= 0L || filter.isEmpty) None
+        if (params.adaptiveFilterThreshold <= 0L || nf.isEmpty) None
         else fp.flatMap { f =>
           val th = params.adaptiveFilterThreshold
-          val fits = coll.adaptiveFits((seg, filter.get, userIds, th)) {
+          val fits = coll.adaptiveFits((seg, nf.get, userIds, th)) {
             val probe = math.min(th, Int.MaxValue - 1L).toInt + 1
             f.limit(probe).count() <= th
           }
@@ -1288,7 +1298,7 @@ final class Snapshot(
       // directly on the raw rows (no term index yet).
       var df = rows
       if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
-      for (f <- filter) df = df.filter(compileRaw(f, df))
+      for (f <- nf) df = df.filter(compileRaw(f, df))
       for (tb <- tombRows) df = Search.dropTombstoned(df, tb)
       df.withColumn("score", l2_distance(col("vector"), vec(query)))
         .select("user_id", "doc_id", "score")
@@ -1334,15 +1344,30 @@ final class Snapshot(
     * first — correct, but an O(corpus) shuffle per delta fetch.)
     * Identical result by construction: the window partitions by the
     * same key the semi-join filters on. */
-  def liveRowsFor(keys: Option[DataFrame]): Option[DataFrame] = {
+  def liveRowsFor(keys: Option[DataFrame]): Option[DataFrame] =
+    newestLiveRows(keys, Nil, df => Seq(df("vector")))
+      .map(_.select("user_id", "doc_id", "vector", "src_batch"))
+
+  /** The newest-live-row engine shared by [[liveRowsFor]] (CDC payload
+    * fetch) and [[facetCounts]] (attribute lookup): segment + tail rows
+    * projected to `(user_id, doc_id, src_batch, <extra>)`, key-restricted
+    * BEFORE the window when `keys` is given (O(delta), never O(corpus)),
+    * tombstones dropped, newest WAL position winning per key — ONE
+    * definition of "the live row", so a facet value and a CDC payload can
+    * never disagree for the same doc. */
+  private def newestLiveRows(keys: Option[DataFrame], userIds: Seq[Any],
+      extra: DataFrame => Seq[org.apache.spark.sql.Column]): Option[DataFrame] = {
     val segRows = segments.map { seg =>
-      val v = coll.segmentTable(seg, "vectors")
-      v.select(col("user_id"), col("doc_id"), col("vector"),
+      val v = coll.vectorsFor(seg, userIds)
+      v.select(Seq(col("user_id"), col("doc_id"),
         (if (v.columns.contains("src_batch")) col("src_batch")
-         else lit(Long.MinValue)).as("src_batch"))
+         else lit(Long.MinValue)).as("src_batch")) ++ extra(v): _*)
     }
-    val tailKeyed = tailRows.map(
-      _.select(col("user_id"), col("doc_id"), col("vector"), col("src_batch")))
+    val tailKeyed = tailRows.map { rows =>
+      var df = rows
+      if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
+      df.select(Seq(col("user_id"), col("doc_id"), col("src_batch")) ++ extra(df): _*)
+    }
     (segRows ++ tailKeyed).reduceOption(_ unionByName _).map { rows0 =>
       val rows = keys.fold(rows0)(k =>
         rows0.join(k.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_semi"))
@@ -1360,6 +1385,7 @@ final class Snapshot(
     * matches, where a top-limit would bias every bucket. None when the
     * snapshot holds no rows at all. */
   def matchedDocs(filter: DocFilter, userIds: Seq[Any] = Nil): Option[DataFrame] = {
+    val nf = norm(filter)
     val perSegment = segments.map { seg =>
       val v = coll.vectorsFor(seg, userIds)
       val idCols = Seq("user_id", "point_id", "doc_id") ++
@@ -1367,12 +1393,12 @@ final class Snapshot(
       Search.termMatches(
         coll.segmentTable(seg, "terms"),
         v.select(idCols.map(col): _*),
-        filter, userIds, tombRows, fieldLang)
+        nf, userIds, tombRows, fieldLang)
     }
     val tailResult = tailRows.map { rows =>
       var df = rows
       if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
-      df = df.filter(compileRaw(filter, df))
+      df = df.filter(compileRaw(nf, df))
       for (tb <- tombRows)
         df = Search.dropTombstoned(df, tb)
       df.select("user_id", "doc_id")
@@ -1387,11 +1413,12 @@ final class Snapshot(
     * only): every live doc matching `filter`, bucketed by its
     * `facetField` attribute value, top `k` buckets by (count desc, value
     * asc). The newest live row per key supplies the attribute (a
-    * re-insert may have changed it — same rule as [[liveRowsFor]]).
+    * re-insert may have changed it — ONE shared definition with the CDC
+    * fetch, [[newestLiveRows]]).
     *
     * Scale shape: the match set stays distributed (semi-join against the
-    * attribute rows), the per-key newest-row window is O(matched), and
-    * the group-count partial-aggregates every task down to its distinct
+    * attribute rows BEFORE the per-key window — O(matched)), and the
+    * group-count partial-aggregates every task down to its distinct
     * bucket values — output is bounded by the attribute's cardinality,
     * never the corpus. Returns `[facet_value string, n_docs long]`. */
   def facetCounts(filter: DocFilter, facetField: String, k: Int = 10,
@@ -1399,37 +1426,22 @@ final class Snapshot(
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val out = StructType(Seq(
       StructField("facet_value", StringType), StructField("n_docs", LongType, nullable = false)))
-    matchedDocs(filter, userIds).map { matched =>
-      val segRows = segments.map { seg =>
-        val v = coll.vectorsFor(seg, userIds)
-        v.select(col("user_id"), col("doc_id"),
-          (if (v.columns.contains(facetField)) col(facetField).cast("string")
-           else lit(null).cast("string")).as("facet_value"),
-          (if (v.columns.contains("src_batch")) col("src_batch")
-           else lit(Long.MinValue)).as("src_batch"))
-      }
-      val tailR = tailRows.map { rows =>
-        var df = rows
-        if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
-        df.select(col("user_id"), col("doc_id"),
-          (if (rows.columns.contains(facetField)) col(facetField).cast("string")
-           else lit(null).cast("string")).as("facet_value"),
-          col("src_batch"))
-      }
-      val w = Window.partitionBy("user_id", "doc_id").orderBy(col("src_batch").desc)
-      (segRows ++ tailR).reduce(_ unionByName _)
-        .join(matched, Seq("user_id", "doc_id"), "left_semi")
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .groupBy("facet_value")
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("n_docs").desc, col("facet_value").asc)
-        .limit(k)
-    }.getOrElse(coll.spark.createDataFrame(
+    (for {
+      matched <- matchedDocs(filter, userIds)
+      rows <- newestLiveRows(Some(matched), userIds, df =>
+        Seq((if (df.columns.contains(facetField)) df(facetField).cast("string")
+             else lit(null).cast("string")).as("facet_value")))
+    } yield rows
+      .groupBy("facet_value")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("facet_value").asc)
+      .limit(k)
+    ).getOrElse(coll.spark.createDataFrame(
       coll.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out))
   }
 
   def termSearch(filter: DocFilter, limit: Int, userIds: Seq[Any] = Nil): DataFrame = {
+    val nf = norm(filter)
     val perSegment = segments.map { seg =>
       val v = coll.vectorsFor(seg, userIds)
       val idCols = Seq("user_id", "point_id", "doc_id") ++
@@ -1437,12 +1449,12 @@ final class Snapshot(
       Search.termSearch(
         coll.segmentTable(seg, "terms"),
         v.select(idCols.map(col): _*),
-        filter, limit, userIds, tombRows, fieldLang)
+        nf, limit, userIds, tombRows, fieldLang)
     }
     val tailResult = tailRows.map { rows =>
       var df = rows
       if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
-      df = df.filter(compileRaw(filter, df))
+      df = df.filter(compileRaw(nf, df))
       for (tb <- tombRows) // deleted tail docs stay hidden (R6)
         df = Search.dropTombstoned(df, tb)
       df.select("user_id", "doc_id")

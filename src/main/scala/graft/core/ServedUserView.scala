@@ -25,7 +25,15 @@ import graft.operators.{DocFilter, FilterCompiler, ServedIvfIndex}
 final class ServedUserView private[core] (
     segments: Seq[ServedUserView.SegmentView],
     tailRows: Array[ServedUserView.TailRow],
-    fieldLang: Map[String, String]) {
+    fieldLang: Map[String, String],
+    keywordFields: Set[String]) {
+
+  /** Schema-driven normalization at the served entry points — the same
+    * rule as the distributed Snapshot: the field KIND decides keyword-vs-
+    * analyzed matching so the served view can never disagree with the
+    * flushed index ([[DocFilter.normalize]]). */
+  private def norm(f: DocFilter): DocFilter =
+    DocFilter.normalize(f, keywordFields.contains)
 
   import ServedUserView.{SegmentView, TailRow}
 
@@ -166,8 +174,9 @@ final class ServedUserView private[core] (
     * — parity with the distributed `Snapshot.search(filter = ...)`. */
   def search(query: Array[Double], k: Int, nprobe: Int,
       filter: Option[DocFilter] = None): Seq[(Any, Double)] = {
+    val nf = filter.map(norm)
     val fromSegments = segments.iterator.flatMap { sv =>
-      val allow: java.util.function.LongPredicate = filter match {
+      val allow: java.util.function.LongPredicate = nf match {
         case None => null
         case Some(f) =>
           val allowed = evalSegment(f, sv)
@@ -178,7 +187,7 @@ final class ServedUserView private[core] (
       }
     }
     val fromTail = tailRows.iterator
-      .filter(row => filter.forall(evalTail(_, row)))
+      .filter(row => nf.forall(evalTail(_, row)))
       .map(row => (row.docId, l2(query, row.vector)))
     (fromSegments ++ fromTail)
       .toArray
@@ -191,10 +200,11 @@ final class ServedUserView private[core] (
     * doc ids matching the filter across segments + tail, deduped, id-asc,
     * limited. */
   def termSearch(filter: DocFilter, limit: Int): Seq[Any] = {
+    val nf = norm(filter)
     val fromSegments = segments.iterator.flatMap { sv =>
-      evalSegment(filter, sv).iterator.flatMap(sv.docOf.get)
+      evalSegment(nf, sv).iterator.flatMap(sv.docOf.get)
     }
-    val fromTail = tailRows.iterator.filter(evalTail(filter, _)).map(_.docId)
+    val fromTail = tailRows.iterator.filter(evalTail(nf, _)).map(_.docId)
     (fromSegments ++ fromTail)
       .toArray
       .distinct
@@ -301,6 +311,7 @@ object ServedUserView {
           TailRow(r.get(0), r.getSeq[Double](1).toArray, toks, kws)
         }
     }
-    new ServedUserView(segs, tailRows, fieldLang)
+    new ServedUserView(segs, tailRows, fieldLang,
+      coll.config.attributeSchema.filter(_.kind == "keyword").map(_.name).toSet)
   }
 }

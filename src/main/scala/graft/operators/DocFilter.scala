@@ -34,6 +34,31 @@ object DocFilter {
     * `right`'s term (Lucene-style NEAR/slop). `window = 1` with order
     * ignored; use [[Phrase]] for ordered adjacency. */
   final case class Near(field: String, left: String, right: String, window: Int) extends DocFilter
+
+  /** Schema-driven normalization: the field KIND decides the analysis, so
+    * the query side always mirrors the index side (a keyword field is
+    * indexed as ONE whole-lowercased-value term at position 0; a text
+    * field as stemmed tokens). The caller's `keyword` flag is overridden
+    * by the schema — without this, a flag/kind mismatch silently flips a
+    * query's result set across a flush (the unflushed tail analyzes raw
+    * values, flushed segments consult the kind-built term index). A
+    * keyword Phrase degrades to whole-value equality; Near is
+    * position-based and therefore text-only — rejected loudly on a
+    * keyword field instead of diverging between read paths. */
+  def normalize(f: DocFilter, isKeywordField: String => Boolean): DocFilter = f match {
+    case Contains(fl, v, _) => Contains(fl, v, isKeywordField(fl))
+    case NotContains(fl, v, _) => NotContains(fl, v, isKeywordField(fl))
+    case Phrase(fl, v, _) => Phrase(fl, v, isKeywordField(fl))
+    case Near(fl, _, _, _) =>
+      require(!isKeywordField(fl),
+        s"Near($fl, ...) needs a text-kind field: a keyword field indexes " +
+          "one whole-value term at a single position, so proximity is " +
+          "undefined on it")
+      f
+    case And(cs) => And(cs.map(normalize(_, isKeywordField)))
+    case Or(cs) => Or(cs.map(normalize(_, isKeywordField)))
+    case other => other // Ids — field-free
+  }
 }
 
 /** Compiles a [[DocFilter]] tree against a terms table

@@ -342,6 +342,26 @@ class CollectionSpec extends SparkSuite {
     assert(got === Seq(4L, 3L)) // exact re-rank recovers the golden answer
   }
 
+  test("CONFIG: truncated file fails loudly; legacy headerless file opens via defaults") {
+    val base = tmpBase()
+    Collection.create(spark, base, config.copy(name = "cfg", quantizer = "sq8"))
+    val p = java.nio.file.Paths.get(base, "cfg", "CONFIG")
+    val full = java.nio.file.Files.readString(p)
+    assert(full.startsWith("v=2\n") && full.contains("end=1"))
+    // round-trip intact
+    assert(Collection.openPersisted(spark, base, "cfg").config.quantizer === "sq8")
+    // a truncated v=2 file (crash/disk-full during an external copy) must
+    // NOT silently open with defaulted quantizer/buckets
+    java.nio.file.Files.writeString(p,
+      full.linesIterator.toSeq.dropRight(3).mkString("\n") + "\n")
+    val e = intercept[RuntimeException](Collection.openPersisted(spark, base, "cfg"))
+    assert(e.getMessage.contains("truncated"))
+    // a legacy headerless file (no v, no end) stays readable via defaults
+    java.nio.file.Files.writeString(p, "name=cfg\nnumFeatures=4\n")
+    val legacy = Collection.openPersisted(spark, base, "cfg").config
+    assert(legacy.name === "cfg" && legacy.quantizer === "noq")
+  }
+
   test("facetCounts: filtered aggregation over live docs across flush/delete/re-insert") {
     val base = tmpBase()
     val coll = Collection.create(spark, base, config)

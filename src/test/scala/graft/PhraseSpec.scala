@@ -204,6 +204,50 @@ class PhraseSpec extends SparkSuite {
     assert(byId(5L) === None)
   }
 
+  test("keyword-kind fields: schema-driven normalization keeps tail and index in agreement") {
+    // Review finding: a filter whose keyword flag disagrees with the
+    // field KIND used to match in the unflushed tail (raw analysis) but
+    // never in flushed segments (kind-built index) — the result set
+    // flipped across a flush. DocFilter.normalize derives the effective
+    // flag from the schema at every collection entry point.
+    val base = Files.createTempDirectory("graft_kwnorm").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "kw", numFeatures = 2, initialNumCentroids = 2,
+      attributeSchema = Seq(
+        AttrField("content", "text", "english"),
+        AttrField("tag", "keyword", "english"))))
+    coll.insert(Seq(
+      (0L, 1L, Seq(1.0, 0.0), "merge join text", "red or blue"),
+      (0L, 2L, Seq(0.0, 1.0), "other text here", "green"))
+      .toDF("user_id", "doc_id", "vector", "content", "tag"))
+    def ids(f: DocFilter): Seq[Long] = coll.snapshot().termSearch(f, limit = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    def servedIds(f: DocFilter): Seq[Any] = coll.serveUser(0L).termSearch(f, limit = 10)
+    // whole-value equality regardless of the caller's flag, tail phase...
+    val eqFlagless = DocFilter.Contains("tag", "red or blue", keyword = false)
+    val phraseTag = DocFilter.Phrase("tag", "red or blue", keyword = false)
+    val partial = DocFilter.Contains("tag", "red", keyword = false)
+    assert(ids(eqFlagless) === Seq(1L))
+    assert(ids(phraseTag) === Seq(1L)) // keyword Phrase degrades to equality
+    assert(ids(partial) === Nil)       // no sub-token matching on keyword kind
+    coll.flush()
+    // ...and identically after the flush (the old bug: tail matched,
+    // segment didn't) — distributed AND served paths
+    assert(ids(eqFlagless) === Seq(1L))
+    assert(ids(phraseTag) === Seq(1L))
+    assert(ids(partial) === Nil)
+    assert(servedIds(eqFlagless) === Seq(1L))
+    assert(servedIds(phraseTag) === Seq(1L))
+    assert(servedIds(partial) === Nil)
+    // Near is position-based: rejected loudly on a keyword field, every path
+    val near = DocFilter.Near("tag", "red", "blue", 2)
+    intercept[IllegalArgumentException](ids(near))
+    intercept[IllegalArgumentException](servedIds(near))
+    // facets normalize too (entry via matchedDocs)
+    assert(coll.snapshot().facetCounts(eqFlagless, "tag")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq === Seq("red or blue" -> 1L))
+  }
+
   test("served segment phrase: three-token fold needs one common anchor") {
     // flushed (not tail) doc where every adjacent pair of the phrase
     // occurs but never the full run — pairwise intersection would pass,
