@@ -892,6 +892,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_docs").desc, col("facet_value").asc)
     }),
+    // Term dictionary with doc frequencies (Lucene terms-enum analogue):
+    // prefix-filtered vocabulary stats, top-k by document count — the
+    // suggester/BM25-idf introspection primitive. Table-level derivation
+    // (raw tokens) so DuckDB replays it exactly; the collection-level
+    // Snapshot.termStats (persisted term index + live-doc join, analyzed
+    // terms) is pinned in CollectionSpec.
+    "q117_term_stats" -> ((s, d) =>
+      Gen.explodeOnce(Par.ensure(T(s, d, "documents")), Seq(col("doc_id")),
+          array_distinct(tokenize(col("text"))), "term")
+        .filter(col("term").startsWith("s"))
+        .groupBy("term").agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("term").asc)
+        .limit(20)),
     // Image near-dup: REAL BMP decode -> 64-bit dHash -> the q28 blocked-
     // LSH pair machinery. The hash artifact persists so the oracle
     // replays the pair derivation (Hamming <= 6) over the same bytes.
@@ -2767,6 +2780,12 @@ object SparkEntry {
           FROM (SELECT doc_id, source, $docToksSql AS toks FROM documents) t
           WHERE list_contains(toks, 'merge')
           GROUP BY facet_value ORDER BY n_docs DESC, facet_value""",
+    "q117_term_stats" ->
+      s"""SELECT term, count(*) AS n_docs
+          FROM (SELECT doc_id, unnest(list_distinct($docToksSql)) AS term
+                FROM documents)
+          WHERE term LIKE 's%'
+          GROUP BY term ORDER BY n_docs DESC, term LIMIT 20""",
     // full NB replay: add-1 smoothed per-term class counts over token
     // instances (== tf-weighted), one-row class totals/vocab/prior,
     // score = prior + Σ tf·logodds; keep = MAP decision

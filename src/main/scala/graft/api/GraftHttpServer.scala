@@ -28,6 +28,8 @@ import graft.operators.DocFilter
   *  - `POST /term_search`        {collection_name, filter, limit?, user_ids?}
   *  - `POST /facets`             {collection_name, filter, field, k?,
   *                                user_ids?} — facet counts over the match
+  *  - `POST /term_stats`         {collection_name, prefix?, k?, user_ids?}
+  *                                — term dictionary with doc frequencies
   *  - `POST /serve_search`       {collection_name, user_ids: [uuid], vector,
   *                                top_k?, nprobe?, filter?} — zero-Spark-jobs
   *  - `POST /serve_term_search`  {collection_name, user_ids: [uuid], filter,
@@ -296,6 +298,18 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
       k = b.getOrElse("k", 10.0).asInstanceOf[Double].toInt,
       userIds = b.get("user_ids").map(parseIds).getOrElse(Nil))
     Map("values" -> fc.map(_._1), "counts" -> fc.map(_._2))
+  })
+
+  // Term dictionary (beyond the proto surface): {collection_name,
+  // prefix?, k?, user_ids?} -> {terms: [...], counts: [...]}
+  server.createContext("/term_stats", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val ts = svc.termStats(
+      b("collection_name").asInstanceOf[String],
+      prefix = b.getOrElse("prefix", "").asInstanceOf[String],
+      k = b.getOrElse("k", 20.0).asInstanceOf[Double].toInt,
+      userIds = b.get("user_ids").map(parseIds).getOrElse(Nil))
+    Map("terms" -> ts.map(_._1), "counts" -> ts.map(_._2))
   })
 
   // Served (zero-Spark-jobs) per-user query paths — the reference's main

@@ -145,6 +145,14 @@ class GraftService(spark: SparkSession, val basePath: String) {
       .facetCounts(filter, field, k, userIds.map(toBytes))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
+  /** Term dictionary with doc frequencies (Lucene terms-enum analogue),
+    * prefix-filterable — (term, n_docs), (count desc, term asc), top k. */
+  def termStats(collectionName: String, prefix: String, k: Int,
+      userIds: Seq[String] = Nil): Seq[(String, Long)] =
+    collection(collectionName).snapshot()
+      .termStats(prefix, k, userIds.map(toBytes))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
   private val servedCache = TrieMap.empty[(String, String), (String, ServedUserSearch)]
 
   /** Per-user online serving session (collection_manager.rs:27-94 — the

@@ -1440,6 +1440,66 @@ final class Snapshot(
       coll.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out))
   }
 
+  /** Term dictionary with document frequencies (the Lucene terms-enum /
+    * suggester analogue — beyond the reference, whose term index answers
+    * membership only): every live term key, optionally restricted to a
+    * prefix (`"content:mer"`), with the number of live docs carrying it,
+    * top `k` by (n_docs desc, term asc). The BM25-idf introspection and
+    * autocomplete primitive.
+    *
+    * Scale shape: flushed segments read their PERSISTED term index — the
+    * per-bucket term-sorted parquet prunes row groups on the prefix via
+    * min/max stats (the ProfTerms measurement), never re-analyzing text —
+    * joined to live point ids; the unflushed tail re-analyzes only its
+    * own bounded rows. Group-count partial-aggregates bound every task's
+    * output by its distinct terms; the result is top-k. */
+  def termStats(prefix: String = "", k: Int = 20, userIds: Seq[Any] = Nil): DataFrame = {
+    import graft.functions.GraftFunctions.{analyze_text, term_keys}
+    val perSegment = segments.map { seg =>
+      val v = coll.vectorsFor(seg, userIds)
+      val idCols = Seq("user_id", "point_id", "doc_id") ++
+        (if (v.columns.contains("src_batch")) Seq("src_batch") else Nil)
+      var t = coll.segmentTable(seg, "terms")
+      if (userIds.nonEmpty) t = t.filter(col("user_id").isin(userIds: _*))
+      if (prefix.nonEmpty) t = t.filter(col("term").startsWith(prefix))
+      var m = t.select("user_id", "term", "point_id")
+        .join(v.select(idCols.map(col): _*), Seq("user_id", "point_id"))
+      for (tb <- tombRows) m = Search.dropTombstoned(m, tb)
+      m.select("user_id", "term", "doc_id")
+    }
+    val tailTerms = tailRows.flatMap { rows =>
+      val textCols = coll.config.textFields.filter(f => rows.columns.contains(f.name))
+      if (textCols.isEmpty) None
+      else {
+        var df = rows
+        if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
+        for (tb <- tombRows) df = Search.dropTombstoned(df, tb)
+        Some(textCols.map { f =>
+          val toks =
+            if (f.kind == "keyword") array(lower(col(f.name)))
+            else analyze_text(col(f.name), lit(f.lang))
+          graft.operators.Gen.explodeOnce(df.withColumn("_toks", toks),
+            Seq(col("user_id"), col("doc_id")), term_keys(f.name, col("_toks")), "term")
+            .select(col("user_id"), col("term"), col("doc_id"))
+        }.reduce(_ unionByName _)
+          .filter(if (prefix.isEmpty) lit(true) else col("term").startsWith(prefix)))
+      }
+    }
+    (perSegment ++ tailTerms).reduceOption(_ unionByName _)
+      .map(_.dropDuplicates("user_id", "term", "doc_id")
+        .groupBy("term")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("term").asc)
+        .limit(k))
+      .getOrElse {
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        coll.spark.createDataFrame(
+          coll.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("term", StringType),
+            StructField("n_docs", LongType, nullable = false))))
+      }
+  }
+
   def termSearch(filter: DocFilter, limit: Int, userIds: Seq[Any] = Nil): DataFrame = {
     val nf = norm(filter)
     val perSegment = segments.map { seg =>

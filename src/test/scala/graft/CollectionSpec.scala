@@ -392,6 +392,35 @@ class CollectionSpec extends SparkSuite {
       .collect().map(_.getString(0)).toSeq === Seq("src2"))
   }
 
+  test("termStats: prefix-filtered dictionary over live docs, flushed + tail, deletes drop counts") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    coll.insert(Seq(
+      (0L, 1L, Seq(1.0, 1.0, 1.0, 1.0), "merge join planner"),
+      (0L, 2L, Seq(2.0, 2.0, 2.0, 2.0), "merge sort runner"),
+      (0L, 3L, Seq(3.0, 3.0, 3.0, 3.0), "hash join planner"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    coll.flush()
+    // a tail doc contributes too (read-your-writes)
+    coll.insert(Seq((0L, 4L, Seq(4.0, 4.0, 4.0, 4.0), "merge everything"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    def stats(prefix: String) = coll.snapshot().termStats(prefix, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // analyzed terms are STEMS: "merge" indexes as content:merg
+    assert(stats("content:merg") === Seq("content:merg" -> 3L))
+    // ties break term-asc; the analyzed terms carry the field prefix
+    assert(stats("content:p") === Seq("content:planner" -> 2L))
+    val all = stats("")
+    assert(all.head === ("content:merg" -> 3L))
+    assert(all.contains("content:join" -> 2L))
+    // a delete drops its doc from every term count (flushed AND the k cap)
+    coll.delete(Seq((0L, 1L)).toDF("user_id", "doc_id"))
+    assert(stats("content:merg") === Seq("content:merg" -> 2L))
+    assert(stats("content:p") === Seq("content:planner" -> 1L))
+    // top-k bound
+    assert(coll.snapshot().termStats("", k = 1).collect().length === 1)
+  }
+
   test("re-insert after delete revives the doc (sequenced tombstones)") {
     val base = tmpBase()
     val coll = Collection.create(spark, base, config)

@@ -121,6 +121,13 @@ class HttpServerSpec extends SparkSuite {
       assert(facets("counts") === Vector(1.0, 1.0))
       assert(facets("values").asInstanceOf[Vector[Any]].size === 2)
 
+      // term dictionary over the wire: both live docs carry a token
+      // starting with 'hello'/'searchable' under the content field prefix
+      val tstats = post("/term_stats", Json.write(Map(
+        "collection_name" -> "wire", "prefix" -> "content:hello", "k" -> 5)))
+      assert(tstats("terms") === Vector("content:hello"))
+      assert(tstats("counts") === Vector(1.0))
+
       post("/remove", Json.write(Map(
         "collection_name" -> "wire",
         "user_ids" -> Seq(uuid(0)), "doc_ids" -> Seq(uuid(1)))))
