@@ -32,6 +32,26 @@ object Bench {
   def refStalled(ref: Double, warm: Double): Boolean =
     ref > 0 && warm >= 0 && warm > math.max(3.0 * ref, ref + 5.0)
 
+  /** Which health-probe segment covers query index `qi` (segments are
+    * `segSize` queries wide; the final partial segment shares the last
+    * probe). Pure so the suite-end degraded-segment requeue is testable. */
+  def segmentOf(qi: Int, segSize: Int, nSegments: Int): Int =
+    math.min(qi / segSize, math.max(0, nSegments - 1))
+
+  /** Degraded-segment requeue (round-14 verdict #1): the per-query rules
+    * above catch OUTLIERS, but a degraded sandbox window inflates every
+    * query inside it 1.5-3x — under the reference rule's flag bar — and
+    * r14 shipped three degraded segments whose un-requeued queries made
+    * the suite total misread as a regression until a judge reran. The
+    * per-segment canary/io probes already name exactly which 10-query
+    * windows are bad, so at suite end EVERY query in a degraded segment
+    * re-executes once (bounded at segSize per segment), not just the
+    * stall outliers; requeueMerge keeps the min, so a healthy original
+    * figure can never get worse. */
+  def inDegradedSegment(qi: Int, segSize: Int, nSegments: Int,
+      degraded: Set[Int]): Boolean =
+    degraded.contains(segmentOf(qi, segSize, nSegments))
+
   /** Parse the flat `{"name": seconds, ...}` reference JSON (no JSON lib
     * in core — same posture as the emitters). Missing/garbled file =>
     * empty map => the reference rule simply never fires. */
@@ -223,10 +243,24 @@ object Bench {
         java.nio.file.Paths.get(sys.env.getOrElse(
           "GRAFT_BENCH_REF", "tools/bench_reference.json"))))
       catch { case _: Throwable => Map.empty }
+    // per-segment adjudication: a segment is degraded if EITHER its
+    // canary or its I/O probe exceeded 1.5x the healthy reference
+    // (ratio-to-ref only meaningful at the reference's 32 threads)
+    val degradedSegments = segCanary.indices.filter(i =>
+      segCanary(i) > CANARY_REF * 1.5 || segIo(i) > IO_REF * 1.5)
+    // round-14 verdict #1: a degraded segment's queries ALL requeue at
+    // suite end, not just the reference-stall outliers — 1.5-3x inflation
+    // sits under the per-query flag bar but still corrupts the suite total
+    val degradedSet: Set[Int] = if (cpus == "32") degradedSegments.toSet else Set.empty
     val requeuedNames = scala.collection.mutable.ArrayBuffer[String]()
-    val results = firstPass.map { case (name, fn, cold, warm, samples, artWarm, err) =>
+    val segmentRequeued = scala.collection.mutable.ArrayBuffer[String]()
+    val results = firstPass.zipWithIndex.map {
+      case ((name, fn, cold, warm, samples, artWarm, err), qi) =>
+      val segFlag = err.isEmpty &&
+        inDegradedSegment(qi, segSize, segCanary.length, degradedSet)
+      if (segFlag) segmentRequeued += name
       val flagged = err.isEmpty && (stallInverted(cold, warm) ||
-        refStalled(reference.getOrElse(name, 0.0), warm))
+        refStalled(reference.getOrElse(name, 0.0), warm) || segFlag)
       val (warmF, artF, allSamples) = if (!flagged) (warm, artWarm, samples) else {
         requeuedNames += name
         val (rq, rqArt, rqErr) = once(fn)
@@ -263,15 +297,10 @@ object Bench {
     // compact line must stay under the driver's ~2000-byte tail capture
     val errorsCompact = errorList.take(5).mkString("[", ",", "]")
     def fmt(d: Double): String = f"$d%.4f"
-    // per-segment adjudication: a segment is degraded if EITHER its
-    // canary or its I/O probe exceeded 1.5x the healthy reference
-    // (ratio-to-ref only meaningful at the reference's 32 threads)
-    val degradedSegments = segCanary.indices.filter(i =>
-      segCanary(i) > CANARY_REF * 1.5 || segIo(i) > IO_REF * 1.5)
     val degraded = cpus == "32" &&
       (canary > CANARY_REF * 1.5 || ioProbe > IO_REF * 1.5 || degradedSegments.nonEmpty)
     def segJsonFor(rq: Seq[String]): String =
-      s""""canary_segments":${segCanary.map(fmt).mkString("[", ",", "]")},"io_segments":${segIo.map(fmt).mkString("[", ",", "]")},"degraded_segments":${degradedSegments.mkString("[", ",", "]")},"segment_size":$segSize,"requeued":${rq.map(jsonEsc).mkString("[", ",", "]")},"n_requeued":${requeuedNames.size}"""
+      s""""canary_segments":${segCanary.map(fmt).mkString("[", ",", "]")},"io_segments":${segIo.map(fmt).mkString("[", ",", "]")},"degraded_segments":${degradedSegments.mkString("[", ",", "]")},"segment_size":$segSize,"requeued":${rq.map(jsonEsc).mkString("[", ",", "]")},"n_requeued":${requeuedNames.size},"n_segment_requeued":${segmentRequeued.size}"""
     val segJson = segJsonFor(requeuedNames.toSeq)
     // a heavily-degraded run could requeue dozens — cap the compact line
     val segJsonCompact = segJsonFor(requeuedNames.toSeq.take(5))

@@ -17,8 +17,17 @@ object GraftExtensions {
     * Spark jobs (the fingerprint itself is TOC + file-listing reads).
     * Any flush/delete/merge changes the fingerprint and misses. Values
     * are the collected top-k rows (≤ k by construction — small); the
-    * access-ordered map evicts past 64 entries. */
+    * access-ordered map evicts past 64 entries.
+    *
+    * The memo is bounded by ROWS AND BYTES per entry, not just entry
+    * count (round-14 verdict #3): `graft_term_search(..., limit)` takes a
+    * caller-controlled limit, so 64 memoized limit=1M results would be
+    * driver-heap-sized. A result past either cap executes normally but is
+    * NOT cached — the execution contract is unchanged, the repeat-call
+    * cost is the same as before memoization existed. */
   private val memoMax = 64
+  private[graft] val memoMaxRows = 10000
+  private[graft] val memoMaxBytes = 4L << 20 // 4 MiB of UnsafeRow payload per entry
   private type MemoVal =
     (Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
       IndexedSeq[org.apache.spark.sql.catalyst.InternalRow])
@@ -53,7 +62,14 @@ object GraftExtensions {
         (df.queryExecution.analyzed.output.map(_.toAttribute),
           df.queryExecution.executedPlan.executeCollect().toIndexedSeq)
       } finally java.lang.ref.Reference.reachabilityFence(snap)
-      memoPut(memoKey, v)
+      // cache only row/byte-bounded results — a huge limit executes fine
+      // but must not pin driver heap through the memo
+      val bytes = v._2.iterator.map {
+        case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+          u.getSizeInBytes.toLong
+        case _ => 256L // non-unsafe rows: conservative estimate
+      }.sum
+      if (v._2.length <= memoMaxRows && bytes <= memoMaxBytes) memoPut(memoKey, v)
       v
     }
     org.apache.spark.sql.catalyst.plans.logical.LocalRelation(

@@ -28,10 +28,15 @@ object ProfOpq {
     val bits = if (args.length > 3) args(3).toInt else 8
     val iters = if (args.length > 4) args(4).toInt else 6
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // NOTE heap: spark.driver.memory is a NO-OP set from inside an
+    // already-running local-mode JVM (the heap is fixed at launch), and
+    // the driver-side SVD/covariance work is exactly what this profiler
+    // measures — size the heap at launch via SPARK_DRIVER_MEM=48g
+    // (build.sbt wires it into the forked -Xmx), never here (a builder
+    // config would just mislead).
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.driver.memory", "48g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

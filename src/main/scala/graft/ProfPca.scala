@@ -21,7 +21,9 @@ object ProfPca {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.driver.memory", "48g")
+      // heap must come from launch options, not here: spark.driver.memory
+      // is a no-op on a running local-mode JVM — use SPARK_DRIVER_MEM=48g
+      // (build.sbt wires it into the forked -Xmx)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -563,13 +563,15 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     // instead of re-running the 123-257 s/1M-centroid bulk build. The
     // construction is the shared serving one, so loaded == built.
     if (config.centroidIndexType == "hnsw") {
-      val cRows = spark.read.parquet(s"${segPath(seg)}/centroids")
-        .select(col("centroid_id").cast("int"), col("vector").cast("array<double>"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-      if (cRows.nonEmpty)
+      // streamed load, not collect (round-14 verdict #2): the hnsw index
+      // type is the ≥500k-centroid regime, where a boxed-Row collect is
+      // multi-GB on the driver — Serving's vector store learned this at
+      // BASELINE round-2; the flush path uses the same discipline
+      val (cIds, cVecs) = graft.operators.ServedIvfIndex.loadCentroidsStreamed(
+        spark.read.parquet(s"${segPath(seg)}/centroids"))
+      if (cIds.nonEmpty)
         graft.operators.Hnsw.save(s"${segPath(seg)}/hnsw.bin",
-          graft.operators.ServedIvfIndex.buildCentroidGraph(
-            cRows.map(_._1.toLong), cRows.map(_._2)))
+          graft.operators.ServedIvfIndex.buildCentroidGraph(cIds, cVecs))
     }
     val postings = IvfBuilder.buildPostings(
       vectors, spark.read.parquet(s"${segPath(seg)}/centroids"), params)

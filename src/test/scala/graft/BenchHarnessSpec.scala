@@ -99,6 +99,38 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"queries missing from the reference: $missing")
   }
 
+  test("degraded-segment requeue: every query in a flagged window requeues") {
+    // the r14 shape: 117 queries, 12 probe checkpoints, segments 1-3
+    // degraded — per-query rules flagged only 5 outliers, but queries
+    // inflated 1.5-3x in those windows shipped as-is (round-14 verdict #1)
+    val degraded = Set(1, 2, 3)
+    val n = 117; val segSize = 10; val nSeg = 12
+    val flagged = (0 until n).filter(Bench.inDegradedSegment(_, segSize, nSeg, degraded))
+    assert(flagged === (10 until 40)) // exactly the three 10-query windows
+    // the final partial segment (queries 110-116) shares the last probe
+    assert(Bench.segmentOf(116, segSize, nSeg) === 11)
+    assert(Bench.segmentOf(110, segSize, nSeg) === 11)
+    assert(Bench.segmentOf(109, segSize, nSeg) === 10)
+    // a healthy run requeues nothing through this rule
+    assert((0 until n).forall(!Bench.inDegradedSegment(_, segSize, nSeg, Set.empty)))
+  }
+
+  test("degraded-segment requeue composes with requeueMerge's min discipline") {
+    // a query in a degraded segment measured 2.1x its healthy 1.0 s —
+    // under both per-query flag bars, caught only by the segment rule;
+    // the suite-end requeue (stall passed) restores the healthy figure
+    assert(!Bench.stallInverted(cold = 2.3, warm = 2.1))
+    assert(!Bench.refStalled(ref = 1.0, warm = 2.1))
+    val (w, _, s) = Bench.requeueMerge(2.1, 0.0, Seq(2.3, 2.1, 2.2),
+      rq = 1.02, rqArt = 0.0, rqErr = None)
+    assert(w === 1.02 && s.last === 1.02)
+    // if the sandbox is STILL degraded at suite end the slower requeue
+    // cannot worsen anything
+    val (w2, _, _) = Bench.requeueMerge(2.1, 0.0, Seq(2.3, 2.1, 2.2),
+      rq = 2.4, rqArt = 0.0, rqErr = None)
+    assert(w2 === 2.1)
+  }
+
   test("requeue merge: slower or errored requeues never worsen the figures") {
     val samples = Seq(5.16, 15.49, 15.61)
     // slower requeue (stall not over): original stands

@@ -128,6 +128,30 @@ class CollectionSpec extends SparkSuite {
     val fromE = collE.serveUser(0L).search(q, 5, nprobe = 10)
     assert(fromH === fromE)
     assert(fromH.map(_._1) === Seq(4L, 3L, 5L, 2L, 6L))
+    // loaded == built (round-14 verdict #2): the flush path streams the
+    // centroid table via sorted toLocalIterator instead of collecting it;
+    // the persisted graph must be byte-identical to a graph built from a
+    // driver-side collect of the same centroids (buildCentroidGraph is
+    // deterministic and parallelism-invariant, so bytes pin the whole
+    // structure, not just search answers)
+    val segCentroids = spark.read.parquet(s"$baseH/c1/segments/seg_1/centroids")
+    val collected = segCentroids
+      .select(col("centroid_id").cast("long"), col("vector").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val rebuiltPath = Files.createTempDirectory("graft_hnsw_rebuilt")
+      .resolve("hnsw.bin").toString
+    graft.operators.Hnsw.save(rebuiltPath,
+      graft.operators.ServedIvfIndex.buildCentroidGraph(
+        collected.map(_._1), collected.map(_._2)))
+    val flushedBytes = Files.readAllBytes(
+      java.nio.file.Paths.get(s"$baseH/c1/segments/seg_1/hnsw.bin"))
+    val rebuiltBytes = Files.readAllBytes(java.nio.file.Paths.get(rebuiltPath))
+    assert(java.util.Arrays.equals(flushedBytes, rebuiltBytes),
+      "streamed flush-time centroid load diverged from the collect build")
+    // and the streamed loader itself returns the collect's exact content
+    val (sIds, sVecs) = graft.operators.ServedIvfIndex.loadCentroidsStreamed(segCentroids)
+    assert(sIds.toSeq === collected.map(_._1).toSeq)
+    assert(sVecs.map(_.toSeq).toSeq === collected.map(_._2.toSeq).toSeq)
   }
 
   test("served term + hybrid queries match the distributed snapshot path") {

@@ -351,6 +351,57 @@ class RecallSpec extends SparkSuite {
     }
   }
 
+  test("extensions: TVF memo is row-bounded — a huge limit executes but never caches") {
+    // round-14 verdict #3: the memo bounded ENTRIES (64) but not bytes,
+    // and graft_term_search's limit is caller-controlled — 64 memoized
+    // limit=1M results would be driver-heap-sized. A result past the
+    // row/byte cap must execute normally (same rows) but stay out of the
+    // memo, while small results keep hitting.
+    val prev = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-tvf-memo-bound-test")
+        .withExtensions(new GraftExtensions())
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import s2.implicits._
+      GraftExtensions.clearMemo()
+      val base = java.nio.file.Files.createTempDirectory("graft_tvf_memo").toString
+      val cfg = graft.core.CollectionConfig(
+        name = "bigcoll", numFeatures = 2, initialNumCentroids = 2,
+        attributeSchema = Seq(graft.core.AttrField("content", "text", "english")))
+      val coll = graft.core.Collection.create(s2, base, cfg)
+      val n = GraftExtensions.memoMaxRows + 50
+      coll.insert((0 until n).map(i =>
+        (0L, i.toLong, Seq(i.toDouble, 1.0), "common token here"))
+        .toDF("user_id", "doc_id", "vector", "content"))
+      coll.flush()
+      val matchAll = """{"contains": {"path": "content", "value": "common"}}"""
+      def count(limit: Int): Long = s2.sql(
+        s"SELECT count(*) AS c FROM graft_term_search('$base', 'bigcoll', '$matchAll', $limit)")
+        .collect().head.getLong(0)
+      val m0 = GraftExtensions.memoMisses.get()
+      assert(count(n + 100) === n.toLong) // above the row cap: full result
+      assert(count(n + 100) === n.toLong) // repeat re-executes (not cached)
+      assert(GraftExtensions.memoMisses.get() === m0 + 2,
+        "an above-cap result entered the memo")
+      // small results still memoize across repeats
+      assert(count(5) === 5L)
+      assert(count(5) === 5L)
+      assert(GraftExtensions.memoMisses.get() === m0 + 3,
+        "a small repeat call missed the memo")
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setActiveSession(p)
+        SparkSession.setDefaultSession(p)
+      }
+    }
+  }
+
   test("diverseSelect: covers every planted mode, deterministic, beats head-of-corpus coverage") {
     val r = new scala.util.Random(17)
     val centers = Array.fill(8)(Array.fill(12)(r.nextGaussian() * 4.0))
