@@ -138,7 +138,9 @@ class GraftService(spark: SparkSession, val basePath: String) {
 
   /** Facet counts over a filtered match (beyond the reference's proto —
     * the search-engine aggregation surface). Returns (value, count)
-    * pairs, (count desc, value asc), top `k`. */
+    * pairs, (count desc, value asc), top `k`. NEWEST-WINS: a doc counts
+    * iff its newest live version matches (Snapshot.matchedDocs), so
+    * counts agree with the facet values themselves. */
   def facetCounts(collectionName: String, filter: DocFilter, field: String,
       k: Int, userIds: Seq[String] = Nil): Seq[(String, Long)] =
     collection(collectionName).snapshot()
@@ -146,7 +148,9 @@ class GraftService(spark: SparkSession, val basePath: String) {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
   /** Term dictionary with doc frequencies (Lucene terms-enum analogue),
-    * prefix-filterable — (term, n_docs), (count desc, term asc), top k. */
+    * prefix-filterable — (term, n_docs), (count desc, term asc), top k.
+    * NEWEST-WINS: n_docs counts docs whose newest live version carries
+    * the term (termSearch membership stays any-live-version). */
   def termStats(collectionName: String, prefix: String, k: Int,
       userIds: Seq[String] = Nil): Seq[(String, Long)] =
     collection(collectionName).snapshot()

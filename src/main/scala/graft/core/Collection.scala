@@ -1,6 +1,7 @@
 package graft.core
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1047,6 +1048,17 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
   private[core] def segmentTable(seg: String, table: String): DataFrame =
     spark.read.parquet(s"${segPath(seg)}/$table")
 
+  /** Does `seg`'s persisted term index carry per-(term, point) POSITION
+    * arrays (what Phrase/Near consume)? Memoized per segment name —
+    * segments are immutable once written, and rebuilds (merge/vacuum)
+    * always mint NEW names, so an entry can never go stale; the memo
+    * turns the per-query capability check into a map hit instead of a
+    * parquet footer read per segment. */
+  private val positionsMemo = TrieMap.empty[String, Boolean]
+  private[core] def termsHasPositions(seg: String): Boolean =
+    positionsMemo.getOrElseUpdate(seg,
+      segmentTable(seg, "terms").columns.contains("positions"))
+
   private[core] def segmentFile(seg: String, name: String): String =
     s"${segPath(seg)}/$name"
 
@@ -1218,6 +1230,31 @@ final class Snapshot(
     DocFilter.normalize(f,
       fl => coll.config.attributeSchema.exists(a => a.name == fl && a.kind == "keyword"))
 
+  /** Per-segment term-index capability map: segment name -> does its
+    * persisted term index carry positions (what Phrase/Near consume)?
+    * False only for segments flushed before the positions column landed;
+    * any rebuild (merge / mergeSmallest / vacuum / POST /optimize)
+    * upgrades, because `buildSegment` always writes positions. */
+  def positionsCapability: Map[String, Boolean] =
+    segments.map(s => s -> coll.termsHasPositions(s)).toMap
+
+  /** Positional queries fail NAMING the segments that need a re-flush
+    * (round-14 verdict #8): without this, a mixed collection (old + new
+    * segments) failed only at an anonymous schema require deep inside the
+    * per-segment compile. The memoized capability check costs a map hit
+    * per query once warm. */
+  private def requirePositions(nf: DocFilter): Unit =
+    if (DocFilter.needsPositions(nf)) {
+      val missing = segments.filterNot(coll.termsHasPositions)
+      require(missing.isEmpty,
+        s"phrase/proximity filters need per-(term, point) positions, but " +
+          s"segment(s) ${missing.mkString(", ")} of collection " +
+          s"'${coll.config.name}' were flushed before the positions column " +
+          "landed — rebuild them (coll.merge() / mergeSmallest / POST " +
+          "/optimize rewrite segments WITH positions), then retry; " +
+          "Snapshot.positionsCapability lists per-segment status")
+    }
+
   private def filterPoints(seg: String, filter: Option[DocFilter],
       userIds: Seq[Any]): Option[DataFrame] =
     filter.map { f =>
@@ -1237,6 +1274,7 @@ final class Snapshot(
       userIds: Seq[Any] = Nil,
       filter: Option[DocFilter] = None): DataFrame = {
     val nf = filter.map(norm)
+    nf.foreach(requirePositions)
     val perSegment = segments.map { seg =>
       // Selectivity-adaptive filtered search (opt-in via
       // SearchParams.adaptiveFilterThreshold): a selective filter's
@@ -1382,12 +1420,34 @@ final class Snapshot(
     }
   }
 
+  /** Restrict physical match rows `[user_id, doc_id, src_batch, ...]` to
+    * those carried by each doc's NEWEST live row — the same "ONE live
+    * row" definition as the CDC fetch ([[newestLiveRows]]). Without this,
+    * a doc re-inserted without a delete would keep matching through a
+    * superseded version whose content the newest row no longer carries
+    * (round-14 advice). O(matched keys), never O(corpus): the newest-key
+    * lookup is key-restricted BEFORE its window. */
+  private def newestVersionOnly(matches: DataFrame, userIds: Seq[Any]): DataFrame =
+    newestLiveRows(Some(matches), userIds, _ => Nil) match {
+      case Some(newest) => matches.join(
+        newest.select("user_id", "doc_id", "src_batch"),
+        Seq("user_id", "doc_id", "src_batch"), "left_semi")
+      case None => matches
+    }
+
   /** Every live `[user_id, doc_id]` matching `filter` — [[termSearch]]'s
     * match set without the order/limit: the input to aggregations over
     * matches, where a top-limit would bias every bucket. None when the
-    * snapshot holds no rows at all. */
+    * snapshot holds no rows at all.
+    *
+    * NEWEST-WINS: a doc counts iff its newest live version matches —
+    * aggregations (facets, stats) must agree with the attribute values
+    * [[newestLiveRows]] would report for the same docs. ([[termSearch]]
+    * itself stays ANY-LIVE-VERSION membership, the reference's term-index
+    * semantics — documented there.) */
   def matchedDocs(filter: DocFilter, userIds: Seq[Any] = Nil): Option[DataFrame] = {
     val nf = norm(filter)
+    requirePositions(nf)
     val perSegment = segments.map { seg =>
       val v = coll.vectorsFor(seg, userIds)
       val idCols = Seq("user_id", "point_id", "doc_id") ++
@@ -1395,7 +1455,7 @@ final class Snapshot(
       Search.termMatches(
         coll.segmentTable(seg, "terms"),
         v.select(idCols.map(col): _*),
-        nf, userIds, tombRows, fieldLang)
+        nf, userIds, tombRows, fieldLang, keepSrcBatch = true)
     }
     val tailResult = tailRows.map { rows =>
       var df = rows
@@ -1403,11 +1463,15 @@ final class Snapshot(
       df = df.filter(compileRaw(nf, df))
       for (tb <- tombRows)
         df = Search.dropTombstoned(df, tb)
-      df.select("user_id", "doc_id")
+      val sb = if (df.columns.contains("src_batch")) col("src_batch")
+               else lit(Long.MinValue)
+      df.select(col("user_id"), col("doc_id"), sb.as("src_batch"))
     }
-    (perSegment.map(_.select("user_id", "doc_id")) ++ tailResult)
+    (perSegment ++ tailResult)
       .reduceOption(_ unionByName _)
-      .map(_.dropDuplicates("user_id", "doc_id"))
+      .map(m => newestVersionOnly(
+          m.dropDuplicates("user_id", "doc_id", "src_batch"), userIds)
+        .select("user_id", "doc_id").dropDuplicates("user_id", "doc_id"))
   }
 
   /** Facet counts over a filtered match (the search-engine aggregation
@@ -1445,8 +1509,9 @@ final class Snapshot(
   /** Term dictionary with document frequencies (the Lucene terms-enum /
     * suggester analogue — beyond the reference, whose term index answers
     * membership only): every live term key, optionally restricted to a
-    * prefix (`"content:mer"`), with the number of live docs carrying it,
-    * top `k` by (n_docs desc, term asc). The BM25-idf introspection and
+    * prefix (`"content:mer"`), with the number of live docs whose NEWEST
+    * live version carries it (newest-wins, [[matchedDocs]]' rule), top
+    * `k` by (n_docs desc, term asc). The BM25-idf introspection and
     * autocomplete primitive.
     *
     * Scale shape: flushed segments read their PERSISTED term index — the
@@ -1467,7 +1532,9 @@ final class Snapshot(
       var m = t.select("user_id", "term", "point_id")
         .join(v.select(idCols.map(col): _*), Seq("user_id", "point_id"))
       for (tb <- tombRows) m = Search.dropTombstoned(m, tb)
-      m.select("user_id", "term", "doc_id")
+      val sb = if (m.columns.contains("src_batch")) col("src_batch")
+               else lit(Long.MinValue)
+      m.select(col("user_id"), col("term"), col("doc_id"), sb.as("src_batch"))
     }
     val tailTerms = tailRows.flatMap { rows =>
       val textCols = coll.config.textFields.filter(f => rows.columns.contains(f.name))
@@ -1476,19 +1543,29 @@ final class Snapshot(
         var df = rows
         if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
         for (tb <- tombRows) df = Search.dropTombstoned(df, tb)
+        val sb = if (df.columns.contains("src_batch")) col("src_batch")
+                 else lit(Long.MinValue)
         Some(textCols.map { f =>
           val toks =
             if (f.kind == "keyword") array(lower(col(f.name)))
             else analyze_text(col(f.name), lit(f.lang))
           graft.operators.Gen.explodeOnce(df.withColumn("_toks", toks),
-            Seq(col("user_id"), col("doc_id")), term_keys(f.name, col("_toks")), "term")
-            .select(col("user_id"), col("term"), col("doc_id"))
+            Seq(col("user_id"), col("doc_id"), sb.as("src_batch")),
+            term_keys(f.name, col("_toks")), "term")
+            .select(col("user_id"), col("term"), col("doc_id"), col("src_batch"))
         }.reduce(_ unionByName _)
           .filter(if (prefix.isEmpty) lit(true) else col("term").startsWith(prefix)))
       }
     }
+    // NEWEST-WINS (round-14 advice, same rule as matchedDocs): n_docs
+    // counts docs whose NEWEST live version carries the term — a term
+    // present only on a superseded duplicate-key row contributes nothing,
+    // so the dictionary agrees with the attribute values CDC/facet reads
+    // report for the same docs
     (perSegment ++ tailTerms).reduceOption(_ unionByName _)
-      .map(_.dropDuplicates("user_id", "term", "doc_id")
+      .map(m => newestVersionOnly(
+          m.dropDuplicates("user_id", "term", "doc_id", "src_batch"), userIds)
+        .dropDuplicates("user_id", "term", "doc_id")
         .groupBy("term")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_docs").desc, col("term").asc)
@@ -1502,8 +1579,20 @@ final class Snapshot(
       }
   }
 
+  /** Term/attribute MEMBERSHIP search: live docs matching `filter`,
+    * ordered by doc id, top `limit`.
+    *
+    * Semantics note: membership is ANY-LIVE-VERSION — a doc re-inserted
+    * without a delete is returned if ANY of its live physical rows
+    * matches, the reference's term-index behavior (its index has no
+    * version concept). Aggregations over matches ([[matchedDocs]] /
+    * [[facetCounts]] / [[termStats]]) are NEWEST-WINS instead, so counts
+    * agree with the attribute values [[newestLiveRows]] reports; a
+    * retrieval surface returning the doc at all is useful (the caller
+    * fetches the newest payload), a count of superseded content is not. */
   def termSearch(filter: DocFilter, limit: Int, userIds: Seq[Any] = Nil): DataFrame = {
     val nf = norm(filter)
+    requirePositions(nf)
     val perSegment = segments.map { seg =>
       val v = coll.vectorsFor(seg, userIds)
       val idCols = Seq("user_id", "point_id", "doc_id") ++

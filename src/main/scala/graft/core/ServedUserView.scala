@@ -85,8 +85,9 @@ final class ServedUserView private[core] (
       // served mirror of FilterCompiler's shifted-intersection phrase:
       // token i's positions shifted by -i, match iff all legs share one
       require(sv.hasPositions,
-        s"Phrase($field, $value) needs a positions-bearing term index " +
-          "(segment flushed before the positions column landed — re-flush)")
+        s"Phrase($field, $value) needs a positions-bearing term index, but " +
+          s"segment ${sv.name} was flushed before the positions column " +
+          "landed — rebuild it (merge / POST /optimize), then re-serve")
       val qts = FilterCompiler.queryTerms(field, value, kw,
         fieldLang.getOrElse(field, "english"))
       if (qts.isEmpty) Set.empty
@@ -105,8 +106,9 @@ final class ServedUserView private[core] (
       }
     case DocFilter.Near(field, l, r, w) =>
       require(sv.hasPositions,
-        s"Near($field, $l, $r, $w) needs a positions-bearing term index " +
-          "(segment flushed before the positions column landed — re-flush)")
+        s"Near($field, $l, $r, $w) needs a positions-bearing term index, but " +
+          s"segment ${sv.name} was flushed before the positions column " +
+          "landed — rebuild it (merge / POST /optimize), then re-serve")
       val lang = fieldLang.getOrElse(field, "english")
       val lt = FilterCompiler.queryTerms(field, l, keyword = false, lang)
       val rt = FilterCompiler.queryTerms(field, r, keyword = false, lang)
@@ -219,6 +221,7 @@ object ServedUserView {
   private val noPostings = Array.empty[(Long, Array[Int])]
 
   private[core] final case class SegmentView(
+      name: String, // segment name — positional capability errors cite it
       index: ServedIvfIndex,
       docOf: Map[Long, Any], // point_id -> doc_id (tombstoned points absent)
       // term key -> (point id, positions in the analyzed stream); the
@@ -283,7 +286,7 @@ object ServedUserView {
           .groupBy(_.getString(0))
           .map { case (term, rows) => term -> rows.map(r => r.getLong(1) ->
             Option(r.getSeq[Int](2)).fold(Array.empty[Int])(_.toArray)) }
-      SegmentView(served, docOf, termPostings, hasPositions)
+      SegmentView(seg, served, docOf, termPostings, hasPositions)
     }
     // analyzed text rides out of the same Spark expressions the index side
     // uses (analyze_text per field lang), so tail term matching keeps the

