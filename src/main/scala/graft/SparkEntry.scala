@@ -414,6 +414,24 @@ object SparkEntry {
         DocFilter.Near("text", "hash", "join", 3),
         docTermsPos(s, d), docUniverse(s, d))
         .select(col("point_id").as("doc_id")).orderBy("doc_id")),
+    "q118_prefix_search" -> ((s, d) =>
+      // Prefix query (Lucene PrefixQuery analogue — beyond the reference):
+      // docs carrying any indexed term starting with "s", answered from
+      // the term dictionary (range-prunable on the sorted term column;
+      // the fragment itself is never analyzed)
+      FilterCompiler.compile(
+        DocFilter.Prefix("text", "s"),
+        docTerms(s, d), docUniverse(s, d))
+        .select(col("point_id").as("doc_id")).orderBy("doc_id")),
+    "q119_fuzzy_search" -> ((s, d) =>
+      // Fuzzy query (Lucene FuzzyQuery analogue — beyond the reference):
+      // dictionary terms within 2 Levenshtein edits of "agg" (in this
+      // corpus: agg, a, big — a genuine multi-term expansion) OR their
+      // postings; O(distinct terms) dictionary scan, never the corpus
+      FilterCompiler.compile(
+        DocFilter.Fuzzy("text", "agg", maxDist = 2),
+        docTerms(s, d), docUniverse(s, d))
+        .select(col("point_id").as("doc_id")).orderBy("doc_id")),
 
     // ---- training-data pipeline ----
     "q25_ngram_jaccard" -> ((s, d) =>
@@ -1989,6 +2007,12 @@ object SparkEntry {
           SELECT DISTINCT a.doc_id AS doc_id
           FROM p a JOIN p b ON a.doc_id = b.doc_id AND abs(b.pos - a.pos) <= 3
           WHERE a.tok = 'hash' AND b.tok = 'join' ORDER BY doc_id""",
+    "q118_prefix_search" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $docToksSql AS toks FROM documents) t
+          WHERE len(list_filter(toks, x -> starts_with(x, 's'))) > 0 ORDER BY doc_id""",
+    "q119_fuzzy_search" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $docToksSql AS toks FROM documents) t
+          WHERE len(list_filter(toks, x -> levenshtein(x, 'agg') <= 2)) > 0 ORDER BY doc_id""",
     "q25_ngram_jaccard" ->
       s"""WITH t AS (
             SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),

@@ -7,7 +7,8 @@ import graft.operators.DocFilter
   * `{not_contains:{field,value,keyword?}}`, `{ids:[...]}`, the bare
   * `{field, value, keyword?}` Contains leaf (also the historic
   * single-leaf format, so existing clients keep working), and the
-  * beyond-proto positional extensions `{phrase:{...}}` / `{near:{...}}`.
+  * beyond-proto extensions `{phrase:{...}}` / `{near:{...}}` (positional)
+  * and `{prefix:{...}}` / `{fuzzy:{...}}` (dictionary multi-term).
   *
   * Shared by the HTTP surface ([[GraftHttpServer]]) and the SQL TVF
   * (`graft_term_search`) so the two accept byte-identical filter JSON. */
@@ -57,6 +58,18 @@ object FilterJson {
         c("left").asInstanceOf[String],
         c("right").asInstanceOf[String],
         u64(c.getOrElse("window", 1)).intValue())
+    } else if (m.contains("prefix")) {
+      // beyond-proto extension: {prefix: {path|field, value, keyword?}} —
+      // Lucene PrefixQuery over the term dictionary (fragment unanalyzed)
+      val (f, value, kw) = leaf(Json.obj(m("prefix")))
+      DocFilter.Prefix(f, value, kw)
+    } else if (m.contains("fuzzy")) {
+      // beyond-proto extension: {fuzzy: {path|field, value, max_dist?,
+      // keyword?}} — Lucene FuzzyQuery (Levenshtein <= max_dist over the
+      // analyzed dictionary, default 1)
+      val c = Json.obj(m("fuzzy"))
+      val (f, value, kw) = leaf(c)
+      DocFilter.Fuzzy(f, value, u64(c.getOrElse("max_dist", 1)).intValue(), kw)
     } else if (m.contains("ids")) {
       // proto IdsFilter nests {ids: [...]} one level when the filter
       // arrives as {ids: {ids: [...]}}; the legacy shape is flat. Ids may

@@ -1675,5 +1675,23 @@ final class Snapshot(
               least(i + w, size(docToks) - 1)),
               j => element_at(docToks, j + 1) === rt.head)))
         .otherwise(lit(false))
+    case DocFilter.Prefix(field, value, kw) =>
+      // tail mirror of the dictionary prefix scan: the fragment stays
+      // UNanalyzed (lowercase only), matched against the same analyzed
+      // tokens the index side would store
+      val lang = coll.config.attributeSchema.find(_.name == field).map(_.lang).getOrElse("english")
+      val docToks =
+        if (kw) array(lower(col(field)))
+        else analyze_text(col(field), lit(lang))
+      exists(docToks, t => t.startsWith(value.trim.toLowerCase))
+    case DocFilter.Fuzzy(field, value, d, kw) =>
+      val lang = coll.config.attributeSchema.find(_.name == field).map(_.lang).getOrElse("english")
+      val docToks =
+        if (kw) array(lower(col(field)))
+        else analyze_text(col(field), lit(lang))
+      val qts = graft.operators.FilterCompiler.queryTerms(field, value, kw, lang)
+        .map(_.stripPrefix(s"$field:"))
+      if (qts.isEmpty) lit(false)
+      else exists(docToks, t => levenshtein(t, lit(qts.head)) <= d)
   }
 }

@@ -120,6 +120,27 @@ final class ServedUserView private[core] (
         a.collect { case (pid, pa) if b.get(pid).exists(pb =>
           pa.exists(x => pb.exists(y => math.abs(x - y) <= w))) => pid }.toSet
       }
+    case DocFilter.Prefix(field, value, _) =>
+      // served mirror of the dictionary prefix scan: the in-memory term
+      // map IS the dictionary; the fragment stays unanalyzed (lowercase)
+      val p = s"$field:${value.trim.toLowerCase}"
+      sv.termPostings.iterator.collect {
+        case (t, posts) if t.startsWith(p) => posts.iterator.map(_._1)
+      }.flatten.toSet
+    case DocFilter.Fuzzy(field, value, d, kw) =>
+      val qts = FilterCompiler.queryTerms(field, value, kw,
+        fieldLang.getOrElse(field, "english"))
+      if (qts.isEmpty) Set.empty
+      else {
+        val fp = s"$field:"
+        val token = qts.head.stripPrefix(fp)
+        sv.termPostings.iterator.collect {
+          case (t, posts) if t.startsWith(fp) &&
+            math.abs(t.length - fp.length - token.length) <= d &&
+            ServedUserView.editDistance(t.substring(fp.length), token) <= d =>
+            posts.iterator.map(_._1)
+        }.flatten.toSet
+      }
     case DocFilter.And(cs) =>
       if (cs.isEmpty) sv.universe
       else cs.map(evalSegment(_, sv)).reduce(_ intersect _)
@@ -169,6 +190,19 @@ final class ServedUserView private[core] (
         toks.indices.exists(i => toks(i) == lt.head &&
           toks.indices.exists(j => toks(j) == rt.head && math.abs(i - j) <= w))
       }
+    case DocFilter.Prefix(field, value, kw) =>
+      val p = value.trim.toLowerCase
+      if (kw) row.keywords.get(field).exists(_.startsWith(p))
+      else row.toks.get(field).exists(_.exists(_.startsWith(p)))
+    case DocFilter.Fuzzy(field, value, d, kw) =>
+      val qts = FilterCompiler.queryTerms(field, value, kw,
+          fieldLang.getOrElse(field, "english"))
+        .map(_.stripPrefix(s"$field:"))
+      if (qts.isEmpty) false
+      else if (kw) row.keywords.get(field)
+        .exists(v => ServedUserView.editDistance(v, qts.head) <= d)
+      else row.toks.get(field)
+        .exists(_.exists(t => ServedUserView.editDistance(t, qts.head) <= d))
   }
 
   /** Single-query top-k over segments + tail, zero Spark jobs. An
@@ -219,6 +253,29 @@ final class ServedUserView private[core] (
 object ServedUserView {
 
   private val noPostings = Array.empty[(Long, Array[Int])]
+
+  /** Plain Levenshtein (unit-cost insert/delete/substitute) — must agree
+    * with Spark's `levenshtein` so served fuzzy answers match the
+    * distributed dictionary-scan path. Two-row DP, O(|a|·|b|). */
+  private[graft] def editDistance(a: String, b: String): Int = {
+    if (a == b) return 0
+    val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
+    var prev = Array.tabulate(s.length + 1)(identity)
+    var cur = new Array[Int](s.length + 1)
+    var j = 1
+    while (j <= t.length) {
+      cur(0) = j
+      var i = 1
+      while (i <= s.length) {
+        val cost = if (s.charAt(i - 1) == t.charAt(j - 1)) 0 else 1
+        cur(i) = math.min(math.min(cur(i - 1) + 1, prev(i) + 1), prev(i - 1) + cost)
+        i += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      j += 1
+    }
+    prev(s.length)
+  }
 
   private[core] final case class SegmentView(
       name: String, // segment name — positional capability errors cite it

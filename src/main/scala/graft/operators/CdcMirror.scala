@@ -75,6 +75,61 @@ object CdcMirror {
 
   private def metaPath(path: String) = Paths.get(path, "MIRROR_META")
   private def manifestPath(path: String) = Paths.get(path, "MANIFEST")
+  private def leasePath(path: String) = Paths.get(path, "WRITER_LEASE")
+
+  /** Single-WRITER lease (round-14 verdict #5). The mirror's contract has
+    * always been single-writer, but nothing ENFORCED it: two concurrent
+    * `applyDelta`s would race the manifest rename and the loser's buckets
+    * would silently vanish (last-writer-wins). The lease makes the
+    * documented contract fail loudly instead: `applyDelta` creates
+    * `WRITER_LEASE` with CREATE_NEW (atomic fail-if-exists), deletes it
+    * when done, and a second writer throws while it exists. A
+    * crash-orphaned lease is recoverable: past `leaseStaleMs` the next
+    * writer deletes and re-acquires it (the TOC-adjacent stale-takeover
+    * pattern); losing the re-create race to another taker is reported as
+    * ordinary contention. The token ties release to THIS acquisition, so
+    * a writer paused past its own staleness window can never delete a
+    * successor's live lease. */
+  private def acquireLease(path: String, staleMs: Long): String = {
+    val lp = leasePath(path)
+    val token = java.util.UUID.randomUUID().toString
+    val body =
+      s"pid=${ProcessHandle.current().pid()} token=$token ts=${System.currentTimeMillis()}\n"
+    def tryCreate(): Boolean =
+      try {
+        Files.write(lp, body.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    def contention(detail: String): Nothing = throw new IllegalStateException(
+      s"mirror at $path is being written by another process ($detail); " +
+        "CdcMirror is single-writer — serialize applies, or if the holder " +
+        s"crashed wait out the ${staleMs / 1000}s staleness window (or delete " +
+        s"$lp after verifying the holder is gone)")
+    if (tryCreate()) return token
+    val age: Option[Long] =
+      try Some(System.currentTimeMillis() - Files.getLastModifiedTime(lp).toMillis)
+      catch { case _: java.nio.file.NoSuchFileException => None }
+    age match {
+      case None => // holder released between our create and stat — one retry
+        if (tryCreate()) token else contention("WRITER_LEASE contended")
+      case Some(a) if a > staleMs => // crash-orphaned: stale takeover
+        try Files.deleteIfExists(lp) catch { case _: java.io.IOException => () }
+        if (tryCreate()) token
+        else contention("WRITER_LEASE stale-takeover lost to another writer")
+      case Some(a) =>
+        contention(s"WRITER_LEASE held, ${a / 1000}s old")
+    }
+  }
+
+  /** Delete the lease only if it still carries OUR token — after a stale
+    * takeover the successor's lease must survive the predecessor's
+    * release. */
+  private def releaseLease(path: String, token: String): Unit =
+    try {
+      if (Files.readString(leasePath(path)).contains(s"token=$token"))
+        Files.deleteIfExists(leasePath(path))
+    } catch { case _: java.io.IOException => () }
 
   private def deleteRecursively(p: Path): Unit = {
     val f = p.toFile
@@ -245,8 +300,22 @@ object CdcMirror {
     * are cached here for the duration of the apply (the upsert fetch is
     * an O(delta) semi-join + window — re-executing it per consumption
     * tripled the fetch cost in the follower loop).
+    *
+    * Single-writer is ENFORCED via a lease file: a second concurrent
+    * apply throws IllegalStateException instead of silently dropping the
+    * loser's buckets in the manifest race; a lease orphaned by a crash is
+    * taken over after `leaseStaleMs`.
+    *
     * Returns the touched bucket ids (the unit the cost tracks). */
   def applyDelta(spark: SparkSession, path: String,
+      goneKeys: DataFrame, upserts: DataFrame,
+      leaseStaleMs: Long = 15L * 60 * 1000): Seq[Int] = {
+    val leaseToken = acquireLease(path, leaseStaleMs)
+    try applyDeltaLocked(spark, path, goneKeys, upserts)
+    finally releaseLease(path, leaseToken)
+  }
+
+  private def applyDeltaLocked(spark: SparkSession, path: String,
       goneKeys: DataFrame, upserts: DataFrame): Seq[Int] = {
     val m = meta(path)
     val man = readManifest(path)

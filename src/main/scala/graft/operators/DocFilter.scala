@@ -34,6 +34,22 @@ object DocFilter {
     * `right`'s term (Lucene-style NEAR/slop). `window = 1` with order
     * ignored; use [[Phrase]] for ordered adjacency. */
   final case class Near(field: String, left: String, right: String, window: Int) extends DocFilter
+  /** Prefix query (Lucene PrefixQuery analogue — beyond the reference):
+    * docs carrying any term in `field` whose INDEXED token starts with
+    * `value` lowercased. The fragment itself is NOT stemmed (a fragment
+    * isn't a word — Lucene's multi-term-query contract), so it matches
+    * against the analyzed dictionary as-is: `val` matches the stems
+    * `valu`/`valid`, not the surface forms. On a keyword field the whole
+    * lowercased value is one term, so spaces in the fragment are legal
+    * there. */
+  final case class Prefix(field: String, value: String, keyword: Boolean = false) extends DocFilter
+  /** Fuzzy query (Lucene FuzzyQuery analogue — beyond the reference):
+    * docs carrying any term in `field` whose indexed token is within
+    * `maxDist` Levenshtein edits of the ANALYZED query term. Compiles to
+    * a scan of the field's term DICTIONARY (O(distinct terms), range- and
+    * length-pruned), never a corpus scan. */
+  final case class Fuzzy(field: String, value: String, maxDist: Int = 1,
+      keyword: Boolean = false) extends DocFilter
 
   /** Does this filter need per-(term, point) POSITION arrays? Phrase and
     * Near do; everything else matches on membership alone. Drives the
@@ -81,6 +97,22 @@ object DocFilter {
           "unordered co-occurrence")
       oneToken(l, "left"); oneToken(r, "right")
       f
+    case Prefix(fl, v, _) =>
+      require(v.trim.nonEmpty, s"Prefix($fl): empty prefix fragment")
+      val kw = isKeywordField(fl)
+      // a text field's dictionary holds single tokens — a spaced fragment
+      // could never match anything and is a caller error; keyword terms
+      // are whole values, where spaces are legitimate
+      require(kw || v.trim.split("\\s+").length == 1,
+        s"Prefix($fl): fragment must be a single token on a text field, got '$v'")
+      Prefix(fl, v, kw)
+    case Fuzzy(fl, v, d, _) =>
+      require(v.trim.nonEmpty, s"Fuzzy($fl): empty term")
+      require(d >= 0, s"Fuzzy($fl): maxDist must be >= 0, got $d")
+      val kw = isKeywordField(fl)
+      require(kw || v.trim.split("\\s+").length == 1,
+        s"Fuzzy($fl): operand must be a single term on a text field, got '$v'")
+      Fuzzy(fl, v, d, kw)
     case And(cs) => And(cs.map(normalize(_, isKeywordField)))
     case Or(cs) => Or(cs.map(normalize(_, isKeywordField)))
     case other => other // Ids — field-free
@@ -189,6 +221,39 @@ object FilterCompiler {
           a.join(b, cols)
             .filter(exists(col("_pa"),
               x => exists(col("_pb"), y => abs(x - y) <= w)))
+            .select(cols.map(col): _*)
+        }
+      case DocFilter.Prefix(field, value, _) =>
+        // Lucene PrefixQuery over the persisted dictionary: the fragment
+        // is NOT analyzed (lowercase only), matched against indexed term
+        // keys. No bucket pruning (the bucket hashes the FULL term), but
+        // the per-bucket term-SORTED layout makes startsWith a row-group
+        // range prune ([p, p+inf) via min/max stats — the same mechanism
+        // termStats' prefix uses, measured in ProfTerms), and the
+        // StringStartsWith predicate pushes into the parquet scan.
+        // Output is O(matching postings).
+        val p = s"$field:${value.trim.toLowerCase}"
+        terms.filter(col("term").startsWith(p)).select(cols.map(col): _*)
+      case DocFilter.Fuzzy(field, value, maxDist, kw) =>
+        // Lucene FuzzyQuery as a dictionary scan: every indexed token of
+        // `field` within maxDist edits of the analyzed query term ORs its
+        // postings. Bounded by the field's DISTINCT terms (range-pruned
+        // to the field's `field:` key range + a cheap length prefilter
+        // that skips the Levenshtein DP for most rows), never the corpus
+        // — the scan shape survives any corpus size whose dictionary
+        // does, the standard fuzzy trade at scale.
+        val lang = fieldLang.getOrElse(field, "english")
+        val qts = queryTerms(field, value, kw, lang)
+        require(qts.size <= 1,
+          s"Fuzzy($field): operand must be a single term, got '$value'")
+        if (qts.isEmpty) empty
+        else {
+          val fp = s"$field:"
+          val token = qts.head.stripPrefix(fp)
+          terms.filter(col("term").startsWith(fp) &&
+            abs(length(col("term")) - lit(fp.length + token.length)) <= maxDist &&
+            levenshtein(expr(s"substring(term, ${fp.length + 1})"),
+              lit(token)) <= maxDist)
             .select(cols.map(col): _*)
         }
       case DocFilter.NotContains(field, value, kw) =>

@@ -217,6 +217,58 @@ class CdcMirrorSpec extends SparkSuite {
     assert(manifest(path).exists { case (_, g) => g == 0L })
   }
 
+  test("writer lease: a second concurrent apply throws; success releases") {
+    // round-14 verdict #5: single-writer was documented but unenforced —
+    // two concurrent applies would race the manifest rename and the
+    // loser's buckets would silently vanish. The lease turns the race
+    // into a loud failure.
+    val path = tmp()
+    CdcMirror.seed(corpus(100), path, "doc_id", numBuckets = 8)
+    // a live writer holds the lease (simulated: the lease file a real
+    // concurrent applyDelta would have created, fresh mtime)
+    val lease = Paths.get(path, "WRITER_LEASE")
+    Files.writeString(lease, "pid=99999 token=other ts=0\n")
+    val e = intercept[IllegalStateException] {
+      CdcMirror.applyDelta(spark, path,
+        Seq(1L).toDF("doc_id"), Seq((200L, "p")).toDF("doc_id", "payload"))
+    }
+    assert(e.getMessage.contains("single-writer"))
+    assert(Files.exists(lease), "contender must not remove a live holder's lease")
+    // mirror unchanged by the refused apply
+    assert(CdcMirror.read(spark, path).count() === 100L)
+    Files.delete(lease)
+    // with the lease free the same apply succeeds and RELEASES on exit
+    val touched = CdcMirror.applyDelta(spark, path,
+      Seq(1L).toDF("doc_id"), Seq((200L, "p")).toDF("doc_id", "payload"))
+    assert(touched.nonEmpty)
+    assert(!Files.exists(lease), "successful apply must release the lease")
+    assert(CdcMirror.read(spark, path).count() === 100L) // -1 gone, +1 upsert
+  }
+
+  test("writer lease: a crash-stale lease is taken over, a failed apply releases") {
+    val path = tmp()
+    CdcMirror.seed(corpus(100), path, "doc_id", numBuckets = 8)
+    val lease = Paths.get(path, "WRITER_LEASE")
+    // crash-orphaned lease: holder died an hour ago (stale mtime)
+    Files.writeString(lease, "pid=99999 token=dead ts=0\n")
+    Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60L * 60 * 1000))
+    val touched = CdcMirror.applyDelta(spark, path,
+      Seq(2L).toDF("doc_id"), Seq((201L, "q")).toDF("doc_id", "payload"))
+    assert(touched.nonEmpty, "stale lease must be recoverable without manual repair")
+    assert(!Files.exists(lease))
+    // an apply that THROWS mid-flight still releases (no wedged mirror):
+    // a delta whose key column is missing fails inside the locked body
+    intercept[Exception] {
+      CdcMirror.applyDelta(spark, path,
+        Seq(3L).toDF("wrong_col"), Seq((202L, "r")).toDF("doc_id", "payload"))
+    }
+    assert(!Files.exists(lease), "failed apply must release the lease")
+    // and the mirror still works afterwards
+    assert(CdcMirror.read(spark, path).count() === 100L)
+  }
+
   test("key predicate on read prunes to one bucket (partition filter)") {
     val path = tmp()
     CdcMirror.seed(corpus(200), path, "doc_id", numBuckets = 16)

@@ -137,6 +137,71 @@ class FilterCompilerSpec extends SparkSuite {
     assert(pts(FilterCompiler.compile(DocFilter.Contains("field", "   "), t, u)).isEmpty)
   }
 
+  test("Prefix: dictionary range match, fragment unanalyzed, composable") {
+    val t = terms("f:scan" -> 1L, "f:sort" -> 1L, "f:merge" -> 2L,
+      "f:stream" -> 3L, "f:scan" -> 3L, "g:sort" -> 4L)
+    val u = universe(1L, 2L, 3L, 4L)
+    // field-scoped: g:sort must not leak into a prefix over f
+    assert(pts(FilterCompiler.compile(DocFilter.Prefix("f", "s"), t, u))
+      === Seq(1L, 3L))
+    assert(pts(FilterCompiler.compile(DocFilter.Prefix("f", "sc"), t, u))
+      === Seq(1L, 3L))
+    assert(pts(FilterCompiler.compile(DocFilter.Prefix("f", "sort"), t, u))
+      === Seq(1L))
+    assert(pts(FilterCompiler.compile(DocFilter.Prefix("f", "zz"), t, u))
+      === Seq.empty)
+    // composes through the id-set algebra like any other leaf
+    assert(pts(FilterCompiler.compile(DocFilter.And(Seq(
+      DocFilter.Prefix("f", "s"),
+      DocFilter.NotContains("f", "stream", keyword = true))), t, u))
+      === Seq(1L))
+    // normalize: empty fragment and spaced text-field fragment refuse
+    intercept[IllegalArgumentException] {
+      DocFilter.normalize(DocFilter.Prefix("f", "  "), _ => false)
+    }
+    intercept[IllegalArgumentException] {
+      DocFilter.normalize(DocFilter.Prefix("f", "two words"), _ => false)
+    }
+    // ...but a keyword field's whole-value terms may contain spaces
+    assert(DocFilter.normalize(DocFilter.Prefix("f", "new y"), _ => true)
+      === DocFilter.Prefix("f", "new y", keyword = true))
+  }
+
+  test("Fuzzy: Levenshtein dictionary expansion, field-scoped, distance-bounded") {
+    val t = terms("f:agg" -> 1L, "f:a" -> 2L, "f:big" -> 3L, "f:sort" -> 4L,
+      "g:agg" -> 5L)
+    val u = universe(1L, 2L, 3L, 4L, 5L)
+    // dist 0: exact only
+    assert(pts(FilterCompiler.compile(DocFilter.Fuzzy("f", "agg", 0), t, u))
+      === Seq(1L))
+    // dist 2: agg(0), a(2), big(2) — sort(4) and g:agg stay out
+    assert(pts(FilterCompiler.compile(DocFilter.Fuzzy("f", "agg", 2), t, u))
+      === Seq(1L, 2L, 3L))
+    // the query term is ANALYZED (stemmed) before the dictionary scan:
+    // "aggs" stems to agg -> same matches at dist 0
+    assert(pts(FilterCompiler.compile(DocFilter.Fuzzy("f", "aggs", 0), t, u))
+      === Seq(1L))
+    // normalize validation
+    intercept[IllegalArgumentException] {
+      DocFilter.normalize(DocFilter.Fuzzy("f", "agg", -1), _ => false)
+    }
+    intercept[IllegalArgumentException] {
+      DocFilter.normalize(DocFilter.Fuzzy("f", "two words"), _ => false)
+    }
+  }
+
+  test("served editDistance agrees with Spark's levenshtein (parity kernel)") {
+    val words = Seq("", "a", "agg", "big", "sort", "stream", "scan",
+      "merge", "merg", "customer", "custom", "kitten", "sitting")
+    val pairs = for (x <- words; y <- words) yield (x, y)
+    val viaSpark = pairs.toDF("x", "y")
+      .select(levenshtein(col("x"), col("y"))).collect().map(_.getInt(0))
+    val viaServed = pairs.map { case (x, y) =>
+      graft.core.ServedUserView.editDistance(x, y) }
+    assert(viaServed === viaSpark.toSeq,
+      "served fuzzy must agree with the distributed dictionary scan")
+  }
+
   test("NotContains implements the todo!() of planner.rs:120-123") {
     val t = terms("field:run" -> 1L, "field:walk" -> 2L)
     val u = universe(1L, 2L, 3L)

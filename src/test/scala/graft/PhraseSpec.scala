@@ -210,6 +210,66 @@ class PhraseSpec extends SparkSuite {
     }
   }
 
+  test("prefix/fuzzy: flushed + tail + served parity, JSON surface, keyword kind") {
+    val base = Files.createTempDirectory("graft_prefix_fuzzy").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "pf", numFeatures = 2, initialNumCentroids = 2,
+      attributeSchema = Seq(AttrField("content", "text", "english"),
+        AttrField("tag", "keyword"))))
+    coll.insert(Seq(
+      (0L, 1L, Seq(1.0, 0.0), "stream scan runs", "red label"),
+      (0L, 2L, Seq(0.0, 1.0), "merge join here", "blue label"),
+      (0L, 3L, Seq(1.0, 1.0), "sort and agg", "red stripe"))
+      .toDF("user_id", "doc_id", "vector", "content", "tag"))
+    coll.flush()
+    // tail docs exercise compileRaw + the served tail mirror
+    coll.insert(Seq(
+      (0L, 4L, Seq(0.5, 0.5), "small stream again", "reddish"),
+      (0L, 5L, Seq(0.6, 0.4), "nothing relevant", "blue"))
+      .toDF("user_id", "doc_id", "vector", "content", "tag"))
+    val snap = coll.snapshot()
+    val served = coll.serveUser(0L)
+    def dist(f: DocFilter): Seq[Long] = snap.termSearch(f, limit = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    def srv(f: DocFilter): Seq[Long] =
+      served.termSearch(f, limit = 10).map(_.asInstanceOf[Long])
+    // text prefix: s-> {stream(1,4), sort(3), scan(1), small(4)}
+    val cases: Seq[(DocFilter, Seq[Long])] = Seq(
+      DocFilter.Prefix("content", "s") -> Seq(1L, 3L, 4L),
+      DocFilter.Prefix("content", "st") -> Seq(1L, 4L),
+      // stems: "runs" indexes as content:run — the unanalyzed fragment
+      // "run" still matches it
+      DocFilter.Prefix("content", "run") -> Seq(1L),
+      // keyword prefix matches the WHOLE value's prefix, spaces legal
+      DocFilter.Prefix("tag", "red") -> Seq(1L, 3L, 4L),
+      DocFilter.Prefix("tag", "red s") -> Seq(3L),
+      // fuzzy over the analyzed dictionary: sort~1 = sort only;
+      // agg~2 expands to {agg, and(2)} rows -> doc 3
+      DocFilter.Fuzzy("content", "sort", 1) -> Seq(3L),
+      // keyword fuzzy: whole-value distance ("blue" ~1 "blue" only —
+      // "blue label" is 6 edits away)
+      DocFilter.Fuzzy("tag", "blue", 1) -> Seq(5L),
+      // composition through the algebra
+      DocFilter.And(Seq(
+        DocFilter.Prefix("content", "s"),
+        DocFilter.NotContains("content", "sort"))) -> Seq(1L, 4L))
+    for ((f, want) <- cases) {
+      assert(dist(f) === want, s"distributed $f")
+      assert(srv(f) === want, s"served $f")
+    }
+    // HTTP/SQL JSON surface round-trips both shapes
+    assert(graft.api.FilterJson.parse(graft.api.Json.parse(
+      """{"prefix": {"path": "content", "value": "st"}}"""))
+      === DocFilter.Prefix("content", "st"))
+    assert(graft.api.FilterJson.parse(graft.api.Json.parse(
+      """{"fuzzy": {"field": "content", "value": "sort", "max_dist": 2}}"""))
+      === DocFilter.Fuzzy("content", "sort", 2))
+    // default max_dist = 1
+    assert(graft.api.FilterJson.parse(graft.api.Json.parse(
+      """{"fuzzy": {"field": "content", "value": "sort"}}"""))
+      === DocFilter.Fuzzy("content", "sort", 1))
+  }
+
   test("mixed positionless segment: capability map + error names it; merge upgrades") {
     // round-14 verdict #8: a collection holding segments flushed before
     // the positions column landed failed only at phrase-query time with
