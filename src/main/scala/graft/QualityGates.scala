@@ -253,6 +253,50 @@ object QualityGates {
       spark.sql("DROP TABLE IF EXISTS qg_neardup_soak")
     }
 
+    // Recall-targeted search calibration (round-14 verdict #6): the
+    // persisted curve's resolved nprobe must DELIVER the target on real
+    // searches — calibrate on the sf embeddings, then measure actual
+    // recall@10 of targetRecall=0.9 searches against exact brute truth.
+    {
+      val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+        .head().getInt(0)
+      val base = java.nio.file.Files.createTempDirectory("graft_qgate_cal").toString
+      val coll = graft.core.Collection.create(spark, base,
+        graft.core.CollectionConfig(name = "cal", numFeatures = dim,
+          initialNumCentroids = 32))
+      coll.insert(emb.select(lit(0L).as("user_id"), col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("vector")))
+      coll.flush()
+      val ladder = Seq(1, 2, 4, 8, 16, 32)
+      val curve = coll.calibrateRecall(k = 10, nQueries = 16, ladder = ladder)
+      val target = 0.9
+      val resolved = coll.nprobeFor(target)
+      val monotone = curve.sliding(2).forall(w => w.last._2 >= w.head._2 - 1e-9)
+      // real searches at targetRecall: same deterministic sample the
+      // calibration used (first 16 by doc_id), truth by exact scan
+      val snap = coll.snapshot()
+      val sample = snap.liveRows.get.select("doc_id", "vector")
+        .orderBy("doc_id").limit(16)
+        .collect().map(r => (r.get(0), r.getSeq[Double](1)))
+      val hits = sample.map { case (_, v) =>
+        val got = snap.search(v, graft.operators.SearchParams(topK = 10,
+          targetRecall = Some(target)))
+          .select("doc_id").collect().map(_.get(0)).toSet
+        val truth = snap.search(v, graft.operators.SearchParams(topK = 10,
+          numExploredCentroids = Some(Int.MaxValue),
+          centroidDistanceRatio = 1e18))
+          .select("doc_id").collect().map(_.get(0)).toSet
+        if (truth.isEmpty) 1.0 else truth.intersect(got).size.toDouble / truth.size
+      }
+      val measured = hits.sum / hits.length
+      // the curve's top must be exhaustive (every centroid probed = exact)
+      val ceiling = curve.last._2
+      val pass = monotone && ceiling >= 0.999 &&
+        measured >= math.min(target, curve.find(_._2 >= target)
+          .map(_._2).getOrElse(ceiling)) - 0.05
+      out += s""""calibrated_recall":{"resolved_nprobe":$resolved,"curve_ceiling":${jd(ceiling)},"measured_recall":${jd(measured)},"monotone":${jb(monotone)},"pass":${jb(pass)}}"""
+    }
+
     // q40: keep-list validity — canonical labels are component minima:
     // keep_id <= id everywhere and the mapping is idempotent
     {

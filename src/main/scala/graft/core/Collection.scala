@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.GraftFunctions._
-import graft.operators.{DocFilter, IvfBuilder, Search, SearchParams}
+import graft.operators.{Ann, DocFilter, IvfBuilder, Search, SearchParams}
 
 /** Collection configuration — mirrors the served fields of the reference's
   * `CollectionConfig` (rs/config/src/collection.rs:9-152; defaults
@@ -920,6 +920,110 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     s"v${t.version};b[$tailIds];t[${tombs.hashCode}]"
   }
 
+  // ---- recall calibration (beyond the reference: its nprobe heuristic
+  // is just top_k, rs/config/src/search_params.rs:21-23) ----
+
+  /** Measure recall@`k` vs probe depth on a bounded deterministic sample
+    * of the collection's own vectors, and persist the curve so
+    * [[graft.operators.SearchParams.targetRecall]] can resolve to the
+    * smallest nprobe whose measured recall meets the target.
+    *
+    * The measurement is ANALYTIC — one bounded job pipeline instead of
+    * |ladder| × |sample| real searches: an unpruned nprobe=p SPANN probe
+    * reads exactly the posting lists of each segment's p query-nearest
+    * centroids, so a true neighbor is found at depth p iff one of its
+    * assigned centroids (multi-assignment included) ranks ≤ p within its
+    * segment; unflushed tail rows are brute-forced by every search and
+    * count as found at any depth. Ground truth is the exact broadcast
+    * kNN ([[graft.operators.Ann.knnJoin]]'s documented bounded
+    * nested-loop pattern — the query sample is driver-bounded). Recall
+    * delivered at the resolved nprobe additionally requires the ratio
+    * prune OFF, which targetRecall resolution does (see
+    * [[Snapshot.search]]); CalibrationSpec pins curve-vs-real-search
+    * parity. Cost: O(|segments| × C × nQueries) centroid scoring +
+    * one truth kNN pass — a maintenance operation, like merge. */
+  def calibrateRecall(k: Int = 10, nQueries: Int = 32,
+      ladder: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64, 128)): Seq[(Int, Double)] = {
+    require(k > 0 && nQueries > 0 && ladder.nonEmpty && ladder.forall(_ > 0),
+      s"calibrateRecall(k=$k, nQueries=$nQueries, ladder=$ladder)")
+    val t = toc
+    val snap = snapshot()
+    val live = snap.liveRows.getOrElse(
+      sys.error(s"calibrateRecall: collection at $path holds no rows"))
+    // deterministic sample: first nQueries live vectors by (user_id,
+    // doc_id) — stable across runs and partitionings
+    val qRows = live.select(col("vector"))
+      .orderBy("user_id", "doc_id").limit(nQueries).collect()
+    val qSeq = qRows.toSeq.zipWithIndex.map { case (r, i) =>
+      (i.toLong, r.getSeq[Double](0)) }
+    val spark0 = spark
+    import spark0.implicits._
+    val qDf = qSeq.toDF("q_id", "q_vec")
+    // exact truth: top-k per query over the live corpus
+    val truth = Ann.knnJoin(qDf,
+      live.select(col("doc_id").as("vec_id"), col("vector").as("embedding")), k)
+      .select(col("q_id"), col("vec_id").as("doc_id"))
+    // per-segment centroid rank of each posting's point: crank ≤ p  ⟺
+    // an nprobe=p probe of that segment reads the point's posting list
+    val ranksPerSeg = t.segments.map { seg =>
+      val cents = segmentTable(seg, "centroids")
+        .select(col("centroid_id").cast("int"), col("vector").cast("array<double>"))
+      val ranked = cents.crossJoin(broadcast(qDf))
+        .withColumn("cdist", l2_distance(col("vector"), col("q_vec")))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cdist").asc, col("centroid_id").asc)))
+        .select(col("q_id"), col("centroid_id").cast("int").as("centroid_id"),
+          col("crank"))
+      segmentTable(seg, "postings")
+        .select(col("centroid_id").cast("int").as("centroid_id"), col("point_id"))
+        .join(ranked, Seq("centroid_id"))
+        .join(segmentTable(seg, "vectors").select("point_id", "doc_id"), Seq("point_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(min("crank").as("minrank"))
+    }
+    val ranks = ranksPerSeg.reduceOption(_ unionByName _)
+      .map(_.groupBy("q_id", "doc_id").agg(min("minrank").as("minrank")))
+    // truth neighbors with no segment rank live in the tail (always
+    // scanned): minrank null → found at every depth
+    val joined = ranks.fold(truth.withColumn("minrank", lit(null).cast("int")))(
+      r => truth.join(r, Seq("q_id", "doc_id"), "left"))
+      .select("minrank").collect() // bounded: nQueries × k rows
+    val total = joined.length.toDouble
+    val curve = ladder.distinct.sorted.map { p =>
+      p -> joined.count(r => r.isNullAt(0) || r.getInt(0) <= p) / total
+    }
+    // persist (atomic tmp+rename, the CONFIG pattern); toc version
+    // recorded for staleness visibility — a drifted index recalibrates
+    val body = (Seq("v=1", s"toc=${t.version}", s"k=$k",
+      s"curve=${curve.map { case (p, r) => s"$p:$r" }.mkString(",")}") :+ "end=1")
+      .mkString("", "\n", "\n")
+    val tmp = Paths.get(path, "CALIBRATION.tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, Paths.get(path, "CALIBRATION"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    curve
+  }
+
+  /** Resolve a recall target to a probe depth from the persisted
+    * calibration curve: the smallest measured nprobe whose recall@k met
+    * the target, else the deepest measured (the curve's ceiling — a
+    * target above it is served best-effort at that depth). Fails loudly
+    * without a calibration pass. */
+  def nprobeFor(targetRecall: Double): Int = {
+    val p = Paths.get(path, "CALIBRATION")
+    require(Files.exists(p),
+      s"targetRecall=$targetRecall needs a calibration curve — run " +
+        s"calibrateRecall() on the collection at $path first")
+    val kv = Files.readString(p).split("\n").filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    require(kv.get("end").contains("1"), s"truncated calibration file $p")
+    val curve = kv("curve").split(",").map { s =>
+      val Array(a, b) = s.split(":", 2); (a.toInt, b.toDouble)
+    }.sortBy(_._1)
+    curve.find(_._2 >= targetRecall).map(_._1).getOrElse(curve.last._1)
+  }
+
   // ---- maintenance (M1/M2) ----
 
   /** Merge all live segments into one: union live rows (tombstones dropped
@@ -1270,9 +1374,19 @@ final class Snapshot(
 
   def search(
       query: Seq[Double],
-      params: SearchParams = SearchParams(),
+      params0: SearchParams = SearchParams(),
       userIds: Seq[Any] = Nil,
       filter: Option[DocFilter] = None): DataFrame = {
+    // targetRecall resolution (beyond-ref): calibrated nprobe + ratio
+    // prune OFF — the curve measures unpruned probes, so leaving the
+    // ratio on would deliver less than the calibrated recall. An
+    // explicit numExploredCentroids always wins.
+    val params = params0.targetRecall match {
+      case Some(tr) if params0.numExploredCentroids.isEmpty =>
+        params0.copy(numExploredCentroids = Some(coll.nprobeFor(tr)),
+          centroidDistanceRatio = 1e18)
+      case _ => params0
+    }
     val nf = filter.map(norm)
     nf.foreach(requirePositions)
     val perSegment = segments.map { seg =>

@@ -21,7 +21,17 @@ final case class SearchParams(
     topK: Int = 10,
     numExploredCentroids: Option[Int] = None,
     centroidDistanceRatio: Double = 0.1,
-    adaptiveFilterThreshold: Long = 0L) {
+    adaptiveFilterThreshold: Long = 0L,
+    /** Recall-targeted probing (beyond the reference, whose
+      * `num_explored_centroids` heuristic is just top_k —
+      * rs/config/src/search_params.rs:21-23): resolve nprobe from the
+      * collection's persisted calibration curve
+      * ([[graft.core.Collection.calibrateRecall]]) as the smallest
+      * measured nprobe whose recall@k meets the target, and disable the
+      * ratio prune so delivered recall matches the curve. An explicit
+      * `numExploredCentroids` wins over the target; requires a prior
+      * calibration pass (fails loudly otherwise). */
+    targetRecall: Option[Double] = None) {
   def nprobe: Int = numExploredCentroids.getOrElse(topK)
 }
 

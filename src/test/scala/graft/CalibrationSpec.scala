@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Collection, CollectionConfig}
+import graft.operators.SearchParams
+
+/** Recall-targeted search calibration (round-14 verdict #6 — beyond the
+  * reference, whose nprobe heuristic is just top_k): the ANALYTIC curve
+  * must equal the recall real unpruned searches deliver at each probe
+  * depth, and targetRecall resolution must pick the smallest adequate
+  * nprobe. */
+class CalibrationSpec extends SparkSuite {
+  import spark.implicits._
+
+  // 8 well-separated clusters of 40 vectors → 16 centroids: nprobe=1
+  // misses cross-boundary neighbors, deep probes recover them — a curve
+  // with real shape, not a step
+  private def clustered(n: Int = 320, dim: Int = 6): Seq[(Long, Long, Seq[Double])] = {
+    val r = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(dim)(r.nextGaussian() * 8.0))
+    (0 until n).map { i =>
+      val c = centers(i % 8)
+      (0L, i.toLong, c.map(_ + r.nextGaussian() * 1.5).toSeq)
+    }
+  }
+
+  private def build(): (Collection, String) = {
+    val base = Files.createTempDirectory("graft_cal").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "cal", numFeatures = 6, initialNumCentroids = 16))
+    coll.insert(clustered().toDF("user_id", "doc_id", "vector"))
+    coll.flush()
+    (coll, base)
+  }
+
+  test("analytic curve == real unpruned search recall at every ladder depth") {
+    val (coll, _) = build()
+    val ladder = Seq(1, 2, 4, 8, 16)
+    val k = 5
+    val nQ = 8
+    val curve = coll.calibrateRecall(k = k, nQueries = nQ, ladder = ladder).toMap
+    val snap = coll.snapshot()
+    val sample = snap.liveRows.get.select("doc_id", "vector")
+      .orderBy("user_id", "doc_id").limit(nQ)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val exhaustive = SearchParams(topK = k,
+      numExploredCentroids = Some(Int.MaxValue), centroidDistanceRatio = 1e18)
+    for (p <- ladder) {
+      val real = sample.map { case (_, v) =>
+        val truth = snap.search(v, exhaustive)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val got = snap.search(v, SearchParams(topK = k,
+          numExploredCentroids = Some(p), centroidDistanceRatio = 1e18))
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        truth.intersect(got).size.toDouble / truth.size
+      }
+      val realRecall = real.sum / real.length
+      assert(math.abs(realRecall - curve(p)) < 1e-9,
+        s"nprobe=$p: analytic ${curve(p)} vs real $realRecall")
+    }
+    // probing every centroid is exhaustive — the curve tops out at 1.0
+    assert(curve(16) === 1.0)
+    // monotone non-decreasing in depth
+    val sorted = ladder.map(curve)
+    assert(sorted === sorted.sorted)
+  }
+
+  test("targetRecall resolves to the smallest adequate nprobe; explicit wins; tail always found") {
+    val (coll, base) = build()
+    val curve = coll.calibrateRecall(k = 5, nQueries = 8,
+      ladder = Seq(1, 2, 4, 8, 16))
+    // persisted file exists with the CONFIG-style terminator
+    val body = Files.readString(Paths.get(s"$base/cal/CALIBRATION"))
+    assert(body.contains("curve=") && body.endsWith("end=1\n"))
+    val t = 0.9
+    val resolved = coll.nprobeFor(t)
+    val adequate = curve.filter(_._2 >= t)
+    assert(adequate.nonEmpty, s"test corpus must reach $t somewhere: $curve")
+    assert(resolved === adequate.head._1, "must pick the SMALLEST adequate depth")
+    // a target above the ceiling serves best-effort at the deepest depth
+    assert(coll.nprobeFor(2.0) === curve.last._1)
+    // search with targetRecall == search with (resolved nprobe, ratio off)
+    val snap = coll.snapshot()
+    val q = snap.liveRows.get.select("vector").orderBy("user_id", "doc_id")
+      .head().getSeq[Double](0)
+    val viaTarget = snap.search(q, SearchParams(topK = 5, targetRecall = Some(t)))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    val viaExplicit = snap.search(q, SearchParams(topK = 5,
+      numExploredCentroids = Some(resolved), centroidDistanceRatio = 1e18))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    assert(viaTarget === viaExplicit)
+    // explicit nprobe beats the target when both are set
+    val viaBoth = snap.search(q, SearchParams(topK = 5,
+      numExploredCentroids = Some(Int.MaxValue), centroidDistanceRatio = 1e18,
+      targetRecall = Some(0.1)))
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    val viaExhaustive = snap.search(q, SearchParams(topK = 5,
+      numExploredCentroids = Some(Int.MaxValue), centroidDistanceRatio = 1e18))
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(viaBoth === viaExhaustive)
+    // an unflushed tail doc is brute-forced by every search: calibration
+    // must count it found at ANY depth (rank-0 path) — recalibrate with
+    // a tail present and the curve may only move up at depth 1
+    val c1 = curve.head._2
+    coll.insert(Seq((0L, 9999L, Seq(100.0, 100.0, 100.0, 100.0, 100.0, 100.0)))
+      .toDF("user_id", "doc_id", "vector"))
+    val curve2 = coll.calibrateRecall(k = 5, nQueries = 8, ladder = Seq(1, 16))
+    assert(curve2.last._2 === 1.0)
+    assert(curve2.head._2 >= c1 - 1e-9 - (1.0 / (8 * 5)),
+      "tail handling must not crater shallow-depth recall")
+    // missing calibration fails loudly
+    val coll2 = Collection.create(spark,
+      Files.createTempDirectory("graft_cal2").toString,
+      CollectionConfig(name = "c2", numFeatures = 6, initialNumCentroids = 4))
+    coll2.insert(Seq((0L, 1L, Seq(1.0, 1.0, 1.0, 1.0, 1.0, 1.0)))
+      .toDF("user_id", "doc_id", "vector"))
+    coll2.flush()
+    val e = intercept[IllegalArgumentException] {
+      coll2.snapshot().search(Seq(1.0, 1.0, 1.0, 1.0, 1.0, 1.0),
+        SearchParams(topK = 1, targetRecall = Some(0.9)))
+    }
+    assert(e.getMessage.contains("calibrateRecall"))
+  }
+}
