@@ -1729,6 +1729,36 @@ object SparkEntry {
         .orderBy("dist", "vec_id")
     }),
 
+    // Recall-targeted search END-TO-END on the gate (round 15, beyond the
+    // reference): build a stamped collection over the embeddings,
+    // calibrate a recall curve (deterministic sample, ladder reaching the
+    // centroid count), then search with a target ABOVE the measured
+    // ceiling — resolution serves best-effort at the DEEPEST measured
+    // depth, which with ladder.max >= numCentroids is the exhaustive
+    // probe (ratio prune off), so DuckDB brute force is an exact oracle
+    // for the whole path: curve build -> persisted CALIBRATION ->
+    // nprobeFor -> probe.
+    "q120_calibrated_ann" -> ((s, d) => {
+      import graft.core.{Collection, CollectionConfig}
+      val base = artifact("q120")
+      val emb = T(s, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val cfg = CollectionConfig(name = "cal", numFeatures = dim,
+        initialNumCentroids = 16, maxClustersPerVector = 2)
+      stampedBuild(base, Seq("q120v1", inputStamp(d, Seq("embeddings")),
+        cfg.toString, codeStamp).mkString("|")) {
+        val coll = Collection.create(s, base, cfg)
+        coll.insert(emb.select(lit(0L).as("user_id"), col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("vector")))
+        coll.flush()
+        coll.calibrateRecall(k = 10, nQueries = 8, ladder = Seq(1, 2, 4, 8, 16))
+      }
+      Collection.open(s, base, cfg).snapshot()
+        .search(q0(s, d), SearchParams(topK = 10, targetRecall = Some(1.5)))
+        .select(col("doc_id").as("vec_id"), round(col("score"), 4).as("dist"))
+        .orderBy("dist", "vec_id")
+    }),
+
     // Backup/restore: clone EXACTLY the state visible at v2 of the shared
     // CDC lifecycle (one flushed segment + the odds still in the WAL tail
     // + the %10 tombstones — all three state kinds cross the copy) into a
@@ -1930,6 +1960,12 @@ object SparkEntry {
          round(sum(value), 2) AS sum_value
          FROM events GROUP BY ws, event_type ORDER BY ws, event_type""",
     "q12_l2_topk" ->
+      """SELECT vec_id, round(list_distance(embedding::DOUBLE[],
+           (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])::DOUBLE, 4) AS dist
+         FROM embeddings ORDER BY dist, vec_id LIMIT 10""",
+    // q120 probes the calibration ladder's deepest depth (= every
+    // centroid, ratio off) -> exact, so brute force is the oracle
+    "q120_calibrated_ann" ->
       """SELECT vec_id, round(list_distance(embedding::DOUBLE[],
            (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])::DOUBLE, 4) AS dist
          FROM embeddings ORDER BY dist, vec_id LIMIT 10""",

@@ -24,12 +24,16 @@ import graft.operators.DocFilter
   *  - `POST /flush`              {collection_name}
   *  - `POST /search`             {collection_name, vector, top_k?, user_ids?,
   *                                num_explored_centroids?, centroid_distance_ratio?,
+  *                                target_recall? (calibrated probing),
   *                                filter?: filter tree (below)}
   *  - `POST /term_search`        {collection_name, filter, limit?, user_ids?}
   *  - `POST /facets`             {collection_name, filter, field, k?,
   *                                user_ids?} — facet counts over the match
   *  - `POST /term_stats`         {collection_name, prefix?, k?, user_ids?}
   *                                — term dictionary with doc frequencies
+  *  - `POST /calibrate`          {collection_name, k?, n_queries?, ladder?}
+  *                                — measure + persist the recall curve
+  *                                `target_recall` searches resolve against
   *  - `POST /serve_search`       {collection_name, user_ids: [uuid], vector,
   *                                top_k?, nprobe?, filter?} — zero-Spark-jobs
   *  - `POST /serve_term_search`  {collection_name, user_ids: [uuid], filter,
@@ -44,7 +48,9 @@ import graft.operators.DocFilter
   * `{or: [...]}`, `{not_contains: {field, value, keyword?}}`, and
   * `{ids: [1, 2, ...]}`; beyond-proto positional extensions
   * `{phrase: {field, value}}` (consecutive analyzed tokens) and
-  * `{near: {field, left, right, window}}` (unordered proximity).
+  * `{near: {field, left, right, window}}` (unordered proximity), plus
+  * dictionary multi-term queries `{prefix: {field, value}}` (unanalyzed
+  * fragment) and `{fuzzy: {field, value, max_dist?}}` (Levenshtein).
   *
   * Every route ALSO accepts the exact protobuf-JSON request shape of the
   * corresponding muopdb.proto message — the README Quick Start payloads
@@ -267,7 +273,9 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
       numExploredCentroids =
         p("num_explored_centroids").map(_.asInstanceOf[Double].toInt),
       centroidDistanceRatio =
-        p("centroid_distance_ratio").map(_.asInstanceOf[Double]).getOrElse(0.1)))
+        p("centroid_distance_ratio").map(_.asInstanceOf[Double]).getOrElse(0.1),
+      // beyond-proto: calibrated probing (needs a calibrateRecall pass)
+      targetRecall = p("target_recall").map(_.asInstanceOf[Double])))
     if (proto)
       Map("doc_ids" -> idsOut(res.docIds, proto = true),
         "scores" -> res.scores, "num_pages_accessed" -> 0L)
@@ -310,6 +318,20 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
       k = b.getOrElse("k", 20.0).asInstanceOf[Double].toInt,
       userIds = b.get("user_ids").map(parseIds).getOrElse(Nil))
     Map("terms" -> ts.map(_._1), "counts" -> ts.map(_._2))
+  })
+
+  // Recall calibration (beyond the proto surface): {collection_name, k?,
+  // n_queries?, ladder?} -> {nprobe: [...], recall: [...]} — measures +
+  // persists the curve that `target_recall` searches resolve against
+  server.createContext("/calibrate", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val curve = svc.calibrate(
+      b("collection_name").asInstanceOf[String],
+      k = b.getOrElse("k", 10.0).asInstanceOf[Double].toInt,
+      nQueries = b.getOrElse("n_queries", 32.0).asInstanceOf[Double].toInt,
+      ladder = b.get("ladder").map(Json.doubles(_).map(_.toInt))
+        .getOrElse(Seq(1, 2, 4, 8, 16, 32, 64, 128)))
+    Map("nprobe" -> curve.map(_._1.toLong), "recall" -> curve.map(_._2))
   })
 
   // Served (zero-Spark-jobs) per-user query paths — the reference's main

@@ -28,7 +28,11 @@ final case class SearchRequest(
     userIds: Seq[String] = Nil, // uuids
     filter: Option[DocFilter] = None,
     numExploredCentroids: Option[Int] = None,
-    centroidDistanceRatio: Double = 0.1)
+    centroidDistanceRatio: Double = 0.1,
+    // beyond-proto: resolve nprobe from the collection's persisted
+    // calibration curve (SearchParams.targetRecall); explicit
+    // numExploredCentroids wins
+    targetRecall: Option[Double] = None)
 
 final case class SearchResponse(docIds: Seq[String], scores: Seq[Double])
 
@@ -121,7 +125,8 @@ class GraftService(spark: SparkSession, val basePath: String) {
 
   def search(req: SearchRequest): SearchResponse = {
     val coll = collection(req.collectionName)
-    val params = SearchParams(req.topK, req.numExploredCentroids, req.centroidDistanceRatio)
+    val params = SearchParams(req.topK, req.numExploredCentroids,
+      req.centroidDistanceRatio, targetRecall = req.targetRecall)
     val rows = coll.snapshot()
       .search(req.vector.map(_.toDouble), params, req.userIds.map(toBytes), req.filter)
       .select("doc_id", "score").collect()
@@ -156,6 +161,13 @@ class GraftService(spark: SparkSession, val basePath: String) {
     collection(collectionName).snapshot()
       .termStats(prefix, k, userIds.map(toBytes))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Recall calibration pass (beyond-proto admin): measures + persists
+    * the recall@k-vs-nprobe curve `target_recall` searches resolve
+    * against ([[graft.core.Collection.calibrateRecall]]). */
+  def calibrate(collectionName: String, k: Int, nQueries: Int,
+      ladder: Seq[Int]): Seq[(Int, Double)] =
+    collection(collectionName).calibrateRecall(k, nQueries, ladder)
 
   private val servedCache = TrieMap.empty[(String, String), (String, ServedUserSearch)]
 

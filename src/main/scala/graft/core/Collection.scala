@@ -959,10 +959,28 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     val spark0 = spark
     import spark0.implicits._
     val qDf = qSeq.toDF("q_id", "q_vec")
-    // exact truth: top-k per query over the live corpus
-    val truth = Ann.knnJoin(qDf,
-      live.select(col("doc_id").as("vec_id"), col("vector").as("embedding")), k)
-      .select(col("q_id"), col("vec_id").as("doc_id"))
+    // exact truth: top-k per query over the live corpus. Integral ids
+    // ride the bounded top-k aggregate (tasks × k shuffle rows); binary
+    // (u128) ids take a rank window — corpus × nQueries shuffle rows,
+    // fine for a maintenance pass, and the (dist asc, doc_id asc) order
+    // contract is identical either way.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = live.schema("doc_id").dataType
+    val truth =
+      if (Seq(ByteType, ShortType, IntegerType, LongType).contains(idType))
+        Ann.knnJoin(qDf,
+          live.select(col("doc_id").as("vec_id"), col("vector").as("embedding")), k)
+          .select(col("q_id"), col("vec_id").as("doc_id"))
+      else {
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("_dist").asc, col("doc_id").asc)
+        live.select(col("doc_id"), col("vector"))
+          .crossJoin(broadcast(qDf))
+          .withColumn("_dist", l2_distance(col("vector"), col("q_vec")))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= k)
+          .select("q_id", "doc_id")
+      }
     // per-segment centroid rank of each posting's point: crank ≤ p  ⟺
     // an nprobe=p probe of that segment reads the point's posting list
     val ranksPerSeg = t.segments.map { seg =>

@@ -128,6 +128,39 @@ class HttpServerSpec extends SparkSuite {
       assert(tstats("terms") === Vector("content:hello"))
       assert(tstats("counts") === Vector(1.0))
 
+      // dictionary multi-term queries over the wire (beyond-proto):
+      // prefix matches the stem 'searchabl'; fuzzy 'hallo'~1 hits 'hello'
+      val prefix = post("/term_search", Json.write(Map(
+        "collection_name" -> "wire",
+        "filter" -> Map("prefix" -> Map("field" -> "content", "value" -> "sea")))))
+      assert(prefix("doc_ids") === Vector(uuid(2)))
+      val fuzzy = post("/term_search", Json.write(Map(
+        "collection_name" -> "wire",
+        "filter" -> Map("fuzzy" -> Map("field" -> "content",
+          "value" -> "hallo", "max_dist" -> 1)))))
+      assert(fuzzy("doc_ids") === Vector(uuid(1)))
+      // a multi-token Near operand is a 400, not a silent truncation
+      val badNear = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${server.boundPort}/term_search"))
+        .POST(HttpRequest.BodyPublishers.ofString(Json.write(Map(
+          "collection_name" -> "wire",
+          "filter" -> Map("near" -> Map("field" -> "content",
+            "left" -> "hello world", "right" -> "x", "window" -> 2)))))).build()
+      assert(client.send(badNear, HttpResponse.BodyHandlers.ofString())
+        .statusCode() >= 400)
+
+      // calibrated search over the wire: POST /calibrate measures +
+      // persists the curve (u128 ids ride the rank-window truth path),
+      // then target_recall resolves nprobe from it
+      val cal = post("/calibrate", Json.write(Map(
+        "collection_name" -> "wire", "k" -> 1, "n_queries" -> 2,
+        "ladder" -> Seq(1, 2))))
+      assert(Json.doubles(cal("recall")).last === 1.0)
+      val tr = post("/search", Json.write(Map(
+        "collection_name" -> "wire", "vector" -> Seq(1.0, 2.0, 3.0, 4.0),
+        "top_k" -> 1, "target_recall" -> 0.9)))
+      assert(tr("doc_ids") === Vector(uuid(1)))
+
       post("/remove", Json.write(Map(
         "collection_name" -> "wire",
         "user_ids" -> Seq(uuid(0)), "doc_ids" -> Seq(uuid(1)))))
