@@ -432,6 +432,23 @@ object SparkEntry {
         DocFilter.Fuzzy("text", "agg", maxDist = 2),
         docTerms(s, d), docUniverse(s, d))
         .select(col("point_id").as("doc_id")).orderBy("doc_id")),
+    "q121_regexp_search" -> ((s, d) =>
+      // Regexp query (Lucene RegexpQuery analogue — beyond the
+      // reference): anchored full-token match `.as.` (4 letters with
+      // "as" inside: hash, fast — both stem-invariant, so the raw-token
+      // oracle sees the same dictionary) — a dictionary scan
+      FilterCompiler.compile(
+        DocFilter.Regex("text", ".as."),
+        docTerms(s, d), docUniverse(s, d))
+        .select(col("point_id").as("doc_id")).orderBy("doc_id")),
+    "q122_wildcard_search" -> ((s, d) =>
+      // Wildcard query (Lucene WildcardQuery analogue): `*ar*` — any
+      // token containing "ar" (part, spark) — translated to an anchored
+      // regex and answered from the dictionary
+      FilterCompiler.compile(
+        DocFilter.Wildcard("text", "*ar*"),
+        docTerms(s, d), docUniverse(s, d))
+        .select(col("point_id").as("doc_id")).orderBy("doc_id")),
 
     // ---- training-data pipeline ----
     "q25_ngram_jaccard" -> ((s, d) =>
@@ -2049,6 +2066,12 @@ object SparkEntry {
     "q119_fuzzy_search" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $docToksSql AS toks FROM documents) t
           WHERE len(list_filter(toks, x -> levenshtein(x, 'agg') <= 2)) > 0 ORDER BY doc_id""",
+    "q121_regexp_search" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $docToksSql AS toks FROM documents) t
+          WHERE len(list_filter(toks, x -> regexp_full_match(x, '.as.'))) > 0 ORDER BY doc_id""",
+    "q122_wildcard_search" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $docToksSql AS toks FROM documents) t
+          WHERE len(list_filter(toks, x -> x LIKE '%ar%')) > 0 ORDER BY doc_id""",
     "q25_ngram_jaccard" ->
       s"""WITH t AS (
             SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),

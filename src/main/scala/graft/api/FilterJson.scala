@@ -70,6 +70,15 @@ object FilterJson {
       val c = Json.obj(m("fuzzy"))
       val (f, value, kw) = leaf(c)
       DocFilter.Fuzzy(f, value, u64(c.getOrElse("max_dist", 1)).intValue(), kw)
+    } else if (m.contains("regexp")) {
+      // beyond-proto: {regexp: {path|field, value}} — Lucene RegexpQuery
+      // (anchored full-token match, Java regex syntax)
+      val (f, value, kw) = leaf(Json.obj(m("regexp")))
+      DocFilter.Regex(f, value, kw)
+    } else if (m.contains("wildcard")) {
+      // beyond-proto: {wildcard: {path|field, value}} — `*`/`?` globs
+      val (f, value, kw) = leaf(Json.obj(m("wildcard")))
+      DocFilter.Wildcard(f, value, kw)
     } else if (m.contains("ids")) {
       // proto IdsFilter nests {ids: [...]} one level when the filter
       // arrives as {ids: {ids: [...]}}; the legacy shape is flat. Ids may

@@ -50,7 +50,9 @@ import graft.operators.DocFilter
   * `{phrase: {field, value}}` (consecutive analyzed tokens) and
   * `{near: {field, left, right, window}}` (unordered proximity), plus
   * dictionary multi-term queries `{prefix: {field, value}}` (unanalyzed
-  * fragment) and `{fuzzy: {field, value, max_dist?}}` (Levenshtein).
+  * fragment), `{fuzzy: {field, value, max_dist?}}` (Levenshtein),
+  * `{regexp: {field, value}}` (anchored full-token, Java syntax) and
+  * `{wildcard: {field, value}}` (`*`/`?` globs).
   *
   * Every route ALSO accepts the exact protobuf-JSON request shape of the
   * corresponding muopdb.proto message — the README Quick Start payloads

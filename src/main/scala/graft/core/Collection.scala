@@ -1825,5 +1825,13 @@ final class Snapshot(
         .map(_.stripPrefix(s"$field:"))
       if (qts.isEmpty) lit(false)
       else exists(docToks, t => levenshtein(t, lit(qts.head)) <= d)
+    case DocFilter.Wildcard(field, pat, kw) =>
+      compileRaw(DocFilter.Regex(field, DocFilter.wildcardToRegex(pat), kw), df)
+    case DocFilter.Regex(field, pat, kw) =>
+      val lang = coll.config.attributeSchema.find(_.name == field).map(_.lang).getOrElse("english")
+      val docToks =
+        if (kw) array(lower(col(field)))
+        else analyze_text(col(field), lit(lang))
+      exists(docToks, t => t.rlike(s"^(?:$pat)$$"))
   }
 }

@@ -141,6 +141,16 @@ final class ServedUserView private[core] (
             posts.iterator.map(_._1)
         }.flatten.toSet
       }
+    case DocFilter.Wildcard(field, pat, kw) =>
+      evalSegment(DocFilter.Regex(field, DocFilter.wildcardToRegex(pat), kw), sv)
+    case DocFilter.Regex(field, pat, _) =>
+      val fp = s"$field:"
+      val rx = java.util.regex.Pattern.compile(pat) // anchored via matches()
+      sv.termPostings.iterator.collect {
+        case (t, posts) if t.startsWith(fp) &&
+          rx.matcher(t.substring(fp.length)).matches() =>
+          posts.iterator.map(_._1)
+      }.flatten.toSet
     case DocFilter.And(cs) =>
       if (cs.isEmpty) sv.universe
       else cs.map(evalSegment(_, sv)).reduce(_ intersect _)
@@ -203,6 +213,12 @@ final class ServedUserView private[core] (
         .exists(v => ServedUserView.editDistance(v, qts.head) <= d)
       else row.toks.get(field)
         .exists(_.exists(t => ServedUserView.editDistance(t, qts.head) <= d))
+    case DocFilter.Wildcard(field, pat, kw) =>
+      evalTail(DocFilter.Regex(field, DocFilter.wildcardToRegex(pat), kw), row)
+    case DocFilter.Regex(field, pat, kw) =>
+      val rx = java.util.regex.Pattern.compile(pat)
+      if (kw) row.keywords.get(field).exists(v => rx.matcher(v).matches())
+      else row.toks.get(field).exists(_.exists(t => rx.matcher(t).matches()))
   }
 
   /** Single-query top-k over segments + tail, zero Spark jobs. An

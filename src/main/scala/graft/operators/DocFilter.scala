@@ -50,6 +50,40 @@ object DocFilter {
     * length-pruned), never a corpus scan. */
   final case class Fuzzy(field: String, value: String, maxDist: Int = 1,
       keyword: Boolean = false) extends DocFilter
+  /** Regexp query (Lucene RegexpQuery analogue — beyond the reference):
+    * docs carrying any indexed token of `field` that FULLY matches
+    * `pattern` (anchored, Lucene semantics). A dictionary scan like
+    * [[Fuzzy]], range-pruned to the field's key range PLUS the pattern's
+    * leading literal (Lucene's prefix-extraction trick: `spa.*k` seeks to
+    * `spa` before matching). Java regex syntax (the engine's `rlike`). */
+  final case class Regex(field: String, pattern: String, keyword: Boolean = false) extends DocFilter
+  /** Wildcard query (Lucene WildcardQuery analogue): `*` = any run, `?` =
+    * any one char, everything else literal — translated to an anchored
+    * [[Regex]] at compile time. */
+  final case class Wildcard(field: String, pattern: String, keyword: Boolean = false) extends DocFilter
+
+  /** Lucene WildcardQuery -> anchored regex: `*` -> `.*`, `?` -> `.`,
+    * every other char quoted. */
+  def wildcardToRegex(pattern: String): String =
+    pattern.map {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()<>+-=!^$|".contains(c) => s"\\$c"
+      case c => c.toString
+    }.mkString
+
+  /** The pattern's leading LITERAL run — the dictionary-seek prefix. A
+    * prefix is only sound when EVERY match must start with it, so this
+    * is conservative: any alternation or escape anywhere bails to ""
+    * (`small|sort` has no required prefix), and a quantifier right after
+    * the literal drops its last char (`ab*` requires only `a`). A
+    * shorter prefix only costs scan range, never correctness. */
+  def regexLiteralPrefix(pattern: String): String = {
+    if (pattern.exists(c => c == '|' || c == '\\')) return ""
+    val lit = pattern.takeWhile(c => !(".[]{}()<>*+-=?!^$".contains(c)))
+    val next = pattern.drop(lit.length).headOption
+    if (next.exists(c => "*+?{".contains(c))) lit.dropRight(1) else lit
+  }
 
   /** Does this filter need per-(term, point) POSITION arrays? Phrase and
     * Near do; everything else matches on membership alone. Drives the
@@ -113,6 +147,17 @@ object DocFilter {
       require(kw || v.trim.split("\\s+").length == 1,
         s"Fuzzy($fl): operand must be a single term on a text field, got '$v'")
       Fuzzy(fl, v, d, kw)
+    case Regex(fl, p, _) =>
+      // a bad pattern must refuse at the entry point, not throw from a
+      // Spark task mid-scan
+      try java.util.regex.Pattern.compile(p)
+      catch { case e: java.util.regex.PatternSyntaxException =>
+        throw new IllegalArgumentException(
+          s"Regex($fl): invalid pattern '$p' — ${e.getMessage}") }
+      Regex(fl, p, isKeywordField(fl))
+    case Wildcard(fl, p, _) =>
+      require(p.nonEmpty, s"Wildcard($fl): empty pattern")
+      Wildcard(fl, p, isKeywordField(fl))
     case And(cs) => And(cs.map(normalize(_, isKeywordField)))
     case Or(cs) => Or(cs.map(normalize(_, isKeywordField)))
     case other => other // Ids — field-free
@@ -256,6 +301,18 @@ object FilterCompiler {
               lit(token)) <= maxDist)
             .select(cols.map(col): _*)
         }
+      case DocFilter.Wildcard(field, pat, kw) =>
+        go(DocFilter.Regex(field, DocFilter.wildcardToRegex(pat), kw))
+      case DocFilter.Regex(field, pat, kw) =>
+        // Lucene RegexpQuery as a dictionary scan (Fuzzy's plan shape):
+        // range-pruned to the field's key range EXTENDED by the pattern's
+        // leading literal — `spa.*k` scans only the `field:spa` term
+        // range before the anchored match runs
+        val fp = s"$field:"
+        val seek = fp + DocFilter.regexLiteralPrefix(pat)
+        terms.filter(col("term").startsWith(seek) &&
+          expr(s"substring(term, ${fp.length + 1})").rlike(s"^(?:$pat)$$"))
+          .select(cols.map(col): _*)
       case DocFilter.NotContains(field, value, kw) =>
         universe.select(cols.map(col): _*)
           .join(go(DocFilter.Contains(field, value, kw)), cols, "left_anti")

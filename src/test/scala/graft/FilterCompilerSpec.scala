@@ -190,6 +190,44 @@ class FilterCompilerSpec extends SparkSuite {
     }
   }
 
+  test("Regex/Wildcard: anchored full-token match, prefix seek, translation") {
+    val t = terms("f:scan" -> 1L, "f:spark" -> 2L, "f:stream" -> 3L,
+      "f:part" -> 4L, "f:data" -> 4L, "g:spark" -> 5L)
+    val u = universe(1L, 2L, 3L, 4L, 5L)
+    // anchored: `s.a.` matches scan only (spark/stream are longer)
+    assert(pts(FilterCompiler.compile(DocFilter.Regex("f", "s.a."), t, u))
+      === Seq(1L))
+    // leading literal seek + tail: `spa.*k` — field-scoped (g:spark out)
+    assert(pts(FilterCompiler.compile(DocFilter.Regex("f", "spa.*k"), t, u))
+      === Seq(2L))
+    // alternation across the dictionary
+    assert(pts(FilterCompiler.compile(DocFilter.Regex("f", "part|data"), t, u))
+      === Seq(4L))
+    // wildcard translation: `s*k` -> `s.*k`; `?art` -> `.art`; `*a*`
+    assert(pts(FilterCompiler.compile(DocFilter.Wildcard("f", "s*k"), t, u))
+      === Seq(2L))
+    assert(pts(FilterCompiler.compile(DocFilter.Wildcard("f", "?art"), t, u))
+      === Seq(4L))
+    assert(pts(FilterCompiler.compile(DocFilter.Wildcard("f", "*a*"), t, u))
+      === Seq(1L, 2L, 3L, 4L))
+    assert(DocFilter.wildcardToRegex("a*b?c.d") === "a.*b.c\\.d")
+    assert(DocFilter.regexLiteralPrefix("spa.*k") === "spa")
+    assert(DocFilter.regexLiteralPrefix(".a..") === "")
+    // the prefix is only sound when EVERY match needs it: alternation has
+    // no required prefix (the bug this case pins — `small|sort` must not
+    // seek to `small`); a quantifier makes the preceding char optional
+    assert(DocFilter.regexLiteralPrefix("small|sort") === "")
+    assert(DocFilter.regexLiteralPrefix("ab*") === "a")
+    assert(DocFilter.regexLiteralPrefix("ab+c") === "a")
+    assert(DocFilter.regexLiteralPrefix("a{1,2}") === "")
+    assert(DocFilter.regexLiteralPrefix("\\dab") === "")
+    // normalize rejects a malformed pattern at the entry point
+    val e = intercept[IllegalArgumentException] {
+      DocFilter.normalize(DocFilter.Regex("f", "[unclosed"), _ => false)
+    }
+    assert(e.getMessage.contains("invalid pattern"))
+  }
+
   test("served editDistance agrees with Spark's levenshtein (parity kernel)") {
     val words = Seq("", "a", "agg", "big", "sort", "stream", "scan",
       "merge", "merg", "customer", "custom", "kitten", "sitting")

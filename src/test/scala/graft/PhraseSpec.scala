@@ -249,6 +249,13 @@ class PhraseSpec extends SparkSuite {
       // keyword fuzzy: whole-value distance ("blue" ~1 "blue" only —
       // "blue label" is 6 edits away)
       DocFilter.Fuzzy("tag", "blue", 1) -> Seq(5L),
+      // regex over the analyzed dictionary: anchored full-token —
+      // `s.an` is scan only; alternation spans the dictionary
+      DocFilter.Regex("content", "s.an") -> Seq(1L),
+      DocFilter.Regex("content", "small|sort") -> Seq(3L, 4L),
+      // wildcard on a keyword field matches the WHOLE value
+      DocFilter.Wildcard("tag", "red*") -> Seq(1L, 3L, 4L),
+      DocFilter.Wildcard("tag", "*label") -> Seq(1L, 2L),
       // composition through the algebra
       DocFilter.And(Seq(
         DocFilter.Prefix("content", "s"),
