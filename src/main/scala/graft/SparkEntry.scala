@@ -449,6 +449,21 @@ object SparkEntry {
         DocFilter.Wildcard("text", "*ar*"),
         docTerms(s, d), docUniverse(s, d))
         .select(col("point_id").as("doc_id")).orderBy("doc_id")),
+    "q123_range_search" -> ((s, d) =>
+      // Numeric range filter (ES range / Lucene points analogue — beyond
+      // the reference, whose DocumentFilter has no numeric surface),
+      // COMPOSED with a term filter through the id-set algebra: docs
+      // containing "merge" whose n_chars attribute lies in [150, 300].
+      // The range leaf is a column predicate on the universe frame
+      // (parquet min/max prunable), not a dictionary scan.
+      FilterCompiler.compile(
+        DocFilter.And(Seq(
+          DocFilter.Contains("text", "merge"),
+          DocFilter.Range("n_chars", gte = Some(150), lte = Some(300)))),
+        docTerms(s, d),
+        T(s, d, "documents").select(lit(0L).as("user_id"),
+          col("doc_id").as("point_id"), col("n_chars")))
+        .select(col("point_id").as("doc_id")).orderBy("doc_id")),
 
     // ---- training-data pipeline ----
     "q25_ngram_jaccard" -> ((s, d) =>
@@ -2072,6 +2087,10 @@ object SparkEntry {
     "q122_wildcard_search" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $docToksSql AS toks FROM documents) t
           WHERE len(list_filter(toks, x -> x LIKE '%ar%')) > 0 ORDER BY doc_id""",
+    "q123_range_search" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, n_chars, $docToksSql AS toks FROM documents) t
+          WHERE list_contains(toks, 'merge') AND n_chars BETWEEN 150 AND 300
+          ORDER BY doc_id""",
     "q25_ngram_jaccard" ->
       s"""WITH t AS (
             SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),

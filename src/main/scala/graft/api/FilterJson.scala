@@ -79,6 +79,19 @@ object FilterJson {
       // beyond-proto: {wildcard: {path|field, value}} — `*`/`?` globs
       val (f, value, kw) = leaf(Json.obj(m("wildcard")))
       DocFilter.Wildcard(f, value, kw)
+    } else if (m.contains("range")) {
+      // beyond-proto: {range: {path|field, gte?, lte?}} — numeric
+      // attribute range (ES range-query shape), inclusive bounds
+      val c = Json.obj(m("range"))
+      def num(k: String): Option[Double] = c.get(k).map {
+        case d: Double => d
+        case s: String => s.toDouble
+        case other => String.valueOf(other).toDouble
+      }
+      DocFilter.Range(
+        c.getOrElse("path", c.getOrElse("field", sys.error(s"missing path: $c")))
+          .asInstanceOf[String],
+        gte = num("gte"), lte = num("lte"))
     } else if (m.contains("ids")) {
       // proto IdsFilter nests {ids: [...]} one level when the filter
       // arrives as {ids: {ids: [...]}}; the legacy shape is flat. Ids may

@@ -51,8 +51,9 @@ import graft.operators.DocFilter
   * `{near: {field, left, right, window}}` (unordered proximity), plus
   * dictionary multi-term queries `{prefix: {field, value}}` (unanalyzed
   * fragment), `{fuzzy: {field, value, max_dist?}}` (Levenshtein),
-  * `{regexp: {field, value}}` (anchored full-token, Java syntax) and
-  * `{wildcard: {field, value}}` (`*`/`?` globs).
+  * `{regexp: {field, value}}` (anchored full-token, Java syntax),
+  * `{wildcard: {field, value}}` (`*`/`?` globs) and
+  * `{range: {field, gte?, lte?}}` (numeric attributes, inclusive).
   *
   * Every route ALSO accepts the exact protobuf-JSON request shape of the
   * corresponding muopdb.proto message — the README Quick Start payloads

@@ -66,6 +66,11 @@ final case class CollectionConfig(
   require(centroidIndexType == "exact" || centroidIndexType == "hnsw",
     s"unknown centroidIndexType: $centroidIndexType")
   def textFields: Seq[AttrField] = attributeSchema.filter(f => f.kind == "text" || f.kind == "keyword")
+  /** Numeric attribute kinds (`long` / `double`): persisted as plain
+    * columns on the vectors table (no term indexing) and filterable via
+    * [[graft.operators.DocFilter.Range]] — parquet min/max stats prune
+    * the scan. */
+  def numericFields: Seq[AttrField] = attributeSchema.filter(f => f.kind == "long" || f.kind == "double")
 }
 
 /** Directory listings with the stream CLOSED. `Files.list`/`Files.walk`
@@ -1381,11 +1386,15 @@ final class Snapshot(
       userIds: Seq[Any]): Option[DataFrame] =
     filter.map { f =>
       // the negation universe only needs the searched users' points, so it
-      // rides the same bucket-pruned scan as the search itself
+      // rides the same bucket-pruned scan as the search itself; numeric
+      // attribute columns ride along for Range leaves (pruned when unused)
+      val v = coll.vectorsFor(seg, userIds)
+      val uniCols = Seq("user_id", "point_id") ++
+        coll.config.numericFields.map(_.name).filter(v.columns.contains)
       graft.operators.FilterCompiler.compile(
         f,
         coll.segmentTable(seg, "terms"),
-        coll.vectorsFor(seg, userIds).select("user_id", "point_id"),
+        v.select(uniCols.map(col): _*),
         fieldLang)
     }
 
@@ -1583,7 +1592,8 @@ final class Snapshot(
     val perSegment = segments.map { seg =>
       val v = coll.vectorsFor(seg, userIds)
       val idCols = Seq("user_id", "point_id", "doc_id") ++
-        (if (v.columns.contains("src_batch")) Seq("src_batch") else Nil)
+        (if (v.columns.contains("src_batch")) Seq("src_batch") else Nil) ++
+        coll.config.numericFields.map(_.name).filter(v.columns.contains)
       Search.termMatches(
         coll.segmentTable(seg, "terms"),
         v.select(idCols.map(col): _*),
@@ -1728,7 +1738,8 @@ final class Snapshot(
     val perSegment = segments.map { seg =>
       val v = coll.vectorsFor(seg, userIds)
       val idCols = Seq("user_id", "point_id", "doc_id") ++
-        (if (v.columns.contains("src_batch")) Seq("src_batch") else Nil)
+        (if (v.columns.contains("src_batch")) Seq("src_batch") else Nil) ++
+        coll.config.numericFields.map(_.name).filter(v.columns.contains)
       Search.termSearch(
         coll.segmentTable(seg, "terms"),
         v.select(idCols.map(col): _*),
@@ -1833,5 +1844,9 @@ final class Snapshot(
         if (kw) array(lower(col(field)))
         else analyze_text(col(field), lit(lang))
       exists(docToks, t => t.rlike(s"^(?:$pat)$$"))
+    case DocFilter.Range(field, lo, hi) =>
+      if (!df.columns.contains(field)) lit(false)
+      else (lo.map(v => col(field) >= v) ++ hi.map(v => col(field) <= v))
+        .reduceOption(_ && _).getOrElse(lit(true))
   }
 }

@@ -151,6 +151,10 @@ final class ServedUserView private[core] (
           rx.matcher(t.substring(fp.length)).matches() =>
           posts.iterator.map(_._1)
       }.flatten.toSet
+    case DocFilter.Range(field, lo, hi) =>
+      sv.numAttrs.getOrElse(field, Map.empty).iterator.collect {
+        case (pid, v) if lo.forall(v >= _) && hi.forall(v <= _) => pid
+      }.toSet
     case DocFilter.And(cs) =>
       if (cs.isEmpty) sv.universe
       else cs.map(evalSegment(_, sv)).reduce(_ intersect _)
@@ -213,6 +217,8 @@ final class ServedUserView private[core] (
         .exists(v => ServedUserView.editDistance(v, qts.head) <= d)
       else row.toks.get(field)
         .exists(_.exists(t => ServedUserView.editDistance(t, qts.head) <= d))
+    case DocFilter.Range(field, lo, hi) =>
+      row.nums.get(field).exists(v => lo.forall(v >= _) && hi.forall(v <= _))
     case DocFilter.Wildcard(field, pat, kw) =>
       evalTail(DocFilter.Regex(field, DocFilter.wildcardToRegex(pat), kw), row)
     case DocFilter.Regex(field, pat, kw) =>
@@ -304,7 +310,10 @@ object ServedUserView {
       termPostings: Map[String, Array[(Long, Array[Int])]],
       // false for segments flushed before the positions column landed:
       // Contains still serves; Phrase/Near fail descriptively
-      hasPositions: Boolean) {
+      hasPositions: Boolean,
+      // numeric attribute slice: field -> (point -> value); null attr
+      // values are absent (a Range never matches them)
+      numAttrs: Map[String, Map[Long, Double]] = Map.empty) {
     val universe: Set[Long] = docOf.keySet
   }
 
@@ -312,7 +321,8 @@ object ServedUserView {
       docId: Any,
       vector: Array[Double],
       toks: Map[String, Vector[String]], // text field -> analyzed tokens, IN ORDER
-      keywords: Map[String, String]) // text/keyword field -> lowercased value
+      keywords: Map[String, String], // text/keyword field -> lowercased value
+      nums: Map[String, Double] = Map.empty) // numeric field -> value (nulls absent)
 
   private[core] def build(coll: Collection, userId: Any): ServedUserView = {
     val t = coll.toc
@@ -328,9 +338,11 @@ object ServedUserView {
     val userTombs = coll.tombstones.map(_.filter(col("user_id") === uid))
     def dropTombs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       userTombs.fold(df)(tb => graft.operators.Search.dropTombstoned(df, tb))
+    val numFieldNames = coll.config.numericFields.map(_.name)
     val segs = t.segments.map { seg =>
-      val userVecs = dropTombs(coll.vectorsFor(seg, Seq(userId))
+      val userRows = dropTombs(coll.vectorsFor(seg, Seq(userId))
         .filter(col("user_id") === uid))
+      val userVecs = userRows
         .select(col("point_id").cast("long").as("vec_id"),
           col("doc_id"), col("vector").cast("array<double>").as("embedding"))
       // postings referencing dropped points are dangling; ServedIvfIndex
@@ -359,7 +371,21 @@ object ServedUserView {
           .groupBy(_.getString(0))
           .map { case (term, rows) => term -> rows.map(r => r.getLong(1) ->
             Option(r.getSeq[Int](2)).fold(Array.empty[Int])(_.toArray)) }
-      SegmentView(seg, served, docOf, termPostings, hasPositions)
+      // numeric attribute slice (Range leaves): one bounded collect for
+      // all fields; null values stay absent (a Range never matches null)
+      val presentNums = numFieldNames.filter(userRows.columns.contains)
+      val numAttrs: Map[String, Map[Long, Double]] =
+        if (presentNums.isEmpty) Map.empty
+        else {
+          val rows = userRows.select(
+            (col("point_id").cast("long") +:
+              presentNums.map(f => col(f).cast("double"))): _*).collect()
+          presentNums.zipWithIndex.map { case (f, i) =>
+            f -> rows.iterator.filterNot(_.isNullAt(i + 1))
+              .map(r => r.getLong(0) -> r.getDouble(i + 1)).toMap
+          }.toMap
+        }
+      SegmentView(seg, served, docOf, termPostings, hasPositions, numAttrs)
     }
     // analyzed text rides out of the same Spark expressions the index side
     // uses (analyze_text per field lang), so tail term matching keeps the
@@ -370,13 +396,15 @@ object ServedUserView {
       case Some(rows) =>
         import graft.functions.GraftFunctions.analyze_text
         val present = textFields.filter(f => rows.columns.contains(f.name))
+        val presentNums = numFieldNames.filter(rows.columns.contains)
         val tokCols = present.flatMap { f =>
           Seq(analyze_text(col(f.name), lit(f.lang)).as(s"__toks_${f.name}"),
             lower(col(f.name)).as(s"__kw_${f.name}"))
-        }
+        } ++ presentNums.map(f => col(f).cast("double").as(s"__num_$f"))
         val selected = dropTombs(rows.filter(col("user_id") === uid))
           .select(Seq(col("doc_id"), col("vector").cast("array<double>")) ++ tokCols: _*)
           .collect()
+        val numBase = 2 + 2 * present.size
         selected.map { r =>
           val toks = present.zipWithIndex.map { case (f, i) =>
             f.name -> Option(r.getSeq[String](2 + 2 * i)).getOrElse(Nil).toVector
@@ -384,7 +412,10 @@ object ServedUserView {
           val kws = present.zipWithIndex.flatMap { case (f, i) =>
             Option(r.getString(3 + 2 * i)).map(f.name -> _)
           }.toMap
-          TailRow(r.get(0), r.getSeq[Double](1).toArray, toks, kws)
+          val nums = presentNums.zipWithIndex.flatMap { case (f, j) =>
+            if (r.isNullAt(numBase + j)) None else Some(f -> r.getDouble(numBase + j))
+          }.toMap
+          TailRow(r.get(0), r.getSeq[Double](1).toArray, toks, kws, nums)
         }
     }
     new ServedUserView(segs, tailRows, fieldLang,

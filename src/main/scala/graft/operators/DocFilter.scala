@@ -62,6 +62,17 @@ object DocFilter {
     * [[Regex]] at compile time. */
   final case class Wildcard(field: String, pattern: String, keyword: Boolean = false) extends DocFilter
 
+  /** Numeric range over an attribute COLUMN (the ES range query /
+    * Lucene points analogue — beyond the reference, whose DocumentFilter
+    * has no numeric surface): inclusive bounds, either side open.
+    * Compiles to a plain column predicate on the segment vectors table —
+    * parquet row-group min/max stats prune the scan, the columnar
+    * analogue of Lucene's BKD tree. Bounds are doubles; integral
+    * attributes beyond 2^53 lose precision (the same contract as
+    * Lucene's double ranges). */
+  final case class Range(field: String, gte: Option[Double] = None,
+      lte: Option[Double] = None) extends DocFilter
+
   /** Lucene WildcardQuery -> anchored regex: `*` -> `.*`, `?` -> `.`,
     * every other char quoted. */
   def wildcardToRegex(pattern: String): String =
@@ -158,6 +169,12 @@ object DocFilter {
     case Wildcard(fl, p, _) =>
       require(p.nonEmpty, s"Wildcard($fl): empty pattern")
       Wildcard(fl, p, isKeywordField(fl))
+    case r @ Range(fl, lo, hi) =>
+      require(lo.nonEmpty || hi.nonEmpty,
+        s"Range($fl): at least one of gte/lte must be set")
+      require(lo.forall(l => hi.forall(l <= _)),
+        s"Range($fl): gte ${lo.get} exceeds lte ${hi.get}")
+      r
     case And(cs) => And(cs.map(normalize(_, isKeywordField)))
     case Or(cs) => Or(cs.map(normalize(_, isKeywordField)))
     case other => other // Ids — field-free
@@ -301,6 +318,17 @@ object FilterCompiler {
               lit(token)) <= maxDist)
             .select(cols.map(col): _*)
         }
+      case DocFilter.Range(field, lo, hi) =>
+        // numeric ranges live on the ATTRIBUTE columns, not the term
+        // dictionary — the caller's universe frame must carry the column
+        // (Snapshot passes the vectors frame with the schema's numeric
+        // fields; parquet min/max prunes the scan on the pushed predicate)
+        require(universe.columns.contains(field),
+          s"Range($field): the universe frame does not carry that numeric " +
+            "attribute column (is the field in the collection's " +
+            "attributeSchema with kind long/double?)")
+        val preds = lo.map(v => col(field) >= v) ++ hi.map(v => col(field) <= v)
+        universe.filter(preds.reduce(_ && _)).select(cols.map(col): _*)
       case DocFilter.Wildcard(field, pat, kw) =>
         go(DocFilter.Regex(field, DocFilter.wildcardToRegex(pat), kw))
       case DocFilter.Regex(field, pat, kw) =>

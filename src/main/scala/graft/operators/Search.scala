@@ -338,7 +338,11 @@ object Search {
       keepSrcBatch: Boolean = false): DataFrame = {
     var t = terms
     if (userIds.nonEmpty) t = t.filter(col("user_id").isin(userIds: _*))
-    val pts = FilterCompiler.compile(filter, t, idMap.select("user_id", "point_id"), fieldLang)
+    // the FULL id map is the compile universe: extra columns (numeric
+    // attributes for Range leaves) ride along — every other leaf projects
+    // down to (user_id, point_id), so Catalyst prunes them from the scan
+    // when unused
+    val pts = FilterCompiler.compile(filter, t, idMap, fieldLang)
     // keep src_batch (when idMap carries it) through the remap so the
     // tombstone anti-join stays sequenced
     val keep = Seq("user_id", "doc_id") ++

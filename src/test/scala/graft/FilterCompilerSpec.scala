@@ -228,6 +228,33 @@ class FilterCompilerSpec extends SparkSuite {
     assert(e.getMessage.contains("invalid pattern"))
   }
 
+  test("Range: numeric attribute predicate through the id-set algebra") {
+    val u = Seq((0L, 1L, Some(100L)), (0L, 2L, Some(200L)), (0L, 3L, Some(300L)),
+      (0L, 4L, None: Option[Long])).toDF("user_id", "point_id", "n")
+    val t = terms("f:a" -> 1L, "f:a" -> 3L)
+    def range(lo: Option[Double], hi: Option[Double]) =
+      FilterCompiler.compile(DocFilter.Range("n", lo, hi), t, u)
+    assert(pts(range(Some(150), Some(300))) === Seq(2L, 3L)) // inclusive both ends
+    assert(pts(range(Some(250), None)) === Seq(3L)) // open high side
+    assert(pts(range(None, Some(100))) === Seq(1L)) // null attr never matches
+    // composes with term leaves through the algebra
+    assert(pts(FilterCompiler.compile(DocFilter.And(Seq(
+      DocFilter.Contains("f", "a", keyword = true),
+      DocFilter.Range("n", Some(150), None))), t, u)) === Seq(3L))
+    // a universe without the column fails loudly, not silently empty
+    val e = intercept[IllegalArgumentException] {
+      FilterCompiler.compile(DocFilter.Range("missing", Some(1), None), t, u)
+    }
+    assert(e.getMessage.contains("missing"))
+    // normalize validation: empty and inverted bounds refuse
+    intercept[IllegalArgumentException] {
+      DocFilter.normalize(DocFilter.Range("n"), _ => false)
+    }
+    intercept[IllegalArgumentException] {
+      DocFilter.normalize(DocFilter.Range("n", Some(5), Some(1)), _ => false)
+    }
+  }
+
   test("served editDistance agrees with Spark's levenshtein (parity kernel)") {
     val words = Seq("", "a", "agg", "big", "sort", "stream", "scan",
       "merge", "merg", "customer", "custom", "kitten", "sitting")

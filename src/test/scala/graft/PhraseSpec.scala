@@ -215,18 +215,18 @@ class PhraseSpec extends SparkSuite {
     val coll = Collection.create(spark, base, CollectionConfig(
       name = "pf", numFeatures = 2, initialNumCentroids = 2,
       attributeSchema = Seq(AttrField("content", "text", "english"),
-        AttrField("tag", "keyword"))))
+        AttrField("tag", "keyword"), AttrField("chars", "long"))))
     coll.insert(Seq(
-      (0L, 1L, Seq(1.0, 0.0), "stream scan runs", "red label"),
-      (0L, 2L, Seq(0.0, 1.0), "merge join here", "blue label"),
-      (0L, 3L, Seq(1.0, 1.0), "sort and agg", "red stripe"))
-      .toDF("user_id", "doc_id", "vector", "content", "tag"))
+      (0L, 1L, Seq(1.0, 0.0), "stream scan runs", "red label", 15L),
+      (0L, 2L, Seq(0.0, 1.0), "merge join here", "blue label", 14L),
+      (0L, 3L, Seq(1.0, 1.0), "sort and agg", "red stripe", 11L))
+      .toDF("user_id", "doc_id", "vector", "content", "tag", "chars"))
     coll.flush()
     // tail docs exercise compileRaw + the served tail mirror
     coll.insert(Seq(
-      (0L, 4L, Seq(0.5, 0.5), "small stream again", "reddish"),
-      (0L, 5L, Seq(0.6, 0.4), "nothing relevant", "blue"))
-      .toDF("user_id", "doc_id", "vector", "content", "tag"))
+      (0L, 4L, Seq(0.5, 0.5), "small stream again", "reddish", 17L),
+      (0L, 5L, Seq(0.6, 0.4), "nothing relevant", "blue", 16L))
+      .toDF("user_id", "doc_id", "vector", "content", "tag", "chars"))
     val snap = coll.snapshot()
     val served = coll.serveUser(0L)
     def dist(f: DocFilter): Seq[Long] = snap.termSearch(f, limit = 10)
@@ -256,6 +256,13 @@ class PhraseSpec extends SparkSuite {
       // wildcard on a keyword field matches the WHOLE value
       DocFilter.Wildcard("tag", "red*") -> Seq(1L, 3L, 4L),
       DocFilter.Wildcard("tag", "*label") -> Seq(1L, 2L),
+      // numeric range over the attribute column, spanning flushed + tail
+      DocFilter.Range("chars", Some(14), Some(16)) -> Seq(1L, 2L, 5L),
+      DocFilter.Range("chars", None, Some(11)) -> Seq(3L),
+      // range composed with a dictionary leaf through the algebra
+      DocFilter.And(Seq(
+        DocFilter.Prefix("content", "s"),
+        DocFilter.Range("chars", Some(15), None))) -> Seq(1L, 4L),
       // composition through the algebra
       DocFilter.And(Seq(
         DocFilter.Prefix("content", "s"),
@@ -275,6 +282,27 @@ class PhraseSpec extends SparkSuite {
     assert(graft.api.FilterJson.parse(graft.api.Json.parse(
       """{"fuzzy": {"field": "content", "value": "sort"}}"""))
       === DocFilter.Fuzzy("content", "sort", 1))
+    // range + regexp + wildcard JSON shapes
+    assert(graft.api.FilterJson.parse(graft.api.Json.parse(
+      """{"range": {"field": "chars", "gte": 14, "lte": 16}}"""))
+      === DocFilter.Range("chars", Some(14.0), Some(16.0)))
+    assert(graft.api.FilterJson.parse(graft.api.Json.parse(
+      """{"range": {"path": "chars", "gte": 10}}"""))
+      === DocFilter.Range("chars", Some(10.0), None))
+    assert(graft.api.FilterJson.parse(graft.api.Json.parse(
+      """{"regexp": {"field": "content", "value": "s.an"}}"""))
+      === DocFilter.Regex("content", "s.an"))
+    assert(graft.api.FilterJson.parse(graft.api.Json.parse(
+      """{"wildcard": {"field": "content", "value": "s*"}}"""))
+      === DocFilter.Wildcard("content", "s*"))
+    // hybrid ANN + range filter through the snapshot search path (F8/J4
+    // with a numeric leaf): nearest under chars<=14 is doc 2's vector
+    val hybrid = snap.search(Seq(0.0, 1.0),
+      graft.operators.SearchParams(topK = 1,
+        numExploredCentroids = Some(Int.MaxValue), centroidDistanceRatio = 1e18),
+      filter = Some(DocFilter.Range("chars", None, Some(14))))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(hybrid === Seq(2L))
   }
 
   test("mixed positionless segment: capability map + error names it; merge upgrades") {
