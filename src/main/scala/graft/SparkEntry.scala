@@ -449,6 +449,43 @@ object SparkEntry {
         DocFilter.Wildcard("text", "*ar*"),
         docTerms(s, d), docUniverse(s, d))
         .select(col("point_id").as("doc_id")).orderBy("doc_id")),
+    "q125_range_facets" -> ((s, d) => {
+      // Range facets (ES range-aggregation analogue — beyond the
+      // reference): docs containing "merge", histogrammed by n_chars
+      // into half-open buckets. Table-level derivation (the q116
+      // pattern); the collection-level Snapshot.facetRanges (newest-wins
+      // match + one bounded aggregation pass) is pinned in CollectionSpec.
+      val matched = FilterCompiler.compile(
+        DocFilter.Contains("text", "merge"),
+        docTerms(s, d), docUniverse(s, d))
+        .select(col("point_id").as("doc_id"))
+      val m = T(s, d, "documents").join(matched, Seq("doc_id"), "left_semi")
+      val buckets = Seq((0.0, 150.0), (150.0, 250.0), (250.0, 400.0), (400.0, 2000.0))
+      val aggs = buckets.zipWithIndex.map { case ((lo, hi), i) =>
+        sum(when(col("n_chars") >= lo && col("n_chars") < hi, 1L).otherwise(0L)).as(s"_b$i")
+      }
+      val row = m.agg(aggs.head, aggs.tail: _*).head()
+      val out = buckets.zipWithIndex.map { case ((lo, hi), i) =>
+        (lo, hi, if (row.isNullAt(i)) 0L else row.getLong(i)) }
+      import s.implicits._
+      out.toDF("bucket_lo", "bucket_hi", "n_docs").orderBy("bucket_lo")
+    }),
+    "q124_suggest" -> ((s, d) =>
+      // "Did you mean" suggester (Lucene DirectSpellChecker analogue —
+      // beyond the reference): dictionary terms within 2 edits of the
+      // typo "bata" (data at 1, batch at 2 in this corpus), ranked
+      // (distance asc, doc-frequency desc, term asc). Table-level
+      // derivation (raw tokens) so DuckDB replays it exactly; the
+      // collection-level Snapshot.suggest (persisted term index,
+      // newest-wins counts) is pinned in CollectionSpec.
+      Gen.explodeOnce(Par.ensure(T(s, d, "documents")), Seq(col("doc_id")),
+          array_distinct(tokenize(col("text"))), "term")
+        .filter(levenshtein(col("term"), lit("bata")) <= 2)
+        .groupBy("term").agg(count(lit(1)).as("n_docs"))
+        .withColumn("distance", levenshtein(col("term"), lit("bata")).cast("long"))
+        .orderBy(col("distance").asc, col("n_docs").desc, col("term").asc)
+        .limit(5)
+        .select("term", "distance", "n_docs")),
     "q123_range_search" -> ((s, d) =>
       // Numeric range filter (ES range / Lucene points analogue — beyond
       // the reference, whose DocumentFilter has no numeric surface),
@@ -2091,6 +2128,25 @@ object SparkEntry {
       s"""SELECT doc_id FROM (SELECT doc_id, n_chars, $docToksSql AS toks FROM documents) t
           WHERE list_contains(toks, 'merge') AND n_chars BETWEEN 150 AND 300
           ORDER BY doc_id""",
+    "q125_range_facets" ->
+      s"""WITH m AS (SELECT n_chars FROM (SELECT doc_id, n_chars, $docToksSql AS toks FROM documents) t
+                     WHERE list_contains(toks, 'merge'))
+          SELECT * FROM (
+            SELECT 0.0 AS bucket_lo, 150.0 AS bucket_hi,
+                   (SELECT count(*) FROM m WHERE n_chars >= 0 AND n_chars < 150) AS n_docs
+            UNION ALL SELECT 150.0, 250.0,
+                   (SELECT count(*) FROM m WHERE n_chars >= 150 AND n_chars < 250)
+            UNION ALL SELECT 250.0, 400.0,
+                   (SELECT count(*) FROM m WHERE n_chars >= 250 AND n_chars < 400)
+            UNION ALL SELECT 400.0, 2000.0,
+                   (SELECT count(*) FROM m WHERE n_chars >= 400 AND n_chars < 2000))
+          ORDER BY bucket_lo""",
+    "q124_suggest" ->
+      s"""SELECT term, CAST(levenshtein(term, 'bata') AS BIGINT) AS distance,
+                 count(*) AS n_docs
+          FROM (SELECT doc_id, unnest(list_distinct($docToksSql)) AS term FROM documents)
+          WHERE levenshtein(term, 'bata') <= 2
+          GROUP BY term ORDER BY distance, n_docs DESC, term LIMIT 5""",
     "q25_ngram_jaccard" ->
       s"""WITH t AS (
             SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),

@@ -31,6 +31,12 @@ import graft.operators.DocFilter
   *                                user_ids?} — facet counts over the match
   *  - `POST /term_stats`         {collection_name, prefix?, k?, user_ids?}
   *                                — term dictionary with doc frequencies
+  *  - `POST /facet_ranges`       {collection_name, filter, field,
+  *                                buckets: [[lo, hi], ...]} — numeric
+  *                                histogram over the match
+  *  - `POST /suggest`            {collection_name, field, input, k?,
+  *                                max_dist?} — "did you mean" over the
+  *                                live term dictionary
   *  - `POST /calibrate`          {collection_name, k?, n_queries?, ladder?}
   *                                — measure + persist the recall curve
   *                                `target_recall` searches resolve against
@@ -321,6 +327,43 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
       k = b.getOrElse("k", 20.0).asInstanceOf[Double].toInt,
       userIds = b.get("user_ids").map(parseIds).getOrElse(Nil))
     Map("terms" -> ts.map(_._1), "counts" -> ts.map(_._2))
+  })
+
+  // Range facets (beyond the proto surface): {collection_name, filter,
+  // field, buckets: [[lo, hi], ...]} -> {bucket_lo: [...], bucket_hi:
+  // [...], counts: [...]} — half-open [lo, hi) numeric histogram over
+  // the newest-wins match set
+  server.createContext("/facet_ranges", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val buckets = b("buckets").asInstanceOf[Vector[Any]].map { x =>
+      val pair = Json.doubles(x)
+      require(pair.length == 2, s"bucket must be [lo, hi]: $x")
+      (pair(0), pair(1))
+    }
+    val fr = svc.facetRanges(
+      b("collection_name").asInstanceOf[String],
+      parseFilter(b("filter")),
+      field = b("field").asInstanceOf[String],
+      buckets = buckets,
+      userIds = b.get("user_ids").map(parseIds).getOrElse(Nil))
+    Map("bucket_lo" -> fr.map(_._1), "bucket_hi" -> fr.map(_._2),
+      "counts" -> fr.map(_._3))
+  })
+
+  // "Did you mean" suggester (beyond the proto surface): {collection_name,
+  // field, input, k?, max_dist?, user_ids?} ->
+  // {terms: [...], distances: [...], counts: [...]}
+  server.createContext("/suggest", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val sg = svc.suggest(
+      b("collection_name").asInstanceOf[String],
+      field = b("field").asInstanceOf[String],
+      input = b("input").asInstanceOf[String],
+      k = b.getOrElse("k", 5.0).asInstanceOf[Double].toInt,
+      maxDist = b.getOrElse("max_dist", 2.0).asInstanceOf[Double].toInt,
+      userIds = b.get("user_ids").map(parseIds).getOrElse(Nil))
+    Map("terms" -> sg.map(_._1), "distances" -> sg.map(_._2),
+      "counts" -> sg.map(_._3))
   })
 
   // Recall calibration (beyond the proto surface): {collection_name, k?,

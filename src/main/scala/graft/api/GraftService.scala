@@ -162,6 +162,25 @@ class GraftService(spark: SparkSession, val basePath: String) {
       .termStats(prefix, k, userIds.map(toBytes))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
+  /** Range facets over a filtered match (beyond-proto — ES range
+    * aggregation analogue): half-open [lo, hi) buckets of a numeric
+    * attribute, newest-wins doc counts. (bucket_lo, bucket_hi, n_docs). */
+  def facetRanges(collectionName: String, filter: DocFilter, field: String,
+      buckets: Seq[(Double, Double)], userIds: Seq[String] = Nil)
+      : Seq[(Double, Double, Long)] =
+    collection(collectionName).snapshot()
+      .facetRanges(filter, field, buckets, userIds.map(toBytes))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+
+  /** "Did you mean" suggester (beyond-proto): dictionary terms of
+    * `field` within `maxDist` edits of the analyzed input, ranked
+    * (distance asc, n_docs desc, term asc) — (term, distance, n_docs). */
+  def suggest(collectionName: String, field: String, input: String, k: Int,
+      maxDist: Int, userIds: Seq[String] = Nil): Seq[(String, Long, Long)] =
+    collection(collectionName).snapshot()
+      .suggest(field, input, k, maxDist, userIds.map(toBytes))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
   /** Recall calibration pass (beyond-proto admin): measures + persists
     * the recall@k-vs-nprobe curve `target_recall` searches resolve
     * against ([[graft.core.Collection.calibrateRecall]]). */

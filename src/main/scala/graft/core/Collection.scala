@@ -1648,6 +1648,47 @@ final class Snapshot(
       coll.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out))
   }
 
+  /** Range facets over a filtered match (the ES range-aggregation
+    * analogue — beyond the reference): every live doc whose NEWEST
+    * version matches `filter` ([[matchedDocs]]' rule), counted into
+    * caller-given half-open `[lo, hi)` buckets of the numeric attribute
+    * `field` (newest live row supplies the value; nulls count nowhere;
+    * buckets may overlap — each is an independent count). Returns
+    * `[bucket_lo, bucket_hi, n_docs]` ordered by (bucket_lo, bucket_hi).
+    *
+    * Scale shape: ONE aggregation pass over the matched rows producing a
+    * single row of per-bucket sums (map-side partial aggregation; output
+    * bounded by the bucket count, never the corpus) — the driver then
+    * shapes that one row into bucket rows. */
+  def facetRanges(filter: DocFilter, field: String,
+      buckets: Seq[(Double, Double)], userIds: Seq[Any] = Nil): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    require(buckets.nonEmpty, "facetRanges: no buckets given")
+    buckets.foreach { case (lo, hi) =>
+      require(lo < hi, s"facetRanges: empty bucket [$lo, $hi)") }
+    val out = StructType(Seq(
+      StructField("bucket_lo", DoubleType, nullable = false),
+      StructField("bucket_hi", DoubleType, nullable = false),
+      StructField("n_docs", LongType, nullable = false)))
+    val ordered = buckets.sortBy(identity)
+    val counts: Seq[Long] = (for {
+      matched <- matchedDocs(filter, userIds)
+      rows <- newestLiveRows(Some(matched), userIds, df =>
+        Seq((if (df.columns.contains(field)) df(field).cast("double")
+             else lit(null).cast("double")).as("_v")))
+    } yield {
+      val aggs = ordered.zipWithIndex.map { case ((lo, hi), i) =>
+        sum(when(col("_v") >= lo && col("_v") < hi, 1L).otherwise(0L))
+          .as(s"_b$i")
+      }
+      val row = rows.agg(aggs.head, aggs.tail: _*).head()
+      ordered.indices.map(i => if (row.isNullAt(i)) 0L else row.getLong(i))
+    }).getOrElse(ordered.map(_ => 0L))
+    coll.spark.createDataFrame(
+      ordered.zip(counts).map { case ((lo, hi), n) =>
+        org.apache.spark.sql.Row(lo, hi, n) }.asJava, out)
+  }
+
   /** Term dictionary with document frequencies (the Lucene terms-enum /
     * suggester analogue — beyond the reference, whose term index answers
     * membership only): every live term key, optionally restricted to a
@@ -1662,7 +1703,76 @@ final class Snapshot(
     * joined to live point ids; the unflushed tail re-analyzes only its
     * own bounded rows. Group-count partial-aggregates bound every task's
     * output by its distinct terms; the result is top-k. */
-  def termStats(prefix: String = "", k: Int = 20, userIds: Seq[Any] = Nil): DataFrame = {
+  def termStats(prefix: String = "", k: Int = 20, userIds: Seq[Any] = Nil): DataFrame =
+    liveTermDocs(
+      t => if (prefix.isEmpty) t else t.filter(col("term").startsWith(prefix)),
+      userIds)
+      .map(_.groupBy("term")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("term").asc)
+        .limit(k))
+      .getOrElse(emptyTermStats)
+
+  /** "Did you mean" suggester (Lucene DirectSpellChecker analogue —
+    * beyond the reference): live dictionary terms of `field` within
+    * `maxDist` Levenshtein edits of the ANALYZED input token, ranked
+    * (distance asc, n_docs desc, term asc) — closest first, popularity
+    * breaking ties, the standard spell-correction order. Returns
+    * `[term, distance, n_docs]`, newest-wins doc counts like
+    * [[termStats]]. Same scale shape as a Fuzzy filter: an O(distinct
+    * terms) dictionary scan range-pruned to the field's key range with a
+    * length prefilter, never a corpus scan. */
+  def suggest(field: String, input: String, k: Int = 5, maxDist: Int = 2,
+      userIds: Seq[Any] = Nil): DataFrame = {
+    val kw = coll.config.attributeSchema.exists(a => a.name == field && a.kind == "keyword")
+    val qts = graft.operators.FilterCompiler.queryTerms(field, input, kw,
+      fieldLang.getOrElse(field, "english"))
+    if (qts.isEmpty) return emptySuggest
+    val fp = s"$field:"
+    val token = qts.head.stripPrefix(fp)
+    def dist(t: org.apache.spark.sql.Column) = // position-based strip of
+      // the "field:" prefix (a token could legally contain ':')
+      levenshtein(t.substr(lit(fp.length + 1), length(t)), lit(token))
+    liveTermDocs(
+      t => t.filter(col("term").startsWith(fp) &&
+        abs(length(col("term")) - lit(fp.length + token.length)) <= maxDist &&
+        dist(col("term")) <= maxDist),
+      userIds)
+      .map(_.groupBy("term")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("distance", dist(col("term")).cast("long"))
+        .orderBy(col("distance").asc, col("n_docs").desc, col("term").asc)
+        .limit(k)
+        .select(col("term"), col("distance"), col("n_docs")))
+      .getOrElse(emptySuggest)
+  }
+
+  private def emptyTermStats: DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    coll.spark.createDataFrame(
+      coll.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("term", StringType),
+        StructField("n_docs", LongType, nullable = false))))
+  }
+
+  private def emptySuggest: DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    coll.spark.createDataFrame(
+      coll.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("term", StringType),
+        StructField("distance", LongType, nullable = false),
+        StructField("n_docs", LongType, nullable = false))))
+  }
+
+  /** Live `(user_id, term, doc_id)` rows, NEWEST-WINS and deduped, with
+    * `restrict` applied to every term frame (the PERSISTED per-segment
+    * index AND the re-analyzed tail) BEFORE the live-id join — the
+    * shared engine of [[termStats]] and [[suggest]]. The restriction
+    * lands on the term-sorted parquet scan, so prefix predicates prune
+    * row groups (ProfTerms) and dictionary scans stay O(matching
+    * terms). */
+  private def liveTermDocs(restrict: DataFrame => DataFrame,
+      userIds: Seq[Any]): Option[DataFrame] = {
     import graft.functions.GraftFunctions.{analyze_text, term_keys}
     val perSegment = segments.map { seg =>
       val v = coll.vectorsFor(seg, userIds)
@@ -1670,7 +1780,7 @@ final class Snapshot(
         (if (v.columns.contains("src_batch")) Seq("src_batch") else Nil)
       var t = coll.segmentTable(seg, "terms")
       if (userIds.nonEmpty) t = t.filter(col("user_id").isin(userIds: _*))
-      if (prefix.nonEmpty) t = t.filter(col("term").startsWith(prefix))
+      t = restrict(t)
       var m = t.select("user_id", "term", "point_id")
         .join(v.select(idCols.map(col): _*), Seq("user_id", "point_id"))
       for (tb <- tombRows) m = Search.dropTombstoned(m, tb)
@@ -1687,7 +1797,7 @@ final class Snapshot(
         for (tb <- tombRows) df = Search.dropTombstoned(df, tb)
         val sb = if (df.columns.contains("src_batch")) col("src_batch")
                  else lit(Long.MinValue)
-        Some(textCols.map { f =>
+        Some(restrict(textCols.map { f =>
           val toks =
             if (f.kind == "keyword") array(lower(col(f.name)))
             else analyze_text(col(f.name), lit(f.lang))
@@ -1695,8 +1805,7 @@ final class Snapshot(
             Seq(col("user_id"), col("doc_id"), sb.as("src_batch")),
             term_keys(f.name, col("_toks")), "term")
             .select(col("user_id"), col("term"), col("doc_id"), col("src_batch"))
-        }.reduce(_ unionByName _)
-          .filter(if (prefix.isEmpty) lit(true) else col("term").startsWith(prefix)))
+        }.reduce(_ unionByName _)))
       }
     }
     // NEWEST-WINS (round-14 advice, same rule as matchedDocs): n_docs
@@ -1707,18 +1816,7 @@ final class Snapshot(
     (perSegment ++ tailTerms).reduceOption(_ unionByName _)
       .map(m => newestVersionOnly(
           m.dropDuplicates("user_id", "term", "doc_id", "src_batch"), userIds)
-        .dropDuplicates("user_id", "term", "doc_id")
-        .groupBy("term")
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("n_docs").desc, col("term").asc)
-        .limit(k))
-      .getOrElse {
-        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-        coll.spark.createDataFrame(
-          coll.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("term", StringType),
-            StructField("n_docs", LongType, nullable = false))))
-      }
+        .dropDuplicates("user_id", "term", "doc_id"))
   }
 
   /** Term/attribute MEMBERSHIP search: live docs matching `filter`,

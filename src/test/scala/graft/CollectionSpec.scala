@@ -464,6 +464,19 @@ class CollectionSpec extends SparkSuite {
     assert(stats("content:merg") === Seq("content:merg" -> 1L)) // doc 4 only
     assert(stats("content:sort") === Seq.empty) // superseded-only term gone
     assert(stats("content:hash") === Seq("content:hash" -> 2L)) // docs 2 + 3
+    // "did you mean" over the same live dictionary: the typo 'hish' is 1
+    // edit from 'hash' (2 live docs, newest-wins counts — doc 1's delete
+    // and doc 2's re-insert both already reflected); exact inputs rank
+    // themselves at distance 0; a gibberish input suggests nothing
+    def sug(in: String, maxDist: Int) = coll.snapshot()
+      .suggest("content", in, k = 5, maxDist = maxDist)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sug("hish", 1) === Seq(("content:hash", 1L, 2L)))
+    assert(sug("hash", 1).head === (("content:hash", 0L, 2L)))
+    // ranking: distance first, then doc frequency — 'jion' is 2 edits
+    // from 'join' (no transposition op in plain Levenshtein)
+    assert(sug("jion", 2) === Seq(("content:join", 2L, 1L)))
+    assert(sug("zzzzzz", 2) === Seq.empty)
   }
 
   test("re-insert after delete revives the doc (sequenced tombstones)") {

@@ -149,6 +149,24 @@ class HttpServerSpec extends SparkSuite {
       assert(client.send(badNear, HttpResponse.BodyHandlers.ofString())
         .statusCode() >= 400)
 
+      // "did you mean" over the wire: 'helo' is 1 edit from 'hello'
+      val sug = post("/suggest", Json.write(Map(
+        "collection_name" -> "wire", "field" -> "content",
+        "input" -> "helo", "max_dist" -> 1)))
+      assert(sug("terms") === Vector("content:hello"))
+      assert(sug("distances") === Vector(1.0))
+      assert(sug("counts") === Vector(1.0))
+
+      // range facets over the wire: the wire collection has no numeric
+      // attribute, so every bucket counts zero (nulls bucket nowhere) —
+      // pins the route shape + the null contract
+      val frw = post("/facet_ranges", Json.write(Map(
+        "collection_name" -> "wire",
+        "filter" -> Map("field" -> "content", "value" -> "hello"),
+        "field" -> "missing", "buckets" -> Seq(Seq(0.0, 10.0)))))
+      assert(frw("counts") === Vector(0.0))
+      assert(frw("bucket_lo") === Vector(0.0) && frw("bucket_hi") === Vector(10.0))
+
       // calibrated search over the wire: POST /calibrate measures +
       // persists the curve (u128 ids ride the rank-window truth path),
       // then target_recall resolves nprobe from it

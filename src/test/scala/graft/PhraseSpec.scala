@@ -295,6 +295,16 @@ class PhraseSpec extends SparkSuite {
     assert(graft.api.FilterJson.parse(graft.api.Json.parse(
       """{"wildcard": {"field": "content", "value": "s*"}}"""))
       === DocFilter.Wildcard("content", "s*"))
+    // range facets over the newest-wins match set: prefix-s docs {1,3,4}
+    // with chars {15,11,17} histogrammed into half-open buckets; value 15
+    // lands in [15,20), not [10,15) — the boundary is exclusive on hi
+    val fr = snap.facetRanges(DocFilter.Prefix("content", "s"), "chars",
+      Seq((10.0, 15.0), (15.0, 20.0)))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(fr === Seq((10.0, 15.0, 1L), (15.0, 20.0, 2L)))
+    // a field absent from the rows counts nowhere (nulls never bucket)
+    assert(snap.facetRanges(DocFilter.Prefix("content", "s"), "nope",
+      Seq((0.0, 100.0))).collect().map(_.getLong(2)).toSeq === Seq(0L))
     // hybrid ANN + range filter through the snapshot search path (F8/J4
     // with a numeric leaf): nearest under chars<=14 is doc 2's vector
     val hybrid = snap.search(Seq(0.0, 1.0),
