@@ -98,6 +98,30 @@ object ProfTerms {
       col("term_bucket") === pmod(xxhash64(lit(term)), lit(graft.core.Collection.termBuckets)) &&
         col("term") === lit(term)))
     measure("term only (row-group stats)")(terms.filter(col("term") === lit(term)))
+    // round 15: the dictionary multi-term paths — a PREFIX scan (no
+    // bucket pruning possible: the bucket hashes the FULL term, so this
+    // measures what the sorted term column's min/max stats + pushed
+    // StringStartsWith buy on their own), and a FUZZY dictionary scan
+    // (field-range restriction + length prefilter before the Levenshtein)
+    val prefix = term.take(math.max(1, term.indexOf(':') + 2))
+    measure(s"prefix scan ($prefix*)")(
+      terms.filter(col("term").startsWith(prefix)))
+    val fieldPrefix = term.take(term.indexOf(':') + 1)
+    val token = term.stripPrefix(fieldPrefix)
+    measure(s"fuzzy scan ($token ~1, prefix_length=0)")(
+      terms.filter(col("term").startsWith(fieldPrefix) &&
+        abs(length(col("term")) - lit(term.length)) <= 1 &&
+        levenshtein(expr(s"substring(term, ${fieldPrefix.length + 1})"),
+          lit(token)) <= 1))
+    // prefix_length=1: the first token char joins the seek literal, so
+    // the sorted term column's row-group stats turn the full dictionary
+    // scan into a range scan (Lucene's prefix_length trade: edits at
+    // position 0 are excluded)
+    measure(s"fuzzy scan ($token ~1, prefix_length=1)")(
+      terms.filter(col("term").startsWith(fieldPrefix + token.take(1)) &&
+        abs(length(col("term")) - lit(term.length)) <= 1 &&
+        levenshtein(expr(s"substring(term, ${fieldPrefix.length + 1})"),
+          lit(token)) <= 1))
     // the plan the real path runs: partition filter must be visible
     val plan = terms.filter(
       col("term_bucket") === pmod(xxhash64(lit(term)), lit(graft.core.Collection.termBuckets)) &&

@@ -65,11 +65,13 @@ object FilterJson {
       DocFilter.Prefix(f, value, kw)
     } else if (m.contains("fuzzy")) {
       // beyond-proto extension: {fuzzy: {path|field, value, max_dist?,
-      // keyword?}} — Lucene FuzzyQuery (Levenshtein <= max_dist over the
-      // analyzed dictionary, default 1)
+      // prefix_length?, keyword?}} — Lucene FuzzyQuery (Levenshtein <=
+      // max_dist over the analyzed dictionary, default 1; prefix_length
+      // is the range-pruning scale lever, default 0)
       val c = Json.obj(m("fuzzy"))
       val (f, value, kw) = leaf(c)
-      DocFilter.Fuzzy(f, value, u64(c.getOrElse("max_dist", 1)).intValue(), kw)
+      DocFilter.Fuzzy(f, value, u64(c.getOrElse("max_dist", 1)).intValue(), kw,
+        u64(c.getOrElse("prefix_length", 0)).intValue())
     } else if (m.contains("regexp")) {
       // beyond-proto: {regexp: {path|field, value}} — Lucene RegexpQuery
       // (anchored full-token match, Java regex syntax)

@@ -1925,7 +1925,7 @@ final class Snapshot(
         if (kw) array(lower(col(field)))
         else analyze_text(col(field), lit(lang))
       exists(docToks, t => t.startsWith(value.trim.toLowerCase))
-    case DocFilter.Fuzzy(field, value, d, kw) =>
+    case DocFilter.Fuzzy(field, value, d, kw, pl) =>
       val lang = coll.config.attributeSchema.find(_.name == field).map(_.lang).getOrElse("english")
       val docToks =
         if (kw) array(lower(col(field)))
@@ -1933,7 +1933,8 @@ final class Snapshot(
       val qts = graft.operators.FilterCompiler.queryTerms(field, value, kw, lang)
         .map(_.stripPrefix(s"$field:"))
       if (qts.isEmpty) lit(false)
-      else exists(docToks, t => levenshtein(t, lit(qts.head)) <= d)
+      else exists(docToks, t =>
+        t.startsWith(qts.head.take(pl)) && levenshtein(t, lit(qts.head)) <= d)
     case DocFilter.Wildcard(field, pat, kw) =>
       compileRaw(DocFilter.Regex(field, DocFilter.wildcardToRegex(pat), kw), df)
     case DocFilter.Regex(field, pat, kw) =>

@@ -127,15 +127,16 @@ final class ServedUserView private[core] (
       sv.termPostings.iterator.collect {
         case (t, posts) if t.startsWith(p) => posts.iterator.map(_._1)
       }.flatten.toSet
-    case DocFilter.Fuzzy(field, value, d, kw) =>
+    case DocFilter.Fuzzy(field, value, d, kw, pl) =>
       val qts = FilterCompiler.queryTerms(field, value, kw,
         fieldLang.getOrElse(field, "english"))
       if (qts.isEmpty) Set.empty
       else {
         val fp = s"$field:"
         val token = qts.head.stripPrefix(fp)
+        val seek = fp + token.take(pl)
         sv.termPostings.iterator.collect {
-          case (t, posts) if t.startsWith(fp) &&
+          case (t, posts) if t.startsWith(seek) &&
             math.abs(t.length - fp.length - token.length) <= d &&
             ServedUserView.editDistance(t.substring(fp.length), token) <= d =>
             posts.iterator.map(_._1)
@@ -208,15 +209,18 @@ final class ServedUserView private[core] (
       val p = value.trim.toLowerCase
       if (kw) row.keywords.get(field).exists(_.startsWith(p))
       else row.toks.get(field).exists(_.exists(_.startsWith(p)))
-    case DocFilter.Fuzzy(field, value, d, kw) =>
+    case DocFilter.Fuzzy(field, value, d, kw, pl) =>
       val qts = FilterCompiler.queryTerms(field, value, kw,
           fieldLang.getOrElse(field, "english"))
         .map(_.stripPrefix(s"$field:"))
       if (qts.isEmpty) false
-      else if (kw) row.keywords.get(field)
-        .exists(v => ServedUserView.editDistance(v, qts.head) <= d)
-      else row.toks.get(field)
-        .exists(_.exists(t => ServedUserView.editDistance(t, qts.head) <= d))
+      else {
+        val pfx = qts.head.take(pl)
+        def hit(t: String): Boolean =
+          t.startsWith(pfx) && ServedUserView.editDistance(t, qts.head) <= d
+        if (kw) row.keywords.get(field).exists(hit)
+        else row.toks.get(field).exists(_.exists(hit))
+      }
     case DocFilter.Range(field, lo, hi) =>
       row.nums.get(field).exists(v => lo.forall(v >= _) && hi.forall(v <= _))
     case DocFilter.Wildcard(field, pat, kw) =>

@@ -181,12 +181,22 @@ class FilterCompilerSpec extends SparkSuite {
     // "aggs" stems to agg -> same matches at dist 0
     assert(pts(FilterCompiler.compile(DocFilter.Fuzzy("f", "aggs", 0), t, u))
       === Seq(1L))
+    // prefix_length (the range-pruning scale lever, Lucene semantics):
+    // matches must share the first chars literally — 'big' (first-char
+    // edit) drops out at prefixLength=1, 'a' and 'agg' stay
+    assert(pts(FilterCompiler.compile(
+      DocFilter.Fuzzy("f", "agg", 2, prefixLength = 1), t, u)) === Seq(1L, 2L))
+    assert(pts(FilterCompiler.compile(
+      DocFilter.Fuzzy("f", "agg", 2, prefixLength = 2), t, u)) === Seq(1L))
     // normalize validation
     intercept[IllegalArgumentException] {
       DocFilter.normalize(DocFilter.Fuzzy("f", "agg", -1), _ => false)
     }
     intercept[IllegalArgumentException] {
       DocFilter.normalize(DocFilter.Fuzzy("f", "two words"), _ => false)
+    }
+    intercept[IllegalArgumentException] {
+      DocFilter.normalize(DocFilter.Fuzzy("f", "agg", 1, prefixLength = -1), _ => false)
     }
   }
 
