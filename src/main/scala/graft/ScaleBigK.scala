@@ -114,7 +114,7 @@ object ScaleBigK {
       s""""probe_groups":$probeGroups,"insert_sec":${f"$insertSec%.1f"},""" +
       s""""flush_sec":${f"$flushSec%.1f"},"centroid_sec":${f"$centroidSec%.1f"},""" +
       s""""kmeans_frac":${f"${centroidSec / flushSec}%.3f"},""" +
-      s""""search_median_sec":${f"${searchTot / nq}%.3f"},"nprobe":$nprobe,""" +
+      s""""search_mean_sec":${f"${searchTot / nq}%.3f"},"nprobe":$nprobe,""" +
       s""""recall_at10":${f"$recall%.3f"}}""")
     spark.stop()
   }

@@ -951,8 +951,12 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       ladder: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64, 128)): Seq[(Int, Double)] = {
     require(k > 0 && nQueries > 0 && ladder.nonEmpty && ladder.forall(_ > 0),
       s"calibrateRecall(k=$k, nQueries=$nQueries, ladder=$ladder)")
-    val t = toc
+    // ONE toc read, taken from the pinned snapshot: a separate `toc`
+    // read could see a different version than the truth computation
+    // (concurrent flush skews the curve) and isn't pinned against
+    // expireVersions deleting its segment files mid-measure
     val snap = snapshot()
+    val t = snap.toc
     val live = snap.liveRows.getOrElse(
       sys.error(s"calibrateRecall: collection at $path holds no rows"))
     // deterministic sample: first nQueries live vectors by (user_id,
@@ -987,7 +991,11 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
           .select("q_id", "doc_id")
       }
     // per-segment centroid rank of each posting's point: crank ≤ p  ⟺
-    // an nprobe=p probe of that segment reads the point's posting list
+    // an nprobe=p probe of that segment reads the point's posting list.
+    // Restricted to the TRUTH doc keys first (k × nQueries of them) —
+    // without the semi-join the postings⋈ranks join would aggregate
+    // corpus × nQueries rows per segment for ~k·nQueries consumed pairs.
+    val neededDocs = truth.select("doc_id").distinct()
     val ranksPerSeg = t.segments.map { seg =>
       val cents = segmentTable(seg, "centroids")
         .select(col("centroid_id").cast("int"), col("vector").cast("array<double>"))
@@ -997,10 +1005,21 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
           Window.partitionBy("q_id").orderBy(col("cdist").asc, col("centroid_id").asc)))
         .select(col("q_id"), col("centroid_id").cast("int").as("centroid_id"),
           col("crank"))
+      // LIVE vectors only (sequenced tombstone drop, the read paths'
+      // rule): a tombstoned old version's posting would report a
+      // shallower centroid rank than any live row achieves — the curve
+      // would overestimate recall and targetRecall would under-deliver
+      var v = segmentTable(seg, "vectors")
+      val vCols = Seq("point_id", "user_id", "doc_id") ++
+        (if (v.columns.contains("src_batch")) Seq("src_batch") else Nil)
+      v = v.select(vCols.map(col): _*)
+      for (tb <- tombstones) v = Search.dropTombstoned(v, tb)
+      val vNeeded = v.join(neededDocs, Seq("doc_id"), "left_semi")
+        .select("point_id", "doc_id")
       segmentTable(seg, "postings")
         .select(col("centroid_id").cast("int").as("centroid_id"), col("point_id"))
+        .join(vNeeded, Seq("point_id"))
         .join(ranked, Seq("centroid_id"))
-        .join(segmentTable(seg, "vectors").select("point_id", "doc_id"), Seq("point_id"))
         .groupBy("q_id", "doc_id")
         .agg(min("crank").as("minrank"))
     }
@@ -1025,6 +1044,10 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     Files.move(tmp, Paths.get(path, "CALIBRATION"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // keep the snapshot's expiry pin live across every job above (the
+    // pin registry is weak-ref — without the fence a JIT could free it
+    // mid-measure and a concurrent expireVersions could GC the segments)
+    java.lang.ref.Reference.reachabilityFence(snap)
     curve
   }
 
@@ -1057,7 +1080,11 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     var rows = t.segments.map { s =>
       val attrs = spark.read.parquet(s"${segPath(s)}/vectors")
       attrs.drop("point_id", "user_bucket", "pq_codes", "rq_code", "rq_f", "rq_norm")
-    }.reduce(_ unionByName _)
+    // allowMissingColumns: segments flushed before an attribute was
+    // added lack its column — the rebuild fills nulls (which never
+    // match a Range), making merge() the schema-evolution upgrade the
+    // capability errors point at
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
     for (tb <- tombstones) rows = Search.dropTombstoned(rows, tb)
     val seg = s"merged_${t.version + 1}"
     buildSegment(rows, seg)
@@ -1088,7 +1115,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     var rows = victims.map { s =>
       spark.read.parquet(s"${segPath(s)}/vectors")
         .drop("point_id", "user_bucket", "pq_codes", "rq_code", "rq_f", "rq_norm")
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
     for (tb <- tombstones) rows = Search.dropTombstoned(rows, tb)
     val seg = s"tiered_${t.version + 1}"
     buildSegment(rows, seg)
@@ -1185,6 +1212,14 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
   private[core] def termsHasPositions(seg: String): Boolean =
     positionsMemo.getOrElseUpdate(seg,
       segmentTable(seg, "terms").columns.contains("positions"))
+
+  /** Memoized vectors-table column set per segment (immutable once
+    * written; rebuilds mint new names) — the numeric-attribute
+    * capability check, same discipline as [[termsHasPositions]]. */
+  private val vectorColsMemo = TrieMap.empty[String, Set[String]]
+  private[core] def vectorColumns(seg: String): Set[String] =
+    vectorColsMemo.getOrElseUpdate(seg,
+      segmentTable(seg, "vectors").columns.toSet)
 
   private[core] def segmentFile(seg: String, name: String): String =
     s"${segPath(seg)}/$name"
@@ -1382,6 +1417,32 @@ final class Snapshot(
           "Snapshot.positionsCapability lists per-segment status")
     }
 
+  /** Range-filter capability check (the positions-map pattern for
+    * numeric attributes): each ranged field must be a numeric KIND in
+    * the schema, and every segment's vectors table must carry its
+    * column — a segment flushed before the field was added fails NAMING
+    * itself with the rebuild as the fix, instead of an anonymous
+    * universe-frame require deep in the per-segment compile. (Tail rows
+    * without the column simply never match — the null contract.) */
+  private def requireNumericFields(nf: DocFilter): Unit = {
+    val ranged = DocFilter.rangeFields(nf)
+    if (ranged.isEmpty) return
+    val numeric = coll.config.numericFields.map(_.name).toSet
+    val notNumeric = ranged -- numeric
+    require(notNumeric.isEmpty,
+      s"Range filter over ${notNumeric.mkString(", ")}: not a numeric " +
+        s"attribute of collection '${coll.config.name}' — declare the " +
+        "field with kind long/double in attributeSchema")
+    for (f <- ranged) {
+      val missing = segments.filterNot(s => coll.vectorColumns(s).contains(f))
+      require(missing.isEmpty,
+        s"Range filter over '$f': segment(s) ${missing.mkString(", ")} of " +
+          s"collection '${coll.config.name}' were flushed before that " +
+          "attribute existed — rebuild them (coll.merge() / mergeSmallest " +
+          "/ POST /optimize), then retry")
+    }
+  }
+
   private def filterPoints(seg: String, filter: Option[DocFilter],
       userIds: Seq[Any]): Option[DataFrame] =
     filter.map { f =>
@@ -1416,6 +1477,7 @@ final class Snapshot(
     }
     val nf = filter.map(norm)
     nf.foreach(requirePositions)
+    nf.foreach(requireNumericFields)
     val perSegment = segments.map { seg =>
       // Selectivity-adaptive filtered search (opt-in via
       // SearchParams.adaptiveFilterThreshold): a selective filter's
@@ -1589,6 +1651,7 @@ final class Snapshot(
   def matchedDocs(filter: DocFilter, userIds: Seq[Any] = Nil): Option[DataFrame] = {
     val nf = norm(filter)
     requirePositions(nf)
+    requireNumericFields(nf)
     val perSegment = segments.map { seg =>
       val v = coll.vectorsFor(seg, userIds)
       val idCols = Seq("user_id", "point_id", "doc_id") ++
@@ -1725,6 +1788,12 @@ final class Snapshot(
   def suggest(field: String, input: String, k: Int = 5, maxDist: Int = 2,
       userIds: Seq[Any] = Nil): DataFrame = {
     val kw = coll.config.attributeSchema.exists(a => a.name == field && a.kind == "keyword")
+    // single term per call, ENFORCED (the Near/Fuzzy rule): silently
+    // correcting only the first word of "merge joni" would tell the
+    // caller the whole input needs no correction
+    require(kw || input.trim.split("\\s+").count(_.nonEmpty) <= 1,
+      s"suggest($field): input must be a single term on a text field, " +
+        s"got '$input' — suggest each word separately")
     val qts = graft.operators.FilterCompiler.queryTerms(field, input, kw,
       fieldLang.getOrElse(field, "english"))
     if (qts.isEmpty) return emptySuggest
@@ -1833,6 +1902,7 @@ final class Snapshot(
   def termSearch(filter: DocFilter, limit: Int, userIds: Seq[Any] = Nil): DataFrame = {
     val nf = norm(filter)
     requirePositions(nf)
+    requireNumericFields(nf)
     val perSegment = segments.map { seg =>
       val v = coll.vectorsFor(seg, userIds)
       val idCols = Seq("user_id", "point_id", "doc_id") ++

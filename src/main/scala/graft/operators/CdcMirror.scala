@@ -85,11 +85,15 @@ object CdcMirror {
     * `WRITER_LEASE` with CREATE_NEW (atomic fail-if-exists), deletes it
     * when done, and a second writer throws while it exists. A
     * crash-orphaned lease is recoverable: past `leaseStaleMs` the next
-    * writer deletes and re-acquires it (the TOC-adjacent stale-takeover
-    * pattern); losing the re-create race to another taker is reported as
-    * ordinary contention. The token ties release to THIS acquisition, so
-    * a writer paused past its own staleness window can never delete a
-    * successor's live lease. */
+    * writer CLAIMS it with an atomic move and re-acquires (exactly one
+    * of N concurrent takers can win); losing reads as ordinary
+    * contention. The token ties release to THIS acquisition, so a writer
+    * paused past its own staleness window can never delete a successor's
+    * live lease. A held lease is kept fresh by a heartbeat thread
+    * (staleMs/4 mtime refresh — a LIVE apply is never stale-taken no
+    * matter how long its jobs run), and the manifest commit is FENCED on
+    * still holding the lease, so even a pathologically-paused writer
+    * aborts instead of racing its successor's rename. */
   private def acquireLease(path: String, staleMs: Long): String = {
     val lp = leasePath(path)
     val token = java.util.UUID.randomUUID().toString
@@ -113,13 +117,72 @@ object CdcMirror {
     age match {
       case None => // holder released between our create and stat — one retry
         if (tryCreate()) token else contention("WRITER_LEASE contended")
-      case Some(a) if a > staleMs => // crash-orphaned: stale takeover
-        try Files.deleteIfExists(lp) catch { case _: java.io.IOException => () }
-        if (tryCreate()) token
+      case Some(a) if a > staleMs =>
+        // crash-orphaned: stale takeover. CLAIM the stale file with an
+        // ATOMIC move (exactly one of N concurrent takers wins — a plain
+        // delete-then-create would let a slow taker delete the winner's
+        // FRESH lease and run concurrently with it); losing either the
+        // move or the re-create reads as ordinary contention.
+        val claimed = Paths.get(path, s"WRITER_LEASE.stale.$token")
+        val won =
+          try { Files.move(lp, claimed,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE); true }
+          catch { case _: java.io.IOException => false }
+        if (won) {
+          try Files.deleteIfExists(claimed) catch { case _: java.io.IOException => () }
+          if (tryCreate()) token
+          else contention("WRITER_LEASE stale-takeover lost to another writer")
+        } else if (tryCreate()) token // claimant released very fast
         else contention("WRITER_LEASE stale-takeover lost to another writer")
       case Some(a) =>
         contention(s"WRITER_LEASE held, ${a / 1000}s old")
     }
+  }
+
+  /** Heartbeat: refresh the held lease's mtime every staleMs/4 so a LIVE
+    * apply can never be stale-taken mid-flight, however long its Spark
+    * jobs run — without it, an apply outlasting `leaseStaleMs` would be
+    * taken over and the manifest race re-opened. The touch checks the
+    * token first: after a pathological full-JVM pause long enough to BE
+    * taken over, the thread refuses to adopt a successor's lease. A
+    * daemon thread, stopped in the caller's finally. */
+  private def startHeartbeat(path: String, token: String, staleMs: Long)
+      : java.util.concurrent.atomic.AtomicBoolean = {
+    val running = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val period = math.max(1000L, staleMs / 4)
+    val t = new Thread(new Runnable {
+      override def run(): Unit = {
+        var interrupted = false
+        while (running.get() && !interrupted) {
+          try {
+            if (Files.readString(leasePath(path)).contains(s"token=$token"))
+              Files.setLastModifiedTime(leasePath(path),
+                java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          } catch { case _: java.io.IOException => () }
+          try Thread.sleep(period)
+          catch { case _: InterruptedException => interrupted = true }
+        }
+      }
+    }, "cdc-mirror-lease-heartbeat")
+    t.setDaemon(true)
+    t.start()
+    running
+  }
+
+  /** Fencing check at the commit point: the manifest rename proceeds
+    * only while OUR lease is still in place. With the heartbeat this can
+    * only fail after a pause longer than the staleness window — the one
+    * case where silently committing would re-open the race the lease
+    * closes; failing here loses the apply's staged generation (swept by
+    * the next GC) but never a committed bucket. */
+  private def requireLease(path: String, token: String): Unit = {
+    val held =
+      try Files.readString(leasePath(path)).contains(s"token=$token")
+      catch { case _: java.io.IOException => false }
+    if (!held) throw new IllegalStateException(
+      s"mirror at $path: writer lease lost mid-apply (paused past the " +
+        "staleness window and taken over?) — aborting before the manifest " +
+        "commit; the staged generation will be GC-swept, retry the apply")
   }
 
   /** Delete the lease only if it still carries OUR token — after a stale
@@ -311,12 +374,16 @@ object CdcMirror {
       goneKeys: DataFrame, upserts: DataFrame,
       leaseStaleMs: Long = 15L * 60 * 1000): Seq[Int] = {
     val leaseToken = acquireLease(path, leaseStaleMs)
-    try applyDeltaLocked(spark, path, goneKeys, upserts)
-    finally releaseLease(path, leaseToken)
+    val heartbeat = startHeartbeat(path, leaseToken, leaseStaleMs)
+    try applyDeltaLocked(spark, path, goneKeys, upserts, leaseToken)
+    finally {
+      heartbeat.set(false)
+      releaseLease(path, leaseToken)
+    }
   }
 
   private def applyDeltaLocked(spark: SparkSession, path: String,
-      goneKeys: DataFrame, upserts: DataFrame): Seq[Int] = {
+      goneKeys: DataFrame, upserts: DataFrame, leaseToken: String): Seq[Int] = {
     val m = meta(path)
     val man = readManifest(path)
     val gone = goneKeys.cache()
@@ -365,6 +432,7 @@ object CdcMirror {
       val present = bucketsIn(path, newGen).toSet
       val next = Manifest(newGen,
         (man.entries -- touched) ++ present.map(_ -> newGen))
+      requireLease(path, leaseToken) // fencing: never commit a lost lease
       commitManifest(path, next) // the atomic commit point
       // GC with one-apply retention: drop everything referenced by
       // neither the new manifest nor the one this apply replaced

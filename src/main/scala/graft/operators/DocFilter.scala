@@ -117,6 +117,16 @@ object DocFilter {
     case _ => false
   }
 
+  /** The numeric attribute fields this filter ranges over — drives the
+    * per-segment capability check (a segment flushed before the field
+    * existed must fail NAMING itself, the positions-map pattern). */
+  def rangeFields(f: DocFilter): Set[String] = f match {
+    case Range(fl, _, _) => Set(fl)
+    case And(cs) => cs.flatMap(rangeFields).toSet
+    case Or(cs) => cs.flatMap(rangeFields).toSet
+    case _ => Set.empty
+  }
+
   /** Schema-driven normalization: the field KIND decides the analysis, so
     * the query side always mirrors the index side (a keyword field is
     * indexed as ONE whole-lowercased-value term at position 0; a text

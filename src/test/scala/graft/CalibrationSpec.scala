@@ -68,6 +68,43 @@ class CalibrationSpec extends SparkSuite {
     assert(sorted === sorted.sorted)
   }
 
+  test("curve stays exact under tombstones + re-inserts (live rows only)") {
+    // the review-pass bug this pins: ranking RAW segment postings lets a
+    // tombstoned old version report a shallower centroid rank than any
+    // LIVE row achieves — the curve overestimates and targetRecall
+    // under-delivers. Delete 40 docs and re-insert them FAR away (new
+    // segment, new centroids); the dead postings still sit in seg_1.
+    val (coll, _) = build()
+    coll.delete((0L until 40L).map(i => (0L, i)).toDF("user_id", "doc_id"))
+    val r = new scala.util.Random(13)
+    coll.insert((0L until 40L).map(i =>
+      (0L, i, Seq.fill(6)(50.0 + r.nextGaussian())))
+      .toDF("user_id", "doc_id", "vector"))
+    coll.flush() // seg_2: the revived docs' only LIVE rows
+    val k = 5; val nQ = 8
+    val ladder = Seq(1, 2, 4, 16)
+    val curve = coll.calibrateRecall(k = k, nQueries = nQ, ladder = ladder).toMap
+    val snap = coll.snapshot()
+    val sample = snap.liveRows.get.select("doc_id", "vector")
+      .orderBy("user_id", "doc_id").limit(nQ)
+      .collect().map(r0 => (r0.getLong(0), r0.getSeq[Double](1)))
+    val exhaustive = SearchParams(topK = k,
+      numExploredCentroids = Some(Int.MaxValue), centroidDistanceRatio = 1e18)
+    for (p <- ladder) {
+      val real = sample.map { case (_, v) =>
+        val truth = snap.search(v, exhaustive)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val got = snap.search(v, SearchParams(topK = k,
+          numExploredCentroids = Some(p), centroidDistanceRatio = 1e18))
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        truth.intersect(got).size.toDouble / truth.size
+      }
+      val realRecall = real.sum / real.length
+      assert(math.abs(realRecall - curve(p)) < 1e-9,
+        s"nprobe=$p under tombstones: analytic ${curve(p)} vs real $realRecall")
+    }
+  }
+
   test("targetRecall resolves to the smallest adequate nprobe; explicit wins; tail always found") {
     val (coll, base) = build()
     val curve = coll.calibrateRecall(k = 5, nQueries = 8,

@@ -315,6 +315,47 @@ class PhraseSpec extends SparkSuite {
     assert(hybrid === Seq(2L))
   }
 
+  test("Range over a pre-attribute segment: error names it; merge fills nulls") {
+    // schema evolution through the plain API: the first batch was
+    // inserted WITHOUT the numeric column (legitimate — attrs are
+    // per-insert), so seg_1's vectors table lacks it. A Range filter
+    // must fail NAMING seg_1 (the positions-map pattern), not with an
+    // anonymous universe require; merge() is the upgrade and fills
+    // nulls, which never match.
+    val base = Files.createTempDirectory("graft_range_mixed").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "rm", numFeatures = 2, initialNumCentroids = 2,
+      attributeSchema = Seq(AttrField("content", "text", "english"),
+        AttrField("chars", "long"))))
+    coll.insert(Seq((0L, 1L, Seq(1.0, 0.0), "old doc one"))
+      .toDF("user_id", "doc_id", "vector", "content")) // no chars column
+    coll.flush() // seg_1: pre-attribute
+    coll.insert(Seq((0L, 2L, Seq(0.0, 1.0), "new doc two", 20L))
+      .toDF("user_id", "doc_id", "vector", "content", "chars"))
+    coll.flush() // seg_2: carries chars
+    val snap = coll.snapshot()
+    val e = intercept[IllegalArgumentException] {
+      snap.termSearch(DocFilter.Range("chars", Some(10), None), limit = 10)
+    }
+    assert(e.getMessage.contains("seg_1") && !e.getMessage.contains("seg_2"))
+    assert(e.getMessage.contains("merge"))
+    // a range over a field that is not a numeric KIND refuses by name
+    val e2 = intercept[IllegalArgumentException] {
+      snap.termSearch(DocFilter.Range("content", Some(1), None), limit = 10)
+    }
+    assert(e2.getMessage.contains("numeric attribute"))
+    // the documented upgrade: merge() unions with missing columns as
+    // nulls; doc 1's null chars never matches, doc 2's 20 does
+    coll.merge()
+    val got = coll.snapshot()
+      .termSearch(DocFilter.Range("chars", Some(10), None), limit = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L))
+    // non-range queries were never blocked by the mixed schema
+    assert(coll.snapshot().termSearch(DocFilter.Contains("content", "doc"), limit = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted === Seq(1L, 2L))
+  }
+
   test("mixed positionless segment: capability map + error names it; merge upgrades") {
     // round-14 verdict #8: a collection holding segments flushed before
     // the positions column landed failed only at phrase-query time with
