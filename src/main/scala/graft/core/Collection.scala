@@ -975,8 +975,12 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     // contract is identical either way.
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val idType = live.schema("doc_id").dataType
+    // CACHED: the truth subtree (the expensive exact-kNN pass) is
+    // referenced by every segment's rank plan (via neededDocs) AND the
+    // final join — uncached it could re-execute |segments|+1 times.
+    // Bounded at nQueries × k rows.
     val truth =
-      if (Seq(ByteType, ShortType, IntegerType, LongType).contains(idType))
+      (if (Seq(ByteType, ShortType, IntegerType, LongType).contains(idType))
         Ann.knnJoin(qDf,
           live.select(col("doc_id").as("vec_id"), col("vector").as("embedding")), k)
           .select(col("q_id"), col("vec_id").as("doc_id"))
@@ -989,7 +993,8 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") <= k)
           .select("q_id", "doc_id")
-      }
+      }).cache()
+    try {
     // per-segment centroid rank of each posting's point: crank ≤ p  ⟺
     // an nprobe=p probe of that segment reads the point's posting list.
     // Restricted to the TRUTH doc keys first (k × nQueries of them) —
@@ -1013,7 +1018,10 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       val vCols = Seq("point_id", "user_id", "doc_id") ++
         (if (v.columns.contains("src_batch")) Seq("src_batch") else Nil)
       v = v.select(vCols.map(col): _*)
-      for (tb <- tombstones) v = Search.dropTombstoned(v, tb)
+      // the snapshot's PINNED tombstones, not a fresh read: a delete
+      // committing mid-calibration must not hide rows from the ranks
+      // while the pinned truth still counts them
+      for (tb <- snap.pinnedTombstones) v = Search.dropTombstoned(v, tb)
       val vNeeded = v.join(neededDocs, Seq("doc_id"), "left_semi")
         .select("point_id", "doc_id")
       segmentTable(seg, "postings")
@@ -1049,6 +1057,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     // mid-measure and a concurrent expireVersions could GC the segments)
     java.lang.ref.Reference.reachabilityFence(snap)
     curve
+    } finally truth.unpersist()
   }
 
   /** Resolve a recall target to a probe depth from the persisted
@@ -1379,6 +1388,12 @@ object Collection {
 final class Snapshot(
     coll: Collection, val toc: Toc, segments: Seq[String], tailRows: Option[DataFrame],
     tombRows: Option[DataFrame]) {
+
+  /** The PINNED tombstone set this snapshot answers with — exposed so
+    * collection-level measurement passes (calibrateRecall) use the same
+    * frozen view as the truth they compare against, never a fresh read
+    * that a concurrent delete could skew. */
+  private[core] def pinnedTombstones: Option[DataFrame] = tombRows
 
   private def fieldLang: Map[String, String] =
     coll.config.attributeSchema.map(f => f.name -> f.lang).toMap
@@ -1717,7 +1732,9 @@ final class Snapshot(
     * caller-given half-open `[lo, hi)` buckets of the numeric attribute
     * `field` (newest live row supplies the value; nulls count nowhere;
     * buckets may overlap — each is an independent count). Returns
-    * `[bucket_lo, bucket_hi, n_docs]` ordered by (bucket_lo, bucket_hi).
+    * `[bucket_lo, bucket_hi, n_docs]` in the CALLER'S bucket order (the
+    * ES range-aggregation contract — a client zipping its request
+    * array with the counts must never get swapped associations).
     *
     * Scale shape: ONE aggregation pass over the matched rows producing a
     * single row of per-bucket sums (map-side partial aggregation; output
@@ -1733,22 +1750,21 @@ final class Snapshot(
       StructField("bucket_lo", DoubleType, nullable = false),
       StructField("bucket_hi", DoubleType, nullable = false),
       StructField("n_docs", LongType, nullable = false)))
-    val ordered = buckets.sortBy(identity)
     val counts: Seq[Long] = (for {
       matched <- matchedDocs(filter, userIds)
       rows <- newestLiveRows(Some(matched), userIds, df =>
         Seq((if (df.columns.contains(field)) df(field).cast("double")
              else lit(null).cast("double")).as("_v")))
     } yield {
-      val aggs = ordered.zipWithIndex.map { case ((lo, hi), i) =>
+      val aggs = buckets.zipWithIndex.map { case ((lo, hi), i) =>
         sum(when(col("_v") >= lo && col("_v") < hi, 1L).otherwise(0L))
           .as(s"_b$i")
       }
       val row = rows.agg(aggs.head, aggs.tail: _*).head()
-      ordered.indices.map(i => if (row.isNullAt(i)) 0L else row.getLong(i))
-    }).getOrElse(ordered.map(_ => 0L))
+      buckets.indices.map(i => if (row.isNullAt(i)) 0L else row.getLong(i))
+    }).getOrElse(buckets.map(_ => 0L))
     coll.spark.createDataFrame(
-      ordered.zip(counts).map { case ((lo, hi), n) =>
+      buckets.zip(counts).map { case ((lo, hi), n) =>
         org.apache.spark.sql.Row(lo, hi, n) }.asJava, out)
   }
 

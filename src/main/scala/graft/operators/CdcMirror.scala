@@ -92,8 +92,9 @@ object CdcMirror {
     * live lease. A held lease is kept fresh by a heartbeat thread
     * (staleMs/4 mtime refresh — a LIVE apply is never stale-taken no
     * matter how long its jobs run), and the manifest commit is FENCED on
-    * still holding the lease, so even a pathologically-paused writer
-    * aborts instead of racing its successor's rename. */
+    * still holding the lease, so a pathologically-paused writer aborts
+    * instead of racing its successor's rename (modulo the documented
+    * two-syscall check-then-rename residue — see [[requireLease]]). */
   private def acquireLease(path: String, staleMs: Long): String = {
     val lp = leasePath(path)
     val token = java.util.UUID.randomUUID().toString
@@ -123,6 +124,14 @@ object CdcMirror {
         // delete-then-create would let a slow taker delete the winner's
         // FRESH lease and run concurrently with it); losing either the
         // move or the re-create reads as ordinary contention.
+        // Sweep claim files orphaned by takers that crashed between
+        // their move and delete (nothing else ever removes them).
+        try {
+          val fs = Paths.get(path).toFile.listFiles()
+          if (fs != null) fs.filter(f => f.getName.startsWith("WRITER_LEASE.stale.") &&
+            System.currentTimeMillis() - f.lastModified > staleMs)
+            .foreach(f => Files.deleteIfExists(f.toPath))
+        } catch { case _: java.io.IOException => () }
         val claimed = Paths.get(path, s"WRITER_LEASE.stale.$token")
         val won =
           try { Files.move(lp, claimed,
@@ -171,10 +180,15 @@ object CdcMirror {
 
   /** Fencing check at the commit point: the manifest rename proceeds
     * only while OUR lease is still in place. With the heartbeat this can
-    * only fail after a pause longer than the staleness window — the one
-    * case where silently committing would re-open the race the lease
-    * closes; failing here loses the apply's staged generation (swept by
-    * the next GC) but never a committed bucket. */
+    * only fail after a pause longer than the staleness window; failing
+    * here loses the apply's staged generation (swept by the next GC) but
+    * never a committed bucket. HONEST LIMIT: this is check-then-rename —
+    * a pause landing exactly between the two syscalls (after surviving
+    * the whole staleness window un-heartbeated) could still clobber a
+    * successor's commit; true elimination needs a CAS/conditional-put
+    * manifest store, which plain POSIX rename cannot express. The
+    * residual window is two syscalls wide and requires a multi-minute
+    * stop-the-world pause to even open. */
   private def requireLease(path: String, token: String): Unit = {
     val held =
       try Files.readString(leasePath(path)).contains(s"token=$token")
