@@ -116,14 +116,29 @@ object SparkEntry {
 
   /** Run `build` only when `fp` differs from the stamp inside `base`
     * (stamp written AFTER a successful build — a failed build leaves no
-    * stamp, so the next execution rebuilds). Returns true if it built. */
+    * stamp, so the next execution rebuilds). Returns true if it built.
+    *
+    * Build time counts as ARTIFACT time (round-15 verdict #1): a stamped
+    * build is fixture construction that executes at most once per
+    * code+input fingerprint — q90's 16.2 s cold sample was mostly its
+    * collection build, and counting it as plan cost made the cold figures
+    * unreadable. The wall time of `build` minus whatever its inner
+    * `saveArtifact` calls already recorded lands on [[artifactNanos]],
+    * so Bench's per-query artifact split covers the whole fixture cost
+    * without double-counting. */
   private def stampedBuild(base: String, fp: String)(build: => Unit): Boolean = {
     val stamp = java.nio.file.Paths.get(base, "BUILD_STAMP")
     val fresh = !(java.nio.file.Files.exists(stamp) &&
       java.nio.file.Files.readString(stamp) == fp)
     if (fresh) {
       deleteRecursively(base)
-      build
+      val a0 = artifactNanos.get
+      val t0 = System.nanoTime()
+      try build
+      finally {
+        val inner = artifactNanos.get - a0
+        artifactNanos.addAndGet(math.max(0L, System.nanoTime() - t0 - inner))
+      }
       java.nio.file.Files.writeString(stamp, fp)
     }
     fresh

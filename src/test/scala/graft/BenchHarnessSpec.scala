@@ -58,15 +58,38 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(Bench.refStalled(ref = 0.93, warm = 12.5))
   }
 
-  test("reference rule: ratio for sub-second refs, +5s margin for heavy ones") {
-    // 3x a 0.4 s reference is sandbox variance — needs the +5s margin too
+  test("reference rule: ratio for sub-second refs, +1s margin for tiny ones") {
+    // 3.25x a 0.4 s reference is sandbox variance — the +1s margin absorbs it
     assert(!Bench.refStalled(ref = 0.4, warm = 1.3))
     assert(Bench.refStalled(ref = 0.4, warm = 5.5))
-    // a 10 s reference: 3x dominates the margin
+    // a 10 s reference: 2.5x dominates the margin
     assert(!Bench.refStalled(ref = 10.0, warm = 16.0))
     assert(Bench.refStalled(ref = 10.0, warm = 31.0))
     // ordinary healthy spread never flags
     assert(!Bench.refStalled(ref = 2.0, warm = 2.9))
+  }
+
+  test("r15 q90 incident: the old ref+5s floor shielded sub-5s-ref queries") {
+    // BENCH_r15 shipped q90 at 4.75 s warm against a 0.67 s reference
+    // with zero flags (old bar: max(3x0.67, 0.67+5) = 5.67). The
+    // round-16 bar — max(2.5xref, ref+1) = 1.675 — flags it.
+    assert(Bench.refStalled(ref = 0.67, warm = 4.75))
+    // and the full r15 suspect set all flag now
+    for ((ref, warm) <- Seq((0.99, 5.1), (0.59, 4.3), (0.83, 4.1),
+      (0.73, 4.2), (0.22, 1.67), (0.32, 2.38), (0.31, 1.90), (0.30, 1.36)))
+      assert(Bench.refStalled(ref, warm), s"ref=$ref warm=$warm must flag")
+    // a healthy capture of the same queries stays unflagged
+    for ((ref, warm) <- Seq((0.67, 0.64), (0.99, 1.05), (0.59, 0.59),
+      (0.83, 1.12), (0.73, 0.79), (4.72, 4.57)))
+      assert(!Bench.refStalled(ref, warm), s"ref=$ref warm=$warm must not flag")
+  }
+
+  test("reference requeues are capped, worst inflation first") {
+    val flagged = Seq(("a", 7.1), ("b", 2.6), ("c", 12.9), ("d", 3.3))
+    assert(Bench.selectRequeues(flagged, cap = 2) === Set("c", "a"))
+    assert(Bench.selectRequeues(flagged, cap = 10) === Set("a", "b", "c", "d"))
+    assert(Bench.selectRequeues(flagged, cap = 0) === Set.empty[String])
+    assert(Bench.selectRequeues(Nil, cap = 5) === Set.empty[String])
   }
 
   test("reference rule: missing reference or errored execution never flags") {
