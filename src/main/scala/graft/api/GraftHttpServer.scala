@@ -284,7 +284,9 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
       centroidDistanceRatio =
         p("centroid_distance_ratio").map(_.asInstanceOf[Double]).getOrElse(0.1),
       // beyond-proto: calibrated probing (needs a calibrateRecall pass)
-      targetRecall = p("target_recall").map(_.asInstanceOf[Double])))
+      targetRecall = p("target_recall").map(_.asInstanceOf[Double]),
+      acceptStaleCalibration = p("accept_stale_calibration")
+        .exists(_.asInstanceOf[Boolean])))
     if (proto)
       Map("doc_ids" -> idsOut(res.docIds, proto = true),
         "scores" -> res.scores, "num_pages_accessed" -> 0L)

@@ -32,7 +32,10 @@ final case class SearchRequest(
     // beyond-proto: resolve nprobe from the collection's persisted
     // calibration curve (SearchParams.targetRecall); explicit
     // numExploredCentroids wins
-    targetRecall: Option[Double] = None)
+    targetRecall: Option[Double] = None,
+    // opt into a curve that is stale for this search (segment-set drift
+    // or k mismatch) — default refuses loudly (round-15 verdict #3)
+    acceptStaleCalibration: Boolean = false)
 
 final case class SearchResponse(docIds: Seq[String], scores: Seq[Double])
 
@@ -126,7 +129,8 @@ class GraftService(spark: SparkSession, val basePath: String) {
   def search(req: SearchRequest): SearchResponse = {
     val coll = collection(req.collectionName)
     val params = SearchParams(req.topK, req.numExploredCentroids,
-      req.centroidDistanceRatio, targetRecall = req.targetRecall)
+      req.centroidDistanceRatio, targetRecall = req.targetRecall,
+      acceptStaleCalibration = req.acceptStaleCalibration)
     val rows = coll.snapshot()
       .search(req.vector.map(_.toDouble), params, req.userIds.map(toBytes), req.filter)
       .select("doc_id", "score").collect()

@@ -154,13 +154,40 @@ object Toc {
     }
   }
 
+  /** Commit one TOC version with CREATE_NEW semantics (round-15 verdict
+    * #2 — the CdcMirror lesson applied to the engine core): two
+    * concurrent flush/merge/vacuum callers that both read version N
+    * would both write `version_{N+1}`, and the old REPLACE_EXISTING
+    * rename silently dropped the loser's segments from history. The
+    * content is written to a UNIQUE tmp (two racers must never share
+    * one) and published via `Files.createLink` — an atomic
+    * link(2) that fails with FileAlreadyExistsException when the
+    * version is already committed, surfaced as a loud single-writer
+    * violation the caller must not swallow. Readers still only ever see
+    * complete files (the tmp is fully written before the link). */
   def write(base: String, toc: Toc): Unit = {
     Files.createDirectories(tocDir(base))
-    val tmp = tocDir(base).resolve(s".tmp_version_${toc.version}")
+    val tmp = tocDir(base).resolve(s".tmp_version_${toc.version}_" +
+      s"${Thread.currentThread().getId}_${java.lang.Long.toHexString(System.nanoTime())}")
     Files.writeString(tmp,
       (s"${toc.lastFlushedBatch} ${toc.maxOpsBatch}" +: toc.segments).mkString("\n"))
-    Files.move(tmp, tocDir(base).resolve(s"version_${toc.version}"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val target = tocDir(base).resolve(s"version_${toc.version}")
+    def collision(cause: Throwable): Nothing =
+      throw new IllegalStateException(
+        s"TOC version ${toc.version} is already committed at $base — a " +
+          "concurrent flush/merge/vacuum raced this writer (the collection " +
+          "is single-writer); re-read the TOC and retry on top of the " +
+          "latest version", cause)
+    try Files.createLink(target, tmp)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException => collision(e)
+      case _: UnsupportedOperationException =>
+        // filesystem without hard links: atomic rename behind an
+        // existence check (a narrow check-then-act residue — still
+        // strictly better than the unconditional REPLACE_EXISTING)
+        if (Files.exists(target)) collision(null)
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
   }
 }
 
@@ -416,7 +443,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     * (one listing feeds both the segment build and the TOC record) — a
     * batch appended between two listings can therefore never be marked
     * flushed without its rows landing in the segment. */
-  def flush(): Option[String] = {
+  def flush(): Option[String] = withWriter {
     val t = toc
     val batches = tailBatchIds(t)
     tailFrom(batches) match {
@@ -647,6 +674,28 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
   private val pinned =
     new java.util.concurrent.ConcurrentLinkedQueue[(Long, java.lang.ref.WeakReference[Snapshot])]
 
+  // ---- single-writer enforcement (round-15 verdict #2) ----
+  // Every TOC-writing maintenance op (flush/merge/mergeSmallest/vacuum/
+  // expireVersions) runs under the collection's WRITER_LEASE — the
+  // CdcMirror round-15 pattern applied to the engine core. Without it,
+  // two racers that both read TOC version N would both build a segment
+  // named for version N+1 (corrupting each other's parquet mid-write)
+  // and both commit version_{N+1}. The lease makes the second writer
+  // fail LOUDLY at acquisition; Toc.write's CREATE_NEW link is the
+  // commit-point CAS backstop (a writer paused past the staleness
+  // window and taken over fails at its own commit instead of silently
+  // replacing the successor's). Residual risk matches CdcMirror's
+  // documented honest limit: a multi-minute un-heartbeated pause could
+  // still let a predecessor's buildSegment scribble on a successor's
+  // same-named staging files before its commit fails.
+  private def leaseStaleMs: Long =
+    sys.props.get("graft.collection.leaseStaleMs").map(_.toLong)
+      .getOrElse(15L * 60 * 1000)
+
+  private def withWriter[A](body: => A): A =
+    WriterLease.withLease(path, leaseStaleMs, "collection",
+      "graft-collection-lease-heartbeat")(_ => body)
+
   private def registerPin(s: Snapshot): Snapshot = {
     pinned.add((s.toc.version, new java.lang.ref.WeakReference(s)))
     s
@@ -791,7 +840,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     * lastFlushedBatch; newer batches may still be some kept version's
     * tail). Returns the deleted segment names. The current snapshot is
     * untouched; [[snapshotAt]] on an expired version throws. */
-  def expireVersions(keep: Int = 1): Seq[String] = pinLock.synchronized {
+  def expireVersions(keep: Int = 1): Seq[String] = withWriter(pinLock.synchronized {
     val vs = versions
     val live = pinnedVersions
     val kept = (vs.takeRight(math.max(1, keep)) ++ vs.filter(live)).distinct.sorted
@@ -815,7 +864,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
           deleteTree(p)
       }
     deadSegs
-  }
+  })
 
   private def deleteTree(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
@@ -968,39 +1017,53 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     val spark0 = spark
     import spark0.implicits._
     val qDf = qSeq.toDF("q_id", "q_vec")
-    // exact truth: top-k per query over the live corpus. Integral ids
-    // ride the bounded top-k aggregate (tasks × k shuffle rows); binary
-    // (u128) ids take a rank window — corpus × nQueries shuffle rows,
-    // fine for a maintenance pass, and the (dist asc, doc_id asc) order
-    // contract is identical either way.
+    // exact truth: top-k per query over the live corpus, keyed on the
+    // FULL (user_id, doc_id) identity (round-15 ADVICE: doc_ids may
+    // repeat across users — truth keyed on doc_id alone let another
+    // user's point supply the min centroid rank, the curve overestimated
+    // and targetRecall under-delivered). Integral ids ride the bounded
+    // top-k aggregate per (query, user) — tasks × k shuffle rows — then
+    // a global per-query top-k over the (users × k)-bounded survivors
+    // (lossless: within one user the global (dist, user, doc) order
+    // restricts to the per-user (dist, doc) order, so every global
+    // winner is in its user's top-k). Binary (u128) ids take a rank
+    // window — corpus × nQueries shuffle rows, fine for a maintenance
+    // pass — with the same (dist asc, user_id asc, doc_id asc) order.
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val idType = live.schema("doc_id").dataType
+    val keyed = live.select(col("user_id"), col("doc_id"), col("vector"))
+      .crossJoin(broadcast(qDf))
+      .withColumn("_dist", l2_distance(col("vector"), col("q_vec")))
+    val globalW = Window.partitionBy("q_id")
+      .orderBy(col("_dist").asc, col("user_id").asc, col("doc_id").asc)
     // CACHED: the truth subtree (the expensive exact-kNN pass) is
     // referenced by every segment's rank plan (via neededDocs) AND the
     // final join — uncached it could re-execute |segments|+1 times.
     // Bounded at nQueries × k rows.
     val truth =
       (if (Seq(ByteType, ShortType, IntegerType, LongType).contains(idType))
-        Ann.knnJoin(qDf,
-          live.select(col("doc_id").as("vec_id"), col("vector").as("embedding")), k)
-          .select(col("q_id"), col("vec_id").as("doc_id"))
-      else {
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("_dist").asc, col("doc_id").asc)
-        live.select(col("doc_id"), col("vector"))
-          .crossJoin(broadcast(qDf))
-          .withColumn("_dist", l2_distance(col("vector"), col("q_vec")))
-          .withColumn("_rn", row_number().over(w))
+        keyed.groupBy(col("q_id"), col("user_id"))
+          .agg(topk_by_score(col("_dist"), col("doc_id").cast("long"), k).as("top"))
+          .select(col("q_id"), col("user_id"), explode(col("top")).as("p"))
+          .select(col("q_id"), col("user_id"),
+            col("p.id").cast(idType).as("doc_id"), col("p.score").as("_dist"))
+          .withColumn("_rn", row_number().over(globalW))
           .filter(col("_rn") <= k)
-          .select("q_id", "doc_id")
-      }).cache()
+          .select("q_id", "user_id", "doc_id")
+      else
+        keyed
+          .withColumn("_rn", row_number().over(globalW))
+          .filter(col("_rn") <= k)
+          .select("q_id", "user_id", "doc_id")
+      ).cache()
     try {
     // per-segment centroid rank of each posting's point: crank ≤ p  ⟺
     // an nprobe=p probe of that segment reads the point's posting list.
     // Restricted to the TRUTH doc keys first (k × nQueries of them) —
     // without the semi-join the postings⋈ranks join would aggregate
     // corpus × nQueries rows per segment for ~k·nQueries consumed pairs.
-    val neededDocs = truth.select("doc_id").distinct()
+    // Keys are the FULL (user_id, doc_id) identity throughout.
+    val neededDocs = truth.select("user_id", "doc_id").distinct()
     val ranksPerSeg = t.segments.map { seg =>
       val cents = segmentTable(seg, "centroids")
         .select(col("centroid_id").cast("int"), col("vector").cast("array<double>"))
@@ -1022,29 +1085,34 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       // committing mid-calibration must not hide rows from the ranks
       // while the pinned truth still counts them
       for (tb <- snap.pinnedTombstones) v = Search.dropTombstoned(v, tb)
-      val vNeeded = v.join(neededDocs, Seq("doc_id"), "left_semi")
-        .select("point_id", "doc_id")
+      val vNeeded = v.join(neededDocs, Seq("user_id", "doc_id"), "left_semi")
+        .select("point_id", "user_id", "doc_id")
       segmentTable(seg, "postings")
         .select(col("centroid_id").cast("int").as("centroid_id"), col("point_id"))
         .join(vNeeded, Seq("point_id"))
         .join(ranked, Seq("centroid_id"))
-        .groupBy("q_id", "doc_id")
+        .groupBy("q_id", "user_id", "doc_id")
         .agg(min("crank").as("minrank"))
     }
     val ranks = ranksPerSeg.reduceOption(_ unionByName _)
-      .map(_.groupBy("q_id", "doc_id").agg(min("minrank").as("minrank")))
+      .map(_.groupBy("q_id", "user_id", "doc_id").agg(min("minrank").as("minrank")))
     // truth neighbors with no segment rank live in the tail (always
     // scanned): minrank null → found at every depth
     val joined = ranks.fold(truth.withColumn("minrank", lit(null).cast("int")))(
-      r => truth.join(r, Seq("q_id", "doc_id"), "left"))
+      r => truth.join(r, Seq("q_id", "user_id", "doc_id"), "left"))
       .select("minrank").collect() // bounded: nQueries × k rows
     val total = joined.length.toDouble
     val curve = ladder.distinct.sorted.map { p =>
       p -> joined.count(r => r.isNullAt(0) || r.getInt(0) <= p) / total
     }
-    // persist (atomic tmp+rename, the CONFIG pattern); toc version
-    // recorded for staleness visibility — a drifted index recalibrates
-    val body = (Seq("v=1", s"toc=${t.version}", s"k=$k",
+    // persist (atomic tmp+rename, the CONFIG pattern). toc + the SEGMENT
+    // SET are recorded so resolution can detect drift (round-15 verdict
+    // #3 — a collection that flushed/merged since calibration must not
+    // serve a stale curve silently); nq + ladder let maybeCompact
+    // re-run the same measurement after it changes the segment set.
+    val body = (Seq("v=1", s"toc=${t.version}", s"k=$k", s"nq=$nQueries",
+      s"ladder=${ladder.distinct.sorted.mkString(",")}",
+      s"segs=${t.segments.mkString(",")}",
       s"curve=${curve.map { case (p, r) => s"$p:$r" }.mkString(",")}") :+ "end=1")
       .mkString("", "\n", "\n")
     val tmp = Paths.get(path, "CALIBRATION.tmp")
@@ -1060,19 +1128,59 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     } finally truth.unpersist()
   }
 
+  /** Parse the persisted CALIBRATION key-value file (None if absent;
+    * loud on truncation — the CONFIG posture). */
+  private[core] def readCalibration(): Option[Map[String, String]] = {
+    val p = Paths.get(path, "CALIBRATION")
+    if (!Files.exists(p)) return None
+    val kv = Files.readString(p).split("\n").filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    require(kv.get("end").contains("1"), s"truncated calibration file $p")
+    Some(kv)
+  }
+
   /** Resolve a recall target to a probe depth from the persisted
     * calibration curve: the smallest measured nprobe whose recall@k met
     * the target, else the deepest measured (the curve's ceiling — a
     * target above it is served best-effort at that depth). Fails loudly
-    * without a calibration pass. */
-  def nprobeFor(targetRecall: Double): Int = {
-    val p = Paths.get(path, "CALIBRATION")
-    require(Files.exists(p),
+    * without a calibration pass.
+    *
+    * Freshness (round-15 verdict #3 + ADVICE): a curve measured over a
+    * different SEGMENT SET than the serving snapshot no longer describes
+    * the index (new segments' centroids were never ranked), and a curve
+    * measured at a different k resolves a recall@k the search doesn't
+    * deliver — both refused loudly unless `acceptStale` opts into
+    * best-effort. `at`/`topK` default to None for direct curve
+    * inspection; [[Snapshot.search]] always passes both. Curves written
+    * before the segs= field (pre-round-16) carry no segment record and
+    * skip the drift check. */
+  def nprobeFor(targetRecall: Double, at: Option[Toc] = None,
+      topK: Option[Int] = None, acceptStale: Boolean = false): Int = {
+    val kvOpt = readCalibration()
+    require(kvOpt.isDefined,
       s"targetRecall=$targetRecall needs a calibration curve — run " +
         s"calibrateRecall() on the collection at $path first")
-    val kv = Files.readString(p).split("\n").filter(_.contains("="))
-      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
-    require(kv.get("end").contains("1"), s"truncated calibration file $p")
+    val kv = kvOpt.get
+    if (!acceptStale) {
+      for (t <- at; calSegs <- kv.get("segs")) {
+        val cal = calSegs.split(",").filter(_.nonEmpty).toSet
+        val cur = t.segments.toSet
+        require(cal == cur,
+          s"stale calibration: the curve was measured over segments " +
+            s"[${cal.toSeq.sorted.mkString(", ")}] but the snapshot serves " +
+            s"[${cur.toSeq.sorted.mkString(", ")}] — run calibrateRecall() " +
+            "again (maybeCompact re-runs it automatically after changing " +
+            "the segment set), pass numExploredCentroids explicitly, or " +
+            "set SearchParams.acceptStaleCalibration for best-effort")
+      }
+      for (qk <- topK; ck <- kv.get("k").map(_.toInt)) {
+        require(qk == ck,
+          s"calibration mismatch: the curve measures recall@$ck but this " +
+            s"search asks topK=$qk (recall@k varies with k) — recalibrate " +
+            s"with calibrateRecall(k = $qk), search at topK = $ck, or set " +
+            "SearchParams.acceptStaleCalibration for best-effort")
+      }
+    }
     val curve = kv("curve").split(",").map { s =>
       val Array(a, b) = s.split(":", 2); (a.toInt, b.toDouble)
     }.sortBy(_._1)
@@ -1083,7 +1191,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
 
   /** Merge all live segments into one: union live rows (tombstones dropped
     * — ids are remapped by rebuilding, J3), rebuild, swap TOC. */
-  def merge(): Option[String] = {
+  def merge(): Option[String] = withWriter {
     val t = toc
     if (t.segments.size < 2) return None
     var rows = t.segments.map { s =>
@@ -1114,7 +1222,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     * from the rewritten subset only (older TOC versions still reference
     * the original segment files, so time travel across a tiered merge is
     * unaffected), and the un-merged segments pass through untouched. */
-  def mergeSmallest(k: Int): Option[String] = {
+  def mergeSmallest(k: Int): Option[String] = withWriter {
     val t = toc
     val take = math.min(k, t.segments.size)
     if (t.segments.size < 2 || take < 2) return None
@@ -1144,27 +1252,49 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     * Call from a scheduler; returns the action taken. */
   def maybeCompact(vacuumTombstoneFraction: Double = 0.1): Option[String] = {
     val t = toc
-    if (t.segments.size > config.maxNumberOfSegments)
-      mergeSmallest(t.segments.size - config.maxNumberOfSegments + 1)
-        .map(s => s"merged -> $s")
-    else tombstones.flatMap { tomb =>
-      val tombCount = tomb.count()
-      if (tombCount == 0) None
-      else t.segments.find { seg =>
-        val v = segmentTable(seg, "vectors")
-        // total comes from build-time segment metadata (meta.json) — a
-        // policy tick must not re-scan every segment just to size the
-        // fraction; dead = total - live is ONE anti-join job (robust to
-        // duplicate tombstones for the same doc)
-        val total = segmentRowCount(seg).getOrElse(v.count())
-        val dead = total - Search.dropTombstoned(v, tomb).count()
-        dead.toDouble > vacuumTombstoneFraction * math.max(1L, total)
-      }.map { seg => vacuum(seg); s"vacuumed $seg" }
+    val acted =
+      if (t.segments.size > config.maxNumberOfSegments)
+        mergeSmallest(t.segments.size - config.maxNumberOfSegments + 1)
+          .map(s => s"merged -> $s")
+      else tombstones.flatMap { tomb =>
+        val tombCount = tomb.count()
+        if (tombCount == 0) None
+        else t.segments.find { seg =>
+          val v = segmentTable(seg, "vectors")
+          // total comes from build-time segment metadata (meta.json) — a
+          // policy tick must not re-scan every segment just to size the
+          // fraction; dead = total - live is ONE anti-join job (robust to
+          // duplicate tombstones for the same doc)
+          val total = segmentRowCount(seg).getOrElse(v.count())
+          val dead = total - Search.dropTombstoned(v, tomb).count()
+          dead.toDouble > vacuumTombstoneFraction * math.max(1L, total)
+        }.map { seg => vacuum(seg); s"vacuumed $seg" }
+      }
+    // auto-recalibration (round-15 verdict #3): both branches change the
+    // segment set, which makes a persisted recall curve stale — refused
+    // loudly at resolution. If the collection WAS calibrated, re-run the
+    // same measurement (persisted k/nQueries/ladder) so targetRecall
+    // searches keep resolving across compaction. A failed recalibration
+    // leaves the old (still-stale, still-refused) curve in place, so it
+    // must not fail the compaction that already committed.
+    if (acted.isDefined) readCalibration().foreach { kv =>
+      try calibrateRecall(
+        k = kv.get("k").fold(10)(_.toInt),
+        nQueries = kv.get("nq").fold(32)(_.toInt),
+        ladder = kv.get("ladder").map(_.split(",").filter(_.nonEmpty)
+          .map(_.toInt).toSeq).filter(_.nonEmpty)
+          .getOrElse(Seq(1, 2, 4, 8, 16, 32, 64, 128)))
+      catch { case e: Exception =>
+        Console.err.println(s"[graft] maybeCompact: auto-recalibration at " +
+          s"$path failed (${e.getMessage}); the stale curve stays refused " +
+          "at targetRecall resolution until calibrateRecall() succeeds")
+      }
     }
+    acted
   }
 
   /** Vacuum one segment: rewrite it without tombstoned docs. */
-  def vacuum(segment: String): Unit = {
+  def vacuum(segment: String): Unit = withWriter {
     val tomb = tombstones.getOrElse(return)
     val t = toc
     val rows = Search.dropTombstoned(
@@ -1486,7 +1616,9 @@ final class Snapshot(
     // explicit numExploredCentroids always wins.
     val params = params0.targetRecall match {
       case Some(tr) if params0.numExploredCentroids.isEmpty =>
-        params0.copy(numExploredCentroids = Some(coll.nprobeFor(tr)),
+        params0.copy(numExploredCentroids = Some(coll.nprobeFor(tr,
+            at = Some(toc), topK = Some(params0.topK),
+            acceptStale = params0.acceptStaleCalibration)),
           centroidDistanceRatio = 1e18)
       case _ => params0
     }

@@ -75,108 +75,21 @@ object CdcMirror {
 
   private def metaPath(path: String) = Paths.get(path, "MIRROR_META")
   private def manifestPath(path: String) = Paths.get(path, "MANIFEST")
-  private def leasePath(path: String) = Paths.get(path, "WRITER_LEASE")
+  /** Single-WRITER lease (round-14 verdict #5; machinery shared as
+    * [[graft.core.WriterLease]] since round 16 — the collection TOC now
+    * uses the same pattern). The mirror's contract has always been
+    * single-writer, but nothing ENFORCED it: two concurrent `applyDelta`s
+    * would race the manifest rename and the loser's buckets would
+    * silently vanish (last-writer-wins). The lease makes the documented
+    * contract fail loudly instead; see [[graft.core.WriterLease]] for
+    * the acquisition/heartbeat/stale-takeover/fencing semantics. */
+  private def acquireLease(path: String, staleMs: Long): String =
+    graft.core.WriterLease.acquire(path, staleMs, "mirror")
 
-  /** Single-WRITER lease (round-14 verdict #5). The mirror's contract has
-    * always been single-writer, but nothing ENFORCED it: two concurrent
-    * `applyDelta`s would race the manifest rename and the loser's buckets
-    * would silently vanish (last-writer-wins). The lease makes the
-    * documented contract fail loudly instead: `applyDelta` creates
-    * `WRITER_LEASE` with CREATE_NEW (atomic fail-if-exists), deletes it
-    * when done, and a second writer throws while it exists. A
-    * crash-orphaned lease is recoverable: past `leaseStaleMs` the next
-    * writer CLAIMS it with an atomic move and re-acquires (exactly one
-    * of N concurrent takers can win); losing reads as ordinary
-    * contention. The token ties release to THIS acquisition, so a writer
-    * paused past its own staleness window can never delete a successor's
-    * live lease. A held lease is kept fresh by a heartbeat thread
-    * (staleMs/4 mtime refresh — a LIVE apply is never stale-taken no
-    * matter how long its jobs run), and the manifest commit is FENCED on
-    * still holding the lease, so a pathologically-paused writer aborts
-    * instead of racing its successor's rename (modulo the documented
-    * two-syscall check-then-rename residue — see [[requireLease]]). */
-  private def acquireLease(path: String, staleMs: Long): String = {
-    val lp = leasePath(path)
-    val token = java.util.UUID.randomUUID().toString
-    val body =
-      s"pid=${ProcessHandle.current().pid()} token=$token ts=${System.currentTimeMillis()}\n"
-    def tryCreate(): Boolean =
-      try {
-        Files.write(lp, body.getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    def contention(detail: String): Nothing = throw new IllegalStateException(
-      s"mirror at $path is being written by another process ($detail); " +
-        "CdcMirror is single-writer — serialize applies, or if the holder " +
-        s"crashed wait out the ${staleMs / 1000}s staleness window (or delete " +
-        s"$lp after verifying the holder is gone)")
-    if (tryCreate()) return token
-    val age: Option[Long] =
-      try Some(System.currentTimeMillis() - Files.getLastModifiedTime(lp).toMillis)
-      catch { case _: java.nio.file.NoSuchFileException => None }
-    age match {
-      case None => // holder released between our create and stat — one retry
-        if (tryCreate()) token else contention("WRITER_LEASE contended")
-      case Some(a) if a > staleMs =>
-        // crash-orphaned: stale takeover. CLAIM the stale file with an
-        // ATOMIC move (exactly one of N concurrent takers wins — a plain
-        // delete-then-create would let a slow taker delete the winner's
-        // FRESH lease and run concurrently with it); losing either the
-        // move or the re-create reads as ordinary contention.
-        // Sweep claim files orphaned by takers that crashed between
-        // their move and delete (nothing else ever removes them).
-        try {
-          val fs = Paths.get(path).toFile.listFiles()
-          if (fs != null) fs.filter(f => f.getName.startsWith("WRITER_LEASE.stale.") &&
-            System.currentTimeMillis() - f.lastModified > staleMs)
-            .foreach(f => Files.deleteIfExists(f.toPath))
-        } catch { case _: java.io.IOException => () }
-        val claimed = Paths.get(path, s"WRITER_LEASE.stale.$token")
-        val won =
-          try { Files.move(lp, claimed,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE); true }
-          catch { case _: java.io.IOException => false }
-        if (won) {
-          try Files.deleteIfExists(claimed) catch { case _: java.io.IOException => () }
-          if (tryCreate()) token
-          else contention("WRITER_LEASE stale-takeover lost to another writer")
-        } else if (tryCreate()) token // claimant released very fast
-        else contention("WRITER_LEASE stale-takeover lost to another writer")
-      case Some(a) =>
-        contention(s"WRITER_LEASE held, ${a / 1000}s old")
-    }
-  }
-
-  /** Heartbeat: refresh the held lease's mtime every staleMs/4 so a LIVE
-    * apply can never be stale-taken mid-flight, however long its Spark
-    * jobs run — without it, an apply outlasting `leaseStaleMs` would be
-    * taken over and the manifest race re-opened. The touch checks the
-    * token first: after a pathological full-JVM pause long enough to BE
-    * taken over, the thread refuses to adopt a successor's lease. A
-    * daemon thread, stopped in the caller's finally. */
   private def startHeartbeat(path: String, token: String, staleMs: Long)
-      : java.util.concurrent.atomic.AtomicBoolean = {
-    val running = new java.util.concurrent.atomic.AtomicBoolean(true)
-    val period = math.max(1000L, staleMs / 4)
-    val t = new Thread(new Runnable {
-      override def run(): Unit = {
-        var interrupted = false
-        while (running.get() && !interrupted) {
-          try {
-            if (Files.readString(leasePath(path)).contains(s"token=$token"))
-              Files.setLastModifiedTime(leasePath(path),
-                java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-          } catch { case _: java.io.IOException => () }
-          try Thread.sleep(period)
-          catch { case _: InterruptedException => interrupted = true }
-        }
-      }
-    }, "cdc-mirror-lease-heartbeat")
-    t.setDaemon(true)
-    t.start()
-    running
-  }
+      : java.util.concurrent.atomic.AtomicBoolean =
+    graft.core.WriterLease.startHeartbeat(path, token, staleMs,
+      "cdc-mirror-lease-heartbeat")
 
   /** Fencing check at the commit point: the manifest rename proceeds
     * only while OUR lease is still in place. With the heartbeat this can
@@ -189,24 +102,14 @@ object CdcMirror {
     * manifest store, which plain POSIX rename cannot express. The
     * residual window is two syscalls wide and requires a multi-minute
     * stop-the-world pause to even open. */
-  private def requireLease(path: String, token: String): Unit = {
-    val held =
-      try Files.readString(leasePath(path)).contains(s"token=$token")
-      catch { case _: java.io.IOException => false }
-    if (!held) throw new IllegalStateException(
+  private def requireLease(path: String, token: String): Unit =
+    if (!graft.core.WriterLease.held(path, token)) throw new IllegalStateException(
       s"mirror at $path: writer lease lost mid-apply (paused past the " +
         "staleness window and taken over?) — aborting before the manifest " +
         "commit; the staged generation will be GC-swept, retry the apply")
-  }
 
-  /** Delete the lease only if it still carries OUR token — after a stale
-    * takeover the successor's lease must survive the predecessor's
-    * release. */
   private def releaseLease(path: String, token: String): Unit =
-    try {
-      if (Files.readString(leasePath(path)).contains(s"token=$token"))
-        Files.deleteIfExists(leasePath(path))
-    } catch { case _: java.io.IOException => () }
+    graft.core.WriterLease.release(path, token)
 
   private def deleteRecursively(p: Path): Unit = {
     val f = p.toFile

@@ -31,7 +31,13 @@ final case class SearchParams(
       * ratio prune so delivered recall matches the curve. An explicit
       * `numExploredCentroids` wins over the target; requires a prior
       * calibration pass (fails loudly otherwise). */
-    targetRecall: Option[Double] = None) {
+    targetRecall: Option[Double] = None,
+    /** Opt into resolving `targetRecall` from a calibration curve that is
+      * STALE for this search — measured over a different segment set
+      * (the collection flushed/merged since) or at a different k. The
+      * default refuses loudly (round-15 verdict #3): a drifted curve
+      * silently under-delivers the target it promises. */
+    acceptStaleCalibration: Boolean = false) {
   def nprobe: Int = numExploredCentroids.getOrElse(topK)
 }
 

@@ -161,4 +161,107 @@ class CalibrationSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("calibrateRecall"))
   }
+
+  test("multi-user corpus with colliding doc_ids: curve keys on (user_id, doc_id)") {
+    // round-15 ADVICE (medium): truth/ranks keyed on doc_id alone let
+    // ANOTHER user's same-id point supply the min centroid rank and
+    // pollute truth — the curve overestimated and targetRecall
+    // under-delivered. Two users REUSE doc_ids 0..159 with different
+    // cluster assignments; the analytic curve must still equal real
+    // unpruned search recall (computed on full (user_id, doc_id) pairs)
+    // at every depth.
+    val base = Files.createTempDirectory("graft_cal_mu").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "cal", numFeatures = 6, initialNumCentroids = 16))
+    val r = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(6)(r.nextGaussian() * 8.0))
+    val rows = (0 until 160).flatMap { i =>
+      val c0 = centers(i % 8)            // user 0: cluster i%8
+      val c1 = centers((i + 3) % 8)      // user 1: SAME doc_id, different cluster
+      Seq((0L, i.toLong, c0.map(_ + r.nextGaussian() * 1.5).toSeq),
+          (1L, i.toLong, c1.map(_ + r.nextGaussian() * 1.5).toSeq))
+    }
+    coll.insert(rows.toDF("user_id", "doc_id", "vector"))
+    coll.flush()
+    val k = 5; val nQ = 8
+    val ladder = Seq(1, 2, 4, 16)
+    val curve = coll.calibrateRecall(k = k, nQueries = nQ, ladder = ladder).toMap
+    val snap = coll.snapshot()
+    val sample = snap.liveRows.get.select("vector")
+      .orderBy("user_id", "doc_id").limit(nQ)
+      .collect().map(_.getSeq[Double](0))
+    val exhaustive = SearchParams(topK = k,
+      numExploredCentroids = Some(Int.MaxValue), centroidDistanceRatio = 1e18)
+    for (p <- ladder) {
+      val real = sample.map { v =>
+        def pairs(params: SearchParams) =
+          snap.search(v, params).select("user_id", "doc_id").collect()
+            .map(row => (row.getLong(0), row.getLong(1))).toSet
+        val truth = pairs(exhaustive)
+        val got = pairs(SearchParams(topK = k,
+          numExploredCentroids = Some(p), centroidDistanceRatio = 1e18))
+        truth.intersect(got).size.toDouble / truth.size
+      }
+      val realRecall = real.sum / real.length
+      assert(math.abs(realRecall - curve(p)) < 1e-9,
+        s"nprobe=$p multi-user: analytic ${curve(p)} vs real $realRecall")
+    }
+  }
+
+  test("stale calibration refused loudly; k mismatch refused; acceptStale + recalibrate resolve") {
+    val (coll, _) = build()
+    coll.calibrateRecall(k = 5, nQueries = 8, ladder = Seq(1, 2, 4, 8, 16))
+    val snap = coll.snapshot()
+    val q = snap.liveRows.get.select("vector").orderBy("user_id", "doc_id")
+      .head().getSeq[Double](0)
+    // fresh: resolves
+    assert(snap.search(q, SearchParams(topK = 5, targetRecall = Some(0.9)))
+      .count() === 5L)
+    // k mismatch: curve measures recall@5, search asks topK=3 — loud
+    val ek = intercept[IllegalArgumentException] {
+      snap.search(q, SearchParams(topK = 3, targetRecall = Some(0.9)))
+    }
+    assert(ek.getMessage.contains("recall@5") && ek.getMessage.contains("topK=3"))
+    // flush a new segment: the curve no longer describes the index
+    coll.insert(Seq((0L, 9000L, Seq(60.0, 60.0, 60.0, 60.0, 60.0, 60.0)))
+      .toDF("user_id", "doc_id", "vector"))
+    coll.flush()
+    val snap2 = coll.snapshot()
+    val es = intercept[IllegalArgumentException] {
+      snap2.search(q, SearchParams(topK = 5, targetRecall = Some(0.9)))
+    }
+    assert(es.getMessage.contains("stale calibration"))
+    // best-effort escape hatch
+    assert(snap2.search(q, SearchParams(topK = 5, targetRecall = Some(0.9),
+      acceptStaleCalibration = true)).count() === 5L)
+    // recalibration over the new segment set resolves again
+    coll.calibrateRecall(k = 5, nQueries = 8, ladder = Seq(1, 2, 4, 8, 16))
+    assert(coll.snapshot().search(q, SearchParams(topK = 5,
+      targetRecall = Some(0.9))).count() === 5L)
+  }
+
+  test("maybeCompact auto-recalibrates a calibrated collection after changing the segment set") {
+    val base = Files.createTempDirectory("graft_cal_mc").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "cal", numFeatures = 6, initialNumCentroids = 8,
+      maxNumberOfSegments = 2))
+    val r = new scala.util.Random(5)
+    def batch(off: Int) = (0 until 80).map(i =>
+      (0L, (off + i).toLong, Seq.fill(6)(r.nextGaussian() * 4.0)))
+    coll.insert(batch(0).toDF("user_id", "doc_id", "vector")); coll.flush()
+    coll.calibrateRecall(k = 5, nQueries = 4, ladder = Seq(1, 2, 4, 8))
+    // two more flushes push past maxNumberOfSegments=2
+    coll.insert(batch(1000).toDF("user_id", "doc_id", "vector")); coll.flush()
+    coll.insert(batch(2000).toDF("user_id", "doc_id", "vector")); coll.flush()
+    assert(coll.maybeCompact().exists(_.startsWith("merged")))
+    // the curve was re-measured over the POST-compaction segment set:
+    // a targetRecall search resolves with no staleness refusal
+    val snap = coll.snapshot()
+    val q = snap.liveRows.get.select("vector").orderBy("user_id", "doc_id")
+      .head().getSeq[Double](0)
+    assert(snap.search(q, SearchParams(topK = 5, targetRecall = Some(0.5)))
+      .count() === 5L)
+    val body = Files.readString(Paths.get(s"$base/cal/CALIBRATION"))
+    assert(body.contains(s"segs=${coll.toc.segments.mkString(",")}"))
+  }
 }

@@ -521,4 +521,65 @@ class CollectionSpec extends SparkSuite {
     val t = Toc.read(coll.path)
     assert(t.version === 1L && t.segments === Seq("seg_1") && t.lastFlushedBatch === 0L)
   }
+
+  test("TOC commit is CREATE_NEW: a version collision fails loudly, winner intact") {
+    // round-15 verdict #2 (the CdcMirror lesson applied to the core):
+    // under REPLACE_EXISTING two writers that both read version N would
+    // both commit version_{N+1} and the loser's segments silently
+    // vanished from history — now the second committer throws and the
+    // first committer's manifest is untouched.
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    Toc.write(coll.path, Toc(1L, Seq("seg_winner"), 0L))
+    val e = intercept[IllegalStateException] {
+      Toc.write(coll.path, Toc(1L, Seq("seg_loser"), 0L))
+    }
+    assert(e.getMessage.contains("already committed") &&
+      e.getMessage.contains("single-writer"))
+    assert(Toc.readVersion(coll.path, 1L).get.segments === Seq("seg_winner"))
+    // no tmp litter from the failed commit
+    val litter = Files.list(java.nio.file.Paths.get(coll.path, "toc"))
+      .filter(p => p.getFileName.toString.startsWith(".tmp")).count()
+    assert(litter === 0L)
+  }
+
+  test("two concurrent flushes: at most one wins per version, loser fails loudly, no silent loss") {
+    val base = tmpBase()
+    val coll = Collection.create(spark, base, config)
+    coll.insert(lineRows(200))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Option[String]]]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        start.await()
+        try outcomes.add(Right(coll.flush()))
+        catch { case e: Throwable => outcomes.add(Left(e)) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val (losers, winners) = outcomes.asScala.toSeq.partition(_.isLeft)
+    // both flushed the SAME pending batches, so any interleaving is
+    // data-safe; the single-writer contract just requires that a racing
+    // writer fails LOUDLY (at the lease, or at the TOC commit CAS if the
+    // overlap slipped past it) instead of silently replacing the winner
+    assert(winners.nonEmpty, s"no flush succeeded: $losers")
+    losers.foreach { case Left(e) =>
+      val chain = (e +: Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq)
+        .map(t => String.valueOf(t.getMessage))
+      assert(chain.exists(m =>
+        m.contains("single-writer") || m.contains("already committed")),
+        s"loser must cite the lease or TOC collision, got: $e")
+      case _ => ()
+    }
+    // every committed TOC version's segments exist on disk (no dangling
+    // manifest), and the newest one answers queries
+    for (v <- Toc.versions(coll.path); s <- Toc.readVersion(coll.path, v).get.segments)
+      assert(Files.exists(java.nio.file.Paths.get(coll.path, "segments", s)),
+        s"version $v lists missing segment $s")
+    val got = coll.snapshot().search(Seq(2.0, 2.0, 2.0, 2.0),
+      SearchParams(topK = 1, numExploredCentroids = Some(10)))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L))
+  }
 }
