@@ -122,6 +122,37 @@ object ProfTerms {
         abs(length(col("term")) - lit(term.length)) <= 1 &&
         levenshtein(expr(s"substring(term, ${fieldPrefix.length + 1})"),
           lit(token)) <= 1))
+    // round 16: the pl=0 path can't range-prune (edits at position 0 are
+    // legal), so its cost driver is the per-row Levenshtein DP over the
+    // field's whole term range. The char-bigram count bound (each edit
+    // touches ≤2 of the token's distinct bigrams) short-circuits the DP;
+    // this measures the DP-candidate set each prefilter chain leaves and
+    // pins that the match set is identical.
+    def bigramRow(tk: String): Unit = {
+      val tokCol = expr(s"substring(term, ${fieldPrefix.length + 1})")
+      val lenPre = col("term").startsWith(fieldPrefix) &&
+        abs(length(col("term")) - lit(fieldPrefix.length + tk.length)) <= 1
+      val bigramPre = graft.operators.FilterCompiler
+        .bigramPrefilter(tokCol, tk, 1)
+      val dpLen = terms.filter(lenPre).count()
+      val dpBoth = bigramPre.fold(dpLen)(b => terms.filter(lenPre && b).count())
+      println(f"[terms] fuzzy pl=0 '$tk' DP candidates: length prefilter $dpLen%d; " +
+        f"+bigram ${dpBoth}%d (${if (dpLen > 0) 100.0 * dpBoth / dpLen else 0.0}%.1f%%)")
+      val noBigram = terms.filter(lenPre && levenshtein(tokCol, lit(tk)) <= 1)
+      val withBigram = bigramPre.fold(noBigram)(b =>
+        terms.filter(lenPre && b && levenshtein(tokCol, lit(tk)) <= 1))
+      val a = noBigram.count(); val bN = withBigram.count()
+      require(a == bN, s"bigram prefilter changed the match set: $a vs $bN")
+      measure(s"fuzzy scan ($tk ~1, pl=0 + bigram prefilter)")(withBigram)
+    }
+    bigramRow(token)
+    // the bound is vacuous for very short tokens (distinct bigrams - 2d
+    // < 1) — also measure the LONGEST dictionary token, where it prunes
+    val longTok = terms.select(expr(s"substring(term, ${fieldPrefix.length + 1})").as("t"))
+      .where(col("term").startsWith(fieldPrefix))
+      .distinct().orderBy(length(col("t")).desc, col("t")).limit(1)
+      .collect()(0).getString(0)
+    if (longTok != token) bigramRow(longTok)
     // the plan the real path runs: partition filter must be visible
     val plan = terms.filter(
       col("term_bucket") === pmod(xxhash64(lit(term)), lit(graft.core.Collection.termBuckets)) &&

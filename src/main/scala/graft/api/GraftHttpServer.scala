@@ -44,6 +44,10 @@ import graft.operators.DocFilter
   *                                top_k?, nprobe?, filter?} — zero-Spark-jobs
   *  - `POST /serve_term_search`  {collection_name, user_ids: [uuid], filter,
   *                                limit?} — zero-Spark-jobs
+  *  - `POST /serve_facet_ranges` {collection_name, user_ids: [uuid], filter,
+  *                                field, buckets} — zero-Spark-jobs
+  *  - `POST /serve_suggest`      {collection_name, user_ids: [uuid], field,
+  *                                input, k?, max_dist?} — zero-Spark-jobs
   *  - `POST /remove`             {collection_name, user_ids, doc_ids}
   *  - `GET  /segments?collection=<name>`
   *  - `POST /optimize`           {collection_name} — one compaction tick
@@ -407,6 +411,36 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
       .termSearch(parseFilter(b("filter")),
         limit = b.getOrElse("limit", 10.0).asInstanceOf[Double].toInt)
     Map("doc_ids" -> docIds)
+  })
+
+  server.createContext("/serve_facet_ranges", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val buckets = b("buckets").asInstanceOf[Vector[Any]].map { x =>
+      val pair = Json.doubles(x)
+      require(pair.length == 2, s"bucket must be [lo, hi]: $x")
+      (pair(0), pair(1))
+    }
+    val fr = svc.serveUser(
+        b("collection_name").asInstanceOf[String],
+        parseIds(b("user_ids")).head)
+      .facetRanges(parseFilter(b("filter")),
+        field = b("field").asInstanceOf[String], buckets = buckets)
+    Map("bucket_lo" -> fr.map(_._1), "bucket_hi" -> fr.map(_._2),
+      "counts" -> fr.map(_._3))
+  })
+
+  server.createContext("/serve_suggest", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val sg = svc.serveUser(
+        b("collection_name").asInstanceOf[String],
+        parseIds(b("user_ids")).head)
+      .suggest(
+        field = b("field").asInstanceOf[String],
+        input = b("input").asInstanceOf[String],
+        k = b.getOrElse("k", 5.0).asInstanceOf[Double].toInt,
+        maxDist = b.getOrElse("max_dist", 2.0).asInstanceOf[Double].toInt)
+    Map("terms" -> sg.map(_._1), "distances" -> sg.map(_._2),
+      "counts" -> sg.map(_._3))
   })
 
   server.createContext("/remove", (ex: HttpExchange) => handle(ex) {

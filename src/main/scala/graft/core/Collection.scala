@@ -1878,6 +1878,13 @@ final class Snapshot(
     require(buckets.nonEmpty, "facetRanges: no buckets given")
     buckets.foreach { case (lo, hi) =>
       require(lo < hi, s"facetRanges: empty bucket [$lo, $hi)") }
+    // schema validation (round-15 ADVICE): a typo'd or non-numeric field
+    // fell into the lit(null) branch and returned all-zero counts,
+    // indistinguishable from a genuinely empty match over HTTP
+    require(coll.config.numericFields.exists(_.name == field),
+      s"facetRanges over '$field': not a numeric attribute of collection " +
+        s"'${coll.config.name}' — declare the field with kind long/double " +
+        "in attributeSchema")
     val out = StructType(Seq(
       StructField("bucket_lo", DoubleType, nullable = false),
       StructField("bucket_hi", DoubleType, nullable = false),
@@ -1947,13 +1954,19 @@ final class Snapshot(
     if (qts.isEmpty) return emptySuggest
     val fp = s"$field:"
     val token = qts.head.stripPrefix(fp)
-    def dist(t: org.apache.spark.sql.Column) = // position-based strip of
+    def tok(t: org.apache.spark.sql.Column) = // position-based strip of
       // the "field:" prefix (a token could legally contain ':')
-      levenshtein(t.substr(lit(fp.length + 1), length(t)), lit(token))
+      t.substr(lit(fp.length + 1), length(t))
+    def dist(t: org.apache.spark.sql.Column) =
+      levenshtein(tok(t), lit(token))
     liveTermDocs(
-      t => t.filter(col("term").startsWith(fp) &&
-        abs(length(col("term")) - lit(fp.length + token.length)) <= maxDist &&
-        dist(col("term")) <= maxDist),
+      t => t.filter((Seq(col("term").startsWith(fp),
+          abs(length(col("term")) - lit(fp.length + token.length)) <= maxDist) ++
+          // the fuzzy scan's bigram-count prefilter — skips the
+          // Levenshtein DP for most dictionary rows (round-15 verdict #6)
+          graft.operators.FilterCompiler.bigramPrefilter(
+            tok(col("term")), token, maxDist))
+        .reduce(_ && _) && dist(col("term")) <= maxDist),
       userIds)
       .map(_.groupBy("term")
         .agg(count(lit(1)).as("n_docs"))

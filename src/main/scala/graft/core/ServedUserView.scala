@@ -26,7 +26,8 @@ final class ServedUserView private[core] (
     segments: Seq[ServedUserView.SegmentView],
     tailRows: Array[ServedUserView.TailRow],
     fieldLang: Map[String, String],
-    keywordFields: Set[String]) {
+    keywordFields: Set[String],
+    numericFields: Set[String]) {
 
   /** Schema-driven normalization at the served entry points — the same
     * rule as the distributed Snapshot: the field KIND decides keyword-vs-
@@ -36,6 +37,60 @@ final class ServedUserView private[core] (
     DocFilter.normalize(f, keywordFields.contains)
 
   import ServedUserView.{SegmentView, TailRow}
+
+  /** Served mirror of `Snapshot.requireNumericFields` (round-15 ADVICE):
+    * without it the same Range filter gave a loud schema/capability error
+    * on /term_search but silently-empty results on /serve_term_search.
+    * Each ranged field must be a numeric KIND in the schema, and every
+    * segment's loaded slice must carry its column — a segment flushed
+    * before the field existed fails NAMING itself with the rebuild as
+    * the fix. (Tail rows without the value simply never match — the
+    * null contract, same as the distributed path.) */
+  private def requireNumericFields(nf: DocFilter): Unit = {
+    val ranged = DocFilter.rangeFields(nf)
+    if (ranged.isEmpty) return
+    val notNumeric = ranged -- numericFields
+    require(notNumeric.isEmpty,
+      s"Range filter over ${notNumeric.mkString(", ")}: not a numeric " +
+        "attribute — declare the field with kind long/double in " +
+        "attributeSchema")
+    for (f <- ranged) {
+      val missing = segments.filterNot(_.numAttrs.contains(f)).map(_.name)
+      require(missing.isEmpty,
+        s"Range filter over '$f': segment(s) ${missing.mkString(", ")} " +
+          "were flushed before that attribute existed — rebuild them " +
+          "(merge / POST /optimize), then re-serve")
+    }
+  }
+
+  /** Map key for doc ids: Array[Byte] (u128) ids need value equality. */
+  private def docKey(a: Any): Any = a match {
+    case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    case x => x
+  }
+
+  /** Each doc's NEWEST live row (by src_batch WAL position) across
+    * segments + tail — the served mirror of the Snapshot's newest-wins
+    * rule for aggregation surfaces ([[facetRanges]]/[[suggest]]): a doc
+    * counts iff its newest live version matches / carries the term, so
+    * the served answers agree with the attribute values the CDC fetch
+    * reports for the same docs. Built once per view (memory: one entry
+    * per live doc — the same bound as docOf). Ties on equal src_batch
+    * resolve arbitrarily, like the distributed row_number window. */
+  private lazy val newestRows: Map[Any, Either[(SegmentView, Long), TailRow]] = {
+    val m = scala.collection.mutable.HashMap[Any, (Long, Either[(SegmentView, Long), TailRow])]()
+    for (sv <- segments; (pid, doc) <- sv.docOf) {
+      val b = sv.batchOf.getOrElse(pid, Long.MinValue)
+      val k = docKey(doc)
+      if (!m.get(k).exists(_._1 >= b)) m(k) = (b, Left((sv, pid)))
+    }
+    for (row <- tailRows) {
+      val k = docKey(row.docId)
+      if (!m.get(k).exists(_._1 >= row.srcBatch))
+        m(k) = (row.srcBatch, Right(row))
+    }
+    m.view.mapValues(_._2).toMap
+  }
 
   /** Unsigned-lexicographic for BinaryType ids, natural for Long ids —
     * matches Spark's sort order on the corresponding column types. */
@@ -237,6 +292,7 @@ final class ServedUserView private[core] (
   def search(query: Array[Double], k: Int, nprobe: Int,
       filter: Option[DocFilter] = None): Seq[(Any, Double)] = {
     val nf = filter.map(norm)
+    nf.foreach(requireNumericFields)
     val fromSegments = segments.iterator.flatMap { sv =>
       val allow: java.util.function.LongPredicate = nf match {
         case None => null
@@ -263,6 +319,7 @@ final class ServedUserView private[core] (
     * limited. */
   def termSearch(filter: DocFilter, limit: Int): Seq[Any] = {
     val nf = norm(filter)
+    requireNumericFields(nf)
     val fromSegments = segments.iterator.flatMap { sv =>
       evalSegment(nf, sv).iterator.flatMap(sv.docOf.get)
     }
@@ -273,6 +330,92 @@ final class ServedUserView private[core] (
       .sortWith(idLess)
       .take(limit)
       .toSeq
+  }
+
+  /** Served mirror of [[Snapshot.facetRanges]] with zero Spark jobs
+    * (round-15 verdict #7): half-open `[lo, hi)` bucket counts of the
+    * numeric `field` over docs whose NEWEST live version matches
+    * `filter` — identical semantics to the distributed path (newest-wins
+    * match, newest row supplies the value, nulls count nowhere, buckets
+    * independent, CALLER's bucket order). */
+  def facetRanges(filter: DocFilter, field: String,
+      buckets: Seq[(Double, Double)]): Seq[((Double, Double), Long)] = {
+    require(buckets.nonEmpty, "facetRanges: no buckets given")
+    buckets.foreach { case (lo, hi) =>
+      require(lo < hi, s"facetRanges: empty bucket [$lo, $hi)") }
+    require(numericFields.contains(field),
+      s"facetRanges over '$field': not a numeric attribute — declare the " +
+        "field with kind long/double in attributeSchema")
+    val nf = norm(filter)
+    requireNumericFields(nf)
+    val segMatch: Map[String, Set[Long]] =
+      segments.map(sv => sv.name -> evalSegment(nf, sv)).toMap
+    val counts = Array.fill(buckets.size)(0L)
+    for ((_, where) <- newestRows) {
+      val value: Option[Double] = where match {
+        case Left((sv, pid)) if segMatch(sv.name).contains(pid) =>
+          sv.numAttrs.getOrElse(field, Map.empty).get(pid)
+        case Right(row) if evalTail(nf, row) => row.nums.get(field)
+        case _ => None
+      }
+      for (v <- value; i <- buckets.indices)
+        if (v >= buckets(i)._1 && v < buckets(i)._2) counts(i) += 1
+    }
+    buckets.zip(counts.toSeq)
+  }
+
+  /** Served mirror of [[Snapshot.suggest]] with zero Spark jobs
+    * (round-15 verdict #7): live dictionary terms of `field` within
+    * `maxDist` edits of the ANALYZED input token, ranked (distance asc,
+    * n_docs desc, term asc), n_docs NEWEST-WINS like the distributed
+    * path. Returns (term, distance, n_docs). */
+  def suggest(field: String, input: String, k: Int = 5,
+      maxDist: Int = 2): Seq[(String, Long, Long)] = {
+    val kw = keywordFields.contains(field)
+    // single term per call, ENFORCED (the Near/Fuzzy rule — mirror of
+    // the Snapshot entry point)
+    require(kw || input.trim.split("\\s+").count(_.nonEmpty) <= 1,
+      s"suggest($field): input must be a single term on a text field, " +
+        s"got '$input' — suggest each word separately")
+    val qts = FilterCompiler.queryTerms(field, input, kw,
+      fieldLang.getOrElse(field, "english"))
+    if (qts.isEmpty) return Nil
+    val fp = s"$field:"
+    val token = qts.head.stripPrefix(fp)
+    def hit(t: String): Boolean = t.startsWith(fp) &&
+      math.abs(t.length - fp.length - token.length) <= maxDist &&
+      ServedUserView.editDistance(t.substring(fp.length), token) <= maxDist
+    // invert: candidate terms from the dictionary first (O(distinct
+    // terms), the Fuzzy scan shape), then count docs whose NEWEST row
+    // carries each candidate
+    val docsOf = scala.collection.mutable.HashMap[String, scala.collection.mutable.Set[Any]]()
+    for (sv <- segments; (t, posts) <- sv.termPostings if hit(t);
+         (pid, _) <- posts; doc <- sv.docOf.get(pid)) {
+      val dk = docKey(doc)
+      val isNewest = newestRows.get(dk).exists {
+        case Left((s2, p2)) => (s2 eq sv) && p2 == pid
+        case _ => false
+      }
+      if (isNewest) docsOf.getOrElseUpdate(t, scala.collection.mutable.Set()) += dk
+    }
+    for (row <- tailRows) {
+      val dk = docKey(row.docId)
+      val isNewest = newestRows.get(dk).exists {
+        case Right(r2) => r2 eq row
+        case _ => false
+      }
+      if (isNewest) {
+        val termKeys: Seq[String] =
+          if (kw) row.keywords.get(field).map(v => s"$fp$v").toSeq
+          else row.toks.getOrElse(field, Vector.empty).distinct.map(t => s"$fp$t")
+        for (t <- termKeys if hit(t))
+          docsOf.getOrElseUpdate(t, scala.collection.mutable.Set()) += dk
+      }
+    }
+    docsOf.iterator.map { case (t, docs) =>
+      (t, ServedUserView.editDistance(t.substring(fp.length), token).toLong,
+        docs.size.toLong)
+    }.toSeq.sortBy { case (t, d, n) => (d, -n, t) }.take(k)
   }
 }
 
@@ -316,8 +459,13 @@ object ServedUserView {
       // Contains still serves; Phrase/Near fail descriptively
       hasPositions: Boolean,
       // numeric attribute slice: field -> (point -> value); null attr
-      // values are absent (a Range never matches them)
-      numAttrs: Map[String, Map[Long, Double]] = Map.empty) {
+      // values are absent (a Range never matches them). A field KEY is
+      // present iff the segment's vectors table carried the column —
+      // the per-segment Range capability signal.
+      numAttrs: Map[String, Map[Long, Double]] = Map.empty,
+      // point -> src_batch WAL position (MinValue when the segment
+      // predates the column) — feeds the newest-wins aggregation mirrors
+      batchOf: Map[Long, Long] = Map.empty) {
     val universe: Set[Long] = docOf.keySet
   }
 
@@ -326,7 +474,8 @@ object ServedUserView {
       vector: Array[Double],
       toks: Map[String, Vector[String]], // text field -> analyzed tokens, IN ORDER
       keywords: Map[String, String], // text/keyword field -> lowercased value
-      nums: Map[String, Double] = Map.empty) // numeric field -> value (nulls absent)
+      nums: Map[String, Double] = Map.empty, // numeric field -> value (nulls absent)
+      srcBatch: Long = Long.MinValue) // WAL position (newest-wins mirrors)
 
   private[core] def build(coll: Collection, userId: Any): ServedUserView = {
     val t = coll.toc
@@ -360,8 +509,15 @@ object ServedUserView {
         coll.segmentTable(seg, "postings").filter(col("user_id") === uid),
         centroidIndex = coll.config.centroidIndexType,
         hnswPath = Some(coll.segmentFile(seg, "hnsw.bin")))
-      val docOf: Map[Long, Any] = userVecs.select("vec_id", "doc_id").collect()
-        .map(r => r.getLong(0) -> r.get(1)).toMap
+      // one bounded collect carries doc ids AND src_batch WAL positions
+      // (the newest-wins aggregation mirrors need them; MinValue for
+      // segments flushed before the column landed)
+      val hasBatch = userRows.columns.contains("src_batch")
+      val docRows = userRows.select(col("point_id").cast("long"), col("doc_id"),
+        (if (hasBatch) coalesce(col("src_batch"), lit(Long.MinValue))
+         else lit(Long.MinValue)).as("src_batch")).collect()
+      val docOf: Map[Long, Any] = docRows.map(r => r.getLong(0) -> r.get(1)).toMap
+      val batchOf: Map[Long, Long] = docRows.map(r => r.getLong(0) -> r.getLong(2)).toMap
       // the user's slice of the term index, in memory (MultiTermIndex
       // analogue). Tombstoned points stay out via the docOf remap at
       // query time; sizes are bounded by one user's corpus.
@@ -389,7 +545,8 @@ object ServedUserView {
               .map(r => r.getLong(0) -> r.getDouble(i + 1)).toMap
           }.toMap
         }
-      SegmentView(seg, served, docOf, termPostings, hasPositions, numAttrs)
+      SegmentView(seg, served, docOf, termPostings, hasPositions, numAttrs,
+        batchOf)
     }
     // analyzed text rides out of the same Spark expressions the index side
     // uses (analyze_text per field lang), so tail term matching keeps the
@@ -406,9 +563,11 @@ object ServedUserView {
             lower(col(f.name)).as(s"__kw_${f.name}"))
         } ++ presentNums.map(f => col(f).cast("double").as(s"__num_$f"))
         val selected = dropTombs(rows.filter(col("user_id") === uid))
-          .select(Seq(col("doc_id"), col("vector").cast("array<double>")) ++ tokCols: _*)
+          .select((Seq(col("doc_id"), col("vector").cast("array<double>")) ++
+            tokCols :+ col("src_batch").cast("long")): _*)
           .collect()
         val numBase = 2 + 2 * present.size
+        val sbIdx = numBase + presentNums.size
         selected.map { r =>
           val toks = present.zipWithIndex.map { case (f, i) =>
             f.name -> Option(r.getSeq[String](2 + 2 * i)).getOrElse(Nil).toVector
@@ -419,10 +578,12 @@ object ServedUserView {
           val nums = presentNums.zipWithIndex.flatMap { case (f, j) =>
             if (r.isNullAt(numBase + j)) None else Some(f -> r.getDouble(numBase + j))
           }.toMap
-          TailRow(r.get(0), r.getSeq[Double](1).toArray, toks, kws, nums)
+          TailRow(r.get(0), r.getSeq[Double](1).toArray, toks, kws, nums,
+            if (r.isNullAt(sbIdx)) Long.MinValue else r.getLong(sbIdx))
         }
     }
     new ServedUserView(segs, tailRows, fieldLang,
-      coll.config.attributeSchema.filter(_.kind == "keyword").map(_.name).toSet)
+      coll.config.attributeSchema.filter(_.kind == "keyword").map(_.name).toSet,
+      numFieldNames.toSet)
   }
 }

@@ -160,12 +160,19 @@ class HttpServerSpec extends SparkSuite {
       // range facets over the wire: the wire collection has no numeric
       // attribute, so every bucket counts zero (nulls bucket nowhere) —
       // pins the route shape + the null contract
-      val frw = post("/facet_ranges", Json.write(Map(
-        "collection_name" -> "wire",
-        "filter" -> Map("field" -> "content", "value" -> "hello"),
-        "field" -> "missing", "buckets" -> Seq(Seq(0.0, 10.0)))))
-      assert(frw("counts") === Vector(0.0))
-      assert(frw("bucket_lo") === Vector(0.0) && frw("bucket_hi") === Vector(10.0))
+      // a facet field that is not a numeric schema attribute refuses by
+      // name over the wire (round-15 ADVICE: all-zero counts were
+      // indistinguishable from a genuinely empty match)
+      val frwBad = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${server.boundPort}/facet_ranges"))
+        .POST(HttpRequest.BodyPublishers.ofString(Json.write(Map(
+          "collection_name" -> "wire",
+          "filter" -> Map("field" -> "content", "value" -> "hello"),
+          "field" -> "missing", "buckets" -> Seq(Seq(0.0, 10.0))))))
+        .build()
+      val frwResp = client.send(frwBad, HttpResponse.BodyHandlers.ofString())
+      assert(frwResp.statusCode() === 400 &&
+        frwResp.body().contains("numeric attribute"))
 
       // calibrated search over the wire: POST /calibrate measures +
       // persists the curve (u128 ids ride the rank-window truth path),

@@ -302,9 +302,15 @@ class PhraseSpec extends SparkSuite {
       Seq((10.0, 15.0), (15.0, 20.0)))
       .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
     assert(fr === Seq((10.0, 15.0, 1L), (15.0, 20.0, 2L)))
-    // a field absent from the rows counts nowhere (nulls never bucket)
-    assert(snap.facetRanges(DocFilter.Prefix("content", "s"), "nope",
-      Seq((0.0, 100.0))).collect().map(_.getLong(2)).toSeq === Seq(0L))
+    // a field that is not a numeric schema attribute refuses by name
+    // (round-15 ADVICE: all-zero counts were indistinguishable from a
+    // genuinely empty match over HTTP)
+    val eNope = intercept[IllegalArgumentException] {
+      snap.facetRanges(DocFilter.Prefix("content", "s"), "nope",
+        Seq((0.0, 100.0)))
+    }
+    assert(eNope.getMessage.contains("'nope'") &&
+      eNope.getMessage.contains("numeric attribute"))
     // hybrid ANN + range filter through the snapshot search path (F8/J4
     // with a numeric leaf): nearest under chars<=14 is doc 2's vector
     val hybrid = snap.search(Seq(0.0, 1.0),
@@ -344,6 +350,24 @@ class PhraseSpec extends SparkSuite {
       snap.termSearch(DocFilter.Range("content", Some(1), None), limit = 10)
     }
     assert(e2.getMessage.contains("numeric attribute"))
+    // SERVED parity for the capability contract (round-15 ADVICE): the
+    // same filter JSON must not give a loud error on /term_search but
+    // silently-empty results on /serve_term_search
+    val servedPre = coll.serveUser(0L)
+    val e3 = intercept[IllegalArgumentException] {
+      servedPre.termSearch(DocFilter.Range("chars", Some(10), None), limit = 10)
+    }
+    assert(e3.getMessage.contains("seg_1") && !e3.getMessage.contains("seg_2"))
+    assert(e3.getMessage.contains("merge"))
+    val e4 = intercept[IllegalArgumentException] {
+      servedPre.termSearch(DocFilter.Range("content", Some(1), None), limit = 10)
+    }
+    assert(e4.getMessage.contains("numeric attribute"))
+    val e5 = intercept[IllegalArgumentException] {
+      servedPre.search(Array(0.0, 1.0), k = 1, nprobe = 10,
+        filter = Some(DocFilter.Range("chars", Some(10), None)))
+    }
+    assert(e5.getMessage.contains("seg_1"))
     // the documented upgrade: merge() unions with missing columns as
     // nulls; doc 1's null chars never matches, doc 2's 20 does
     coll.merge()
@@ -354,6 +378,119 @@ class PhraseSpec extends SparkSuite {
     // non-range queries were never blocked by the mixed schema
     assert(coll.snapshot().termSearch(DocFilter.Contains("content", "doc"), limit = 10)
       .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted === Seq(1L, 2L))
+    // the rebuilt segment serves ranges too (capability restored)
+    assert(coll.serveUser(0L)
+      .termSearch(DocFilter.Range("chars", Some(10), None), limit = 10)
+      .map(_.asInstanceOf[Long]) === Seq(2L))
+  }
+
+  test("bigram prefilter bound is SOUND: never drops a term within maxDist edits") {
+    // the q-gram bound the fuzzy pl=0 prefilter relies on (round-15
+    // verdict #6): one edit touches at most two of the token's DISTINCT
+    // bigrams, so a term within d edits contains >= distinct(token
+    // bigrams) - 2d of them. Property-checked against the pinned
+    // editDistance (itself pinned equal to Spark's levenshtein), over a
+    // small alphabet to force dense collisions and repeated bigrams.
+    def bound(token: String, term: String, d: Int): Boolean = {
+      val bigs = token.sliding(2).filter(_.length == 2).toSeq.distinct
+      val thr = bigs.size - 2 * d
+      thr < 1 || bigs.count(term.contains(_)) >= thr
+    }
+    val r = new scala.util.Random(42)
+    val alpha = "abcde"
+    def randTok(n: Int) = Seq.fill(n)(alpha(r.nextInt(alpha.length))).mkString
+    var inDist = 0
+    for (_ <- 1 to 5000) {
+      val token = randTok(2 + r.nextInt(9))
+      val term = randTok(2 + r.nextInt(9))
+      for (d <- 1 to 2)
+        if (graft.core.ServedUserView.editDistance(term, token) <= d) {
+          inDist += 1
+          assert(bound(token, term, d),
+            s"prefilter would drop '$term' within $d edits of '$token'")
+        }
+    }
+    assert(inDist > 100, s"property exercised only $inDist in-distance pairs")
+    // and it does PRUNE: a term sharing no bigram with a long token fails
+    assert(!bound("abcabc", "eeeeee", 1))
+  }
+
+  test("served facetRanges + suggest mirror the distributed snapshot (newest-wins)") {
+    // round-15 verdict #7: the aggregation surfaces get zero-Spark-jobs
+    // served mirrors with IDENTICAL semantics — newest-wins match set,
+    // newest row supplies the value/terms, deletes drop docs, tail rows
+    // and keyword fields included, caller's bucket order preserved.
+    val base = Files.createTempDirectory("graft_served_agg").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "sa", numFeatures = 2, initialNumCentroids = 2,
+      attributeSchema = Seq(AttrField("content", "text", "english"),
+        AttrField("tag", "keyword"), AttrField("chars", "long"))))
+    coll.insert(Seq(
+      (0L, 1L, Seq(1.0, 0.0), "stream scan runs", "red label", 15L),
+      (0L, 2L, Seq(0.0, 1.0), "merge join here", "blue label", 14L),
+      (0L, 3L, Seq(1.0, 1.0), "sort and agg", "red stripe", 11L))
+      .toDF("user_id", "doc_id", "vector", "content", "tag", "chars"))
+    coll.flush()
+    // re-insert doc 1 with DIFFERENT text and value: its OLD terms
+    // ("scan", "runs") and old chars=15 must count NOWHERE (newest-wins)
+    coll.insert(Seq(
+      (0L, 1L, Seq(0.9, 0.1), "merged streams", "red", 25L),
+      (0L, 4L, Seq(0.5, 0.5), "small stream again", "reddish", 17L))
+      .toDF("user_id", "doc_id", "vector", "content", "tag", "chars"))
+    coll.flush()
+    coll.delete(Seq((0L, 3L)).toDF("user_id", "doc_id")) // drops doc 3
+    // unflushed tail doc (read-your-writes on both paths)
+    coll.insert(Seq(
+      (0L, 5L, Seq(0.6, 0.4), "stream tail doc", "blue", 16L))
+      .toDF("user_id", "doc_id", "vector", "content", "tag", "chars"))
+    val snap = coll.snapshot()
+    val served = coll.serveUser(0L)
+    // facetRanges parity across filters and bucket shapes (incl. request
+    // order and overlapping buckets)
+    val bucketSets = Seq(
+      Seq((10.0, 15.0), (15.0, 20.0), (20.0, 30.0)),
+      Seq((20.0, 30.0), (10.0, 20.0)), // request order, not sorted
+      Seq((0.0, 100.0), (14.0, 18.0))) // overlapping
+    val filters = Seq(
+      DocFilter.Prefix("content", "s"),
+      DocFilter.Contains("content", "stream"),
+      DocFilter.And(Nil), // match-all
+      DocFilter.Contains("content", "scan")) // only doc 1's SUPERSEDED text
+    for (f <- filters; buckets <- bucketSets) {
+      val dist = snap.facetRanges(f, "chars", buckets)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+      val srv = served.facetRanges(f, "chars", buckets)
+        .map { case ((lo, hi), n) => (lo, hi, n) }
+      assert(srv === dist, s"facetRanges parity for $f / $buckets")
+    }
+    // the superseded-text filter really matches nothing (newest-wins)
+    assert(served.facetRanges(DocFilter.Contains("content", "scan"), "chars",
+      Seq((0.0, 100.0))).map(_._2) === Seq(0L))
+    // suggest parity: text field (analyzed), keyword field (whole value),
+    // ranking (distance asc, n_docs desc, term asc), top-k cut
+    for ((field, input, k, maxDist) <- Seq(
+        ("content", "stream", 5, 2), ("content", "merg", 5, 2),
+        ("content", "sord", 3, 1), ("content", "stream", 1, 2),
+        ("tag", "red", 5, 2), ("tag", "blue", 5, 1))) {
+      val dist = snap.suggest(field, input, k, maxDist)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val srv = served.suggest(field, input, k, maxDist)
+      assert(srv === dist, s"suggest parity for $field/$input/$k/$maxDist")
+    }
+    // deleted doc 3's terms ("sort") suggest nowhere on either path
+    assert(snap.suggest("content", "sort", 5, 0).count() === 0L)
+    assert(served.suggest("content", "sort", 5, 0) === Nil)
+    // validation parity: non-numeric facet field refuses on both paths
+    val ed = intercept[IllegalArgumentException] {
+      snap.facetRanges(DocFilter.And(Nil), "content", Seq((0.0, 1.0))) }
+    val es = intercept[IllegalArgumentException] {
+      served.facetRanges(DocFilter.And(Nil), "content", Seq((0.0, 1.0))) }
+    assert(ed.getMessage.contains("numeric attribute") &&
+      es.getMessage.contains("numeric attribute"))
+    // multi-token suggest input refuses on both paths (the Near rule)
+    val em = intercept[IllegalArgumentException] {
+      served.suggest("content", "merge joni") }
+    assert(em.getMessage.contains("single term"))
   }
 
   test("mixed positionless segment: capability map + error names it; merge upgrades") {
