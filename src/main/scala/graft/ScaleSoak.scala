@@ -21,7 +21,19 @@ import graft.core.{Collection, CollectionConfig, Toc}
   * [[Collection]]) is what's under test; reader threads deliberately churn
   * snapshots so expiry keeps racing live pins.
   *
-  * `runMain graft.ScaleSoak [N] [rounds] [readers]` — defaults 200000, 6, 3.
+  * Round 16 adds a ROGUE SECOND WRITER thread (round-15 verdict #2): it
+  * hammers flush/merge/mergeSmallest concurrently with the main writer's
+  * maintenance rounds. The single-writer lease makes every collision fail
+  * LOUDLY (IllegalStateException naming the contention) instead of
+  * silently corrupting a segment build or dropping a manifest — the soak
+  * asserts that every rogue attempt either succeeded as a legal
+  * (logically silent) op or failed with exactly that error, that the main
+  * writer always completes under its retry loop (the documented recovery:
+  * re-read the TOC and retry), that contention was actually OBSERVED, and
+  * that every reader invariant still holds bit-exactly.
+  *
+  * `runMain graft.ScaleSoak [N] [rounds] [readers] [rogue]` — defaults
+  * 200000, 6, 3, 1 (rogue writer on; 0 disables).
   * The default fits the 8g forked-JVM envelope (build.sbt); a 1M-row soak
   * needs `SPARK_DRIVER_MEM=24g` — at 8g the 1M x 768 merge rounds die with
   * Spark's OOM exit (52), measured r12.
@@ -31,6 +43,7 @@ object ScaleSoak {
     val n = args.headOption.map(_.toLong).getOrElse(200000L)
     val rounds = if (args.length > 1) args(1).toInt else 6
     val nReaders = if (args.length > 2) args(2).toInt else 3
+    val rogueOn = if (args.length > 3) args(3).toInt != 0 else true
     val nDel = math.max(1000L, n / 100)
     val nIns = nDel
     val dim = 768
@@ -122,6 +135,61 @@ object ScaleSoak {
       t.setDaemon(true); t.start(); t
     }
 
+    // ---- rogue second writer (round-15 verdict #2) ----
+    // Every collision must be the LOUD single-writer error — anything
+    // else (a FileNotFound mid-build, a wrong count downstream) is a
+    // soak failure. Rogue ops that win the lease are all logically
+    // silent (flush of an already-flushed tail is a no-op or commits the
+    // main writer's pending batches early; merge/mergeSmallest preserve
+    // the live set), so the readers' arithmetic oracle is untouched.
+    def isWriterContention(e: Throwable): Boolean = {
+      val m = String.valueOf(e.getMessage)
+      m.contains("single-writer") || m.contains("already committed")
+    }
+    val rogueOps = new AtomicLong(0L)
+    val rogueContentions = new AtomicLong(0L)
+    val rogue = new Thread(() => {
+      val rng = new scala.util.Random(77)
+      var interrupted = false
+      while (!stop.get() && !interrupted) {
+        try {
+          rng.nextInt(3) match {
+            case 0 => coll.flush()
+            case 1 => coll.merge()
+            case _ => coll.mergeSmallest(2)
+          }
+          rogueOps.incrementAndGet()
+        } catch {
+          case e: Throwable if isWriterContention(e) =>
+            rogueContentions.incrementAndGet()
+          case e: Throwable =>
+            errors.add(s"rogue: ${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(200))
+        }
+        try Thread.sleep(20 + rng.nextInt(80))
+        catch { case _: InterruptedException => interrupted = true }
+      }
+    }, "soak-rogue-writer")
+    rogue.setDaemon(true)
+    if (rogueOn) rogue.start()
+
+    // with a rogue writer in play the MAIN writer's ops can hit the
+    // lease too — the documented recovery is retry on top of the fresh
+    // TOC, which is exactly what a real single-writer scheduler would do
+    val mainRetries = new AtomicLong(0L)
+    def retrying[A](f: => A): A = {
+      var delay = 50L
+      while (true) {
+        try return f
+        catch {
+          case e: Throwable if isWriterContention(e) =>
+            mainRetries.incrementAndGet()
+            Thread.sleep(delay); delay = math.min(1000L, delay * 2)
+        }
+      }
+      sys.error("unreachable")
+    }
+
     var live = n
     var maxWriter = 0.0
     (1 to rounds).foreach { r =>
@@ -130,12 +198,32 @@ object ScaleSoak {
         coll.delete(spark.range(delFrom, delFrom + nDel)
           .select(lit(0L).as("user_id"), col("id").as("doc_id")))
         coll.insert(rowsFor(n + (r - 1).toLong * nIns, n + r.toLong * nIns))
-        coll.flush()
+        retrying(coll.flush())
         live = live - nDel + nIns
         expected.put(coll.toc.version, live)
-        if (r % 2 == 0) coll.merge() else coll.vacuum(Toc.read(coll.path).segments.head)
+        // the rogue may commit a (logically silent) merge between the
+        // flush and this toc read — the count is correct for that
+        // version too, so the oracle stays exact
+        if (r % 2 == 0) retrying(coll.merge())
+        else retrying {
+          // re-read the victim INSIDE the retry: a rogue merge can
+          // remove the previous head between attempts. A rogue merge
+          // landing between this read and vacuum's own toc read can
+          // orphan the vacuum (its victim no longer listed) — count it
+          // as a preemption, not a failure: the maintenance it was
+          // doing is logically silent and the rogue already did it.
+          val head = Toc.read(coll.path).segments.headOption
+          head.foreach { h =>
+            try coll.vacuum(h)
+            catch {
+              case e: Throwable if !isWriterContention(e) &&
+                  !Toc.read(coll.path).segments.contains(h) =>
+                () // preempted by a rogue merge — silent either way
+            }
+          }
+        }
         expected.put(coll.toc.version, live) // maintenance is logically silent
-        coll.expireVersions(keep = 2)
+        retrying(coll.expireVersions(keep = 2))
       }
       maxWriter = math.max(maxWriter, dt)
     }
@@ -143,14 +231,19 @@ object ScaleSoak {
     Thread.sleep(2000)
     stop.set(true)
     readers.foreach(_.join(30000))
+    if (rogueOn) rogue.join(30000)
 
     val errList = errors.toArray.toSeq.take(5)
     require(errors.isEmpty,
-      s"soak FAILED: ${errors.size} reader errors, first: ${errList.mkString(" | ")}")
+      s"soak FAILED: ${errors.size} reader/rogue errors, first: ${errList.mkString(" | ")}")
     require(pinReads.get() > 0 && cdcReads.get() > 0, "readers never exercised both paths")
+    if (rogueOn) require(rogueOps.get() + rogueContentions.get() > 0,
+      "rogue writer never ran")
     println(s"""{"op":"soak","n":$n,"rounds":$rounds,"readers":$nReaders,""" +
       s""""pin_reads":${pinReads.get()},"cdc_reads":${cdcReads.get()},""" +
       s""""clean_expired_races":${cleanExpired.get()},"errors":0,""" +
+      s""""rogue_ops":${rogueOps.get()},"rogue_contentions":${rogueContentions.get()},""" +
+      s""""main_retries":${mainRetries.get()},""" +
       f""""max_round_sec":$maxWriter%.2f}""")
     spark.stop()
     // successful runs leave nothing behind (stale multi-GB harness dirs

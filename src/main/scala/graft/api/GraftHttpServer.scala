@@ -44,6 +44,10 @@ import graft.operators.DocFilter
   *                                top_k?, nprobe?, filter?} — zero-Spark-jobs
   *  - `POST /serve_term_search`  {collection_name, user_ids: [uuid], filter,
   *                                limit?} — zero-Spark-jobs
+  *  - `POST /serve_facets`       {collection_name, user_ids: [uuid], filter,
+  *                                field, k?} — zero-Spark-jobs
+  *  - `POST /serve_term_stats`   {collection_name, user_ids: [uuid],
+  *                                prefix?, k?} — zero-Spark-jobs
   *  - `POST /serve_facet_ranges` {collection_name, user_ids: [uuid], filter,
   *                                field, buckets} — zero-Spark-jobs
   *  - `POST /serve_suggest`      {collection_name, user_ids: [uuid], field,
@@ -411,6 +415,28 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
       .termSearch(parseFilter(b("filter")),
         limit = b.getOrElse("limit", 10.0).asInstanceOf[Double].toInt)
     Map("doc_ids" -> docIds)
+  })
+
+  server.createContext("/serve_facets", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val fc = svc.serveUser(
+        b("collection_name").asInstanceOf[String],
+        parseIds(b("user_ids")).head)
+      .facetCounts(parseFilter(b("filter")),
+        facetField = b("field").asInstanceOf[String],
+        k = b.getOrElse("k", 10.0).asInstanceOf[Double].toInt)
+    Map("values" -> fc.map(_._1.orNull), "counts" -> fc.map(_._2))
+  })
+
+  server.createContext("/serve_term_stats", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val ts = svc.serveUser(
+        b("collection_name").asInstanceOf[String],
+        parseIds(b("user_ids")).head)
+      .termStats(
+        prefix = b.getOrElse("prefix", "").asInstanceOf[String],
+        k = b.getOrElse("k", 20.0).asInstanceOf[Double].toInt)
+    Map("terms" -> ts.map(_._1), "counts" -> ts.map(_._2))
   })
 
   server.createContext("/serve_facet_ranges", (ex: HttpExchange) => handle(ex) {

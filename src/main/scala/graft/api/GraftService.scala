@@ -244,6 +244,16 @@ class GraftService(spark: SparkSession, val basePath: String) {
     def suggest(field: String, input: String, k: Int = 5,
         maxDist: Int = 2): Seq[(String, Long, Long)] =
       view.suggest(field, input, k, maxDist)
+    /** Facet counts from the in-memory view —
+      * [[graft.core.Snapshot.facetCounts]] semantics, zero Spark jobs;
+      * None = the distributed null-value bucket. */
+    def facetCounts(filter: DocFilter, facetField: String,
+        k: Int = 10): Seq[(Option[String], Long)] =
+      view.facetCounts(filter, facetField, k)
+    /** Term dictionary from the in-memory view —
+      * [[graft.core.Snapshot.termStats]] semantics, zero Spark jobs. */
+    def termStats(prefix: String = "", k: Int = 20): Seq[(String, Long)] =
+      view.termStats(prefix, k)
   }
 
   /** Admin surface (rs/proto/proto/admin.proto:4-8). */

@@ -232,6 +232,11 @@ object GraftFunctions {
   def topk_by_score(score: Column, id: Column, k: Int): Column =
     col(TopKByScore(ex(score), ex(id), k).toAggregateExpression())
 
+  /** Bounded "best k terms" per group by (score desc, term asc) with
+    * map-side partial aggregation (see [[TopKTerms]]). */
+  def topk_terms(score: Column, term: Column, k: Int): Column =
+    col(TopKTerms(ex(score), ex(term), k).toAggregateExpression())
+
   /** All a < b id pairs within an LSH bucket (in-task expansion; see
     * [[PairKernels]]). */
   def sorted_pairs(ids: Column): Column = col(SortedPairs(ex(ids)))

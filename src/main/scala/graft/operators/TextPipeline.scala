@@ -97,7 +97,14 @@ object TextPipeline {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      k: Int = 3): DataFrame = {
+      k: Int = 3,
+      // vocabulary size under which the idf table gets an explicit
+      // broadcast-join hint (deterministic even with AQE off — the
+      // round-16 5M run with AQE's auto-broadcast unavailable sort-merged
+      // the corpus against a 31-term table). Beyond it the join plans
+      // normally (one corpus shuffle — unavoidable with a vocabulary too
+      // big for executor memory).
+      broadcastVocabLimit: Long = 2000000L): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     // tf in-row (term_counts kernel): the former groupBy(doc, term) shuffled
     // one row per TOKEN corpus-wide; now one (term, tf) row per distinct
@@ -107,20 +114,33 @@ object TextPipeline {
       ColumnBridge.column(graft.functions.TermCounts(
         ColumnBridge.expression(tokenize(col(textCol))))), "tc")
       .select(col("id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
-    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // vocab-bounded; persisted because it feeds both the size gate and
+    // the join (one corpus pass instead of two — Bench/Verify clear the
+    // cache between queries, the operator-internal-frame convention)
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df")).persist()
+    val idf = if (dfq.count() <= broadcastVocabLimit) broadcast(dfq) else dfq
     // corpus size: single-row aggregate, broadcast into the score expr
     val n = docs.select(count(lit(1)).as("n"))
-    val score = col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))
     // rank on the ROUNDED score: engines' ln() may differ by 1 ulp, and an
     // unrounded ORDER BY would let near-equal scores rank-swap across
     // engines before the term tiebreak kicks in
-    val w = Window.partitionBy("id").orderBy(round(score, 4).desc, col("term").asc)
-    tf.join(dfq, Seq("term"))
+    val score = round(
+      col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 4)
+    // Per-doc top-k via the bounded topk_terms aggregate (round 16, found
+    // driving ScaleText at 5M docs): the former Window.partitionBy(id)
+    // rank moved the whole per-(doc, term) frame through one exchange —
+    // ~2x corpus bytes of shuffle that filled this sandbox's disk at 5M
+    // and would dominate the operator on a cluster. A doc's exploded
+    // rows are task-local, so the aggregate's PARTIAL pass finishes each
+    // doc map-side and the exchange carries k slim structs per doc; with
+    // the broadcast idf join the corpus never shuffles at full width.
+    tf.join(idf, Seq("term"))
       .crossJoin(broadcast(n))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("id"), col("term"), round(score, 4).as("tfidf"),
-        col("rank").cast("long").as("rank"))
+      .groupBy(col("id"))
+      .agg(graft.functions.GraftFunctions.topk_terms(score, col("term"), k).as("top"))
+      .select(col("id"), posexplode(col("top")))
+      .select(col("id"), col("col.term").as("term"), col("col.score").as("tfidf"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** Deterministic stratified sampling: keep a row iff the first two hex

@@ -480,6 +480,24 @@ class PhraseSpec extends SparkSuite {
     // deleted doc 3's terms ("sort") suggest nowhere on either path
     assert(snap.suggest("content", "sort", 5, 0).count() === 0L)
     assert(served.suggest("content", "sort", 5, 0) === Nil)
+    // facetCounts parity: keyword, numeric (string-cast on the ORIGINAL
+    // column type — 25 reads "25", never "25.0"), and raw-text buckets
+    for (field <- Seq("tag", "chars", "content"); f <- filters) {
+      val dist = snap.facetCounts(f, field, k = 10)
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSeq
+      val srv = served.facetCounts(f, field, k = 10)
+      assert(srv === dist, s"facetCounts parity for $f on $field")
+    }
+    // termStats parity: full dictionary, field-range, keyword and typo'd
+    // prefixes — counts NEWEST-WINS on both paths
+    for (prefix <- Seq("", "content:s", "tag:", "content:merg", "nope:")) {
+      val dist = snap.termStats(prefix, k = 50)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val srv = served.termStats(prefix, k = 50)
+      assert(srv === dist, s"termStats parity for '$prefix'")
+    }
+    // doc 1's superseded terms are out of the dictionary on both paths
+    assert(served.termStats("content:scan", 10) === Nil)
     // validation parity: non-numeric facet field refuses on both paths
     val ed = intercept[IllegalArgumentException] {
       snap.facetRanges(DocFilter.And(Nil), "content", Seq((0.0, 1.0))) }

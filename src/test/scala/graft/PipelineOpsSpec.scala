@@ -209,6 +209,20 @@ class PipelineOpsSpec extends SparkSuite {
     val byDoc = top.groupBy("id").agg(count(lit(1)).as("c"), min("rank").as("mn"))
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(byDoc.forall { case (c, mn) => c <= 2 && mn == 1L })
+    // the two join regimes (broadcast idf hint vs plain join for monster
+    // vocabularies) produce identical rows — broadcastVocabLimit = 0
+    // forces the fallback arm
+    val fb = TextPipeline.topTermsTfIdf(docs, k = 2, broadcastVocabLimit = 0L)
+      .orderBy("id", "rank").collect().map(_.toSeq).toSeq
+    val main = top.orderBy("id", "rank").collect().map(_.toSeq).toSeq
+    assert(fb === main)
+    // ties on the rounded score break by term asc through the bounded
+    // aggregate exactly like the former rank window: doc of four
+    // once-terms, k=2 keeps the two alphabetically-first
+    val tied = Seq((0L, "delta apple carrot banana")).toDF("doc_id", "text")
+    val tiedTop = TextPipeline.topTermsTfIdf(tied, k = 2)
+      .orderBy("rank").select("term").as[String].collect().toSeq
+    assert(tiedTop === Seq("apple", "banana"))
   }
 
   test("stratified sample is deterministic, honors per-stratum rates") {
