@@ -521,11 +521,23 @@ object TextPipeline {
       idCol: String = "doc_id",
       textCol: String = "text",
       buckets: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
     val tk = Par.ensure(docs).select(col(idCol).as("id"), tokenize(col(textCol)).as("tk"))
+    // Per-doc bucket counting IN-ROW (round 16, found driving ScaleText
+    // at 5M docs): the former explode + groupBy(id, bucket) moved one row
+    // per n-gram — ~2x the token count — through a corpus-wide exchange
+    // (2B rows at 5M x 200 tokens, ~50 GB of shuffle that dominated the
+    // DSIR pass at 930 s). The term_counts kernel counts the stringified
+    // bucket ids inside the row instead, so the per-(id, bucket) frame
+    // leaves the map stage ALREADY aggregated and no exchange exists at
+    // any scale. Output rows identical: [id, bucket, cnt].
     Gen.explodeOnce(tk, Seq(col("id")),
-      concat(shingle_hashes(col("tk"), 1), shingle_hashes(col("tk"), 2)), "h")
-      .select(col("id"), pmod(col("h"), lit(buckets.toLong)).as("bucket"))
-      .groupBy("id", "bucket").agg(count(lit(1)).as("cnt"))
+      ColumnBridge.column(graft.functions.TermCounts(ColumnBridge.expression(
+        transform(
+          concat(shingle_hashes(col("tk"), 1), shingle_hashes(col("tk"), 2)),
+          h => pmod(h, lit(buckets.toLong)).cast("string"))))), "tc")
+      .select(col("id"), col("tc.term").cast("long").as("bucket"),
+        col("tc.tf").as("cnt"))
   }
 
   /** DSIR importance weights over a precomputed feature table: with
@@ -547,15 +559,27 @@ object TextPipeline {
       buckets: Int = 4096,
       alpha: Double = 1.0): DataFrame = {
     val bc = bucketCounts.select(col("id"), col("bucket"), col("cnt"))
-    val tgt = bc.join(targetIds.select(col("id")).distinct(), Seq("id"), "left_semi")
-    val tgtDist = tgt.groupBy("bucket").agg(sum(col("cnt")).as("tc"))
-    val rawDist = bc.groupBy("bucket").agg(sum(col("cnt")).as("rc"))
-    val tTot = tgt.agg(sum(col("cnt")).cast("double").as("tn"))
-    val rTot = bc.agg(sum(col("cnt")).cast("double").as("rn"))
-    val dist = rawDist.join(tgtDist, Seq("bucket"), "left")
-      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+    // ONE pass builds BOTH distributions (round 16): the former four
+    // separate consumers of `bc` (target semi-join, raw dist, two
+    // totals) each re-derived the per-(id, bucket) frame; now target
+    // rows are flagged by one left join (AQE broadcasts a sample-scale
+    // target set at runtime) and conditional sums split the bucket
+    // aggregate, with both totals read off the BOUNDED dist table
+    // instead of re-aggregating the corpus. With [[dsirBuckets]]'
+    // in-row counting, no corpus-wide exchange remains anywhere in the
+    // DSIR pipeline.
+    val flagged = bc.join(
+      targetIds.select(col("id")).distinct().withColumn("_tgt", lit(1)),
+      Seq("id"), "left")
+    val dist0 = flagged.groupBy("bucket").agg(
+      sum(col("cnt")).as("rc"),
+      sum(when(col("_tgt").isNotNull, col("cnt")).otherwise(lit(0L))).as("tc"))
+    val tots = dist0.agg(sum(col("rc")).cast("double").as("rn"),
+      sum(col("tc")).cast("double").as("tn"))
+    val dist = dist0
+      .crossJoin(broadcast(tots))
       .select(col("bucket"),
-        (log((coalesce(col("tc"), lit(0L)).cast("double") + alpha)
+        (log((col("tc").cast("double") + alpha)
             / (col("tn") + lit(alpha * buckets)))
           - log((col("rc").cast("double") + alpha)
             / (col("rn") + lit(alpha * buckets)))).as("lr"))
