@@ -464,6 +464,49 @@ object SparkEntry {
         DocFilter.Wildcard("text", "*ar*"),
         docTerms(s, d), docUniverse(s, d))
         .select(col("point_id").as("doc_id")).orderBy("doc_id")),
+    "q126_ranked_search" -> ((s, d) => {
+      // BM25 ranked retrieval over the PERSISTED collection term index
+      // (Snapshot.rankedSearch — beyond the reference: its term path
+      // stops at boolean membership). The field is declared lang="none"
+      // (lowercase-passthrough analyzer), so index terms == DuckDB's
+      // whitespace tokens and the oracle replays the full Okapi formula
+      // over the raw parquet while the engine answers from the index:
+      // tf from the persisted positions, dl from the flush-persisted
+      // lens table, (N, avgdl) from the snapshot memo — the entire
+      // ranked read path crosses the gate.
+      import graft.core.{AttrField, Collection, CollectionConfig}
+      val base = artifact("q126")
+      val emb = T(s, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val cfg = CollectionConfig(
+        name = "ranked", numFeatures = dim,
+        initialNumCentroids = 8, maxClustersPerVector = 2,
+        attributeSchema = Seq(AttrField("content", "text", "none")))
+      stampedBuild(base, Seq("q126v1",
+        inputStamp(d, Seq("documents", "embeddings")),
+        cfg.toString, codeStamp).mkString("|")) {
+        val rows = T(s, d, "documents")
+          .join(emb, col("doc_id") === col("vec_id"))
+          .select(lit(0L).as("user_id"), col("doc_id"),
+            col("embedding").cast("array<double>").as("vector"),
+            col("text").as("content"))
+        val coll = Collection.create(s, base, cfg)
+        coll.insert(rows); coll.flush()
+      }
+      Collection.open(s, base, cfg).snapshot()
+        .rankedSearch("content", "merge join stream", k = 10, userIds = Seq(0L))
+        .select(col("doc_id"), col("score"),
+          col("n_terms_hit").cast("long").as("n_terms_hit"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+    "q127_more_like_this" -> ((s, d) =>
+      // More-like-this (Lucene MoreLikeThis / ES more_like_this): seed
+      // doc 0's five most distinctive terms (smoothed tf-idf on the
+      // ROUNDED score, term-asc ties) re-run as a BM25 OR-query with the
+      // seed excluded; DuckDB replays BOTH stages end-to-end.
+      TextPipeline.moreLikeThis(T(s, d, "documents"), seedId = 0L, m = 5, k = 10)
+        .select(col("id").as("doc_id"), col("score"), col("n_terms_hit"))
+        .orderBy(col("score").desc, col("doc_id").asc)),
     "q125_range_facets" -> ((s, d) => {
       // Range facets (ES range-aggregation analogue — beyond the
       // reference): docs containing "merge", histogrammed by n_chars
@@ -2143,6 +2186,58 @@ object SparkEntry {
       s"""SELECT doc_id FROM (SELECT doc_id, n_chars, $docToksSql AS toks FROM documents) t
           WHERE list_contains(toks, 'merge') AND n_chars BETWEEN 150 AND 300
           ORDER BY doc_id""",
+    // full Okapi replay over the raw parquet — the engine answers the
+    // same query from the persisted term index (positions-derived tf,
+    // flush-persisted lens); lang="none" makes the two analyzers equal
+    "q126_ranked_search" ->
+      s"""WITH t AS (SELECT doc_id, $docToksSql AS toks FROM documents),
+          base AS (SELECT doc_id, toks, len(toks)::DOUBLE AS dl FROM t),
+          stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM base),
+          tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+                 FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+                 WHERE term IN ('merge', 'join', 'stream')
+                 GROUP BY doc_id, dl, term),
+          dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+          scored AS (
+            SELECT doc_id,
+              round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score,
+              count(*) AS n_terms_hit
+            FROM tf JOIN dfq USING (term), stats
+            GROUP BY doc_id)
+          SELECT doc_id, score, n_terms_hit FROM scored
+          ORDER BY score DESC, doc_id LIMIT 10""",
+    // both MLT stages replayed: profile = seed doc 0's top-5 terms by
+    // the q43 smoothed tf-idf (rounded, term-asc ties), retrieval = the
+    // q69 Okapi formula over those terms with the seed excluded (df/N/
+    // avgdl still count it, matching the engine)
+    "q127_more_like_this" ->
+      s"""WITH t AS (SELECT doc_id, $docToksSql AS toks FROM documents),
+          base AS (SELECT doc_id, toks, len(toks)::DOUBLE AS dl FROM t),
+          stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM base),
+          tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+                 FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+                 GROUP BY doc_id, dl, term),
+          seed AS (SELECT term, tf FROM tf WHERE doc_id = 0),
+          dfp AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                  WHERE term IN (SELECT term FROM seed) GROUP BY term),
+          prof AS (SELECT term,
+                     round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+                   FROM seed JOIN dfp USING (term), stats),
+          qterms AS (SELECT term FROM prof ORDER BY tfidf DESC, term LIMIT 5),
+          m AS (SELECT doc_id, dl, term, tf FROM tf
+                WHERE term IN (SELECT term FROM qterms)),
+          dfq AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY term),
+          scored AS (
+            SELECT doc_id,
+              round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score,
+              count(*) AS n_terms_hit
+            FROM m JOIN dfq USING (term), stats
+            WHERE doc_id <> 0
+            GROUP BY doc_id)
+          SELECT doc_id, score, n_terms_hit FROM scored
+          ORDER BY score DESC, doc_id LIMIT 10""",
     "q125_range_facets" ->
       s"""WITH m AS (SELECT n_chars FROM (SELECT doc_id, n_chars, $docToksSql AS toks FROM documents) t
                      WHERE list_contains(toks, 'merge'))

@@ -37,6 +37,9 @@ import graft.operators.DocFilter
   *  - `POST /suggest`            {collection_name, field, input, k?,
   *                                max_dist?} — "did you mean" over the
   *                                live term dictionary
+  *  - `POST /rank`               {collection_name, field, query, k?,
+  *                                user_ids?} — BM25-ranked text retrieval
+  *                                over the persisted term index
   *  - `POST /calibrate`          {collection_name, k?, n_queries?, ladder?}
   *                                — measure + persist the recall curve
   *                                `target_recall` searches resolve against
@@ -52,6 +55,8 @@ import graft.operators.DocFilter
   *                                field, buckets} — zero-Spark-jobs
   *  - `POST /serve_suggest`      {collection_name, user_ids: [uuid], field,
   *                                input, k?, max_dist?} — zero-Spark-jobs
+  *  - `POST /serve_rank`         {collection_name, user_ids: [uuid], field,
+  *                                query, k?} — zero-Spark-jobs BM25
   *  - `POST /remove`             {collection_name, user_ids, doc_ids}
   *  - `GET  /segments?collection=<name>`
   *  - `POST /optimize`           {collection_name} — one compaction tick
@@ -376,6 +381,21 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
       "counts" -> sg.map(_._3))
   })
 
+  // BM25 ranked retrieval (beyond the proto surface, round 16):
+  // {collection_name, field, query, k?, user_ids?} ->
+  // {ids: [uuid], scores: [...], n_terms_hit: [...]} (score desc)
+  server.createContext("/rank", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val rs = svc.rankedSearch(
+      b("collection_name").asInstanceOf[String],
+      field = b("field").asInstanceOf[String],
+      query = b("query").asInstanceOf[String],
+      k = b.getOrElse("k", 10.0).asInstanceOf[Double].toInt,
+      userIds = b.get("user_ids").map(parseIds).getOrElse(Nil))
+    Map("ids" -> rs.map(_._1), "scores" -> rs.map(_._2),
+      "n_terms_hit" -> rs.map(_._3))
+  })
+
   // Recall calibration (beyond the proto surface): {collection_name, k?,
   // n_queries?, ladder?} -> {nprobe: [...], recall: [...]} — measures +
   // persists the curve that `target_recall` searches resolve against
@@ -467,6 +487,19 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
         maxDist = b.getOrElse("max_dist", 2.0).asInstanceOf[Double].toInt)
     Map("terms" -> sg.map(_._1), "distances" -> sg.map(_._2),
       "counts" -> sg.map(_._3))
+  })
+
+  server.createContext("/serve_rank", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val rs = svc.serveUser(
+        b("collection_name").asInstanceOf[String],
+        parseIds(b("user_ids")).head)
+      .rankedSearch(
+        field = b("field").asInstanceOf[String],
+        query = b("query").asInstanceOf[String],
+        k = b.getOrElse("k", 10.0).asInstanceOf[Double].toInt)
+    Map("ids" -> rs.map(_._1), "scores" -> rs.map(_._2),
+      "n_terms_hit" -> rs.map(_._3))
   })
 
   server.createContext("/remove", (ex: HttpExchange) => handle(ex) {

@@ -185,6 +185,17 @@ class GraftService(spark: SparkSession, val basePath: String) {
       .suggest(field, input, k, maxDist, userIds.map(toBytes))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
 
+  /** BM25 ranked retrieval (beyond-proto, round 16): Okapi-scored text
+    * search over the persisted term index
+    * ([[graft.core.Snapshot.rankedSearch]]) —
+    * (doc uuid, score, n_terms_hit), score desc. */
+  def rankedSearch(collectionName: String, field: String, query: String,
+      k: Int, userIds: Seq[String] = Nil): Seq[(String, Double, Long)] =
+    collection(collectionName).snapshot()
+      .rankedSearch(field, query, k, userIds = userIds.map(toBytes))
+      .collect().map(r => (toUuidStr(r.get(1).asInstanceOf[Array[Byte]]),
+        r.getDouble(2), r.getLong(3))).toSeq
+
   /** Recall calibration pass (beyond-proto admin): measures + persists
     * the recall@k-vs-nprobe curve `target_recall` searches resolve
     * against ([[graft.core.Collection.calibrateRecall]]). */
@@ -244,6 +255,13 @@ class GraftService(spark: SparkSession, val basePath: String) {
     def suggest(field: String, input: String, k: Int = 5,
         maxDist: Int = 2): Seq[(String, Long, Long)] =
       view.suggest(field, input, k, maxDist)
+    /** BM25 ranked retrieval from the in-memory view (round 16) —
+      * [[graft.core.Snapshot.rankedSearch]] semantics, zero Spark jobs. */
+    def rankedSearch(field: String, query: String, k: Int = 10)
+        : Seq[(String, Double, Long)] =
+      view.rankedSearch(field, query, k)
+        .map { case (id, s, h) =>
+          (toUuidStr(id.asInstanceOf[Array[Byte]]), s, h) }
     /** Facet counts from the in-memory view —
       * [[graft.core.Snapshot.facetCounts]] semantics, zero Spark jobs;
       * None = the distributed null-value bucket. */

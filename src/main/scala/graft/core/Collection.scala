@@ -653,6 +653,25 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       .write.mode("overwrite")
       .partitionBy("term_bucket")
       .parquet(s"${segPath(seg)}/terms")
+
+    // Per-(user, point, field) analyzed token counts — BM25's doc-length
+    // norms (Lucene persists the same statistic per field at index time).
+    // dl is the size of the SAME analyzed token array the term index is
+    // built from, so sum(tf over a doc's terms) == dl by construction;
+    // computed directly from the vectors table as a map-only pass (no
+    // explode, no shuffle — the write coalesces because the table is one
+    // slim row per doc per text field). Ranked search (Snapshot
+    // .rankedSearch) reads this instead of re-deriving lengths from the
+    // positions column per query; segments flushed before this table
+    // landed fall back to that derivation (Snapshot's capability memo).
+    if (textCols.nonEmpty) textCols.map { f =>
+      val toks =
+        if (f.kind == "keyword") array(lower(col(f.name)))
+        else analyze_text(col(f.name), lit(f.lang))
+      vectors.select(col("user_id"), col("point_id"), lit(f.name).as("field"),
+        coalesce(size(toks), lit(0)).cast("long").as("dl"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"${segPath(seg)}/lens")
   }
 
   // ---- read path ----
@@ -1352,6 +1371,17 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     positionsMemo.getOrElseUpdate(seg,
       segmentTable(seg, "terms").columns.contains("positions"))
 
+  /** Does `seg` carry the flush-persisted per-(user, point, field) `lens`
+    * table (BM25 doc-length norms)? Memoized — segments are immutable and
+    * rebuilds mint new names, same discipline as [[termsHasPositions]].
+    * Pre-lens segments derive identical lengths from the positions column
+    * (one field-range scan + a doc-keyed aggregate) — a graceful fallback,
+    * not an error: unlike missing positions, the data fully exists. */
+  private val lensMemo = TrieMap.empty[String, Boolean]
+  private[core] def segmentHasLens(seg: String): Boolean =
+    lensMemo.getOrElseUpdate(seg,
+      Files.exists(Paths.get(segPath(seg), "lens")))
+
   /** Memoized vectors-table column set per segment (immutable once
     * written; rebuilds mint new names) — the numeric-attribute
     * capability check, same discipline as [[termsHasPositions]]. */
@@ -2047,6 +2077,188 @@ final class Snapshot(
       .map(m => newestVersionOnly(
           m.dropDuplicates("user_id", "term", "doc_id", "src_batch"), userIds)
         .dropDuplicates("user_id", "term", "doc_id"))
+  }
+
+  // ---- BM25 ranked retrieval (round 16; beyond the reference: its term
+  // index stops at boolean membership — rs/index/src/collection/
+  // snapshot.rs:114-147 returns id lists; scored text retrieval is what
+  // its users reach for next) ----
+
+  /** Live `(user_id, term, doc_id, tf)` rows for `field`, NEWEST-WINS —
+    * the ranked-retrieval sibling of [[liveTermDocs]]: tf comes from the
+    * persisted per-(term, point) positions on flushed segments and from a
+    * re-analysis on the unflushed tail. `restrict` lands on the
+    * term-sorted parquet scan BEFORE anything joins, so a query-term
+    * `isin` stays a dictionary-pruned range scan (ProfTerms' measured
+    * O(matching terms) discipline). NEWEST-WINS: relevance must be scored
+    * against the doc version whose payload the caller will fetch —
+    * scoring a superseded version's tf would rank docs by content the
+    * read path no longer serves (same rule as [[matchedDocs]] /
+    * [[termStats]]; membership [[termSearch]] stays any-live-version). */
+  private def liveFieldTermFreqs(field: String,
+      restrict: DataFrame => DataFrame,
+      userIds: Seq[Any]): Option[DataFrame] = {
+    val prefix = s"$field:"
+    val perSegment = segments.map { seg =>
+      val v = coll.vectorsFor(seg, userIds)
+      val idCols = Seq("user_id", "point_id", "doc_id") ++
+        (if (v.columns.contains("src_batch")) Seq("src_batch") else Nil)
+      var t = coll.segmentTable(seg, "terms")
+      if (userIds.nonEmpty) t = t.filter(col("user_id").isin(userIds: _*))
+      t = restrict(t.filter(col("term").startsWith(prefix)))
+      var m = t.select(col("user_id"), col("term"), col("point_id"),
+          size(col("positions")).cast("long").as("tf"))
+        .join(v.select(idCols.map(col): _*), Seq("user_id", "point_id"))
+      for (tb <- tombRows) m = Search.dropTombstoned(m, tb)
+      val sb = if (m.columns.contains("src_batch")) col("src_batch")
+               else lit(Long.MinValue)
+      m.select(col("user_id"), col("term"), col("doc_id"), col("tf"),
+        sb.as("src_batch"))
+    }
+    val tailTerms = tailRows.flatMap { rows =>
+      coll.config.textFields.find(_.name == field)
+        .filter(f => rows.columns.contains(f.name)).map { f =>
+          var df = rows
+          if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
+          for (tb <- tombRows) df = Search.dropTombstoned(df, tb)
+          val sb = if (df.columns.contains("src_batch")) col("src_batch")
+                   else lit(Long.MinValue)
+          val toks =
+            if (f.kind == "keyword") array(lower(col(f.name)))
+            else analyze_text(col(f.name), lit(f.lang))
+          restrict(graft.operators.Gen.explodeOnce(
+            df.withColumn("_toks", toks),
+            Seq(col("user_id"), col("doc_id"), sb.as("src_batch")),
+            term_postings(f.name, col("_toks")), "tp")
+            .select(col("user_id"), col("tp.term").as("term"), col("doc_id"),
+              size(col("tp.positions")).cast("long").as("tf"),
+              col("src_batch")))
+        }
+    }
+    (perSegment ++ tailTerms).reduceOption(_ unionByName _)
+      .map(m => newestVersionOnly(
+          m.dropDuplicates("user_id", "term", "doc_id", "src_batch"), userIds)
+        .dropDuplicates("user_id", "term", "doc_id")
+        .select("user_id", "term", "doc_id", "tf"))
+  }
+
+  /** Live `(user_id, doc_id, dl)` doc lengths for `field`, NEWEST-WINS:
+    * flushed segments read the flush-persisted `lens` table (a slim
+    * one-row-per-doc-per-field norm, never re-analyzed); pre-lens
+    * segments derive identical numbers from the positions column (with
+    * the documented caveat that a doc whose field analyzed to ZERO tokens
+    * has no term rows to derive from — it drops out of N/avgdl until a
+    * rebuild, and scores nothing either way); the tail re-analyzes. */
+  private def liveFieldLens(field: String, userIds: Seq[Any]): Option[DataFrame] = {
+    val perSegment = segments.map { seg =>
+      val v = coll.vectorsFor(seg, userIds)
+      val idCols = Seq("user_id", "point_id", "doc_id") ++
+        (if (v.columns.contains("src_batch")) Seq("src_batch") else Nil)
+      var lensDf =
+        if (coll.segmentHasLens(seg))
+          coll.segmentTable(seg, "lens").filter(col("field") === field)
+            .select("user_id", "point_id", "dl")
+        else
+          coll.segmentTable(seg, "terms")
+            .filter(col("term").startsWith(s"$field:"))
+            .groupBy("user_id", "point_id")
+            .agg(sum(size(col("positions"))).cast("long").as("dl"))
+      if (userIds.nonEmpty) lensDf = lensDf.filter(col("user_id").isin(userIds: _*))
+      var m = lensDf.join(v.select(idCols.map(col): _*), Seq("user_id", "point_id"))
+      for (tb <- tombRows) m = Search.dropTombstoned(m, tb)
+      val sb = if (m.columns.contains("src_batch")) col("src_batch")
+               else lit(Long.MinValue)
+      m.select(col("user_id"), col("doc_id"), col("dl"), sb.as("src_batch"))
+    }
+    val tailLens = tailRows.flatMap { rows =>
+      coll.config.textFields.find(_.name == field)
+        .filter(f => rows.columns.contains(f.name)).map { f =>
+          var df = rows
+          if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
+          for (tb <- tombRows) df = Search.dropTombstoned(df, tb)
+          val sb = if (df.columns.contains("src_batch")) col("src_batch")
+                   else lit(Long.MinValue)
+          val toks =
+            if (f.kind == "keyword") array(lower(col(f.name)))
+            else analyze_text(col(f.name), lit(f.lang))
+          df.select(col("user_id"), col("doc_id"),
+            coalesce(size(toks), lit(0)).cast("long").as("dl"),
+            sb.as("src_batch"))
+        }
+    }
+    (perSegment ++ tailLens).reduceOption(_ unionByName _)
+      .map(m => newestVersionOnly(
+          m.dropDuplicates("user_id", "doc_id", "src_batch"), userIds)
+        .dropDuplicates("user_id", "doc_id")
+        .select("user_id", "doc_id", "dl"))
+  }
+
+  /** Memoized BM25 corpus statistics `(N, avgdl)` per (field, user set) —
+    * index-time statistics in Lucene terms: a snapshot is immutable, so
+    * one narrow aggregate over the flush-persisted lens tables serves
+    * every query against it. Recomputing a corpus aggregate per search
+    * would dominate the query at scale. */
+  private val bm25StatsMemo = TrieMap.empty[(String, List[Any]), (Long, Double)]
+  def bm25FieldStats(field: String, userIds: Seq[Any] = Nil): (Long, Double) =
+    bm25StatsMemo.getOrElseUpdate((field, userIds.toList),
+      liveFieldLens(field, userIds).map(Search.bm25Stats).getOrElse((0L, 0.0)))
+
+  /** BM25-ranked full-text retrieval over the persisted term index —
+    * Okapi BM25 with the Lucene constants (k1 = 1.2, b = 0.75), the
+    * ranked counterpart of the boolean [[termSearch]] and the
+    * collection-path twin of [[graft.operators.TextPipeline.bm25TopK]]
+    * (identical formula and arithmetic shape — the two paths score
+    * identically on identical content, pinned in CollectionSpec).
+    *
+    * The query string goes through the SAME analyzer as the index side
+    * (per-field lang — the engine invariant); tf comes from the persisted
+    * positions, dl from the flush-persisted lens table, (N, avgdl) from
+    * the per-snapshot memo. Everything the query touches is
+    * O(matched postings): the only term-table predicate is
+    * `term IN (analyzed query)` — a dictionary-pruned range scan.
+    *
+    * Returns `[user_id, doc_id, score, n_terms_hit]`, ordered
+    * (score desc, doc_id asc), top `k` — descending: BM25 is a relevance
+    * score, not a distance (K4's ascending contract is for distances). */
+  def rankedSearch(field: String, query: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      userIds: Seq[Any] = Nil): DataFrame = {
+    val f = coll.config.textFields.find(_.name == field).getOrElse(throw
+      new IllegalArgumentException(
+        s"rankedSearch: '$field' is not a text/keyword attribute of " +
+          s"collection '${coll.config.name}' — declared text fields: " +
+          (coll.config.textFields.map(_.name) match {
+            case Nil => "(none)"; case fs => fs.mkString(", ") })))
+    // tf derives from positions — pre-positions segments must rebuild
+    // first, the requirePositions contract with BM25's wording
+    val missing = segments.filterNot(coll.termsHasPositions)
+    require(missing.isEmpty,
+      s"BM25 ranked search derives term frequencies from per-(term, point) " +
+        s"positions, but segment(s) ${missing.mkString(", ")} of collection " +
+        s"'${coll.config.name}' were flushed before the positions column " +
+        "landed — rebuild them (coll.merge() / mergeSmallest / POST /optimize)")
+    val queryKeys = graft.operators.FilterCompiler
+      .queryTerms(field, query, f.kind == "keyword", f.lang).distinct
+    if (queryKeys.isEmpty) coll.spark.emptyDataFrame
+    else {
+      // bucket-aware dictionary restriction (FilterCompiler.termScan's
+      // shape): each disjunct's term_bucket predicate constant-folds, so
+      // the scan prunes to |query| of Collection.termBuckets directories
+      // before the sorted-term row-group pruning
+      val restrict: DataFrame => DataFrame = t =>
+        if (t.columns.contains("term_bucket"))
+          t.filter(queryKeys.map(qt =>
+            col("term_bucket") === pmod(xxhash64(lit(qt)),
+              lit(Collection.termBuckets)) && col("term") === lit(qt))
+            .reduce(_ || _))
+        else t.filter(col("term").isin(queryKeys: _*))
+      val (n, avgdl) = bm25FieldStats(field, userIds)
+      (for {
+        tfs <- liveFieldTermFreqs(field, restrict, userIds)
+        lens <- liveFieldLens(field, userIds)
+      } yield Search.bm25TopK(tfs, lens, queryKeys, k, n, avgdl, k1, b))
+        .getOrElse(coll.spark.emptyDataFrame)
+    }
   }
 
   /** Term/attribute MEMBERSHIP search: live docs matching `filter`,

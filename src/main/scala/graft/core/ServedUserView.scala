@@ -490,6 +490,127 @@ final class ServedUserView private[core] (
         docs.size.toLong)
     }.toSeq.sortBy { case (t, d, n) => (d, -n, t) }.take(k)
   }
+
+  /** Analyzed token count of `field` on one doc's newest live row —
+    * segment rows read the lens slice ([[SegmentView.dlFor]]), tail rows
+    * their analyzed tokens (keyword fields: the whole value = 1 token). */
+  private def docLenAt(field: String, kw: Boolean)(
+      loc: Either[(SegmentView, Long), TailRow]): Long = loc match {
+    case Left((sv, pid)) => sv.dlFor(field, pid)
+    case Right(row) =>
+      if (kw) row.keywords.get(field).fold(0L)(_ => 1L)
+      else row.toks.get(field).fold(0L)(_.length.toLong)
+  }
+
+  /** Memoized BM25 corpus statistics (N, avgdl) per field — the served
+    * mirror of the Snapshot's per-snapshot memo; one in-memory pass over
+    * the newest-rows map, then a map hit per query. */
+  private val bm25StatsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Double)]
+  private def bm25FieldStats(field: String): (Long, Double) =
+    bm25StatsMemo.getOrElseUpdate(field, {
+      val kw = keywordFields.contains(field)
+      var n = 0L
+      var total = 0L
+      for ((_, loc) <- newestRows) {
+        n += 1
+        total += docLenAt(field, kw)(loc)
+      }
+      (n, if (n == 0L) 0.0 else total.toDouble / n)
+    })
+
+  /** Served mirror of [[Snapshot.rankedSearch]] with zero Spark jobs:
+    * Okapi BM25 (identical formula, constants and HALF-UP-4 rounding to
+    * the distributed path — parity pinned in CollectionSpec) over the
+    * in-memory term postings. NEWEST-WINS like every served aggregation
+    * mirror: the match set, tf and dl all come from each doc's newest
+    * live row. Candidate generation is postings-driven (O(matched), the
+    * distributed dictionary-scan posture), never a corpus iteration.
+    * Returns (doc_id, score, n_terms_hit), (score desc, doc_id asc),
+    * top `k`. */
+  def rankedSearch(field: String, query: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): Seq[(Any, Double, Long)] = {
+    require(fieldLang.contains(field) && !numericFields.contains(field),
+      s"rankedSearch: '$field' is not a text/keyword attribute of the " +
+        "served schema")
+    val missingPos = segments.filterNot(_.hasPositions).map(_.name)
+    require(missingPos.isEmpty,
+      s"BM25 ranked search derives term frequencies from per-(term, point) " +
+        s"positions, but segment(s) ${missingPos.mkString(", ")} were " +
+        "flushed before the positions column landed — rebuild them " +
+        "(merge / POST /optimize), then re-serve")
+    val kw = keywordFields.contains(field)
+    val keys = FilterCompiler.queryTerms(field, query, kw,
+      fieldLang.getOrElse(field, "english")).distinct
+    if (keys.isEmpty) return Nil
+    val fp = s"$field:"
+    val (n, avgdl) = bm25FieldStats(field)
+    if (n == 0L) return Nil
+    // per-(segment, key) pid -> tf, built once (postings-array scans stay
+    // linear, never per-candidate)
+    val segTf: Map[(String, String), Map[Long, Long]] =
+      (for (sv <- segments; key <- keys) yield (sv.name, key) ->
+        sv.termPostings.getOrElse(key, ServedUserView.noPostings)
+          .iterator.map { case (p, pos) => p -> pos.length.toLong }.toMap).toMap
+    def tfOf(loc: Either[(SegmentView, Long), TailRow], key: String): Long =
+      loc match {
+        case Left((sv, pid)) => segTf((sv.name, key)).getOrElse(pid, 0L)
+        case Right(row) =>
+          val bare = key.stripPrefix(fp)
+          if (kw) { if (row.keywords.get(field).contains(bare)) 1L else 0L }
+          else row.toks.get(field).fold(0L)(_.count(_ == bare).toLong)
+      }
+    // candidates: docs whose NEWEST live row carries a query term
+    val cand = scala.collection.mutable.HashMap
+      .empty[Any, Either[(SegmentView, Long), TailRow]]
+    for (sv <- segments; key <- keys; (pid, _) <- segTf((sv.name, key));
+         doc <- sv.docOf.get(pid)) {
+      val dk = docKey(doc)
+      newestRows.get(dk) match {
+        case Some(l @ Left((s2, p2))) if (s2 eq sv) && p2 == pid => cand(dk) = l
+        case _ => ()
+      }
+    }
+    for (row <- tailRows) {
+      val dk = docKey(row.docId)
+      newestRows.get(dk) match {
+        case Some(r @ Right(r2)) if r2 eq row =>
+          if (keys.exists(tfOf(r, _) > 0L)) cand(dk) = r
+        case _ => ()
+      }
+    }
+    if (cand.isEmpty) return Nil
+    // df per query term over the newest-wins match set (the distributed
+    // bm25Score's O(matched) aggregate)
+    val dfOf: Map[String, Long] = keys.map(key =>
+      key -> cand.valuesIterator.count(tfOf(_, key) > 0L).toLong).toMap
+    val nD = n.toDouble
+    val scored = cand.iterator.map { case (_, loc) =>
+      val dl = docLenAt(field, kw)(loc).toDouble
+      var sum = 0.0
+      var hits = 0L
+      for (key <- keys) {
+        val tf = tfOf(loc, key)
+        if (tf > 0L) {
+          hits += 1
+          val df = dfOf(key).toDouble
+          val idf = math.log(1.0 + (nD - df + 0.5) / (df + 0.5))
+          val t = tf.toDouble
+          sum += idf * (t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dl / avgdl)))
+        }
+      }
+      val id: Any = loc match {
+        case Left((sv, pid)) => sv.docOf(pid)
+        case Right(row) => row.docId
+      }
+      (id, BigDecimal(sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        hits)
+    }.filter(_._3 > 0L).toSeq
+    scored.sortWith { case ((i1, s1, _), (i2, s2, _)) =>
+      val c = java.lang.Double.compare(s2, s1) // score DESC
+      if (c != 0) c < 0 else idLess(i1, i2)
+    }.take(k)
+  }
 }
 
 object ServedUserView {
@@ -542,8 +663,28 @@ object ServedUserView {
       // schema attribute values STRING-CAST on their original column
       // type (so a long 15 reads "15", matching the distributed
       // facetCounts' cast exactly); nulls absent
-      attrVals: Map[String, Map[Long, String]] = Map.empty) {
+      attrVals: Map[String, Map[Long, String]] = Map.empty,
+      // flush-persisted BM25 doc-length norms: field -> point -> dl
+      // (empty for segments flushed before the lens table landed —
+      // dlFor then derives identical numbers from the positions,
+      // minus zero-token docs, the distributed fallback's caveat)
+      lensOf: Map[String, Map[Long, Long]] = Map.empty) {
     val universe: Set[Long] = docOf.keySet
+
+    private val derivedDl =
+      scala.collection.concurrent.TrieMap.empty[String, Map[Long, Long]]
+    /** Analyzed token count of `field` at `pid`: the lens slice when the
+      * segment carries one, else a per-field sum over the in-memory
+      * positions (memoized). */
+    def dlFor(field: String, pid: Long): Long =
+      lensOf.get(field).map(_.getOrElse(pid, 0L)).getOrElse(
+        derivedDl.getOrElseUpdate(field, {
+          val acc = scala.collection.mutable.HashMap.empty[Long, Long]
+          val fp = s"$field:"
+          for ((t, posts) <- termPostings if t.startsWith(fp); (p, pos) <- posts)
+            acc(p) = acc.getOrElse(p, 0L) + pos.length
+          acc.toMap
+        }).getOrElse(pid, 0L))
   }
 
   private[core] final case class TailRow(
@@ -639,8 +780,19 @@ object ServedUserView {
               .map(r => r.getLong(0) -> r.getString(i + 1)).toMap
           }.toMap
         }
+      // the user's slice of the flush-persisted BM25 lens table (doc-
+      // length norms), one bounded collect like the rest of the view
+      val lensOf: Map[String, Map[Long, Long]] =
+        if (!coll.segmentHasLens(seg)) Map.empty
+        else coll.segmentTable(seg, "lens").filter(col("user_id") === uid)
+          .select(col("field"), col("point_id").cast("long"),
+            col("dl").cast("long"))
+          .collect()
+          .groupBy(_.getString(0))
+          .map { case (f, rows) =>
+            f -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap }
       SegmentView(seg, served, docOf, termPostings, hasPositions, numAttrs,
-        batchOf, attrVals)
+        batchOf, attrVals, lensOf)
     }
     // analyzed text rides out of the same Spark expressions the index side
     // uses (analyze_text per field lang), so tail term matching keeps the

@@ -68,6 +68,11 @@ object GraftFunctions {
   def ngram_counts(tokens: Column, n: Int): Column =
     col(NgramCounts(ex(tokens), n))
 
+  /** In-row `[(term, tf)]` tally over a token array — the map-side tf
+    * build (nothing token-exploded ever shuffles); see
+    * [[graft.functions.TextKernels.termCounts]]. */
+  def term_counts(tokens: Column): Column = col(TermCounts(ex(tokens)))
+
   // Per-executor stem memo: corpora repeat tokens far more often than the
   // vocabulary grows, and the stemmers are pure, so a vocabulary-sized
   // cache turns the dominant cost of the term pipeline into a hash probe.

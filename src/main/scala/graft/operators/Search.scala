@@ -418,6 +418,91 @@ object Search {
       .limit(k)
   }
 
+  /** Corpus statistics for [[bm25Score]] — `(nDocs, avgdl)` from a
+    * `[.., dl]` doc-length frame in ONE narrow partials-only aggregate.
+    * These are INDEX-TIME statistics: compute once per corpus/snapshot
+    * (the collection path memoizes them per pinned snapshot over
+    * flush-persisted per-segment lengths) and reuse across queries —
+    * recomputing a corpus aggregate per search would dominate the query
+    * at scale. */
+  def bm25Stats(docLens: DataFrame): (Long, Double) = {
+    val r = docLens.agg(count(lit(1)).as("n"),
+      avg(col("dl").cast("double")).as("avgdl")).head()
+    val n = r.getLong(0)
+    (n, if (n == 0) 0.0 else r.getDouble(1))
+  }
+
+  /** Okapi BM25 scoring over PREBUILT index frames — the same formula,
+    * constants, and arithmetic shape as [[TextPipeline.bm25TopK]] (the
+    * raw-documents path, q69), so the collection index path and the
+    * pipeline path score identically on identical content:
+    *
+    *   score(d) = Σ_{t ∈ q, t ∈ d}  ln(1 + (N − df + ½)/(df + ½))
+    *              · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Inputs: `termFreqs` = `[user_id, term, doc_id, tf]` (one row per
+    * live doc-term; the collection path derives tf from the persisted
+    * positions), `docLens` = `[user_id, doc_id, dl]`. Analysis is the
+    * caller's: query terms must come from the same analyzer as the index
+    * (the engine invariant).
+    *
+    * Scale shape: the only `termFreqs` touch is `term IN (query terms)` —
+    * a dictionary-pruned range scan on the term-sorted segment parquet,
+    * O(matched postings) after it; df is an O(matched) aggregate over a
+    * key space bounded by |query| and broadcast back; doc lengths join on
+    * the doc key; the final top-k is orderBy+limit → TakeOrderedAndProject.
+    * No corpus-wide pass anywhere (stats come in via [[bm25Stats]]).
+    * Scores round HALF-UP to 4 before ranking (ties → doc_id asc) so a
+    * SQL replay agrees on every comparison.
+    *
+    * Returns `[user_id, doc_id, score, n_terms_hit]` (how many distinct
+    * query terms matched), unordered/unlimited — [[bm25TopK]] is the
+    * retrieval surface, this the building block (more-like-this excludes
+    * its seed doc between score and limit). */
+  def bm25Score(
+      termFreqs: DataFrame,
+      docLens: DataFrame,
+      queryTerms: Seq[String],
+      nDocs: Long,
+      avgdl: Double,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: empty analyzed query")
+    val q = queryTerms.distinct
+    val m = termFreqs.filter(col("term").isin(q: _*))
+      .select(col("user_id"), col("term"), col("doc_id"),
+        col("tf").cast("double").as("tf"))
+    // df per query term over the caller's live+deduped frame; bounded by
+    // |q| keys -> broadcast back
+    val dfq = m.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+    m.join(docLens.select(col("user_id"), col("doc_id"), col("dl")),
+        Seq("user_id", "doc_id"))
+      .join(broadcast(dfq), Seq("term"))
+      .groupBy("user_id", "doc_id")
+      .agg(round(sum(idf * tfNorm), 4).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** BM25 top-k: [[bm25Score]] ordered (score desc, doc_id asc), top `k`
+    * — descending: BM25 is a relevance score, not a distance (K4's
+    * ascending contract is for distances; the doc_id tiebreak is shared). */
+  def bm25TopK(
+      termFreqs: DataFrame,
+      docLens: DataFrame,
+      queryTerms: Seq[String],
+      k: Int,
+      nDocs: Long,
+      avgdl: Double,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    bm25Score(termFreqs, docLens, queryTerms, nDocs, avgdl, k1, b)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+
   /** Maximal Marginal Relevance reranking (Carbonell & Goldstein,
     * SIGIR'98) — the standard relevance/diversity tradeoff over a
     * retrieved candidate set:

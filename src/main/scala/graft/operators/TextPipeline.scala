@@ -375,7 +375,10 @@ object TextPipeline {
       textCol: String = "text",
       k: Int = 10,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      // drop this id from the RESULT only (df/N/avgdl still count it) —
+      // more-like-this must never return its own seed
+      exclude: Option[Long] = None): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
     val terms = queryTerms.map(_.toLowerCase)
     val base = Par.ensure(docs).select(col(idCol).as("id"), tokenize(col(textCol)).as("toks"))
@@ -391,13 +394,66 @@ object TextPipeline {
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = col("tf") * (lit(k1) + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
-    tf.join(broadcast(dfq), Seq("term"))
+    val scored = tf.join(broadcast(dfq), Seq("term"))
       .crossJoin(broadcast(stats))
       .groupBy("id")
       .agg(round(sum(idf * tfNorm), 4).as("score"),
         count(lit(1)).as("n_terms_hit"))
+    exclude.map(e => scored.filter(col("id") =!= e)).getOrElse(scored)
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** More-like-this retrieval (the Lucene `MoreLikeThis` / ES
+    * `more_like_this` shape): characterize the SEED document by its `m`
+    * most distinctive terms — the same smoothed tf-idf [[topTermsTfIdf]]
+    * ranks with (rounded to 4, ties term-asc) — then run those terms as
+    * a BM25 OR-query over the corpus with the seed excluded.
+    *
+    * Scale shape: the seed's profile is ONE document's vocabulary (the
+    * id predicate pushes to the scan; the tally is in-row), so both
+    * driver collects here are bounded — |seed terms| and `m`, the
+    * "broadcast query set" posture. The profile's df pass restricts the
+    * corpus tally to the seed's terms IN-ROW before the term-keyed
+    * aggregate (O(matched) exchange, term-bounded keys); retrieval is
+    * [[bm25TopK]] minus the seed. Nothing corpus-sized crosses a shuffle
+    * unfiltered.
+    *
+    * Returns `[id, score, n_terms_hit]`, (score desc, id asc), top `k`. */
+  def moreLikeThis(
+      docs: DataFrame,
+      seedId: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      m: Int = 5,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(m > 0 && k > 0, s"more-like-this: m and k must be positive (m=$m, k=$k)")
+    val base = Par.ensure(docs).select(col(idCol).as("id"), tokenize(col(textCol)).as("toks"))
+    val seedTf = Gen.explodeOnce(base.filter(col("id") === seedId),
+      Seq(col("id")), term_counts(col("toks")), "tc")
+      .select(col("tc.term").as("term"), col("tc.tf").cast("double").as("tf"))
+    val seedTerms = seedTf.select("term").collect().map(_.getString(0)).toSeq
+    require(seedTerms.nonEmpty,
+      s"more-like-this: seed doc $seedId has no terms (or does not exist)")
+    // corpus df for the seed's terms only — in-row restriction, so the
+    // exchange carries at most |seed terms| rows per doc
+    val dfp = Gen.explodeOnce(base, Seq(col("id")),
+      filter(term_counts(col("toks")), tc => tc.getField("term").isin(seedTerms: _*)), "tc")
+      .select(col("tc.term").as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val nRow = base.agg(count(lit(1)).cast("double").as("n"))
+    // profile rank on the ROUNDED tf-idf (term-asc ties) — the
+    // topTermsTfIdf discipline, so a SQL replay agrees on the cut
+    val profile = seedTf.join(broadcast(dfp), Seq("term"))
+      .crossJoin(broadcast(nRow))
+      .select(col("term"), round(col("tf") *
+        (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 4).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+      .limit(m)
+      .collect().map(_.getString(0)).toSeq
+    bm25TopK(docs, profile, idCol, textCol, k, k1, b, exclude = Some(seedId))
   }
 
   /** Per-group score-threshold calibration: exact quantiles of a score

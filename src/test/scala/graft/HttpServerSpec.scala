@@ -157,6 +157,19 @@ class HttpServerSpec extends SparkSuite {
       assert(sug("distances") === Vector(1.0))
       assert(sug("counts") === Vector(1.0))
 
+      // BM25 ranked retrieval over the wire (round 16) + the served
+      // mirror: same ids and scores with zero Spark jobs
+      val rank = post("/rank", Json.write(Map(
+        "collection_name" -> "wire", "field" -> "content",
+        "query" -> "hello", "k" -> 5)))
+      assert(rank("ids") === Vector(uuid(1)))
+      assert(rank("n_terms_hit") === Vector(1.0))
+      val srvRank = post("/serve_rank", Json.write(Map(
+        "collection_name" -> "wire", "user_ids" -> Seq(uuid(0)),
+        "field" -> "content", "query" -> "hello", "k" -> 5)))
+      assert(srvRank("ids") === rank("ids"))
+      assert(srvRank("scores") === rank("scores"))
+
       // range facets over the wire: the wire collection has no numeric
       // attribute, so every bucket counts zero (nulls bucket nowhere) —
       // pins the route shape + the null contract

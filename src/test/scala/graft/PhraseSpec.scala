@@ -645,4 +645,129 @@ class PhraseSpec extends SparkSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
     assert(coll.serveUser(0L).termSearch(f, limit = 10) === Seq(2L))
   }
+
+  test("BM25 rankedSearch: index == pipeline twin; served mirror; newest-wins; lens fallback") {
+    // round 16: ranked retrieval over the persisted term index. The field
+    // is lang="none" (lowercase passthrough), so the collection path and
+    // the raw-documents pipeline path (TextPipeline.bm25TopK) run the
+    // same analysis and must score IDENTICALLY on the live corpus.
+    val base = Files.createTempDirectory("graft_bm25").toString
+    val cfg = CollectionConfig(
+      name = "bm", numFeatures = 2, initialNumCentroids = 2,
+      attributeSchema = Seq(AttrField("content", "text", "none")))
+    val coll = Collection.create(spark, base, cfg)
+    coll.insert(Seq(
+      (0L, 1L, Seq(1.0, 0.0), "stream scan runs fast"),
+      (0L, 2L, Seq(0.0, 1.0), "merge join merge hash"),
+      (0L, 3L, Seq(1.0, 1.0), "sort and agg all day long"),
+      (0L, 4L, Seq(0.2, 0.8), "merge stream windows"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    coll.flush()
+    // re-insert doc 1 with DIFFERENT text (second segment): its old
+    // terms must score NOWHERE — tf, dl, df and N all newest-wins
+    coll.insert(Seq((0L, 1L, Seq(0.9, 0.1), "merged streams only"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    coll.flush()
+    coll.delete(Seq((0L, 3L)).toDF("user_id", "doc_id"))
+    // unflushed tail doc: read-your-writes on the ranked path too
+    coll.insert(Seq((0L, 5L, Seq(0.6, 0.4), "stream stream merge tail"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    val snap = coll.snapshot()
+
+    // the live corpus exactly as a raw-docs pipeline would see it
+    val live = Seq(
+      (1L, "merged streams only"),
+      (2L, "merge join merge hash"),
+      (4L, "merge stream windows"),
+      (5L, "stream stream merge tail")).toDF("doc_id", "text")
+    def dist(q: String, k: Int): Seq[(Long, Double, Long)] =
+      snap.rankedSearch("content", q, k)
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    def twin(terms: Seq[String], k: Int): Seq[(Long, Double, Long)] =
+      graft.operators.TextPipeline.bm25TopK(live, terms, k = k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    for ((q, terms) <- Seq(
+        "merge stream" -> Seq("merge", "stream"),
+        "merge" -> Seq("merge"),
+        "tail" -> Seq("tail"),
+        "scan" -> Seq("scan"))) { // doc 1's superseded text: nothing
+      assert(dist(q, 10) === twin(terms, 10), s"pipeline parity for '$q'")
+    }
+    assert(dist("merge stream", 10).nonEmpty) // the parity isn't vacuous
+    assert(dist("scan", 10).isEmpty)
+
+    // served mirror: zero Spark jobs, identical rows
+    val served = coll.serveUser(0L)
+    for (q <- Seq("merge stream", "merge", "tail", "scan")) {
+      val s = served.rankedSearch("content", q, 10)
+        .map { case (id, sc, h) => (id.asInstanceOf[Long], sc, h) }
+      assert(s === dist(q, 10), s"served parity for '$q'")
+    }
+    // validation parity: unknown field refuses loudly on both paths
+    val e1 = intercept[IllegalArgumentException] {
+      snap.rankedSearch("nope", "x", 5) }
+    val e2 = intercept[IllegalArgumentException] {
+      served.rankedSearch("nope", "x", 5) }
+    assert(e1.getMessage.contains("not a text/keyword attribute") &&
+      e2.getMessage.contains("not a text/keyword attribute"))
+
+    // lens fallback: strip the flush-persisted lens tables and re-open
+    // (fresh capability memos) — the positions-derived lengths must give
+    // identical answers on a corpus with no zero-token docs, on both the
+    // distributed and the served path
+    val before = dist("merge stream", 10)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    val segDirs = new java.io.File(s"$base/${cfg.name}/segments").listFiles()
+    assert(segDirs != null && segDirs.nonEmpty)
+    val stripped = segDirs.map(s => new java.io.File(s, "lens")).filter(_.exists())
+    assert(stripped.nonEmpty) // the flush really persisted lens tables
+    stripped.foreach(rm)
+    val coll2 = Collection.open(spark, base, cfg)
+    assert(coll2.snapshot().rankedSearch("content", "merge stream", 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq === before)
+    assert(coll2.serveUser(0L).rankedSearch("content", "merge stream", 10)
+      .map { case (id, sc, h) => (id.asInstanceOf[Long], sc, h) } === before)
+  }
+
+  test("rankedSearch analyzes the query with the index's stemmer; keyword fields match whole values") {
+    val base = Files.createTempDirectory("graft_bm25_en").toString
+    val cfg = CollectionConfig(
+      name = "bmen", numFeatures = 2, initialNumCentroids = 2,
+      attributeSchema = Seq(AttrField("content", "text", "english"),
+        AttrField("tag", "keyword")))
+    val coll = Collection.create(spark, base, cfg)
+    coll.insert(Seq(
+      (0L, 1L, Seq(1.0, 0.0), "running shoes", "Red Label"),
+      (0L, 2L, Seq(0.0, 1.0), "he runs daily and he runs far", "blue"),
+      (0L, 3L, Seq(1.0, 1.0), "walking gear", "red label"))
+      .toDF("user_id", "doc_id", "vector", "content", "tag"))
+    coll.flush()
+    val snap = coll.snapshot()
+    // query-side stemming: "running" -> run, matching BOTH "running"
+    // (doc 1) and "runs" x2 (doc 2) through the shared analyzer
+    val r = snap.rankedSearch("content", "running", 10)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    assert(r.map(_._1).toSet === Set(1L, 2L) && r.forall(_._2 === 1L))
+    // keyword field: the WHOLE lowercased value is the term — docs 1 and
+    // 3 tie exactly (same tf/dl/df) and break by doc_id
+    val kwr = snap.rankedSearch("tag", "Red Label", 10)
+      .collect().map(_.getLong(1)).toSeq
+    assert(kwr === Seq(1L, 3L))
+    // served mirrors of both
+    val served = coll.serveUser(0L)
+    assert(served.rankedSearch("content", "running", 10)
+      .map(_._1.asInstanceOf[Long]).toSet === Set(1L, 2L))
+    assert(served.rankedSearch("tag", "Red Label", 10)
+      .map(_._1.asInstanceOf[Long]) === Seq(1L, 3L))
+    // full parity on the english analyzer too (scores included)
+    for (q <- Seq("running", "walking gear", "daily runs")) {
+      val d = snap.rankedSearch("content", q, 10)
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      val s = served.rankedSearch("content", q, 10)
+        .map { case (id, sc, h) => (id.asInstanceOf[Long], sc, h) }
+      assert(s === d, s"served parity for '$q'")
+    }
+  }
 }

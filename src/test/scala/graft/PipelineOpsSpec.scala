@@ -86,6 +86,44 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got.forall(t => t._2 > 0 && t._2 === math.rint(t._2 * 1e4) / 1e4))
   }
 
+  test("moreLikeThis: profile picks the seed's distinctive terms; seed excluded; determinism") {
+    val docs = Seq(
+      (0L, "vector index probe vector quantize"), // the seed
+      (1L, "vector index scan"),                  // shares 2 profile terms
+      (2L, "vector probe"),                       // shares 2
+      (3L, "quantize codes vector"),              // shares 2
+      (4L, "table scan row window"),              // shares none -> absent
+      (5L, "the the the the")                     // shares none -> absent
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.moreLikeThis(docs, seedId = 0L, m = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val ids = got.map(_._1)
+    // the seed never returns itself; unrelated docs absent
+    assert(!ids.contains(0L) && !ids.contains(4L) && !ids.contains(5L))
+    assert(ids.toSet === Set(1L, 2L, 3L))
+    // profile = seed's top-3 tf-idf terms (vector tf=2 + two of
+    // {index, probe, quantize} by term-asc tiebreak at equal tf/df) —
+    // every returned doc matched at least one, scores rounded to 4
+    assert(got.forall(t => t._3 >= 1L && t._2 > 0 &&
+      t._2 === math.rint(t._2 * 1e4) / 1e4))
+    // deterministic end to end (two runs, fresh plans)
+    val again = TextPipeline.moreLikeThis(docs, seedId = 0L, m = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq === again.toSeq)
+    // a missing seed fails loudly
+    val e = intercept[IllegalArgumentException] {
+      TextPipeline.moreLikeThis(docs, seedId = 99L, m = 3, k = 10) }
+    assert(e.getMessage.contains("no terms"))
+    // bm25TopK exclusion drops ONLY the excluded id (stats unchanged:
+    // the remaining scores equal the unexcluded run's)
+    val full = TextPipeline.bm25TopK(docs, Seq("vector"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val excl = TextPipeline.bm25TopK(docs, Seq("vector"), k = 10,
+      exclude = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(excl === full.filterNot(_._1 == 0L))
+  }
+
   test("calibrateThresholds: hand-computed interpolated quartiles per group") {
     val scored = (Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("en", _)) ++
       Seq(10.0, 20.0).map(("fr", _))).toDF("lang", "quality")
