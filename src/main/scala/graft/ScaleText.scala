@@ -18,9 +18,17 @@ object ScaleText {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 1000000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitions scale with DATA, not cores (the first 5M-doc
+    // run died OOM at 64g: 32 partitions put ~160k docs of substring
+    // shingle rows into each sorter, 5x the per-task volume the 1M
+    // suite was sized for). ~31k docs per partition reproduces the 1M
+    // suite's task size at any n — on a real cluster this is
+    // spark.sql.shuffle.partitions sized to the stage's bytes, the
+    // thing AQE coalesces DOWN from but never splits UP to.
+    val shufflePartitions = math.max(cpus.toInt, n / 31250)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

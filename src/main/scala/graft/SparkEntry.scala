@@ -196,6 +196,35 @@ object SparkEntry {
     * first execution mines and stamps; the rest read the parquet. The
     * write is counted as artifact time (verification/caching overhead,
     * not plan cost); any recompile or testdata regen invalidates. */
+  /** The shared q126/q128 ranked-retrieval collection (content-stamped,
+    * built at most once per code+input fingerprint): documents ⋈
+    * embeddings flushed once under a lang="none" text field, so the
+    * index analyzer equals DuckDB's whitespace tokenizer and both
+    * queries' oracles replay over the raw parquet. */
+  private def rankedCollection(s: SparkSession, d: String)
+      : (String, graft.core.CollectionConfig) = {
+    import graft.core.{AttrField, Collection, CollectionConfig}
+    val base = artifact("q126")
+    val emb = T(s, d, "embeddings")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val cfg = CollectionConfig(
+      name = "ranked", numFeatures = dim,
+      initialNumCentroids = 8, maxClustersPerVector = 2,
+      attributeSchema = Seq(AttrField("content", "text", "none")))
+    stampedBuild(base, Seq("q126v1",
+      inputStamp(d, Seq("documents", "embeddings")),
+      cfg.toString, codeStamp).mkString("|")) {
+      val rows = T(s, d, "documents")
+        .join(emb, col("doc_id") === col("vec_id"))
+        .select(lit(0L).as("user_id"), col("doc_id"),
+          col("embedding").cast("array<double>").as("vector"),
+          col("text").as("content"))
+      val coll = Collection.create(s, base, cfg)
+      coll.insert(rows); coll.flush()
+    }
+    (base, cfg)
+  }
+
   private def ngramPairs(s: SparkSession, d: String): DataFrame = {
     val base = artifact("q25_pairs")
     stampedBuild(base, Seq("q25pairs-v1", inputStamp(d, Seq("documents")),
@@ -474,27 +503,26 @@ object SparkEntry {
       // tf from the persisted positions, dl from the flush-persisted
       // lens table, (N, avgdl) from the snapshot memo — the entire
       // ranked read path crosses the gate.
-      import graft.core.{AttrField, Collection, CollectionConfig}
-      val base = artifact("q126")
-      val emb = T(s, d, "embeddings")
-      val dim = emb.select(size(col("embedding"))).head().getInt(0)
-      val cfg = CollectionConfig(
-        name = "ranked", numFeatures = dim,
-        initialNumCentroids = 8, maxClustersPerVector = 2,
-        attributeSchema = Seq(AttrField("content", "text", "none")))
-      stampedBuild(base, Seq("q126v1",
-        inputStamp(d, Seq("documents", "embeddings")),
-        cfg.toString, codeStamp).mkString("|")) {
-        val rows = T(s, d, "documents")
-          .join(emb, col("doc_id") === col("vec_id"))
-          .select(lit(0L).as("user_id"), col("doc_id"),
-            col("embedding").cast("array<double>").as("vector"),
-            col("text").as("content"))
-        val coll = Collection.create(s, base, cfg)
-        coll.insert(rows); coll.flush()
-      }
+      import graft.core.Collection
+      val (base, cfg) = rankedCollection(s, d)
       Collection.open(s, base, cfg).snapshot()
         .rankedSearch("content", "merge join stream", k = 10, userIds = Seq(0L))
+        .select(col("doc_id"), col("score"),
+          col("n_terms_hit").cast("long").as("n_terms_hit"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+    "q128_collection_mlt" -> ((s, d) => {
+      // More-like-this over the PERSISTED index (Snapshot.moreLikeThis,
+      // q126's collection): the seed fetch rides the O(seed) newest-row
+      // path, the profile's doc frequencies a dictionary-restricted
+      // scan, the retrieval the q126 ranked path with the seed excluded
+      // after scoring — DuckDB replays the whole two-stage derivation
+      // (q127's SQL) over the raw parquet.
+      import graft.core.Collection
+      val (base, cfg) = rankedCollection(s, d)
+      val seed = s.range(1).select(lit(0L).as("user_id"), lit(0L).as("doc_id"))
+      Collection.open(s, base, cfg).snapshot()
+        .moreLikeThis("content", seed, m = 5, k = 10, userIds = Seq(0L))
         .select(col("doc_id"), col("score"),
           col("n_terms_hit").cast("long").as("n_terms_hit"))
         .orderBy(col("score").desc, col("doc_id").asc)
@@ -2204,6 +2232,38 @@ object SparkEntry {
                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score,
               count(*) AS n_terms_hit
             FROM tf JOIN dfq USING (term), stats
+            GROUP BY doc_id)
+          SELECT doc_id, score, n_terms_hit FROM scored
+          ORDER BY score DESC, doc_id LIMIT 10""",
+    // the engine answers q128 from the PERSISTED index (seed fetch ->
+    // profile df -> ranked retrieval minus the seed); the oracle is the
+    // identical two-stage raw-parquet replay as q127 — index content ==
+    // documents and the lang="none" analyzer == the tokenizer, so the
+    // collection path must reproduce the pipeline path bit for bit
+    "q128_collection_mlt" ->
+      s"""WITH t AS (SELECT doc_id, $docToksSql AS toks FROM documents),
+          base AS (SELECT doc_id, toks, len(toks)::DOUBLE AS dl FROM t),
+          stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM base),
+          tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+                 FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+                 GROUP BY doc_id, dl, term),
+          seed AS (SELECT term, tf FROM tf WHERE doc_id = 0),
+          dfp AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                  WHERE term IN (SELECT term FROM seed) GROUP BY term),
+          prof AS (SELECT term,
+                     round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+                   FROM seed JOIN dfp USING (term), stats),
+          qterms AS (SELECT term FROM prof ORDER BY tfidf DESC, term LIMIT 5),
+          m AS (SELECT doc_id, dl, term, tf FROM tf
+                WHERE term IN (SELECT term FROM qterms)),
+          dfq AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY term),
+          scored AS (
+            SELECT doc_id,
+              round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score,
+              count(*) AS n_terms_hit
+            FROM m JOIN dfq USING (term), stats
+            WHERE doc_id <> 0
             GROUP BY doc_id)
           SELECT doc_id, score, n_terms_hit FROM scored
           ORDER BY score DESC, doc_id LIMIT 10""",

@@ -40,6 +40,9 @@ import graft.operators.DocFilter
   *  - `POST /rank`               {collection_name, field, query, k?,
   *                                user_ids?} — BM25-ranked text retrieval
   *                                over the persisted term index
+  *  - `POST /more_like_this`     {collection_name, field, user_id, doc_id,
+  *                                m?, k?} — seed-profiled BM25 retrieval,
+  *                                seed excluded
   *  - `POST /calibrate`          {collection_name, k?, n_queries?, ladder?}
   *                                — measure + persist the recall curve
   *                                `target_recall` searches resolve against
@@ -57,6 +60,8 @@ import graft.operators.DocFilter
   *                                input, k?, max_dist?} — zero-Spark-jobs
   *  - `POST /serve_rank`         {collection_name, user_ids: [uuid], field,
   *                                query, k?} — zero-Spark-jobs BM25
+  *  - `POST /serve_more_like_this` {collection_name, user_ids: [uuid],
+  *                                field, doc_id, m?, k?} — zero-Spark-jobs
   *  - `POST /remove`             {collection_name, user_ids, doc_ids}
   *  - `GET  /segments?collection=<name>`
   *  - `POST /optimize`           {collection_name} — one compaction tick
@@ -396,6 +401,22 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
       "n_terms_hit" -> rs.map(_._3))
   })
 
+  // More-like-this over the persisted index (round 16):
+  // {collection_name, field, user_id, doc_id, m?, k?} ->
+  // {ids: [uuid], scores: [...], n_terms_hit: [...]} (score desc)
+  server.createContext("/more_like_this", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val rs = svc.moreLikeThis(
+      b("collection_name").asInstanceOf[String],
+      field = b("field").asInstanceOf[String],
+      userUuid = b("user_id").asInstanceOf[String],
+      docUuid = b("doc_id").asInstanceOf[String],
+      m = b.getOrElse("m", 5.0).asInstanceOf[Double].toInt,
+      k = b.getOrElse("k", 10.0).asInstanceOf[Double].toInt)
+    Map("ids" -> rs.map(_._1), "scores" -> rs.map(_._2),
+      "n_terms_hit" -> rs.map(_._3))
+  })
+
   // Recall calibration (beyond the proto surface): {collection_name, k?,
   // n_queries?, ladder?} -> {nprobe: [...], recall: [...]} — measures +
   // persists the curve that `target_recall` searches resolve against
@@ -497,6 +518,20 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
       .rankedSearch(
         field = b("field").asInstanceOf[String],
         query = b("query").asInstanceOf[String],
+        k = b.getOrElse("k", 10.0).asInstanceOf[Double].toInt)
+    Map("ids" -> rs.map(_._1), "scores" -> rs.map(_._2),
+      "n_terms_hit" -> rs.map(_._3))
+  })
+
+  server.createContext("/serve_more_like_this", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val rs = svc.serveUser(
+        b("collection_name").asInstanceOf[String],
+        parseIds(b("user_ids")).head)
+      .moreLikeThis(
+        field = b("field").asInstanceOf[String],
+        docUuid = b("doc_id").asInstanceOf[String],
+        m = b.getOrElse("m", 5.0).asInstanceOf[Double].toInt,
         k = b.getOrElse("k", 10.0).asInstanceOf[Double].toInt)
     Map("ids" -> rs.map(_._1), "scores" -> rs.map(_._2),
       "n_terms_hit" -> rs.map(_._3))

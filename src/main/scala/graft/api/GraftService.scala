@@ -196,6 +196,21 @@ class GraftService(spark: SparkSession, val basePath: String) {
       .collect().map(r => (toUuidStr(r.get(1).asInstanceOf[Array[Byte]]),
         r.getDouble(2), r.getLong(3))).toSeq
 
+  /** More-like-this over the persisted index (beyond-proto, round 16):
+    * profile the seed doc's newest live `field` value, then BM25 the
+    * profile with the seed excluded
+    * ([[graft.core.Snapshot.moreLikeThis]]) —
+    * (doc uuid, score, n_terms_hit), score desc. */
+  def moreLikeThis(collectionName: String, field: String, userUuid: String,
+      docUuid: String, m: Int = 5, k: Int = 10): Seq[(String, Double, Long)] = {
+    val seed = Seq((toBytes(userUuid), toBytes(docUuid)))
+      .toDF("user_id", "doc_id")
+    collection(collectionName).snapshot()
+      .moreLikeThis(field, seed, m, k, userIds = Seq(toBytes(userUuid)))
+      .collect().map(r => (toUuidStr(r.get(1).asInstanceOf[Array[Byte]]),
+        r.getDouble(2), r.getLong(3))).toSeq
+  }
+
   /** Recall calibration pass (beyond-proto admin): measures + persists
     * the recall@k-vs-nprobe curve `target_recall` searches resolve
     * against ([[graft.core.Collection.calibrateRecall]]). */
@@ -260,6 +275,13 @@ class GraftService(spark: SparkSession, val basePath: String) {
     def rankedSearch(field: String, query: String, k: Int = 10)
         : Seq[(String, Double, Long)] =
       view.rankedSearch(field, query, k)
+        .map { case (id, s, h) =>
+          (toUuidStr(id.asInstanceOf[Array[Byte]]), s, h) }
+    /** More-like-this from the in-memory view (round 16) —
+      * [[graft.core.Snapshot.moreLikeThis]] semantics, zero Spark jobs. */
+    def moreLikeThis(field: String, docUuid: String, m: Int = 5,
+        k: Int = 10): Seq[(String, Double, Long)] =
+      view.moreLikeThis(field, toBytes(docUuid), m, k)
         .map { case (id, s, h) =>
           (toUuidStr(id.asInstanceOf[Array[Byte]]), s, h) }
     /** Facet counts from the in-memory view —

@@ -2223,42 +2223,121 @@ final class Snapshot(
   def rankedSearch(field: String, query: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       userIds: Seq[Any] = Nil): DataFrame = {
+    val f = requireRankedField(field)
+    val queryKeys = graft.operators.FilterCompiler
+      .queryTerms(field, query, f.kind == "keyword", f.lang).distinct
+    if (queryKeys.isEmpty) coll.spark.emptyDataFrame
+    else rankedByKeys(field, queryKeys, k, k1, b, userIds, excludeKeys = None)
+  }
+
+  /** The ranked-retrieval field contract: a declared text/keyword
+    * attribute over positions-bearing segments (tf derives from
+    * positions — pre-positions segments must rebuild first, the
+    * requirePositions discipline with BM25's wording). */
+  private def requireRankedField(field: String): AttrField = {
     val f = coll.config.textFields.find(_.name == field).getOrElse(throw
       new IllegalArgumentException(
         s"rankedSearch: '$field' is not a text/keyword attribute of " +
           s"collection '${coll.config.name}' — declared text fields: " +
           (coll.config.textFields.map(_.name) match {
             case Nil => "(none)"; case fs => fs.mkString(", ") })))
-    // tf derives from positions — pre-positions segments must rebuild
-    // first, the requirePositions contract with BM25's wording
     val missing = segments.filterNot(coll.termsHasPositions)
     require(missing.isEmpty,
       s"BM25 ranked search derives term frequencies from per-(term, point) " +
         s"positions, but segment(s) ${missing.mkString(", ")} of collection " +
         s"'${coll.config.name}' were flushed before the positions column " +
         "landed — rebuild them (coll.merge() / mergeSmallest / POST /optimize)")
-    val queryKeys = graft.operators.FilterCompiler
-      .queryTerms(field, query, f.kind == "keyword", f.lang).distinct
-    if (queryKeys.isEmpty) coll.spark.emptyDataFrame
-    else {
-      // bucket-aware dictionary restriction (FilterCompiler.termScan's
-      // shape): each disjunct's term_bucket predicate constant-folds, so
-      // the scan prunes to |query| of Collection.termBuckets directories
-      // before the sorted-term row-group pruning
-      val restrict: DataFrame => DataFrame = t =>
-        if (t.columns.contains("term_bucket"))
-          t.filter(queryKeys.map(qt =>
-            col("term_bucket") === pmod(xxhash64(lit(qt)),
-              lit(Collection.termBuckets)) && col("term") === lit(qt))
-            .reduce(_ || _))
-        else t.filter(col("term").isin(queryKeys: _*))
-      val (n, avgdl) = bm25FieldStats(field, userIds)
-      (for {
-        tfs <- liveFieldTermFreqs(field, restrict, userIds)
-        lens <- liveFieldLens(field, userIds)
-      } yield Search.bm25TopK(tfs, lens, queryKeys, k, n, avgdl, k1, b))
-        .getOrElse(coll.spark.emptyDataFrame)
-    }
+    f
+  }
+
+  /** BM25 scoring for PRE-ANALYZED query keys — [[rankedSearch]]'s core,
+    * shared with [[moreLikeThis]] (whose profile terms are already
+    * index-side stems that must not re-stem). `excludeKeys` drops those
+    * `[user_id, doc_id]` rows from the RESULT only, after scoring —
+    * df/N/avgdl still count them (Lucene's MLT contract). */
+  private def rankedByKeys(field: String, queryKeys: Seq[String], k: Int,
+      k1: Double, b: Double, userIds: Seq[Any],
+      excludeKeys: Option[DataFrame]): DataFrame = {
+    // bucket-aware dictionary restriction (FilterCompiler.termScan's
+    // shape): each disjunct's term_bucket predicate constant-folds, so
+    // the scan prunes to |query| of Collection.termBuckets directories
+    // before the sorted-term row-group pruning. Beyond 32 keys the OR
+    // chain stops paying (most buckets covered anyway) — plain isin.
+    val restrict: DataFrame => DataFrame = t =>
+      if (t.columns.contains("term_bucket") && queryKeys.size <= 32)
+        t.filter(queryKeys.map(qt =>
+          col("term_bucket") === pmod(xxhash64(lit(qt)),
+            lit(Collection.termBuckets)) && col("term") === lit(qt))
+          .reduce(_ || _))
+      else t.filter(col("term").isin(queryKeys: _*))
+    val (n, avgdl) = bm25FieldStats(field, userIds)
+    (for {
+      tfs <- liveFieldTermFreqs(field, restrict, userIds)
+      lens <- liveFieldLens(field, userIds)
+    } yield {
+      val scored = Search.bm25Score(tfs, lens, queryKeys, n, avgdl, k1, b)
+      excludeKeys.fold(scored)(e => scored.join(
+          e.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(k)
+    }).getOrElse(coll.spark.emptyDataFrame)
+  }
+
+  /** More-like-this over the collection index (Lucene `MoreLikeThis` /
+    * ES `more_like_this`, the [[graft.operators.TextPipeline.moreLikeThis]]
+    * twin on the persisted index): profile the SEED doc's newest live
+    * `field` value by its `m` most distinctive terms — the same smoothed
+    * tf-idf, HALF-UP-4-rounded ranks and term-asc ties as the pipeline
+    * path — then BM25-retrieve those terms with the seed excluded (after
+    * scoring: df/N/avgdl still count it).
+    *
+    * `seedKeys` is a one-row `[user_id, doc_id]` frame (any id type —
+    * long or u128 binary). Scale shape: the seed fetch is the CDC
+    * O(delta) path (key semi-join BEFORE the newest-row window); its
+    * analyzed vocabulary bounds both driver collects; the profile's df
+    * pass and the retrieval are dictionary-restricted scans. */
+  def moreLikeThis(field: String, seedKeys: DataFrame, m: Int = 5,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      userIds: Seq[Any] = Nil): DataFrame = {
+    require(m > 0 && k > 0, s"moreLikeThis: m and k must be positive (m=$m, k=$k)")
+    val f = requireRankedField(field)
+    // the seed's newest live field value — O(seed), never O(corpus)
+    val seedRows = newestLiveRows(Some(seedKeys), userIds, df =>
+        Seq((if (df.columns.contains(field)) col(field).cast("string")
+             else lit(null).cast("string")).as("_mlt_text")))
+      .map(_.select(col("_mlt_text")).collect()).getOrElse(Array.empty)
+    require(seedRows.length == 1,
+      s"moreLikeThis: expected exactly one live seed row for the given " +
+        s"key, found ${seedRows.length}")
+    val text = Option(seedRows.head.getString(0)).getOrElse("")
+    // index-side analysis via the shared query-terms path (duplicates
+    // preserved -> tf); the profile never re-stems
+    val termsAll = graft.operators.FilterCompiler
+      .queryTerms(field, text, f.kind == "keyword", f.lang)
+    require(termsAll.nonEmpty,
+      s"moreLikeThis: the seed doc has no terms in '$field'")
+    val seedTf: Map[String, Long] =
+      termsAll.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val termKeys = seedTf.keys.toSeq
+    // newest-wins doc frequencies for the seed's vocabulary — one
+    // dictionary-restricted scan, O(matched)
+    val dfMap: Map[String, Long] =
+      liveFieldTermFreqs(field, _.filter(col("term").isin(termKeys: _*)), userIds)
+        .map(_.groupBy("term").agg(count(lit(1)).as("df"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+        .getOrElse(Map.empty)
+    val (n, _) = bm25FieldStats(field, userIds)
+    // rounded smoothed tf-idf, (score desc, term asc) — the q43/q127
+    // discipline, so a SQL replay agrees on the profile cut
+    val profile = seedTf.toSeq.map { case (t, tf) =>
+      val df = dfMap.getOrElse(t, 0L).toDouble
+      val sc = BigDecimal(tf.toDouble *
+          (math.log((n + 1.0) / (df + 1.0)) + 1.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (t, sc)
+    }.sortBy { case (t, sc) => (-sc, t) }.take(m).map(_._1)
+    rankedByKeys(field, profile, k, k1, b, userIds,
+      excludeKeys = Some(seedKeys))
   }
 
   /** Term/attribute MEMBERSHIP search: live docs matching `filter`,

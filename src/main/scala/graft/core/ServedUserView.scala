@@ -530,6 +530,17 @@ final class ServedUserView private[core] (
     * top `k`. */
   def rankedSearch(field: String, query: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): Seq[(Any, Double, Long)] = {
+    val kw = requireRankedField(field)
+    val keys = FilterCompiler.queryTerms(field, query, kw,
+      fieldLang.getOrElse(field, "english")).distinct
+    if (keys.isEmpty) Nil
+    else rankedByKeys(field, kw, keys, k, k1, b, exclude = Set.empty)
+  }
+
+  /** The ranked-retrieval field contract (mirror of the Snapshot's):
+    * declared text/keyword attribute, all segments positions-bearing.
+    * Returns the keyword flag. */
+  private def requireRankedField(field: String): Boolean = {
     require(fieldLang.contains(field) && !numericFields.contains(field),
       s"rankedSearch: '$field' is not a text/keyword attribute of the " +
         "served schema")
@@ -539,13 +550,17 @@ final class ServedUserView private[core] (
         s"positions, but segment(s) ${missingPos.mkString(", ")} were " +
         "flushed before the positions column landed — rebuild them " +
         "(merge / POST /optimize), then re-serve")
-    val kw = keywordFields.contains(field)
-    val keys = FilterCompiler.queryTerms(field, query, kw,
-      fieldLang.getOrElse(field, "english")).distinct
-    if (keys.isEmpty) return Nil
+    keywordFields.contains(field)
+  }
+
+  /** Newest-wins candidate docs carrying any of `keys`, plus a tf lookup
+    * over a doc's newest row — shared by [[rankedSearch]] (scoring) and
+    * [[moreLikeThis]] (profile doc frequencies). Postings-driven:
+    * O(matched), never a corpus iteration. */
+  private def bm25Candidates(field: String, kw: Boolean, keys: Seq[String])
+      : (Map[Any, Either[(SegmentView, Long), TailRow]],
+         (Either[(SegmentView, Long), TailRow], String) => Long) = {
     val fp = s"$field:"
-    val (n, avgdl) = bm25FieldStats(field)
-    if (n == 0L) return Nil
     // per-(segment, key) pid -> tf, built once (postings-array scans stay
     // linear, never per-candidate)
     val segTf: Map[(String, String), Map[Long, Long]] =
@@ -560,7 +575,6 @@ final class ServedUserView private[core] (
           if (kw) { if (row.keywords.get(field).contains(bare)) 1L else 0L }
           else row.toks.get(field).fold(0L)(_.count(_ == bare).toLong)
       }
-    // candidates: docs whose NEWEST live row carries a query term
     val cand = scala.collection.mutable.HashMap
       .empty[Any, Either[(SegmentView, Long), TailRow]]
     for (sv <- segments; key <- keys; (pid, _) <- segTf((sv.name, key));
@@ -579,37 +593,87 @@ final class ServedUserView private[core] (
         case _ => ()
       }
     }
+    (cand.toMap, tfOf)
+  }
+
+  /** BM25 scoring for pre-analyzed keys — [[rankedSearch]]'s core, shared
+    * with [[moreLikeThis]]. `exclude` drops doc keys from the RESULT only
+    * (after df/stats), the Lucene MLT contract. */
+  private def rankedByKeys(field: String, kw: Boolean, keys: Seq[String],
+      k: Int, k1: Double, b: Double, exclude: Set[Any])
+      : Seq[(Any, Double, Long)] = {
+    val (n, avgdl) = bm25FieldStats(field)
+    if (n == 0L) return Nil
+    val (cand, tfOf) = bm25Candidates(field, kw, keys)
     if (cand.isEmpty) return Nil
     // df per query term over the newest-wins match set (the distributed
     // bm25Score's O(matched) aggregate)
     val dfOf: Map[String, Long] = keys.map(key =>
       key -> cand.valuesIterator.count(tfOf(_, key) > 0L).toLong).toMap
     val nD = n.toDouble
-    val scored = cand.iterator.map { case (_, loc) =>
-      val dl = docLenAt(field, kw)(loc).toDouble
-      var sum = 0.0
-      var hits = 0L
-      for (key <- keys) {
-        val tf = tfOf(loc, key)
-        if (tf > 0L) {
-          hits += 1
-          val df = dfOf(key).toDouble
-          val idf = math.log(1.0 + (nD - df + 0.5) / (df + 0.5))
-          val t = tf.toDouble
-          sum += idf * (t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dl / avgdl)))
+    val scored = cand.iterator
+      .filter { case (dk, _) => !exclude.contains(dk) }
+      .map { case (_, loc) =>
+        val dl = docLenAt(field, kw)(loc).toDouble
+        var sum = 0.0
+        var hits = 0L
+        for (key <- keys) {
+          val tf = tfOf(loc, key)
+          if (tf > 0L) {
+            hits += 1
+            val df = dfOf(key).toDouble
+            val idf = math.log(1.0 + (nD - df + 0.5) / (df + 0.5))
+            val t = tf.toDouble
+            sum += idf * (t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dl / avgdl)))
+          }
         }
-      }
-      val id: Any = loc match {
-        case Left((sv, pid)) => sv.docOf(pid)
-        case Right(row) => row.docId
-      }
-      (id, BigDecimal(sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        hits)
-    }.filter(_._3 > 0L).toSeq
+        val id: Any = loc match {
+          case Left((sv, pid)) => sv.docOf(pid)
+          case Right(row) => row.docId
+        }
+        (id, BigDecimal(sum).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, hits)
+      }.filter(_._3 > 0L).toSeq
     scored.sortWith { case ((i1, s1, _), (i2, s2, _)) =>
       val c = java.lang.Double.compare(s2, s1) // score DESC
       if (c != 0) c < 0 else idLess(i1, i2)
     }.take(k)
+  }
+
+  /** Served mirror of [[Snapshot.moreLikeThis]] with zero Spark jobs:
+    * profile the seed's newest live `field` value (segment rows read the
+    * attribute slice, tail rows their stored value) by its `m` most
+    * distinctive terms — identical smoothed-tf-idf rounding and ties to
+    * the distributed path — then BM25 those terms, seed excluded after
+    * scoring. */
+  def moreLikeThis(field: String, docId: Any, m: Int = 5, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): Seq[(Any, Double, Long)] = {
+    require(m > 0 && k > 0, s"moreLikeThis: m and k must be positive (m=$m, k=$k)")
+    val kw = requireRankedField(field)
+    val dk = docKey(docId)
+    val loc = newestRows.getOrElse(dk, throw new IllegalArgumentException(
+      s"moreLikeThis: no live doc for the given key"))
+    val text: String = loc match {
+      case Left((sv, pid)) => sv.attrVals.get(field).flatMap(_.get(pid)).getOrElse("")
+      case Right(row) => row.keywords.getOrElse(field, "")
+    }
+    val termsAll = FilterCompiler.queryTerms(field, text, kw,
+      fieldLang.getOrElse(field, "english"))
+    require(termsAll.nonEmpty,
+      s"moreLikeThis: the seed doc has no terms in '$field'")
+    val seedTf: Map[String, Long] =
+      termsAll.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val termKeys = seedTf.keys.toSeq
+    val (n, _) = bm25FieldStats(field)
+    val (cand, tfOf) = bm25Candidates(field, kw, termKeys)
+    val profile = seedTf.toSeq.map { case (t, tf) =>
+      val df = cand.valuesIterator.count(tfOf(_, t) > 0L).toDouble
+      val sc = BigDecimal(tf.toDouble *
+          (math.log((n + 1.0) / (df + 1.0)) + 1.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (t, sc)
+    }.sortBy { case (t, sc) => (-sc, t) }.take(m).map(_._1)
+    rankedByKeys(field, kw, profile, k, k1, b, exclude = Set(dk))
   }
 }
 

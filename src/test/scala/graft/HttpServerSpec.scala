@@ -170,6 +170,18 @@ class HttpServerSpec extends SparkSuite {
       assert(srvRank("ids") === rank("ids"))
       assert(srvRank("scores") === rank("scores"))
 
+      // more-like-this over the wire: doc 1's profile (hello, world)
+      // matches no OTHER doc — route shape + seed exclusion + the served
+      // mirror's agreement
+      val mlt = post("/more_like_this", Json.write(Map(
+        "collection_name" -> "wire", "field" -> "content",
+        "user_id" -> uuid(0), "doc_id" -> uuid(1), "m" -> 3, "k" -> 5)))
+      assert(mlt("ids") === Vector())
+      val srvMlt = post("/serve_more_like_this", Json.write(Map(
+        "collection_name" -> "wire", "user_ids" -> Seq(uuid(0)),
+        "field" -> "content", "doc_id" -> uuid(1), "m" -> 3, "k" -> 5)))
+      assert(srvMlt("ids") === mlt("ids"))
+
       // range facets over the wire: the wire collection has no numeric
       // attribute, so every bucket counts zero (nulls bucket nowhere) —
       // pins the route shape + the null contract

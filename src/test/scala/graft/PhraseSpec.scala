@@ -703,6 +703,29 @@ class PhraseSpec extends SparkSuite {
         .map { case (id, sc, h) => (id.asInstanceOf[Long], sc, h) }
       assert(s === dist(q, 10), s"served parity for '$q'")
     }
+    // more-like-this: collection path == pipeline twin == served mirror
+    // (identical profile rounding/ties and retrieval arithmetic)
+    for (seed <- Seq(1L, 2L, 5L)) { // segment-newest, original, tail seeds
+      val expected = graft.operators.TextPipeline
+        .moreLikeThis(live, seedId = seed, m = 3, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      val seedDf = Seq((0L, seed)).toDF("user_id", "doc_id")
+      val mlt = snap.moreLikeThis("content", seedDf, m = 3, k = 10)
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      assert(mlt === expected, s"collection MLT == pipeline MLT for seed $seed")
+      assert(!mlt.map(_._1).contains(seed)) // never returns its own seed
+      val smlt = served.moreLikeThis("content", seed, m = 3, k = 10)
+        .map { case (id, sc, h) => (id.asInstanceOf[Long], sc, h) }
+      assert(smlt === expected, s"served MLT parity for seed $seed")
+    }
+    // a deleted seed fails loudly on both paths
+    val d1 = intercept[IllegalArgumentException] {
+      snap.moreLikeThis("content", Seq((0L, 3L)).toDF("user_id", "doc_id")) }
+    assert(d1.getMessage.contains("one live seed row"))
+    val d2 = intercept[IllegalArgumentException] {
+      served.moreLikeThis("content", 3L) }
+    assert(d2.getMessage.contains("no live doc"))
+
     // validation parity: unknown field refuses loudly on both paths
     val e1 = intercept[IllegalArgumentException] {
       snap.rankedSearch("nope", "x", 5) }
