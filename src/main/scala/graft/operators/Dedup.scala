@@ -679,7 +679,8 @@ object Dedup {
       textCol: String = "text",
       windowLen: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (base, flagged) = substringFlagged(docs, idCol, textCol, windowLen)
+    val (base, flagged) =
+      substringFlagged(docs, idCol, textCol, windowLen, keepTokens = false)
     // interval-union of [pos, pos+L): each window adds min(L, gap to its
     // predecessor); a gap > L starts a new span
     val byDoc = Window.partitionBy("id").orderBy("pos")
@@ -743,16 +744,26 @@ object Dedup {
     * the persisted (id, tk, total_tokens, window-hash) table and the
     * flagged non-canonical occurrences `[id, pos]`. */
   private def substringFlagged(
-      docs: DataFrame, idCol: String, textCol: String, windowLen: Int)
-      : (DataFrame, DataFrame) = {
-    // one tokenize+hash pass feeds the window table, the totals, and
-    // (for the cut variant) the token arrays
-    val base = Par.ensure(docs)
+      docs: DataFrame, idCol: String, textCol: String, windowLen: Int,
+      keepTokens: Boolean = true): (DataFrame, DataFrame) = {
+    // The persisted frame carries ONLY what its consumers read back:
+    // the spans variant re-reads (id, total_tokens) — 16 bytes/doc — and
+    // the cut variant additionally the token arrays. The window structs
+    // are NEVER persisted: they stream straight into the explode (the
+    // round-16 5M-doc run filled the sandbox disk caching tk + ~16 B per
+    // window per doc on top of the two h-keyed shuffles; tokenizing the
+    // text a second time for the window table is a cheap map by
+    // comparison). At 100 TB the same rule: cache slim projections,
+    // recompute wide map-only derivations.
+    val toks = Par.ensure(docs)
       .select(col(idCol).as("id"), tokenize(col(textCol)).as("tk"))
-      .select(col("id"), col("tk"), size(col("tk")).cast("long").as("total_tokens"),
-        window_hashes(col("tk"), windowLen).as("ws"))
+    val baseCols = Seq(col("id")) ++ (if (keepTokens) Seq(col("tk")) else Nil) ++
+      Seq(size(col("tk")).cast("long").as("total_tokens"))
+    val base = toks.select(baseCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wins = Gen.explodeOnce(base, Seq(col("id")), col("ws"), "w")
+    val wins = Gen.explodeOnce(
+      toks.select(col("id"), window_hashes(col("tk"), windowLen).as("ws")),
+      Seq(col("id")), col("ws"), "w")
       .select(col("id"), col("w.pos").as("pos"), col("w.h").as("h"))
     val dupAgg = wins.groupBy("h")
       .agg(count(lit(1)).as("cnt"), min(struct(col("id"), col("pos"))).as("cano"))
