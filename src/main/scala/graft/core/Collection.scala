@@ -2200,7 +2200,12 @@ final class Snapshot(
     * would dominate the query at scale. */
   private val bm25StatsMemo = TrieMap.empty[(String, List[Any]), (Long, Double)]
   def bm25FieldStats(field: String, userIds: Seq[Any] = Nil): (Long, Double) =
-    bm25StatsMemo.getOrElseUpdate((field, userIds.toList),
+    // u128 ids are Array[Byte] — wrap for VALUE equality, or the memo
+    // never hits and grows one dead entry per query on a held snapshot
+    bm25StatsMemo.getOrElseUpdate((field, userIds.map {
+        case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+        case x => x
+      }.toList),
       liveFieldLens(field, userIds).map(Search.bm25Stats).getOrElse((0L, 0.0)))
 
   /** BM25-ranked full-text retrieval over the persisted term index —
