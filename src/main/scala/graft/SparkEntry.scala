@@ -196,11 +196,13 @@ object SparkEntry {
     * first execution mines and stamps; the rest read the parquet. The
     * write is counted as artifact time (verification/caching overhead,
     * not plan cost); any recompile or testdata regen invalidates. */
-  /** The shared q126/q128 ranked-retrieval collection (content-stamped,
-    * built at most once per code+input fingerprint): documents ⋈
-    * embeddings flushed once under a lang="none" text field, so the
-    * index analyzer equals DuckDB's whitespace tokenizer and both
-    * queries' oracles replay over the raw parquet. */
+  /** The shared q126/q128/q129 ranked-retrieval collection
+    * (content-stamped, built at most once per code+input fingerprint):
+    * documents ⋈ embeddings flushed once under TWO lang="none" text
+    * fields — `content` = the full text, `title` = its first 40 chars
+    * (a deterministic derivation DuckDB reproduces with substr) — so
+    * the index analyzer equals DuckDB's whitespace tokenizer and all
+    * three oracles replay over the raw parquet. */
   private def rankedCollection(s: SparkSession, d: String)
       : (String, graft.core.CollectionConfig) = {
     import graft.core.{AttrField, Collection, CollectionConfig}
@@ -210,15 +212,17 @@ object SparkEntry {
     val cfg = CollectionConfig(
       name = "ranked", numFeatures = dim,
       initialNumCentroids = 8, maxClustersPerVector = 2,
-      attributeSchema = Seq(AttrField("content", "text", "none")))
-    stampedBuild(base, Seq("q126v1",
+      attributeSchema = Seq(AttrField("content", "text", "none"),
+        AttrField("title", "text", "none")))
+    stampedBuild(base, Seq("q126v2",
       inputStamp(d, Seq("documents", "embeddings")),
       cfg.toString, codeStamp).mkString("|")) {
       val rows = T(s, d, "documents")
         .join(emb, col("doc_id") === col("vec_id"))
         .select(lit(0L).as("user_id"), col("doc_id"),
           col("embedding").cast("array<double>").as("vector"),
-          col("text").as("content"))
+          col("text").as("content"),
+          substring(col("text"), 1, 40).as("title"))
       val coll = Collection.create(s, base, cfg)
       coll.insert(rows); coll.flush()
     }
@@ -509,6 +513,43 @@ object SparkEntry {
         .rankedSearch("content", "merge join stream", k = 10, userIds = Seq(0L))
         .select(col("doc_id"), col("score"),
           col("n_terms_hit").cast("long").as("n_terms_hit"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+    "q130_filtered_rank" -> ((s, d) => {
+      // Filter-context ranked retrieval (the ES bool query+filter shape,
+      // Snapshot.rankedSearch(filter=...) over q126's collection): the
+      // q126 BM25 query restricted to docs containing "hash" but not
+      // "data" — the filter is matchedDocs' newest-wins set semi-joined
+      // AFTER scoring, so df/N/avgdl and every surviving score are
+      // EXACTLY the unfiltered q126 figures (the oracle composes q126's
+      // derivation with a plain post-filter, verbatim).
+      import graft.core.Collection
+      import graft.operators.DocFilter
+      val (base, cfg) = rankedCollection(s, d)
+      Collection.open(s, base, cfg).snapshot()
+        .rankedSearch("content", "merge join stream", k = 10,
+          userIds = Seq(0L),
+          filter = Some(DocFilter.And(Seq(
+            DocFilter.Contains("content", "hash"),
+            DocFilter.NotContains("content", "data")))))
+        .select(col("doc_id"), col("score"),
+          col("n_terms_hit").cast("long").as("n_terms_hit"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+    "q129_multifield_rank" -> ((s, d) => {
+      // Multi-field boosted ranked retrieval (ES multi_match analogue,
+      // Snapshot.rankedSearchFields over q126's collection): content at
+      // 0.7 + title (first 40 chars, its OWN df/N/avgdl) at 0.3 —
+      // combined as round(0.7*s_content + 0.3*s_title, 4) over the
+      // per-field ROUNDED scores, so DuckDB composes the two
+      // single-field derivations verbatim.
+      import graft.core.Collection
+      val (base, cfg) = rankedCollection(s, d)
+      Collection.open(s, base, cfg).snapshot()
+        .rankedSearchFields(Seq("content" -> 0.7, "title" -> 0.3),
+          "merge join stream", k = 10, userIds = Seq(0L))
+        .select(col("doc_id"), col("score"),
+          col("n_fields_hit").cast("long").as("n_fields_hit"))
         .orderBy(col("score").desc, col("doc_id").asc)
     }),
     "q128_collection_mlt" -> ((s, d) => {
@@ -2234,6 +2275,65 @@ object SparkEntry {
             FROM tf JOIN dfq USING (term), stats
             GROUP BY doc_id)
           SELECT doc_id, score, n_terms_hit FROM scored
+          ORDER BY score DESC, doc_id LIMIT 10""",
+    // q130: q126's full Okapi derivation UNCHANGED (filter context never
+    // touches df/N/avgdl or scores) + a plain token post-filter on the
+    // match set — exactly the engine's after-scoring semi-join
+    "q130_filtered_rank" ->
+      s"""WITH t AS (SELECT doc_id, $docToksSql AS toks FROM documents),
+          base AS (SELECT doc_id, toks, len(toks)::DOUBLE AS dl FROM t),
+          stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM base),
+          tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+                 FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+                 WHERE term IN ('merge', 'join', 'stream')
+                 GROUP BY doc_id, dl, term),
+          dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+          scored AS (
+            SELECT doc_id,
+              round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score,
+              count(*) AS n_terms_hit
+            FROM tf JOIN dfq USING (term), stats
+            GROUP BY doc_id),
+          filt AS (SELECT doc_id FROM base
+            WHERE list_contains(toks, 'hash') AND NOT list_contains(toks, 'data'))
+          SELECT doc_id, score, n_terms_hit FROM scored JOIN filt USING (doc_id)
+          ORDER BY score DESC, doc_id LIMIT 10""",
+    // q129: both fields' single-field BM25 derivations composed
+    // verbatim — content over the full text, title over its first 40
+    // chars with its OWN df/N/avgdl — then the boosted sum over the
+    // per-field ROUNDED scores, exactly the engine's combination rule
+    "q129_multifield_rank" ->
+      s"""WITH t AS (SELECT doc_id, $docToksSql AS ctoks,
+            list_filter(regexp_split_to_array(lower(substr(text, 1, 40)), '\\s+'),
+              x -> len(x) > 0) AS ttoks FROM documents),
+          cb AS (SELECT doc_id, ctoks AS toks, len(ctoks)::DOUBLE AS dl FROM t),
+          cst AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM cb),
+          ctf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+                  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM cb)
+                  WHERE term IN ('merge', 'join', 'stream')
+                  GROUP BY doc_id, dl, term),
+          cdf AS (SELECT term, count(*)::DOUBLE AS df FROM ctf GROUP BY term),
+          cs AS (SELECT doc_id,
+              round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+            FROM ctf JOIN cdf USING (term), cst GROUP BY doc_id),
+          tb AS (SELECT doc_id, ttoks AS toks, len(ttoks)::DOUBLE AS dl FROM t),
+          tst AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM tb),
+          ttf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+                  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM tb)
+                  WHERE term IN ('merge', 'join', 'stream')
+                  GROUP BY doc_id, dl, term),
+          tdf AS (SELECT term, count(*)::DOUBLE AS df FROM ttf GROUP BY term),
+          ts2 AS (SELECT doc_id,
+              round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+            FROM ttf JOIN tdf USING (term), tst GROUP BY doc_id),
+          u AS (SELECT doc_id, 0.7 * score AS contrib FROM cs
+                UNION ALL SELECT doc_id, 0.3 * score FROM ts2)
+          SELECT doc_id, round(sum(contrib), 4) AS score,
+                 count(*) AS n_fields_hit
+          FROM u GROUP BY doc_id
           ORDER BY score DESC, doc_id LIMIT 10""",
     // the engine answers q128 from the PERSISTED index (seed fetch ->
     // profile df -> ranked retrieval minus the seed); the oracle is the

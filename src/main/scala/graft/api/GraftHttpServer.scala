@@ -37,12 +37,14 @@ import graft.operators.DocFilter
   *  - `POST /suggest`            {collection_name, field, input, k?,
   *                                max_dist?} — "did you mean" over the
   *                                live term dictionary
-  *  - `POST /rank`               {collection_name, field, query, k?,
-  *                                user_ids?} — BM25-ranked text retrieval
-  *                                over the persisted term index
+  *  - `POST /rank`               {collection_name, field | fields: {name:
+  *                                weight}, query, k?, user_ids?, filter?} —
+  *                                BM25-ranked text retrieval over the
+  *                                persisted term index; `filter` is filter
+  *                                context (restricts results, never scores)
   *  - `POST /more_like_this`     {collection_name, field, user_id, doc_id,
-  *                                m?, k?} — seed-profiled BM25 retrieval,
-  *                                seed excluded
+  *                                m?, k?, filter?} — seed-profiled BM25
+  *                                retrieval, seed excluded
   *  - `POST /calibrate`          {collection_name, k?, n_queries?, ladder?}
   *                                — measure + persist the recall curve
   *                                `target_recall` searches resolve against
@@ -58,10 +60,12 @@ import graft.operators.DocFilter
   *                                field, buckets} — zero-Spark-jobs
   *  - `POST /serve_suggest`      {collection_name, user_ids: [uuid], field,
   *                                input, k?, max_dist?} — zero-Spark-jobs
-  *  - `POST /serve_rank`         {collection_name, user_ids: [uuid], field,
-  *                                query, k?} — zero-Spark-jobs BM25
+  *  - `POST /serve_rank`         {collection_name, user_ids: [uuid], field |
+  *                                fields, query, k?, filter?} —
+  *                                zero-Spark-jobs BM25
   *  - `POST /serve_more_like_this` {collection_name, user_ids: [uuid],
-  *                                field, doc_id, m?, k?} — zero-Spark-jobs
+  *                                field, doc_id, m?, k?, filter?} —
+  *                                zero-Spark-jobs
   *  - `POST /remove`             {collection_name, user_ids, doc_ids}
   *  - `GET  /segments?collection=<name>`
   *  - `POST /optimize`           {collection_name} — one compaction tick
@@ -388,15 +392,28 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
 
   // BM25 ranked retrieval (beyond the proto surface, round 16):
   // {collection_name, field, query, k?, user_ids?} ->
-  // {ids: [uuid], scores: [...], n_terms_hit: [...]} (score desc)
+  // {ids: [uuid], scores: [...], n_terms_hit: [...]} (score desc).
+  // Multi-field boosts: pass `fields: {name: weight, ...}` instead of
+  // `field` (the ES multi_match shape) — n_terms_hit then counts FIELDS.
+  // Optional `filter`: DocumentFilter JSON as filter context (the ES
+  // bool.filter contract — restricts results, never touches scores).
   server.createContext("/rank", (ex: HttpExchange) => handle(ex) {
     val b = readBody(ex)
-    val rs = svc.rankedSearch(
-      b("collection_name").asInstanceOf[String],
-      field = b("field").asInstanceOf[String],
-      query = b("query").asInstanceOf[String],
-      k = b.getOrElse("k", 10.0).asInstanceOf[Double].toInt,
-      userIds = b.get("user_ids").map(parseIds).getOrElse(Nil))
+    val k = b.getOrElse("k", 10.0).asInstanceOf[Double].toInt
+    val userIds = b.get("user_ids").map(parseIds).getOrElse(Nil)
+    val filt = b.get("filter").map(parseFilter)
+    val rs = b.get("fields") match {
+      case Some(fs) =>
+        val fields = fs.asInstanceOf[Map[String, Any]].toSeq
+          .map { case (f, w) => f -> w.asInstanceOf[Double] }.sortBy(_._1)
+        svc.rankedSearchFields(b("collection_name").asInstanceOf[String],
+          fields, b("query").asInstanceOf[String], k, userIds, filt)
+      case None =>
+        svc.rankedSearch(b("collection_name").asInstanceOf[String],
+          field = b("field").asInstanceOf[String],
+          query = b("query").asInstanceOf[String], k = k, userIds = userIds,
+          filter = filt)
+    }
     Map("ids" -> rs.map(_._1), "scores" -> rs.map(_._2),
       "n_terms_hit" -> rs.map(_._3))
   })
@@ -412,7 +429,8 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
       userUuid = b("user_id").asInstanceOf[String],
       docUuid = b("doc_id").asInstanceOf[String],
       m = b.getOrElse("m", 5.0).asInstanceOf[Double].toInt,
-      k = b.getOrElse("k", 10.0).asInstanceOf[Double].toInt)
+      k = b.getOrElse("k", 10.0).asInstanceOf[Double].toInt,
+      filter = b.get("filter").map(parseFilter))
     Map("ids" -> rs.map(_._1), "scores" -> rs.map(_._2),
       "n_terms_hit" -> rs.map(_._3))
   })
@@ -512,13 +530,22 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
 
   server.createContext("/serve_rank", (ex: HttpExchange) => handle(ex) {
     val b = readBody(ex)
-    val rs = svc.serveUser(
-        b("collection_name").asInstanceOf[String],
-        parseIds(b("user_ids")).head)
-      .rankedSearch(
-        field = b("field").asInstanceOf[String],
-        query = b("query").asInstanceOf[String],
-        k = b.getOrElse("k", 10.0).asInstanceOf[Double].toInt)
+    val view = svc.serveUser(
+      b("collection_name").asInstanceOf[String],
+      parseIds(b("user_ids")).head)
+    val k = b.getOrElse("k", 10.0).asInstanceOf[Double].toInt
+    val filt = b.get("filter").map(parseFilter)
+    val rs = b.get("fields") match {
+      case Some(fs) =>
+        val fields = fs.asInstanceOf[Map[String, Any]].toSeq
+          .map { case (f, w) => f -> w.asInstanceOf[Double] }.sortBy(_._1)
+        view.rankedSearchFields(fields, b("query").asInstanceOf[String], k,
+          filter = filt)
+      case None =>
+        view.rankedSearch(
+          field = b("field").asInstanceOf[String],
+          query = b("query").asInstanceOf[String], k = k, filter = filt)
+    }
     Map("ids" -> rs.map(_._1), "scores" -> rs.map(_._2),
       "n_terms_hit" -> rs.map(_._3))
   })
@@ -532,7 +559,8 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
         field = b("field").asInstanceOf[String],
         docUuid = b("doc_id").asInstanceOf[String],
         m = b.getOrElse("m", 5.0).asInstanceOf[Double].toInt,
-        k = b.getOrElse("k", 10.0).asInstanceOf[Double].toInt)
+        k = b.getOrElse("k", 10.0).asInstanceOf[Double].toInt,
+        filter = b.get("filter").map(parseFilter))
     Map("ids" -> rs.map(_._1), "scores" -> rs.map(_._2),
       "n_terms_hit" -> rs.map(_._3))
   })

@@ -190,9 +190,27 @@ class GraftService(spark: SparkSession, val basePath: String) {
     * ([[graft.core.Snapshot.rankedSearch]]) —
     * (doc uuid, score, n_terms_hit), score desc. */
   def rankedSearch(collectionName: String, field: String, query: String,
-      k: Int, userIds: Seq[String] = Nil): Seq[(String, Double, Long)] =
+      k: Int, userIds: Seq[String] = Nil,
+      filter: Option[graft.operators.DocFilter] = None)
+      : Seq[(String, Double, Long)] =
     collection(collectionName).snapshot()
-      .rankedSearch(field, query, k, userIds = userIds.map(toBytes))
+      .rankedSearch(field, query, k, userIds = userIds.map(toBytes),
+        filter = filter)
+      .collect().map(r => (toUuidStr(r.get(1).asInstanceOf[Array[Byte]]),
+        r.getDouble(2), r.getLong(3))).toSeq
+
+  /** Multi-field boosted ranked retrieval (beyond-proto, round 16; the
+    * ES multi_match shape — [[graft.core.Snapshot.rankedSearchFields]]):
+    * per-field BM25 with per-field stats, combined as
+    * round(Σ boost·score, 4) — (doc uuid, score, n_fields_hit). */
+  def rankedSearchFields(collectionName: String,
+      fields: Seq[(String, Double)], query: String, k: Int,
+      userIds: Seq[String] = Nil,
+      filter: Option[graft.operators.DocFilter] = None)
+      : Seq[(String, Double, Long)] =
+    collection(collectionName).snapshot()
+      .rankedSearchFields(fields, query, k, userIds = userIds.map(toBytes),
+        filter = filter)
       .collect().map(r => (toUuidStr(r.get(1).asInstanceOf[Array[Byte]]),
         r.getDouble(2), r.getLong(3))).toSeq
 
@@ -202,11 +220,14 @@ class GraftService(spark: SparkSession, val basePath: String) {
     * ([[graft.core.Snapshot.moreLikeThis]]) —
     * (doc uuid, score, n_terms_hit), score desc. */
   def moreLikeThis(collectionName: String, field: String, userUuid: String,
-      docUuid: String, m: Int = 5, k: Int = 10): Seq[(String, Double, Long)] = {
+      docUuid: String, m: Int = 5, k: Int = 10,
+      filter: Option[graft.operators.DocFilter] = None)
+      : Seq[(String, Double, Long)] = {
     val seed = Seq((toBytes(userUuid), toBytes(docUuid)))
       .toDF("user_id", "doc_id")
     collection(collectionName).snapshot()
-      .moreLikeThis(field, seed, m, k, userIds = Seq(toBytes(userUuid)))
+      .moreLikeThis(field, seed, m, k, userIds = Seq(toBytes(userUuid)),
+        filter = filter)
       .collect().map(r => (toUuidStr(r.get(1).asInstanceOf[Array[Byte]]),
         r.getDouble(2), r.getLong(3))).toSeq
   }
@@ -272,16 +293,26 @@ class GraftService(spark: SparkSession, val basePath: String) {
       view.suggest(field, input, k, maxDist)
     /** BM25 ranked retrieval from the in-memory view (round 16) —
       * [[graft.core.Snapshot.rankedSearch]] semantics, zero Spark jobs. */
-    def rankedSearch(field: String, query: String, k: Int = 10)
-        : Seq[(String, Double, Long)] =
-      view.rankedSearch(field, query, k)
+    def rankedSearch(field: String, query: String, k: Int = 10,
+        filter: Option[DocFilter] = None): Seq[(String, Double, Long)] =
+      view.rankedSearch(field, query, k, filter = filter)
         .map { case (id, s, h) =>
           (toUuidStr(id.asInstanceOf[Array[Byte]]), s, h) }
     /** More-like-this from the in-memory view (round 16) —
       * [[graft.core.Snapshot.moreLikeThis]] semantics, zero Spark jobs. */
     def moreLikeThis(field: String, docUuid: String, m: Int = 5,
-        k: Int = 10): Seq[(String, Double, Long)] =
-      view.moreLikeThis(field, toBytes(docUuid), m, k)
+        k: Int = 10, filter: Option[DocFilter] = None)
+        : Seq[(String, Double, Long)] =
+      view.moreLikeThis(field, toBytes(docUuid), m, k, filter = filter)
+        .map { case (id, s, h) =>
+          (toUuidStr(id.asInstanceOf[Array[Byte]]), s, h) }
+    /** Multi-field boosted BM25 from the in-memory view (round 16) —
+      * [[graft.core.Snapshot.rankedSearchFields]] semantics, zero
+      * Spark jobs. */
+    def rankedSearchFields(fields: Seq[(String, Double)], query: String,
+        k: Int = 10, filter: Option[DocFilter] = None)
+        : Seq[(String, Double, Long)] =
+      view.rankedSearchFields(fields, query, k, filter = filter)
         .map { case (id, s, h) =>
           (toUuidStr(id.asInstanceOf[Array[Byte]]), s, h) }
     /** Facet counts from the in-memory view —

@@ -2224,15 +2224,26 @@ final class Snapshot(
     *
     * Returns `[user_id, doc_id, score, n_terms_hit]`, ordered
     * (score desc, doc_id asc), top `k` — descending: BM25 is a relevance
-    * score, not a distance (K4's ascending contract is for distances). */
+    * score, not a distance (K4's ascending contract is for distances).
+    *
+    * `filter` is FILTER CONTEXT (the ES `bool.filter` / Lucene
+    * FILTER-clause contract): it restricts which docs may appear in the
+    * result but NEVER touches relevance — df, N, avgdl and every
+    * surviving doc's score are exactly the unfiltered figures. The
+    * restriction is [[matchedDocs]]' newest-wins match set (the
+    * aggregation-surface rule: the doc version being scored is the one
+    * the filter must match), applied as a key semi-join AFTER scoring —
+    * O(matched), like the MLT exclusion. */
   def rankedSearch(field: String, query: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      userIds: Seq[Any] = Nil): DataFrame = {
+      userIds: Seq[Any] = Nil,
+      filter: Option[DocFilter] = None): DataFrame = {
     val f = requireRankedField(field)
     val queryKeys = graft.operators.FilterCompiler
       .queryTerms(field, query, f.kind == "keyword", f.lang).distinct
     if (queryKeys.isEmpty) coll.spark.emptyDataFrame
-    else rankedByKeys(field, queryKeys, k, k1, b, userIds, excludeKeys = None)
+    else rankedByKeys(field, queryKeys, k, k1, b, userIds,
+      excludeKeys = None, restrictKeys = filter.flatMap(matchedDocs(_, userIds)))
   }
 
   /** The ranked-retrieval field contract: a declared text/keyword
@@ -2255,14 +2266,12 @@ final class Snapshot(
     f
   }
 
-  /** BM25 scoring for PRE-ANALYZED query keys — [[rankedSearch]]'s core,
-    * shared with [[moreLikeThis]] (whose profile terms are already
-    * index-side stems that must not re-stem). `excludeKeys` drops those
-    * `[user_id, doc_id]` rows from the RESULT only, after scoring —
-    * df/N/avgdl still count them (Lucene's MLT contract). */
-  private def rankedByKeys(field: String, queryKeys: Seq[String], k: Int,
-      k1: Double, b: Double, userIds: Seq[Any],
-      excludeKeys: Option[DataFrame]): DataFrame = {
+  /** The full BM25 match set for PRE-ANALYZED query keys — unordered and
+    * unlimited `[user_id, doc_id, score, n_terms_hit]` (score rounded
+    * HALF-UP 4), the shared core of [[rankedSearch]], [[moreLikeThis]]
+    * and [[rankedSearchFields]]. None when the snapshot holds no rows. */
+  private def scoreByKeys(field: String, queryKeys: Seq[String],
+      k1: Double, b: Double, userIds: Seq[Any]): Option[DataFrame] = {
     // bucket-aware dictionary restriction (FilterCompiler.termScan's
     // shape): each disjunct's term_bucket predicate constant-folds, so
     // the scan prunes to |query| of Collection.termBuckets directories
@@ -2276,16 +2285,68 @@ final class Snapshot(
           .reduce(_ || _))
       else t.filter(col("term").isin(queryKeys: _*))
     val (n, avgdl) = bm25FieldStats(field, userIds)
-    (for {
+    for {
       tfs <- liveFieldTermFreqs(field, restrict, userIds)
       lens <- liveFieldLens(field, userIds)
-    } yield {
-      val scored = Search.bm25Score(tfs, lens, queryKeys, n, avgdl, k1, b)
-      excludeKeys.fold(scored)(e => scored.join(
-          e.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti"))
+    } yield Search.bm25Score(tfs, lens, queryKeys, n, avgdl, k1, b)
+  }
+
+  /** [[scoreByKeys]] + MLT's exclusion + filter context + the retrieval
+    * order/limit. `excludeKeys` drops those `[user_id, doc_id]` rows from
+    * the RESULT only, after scoring — df/N/avgdl still count them
+    * (Lucene's MLT contract). `restrictKeys` keeps ONLY those keys
+    * (filter context, same after-scoring discipline). */
+  private def rankedByKeys(field: String, queryKeys: Seq[String], k: Int,
+      k1: Double, b: Double, userIds: Seq[Any],
+      excludeKeys: Option[DataFrame],
+      restrictKeys: Option[DataFrame] = None): DataFrame =
+    scoreByKeys(field, queryKeys, k1, b, userIds).map { scored =>
+      val excluded = excludeKeys.fold(scored)(e => scored.join(
+        e.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_anti"))
+      restrictKeys.fold(excluded)(r => excluded.join(
+          r.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_semi"))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(k)
-    }).getOrElse(coll.spark.emptyDataFrame)
+    }.getOrElse(coll.spark.emptyDataFrame)
+
+  /** Multi-field boosted ranked retrieval (the ES `multi_match` /
+    * Lucene query-time field-boost shape): each field scores its own
+    * BM25 — its own analyzer, df, N and avgdl — and a doc's combined
+    * relevance is `round(Σ_f boost_f · score_f, 4)` over the per-field
+    * ROUNDED scores (so each field's figure is exactly its
+    * single-field [[rankedSearch]] score, and a SQL replay composes the
+    * per-field derivations verbatim). Fields absent from a doc simply
+    * contribute nothing — the union/aggregate fuse, never an outer-join
+    * chain (the rrfFuse posture). `n_fields_hit` counts the fields that
+    * matched. Returns `[user_id, doc_id, score, n_fields_hit]`,
+    * (score desc, doc_id asc), top `k`. `filter` is filter context
+    * (the [[rankedSearch]] contract — restricts the result set, never
+    * the per-field scores or stats), applied as one semi-join before
+    * the combine aggregate. */
+  def rankedSearchFields(fields: Seq[(String, Double)], query: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      userIds: Seq[Any] = Nil,
+      filter: Option[DocFilter] = None): DataFrame = {
+    require(fields.nonEmpty, "rankedSearchFields: no fields")
+    val parts = fields.flatMap { case (field, w) =>
+      val f = requireRankedField(field)
+      val keys = graft.operators.FilterCompiler
+        .queryTerms(field, query, f.kind == "keyword", f.lang).distinct
+      if (keys.isEmpty) None
+      else scoreByKeys(field, keys, k1, b, userIds).map(
+        _.select(col("user_id"), col("doc_id"),
+          (lit(w) * col("score")).as("contrib")))
+    }
+    if (parts.isEmpty) coll.spark.emptyDataFrame
+    else filter.flatMap(matchedDocs(_, userIds)).fold(
+        parts.reduce(_ unionByName _))(r =>
+        parts.reduce(_ unionByName _).join(
+          r.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_semi"))
+      .groupBy("user_id", "doc_id")
+      .agg(round(sum(col("contrib")), 4).as("score"),
+        count(lit(1)).as("n_fields_hit"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
   }
 
   /** More-like-this over the collection index (Lucene `MoreLikeThis` /
@@ -2303,7 +2364,8 @@ final class Snapshot(
     * pass and the retrieval are dictionary-restricted scans. */
   def moreLikeThis(field: String, seedKeys: DataFrame, m: Int = 5,
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-      userIds: Seq[Any] = Nil): DataFrame = {
+      userIds: Seq[Any] = Nil,
+      filter: Option[DocFilter] = None): DataFrame = {
     require(m > 0 && k > 0, s"moreLikeThis: m and k must be positive (m=$m, k=$k)")
     val f = requireRankedField(field)
     // the seed's newest live field value — O(seed), never O(corpus)
@@ -2341,8 +2403,12 @@ final class Snapshot(
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       (t, sc)
     }.sortBy { case (t, sc) => (-sc, t) }.take(m).map(_._1)
+    // `filter` is filter context (the rankedSearch contract): profile
+    // selection, df and stats above are all UNFILTERED — it only
+    // restricts which similar docs may be returned
     rankedByKeys(field, profile, k, k1, b, userIds,
-      excludeKeys = Some(seedKeys))
+      excludeKeys = Some(seedKeys),
+      restrictKeys = filter.flatMap(matchedDocs(_, userIds)))
   }
 
   /** Term/attribute MEMBERSHIP search: live docs matching `filter`,

@@ -527,15 +527,37 @@ final class ServedUserView private[core] (
     * live row. Candidate generation is postings-driven (O(matched), the
     * distributed dictionary-scan posture), never a corpus iteration.
     * Returns (doc_id, score, n_terms_hit), (score desc, doc_id asc),
-    * top `k`. */
+    * top `k`. `filter` is FILTER CONTEXT (the Snapshot contract):
+    * restricts the result to docs whose newest live row matches, never
+    * touches df/N/avgdl or surviving scores. */
   def rankedSearch(field: String, query: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): Seq[(Any, Double, Long)] = {
+      k1: Double = 1.2, b: Double = 0.75,
+      filter: Option[DocFilter] = None): Seq[(Any, Double, Long)] = {
     val kw = requireRankedField(field)
     val keys = FilterCompiler.queryTerms(field, query, kw,
       fieldLang.getOrElse(field, "english")).distinct
     if (keys.isEmpty) Nil
-    else rankedByKeys(field, kw, keys, k, k1, b, exclude = Set.empty)
+    else rankedByKeys(field, kw, keys, k, k1, b, exclude = Set.empty,
+      keep = newestMatchPredicate(filter))
   }
+
+  /** Filter-context predicate over doc keys: does this doc's NEWEST live
+    * row match `filter`? (The served twin of [[Snapshot.matchedDocs]]'
+    * newest-wins rule — segment match sets come from one
+    * [[evalSegment]] pass each, so the per-doc check is a set lookup.) */
+  private def newestMatchPredicate(filter: Option[DocFilter]): Any => Boolean =
+    filter match {
+      case None => _ => true
+      case Some(f) =>
+        val nf = norm(f)
+        requireNumericFields(nf)
+        val segMatch: Map[String, Set[Long]] =
+          segments.map(sv => sv.name -> evalSegment(nf, sv)).toMap
+        dk => newestRows.get(dk).exists {
+          case Left((sv, pid)) => segMatch(sv.name).contains(pid)
+          case Right(row) => evalTail(nf, row)
+        }
+    }
 
   /** The ranked-retrieval field contract (mirror of the Snapshot's):
     * declared text/keyword attribute, all segments positions-bearing.
@@ -596,48 +618,91 @@ final class ServedUserView private[core] (
     (cand.toMap, tfOf)
   }
 
-  /** BM25 scoring for pre-analyzed keys — [[rankedSearch]]'s core, shared
-    * with [[moreLikeThis]]. `exclude` drops doc keys from the RESULT only
-    * (after df/stats), the Lucene MLT contract. */
-  private def rankedByKeys(field: String, kw: Boolean, keys: Seq[String],
-      k: Int, k1: Double, b: Double, exclude: Set[Any])
-      : Seq[(Any, Double, Long)] = {
+  /** Full BM25 match map for pre-analyzed keys — doc key -> (original
+    * doc id, HALF-UP-4 rounded score, matched-term count), the shared
+    * core of [[rankedSearch]], [[moreLikeThis]] and
+    * [[rankedSearchFields]] (same per-field figures as the distributed
+    * [[graft.core.Snapshot]] paths). */
+  private def scoreByKeys(field: String, kw: Boolean, keys: Seq[String],
+      k1: Double, b: Double): Map[Any, (Any, Double, Long)] = {
     val (n, avgdl) = bm25FieldStats(field)
-    if (n == 0L) return Nil
+    if (n == 0L) return Map.empty
     val (cand, tfOf) = bm25Candidates(field, kw, keys)
-    if (cand.isEmpty) return Nil
+    if (cand.isEmpty) return Map.empty
     // df per query term over the newest-wins match set (the distributed
     // bm25Score's O(matched) aggregate)
     val dfOf: Map[String, Long] = keys.map(key =>
       key -> cand.valuesIterator.count(tfOf(_, key) > 0L).toLong).toMap
     val nD = n.toDouble
-    val scored = cand.iterator
-      .filter { case (dk, _) => !exclude.contains(dk) }
-      .map { case (_, loc) =>
-        val dl = docLenAt(field, kw)(loc).toDouble
-        var sum = 0.0
-        var hits = 0L
-        for (key <- keys) {
-          val tf = tfOf(loc, key)
-          if (tf > 0L) {
-            hits += 1
-            val df = dfOf(key).toDouble
-            val idf = math.log(1.0 + (nD - df + 0.5) / (df + 0.5))
-            val t = tf.toDouble
-            sum += idf * (t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dl / avgdl)))
-          }
+    cand.iterator.map { case (dk, loc) =>
+      val dl = docLenAt(field, kw)(loc).toDouble
+      var sum = 0.0
+      var hits = 0L
+      for (key <- keys) {
+        val tf = tfOf(loc, key)
+        if (tf > 0L) {
+          hits += 1
+          val df = dfOf(key).toDouble
+          val idf = math.log(1.0 + (nD - df + 0.5) / (df + 0.5))
+          val t = tf.toDouble
+          sum += idf * (t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dl / avgdl)))
         }
-        val id: Any = loc match {
-          case Left((sv, pid)) => sv.docOf(pid)
-          case Right(row) => row.docId
-        }
-        (id, BigDecimal(sum).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble, hits)
-      }.filter(_._3 > 0L).toSeq
-    scored.sortWith { case ((i1, s1, _), (i2, s2, _)) =>
+      }
+      val id: Any = loc match {
+        case Left((sv, pid)) => sv.docOf(pid)
+        case Right(row) => row.docId
+      }
+      dk -> ((id, BigDecimal(sum).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, hits))
+    }.filter(_._2._3 > 0L).toMap
+  }
+
+  private def orderRanked(scored: Iterable[(Any, Double, Long)], k: Int)
+      : Seq[(Any, Double, Long)] =
+    scored.toSeq.sortWith { case ((i1, s1, _), (i2, s2, _)) =>
       val c = java.lang.Double.compare(s2, s1) // score DESC
       if (c != 0) c < 0 else idLess(i1, i2)
     }.take(k)
+
+  /** [[scoreByKeys]] + MLT's exclusion + filter context + the retrieval
+    * order/limit. `exclude` drops doc keys from the RESULT only (after
+    * df/stats), the Lucene MLT contract; `keep` retains only passing
+    * keys (filter context, same after-scoring discipline). */
+  private def rankedByKeys(field: String, kw: Boolean, keys: Seq[String],
+      k: Int, k1: Double, b: Double, exclude: Set[Any],
+      keep: Any => Boolean = _ => true): Seq[(Any, Double, Long)] =
+    orderRanked(scoreByKeys(field, kw, keys, k1, b)
+      .collect { case (dk, t) if !exclude.contains(dk) && keep(dk) => t }, k)
+
+  /** Served mirror of [[Snapshot.rankedSearchFields]] with zero Spark
+    * jobs: per-field BM25 (each field's own analyzer/df/stats and the
+    * SAME rounded per-field figures as single-field rankedSearch),
+    * combined as round(Σ boost_f · score_f, 4), (score desc, doc_id
+    * asc), top k — (doc_id, score, n_fields_hit). `filter` is filter
+    * context (the Snapshot contract — newest-wins match, scores and
+    * stats untouched). */
+  def rankedSearchFields(fields: Seq[(String, Double)], query: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      filter: Option[DocFilter] = None)
+      : Seq[(Any, Double, Long)] = {
+    require(fields.nonEmpty, "rankedSearchFields: no fields")
+    val keep = newestMatchPredicate(filter)
+    val acc = scala.collection.mutable.HashMap.empty[Any, (Any, Double, Long)]
+    for ((field, w) <- fields) {
+      val kw = requireRankedField(field)
+      val keys = FilterCompiler.queryTerms(field, query, kw,
+        fieldLang.getOrElse(field, "english")).distinct
+      if (keys.nonEmpty)
+        for ((dk, (id, sc, _)) <- scoreByKeys(field, kw, keys, k1, b)
+             if keep(dk)) {
+          val (_, s0, f0) = acc.getOrElse(dk, (id, 0.0, 0L))
+          acc(dk) = (id, s0 + w * sc, f0 + 1L)
+        }
+    }
+    orderRanked(acc.valuesIterator.map { case (id, s, f) =>
+      (id, BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, f)
+    }.toSeq, k)
   }
 
   /** Served mirror of [[Snapshot.moreLikeThis]] with zero Spark jobs:
@@ -647,7 +712,8 @@ final class ServedUserView private[core] (
     * the distributed path — then BM25 those terms, seed excluded after
     * scoring. */
   def moreLikeThis(field: String, docId: Any, m: Int = 5, k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): Seq[(Any, Double, Long)] = {
+      k1: Double = 1.2, b: Double = 0.75,
+      filter: Option[DocFilter] = None): Seq[(Any, Double, Long)] = {
     require(m > 0 && k > 0, s"moreLikeThis: m and k must be positive (m=$m, k=$k)")
     val kw = requireRankedField(field)
     val dk = docKey(docId)
@@ -673,7 +739,10 @@ final class ServedUserView private[core] (
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       (t, sc)
     }.sortBy { case (t, sc) => (-sc, t) }.take(m).map(_._1)
-    rankedByKeys(field, kw, profile, k, k1, b, exclude = Set(dk))
+    // filter context: profile/df/stats above stay unfiltered, only the
+    // returned similar docs are restricted (the rankedSearch contract)
+    rankedByKeys(field, kw, profile, k, k1, b, exclude = Set(dk),
+      keep = newestMatchPredicate(filter))
   }
 }
 

@@ -169,6 +169,33 @@ class HttpServerSpec extends SparkSuite {
         "field" -> "content", "query" -> "hello", "k" -> 5)))
       assert(srvRank("ids") === rank("ids"))
       assert(srvRank("scores") === rank("scores"))
+      // multi-field form: one field at weight 1.0 IS the single-field
+      // answer, over the wire and on the served mirror
+      val multiRank = post("/rank", Json.write(Map(
+        "collection_name" -> "wire", "query" -> "hello",
+        "fields" -> Map("content" -> 1.0), "k" -> 5)))
+      assert(multiRank("ids") === rank("ids"))
+      assert(multiRank("scores") === rank("scores"))
+      val srvMulti = post("/serve_rank", Json.write(Map(
+        "collection_name" -> "wire", "user_ids" -> Seq(uuid(0)),
+        "query" -> "hello", "fields" -> Map("content" -> 1.0), "k" -> 5)))
+      assert(srvMulti("ids") === rank("ids"))
+      assert(srvMulti("scores") === rank("scores"))
+      // filter context over the wire (the ES bool.filter shape): a
+      // passing filter leaves ids AND scores untouched; an excluding
+      // one empties the result — on both the Spark and the served route
+      val rankKeep = post("/rank", Json.write(Map(
+        "collection_name" -> "wire", "field" -> "content",
+        "query" -> "hello", "k" -> 5,
+        "filter" -> Map("field" -> "content", "value" -> "world"))))
+      assert(rankKeep("ids") === rank("ids") &&
+        rankKeep("scores") === rank("scores"))
+      val rankDrop = post("/serve_rank", Json.write(Map(
+        "collection_name" -> "wire", "user_ids" -> Seq(uuid(0)),
+        "field" -> "content", "query" -> "hello", "k" -> 5,
+        "filter" -> Map("not_contains" ->
+          Map("field" -> "content", "value" -> "hello")))))
+      assert(rankDrop("ids") === Vector())
 
       // more-like-this over the wire: doc 1's profile (hello, world)
       // matches no OTHER doc — route shape + seed exclusion + the served

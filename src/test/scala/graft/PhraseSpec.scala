@@ -792,5 +792,125 @@ class PhraseSpec extends SparkSuite {
         .map { case (id, sc, h) => (id.asInstanceOf[Long], sc, h) }
       assert(s === d, s"served parity for '$q'")
     }
+
+    // multi-field boosts (rankedSearchFields): one field at weight 1.0
+    // IS rankedSearch; disjoint fields combine additively over the
+    // per-field ROUNDED scores with per-field stats
+    val one = snap.rankedSearch("content", "running", 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val oneF = snap.rankedSearchFields(Seq("content" -> 1.0), "running", 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(oneF === one)
+    val (tagDoc, tagScore) = snap.rankedSearch("tag", "blue", 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    val halfTag = snap.rankedSearchFields(
+        Seq("content" -> 0.5, "tag" -> 0.5), "blue", 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(halfTag === Seq((tagDoc,
+      BigDecimal(0.5 * tagScore)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, 1L)))
+    // a tail doc matching BOTH fields (read-your-writes, n_fields_hit=2)
+    // plus served parity on the combined surface
+    coll.insert(Seq((0L, 4L, Seq(0.3, 0.7), "blue shoes for running", "blue"))
+      .toDF("user_id", "doc_id", "vector", "content", "tag"))
+    val snap2 = coll.snapshot()
+    val served2 = coll.serveUser(0L)
+    val both = snap2.rankedSearchFields(
+        Seq("content" -> 0.7, "tag" -> 0.3), "blue", 10)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
+    assert(both(4L) === 2L && both(2L) === 1L) // doc 4 hits both fields
+    for (q <- Seq("blue", "running", "blue gear")) {
+      val dm = snap2.rankedSearchFields(
+          Seq("content" -> 0.7, "tag" -> 0.3), q, 10)
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      val sm = served2.rankedSearchFields(
+          Seq("content" -> 0.7, "tag" -> 0.3), q, 10)
+        .map { case (id, sc, h) => (id.asInstanceOf[Long], sc, h) }
+      assert(sm === dm, s"multi-field served parity for '$q'")
+    }
+  }
+
+  test("ranked retrieval filter context: restricts results, never scores, on both paths") {
+    val base = Files.createTempDirectory("graft_bm25_filt").toString
+    val cfg = CollectionConfig(
+      name = "bmf", numFeatures = 2, initialNumCentroids = 2,
+      attributeSchema = Seq(AttrField("content", "text", "none"),
+        AttrField("tag", "keyword")))
+    val coll = Collection.create(spark, base, cfg)
+    coll.insert(Seq(
+      (0L, 1L, Seq(1.0, 0.0), "merge sort stream", "red"),
+      (0L, 2L, Seq(0.0, 1.0), "merge merge join", "blue"),
+      (0L, 3L, Seq(1.0, 1.0), "stream filter scan", "red"),
+      (0L, 4L, Seq(0.5, 0.5), "join the red team", "green"))
+      .toDF("user_id", "doc_id", "vector", "content", "tag"))
+    coll.flush()
+    // unflushed tail row — the filter context must see it too
+    coll.insert(Seq((0L, 5L, Seq(0.2, 0.8), "stream merge live", "blue"))
+      .toDF("user_id", "doc_id", "vector", "content", "tag"))
+    val snap = coll.snapshot()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val unfiltered = rows(snap.rankedSearch("content", "merge stream", 10))
+    assert(unfiltered.map(_._1).toSet === Set(1L, 2L, 3L, 5L))
+    // keyword filter: exactly the blue docs survive, each with its EXACT
+    // unfiltered score — filter context never reweighs (the ES contract)
+    val blue = DocFilter.Contains("tag", "blue", keyword = true)
+    val filtered = rows(snap.rankedSearch("content", "merge stream", 10,
+      filter = Some(blue)))
+    assert(filtered.map(_._1).toSet === Set(2L, 5L))
+    assert(filtered.toSet.subsetOf(unfiltered.toSet))
+    // a boolean filter tree (Contains AND NotContains) composes
+    val notBlueMerge = DocFilter.And(Seq(
+      DocFilter.Contains("content", "merge"),
+      DocFilter.NotContains("tag", "blue", keyword = true)))
+    val filtered2 = rows(snap.rankedSearch("content", "merge stream", 10,
+      filter = Some(notBlueMerge)))
+    assert(filtered2.map(_._1).toSet === Set(1L))
+    assert(filtered2.toSet.subsetOf(unfiltered.toSet))
+    // a filter matching nothing empties the result, loudly nothing
+    assert(rows(snap.rankedSearch("content", "merge stream", 10,
+      filter = Some(DocFilter.Contains("tag", "purple", keyword = true)))).isEmpty)
+    // served parity across filter shapes
+    val served = coll.serveUser(0L)
+    for (filt <- Seq(None, Some(blue), Some(notBlueMerge))) {
+      val d = rows(snap.rankedSearch("content", "merge stream", 10, filter = filt))
+      val s = served.rankedSearch("content", "merge stream", 10, filter = filt)
+        .map { case (id, sc, h) => (id.asInstanceOf[Long], sc, h) }
+      assert(s === d, s"served filtered parity for $filt")
+    }
+    // multi-field + filter: same restriction rule, served parity
+    val mfD = snap.rankedSearchFields(Seq("content" -> 0.7, "tag" -> 0.3),
+        "blue", 10, filter = Some(blue))
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val mfS = served.rankedSearchFields(Seq("content" -> 0.7, "tag" -> 0.3),
+        "blue", 10, filter = Some(blue))
+      .map { case (id, sc, h) => (id.asInstanceOf[Long], sc, h) }
+    assert(mfS === mfD && mfD.map(_._1).toSet === Set(2L, 5L))
+    // more-like-this + filter: profile/df/stats stay unfiltered, only
+    // the returned similar docs are restricted — subset of the
+    // unfiltered MLT with identical scores; served parity
+    val seed1 = Seq((0L, 1L)).toDF("user_id", "doc_id")
+    val mltAll = rows(snap.moreLikeThis("content", seed1, m = 3, k = 10))
+    val mltBlue = rows(snap.moreLikeThis("content", seed1, m = 3, k = 10,
+      filter = Some(blue)))
+    assert(mltBlue.toSet.subsetOf(mltAll.toSet) &&
+      mltBlue.map(_._1).toSet.subsetOf(Set(2L, 5L)) && mltBlue.nonEmpty)
+    val mltServed = served.moreLikeThis("content", 1L, m = 3, k = 10,
+        filter = Some(blue))
+      .map { case (id, sc, h) => (id.asInstanceOf[Long], sc, h) }
+    assert(mltServed === mltBlue)
+    // NEWEST-WINS: re-insert doc 2 re-tagged green — the blue filter now
+    // excludes it on both paths (the doc version being scored is the one
+    // the filter matches)
+    coll.insert(Seq((0L, 2L, Seq(0.0, 1.0), "merge merge join", "green"))
+      .toDF("user_id", "doc_id", "vector", "content", "tag"))
+    val snap2 = coll.snapshot()
+    val after = rows(snap2.rankedSearch("content", "merge stream", 10,
+      filter = Some(blue)))
+    assert(after.map(_._1).toSet === Set(5L))
+    val sAfter = coll.serveUser(0L)
+      .rankedSearch("content", "merge stream", 10, filter = Some(blue))
+      .map { case (id, sc, h) => (id.asInstanceOf[Long], sc, h) }
+    assert(sAfter === after)
   }
 }
