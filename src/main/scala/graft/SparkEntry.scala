@@ -515,6 +515,27 @@ object SparkEntry {
           col("n_terms_hit").cast("long").as("n_terms_hit"))
         .orderBy(col("score").desc, col("doc_id").asc)
     }),
+    "q131_hybrid_rank" -> ((s, d) => {
+      // Collection-level hybrid retrieval (the ES kNN+BM25 RRF shape,
+      // Snapshot.hybridSearch over q126's collection): the q126 BM25
+      // top-50 fused with the exhaustive-probe (= exact) L2 top-50
+      // around vec 0 — rrf contrib 1/(60+rank), sum rounded 6. BM25
+      // ranks on the ROUNDED-4 score; vector ranks on the RAW distance
+      // (the q93 selection posture), so DuckDB replays both lists and
+      // the fusion verbatim.
+      import graft.core.Collection
+      import graft.operators.SearchParams
+      val (base, cfg) = rankedCollection(s, d)
+      Collection.open(s, base, cfg).snapshot()
+        .hybridSearch("content", "merge join stream", q0(s, d), k = 10,
+          window = 50,
+          params = SearchParams(numExploredCentroids = Some(Int.MaxValue),
+            centroidDistanceRatio = 1e18),
+          userIds = Seq(0L))
+        .select(col("doc_id"), col("rrf_score"),
+          col("n_lists").cast("long").as("n_lists"))
+        .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    }),
     "q130_filtered_rank" -> ((s, d) => {
       // Filter-context ranked retrieval (the ES bool query+filter shape,
       // Snapshot.rankedSearch(filter=...) over q126's collection): the
@@ -2276,6 +2297,39 @@ object SparkEntry {
             GROUP BY doc_id)
           SELECT doc_id, score, n_terms_hit FROM scored
           ORDER BY score DESC, doc_id LIMIT 10""",
+    // q131: q126's BM25 top-50 (rounded-4 rank order) + the raw-L2
+    // top-50 (the q93 raw-selection posture), fused with the q70 RRF
+    // arithmetic — each id has <= 2 contributions, order-insensitive
+    "q131_hybrid_rank" ->
+      s"""WITH t AS (SELECT doc_id, $docToksSql AS toks FROM documents),
+          base AS (SELECT doc_id, toks, len(toks)::DOUBLE AS dl FROM t),
+          stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM base),
+          tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+                 FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+                 WHERE term IN ('merge', 'join', 'stream')
+                 GROUP BY doc_id, dl, term),
+          dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+          bmtop AS (
+            SELECT doc_id,
+              round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+            FROM tf JOIN dfq USING (term), stats
+            GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+          bm AS (SELECT doc_id AS id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+                 FROM bmtop),
+          vtop AS (
+            SELECT vec_id AS id,
+              list_distance(embedding::DOUBLE[],
+                (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])::DOUBLE AS dist
+            FROM embeddings ORDER BY dist, id LIMIT 50),
+          vr AS (SELECT id, row_number() OVER (ORDER BY dist, id) AS rank
+                 FROM vtop),
+          c AS (SELECT id, 1.0 / (60 + rank) AS contrib FROM bm
+                UNION ALL SELECT id, 1.0 / (60 + rank) FROM vr)
+          SELECT id AS doc_id, round(sum(contrib), 6) AS rrf_score,
+                 count(*) AS n_lists
+          FROM c GROUP BY id ORDER BY rrf_score DESC, doc_id LIMIT 10""",
     // q130: q126's full Okapi derivation UNCHANGED (filter context never
     // touches df/N/avgdl or scores) + a plain token post-filter on the
     // match set — exactly the engine's after-scoring semi-join

@@ -42,6 +42,9 @@ import graft.operators.DocFilter
   *                                BM25-ranked text retrieval over the
   *                                persisted term index; `filter` is filter
   *                                context (restricts results, never scores)
+  *  - `POST /hybrid_rank`        {collection_name, field, query, vector,
+  *                                k?, window?, nprobe?, user_ids?, filter?}
+  *                                — RRF fusion of the BM25 and ANN lists
   *  - `POST /more_like_this`     {collection_name, field, user_id, doc_id,
   *                                m?, k?, filter?} — seed-profiled BM25
   *                                retrieval, seed excluded
@@ -63,6 +66,9 @@ import graft.operators.DocFilter
   *  - `POST /serve_rank`         {collection_name, user_ids: [uuid], field |
   *                                fields, query, k?, filter?} —
   *                                zero-Spark-jobs BM25
+  *  - `POST /serve_hybrid_rank`  {collection_name, user_ids: [uuid], field,
+  *                                query, vector, k?, window?, nprobe?,
+  *                                filter?} — zero-Spark-jobs RRF hybrid
   *  - `POST /serve_more_like_this` {collection_name, user_ids: [uuid],
   *                                field, doc_id, m?, k?, filter?} —
   *                                zero-Spark-jobs
@@ -435,6 +441,28 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
       "n_terms_hit" -> rs.map(_._3))
   })
 
+  // Hybrid lexical+vector retrieval (beyond the proto surface, round 16 —
+  // the ES kNN+BM25 RRF shape): {collection_name, field, query, vector,
+  // k?, window?, nprobe?, user_ids?, filter?} ->
+  // {ids, rrf_scores, n_lists} (rrf_score desc)
+  server.createContext("/hybrid_rank", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val rs = svc.hybridSearch(
+      b("collection_name").asInstanceOf[String],
+      field = b("field").asInstanceOf[String],
+      query = b("query").asInstanceOf[String],
+      vector = Json.doubles(b("vector")),
+      k = b.getOrElse("k", 10.0).asInstanceOf[Double].toInt,
+      window = b.getOrElse("window", 50.0).asInstanceOf[Double].toInt,
+      nprobe = b.getOrElse("nprobe", 10.0).asInstanceOf[Double].toInt,
+      centroidDistanceRatio = b.getOrElse("centroid_distance_ratio", 0.1)
+        .asInstanceOf[Double],
+      userIds = b.get("user_ids").map(parseIds).getOrElse(Nil),
+      filter = b.get("filter").map(parseFilter))
+    Map("ids" -> rs.map(_._1), "rrf_scores" -> rs.map(_._2),
+      "n_lists" -> rs.map(_._3))
+  })
+
   // Recall calibration (beyond the proto surface): {collection_name, k?,
   // n_queries?, ladder?} -> {nprobe: [...], recall: [...]} — measures +
   // persists the curve that `target_recall` searches resolve against
@@ -548,6 +576,23 @@ final class GraftHttpServer(svc: GraftService, port: Int = 0) {
     }
     Map("ids" -> rs.map(_._1), "scores" -> rs.map(_._2),
       "n_terms_hit" -> rs.map(_._3))
+  })
+
+  server.createContext("/serve_hybrid_rank", (ex: HttpExchange) => handle(ex) {
+    val b = readBody(ex)
+    val rs = svc.serveUser(
+        b("collection_name").asInstanceOf[String],
+        parseIds(b("user_ids")).head)
+      .hybridSearch(
+        field = b("field").asInstanceOf[String],
+        query = b("query").asInstanceOf[String],
+        vector = Json.doubles(b("vector")).toArray,
+        k = b.getOrElse("k", 10.0).asInstanceOf[Double].toInt,
+        nprobe = b.getOrElse("nprobe", 10.0).asInstanceOf[Double].toInt,
+        window = b.getOrElse("window", 50.0).asInstanceOf[Double].toInt,
+        filter = b.get("filter").map(parseFilter))
+    Map("ids" -> rs.map(_._1), "rrf_scores" -> rs.map(_._2),
+      "n_lists" -> rs.map(_._3))
   })
 
   server.createContext("/serve_more_like_this", (ex: HttpExchange) => handle(ex) {

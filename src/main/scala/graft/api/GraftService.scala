@@ -214,6 +214,25 @@ class GraftService(spark: SparkSession, val basePath: String) {
       .collect().map(r => (toUuidStr(r.get(1).asInstanceOf[Array[Byte]]),
         r.getDouble(2), r.getLong(3))).toSeq
 
+  /** Hybrid lexical+vector retrieval (beyond-proto, round 16; the ES
+    * kNN+BM25 RRF shape — [[graft.core.Snapshot.hybridSearch]]):
+    * reciprocal-rank fusion of the BM25 and ANN top-`window` lists —
+    * (doc uuid, rrf_score, n_lists). */
+  def hybridSearch(collectionName: String, field: String, query: String,
+      vector: Seq[Double], k: Int, window: Int = 50, nprobe: Int = 1,
+      centroidDistanceRatio: Double = 0.1,
+      userIds: Seq[String] = Nil,
+      filter: Option[graft.operators.DocFilter] = None)
+      : Seq[(String, Double, Long)] =
+    collection(collectionName).snapshot()
+      .hybridSearch(field, query, vector, k, window = window,
+        params = graft.operators.SearchParams(topK = k,
+          numExploredCentroids = Some(nprobe),
+          centroidDistanceRatio = centroidDistanceRatio),
+        userIds = userIds.map(toBytes), filter = filter)
+      .collect().map(r => (toUuidStr(r.get(1).asInstanceOf[Array[Byte]]),
+        r.getDouble(2), r.getLong(3))).toSeq
+
   /** More-like-this over the persisted index (beyond-proto, round 16):
     * profile the seed doc's newest live `field` value, then BM25 the
     * profile with the seed excluded
@@ -306,6 +325,16 @@ class GraftService(spark: SparkSession, val basePath: String) {
       view.moreLikeThis(field, toBytes(docUuid), m, k, filter = filter)
         .map { case (id, s, h) =>
           (toUuidStr(id.asInstanceOf[Array[Byte]]), s, h) }
+    /** Hybrid BM25+ANN RRF from the in-memory view (round 16) —
+      * [[graft.core.Snapshot.hybridSearch]] semantics, zero Spark
+      * jobs. */
+    def hybridSearch(field: String, query: String, vector: Array[Double],
+        k: Int = 10, nprobe: Int = 1, window: Int = 50,
+        filter: Option[DocFilter] = None): Seq[(String, Double, Long)] =
+      view.hybridSearch(field, query, vector, k, nprobe, window,
+          filter = filter)
+        .map { case (id, s, n) =>
+          (toUuidStr(id.asInstanceOf[Array[Byte]]), s, n) }
     /** Multi-field boosted BM25 from the in-memory view (round 16) —
       * [[graft.core.Snapshot.rankedSearchFields]] semantics, zero
       * Spark jobs. */

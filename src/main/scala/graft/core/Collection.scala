@@ -2349,6 +2349,51 @@ final class Snapshot(
       .limit(k)
   }
 
+  /** Hybrid lexical+vector retrieval over ONE collection (the ES
+    * kNN+BM25 hybrid / RRF shape — beyond the reference, whose "hybrid"
+    * is ANN∧filter): fuse the top-`window` of [[rankedSearch]] (BM25,
+    * rounded-4 scores, desc) with the top-`window` of [[search]] (L2,
+    * raw distances, asc) by reciprocal-rank fusion —
+    * `Σ_lists 1/(rrfK + rank)`, rounded HALF-UP 6 (the
+    * [[graft.operators.Search.rrfFuse]] arithmetic, keyed on the full
+    * (user_id, doc_id) identity so u128/multi-tenant ids fuse
+    * correctly). `filter` applies to BOTH lists: filter context on the
+    * lexical side, the engine's native pre-filter on the ANN side.
+    *
+    * Scale shape: each list is a bounded top-`window` retrieval (the
+    * engine's own pruned paths); ranking rides a window over ≤`window`
+    * rows (the bounded-frame precedent) and the fuse is one bounded
+    * union + groupBy. Returns `[user_id, doc_id, rrf_score, n_lists]`,
+    * (rrf_score desc, doc_id asc), top `k`. */
+  def hybridSearch(field: String, query: String, queryVec: Seq[Double],
+      k: Int, window: Int = 50, rrfK: Int = 60,
+      params: SearchParams = SearchParams(), userIds: Seq[Any] = Nil,
+      filter: Option[DocFilter] = None): DataFrame = {
+    require(k > 0 && window >= k,
+      s"hybridSearch: need window >= k > 0 (window=$window, k=$k)")
+    import org.apache.spark.sql.expressions.{Window => W}
+    // deterministic ranks: BM25 by its ROUNDED score (desc) — replayable;
+    // vector by the RAW distance (asc) — the q93 raw-selection posture
+    // (rounding the selection key would let round-boundary ties flip
+    // window membership)
+    val lex = rankedSearch(field, query, window, userIds = userIds,
+        filter = filter)
+      .select(col("user_id"), col("doc_id"), row_number().over(
+        W.orderBy(col("score").desc, col("doc_id").asc)).as("rank"))
+    val ann = search(queryVec, params.copy(topK = window), userIds, filter)
+      .select(col("user_id"), col("doc_id"), row_number().over(
+        W.orderBy(col("score").asc, col("doc_id").asc)).as("rank"))
+    Seq(lex, ann)
+      .map(_.select(col("user_id"), col("doc_id"),
+        (lit(1.0) / (lit(rrfK) + col("rank").cast("double"))).as("contrib")))
+      .reduce(_ unionByName _)
+      .groupBy("user_id", "doc_id")
+      .agg(round(sum(col("contrib")), 6).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** More-like-this over the collection index (Lucene `MoreLikeThis` /
     * ES `more_like_this`, the [[graft.operators.TextPipeline.moreLikeThis]]
     * twin on the persisted index): profile the SEED doc's newest live

@@ -705,6 +705,31 @@ final class ServedUserView private[core] (
     }.toSeq, k)
   }
 
+  /** Served mirror of [[Snapshot.hybridSearch]] with zero Spark jobs:
+    * RRF fuse of the top-`window` BM25 list and the top-`window` vector
+    * list (in-memory index at `nprobe`), `Σ 1/(rrfK + rank)` rounded
+    * HALF-UP 6, (score desc, doc_id asc), top `k` — (doc_id, rrf_score,
+    * n_lists). `filter` restricts both lists (filter context on BM25,
+    * native pre-filter on the ANN side). */
+  def hybridSearch(field: String, query: String, queryVec: Array[Double],
+      k: Int, nprobe: Int, window: Int = 50, rrfK: Int = 60,
+      filter: Option[DocFilter] = None): Seq[(Any, Double, Long)] = {
+    require(k > 0 && window >= k,
+      s"hybridSearch: need window >= k > 0 (window=$window, k=$k)")
+    val acc = scala.collection.mutable.HashMap.empty[Any, (Any, Double, Long)]
+    def add(ids: Seq[Any]): Unit = ids.zipWithIndex.foreach { case (id, i) =>
+      val dk = docKey(id)
+      val (_, s0, n0) = acc.getOrElse(dk, (id, 0.0, 0L))
+      acc(dk) = (id, s0 + 1.0 / (rrfK + i + 1.0), n0 + 1L)
+    }
+    add(rankedSearch(field, query, window, filter = filter).map(_._1))
+    add(search(queryVec, window, nprobe, filter).map(_._1))
+    orderRanked(acc.valuesIterator.map { case (id, s, n) =>
+      (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, n)
+    }.toSeq, k)
+  }
+
   /** Served mirror of [[Snapshot.moreLikeThis]] with zero Spark jobs:
     * profile the seed's newest live `field` value (segment rows read the
     * attribute slice, tail rows their stored value) by its `m` most

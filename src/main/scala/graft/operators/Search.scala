@@ -109,7 +109,14 @@ object Search {
       .limit(params.nprobe)
     scored
       .crossJoin(broadcast(scored.agg(min(col("cdist")).as("mind"))))
-      .filter(col("cdist") <= col("mind") * (1.0 + params.centroidDistanceRatio))
+      // mind == 0 (the query coincides with its nearest centroid — e.g. a
+      // singleton cluster's centroid IS its point, and calibration queries
+      // are sampled corpus vectors) makes the multiplicative band
+      // degenerate: every other centroid would be pruned REGARDLESS of
+      // the ratio, so "ratio off" (1e18) silently under-probes. The band
+      // carries no information at zero — fall back to pure nprobe there.
+      .filter(col("mind") === 0.0 ||
+        col("cdist") <= col("mind") * (1.0 + params.centroidDistanceRatio))
       .select("centroid_id")
   }
 

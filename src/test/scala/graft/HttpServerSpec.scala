@@ -196,6 +196,21 @@ class HttpServerSpec extends SparkSuite {
         "filter" -> Map("not_contains" ->
           Map("field" -> "content", "value" -> "hello")))))
       assert(rankDrop("ids") === Vector())
+      // hybrid BM25+ANN RRF over the wire: doc 1 tops both lists
+      // (rrf 2/61), doc 2 rides the vector list alone (1/62); the
+      // served route must agree exactly
+      val hyb = post("/hybrid_rank", Json.write(Map(
+        "collection_name" -> "wire", "field" -> "content",
+        "query" -> "hello", "vector" -> Seq(1.0, 2.0, 3.0, 4.0),
+        "k" -> 5, "nprobe" -> 2, "centroid_distance_ratio" -> 1e9)))
+      assert(hyb("ids") === Vector(uuid(1), uuid(2)))
+      assert(hyb("n_lists") === Vector(2.0, 1.0))
+      val srvHyb = post("/serve_hybrid_rank", Json.write(Map(
+        "collection_name" -> "wire", "user_ids" -> Seq(uuid(0)),
+        "field" -> "content", "query" -> "hello",
+        "vector" -> Seq(1.0, 2.0, 3.0, 4.0), "k" -> 5, "nprobe" -> 2)))
+      assert(srvHyb("ids") === hyb("ids") &&
+        srvHyb("rrf_scores") === hyb("rrf_scores"))
 
       // more-like-this over the wire: doc 1's profile (hello, world)
       // matches no OTHER doc — route shape + seed exclusion + the served

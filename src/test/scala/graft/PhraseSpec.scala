@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.{AttrField, Collection, CollectionConfig}
 import graft.functions.GraftFunctions._
-import graft.operators.{DocFilter, FilterCompiler, Gen}
+import graft.operators.{DocFilter, FilterCompiler, Gen, SearchParams}
 
 /** Phrase/proximity queries over the positions-bearing term index —
   * beyond the reference (its term index stores point ids only,
@@ -912,5 +912,55 @@ class PhraseSpec extends SparkSuite {
       .rankedSearch("content", "merge stream", 10, filter = Some(blue))
       .map { case (id, sc, h) => (id.asInstanceOf[Long], sc, h) }
     assert(sAfter === after)
+  }
+
+  test("hybridSearch fuses BM25 and vector lists by RRF, served parity, filter on both") {
+    val base = Files.createTempDirectory("graft_hybrid").toString
+    val cfg = CollectionConfig(
+      name = "hyb", numFeatures = 2, initialNumCentroids = 2,
+      attributeSchema = Seq(AttrField("content", "text", "none"),
+        AttrField("tag", "keyword")))
+    val coll = Collection.create(spark, base, cfg)
+    coll.insert(Seq(
+      (0L, 1L, Seq(1.0, 0.0), "merge sort stream", "red"),
+      (0L, 2L, Seq(0.9, 0.1), "merge merge join", "blue"),
+      (0L, 3L, Seq(0.0, 1.0), "stream filter scan", "red"),
+      (0L, 4L, Seq(0.1, 0.9), "totally unrelated words", "blue"))
+      .toDF("user_id", "doc_id", "vector", "content", "tag"))
+    coll.flush()
+    val snap = coll.snapshot()
+    val exhaustive = SearchParams(numExploredCentroids = Some(Int.MaxValue),
+      centroidDistanceRatio = 1e18)
+    def hyb(filter: Option[DocFilter]) =
+      snap.hybridSearch("content", "merge stream", Seq(1.0, 0.0), k = 4,
+          window = 4, params = exhaustive, filter = filter)
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    // hand-computed RRF: BM25 list over 'merge stream' vs vector list
+    // around (1,0) — doc 1 is rank 1 in both (its BM25 tops by matching
+    // both terms; its vector IS the query), so its fused score is
+    // round(1/61 + 1/61, 6) and n_lists = 2
+    val all = hyb(None)
+    assert(all.head._1 === 1L)
+    assert(all.head._2 ===
+      BigDecimal(1.0 / 61 + 1.0 / 61)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(all.head._3 === 2L)
+    // doc 4 appears via the vector list alone (matches no query term)
+    assert(all.exists(r => r._1 === 4L && r._3 === 1L))
+    // filter restricts BOTH lists: only blue docs survive, and doc 2's
+    // ranks IMPROVE (rank within the filtered vector list), n_lists = 2
+    val blue = DocFilter.Contains("tag", "blue", keyword = true)
+    val blueOnly = hyb(Some(blue))
+    assert(blueOnly.map(_._1).toSet === Set(2L, 4L))
+    // served parity (zero Spark jobs) across both filter shapes
+    val served = coll.serveUser(0L)
+    for (filt <- Seq(None, Some(blue))) {
+      val d = hyb(filt)
+      val s = served.hybridSearch("content", "merge stream",
+          Array(1.0, 0.0), k = 4, nprobe = Int.MaxValue, window = 4,
+          filter = filt)
+        .map { case (id, sc, n) => (id.asInstanceOf[Long], sc, n) }
+      assert(s === d, s"served hybrid parity for $filt")
+    }
   }
 }

@@ -44,6 +44,36 @@ class SearchSpec extends SparkSuite {
     assert(got === Seq(4L, 3L))
   }
 
+  test("ratio prune is inert when the query coincides with its nearest centroid") {
+    // a singleton cluster's centroid IS its point, so a query equal to it
+    // gives mind = 0 and the multiplicative band `cdist <= mind*(1+ratio)`
+    // degenerates — before the round-16 fix, EVERY other centroid was
+    // pruned regardless of the ratio (an exhaustive 1e18-ratio search
+    // returned one point; calibration queries are sampled corpus vectors,
+    // so this was reachable there too). At mind = 0 the prune must fall
+    // back to pure nprobe.
+    val two = Seq(
+      (0L, 1L, 1L, Seq(1.0, 2.0, 3.0, 4.0)),
+      (0L, 2L, 2L, Seq(5.0, 6.0, 7.0, 8.0)))
+      .toDF("user_id", "doc_id", "point_id", "vector")
+    val cents = Seq((0L, Seq(1.0, 2.0, 3.0, 4.0)), (1L, Seq(5.0, 6.0, 7.0, 8.0)))
+      .toDF("centroid_id", "vector")
+    val posts = Seq((0L, 0L, 1L), (0L, 1L, 2L))
+      .toDF("user_id", "centroid_id", "point_id")
+    val got = Search.spann(two, cents, posts, Seq(1.0, 2.0, 3.0, 4.0),
+      SearchParams(topK = 5, numExploredCentroids = Some(2),
+        centroidDistanceRatio = 1e18))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 2L))
+    // nprobe = 1 still restricts to the nearest list (the prune fallback
+    // never widens the probe set past nprobe)
+    val one = Search.spann(two, cents, posts, Seq(1.0, 2.0, 3.0, 4.0),
+      SearchParams(topK = 5, numExploredCentroids = Some(1),
+        centroidDistanceRatio = 1e18))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(one === Seq(1L))
+  }
+
   test("every point lands in at least one posting list (builder invariant)") {
     val params = IvfBuilder.BuildParams(numCentroids = 10, seed = 7L)
     val centroids = IvfBuilder.buildCentroids(lineVectors, params)
