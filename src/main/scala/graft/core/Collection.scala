@@ -227,6 +227,15 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       .map(_.group(1).toLong)
   }
 
+  /** Build-time "no duplicate (user_id, doc_id)" fact from the segment's
+    * meta.json — false for segments written before the field existed
+    * (conservative: absent fact means the newest-wins machinery stays). */
+  private[graft] def segmentUniqueKeys(seg: String): Boolean = {
+    val p = Paths.get(segPath(seg), "meta.json")
+    Files.exists(p) &&
+      """"uniqueKeys"\s*:\s*true""".r.findFirstIn(Files.readString(p)).isDefined
+  }
+
   def toc: Toc = Toc.read(path)
 
   // ---- write path ----
@@ -578,8 +587,19 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     try bloom.writeTo(out) finally out.close()
     // Immutable segment metadata: the row count is known at build time,
     // so policy decisions (auto-vacuum fraction) never re-scan for it.
+    // uniqueKeys is the MEASURED "no duplicate (user_id, doc_id)" fact —
+    // one narrow 2-column aggregate here (build time, alongside the bloom
+    // pass that already re-reads the written table) buys the snapshot
+    // read paths the right to skip the whole newest-wins machinery
+    // (version window + newest-key semi-join + src_batch dedups) on a
+    // single-segment, tail-free, tombstone-free snapshot — the mature
+    // post-compaction shape, where ranked/aggregation queries collapse to
+    // dictionary-pruned scans + id joins (Snapshot.allRowsNewestLive).
+    val uniqueKeys = segRows == 0L || vectors
+      .groupBy("user_id", "doc_id").count()
+      .filter(col("count") > 1L).isEmpty
     Files.writeString(Paths.get(segPath(seg), "meta.json"),
-      s"""{"rows": $segRows}""")
+      s"""{"rows": $segRows, "uniqueKeys": $uniqueKeys}""")
 
     val params = IvfBuilder.BuildParams(
       numCentroids = config.initialNumCentroids,
@@ -828,8 +848,11 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
             StructField("change_type", StringType))))
       case Some(keys) =>
         val touched = keys.dropDuplicates("user_id", "doc_id")
-        def restricted(s: Snapshot) = s.liveDocs
-          .map(_.join(touched, Seq("user_id", "doc_id"), "left_semi"))
+        // key restriction BEFORE the per-key aggregate (liveDocsFor) — a
+        // diff touches O(delta) keys, so neither side's corpus is
+        // aggregated just to be discarded by this semi-join (round 16;
+        // same shape as the liveRowsFor payload fetch below it)
+        def restricted(s: Snapshot) = s.liveDocsFor(Some(touched))
         val a = restricted(sFrom).map(_.withColumnRenamed("src_batch", "from_batch"))
         val b = restricted(sTo).map(_.withColumnRenamed("src_batch", "to_batch"))
         val joined = (a, b) match {
@@ -1555,6 +1578,22 @@ final class Snapshot(
     * that a concurrent delete could skew. */
   private[core] def pinnedTombstones: Option[DataFrame] = tombRows
 
+  /** Every physical row this snapshot serves is PROVABLY its key's newest
+    * live version: exactly one segment, built with a MEASURED
+    * duplicate-free (user_id, doc_id) key set (flush records the fact in
+    * meta.json), no unflushed tail, no tombstones. Under this fact the
+    * newest-wins machinery — the per-key version window, the newest-key
+    * semi-join, the src_batch dedups — is the identity, and every read
+    * path skips it: ranked retrieval and the aggregation surfaces
+    * collapse to dictionary-pruned scans + id joins. This is the mature
+    * post-compaction shape (a merged segment that measured unique), so
+    * the fast path is the 100 TB steady state, not a toy special case;
+    * any duplicate key, tail row, or tombstone disables it conservatively
+    * (segments without the recorded fact too). */
+  private lazy val allRowsNewestLive: Boolean =
+    tailRows.isEmpty && tombRows.isEmpty && segments.size == 1 &&
+      coll.segmentUniqueKeys(segments.head)
+
   private def fieldLang: Map[String, String] =
     coll.config.attributeSchema.map(f => f.name -> f.lang).toMap
 
@@ -1735,7 +1774,16 @@ final class Snapshot(
     * segment rows written before the column existed). None when the
     * snapshot is empty (fresh collection, v0). Column-pruned to 3 cols —
     * the basis [[Collection.changes]] diffs two versions on. */
-  def liveDocs: Option[DataFrame] = {
+  def liveDocs: Option[DataFrame] = liveDocsFor(None)
+
+  /** [[liveDocs]] restricted to `keys` (`[user_id, doc_id]`) — the same
+    * O(delta) discipline as [[liveRowsFor]]: the key semi-join lands on
+    * the raw segment/tail rows BEFORE the per-key max aggregate, so a CDC
+    * diff's shuffle carries only the touched keys' rows instead of
+    * aggregating the corpus and then discarding everything untouched.
+    * Identical result by construction: the aggregate groups by exactly
+    * the key the semi-join filters on. */
+  def liveDocsFor(keys: Option[DataFrame]): Option[DataFrame] = {
     val segRows = segments.map { seg =>
       val v = coll.segmentTable(seg, "vectors")
       v.select(col("user_id"), col("doc_id"),
@@ -1743,9 +1791,16 @@ final class Snapshot(
          else lit(Long.MinValue)).as("src_batch"))
     }
     val tailKeyed = tailRows.map(_.select(col("user_id"), col("doc_id"), col("src_batch")))
-    (segRows ++ tailKeyed).reduceOption(_ unionByName _).map { rows =>
-      val alive = tombRows.fold(rows)(tb => Search.dropTombstoned(rows, tb))
-      alive.groupBy("user_id", "doc_id").agg(max(col("src_batch")).as("src_batch"))
+    (segRows ++ tailKeyed).reduceOption(_ unionByName _).map { rows0 =>
+      val rows = keys.fold(rows0)(k =>
+        rows0.join(k.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_semi"))
+      // fast path: one live version per key, proven at build time — the
+      // per-key max aggregate is the identity
+      if (allRowsNewestLive) rows
+      else {
+        val alive = tombRows.fold(rows)(tb => Search.dropTombstoned(rows, tb))
+        alive.groupBy("user_id", "doc_id").agg(max(col("src_batch")).as("src_batch"))
+      }
     }
   }
 
@@ -1791,12 +1846,17 @@ final class Snapshot(
     (segRows ++ tailKeyed).reduceOption(_ unionByName _).map { rows0 =>
       val rows = keys.fold(rows0)(k =>
         rows0.join(k.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_semi"))
-      val alive = tombRows.fold(rows)(tb => Search.dropTombstoned(rows, tb))
-      // newest WAL position wins per key — the same row liveDocs reports
-      val w = Window.partitionBy("user_id", "doc_id")
-        .orderBy(col("src_batch").desc)
-      alive.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn")
+      // one live version per key, proven at build time: the row IS the
+      // newest live row — no tombstone drop, no version window
+      if (allRowsNewestLive) rows
+      else {
+        val alive = tombRows.fold(rows)(tb => Search.dropTombstoned(rows, tb))
+        // newest WAL position wins per key — the same row liveDocs reports
+        val w = Window.partitionBy("user_id", "doc_id")
+          .orderBy(col("src_batch").desc)
+        alive.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      }
     }
   }
 
@@ -1808,7 +1868,8 @@ final class Snapshot(
     * (round-14 advice). O(matched keys), never O(corpus): the newest-key
     * lookup is key-restricted BEFORE its window. */
   private def newestVersionOnly(matches: DataFrame, userIds: Seq[Any]): DataFrame =
-    newestLiveRows(Some(matches), userIds, _ => Nil) match {
+    if (allRowsNewestLive) matches // every row already is the newest live one
+    else newestLiveRows(Some(matches), userIds, _ => Nil) match {
       case Some(newest) => matches.join(
         newest.select("user_id", "doc_id", "src_batch"),
         Seq("user_id", "doc_id", "src_batch"), "left_semi")
@@ -1851,9 +1912,14 @@ final class Snapshot(
     }
     (perSegment ++ tailResult)
       .reduceOption(_ unionByName _)
-      .map(m => newestVersionOnly(
-          m.dropDuplicates("user_id", "doc_id", "src_batch"), userIds)
-        .select("user_id", "doc_id").dropDuplicates("user_id", "doc_id"))
+      // fast path: every match row is its key's newest live version, so
+      // only the per-key dedup remains (a doc may match several ways)
+      .map(m =>
+        if (allRowsNewestLive)
+          m.select("user_id", "doc_id").dropDuplicates("user_id", "doc_id")
+        else newestVersionOnly(
+            m.dropDuplicates("user_id", "doc_id", "src_batch"), userIds)
+          .select("user_id", "doc_id").dropDuplicates("user_id", "doc_id"))
   }
 
   /** Facet counts over a filtered match (the search-engine aggregation
@@ -2074,9 +2140,13 @@ final class Snapshot(
     // so the dictionary agrees with the attribute values CDC/facet reads
     // report for the same docs
     (perSegment ++ tailTerms).reduceOption(_ unionByName _)
-      .map(m => newestVersionOnly(
-          m.dropDuplicates("user_id", "term", "doc_id", "src_batch"), userIds)
-        .dropDuplicates("user_id", "term", "doc_id"))
+      // fast path: build-deduped terms over measured-unique keys are
+      // already distinct newest-live (user, term, doc) rows
+      .map(m =>
+        if (allRowsNewestLive) m
+        else newestVersionOnly(
+            m.dropDuplicates("user_id", "term", "doc_id", "src_batch"), userIds)
+          .dropDuplicates("user_id", "term", "doc_id"))
   }
 
   // ---- BM25 ranked retrieval (round 16; beyond the reference: its term
@@ -2136,10 +2206,16 @@ final class Snapshot(
         }
     }
     (perSegment ++ tailTerms).reduceOption(_ unionByName _)
-      .map(m => newestVersionOnly(
-          m.dropDuplicates("user_id", "term", "doc_id", "src_batch"), userIds)
-        .dropDuplicates("user_id", "term", "doc_id")
-        .select("user_id", "term", "doc_id", "tf"))
+      // fast path: the one segment's terms are build-deduped per
+      // (user, term, point) and point↔doc is 1:1 under measured-unique
+      // keys, so the rows are already distinct newest-live — both dedup
+      // exchanges and the newest semi-join are identities
+      .map(m =>
+        if (allRowsNewestLive) m.select("user_id", "term", "doc_id", "tf")
+        else newestVersionOnly(
+            m.dropDuplicates("user_id", "term", "doc_id", "src_batch"), userIds)
+          .dropDuplicates("user_id", "term", "doc_id")
+          .select("user_id", "term", "doc_id", "tf"))
   }
 
   /** Live `(user_id, doc_id, dl)` doc lengths for `field`, NEWEST-WINS:
@@ -2149,7 +2225,8 @@ final class Snapshot(
     * the documented caveat that a doc whose field analyzed to ZERO tokens
     * has no term rows to derive from — it drops out of N/avgdl until a
     * rebuild, and scores nothing either way); the tail re-analyzes. */
-  private def liveFieldLens(field: String, userIds: Seq[Any]): Option[DataFrame] = {
+  private def liveFieldLens(field: String, userIds: Seq[Any],
+      keys: Option[DataFrame] = None): Option[DataFrame] = {
     val perSegment = segments.map { seg =>
       val v = coll.vectorsFor(seg, userIds)
       val idCols = Seq("user_id", "point_id", "doc_id") ++
@@ -2187,10 +2264,24 @@ final class Snapshot(
         }
     }
     (perSegment ++ tailLens).reduceOption(_ unionByName _)
-      .map(m => newestVersionOnly(
-          m.dropDuplicates("user_id", "doc_id", "src_batch"), userIds)
-        .dropDuplicates("user_id", "doc_id")
-        .select("user_id", "doc_id", "dl"))
+      // `keys` pins the newest-wins machinery to the caller's doc keys
+      // BEFORE the version window (the liveRowsFor O(delta) discipline):
+      // the lens value of a key is independent of every other key (the
+      // window partitions by it), so restricting first is result-identical
+      // for those keys — and a ranked query then never pays a corpus-wide
+      // window for the handful of docs its terms matched. Stats callers
+      // pass None and keep the full pass.
+      .map(m0 => keys.fold(m0)(k => m0.join(
+          k.select("user_id", "doc_id"), Seq("user_id", "doc_id"), "left_semi")))
+      // fast path: the lens table is one row per (user, point, field) by
+      // construction and point↔doc is 1:1 under measured-unique keys —
+      // already distinct newest-live rows
+      .map(m =>
+        if (allRowsNewestLive) m.select("user_id", "doc_id", "dl")
+        else newestVersionOnly(
+            m.dropDuplicates("user_id", "doc_id", "src_batch"), userIds)
+          .dropDuplicates("user_id", "doc_id")
+          .select("user_id", "doc_id", "dl"))
   }
 
   /** Memoized BM25 corpus statistics `(N, avgdl)` per (field, user set) —
@@ -2287,8 +2378,47 @@ final class Snapshot(
     val (n, avgdl) = bm25FieldStats(field, userIds)
     for {
       tfs <- liveFieldTermFreqs(field, restrict, userIds)
-      lens <- liveFieldLens(field, userIds)
+      // lens restricted to an ANY-VERSION term-match key superset BEFORE
+      // its newest-wins window: bm25Score inner-joins lens on the
+      // newest-wins tf keys (a subset — any newest-wins match is an
+      // any-version match), so the join output is identical, but the main
+      // action no longer windows the corpus for the handful of docs the
+      // query terms touched. The superset is deliberately window-free and
+      // tombstone-free — just the dictionary-pruned scan joined to ids —
+      // so the keys subtree stays a fraction of the tf plan.
+      lens <- liveFieldLens(field, userIds,
+        keys = if (allRowsNewestLive) None // lens join is already direct —
+          // the restriction subtree would only add exchanges
+          else fieldTermMatchKeys(field, restrict, userIds))
     } yield Search.bm25Score(tfs, lens, queryKeys, n, avgdl, k1, b)
+  }
+
+  /** Doc keys carrying at least one `restrict`-surviving term of `field`
+    * in ANY live-or-superseded version — a cheap SUPERSET of
+    * [[liveFieldTermFreqs]]' newest-wins doc keys (no tombstone drop, no
+    * version window): the key restriction [[liveFieldLens]] pins its
+    * newest-wins machinery to. Tail rows contribute their keys
+    * unrestricted (re-analyzing the tail just to shrink a superset would
+    * cost more than the extra lens keys). */
+  private def fieldTermMatchKeys(field: String,
+      restrict: DataFrame => DataFrame,
+      userIds: Seq[Any]): Option[DataFrame] = {
+    val prefix = s"$field:"
+    val perSegment = segments.map { seg =>
+      val v = coll.vectorsFor(seg, userIds)
+      var t = coll.segmentTable(seg, "terms")
+      if (userIds.nonEmpty) t = t.filter(col("user_id").isin(userIds: _*))
+      restrict(t.filter(col("term").startsWith(prefix)))
+        .select("user_id", "point_id")
+        .join(v.select("user_id", "point_id", "doc_id"), Seq("user_id", "point_id"))
+        .select("user_id", "doc_id")
+    }
+    val tailKeys = tailRows.map { rows =>
+      var df = rows
+      if (userIds.nonEmpty) df = df.filter(col("user_id").isin(userIds: _*))
+      df.select("user_id", "doc_id")
+    }
+    (perSegment ++ tailKeys).reduceOption(_ unionByName _)
   }
 
   /** [[scoreByKeys]] + MLT's exclusion + filter context + the retrieval

@@ -754,6 +754,64 @@ class PhraseSpec extends SparkSuite {
       .map { case (id, sc, h) => (id.asInstanceOf[Long], sc, h) } === before)
   }
 
+  test("uniqueKeys fast path: measured fact gates it; duplicate-key segment keeps newest-wins") {
+    // round 16 (optimization): flush measures the duplicate-free
+    // (user_id, doc_id) fact into meta.json; a single-segment, tail-free,
+    // tombstone-free snapshot with the fact skips the newest-wins
+    // machinery. Equivalence is pinned two ways: (a) a duplicate-free
+    // flush records true and still matches the raw-docs pipeline twin;
+    // (b) a segment holding TWO versions of a key (two insert batches,
+    // one flush) records false, and newest-wins still holds — the exact
+    // case a wrongly-true fact would corrupt.
+    val base = Files.createTempDirectory("graft_bm25_uk").toString
+    val cfg = CollectionConfig(
+      name = "uk", numFeatures = 2, initialNumCentroids = 2,
+      attributeSchema = Seq(AttrField("content", "text", "none")))
+    val coll = Collection.create(spark, base, cfg)
+    coll.insert(Seq(
+      (0L, 1L, Seq(1.0, 0.0), "stream scan runs fast"),
+      (0L, 2L, Seq(0.0, 1.0), "merge join merge hash"),
+      (0L, 3L, Seq(0.2, 0.8), "merge stream windows"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    coll.flush()
+    val meta = Files.readString(java.nio.file.Paths.get(
+      s"$base/${cfg.name}/segments/seg_1/meta.json"))
+    assert(meta.contains("\"uniqueKeys\": true"), meta)
+    val live = Seq(
+      (1L, "stream scan runs fast"),
+      (2L, "merge join merge hash"),
+      (3L, "merge stream windows")).toDF("doc_id", "text")
+    def ranked(c: Collection, q: String): Seq[(Long, Double, Long)] =
+      c.snapshot().rankedSearch("content", q, 10)
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    def twin(corpus: DataFrame, terms: Seq[String]): Seq[(Long, Double, Long)] =
+      graft.operators.TextPipeline.bm25TopK(corpus, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(ranked(coll, "merge stream") === twin(live, Seq("merge", "stream")))
+    assert(coll.snapshot().termStats(k = 100).count() > 0)
+
+    // (b) two versions of doc 1 land in ONE segment: fact must be false,
+    // newest text wins everywhere (search, stats, facet-style matches)
+    val base2 = Files.createTempDirectory("graft_bm25_uk2").toString
+    val coll2 = Collection.create(spark, base2, cfg)
+    coll2.insert(Seq((0L, 1L, Seq(1.0, 0.0), "alpha beta gamma"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    coll2.insert(Seq(
+      (0L, 1L, Seq(0.9, 0.1), "delta epsilon"),
+      (0L, 2L, Seq(0.0, 1.0), "alpha delta"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    coll2.flush()
+    val meta2 = Files.readString(java.nio.file.Paths.get(
+      s"$base2/${cfg.name}/segments/seg_1/meta.json"))
+    assert(meta2.contains("\"uniqueKeys\": false"), meta2)
+    // doc 1's superseded "alpha" must score nowhere; live corpus is the
+    // newest versions only
+    val live2 = Seq((1L, "delta epsilon"), (2L, "alpha delta")).toDF("doc_id", "text")
+    assert(ranked(coll2, "alpha") === twin(live2, Seq("alpha")))
+    assert(ranked(coll2, "alpha").map(_._1) === Seq(2L))
+    assert(ranked(coll2, "delta") === twin(live2, Seq("delta")))
+  }
+
   test("rankedSearch analyzes the query with the index's stemmer; keyword fields match whole values") {
     val base = Files.createTempDirectory("graft_bm25_en").toString
     val cfg = CollectionConfig(
