@@ -2297,7 +2297,15 @@ final class Snapshot(
         case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
         case x => x
       }.toList),
-      liveFieldLens(field, userIds).map(Search.bm25Stats).getOrElse((0L, 0.0)))
+      // fast path: stats never need doc ids — under measured-unique keys
+      // every lens row IS a live newest doc, so one pruned aggregate over
+      // the lens table alone replaces the lens⋈vectors join chain
+      if (allRowsNewestLive && coll.segmentHasLens(segments.head)) {
+        var l = coll.segmentTable(segments.head, "lens")
+          .filter(col("field") === field)
+        if (userIds.nonEmpty) l = l.filter(col("user_id").isin(userIds: _*))
+        Search.bm25Stats(l)
+      } else liveFieldLens(field, userIds).map(Search.bm25Stats).getOrElse((0L, 0.0)))
 
   /** BM25-ranked full-text retrieval over the persisted term index —
     * Okapi BM25 with the Lucene constants (k1 = 1.2, b = 0.75), the
@@ -2376,7 +2384,29 @@ final class Snapshot(
           .reduce(_ || _))
       else t.filter(col("term").isin(queryKeys: _*))
     val (n, avgdl) = bm25FieldStats(field, userIds)
-    for {
+    // fast path: under measured-unique keys point↔doc is 1:1, so the
+    // whole match can score on POINT ids straight off the two persisted
+    // tables (dictionary-pruned terms scan ⋈ lens on point_id — the same
+    // arithmetic, the grouping key renamed) and map point→doc ONCE on the
+    // O(matched docs) output, instead of joining the vectors table into
+    // both the tf and the lens subtree. Identical scores: df counts and
+    // the per-doc aggregate group identically under a 1:1 key rename.
+    if (allRowsNewestLive && coll.segmentHasLens(segments.head)) {
+      val seg = segments.head
+      val v = coll.vectorsFor(seg, userIds)
+      var t = coll.segmentTable(seg, "terms")
+      if (userIds.nonEmpty) t = t.filter(col("user_id").isin(userIds: _*))
+      t = restrict(t.filter(col("term").startsWith(s"$field:")))
+      val tfs = t.select(col("user_id"), col("term"),
+        col("point_id").as("doc_id"), size(col("positions")).cast("long").as("tf"))
+      var l = coll.segmentTable(seg, "lens").filter(col("field") === field)
+      if (userIds.nonEmpty) l = l.filter(col("user_id").isin(userIds: _*))
+      val lens = l.select(col("user_id"), col("point_id").as("doc_id"), col("dl"))
+      Some(Search.bm25Score(tfs, lens, queryKeys, n, avgdl, k1, b)
+        .withColumnRenamed("doc_id", "point_id")
+        .join(v.select("user_id", "point_id", "doc_id"), Seq("user_id", "point_id"))
+        .select("user_id", "doc_id", "score", "n_terms_hit"))
+    } else for {
       tfs <- liveFieldTermFreqs(field, restrict, userIds)
       // lens restricted to an ANY-VERSION term-match key superset BEFORE
       // its newest-wins window: bm25Score inner-joins lens on the
@@ -2387,8 +2417,8 @@ final class Snapshot(
       // tombstone-free — just the dictionary-pruned scan joined to ids —
       // so the keys subtree stays a fraction of the tf plan.
       lens <- liveFieldLens(field, userIds,
-        keys = if (allRowsNewestLive) None // lens join is already direct —
-          // the restriction subtree would only add exchanges
+        keys = if (allRowsNewestLive) None // window already skipped — the
+          // restriction subtree would only add exchanges (pre-lens segment)
           else fieldTermMatchKeys(field, restrict, userIds))
     } yield Search.bm25Score(tfs, lens, queryKeys, n, avgdl, k1, b)
   }
