@@ -1974,14 +1974,15 @@ object SparkEntry {
         // each delta feeds two consumers (the drop keys and the upsert
         // keys) and is O(delta)-small by construction — cache it so the
         // full diff subtree (2 snapshot liveDocs + full_outer) runs once
-        val delta = coll.changes(f, t).cache()
+        val delta = coll.changesWithPositions(f, t).cache()
         val gone = delta.filter(col("change_type").isin("delete", "update"))
           .select("doc_id")
         val upserts = delta.filter(col("change_type").isin("insert", "update"))
-          .select("user_id", "doc_id")
-        // liveRowsFor restricts BEFORE the newest-row window — the
-        // O(delta) fetch (liveRows-then-join would window the corpus)
-        val fetched = coll.snapshotAt(t).liveRowsFor(Some(upserts)).get
+          .select(col("user_id"), col("doc_id"), col("to_batch").as("src_batch"))
+        // the delta already NAMES each upsert's newest live WAL position —
+        // the fetch is one (user, doc, batch) triple semi-join
+        // (liveRowsForVersions), not a re-derivation of "newest live"
+        val fetched = coll.snapshotAt(t).liveRowsForVersions(upserts).get
           .select(col("doc_id"), col("vector"))
         mirror.join(gone, Seq("doc_id"), "left_anti").unionByName(fetched)
       }
@@ -2174,14 +2175,15 @@ object SparkEntry {
       val root = artifact("q110_mirror")
       val mp = s"$root/m"
       def oneApply(f: Long, t: Long): Unit = {
-        val delta = coll.changes(f, t).cache()
+        val delta = coll.changesWithPositions(f, t).cache()
         val gone = delta.filter(col("change_type").isin("delete", "update"))
           .select("doc_id")
         val ups = delta.filter(col("change_type").isin("insert", "update"))
-          .select("user_id", "doc_id")
-        // O(delta) payload fetch (key semi-join BEFORE the newest-row
-        // window), then a bucket-granular apply
-        val fetched = coll.snapshotAt(t).liveRowsFor(Some(ups)).get
+          .select(col("user_id"), col("doc_id"), col("to_batch").as("src_batch"))
+        // O(delta) payload fetch: the delta names each upsert's newest
+        // live WAL position, so this is one triple semi-join
+        // (liveRowsForVersions), then a bucket-granular apply
+        val fetched = coll.snapshotAt(t).liveRowsForVersions(ups).get
           .select("doc_id", "vector")
         CdcMirror.applyDelta(s, mp, gone, fetched)
         delta.unpersist()

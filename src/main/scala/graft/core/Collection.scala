@@ -817,7 +817,15 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     * be retained (GC keeps the WAL range of any retained version —
     * [[expireVersions]] only truncates below every kept version's flush
     * watermark). */
-  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+  def changes(fromVersion: Long, toVersion: Long): DataFrame =
+    changesWithPositions(fromVersion, toVersion).drop("to_batch")
+
+  /** [[changes]] plus each surviving key's newest live WAL position at
+    * `toVersion` (`to_batch`; null for deletes) — what a CDC consumer
+    * feeds [[Snapshot.liveRowsForVersions]] so its payload fetch is one
+    * triple semi-join instead of a re-derivation of "newest live" the
+    * diff already computed. Same rows as [[changes]] otherwise. */
+  def changesWithPositions(fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"changes: fromVersion $fromVersion > toVersion $toVersion")
     val sFrom = snapshotAt(fromVersion)
@@ -845,7 +853,8 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
           StructType(Seq(
             StructField("user_id", keyTypes._1),
             StructField("doc_id", keyTypes._2),
-            StructField("change_type", StringType))))
+            StructField("change_type", StringType),
+            StructField("to_batch", org.apache.spark.sql.types.LongType))))
       case Some(keys) =>
         val touched = keys.dropDuplicates("user_id", "doc_id")
         // key restriction BEFORE the per-key aggregate (liveDocsFor) — a
@@ -870,7 +879,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
               .when(col("to_batch").isNull, lit("delete"))
               .when(col("from_batch") =!= col("to_batch"), lit("update")))
           .filter(col("change_type").isNotNull) // unchanged / no-op touches
-          .select("user_id", "doc_id", "change_type")
+          .select("user_id", "doc_id", "change_type", "to_batch")
     }
   }
 
@@ -1822,6 +1831,33 @@ final class Snapshot(
   def liveRowsFor(keys: Option[DataFrame]): Option[DataFrame] =
     newestLiveRows(keys, Nil, df => Seq(df("vector")))
       .map(_.select("user_id", "doc_id", "vector", "src_batch"))
+
+  /** Payload fetch for keys whose newest live WAL position the caller
+    * ALREADY knows — `versions` is `[user_id, doc_id, src_batch]` triples
+    * as [[Collection.changes]]/[[liveDocs]] report them. One semi-join on
+    * the exact triple replaces [[liveRowsFor]]'s whole newest-row
+    * machinery (tombstone drop + version window): the triple names a live
+    * row by construction, so re-deriving "newest live" per fetch is
+    * redundant work — the natural CDC consumer shape, where the delta
+    * that names the key also carries its position. Rows predating the
+    * src_batch column match the Long.MinValue sentinel, same as
+    * [[liveDocs]] reports for them. If one batch wrote a key twice the
+    * triple names both physical rows; one is kept ([[liveRowsFor]]'s
+    * window breaks that same tie arbitrarily too). */
+  def liveRowsForVersions(versions: DataFrame): Option[DataFrame] = {
+    val segRows = segments.map { seg =>
+      val v = coll.segmentTable(seg, "vectors")
+      v.select(col("user_id"), col("doc_id"),
+        (if (v.columns.contains("src_batch")) col("src_batch")
+         else lit(Long.MinValue)).as("src_batch"), col("vector"))
+    }
+    val tailKeyed = tailRows.map(
+      _.select(col("user_id"), col("doc_id"), col("src_batch"), col("vector")))
+    (segRows ++ tailKeyed).reduceOption(_ unionByName _).map(
+      _.join(versions.select("user_id", "doc_id", "src_batch"),
+          Seq("user_id", "doc_id", "src_batch"), "left_semi")
+        .dropDuplicates("user_id", "doc_id"))
+  }
 
   /** The newest-live-row engine shared by [[liveRowsFor]] (CDC payload
     * fetch) and [[facetCounts]] (attribute lookup): segment + tail rows

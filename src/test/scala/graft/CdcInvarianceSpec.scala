@@ -67,6 +67,27 @@ class CdcInvarianceSpec extends SparkSuite {
       val got = coll.changes(i, j).select("doc_id", "change_type").collect()
         .map(r => r.getLong(0) -> r.getString(1)).toSet
       assert(got === expected.toSet, s"changes($i, $j) diverged from simulation")
+      // round 16: the triple payload fetch (changesWithPositions' to_batch
+      // fed to liveRowsForVersions — one semi-join, no newest-row window)
+      // must return EXACTLY the rows the windowed keyed fetch returns for
+      // the same upsert keys, across every interval of the random
+      // lifecycle (merges, deletes, revivals included)
+      val delta = coll.changesWithPositions(i, j)
+        .filter(col("change_type").isin("insert", "update"))
+      val snapJ = coll.snapshotAt(j)
+      val viaTriples = snapJ.liveRowsForVersions(
+          delta.select(col("user_id"), col("doc_id"),
+            col("to_batch").as("src_batch")))
+        .map(_.select("doc_id", "vector").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap)
+        .getOrElse(Map.empty)
+      val viaWindow = snapJ.liveRowsFor(
+          Some(delta.select("user_id", "doc_id")))
+        .map(_.select("doc_id", "vector").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap)
+        .getOrElse(Map.empty)
+      assert(viaTriples === viaWindow,
+        s"triple fetch diverged from windowed fetch for ($i, $j)")
     }
   }
 
