@@ -11,6 +11,21 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver tail-capture contract (round-16 verdict #1): the driver keeps
+// only the last ~2000 bytes of sbt stdout and json-parses the final
+// line(s); two sbt behaviors kept that parse failing in all 17 BENCH
+// captures — the forked run's output was re-logged with an "[info] "
+// prefix (not valid JSON), and sbt appended a "[success] Total time…"
+// trailer after it. Raw pass-through output for forked JVMs plus a
+// suppressed success banner make Bench's compact JSON line the
+// physically last line of stdout. (Test results still arrive through
+// sbt's test interface and keep their "[info]" reporting; pass/fail is
+// the exit code either way.)
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude
+// it from the unused-key lint so every sbt invocation isn't noisy
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

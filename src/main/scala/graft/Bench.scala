@@ -78,6 +78,25 @@ object Bench {
       .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
       .toMap
 
+  /** Render the compact driver line with as many per-query entries as
+    * fit under `budget` bytes. The driver's tail capture is 2000 bytes
+    * and the full 131-name warm map is ~3.2 KB (the names alone exceed
+    * the budget), so it can NEVER fit whole — entries are added in the
+    * caller's order (slowest first: the perf-relevant mass) and the
+    * rendered line carries an explicit truncation flag. `render` receives
+    * the `{"name":sec,...}` fragment and whether any entries were cut;
+    * the fixed fields it wraps around the map always survive (a line
+    * with zero query entries is the floor, never an unparseable cut). */
+  def fitCompact(entries: Seq[(String, Double)], budget: Int,
+      render: (String, Boolean) => String): String = {
+    def line(n: Int): String =
+      render(entries.take(n).map { case (k, v) =>
+        "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}"),
+        n < entries.size)
+    (entries.size to 0 by -1).iterator.map(line).find(_.length <= budget)
+      .getOrElse(line(0))
+  }
+
   /** Merge one requeue execution into a flagged query's figures: the
     * reported warm is the min of the original and the requeue (plus its
     * matching artifact split), the sample list grows for the median —
@@ -332,8 +351,6 @@ object Bench {
     def segJsonFor(rq: Seq[String]): String =
       s""""canary_segments":${segCanary.map(fmt).mkString("[", ",", "]")},"io_segments":${segIo.map(fmt).mkString("[", ",", "]")},"degraded_segments":${degradedSegments.mkString("[", ",", "]")},"segment_size":$segSize,"requeued":${rq.map(jsonEsc).mkString("[", ",", "]")},"n_requeued":${requeuedNames.size},"n_segment_requeued":${segmentRequeued.size}"""
     val segJson = segJsonFor(requeuedNames.toSeq)
-    // a heavily-degraded run could requeue dozens — cap the compact line
-    val segJsonCompact = segJsonFor(requeuedNames.toSeq.take(5))
     // n_ref: how many per-query reference figures loaded — 0 means the
     // reference rule was inert this run (wrong cpu count / missing file)
     val healthJson =
@@ -345,11 +362,25 @@ object Bench {
     catch { case _: Throwable => () }
     println(full)
     spark.stop()
-    // The driver keeps only the last ~2000 bytes of output, and the full
-    // per-query line above is bigger than that — so the LAST line printed
-    // is a compact summary that always fits the tail capture and parses.
-    // (12 segments x 2 arrays at 6 bytes each ≈ 160 bytes: the segment
-    // arrays fit the compact line too.)
-    println(s"""{"metric":"total","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"median":$totalMedian,"artifact_sec":${fmt(totalArtifact)},$healthJson,$segJsonCompact,"cpus":$cpus,"n_queries":${results.size},"n_errors":${results.count(_._6.isDefined)},"errors":$errorsCompact,"sf":"$sfDir"}""")
+    // The driver keeps only the last ~2000 bytes of output and parses the
+    // LAST line (round-16 verdict #1: `parsed` was null in all 17
+    // captures): build.sbt strips the "[info] " prefix (StdoutOutput) and
+    // the "[success]" trailer (showSuccess:=false), and this line — the
+    // last thing printed, after spark.stop() so no log output follows —
+    // is budget-fitted to 1850 bytes. It carries the suite totals, the
+    // health scalars, and a SLOWEST-FIRST partial per-query warm map
+    // ("queries_truncated":true when cut — the full 131-name map is
+    // ~3.2 KB and physically cannot fit the tail; the complete line
+    // lives at /tmp/graft_bench_full.json and is printed above). The
+    // per-segment probe arrays and requeued-name list stay in the full
+    // line only; their scalar summaries survive here.
+    val qEntries = ok.sortBy(r => (-r._3, r._1)).map(r => (r._1, r._3))
+    val compact = fitCompact(qEntries, 1850, (qmap, truncated) =>
+      s"""{"metric":"total","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"median":$totalMedian,"artifact_sec":${fmt(totalArtifact)},$healthJson,"degraded_segments":${degradedSegments.mkString("[", ",", "]")},"segment_size":$segSize,"n_requeued":${requeuedNames.size},"n_segment_requeued":${segmentRequeued.size},"cpus":$cpus,"n_queries":${results.size},"n_errors":${results.count(_._6.isDefined)},"errors":$errorsCompact,"sf":"$sfDir","queries_full":"/tmp/graft_bench_full.json","queries_truncated":$truncated,"queries":$qmap}""")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/graft_bench_compact.json"), compact)
+    catch { case _: Throwable => () }
+    println(compact)
+    System.out.flush()
   }
 }

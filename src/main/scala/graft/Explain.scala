@@ -59,15 +59,23 @@ object Explain {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      // listener events are async — poll until the counters stabilize
+      // listener events are async — poll until the counters stabilize,
+      // BOUNDED (round-16 advice): concurrent Spark activity (e.g. a
+      // leaked streaming query) emitting events forever must not hang
+      // the profiler — report possibly-unsettled counters instead
       var after = meter.snap
       var settled = false
-      while (!settled) {
+      var polls = 0
+      while (!settled && polls < 20) {
         Thread.sleep(150)
         val again = meter.snap
         settled = again == after
         after = again
+        polls += 1
       }
+      if (!settled)
+        println(s"===== $name: WARNING listener counters still moving " +
+          "after 3 s — figures below may include concurrent activity")
       println(f"===== $name: $dt%.2f s, $n rows, " +
         f"jobs=${after._1 - before._1} stages=${after._2 - before._2} " +
         f"tasks=${after._3 - before._3} " +

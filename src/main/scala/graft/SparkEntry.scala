@@ -126,10 +126,16 @@ object SparkEntry {
     * `saveArtifact` calls already recorded lands on [[artifactNanos]],
     * so Bench's per-query artifact split covers the whole fixture cost
     * without double-counting. */
-  private def stampedBuild(base: String, fp: String)(build: => Unit): Boolean = {
+  private def stampedBuild(base: String, fp: String,
+      siblings: Seq[String] = Nil)(build: => Unit): Boolean = {
     val stamp = java.nio.file.Paths.get(base, "BUILD_STAMP")
+    // `siblings` (round-16 advice): outputs the block writes OUTSIDE
+    // `base` — a stamp hit assumes they exist, so a missing sibling dir
+    // (deleted alone, without the stamped base) must invalidate the
+    // stamp instead of failing the query's read
     val fresh = !(java.nio.file.Files.exists(stamp) &&
-      java.nio.file.Files.readString(stamp) == fp)
+      java.nio.file.Files.readString(stamp) == fp &&
+      siblings.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
     if (fresh) {
       deleteRecursively(base)
       val a0 = artifactNanos.get
@@ -168,11 +174,17 @@ object SparkEntry {
   }
 
   /** Query vector: embedding of vec_id 0 (same literal the oracle SQL
-    * obtains via scalar subquery). */
+    * obtains via scalar subquery). Memoized per input fingerprint (the
+    * [[embDim]] posture — round-16 verdict #8): a pure INPUT property
+    * that ~20 queries re-fetched with their own driver job on every
+    * execution, not a query result; any testdata regen invalidates. */
+  private val q0Memo = scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
+  private val q83Memo = scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
   private def q0(s: SparkSession, dir: String): Seq[Double] =
-    T(s, dir, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0)
+    q0Memo.getOrElseUpdate(inputStamp(dir, Seq("embeddings")),
+      T(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0))
 
   /** Embedding dimensionality of `dir`'s embeddings table, memoized per
     * input fingerprint (file size+mtime — the [[inputStamp]] key): a pure
@@ -811,7 +823,8 @@ object SparkEntry {
       // the stamp dir via java serialization (flush's writeModel shape).
       val mBase = artifact("q35_model")
       stampedBuild(mBase, Seq("q35m-v1", inputStamp(d, Seq("embeddings")),
-        "pq16x6s5000", codeStamp).mkString("|")) {
+        "pq16x6s5000", codeStamp).mkString("|"),
+        siblings = Seq(cbArt, cdArt)) {
         val model = ProductQuantizer.train(emb, "embedding", numSubvectors = 16,
           numBits = 6, sampleSize = 5000)
         writeObj(s"$mBase/model.bin", model)
@@ -846,7 +859,8 @@ object SparkEntry {
       // sign-bit estimator search over the persisted codes
       val mBase = artifact("q41_model")
       stampedBuild(mBase, Seq("q41m-v1", inputStamp(d, Seq("embeddings")),
-        "rabitq-s5000", codeStamp).mkString("|")) {
+        "rabitq-s5000", codeStamp).mkString("|"),
+        siblings = Seq(qArt, cdArt)) {
         val model = RaBitQ.train(emb, "embedding", sampleSize = 5000)
         writeObj(s"$mBase/model.bin", model)
         val (qrot, qnorm) = model.prepareQuery(q0(s, d))
@@ -880,7 +894,8 @@ object SparkEntry {
       // rotated-ADC search over the persisted codes
       val mBase = artifact("q113_model")
       stampedBuild(mBase, Seq("q113m-v1", inputStamp(d, Seq("embeddings")),
-        "opq16x6s5000i4", codeStamp).mkString("|")) {
+        "opq16x6s5000i4", codeStamp).mkString("|"),
+        siblings = Seq(cbArt, cdArt, qArt)) {
         val model = Opq.train(emb, "embedding", numSubvectors = 16,
           numBits = 6, sampleSize = 5000, opqIters = 4)
         writeObj(s"$mBase/model.bin", model)
@@ -1400,7 +1415,8 @@ object SparkEntry {
       // search over the persisted byte codes
       val mBase = artifact("q81_sq_model")
       stampedBuild(mBase, Seq("q81m-v1", inputStamp(d, Seq("embeddings")),
-        "sq8", codeStamp).mkString("|")) {
+        "sq8", codeStamp).mkString("|"),
+        siblings = Seq(mdArt, cdArt)) {
         val model = ScalarQuantizer.train(emb)
         writeObj(s"$mBase/model.bin", model)
         import s.implicits._
@@ -1461,9 +1477,12 @@ object SparkEntry {
       val emb = T(s, d, "embeddings")
       val docTokens = emb.select(expr("vec_id DIV 4").as("doc_id"),
         col("embedding"))
-      val qs = emb.filter(col("vec_id") < 4).orderBy("vec_id")
-        .select(col("embedding").cast("array<double>"))
-        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      // query token set = vec_ids 0-3: a pure INPUT property, memoized
+      // per input fingerprint like q0 (one driver job per execution saved)
+      val qs = q83Memo.getOrElseUpdate(inputStamp(d, Seq("embeddings")),
+        emb.filter(col("vec_id") < 4).orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toSeq).toSeq)
       Search.maxSimTopK(docTokens, qs, k = 10)
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),

@@ -236,6 +236,37 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       """"uniqueKeys"\s*:\s*true""".r.findFirstIn(Files.readString(p)).isDefined
   }
 
+  /** Build-time cross-segment key-disjointness facts from the segment's
+    * `disjoint.json` ([[recordDisjointness]]) — the segments this one was
+    * MEASURED to share no (user_id, doc_id) with at build time. Empty for
+    * segments written before the fact existed (conservative). Memoized:
+    * segments are immutable and rebuilds mint new names, the
+    * [[termsHasPositions]] discipline. */
+  private val disjointMemo = TrieMap.empty[String, Set[String]]
+  private[graft] def segmentDisjointFrom(seg: String): Set[String] =
+    disjointMemo.getOrElseUpdate(seg, {
+      val p = Paths.get(segPath(seg), "disjoint.json")
+      if (!Files.exists(p)) Set.empty
+      else """"disjointFrom"\s*:\s*\[([^\]]*)\]""".r
+        .findFirstMatchIn(Files.readString(p))
+        .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1))
+          .map(_.group(1)).toSet)
+        .getOrElse(Set.empty)
+    })
+
+  /** Is every PAIR of `segs` covered by a recorded disjointness fact (in
+    * either direction — the newer segment measured against the older at
+    * build time)? Under pairwise disjoint + per-segment unique keys, the
+    * union of the segments is itself duplicate-free, which is what
+    * [[Snapshot.allRowsNewestLive]] needs to skip the newest-wins
+    * machinery on a multi-flush snapshot. */
+  private[core] def segmentsPairwiseDisjoint(segs: Seq[String]): Boolean =
+    segs.combinations(2).forall {
+      case Seq(a, b) =>
+        segmentDisjointFrom(a).contains(b) || segmentDisjointFrom(b).contains(a)
+      case _ => true
+    }
+
   def toc: Toc = Toc.read(path)
 
   // ---- write path ----
@@ -467,10 +498,45 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       case Some(df) =>
         val seg = s"seg_${t.version + 1}"
         buildSegment(df, seg)
+        recordDisjointness(seg, t.segments)
         Toc.write(path, Toc(t.version + 1, t.segments :+ seg, batches.max,
           commitWalPosition(t)))
         Some(seg)
     }
+  }
+
+  /** Measure and record cross-segment key DISJOINTNESS for a just-built,
+    * not-yet-committed segment against the segments it will coexist with
+    * in the next TOC (round 17: extends the measured-unique-keys fast
+    * path, [[Snapshot.allRowsNewestLive]], past the single-segment shape
+    * to the append-only multi-flush steady state). MEASURED, never
+    * assumed: the new segment's keys are first probed against each other
+    * segment's persisted doc_id bloom (no false negatives — zero bloom
+    * positives proves doc-level and hence (user, doc)-key disjointness);
+    * bloom positives fall through to an exact key semi-join. The fact
+    * lands in `disjoint.json` beside meta.json BEFORE the TOC commit
+    * (the segment is not yet visible, so the write keeps the
+    * immutable-after-commit rule); an absent fact keeps readers on the
+    * conservative newest-wins path. Cost is flush/merge-time only: one
+    * bloom-pruned key scan of the new segment per coexisting segment. */
+  private def recordDisjointness(seg: String, others: Seq[String]): Unit = {
+    if (others.isEmpty) return
+    val newKeys = spark.read.parquet(s"${segPath(seg)}/vectors")
+      .select(col("user_id"), col("doc_id"))
+    val disjoint = others.filter { other =>
+      val candidates = readBloom(other) match {
+        case Some(bf) =>
+          val bc = spark.sparkContext.broadcast(bf)
+          val mayContain = udf { (h: Long) => bc.value.mightContainLong(h) }
+          newKeys.filter(mayContain(xxhash64(col("doc_id"))))
+        case None => newKeys
+      }
+      candidates.join(
+        segmentTable(other, "vectors").select("user_id", "doc_id"),
+        Seq("user_id", "doc_id"), "left_semi").isEmpty
+    }
+    Files.writeString(Paths.get(segPath(seg), "disjoint.json"),
+      s"""{"disjointFrom": [${disjoint.sorted.map("\"" + _ + "\"").mkString(", ")}]}""")
   }
 
   /** Build the four tables of one immutable segment from raw rows. */
@@ -857,29 +923,88 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
             StructField("to_batch", org.apache.spark.sql.types.LongType))))
       case Some(keys) =>
         val touched = keys.dropDuplicates("user_id", "doc_id")
-        // key restriction BEFORE the per-key aggregate (liveDocsFor) — a
-        // diff touches O(delta) keys, so neither side's corpus is
-        // aggregated just to be discarded by this semi-join (round 16;
-        // same shape as the liveRowsFor payload fetch below it)
-        def restricted(s: Snapshot) = s.liveDocsFor(Some(touched))
-        val a = restricted(sFrom).map(_.withColumnRenamed("src_batch", "from_batch"))
-        val b = restricted(sTo).map(_.withColumnRenamed("src_batch", "to_batch"))
-        val joined = (a, b) match {
-          case (Some(x), Some(y)) => x.join(y, Seq("user_id", "doc_id"), "full_outer")
-          case (Some(x), None) => x.withColumn("to_batch", lit(null).cast("long"))
-          case (None, Some(y)) => y.withColumn("from_batch", lit(null).cast("long"))
-          case (None, None) => touched
-            .withColumn("from_batch", lit(null).cast("long"))
-            .withColumn("to_batch", lit(null).cast("long"))
+        // ONE pass over the union of both versions' physical rows (round
+        // 17; guide §2.4 — the two sides share most of their segment
+        // set, and the old shape scanned the shared segments twice, ran
+        // one key-restricted per-side aggregate each, and full_outer-
+        // joined the results). Each physical row is tagged with which
+        // side(s) it is visible on — segment membership is a per-segment
+        // constant, tail membership a pure src_batch range test — and a
+        // SINGLE per-key aggregate yields both sides' newest live WAL
+        // position at once. Result-identical: per side,
+        // max(src_batch) over that side's visible non-tombstoned rows is
+        // exactly liveDocsFor's per-side aggregate (dropTombstoned's
+        // `src <= ANY matching tomb_batch` is `src <= max(tomb_batch)`),
+        // and a side with no live row aggregates to null — the
+        // full_outer join's null. Pinned against the two-sided
+        // composition in CdcInvarianceSpec.
+        val segFrom = sFrom.segmentNames.toSet
+        val segTo = sTo.segmentNames.toSet
+        val lfFrom = sFrom.toc.lastFlushedBatch
+        val lfTo = sTo.toc.lastFlushedBatch
+        val segRows = (segFrom ++ segTo).toSeq.sorted.map { seg =>
+          val v = segmentTable(seg, "vectors")
+          v.select(col("user_id"), col("doc_id"),
+            (if (v.columns.contains("src_batch")) col("src_batch")
+             else lit(Long.MinValue)).as("src_batch"),
+            lit(segFrom(seg)).as("_in_from"), lit(segTo(seg)).as("_in_to"))
         }
-        joined
-          .withColumn("change_type",
-            when(col("from_batch").isNull && col("to_batch").isNull, lit(null))
-              .when(col("from_batch").isNull, lit("insert"))
-              .when(col("to_batch").isNull, lit("delete"))
-              .when(col("from_batch") =!= col("to_batch"), lit("update")))
-          .filter(col("change_type").isNotNull) // unchanged / no-op touches
-          .select("user_id", "doc_id", "change_type", "to_batch")
+        // every tail batch either side reads, scanned once: a tail row's
+        // src_batch IS its batch id, so side visibility is a range test
+        // ((lastFlushed, pos] per side; lfFrom <= lfTo and posFrom <=
+        // posTo by version order)
+        val tailUnion = tailFrom(
+          allBatchIds().filter(b => (b > lfFrom && b <= posFrom) ||
+            (b > lfTo && b <= posTo))).map(
+          _.select(col("user_id"), col("doc_id"), col("src_batch"),
+            (col("src_batch") > lfFrom && col("src_batch") <= posFrom).as("_in_from"),
+            (col("src_batch") > lfTo && col("src_batch") <= posTo).as("_in_to")))
+        (segRows ++ tailUnion).reduceOption(_ unionByName _) match {
+          case None =>
+            // touched keys but no physical rows anywhere (delete markers
+            // on an empty collection): every touch is a no-op
+            touched
+              .withColumn("from_batch", lit(null).cast("long"))
+              .withColumn("to_batch", lit(null).cast("long"))
+              .withColumn("change_type", lit(null).cast("string"))
+              .filter(col("change_type").isNotNull)
+              .select("user_id", "doc_id", "change_type", "to_batch")
+          case Some(rows0) =>
+            val rows = rows0.join(touched, Seq("user_id", "doc_id"), "left_semi")
+            // per-key, per-side tombstone watermark, touched keys only —
+            // one scan of the tombstone table instead of one
+            // dropTombstoned anti-join inside each of the four
+            // liveDocsFor legs (a tombstone is visible at a version iff
+            // tomb_batch <= its WAL position, legacy MaxValue always)
+            val tombAgg = tombstones.map(tb =>
+              tb.join(touched, Seq("user_id", "doc_id"), "left_semi")
+                .groupBy("user_id", "doc_id")
+                .agg(
+                  max(when(col("tomb_batch") <= posFrom ||
+                      col("tomb_batch") === Long.MaxValue,
+                    col("tomb_batch"))).as("_tomb_from"),
+                  max(when(col("tomb_batch") <= posTo ||
+                      col("tomb_batch") === Long.MaxValue,
+                    col("tomb_batch"))).as("_tomb_to")))
+            val tagged = tombAgg.fold(
+              rows.withColumn("_tomb_from", lit(null).cast("long"))
+                .withColumn("_tomb_to", lit(null).cast("long")))(ta =>
+              rows.join(ta, Seq("user_id", "doc_id"), "left"))
+            val aliveFrom = col("_in_from") &&
+              (col("_tomb_from").isNull || col("src_batch") > col("_tomb_from"))
+            val aliveTo = col("_in_to") &&
+              (col("_tomb_to").isNull || col("src_batch") > col("_tomb_to"))
+            tagged.groupBy("user_id", "doc_id")
+              .agg(max(when(aliveFrom, col("src_batch"))).as("from_batch"),
+                max(when(aliveTo, col("src_batch"))).as("to_batch"))
+              .withColumn("change_type",
+                when(col("from_batch").isNull && col("to_batch").isNull, lit(null))
+                  .when(col("from_batch").isNull, lit("insert"))
+                  .when(col("to_batch").isNull, lit("delete"))
+                  .when(col("from_batch") =!= col("to_batch"), lit("update")))
+              .filter(col("change_type").isNotNull) // unchanged / no-op touches
+              .select("user_id", "doc_id", "change_type", "to_batch")
+        }
     }
   }
 
@@ -1287,6 +1412,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     for (tb <- tombstones) rows = Search.dropTombstoned(rows, tb)
     val seg = s"tiered_${t.version + 1}"
     buildSegment(rows, seg)
+    recordDisjointness(seg, t.segments.filterNot(victims.contains))
     Toc.write(path, Toc(t.version + 1,
       t.segments.filterNot(victims.contains) :+ seg,
       t.lastFlushedBatch, commitWalPosition(t)))
@@ -1354,6 +1480,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
       tomb)
     val seg = s"${segment}_v"
     buildSegment(rows, seg)
+    recordDisjointness(seg, t.segments.filterNot(_ == segment))
     Toc.write(path, Toc(t.version + 1, t.segments.map(s => if (s == segment) seg else s),
       t.lastFlushedBatch, commitWalPosition(t)))
   }
@@ -1587,21 +1714,32 @@ final class Snapshot(
     * that a concurrent delete could skew. */
   private[core] def pinnedTombstones: Option[DataFrame] = tombRows
 
+  /** The segment list this snapshot reads — what the one-pass CDC diff
+    * ([[Collection.changesWithPositions]]) tags row visibility with.
+    * Constructor params are object-private in Scala, so the cross-
+    * instance diff needs an explicit accessor. */
+  private[core] def segmentNames: Seq[String] = segments
+
   /** Every physical row this snapshot serves is PROVABLY its key's newest
-    * live version: exactly one segment, built with a MEASURED
-    * duplicate-free (user_id, doc_id) key set (flush records the fact in
-    * meta.json), no unflushed tail, no tombstones. Under this fact the
-    * newest-wins machinery — the per-key version window, the newest-key
-    * semi-join, the src_batch dedups — is the identity, and every read
-    * path skips it: ranked retrieval and the aggregation surfaces
-    * collapse to dictionary-pruned scans + id joins. This is the mature
-    * post-compaction shape (a merged segment that measured unique), so
-    * the fast path is the 100 TB steady state, not a toy special case;
-    * any duplicate key, tail row, or tombstone disables it conservatively
-    * (segments without the recorded fact too). */
+    * live version: every segment built with a MEASURED duplicate-free
+    * (user_id, doc_id) key set (flush records the fact in meta.json),
+    * every segment PAIR measured key-disjoint at build time
+    * (disjoint.json — round 17; single-segment snapshots need no pair
+    * facts), no unflushed tail, no tombstones. Under these facts the
+    * union of the segments is itself duplicate-free, so the newest-wins
+    * machinery — the per-key version window, the newest-key semi-join,
+    * the src_batch dedups — is the identity, and every read path skips
+    * it: ranked retrieval and the aggregation surfaces collapse to
+    * dictionary-pruned scans + id joins. This covers both the mature
+    * post-compaction shape (one merged segment that measured unique) AND
+    * the append-only multi-flush steady state (each flush's keys measured
+    * disjoint from its predecessors) — the two 100 TB shapes; any
+    * duplicate key, unproven pair, tail row, or tombstone disables it
+    * conservatively (segments without the recorded facts too). */
   private lazy val allRowsNewestLive: Boolean =
-    tailRows.isEmpty && tombRows.isEmpty && segments.size == 1 &&
-      coll.segmentUniqueKeys(segments.head)
+    tailRows.isEmpty && tombRows.isEmpty && segments.nonEmpty &&
+      segments.forall(coll.segmentUniqueKeys) &&
+      (segments.size == 1 || coll.segmentsPairwiseDisjoint(segments))
 
   private def fieldLang: Map[String, String] =
     coll.config.attributeSchema.map(f => f.name -> f.lang).toMap
@@ -1843,8 +1981,16 @@ final class Snapshot(
     * src_batch column match the Long.MinValue sentinel, same as
     * [[liveDocs]] reports for them. If one batch wrote a key twice the
     * triple names both physical rows; one is kept ([[liveRowsFor]]'s
-    * window breaks that same tie arbitrarily too). */
-  def liveRowsForVersions(versions: DataFrame): Option[DataFrame] = {
+    * window breaks that same tie arbitrarily too).
+    *
+    * PROVENANCE REQUIREMENT (round-16 advice, why this is not public
+    * API): no tombstone drop happens here — the semi-join is only
+    * correct for triples derived from [[Collection.changes]]/[[liveDocs]]
+    * AT THIS SNAPSHOT'S VERSION, where the position names a live row by
+    * construction. A stale or hand-built triple would fetch deleted or
+    * superseded payloads silently; external callers go through
+    * [[liveRowsFor]], which re-derives liveness. */
+  private[graft] def liveRowsForVersions(versions: DataFrame): Option[DataFrame] = {
     val segRows = segments.map { seg =>
       val v = coll.segmentTable(seg, "vectors")
       v.select(col("user_id"), col("doc_id"),
@@ -2333,14 +2479,16 @@ final class Snapshot(
         case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
         case x => x
       }.toList),
-      // fast path: stats never need doc ids — under measured-unique keys
-      // every lens row IS a live newest doc, so one pruned aggregate over
-      // the lens table alone replaces the lens⋈vectors join chain
-      if (allRowsNewestLive && coll.segmentHasLens(segments.head)) {
-        var l = coll.segmentTable(segments.head, "lens")
-          .filter(col("field") === field)
-        if (userIds.nonEmpty) l = l.filter(col("user_id").isin(userIds: _*))
-        Search.bm25Stats(l)
+      // fast path: stats never need doc ids — under measured-unique,
+      // pairwise-disjoint keys every lens row IS a live newest doc, so
+      // one pruned aggregate over the (unioned) lens tables alone
+      // replaces the lens⋈vectors join chain
+      if (allRowsNewestLive && segments.forall(coll.segmentHasLens)) {
+        Search.bm25Stats(segments.map { seg =>
+          var l = coll.segmentTable(seg, "lens").filter(col("field") === field)
+          if (userIds.nonEmpty) l = l.filter(col("user_id").isin(userIds: _*))
+          l
+        }.reduce(_ unionByName _))
       } else liveFieldLens(field, userIds).map(Search.bm25Stats).getOrElse((0L, 0.0)))
 
   /** BM25-ranked full-text retrieval over the persisted term index —
@@ -2427,7 +2575,12 @@ final class Snapshot(
     // O(matched docs) output, instead of joining the vectors table into
     // both the tf and the lens subtree. Identical scores: df counts and
     // the per-doc aggregate group identically under a 1:1 key rename.
-    if (allRowsNewestLive && coll.segmentHasLens(segments.head)) {
+    // SINGLE-segment only: point ids are per-segment, so a multi-segment
+    // union could cross-match one segment's tf with another's lens —
+    // multi-segment allRowsNewestLive snapshots take the else branch,
+    // which still skips every window/dedup but keys on doc ids.
+    if (allRowsNewestLive && segments.size == 1 &&
+        coll.segmentHasLens(segments.head)) {
       val seg = segments.head
       val v = coll.vectorsFor(seg, userIds)
       var t = coll.segmentTable(seg, "terms")

@@ -154,6 +154,27 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(w2 === 2.1)
   }
 
+  test("fitCompact: budget-fitted per-query map, fixed fields always survive") {
+    // the r17 driver-contract line (round-16 verdict #1): 131 queries at
+    // ~25 bytes each can never fit a 2000-byte tail — the line keeps its
+    // slowest-first prefix and flags the truncation
+    val entries = (1 to 131).map(i => (f"q$i%03d_some_query_name", 132.0 - i))
+    def render(qmap: String, truncated: Boolean): String =
+      s"""{"metric":"total","value":1.0,"queries_truncated":$truncated,"queries":$qmap}"""
+    val line = Bench.fitCompact(entries, 1850, render)
+    assert(line.length <= 1850, s"over budget: ${line.length}")
+    assert(line.contains("\"queries_truncated\":true"))
+    // slowest-first prefix: the heaviest query is always present
+    assert(line.contains("\"q001_some_query_name\":131.000"))
+    // when everything fits, nothing is truncated
+    val small = Bench.fitCompact(entries.take(3), 1850, render)
+    assert(small.contains("\"queries_truncated\":false"))
+    assert(small.contains("\"q003_some_query_name\":129.000"))
+    // a budget smaller than even the empty-map line still renders (floor)
+    val floor = Bench.fitCompact(entries, 10, render)
+    assert(floor === render("{}", true))
+  }
+
   test("requeue merge: slower or errored requeues never worsen the figures") {
     val samples = Seq(5.16, 15.49, 15.61)
     // slower requeue (stall not over): original stands

@@ -91,6 +91,58 @@ class CdcInvarianceSpec extends SparkSuite {
     }
   }
 
+  test("one-pass diff equals the two-sided liveDocsFor composition (r17 shape)") {
+    // round 17 rewrote changesWithPositions as ONE tagged pass + ONE
+    // aggregate; this pins it against the exact OLD shape (per-side
+    // key-restricted liveDocsFor + full_outer) on a lifecycle whose
+    // tricky cases are all present: shared segments between the two
+    // versions, a tail-bearing version (merge commits with un-flushed
+    // batches), deletes inside and outside the interval, and a revival.
+    val base = Files.createTempDirectory("graft_cdc1pass").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "onepass", numFeatures = 4, initialNumCentroids = 4))
+    def toDf(ids: Seq[Long]) = ids.map(i =>
+      (0L, i, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble)))
+      .toDF("user_id", "doc_id", "vector")
+    coll.insert(toDf(0L until 12L)); coll.flush()            // v1: seg A
+    coll.insert(toDf(10L until 20L))                          // overlap 10,11
+    coll.delete(toDf(Seq(3L, 15L)).select("user_id", "doc_id"))
+    coll.flush()                                              // v2: seg B
+    coll.insert(toDf(Seq(3L, 25L)))                           // revive 3 + new
+    coll.merge()                                              // v3: tail-bearing
+    coll.flush()                                              // v4
+    coll.delete(toDf(Seq(25L)).select("user_id", "doc_id")); coll.flush() // v5
+    val vs = coll.versions
+    for (i <- vs; j <- vs if i < j) {
+      val sF = coll.snapshotAt(i); val sT = coll.snapshotAt(j)
+      val touched = coll.changesWithPositions(i, j).select("user_id", "doc_id")
+      // the old two-sided shape, reconstructed verbatim
+      val a = sF.liveDocsFor(Some(touched)).map(_.withColumnRenamed("src_batch", "from_batch"))
+      val b = sT.liveDocsFor(Some(touched)).map(_.withColumnRenamed("src_batch", "to_batch"))
+      val oldShape = ((a, b) match {
+        case (Some(x), Some(y)) => x.join(y, Seq("user_id", "doc_id"), "full_outer")
+        case (Some(x), None) => x.withColumn("to_batch", lit(null).cast("long"))
+        case (None, Some(y)) => y.withColumn("from_batch", lit(null).cast("long"))
+        case (None, None) => touched
+          .withColumn("from_batch", lit(null).cast("long"))
+          .withColumn("to_batch", lit(null).cast("long"))
+      }).withColumn("change_type",
+          when(col("from_batch").isNull && col("to_batch").isNull, lit(null))
+            .when(col("from_batch").isNull, lit("insert"))
+            .when(col("to_batch").isNull, lit("delete"))
+            .when(col("from_batch") =!= col("to_batch"), lit("update")))
+        .filter(col("change_type").isNotNull)
+        .select("doc_id", "change_type", "to_batch").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      val newShape = coll.changesWithPositions(i, j)
+        .select("doc_id", "change_type", "to_batch").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(newShape === oldShape, s"one-pass diff diverged for ($i, $j)")
+    }
+  }
+
   test("WAL clock never rewinds after expiry truncates every batch dir (r14 soak bug)") {
     // ScaleFollow round-5 divergence: expireVersions legally deletes ALL
     // fully-flushed ops batch dirs; the batch-id clock was derived from

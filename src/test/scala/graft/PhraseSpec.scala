@@ -812,6 +812,72 @@ class PhraseSpec extends SparkSuite {
     assert(ranked(coll2, "delta") === twin(live2, Seq("delta")))
   }
 
+  test("multi-segment fast path: measured disjointness gates it; overlapping flush keeps newest-wins") {
+    // round 17: flush measures cross-segment key DISJOINTNESS against the
+    // segments it will coexist with (disjoint.json) — a multi-flush,
+    // tail-free, tombstone-free snapshot whose pairs are all proven skips
+    // the newest-wins machinery. Pinned two ways: (a) two disjoint
+    // flushes record the fact and match the raw-docs pipeline twin on a
+    // query spanning both segments; (b) a second flush that REWRITES a
+    // key from the first measures non-disjoint, and newest-wins still
+    // serves the newer version — the exact case a wrongly-recorded fact
+    // would corrupt.
+    val cfg = CollectionConfig(
+      name = "md", numFeatures = 2, initialNumCentroids = 2,
+      attributeSchema = Seq(AttrField("content", "text", "none")))
+    def ranked(c: Collection, q: String): Seq[(Long, Double, Long)] =
+      c.snapshot().rankedSearch("content", q, 10)
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    def twin(corpus: DataFrame, terms: Seq[String]): Seq[(Long, Double, Long)] =
+      graft.operators.TextPipeline.bm25TopK(corpus, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+
+    // (a) disjoint append-only flushes
+    val base = Files.createTempDirectory("graft_bm25_md").toString
+    val coll = Collection.create(spark, base, cfg)
+    coll.insert(Seq(
+      (0L, 1L, Seq(1.0, 0.0), "stream scan runs fast"),
+      (0L, 2L, Seq(0.0, 1.0), "merge join merge hash"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    coll.flush()
+    coll.insert(Seq(
+      (0L, 3L, Seq(0.2, 0.8), "merge stream windows"),
+      (0L, 4L, Seq(0.4, 0.6), "hash scan stream"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    coll.flush()
+    val dj = Files.readString(java.nio.file.Paths.get(
+      s"$base/${cfg.name}/segments/seg_2/disjoint.json"))
+    assert(dj.contains("seg_1"), dj)
+    val live = Seq(
+      (1L, "stream scan runs fast"), (2L, "merge join merge hash"),
+      (3L, "merge stream windows"), (4L, "hash scan stream"))
+      .toDF("doc_id", "text")
+    assert(ranked(coll, "merge stream") === twin(live, Seq("merge", "stream")))
+    assert(ranked(coll, "hash") === twin(live, Seq("hash")))
+    // aggregation surface across segments agrees too (newest-wins set)
+    assert(coll.snapshot().termStats(k = 100).count() > 0)
+
+    // (b) overlapping key across flushes: fact must NOT cover the pair,
+    // newest version wins everywhere
+    val base2 = Files.createTempDirectory("graft_bm25_md2").toString
+    val coll2 = Collection.create(spark, base2, cfg)
+    coll2.insert(Seq((0L, 1L, Seq(1.0, 0.0), "alpha beta gamma"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    coll2.flush()
+    coll2.insert(Seq(
+      (0L, 1L, Seq(0.9, 0.1), "delta epsilon"),
+      (0L, 2L, Seq(0.0, 1.0), "alpha delta"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    coll2.flush()
+    val dj2 = Files.readString(java.nio.file.Paths.get(
+      s"$base2/${cfg.name}/segments/seg_2/disjoint.json"))
+    assert(!dj2.contains("seg_1"), dj2)
+    val live2 = Seq((1L, "delta epsilon"), (2L, "alpha delta")).toDF("doc_id", "text")
+    assert(ranked(coll2, "alpha") === twin(live2, Seq("alpha")))
+    assert(ranked(coll2, "alpha").map(_._1) === Seq(2L))
+    assert(ranked(coll2, "delta") === twin(live2, Seq("delta")))
+  }
+
   test("rankedSearch analyzes the query with the index's stemmer; keyword fields match whole values") {
     val base = Files.createTempDirectory("graft_bm25_en").toString
     val cfg = CollectionConfig(
