@@ -254,6 +254,43 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
         .getOrElse(Set.empty)
     })
 
+  /** Build-time fact "the tombstone set as of WAL position <= value
+    * hides NOTHING in this segment" from the segment's `inert.json`
+    * ([[recordTombInert]]) — what lets a snapshot treat lingering
+    * tombstone FILES as empty once compaction has physically applied
+    * them. None for segments without the fact (conservative). Memoized:
+    * segments are immutable, rebuilds mint new names. */
+  private val tombInertMemo = TrieMap.empty[String, Option[Long]]
+  private[graft] def segmentTombInertUpTo(seg: String): Option[Long] =
+    tombInertMemo.getOrElseUpdate(seg, {
+      val p = Paths.get(segPath(seg), "inert.json")
+      if (!Files.exists(p)) None
+      else """"tombInertUpTo"\s*:\s*(-?\d+)""".r
+        .findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
+    })
+
+  /** Delete position-claim markers on disk (ops batch dirs holding
+    * `_TOMB`) — every sequenced tombstone's `tomb_batch` is one of
+    * these ids while the marker lives. */
+  private def tombMarkerIds(): Seq[Long] =
+    allBatchIds().filter(b => Files.exists(Paths.get(s"$opsPath/batch=$b", "_TOMB")))
+
+  private def tombFoldPath = Paths.get(path, "tomb_marker_wm")
+
+  /** Upper bound on every persisted SEQUENCED tombstone's WAL position:
+    * max of the live delete markers and the watermark [[expireVersions]]
+    * folds before truncating markers (write-before-delete, so a crash
+    * leaves the bound high — conservative). None = no evidence (a legacy
+    * collection whose markers expired before the fold existed); legacy
+    * UNsequenced tombstones are excluded by [[recordTombInert]]'s
+    * no-MaxValue certification, never by this bound. */
+  private[core] def tombPositionBound: Option[Long] = {
+    val folded =
+      try Some(Files.readString(tombFoldPath).trim.toLong)
+      catch { case _: Throwable => None }
+    (tombMarkerIds() ++ folded).maxOption
+  }
+
   /** Is every PAIR of `segs` covered by a recorded disjointness fact (in
     * either direction — the newer segment measured against the older at
     * build time)? Under pairwise disjoint + per-segment unique keys, the
@@ -384,6 +421,12 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     filtered.dropDuplicates("user_id", "doc_id")
       .withColumn("tomb_batch", lit(pos))
       .write.mode("append").parquet(tombPath)
+    // completion marker (round 17): the rows above are VISIBLE once this
+    // file exists — [[recordTombInert]]'s measurement refuses to certify
+    // while any at-or-below-bound delete is still between its position
+    // claim and its parquet append (the claim-first order is what keeps
+    // the WAL clock atomic, so in-flightness needs its own signal)
+    Files.writeString(markerDir.resolve("_TOMB_DONE"), "")
   }
 
   /** Per-segment quantizer model blob (java serialization — the models
@@ -499,6 +542,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
         val seg = s"seg_${t.version + 1}"
         buildSegment(df, seg)
         recordDisjointness(seg, t.segments)
+        recordTombInert(seg, t)
         Toc.write(path, Toc(t.version + 1, t.segments :+ seg, batches.max,
           commitWalPosition(t)))
         Some(seg)
@@ -537,6 +581,45 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     }
     Files.writeString(Paths.get(segPath(seg), "disjoint.json"),
       s"""{"disjointFrom": [${disjoint.sorted.map("\"" + _ + "\"").mkString(", ")}]}""")
+  }
+
+  /** Measure and record "the CURRENT tombstone set hides NOTHING in
+    * this just-built segment" into `inert.json` (round 17 — the second
+    * half of the [[Snapshot.allRowsNewestLive]] extension): tombstone
+    * FILES outlive the compaction that physically applied them (older
+    * TOC versions still need them), so without this fact a post-merge /
+    * post-vacuum snapshot pays tombstone anti-joins and the newest-wins
+    * machinery forever for deletes that no longer hide anything.
+    * MEASURED, never assumed: one semi-join of the segment's keyed rows
+    * against the exact [[Search.dropTombstoned]] predicate; any hidden
+    * row, any legacy UNsequenced tombstone (tomb_batch = MaxValue has no
+    * position bound), or any in-flight delete (position claimed, rows
+    * not yet landed — no `_TOMB_DONE`) records nothing. The recorded
+    * bound `W = commitWalPosition(t)` covers every tombstone that could
+    * have existed at measurement: a delete claims its marker dir
+    * (raising this very bound) BEFORE its rows land, and deletes claimed
+    * after this op read the clock get positions above W. */
+  private def recordTombInert(seg: String, t: Toc): Unit = {
+    val w = commitWalPosition(t)
+    val pending = tombMarkerIds().exists(b => b <= w &&
+      !Files.exists(Paths.get(s"$opsPath/batch=$b", "_TOMB_DONE")))
+    if (pending) return
+    val inert = tombstones match {
+      case None => true
+      case Some(tb) =>
+        tb.filter(col("tomb_batch") === Long.MaxValue).isEmpty && {
+          val v = spark.read.parquet(s"${segPath(seg)}/vectors")
+          val rows = v.select(col("user_id"), col("doc_id"),
+            (if (v.columns.contains("src_batch")) col("src_batch")
+             else lit(Long.MinValue)).as("src_batch"))
+          rows.join(tb.select(col("user_id").as("_t_uid"),
+              col("doc_id").as("_t_did"), col("tomb_batch").as("_t_batch")),
+            rows("user_id") === col("_t_uid") && rows("doc_id") === col("_t_did") &&
+              rows("src_batch") <= col("_t_batch"), "left_semi").isEmpty
+        }
+    }
+    if (inert) Files.writeString(Paths.get(segPath(seg), "inert.json"),
+      s"""{"tombInertUpTo": $w}""")
   }
 
   /** Build the four tables of one immutable segment from raw rows. */
@@ -857,7 +940,8 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     // from snapshot() on collections with pre-watermark tombstone files.
     val histTombs = tombstones.map(
       _.filter(col("tomb_batch") <= pos || col("tomb_batch") === Long.MaxValue))
-    registerPin(new Snapshot(this, t, t.segments, histTail, histTombs))
+    registerPin(new Snapshot(this, t, t.segments, histTail, histTombs,
+      tombVisibleUpTo = Some(pos)))
   }
 
   /** CDC read: the exact logical row-level delta between two retained TOC
@@ -1032,6 +1116,19 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     deadSegs.foreach(s => deleteTree(segRoot.resolve(s)))
     // WAL truncation: batches every kept version has flushed are dead
     val minFlushed = keptTocs.map(_.lastFlushedBatch).minOption.getOrElse(-1L)
+    // fold the delete markers this truncation will remove into the
+    // persisted tombstone-position watermark FIRST (write-before-delete:
+    // a crash between the two leaves the bound high — conservative), so
+    // [[tombPositionBound]] survives marker expiry and the tombstone-
+    // inert fast path keeps firing on long-lived collections
+    locally {
+      val gone = tombMarkerIds().filter(_ <= minFlushed)
+      if (gone.nonEmpty) {
+        val cur = try Some(Files.readString(tombFoldPath).trim.toLong)
+          catch { case _: Throwable => None }
+        Files.writeString(tombFoldPath, (gone ++ cur).max.toString)
+      }
+    }
     val opsRoot = Paths.get(opsPath)
     if (Files.exists(opsRoot))
       Fs.listPaths(opsRoot).foreach { p =>
@@ -1101,6 +1198,10 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
         val marker = dest.resolve("ops").resolve(s"batch=$pos")
         Files.createDirectories(marker)
         Files.writeString(marker.resolve("_TOMB"), "")
+        // vacuously complete: no tombstone rows will ever arrive for a
+        // clone's position pin — without this the clone could never
+        // certify tombstone inertness (recordTombInert's pending check)
+        Files.writeString(marker.resolve("_TOMB_DONE"), "")
       }
       tombstones.foreach { tb =>
         val visible = tb.filter(
@@ -1381,6 +1482,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     for (tb <- tombstones) rows = Search.dropTombstoned(rows, tb)
     val seg = s"merged_${t.version + 1}"
     buildSegment(rows, seg)
+    recordTombInert(seg, t)
     Toc.write(path, Toc(t.version + 1, Seq(seg), t.lastFlushedBatch,
       commitWalPosition(t)))
     Some(seg)
@@ -1413,6 +1515,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     val seg = s"tiered_${t.version + 1}"
     buildSegment(rows, seg)
     recordDisjointness(seg, t.segments.filterNot(victims.contains))
+    recordTombInert(seg, t)
     Toc.write(path, Toc(t.version + 1,
       t.segments.filterNot(victims.contains) :+ seg,
       t.lastFlushedBatch, commitWalPosition(t)))
@@ -1481,6 +1584,7 @@ final class Collection(val spark: SparkSession, val path: String, val config: Co
     val seg = s"${segment}_v"
     buildSegment(rows, seg)
     recordDisjointness(seg, t.segments.filterNot(_ == segment))
+    recordTombInert(seg, t)
     Toc.write(path, Toc(t.version + 1, t.segments.map(s => if (s == segment) seg else s),
       t.lastFlushedBatch, commitWalPosition(t)))
   }
@@ -1706,7 +1810,40 @@ object Collection {
   * (score, doc_id), truncate). */
 final class Snapshot(
     coll: Collection, val toc: Toc, segments: Seq[String], tailRows: Option[DataFrame],
-    tombRows: Option[DataFrame]) {
+    tombRows0: Option[DataFrame], tombVisibleUpTo: Option[Long] = None) {
+
+  /** The EFFECTIVE tombstone set every read path anti-joins against:
+    * the pinned set, unless every tombstone visible here is PROVEN inert
+    * — compaction already physically applied it to every segment — in
+    * which case it drops to None and the anti-joins (and, with the other
+    * facts, the whole newest-wins machinery) vanish from the plans.
+    * Proof is driver-side O(1) from build-time facts (round 17):
+    * `u = min(tombPositionBound, tombVisibleUpTo)` bounds every
+    * SEQUENCED tombstone this snapshot can see — `tombVisibleUpTo` is
+    * the `tomb_batch <= pos` cap [[Collection.snapshotAt]] filtered
+    * `tombRows0` with, and is ABSENT for the live snapshot, which sees
+    * every tombstone on disk including ones claimed past its TOC's
+    * position (read-your-writes; capping the live view by walPosition
+    * was the round-17 review bug — a just-issued delete would have been
+    * wrongly certified inert). Unsequenced legacy rows void the
+    * per-segment fact itself ([[Collection.recordTombInert]]'s
+    * no-MaxValue certification), and each segment's recorded
+    * `tombInertUpTo >= u` certifies the measured "hides nothing" fact
+    * covers all of them. A non-empty tail keeps the full set —
+    * tombstones may hide TAIL rows, which no segment fact speaks for.
+    * Lingering tombstone files over compacted segments are the 100 TB
+    * steady state (files are retained for time travel), so this is the
+    * shape the fast path must cover. */
+  private lazy val tombRows: Option[DataFrame] =
+    if (tombRows0.isEmpty || tailRows.nonEmpty) tombRows0
+    else {
+      val inert = coll.tombPositionBound.exists { b =>
+        val u = math.min(b, tombVisibleUpTo.getOrElse(Long.MaxValue))
+        segments.nonEmpty && segments.forall(s =>
+          coll.segmentTombInertUpTo(s).exists(u <= _))
+      }
+      if (inert) None else tombRows0
+    }
 
   /** The PINNED tombstone set this snapshot answers with — exposed so
     * collection-level measurement passes (calibrateRecall) use the same
@@ -1734,8 +1871,10 @@ final class Snapshot(
     * post-compaction shape (one merged segment that measured unique) AND
     * the append-only multi-flush steady state (each flush's keys measured
     * disjoint from its predecessors) — the two 100 TB shapes; any
-    * duplicate key, unproven pair, tail row, or tombstone disables it
-    * conservatively (segments without the recorded facts too). */
+    * duplicate key, unproven pair, tail row, or live tombstone disables
+    * it conservatively (segments without the recorded facts too).
+    * "Tombstone-free" means the EFFECTIVE set ([[tombRows]]): tombstone
+    * files proven inert by compaction-time measurement count as none. */
   private lazy val allRowsNewestLive: Boolean =
     tailRows.isEmpty && tombRows.isEmpty && segments.nonEmpty &&
       segments.forall(coll.segmentUniqueKeys) &&
@@ -2553,20 +2692,25 @@ final class Snapshot(
     * unlimited `[user_id, doc_id, score, n_terms_hit]` (score rounded
     * HALF-UP 4), the shared core of [[rankedSearch]], [[moreLikeThis]]
     * and [[rankedSearchFields]]. None when the snapshot holds no rows. */
+  /** Bucket-aware dictionary restriction for literal term keys
+    * (FilterCompiler.termScan's shape): each disjunct's term_bucket
+    * predicate constant-folds, so the scan prunes to |keys| of
+    * Collection.termBuckets directories before the sorted-term row-group
+    * pruning. Beyond 32 keys the OR chain stops paying (most buckets
+    * covered anyway) — plain isin. Shared by [[scoreByKeys]] and
+    * [[moreLikeThis]]' doc-frequency pass (round 17 — the df scan used
+    * plain isin and missed the directory pruning). */
+  private def termKeyRestrict(keys: Seq[String]): DataFrame => DataFrame = t =>
+    if (t.columns.contains("term_bucket") && keys.size <= 32)
+      t.filter(keys.map(qt =>
+        col("term_bucket") === pmod(xxhash64(lit(qt)),
+          lit(Collection.termBuckets)) && col("term") === lit(qt))
+        .reduce(_ || _))
+    else t.filter(col("term").isin(keys: _*))
+
   private def scoreByKeys(field: String, queryKeys: Seq[String],
       k1: Double, b: Double, userIds: Seq[Any]): Option[DataFrame] = {
-    // bucket-aware dictionary restriction (FilterCompiler.termScan's
-    // shape): each disjunct's term_bucket predicate constant-folds, so
-    // the scan prunes to |query| of Collection.termBuckets directories
-    // before the sorted-term row-group pruning. Beyond 32 keys the OR
-    // chain stops paying (most buckets covered anyway) — plain isin.
-    val restrict: DataFrame => DataFrame = t =>
-      if (t.columns.contains("term_bucket") && queryKeys.size <= 32)
-        t.filter(queryKeys.map(qt =>
-          col("term_bucket") === pmod(xxhash64(lit(qt)),
-            lit(Collection.termBuckets)) && col("term") === lit(qt))
-          .reduce(_ || _))
-      else t.filter(col("term").isin(queryKeys: _*))
+    val restrict = termKeyRestrict(queryKeys)
     val (n, avgdl) = bm25FieldStats(field, userIds)
     // fast path: under measured-unique keys point↔doc is 1:1, so the
     // whole match can score on POINT ids straight off the two persisted
@@ -2781,9 +2925,11 @@ final class Snapshot(
       termsAll.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val termKeys = seedTf.keys.toSeq
     // newest-wins doc frequencies for the seed's vocabulary — one
-    // dictionary-restricted scan, O(matched)
+    // dictionary-restricted scan, O(matched); bucket-aware like the
+    // retrieval's own restriction (round 17: plain isin skipped the
+    // term_bucket directory pruning this scan is entitled to)
     val dfMap: Map[String, Long] =
-      liveFieldTermFreqs(field, _.filter(col("term").isin(termKeys: _*)), userIds)
+      liveFieldTermFreqs(field, termKeyRestrict(termKeys), userIds)
         .map(_.groupBy("term").agg(count(lit(1)).as("df"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
         .getOrElse(Map.empty)

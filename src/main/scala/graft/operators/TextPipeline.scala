@@ -434,18 +434,20 @@ object TextPipeline {
     val seedTf = Gen.explodeOnce(base.filter(col("id") === seedId),
       Seq(col("id")), term_counts(col("toks")), "tc")
       .select(col("tc.term").as("term"), col("tc.tf").cast("double").as("tf"))
-    val seedTerms = seedTf.select("term").collect().map(_.getString(0)).toSeq
-    require(seedTerms.nonEmpty,
-      s"more-like-this: seed doc $seedId has no terms (or does not exist)")
-    // corpus df for the seed's terms only — in-row restriction, so the
-    // exchange carries at most |seed terms| rows per doc
-    val dfp = Gen.explodeOnce(base, Seq(col("id")),
-      filter(term_counts(col("toks")), tc => tc.getField("term").isin(seedTerms: _*)), "tc")
+    // corpus df for the seed's terms only — restricted by a BROADCAST
+    // semi-join on the seed's own tf frame (round 17, guide §1.2: the
+    // old shape collected the seed terms first just to inline them as an
+    // in-row literal filter — a whole extra driver round-trip/action per
+    // query; the semi-join restricts map-side before the df exchange, so
+    // the shuffle carries the same at-most-|seed terms| rows per doc)
+    val dfp = Gen.explodeOnce(base, Seq(col("id")), term_counts(col("toks")), "tc")
       .select(col("tc.term").as("term"))
+      .join(broadcast(seedTf.select("term")), Seq("term"), "left_semi")
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val nRow = base.agg(count(lit(1)).cast("double").as("n"))
     // profile rank on the ROUNDED tf-idf (term-asc ties) — the
-    // topTermsTfIdf discipline, so a SQL replay agrees on the cut
+    // topTermsTfIdf discipline, so a SQL replay agrees on the cut; seed
+    // tf, df and the cut all land in ONE collected action
     val profile = seedTf.join(broadcast(dfp), Seq("term"))
       .crossJoin(broadcast(nRow))
       .select(col("term"), round(col("tf") *
@@ -453,6 +455,8 @@ object TextPipeline {
       .orderBy(col("tfidf").desc, col("term").asc)
       .limit(m)
       .collect().map(_.getString(0)).toSeq
+    require(profile.nonEmpty,
+      s"more-like-this: seed doc $seedId has no terms (or does not exist)")
     bm25TopK(docs, profile, idCol, textCol, k, k1, b, exclude = Some(seedId))
   }
 

@@ -878,6 +878,66 @@ class PhraseSpec extends SparkSuite {
     assert(ranked(coll2, "delta") === twin(live2, Seq("delta")))
   }
 
+  test("tombstone-inert fast path: lingering tombstone files over compacted segments") {
+    // round 17: tombstone FILES outlive the compaction that applied them
+    // (older TOC versions still need them), so merge/vacuum measure "the
+    // current tombstone set hides nothing in this segment" into
+    // inert.json and snapshots whose every visible tombstone is covered
+    // treat the set as empty. Pinned three ways: (a) a flush whose
+    // segment CONTAINS tombstone-hidden rows records no fact and the
+    // deleted doc stays hidden; (b) post-merge, the fact exists, the
+    // tombstone files still exist, and results match the raw-docs twin
+    // with the deleted doc still gone — the exact corruption a wrong
+    // fact would cause; (c) a revival flush after the merge keeps full
+    // equivalence on the multi-segment snapshot.
+    val cfg = CollectionConfig(
+      name = "ti", numFeatures = 2, initialNumCentroids = 2,
+      attributeSchema = Seq(AttrField("content", "text", "none")))
+    val base = Files.createTempDirectory("graft_bm25_ti").toString
+    val coll = Collection.create(spark, base, cfg)
+    def ranked(q: String): Seq[(Long, Double, Long)] =
+      coll.snapshot().rankedSearch("content", q, 10)
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    def twin(corpus: DataFrame, terms: Seq[String]): Seq[(Long, Double, Long)] =
+      graft.operators.TextPipeline.bm25TopK(corpus, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    coll.insert(Seq(
+      (0L, 1L, Seq(1.0, 0.0), "stream scan runs fast"),
+      (0L, 2L, Seq(0.0, 1.0), "merge join merge hash"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    coll.delete(Seq((0L, 2L)).toDF("user_id", "doc_id"))
+    coll.flush() // segment physically CONTAINS hidden doc 2
+    coll.insert(Seq((0L, 3L, Seq(0.2, 0.8), "merge stream windows"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    coll.flush() // second segment, so the merge below is not a no-op
+    val segDir = s"$base/${cfg.name}/segments/seg_1"
+    assert(!Files.exists(java.nio.file.Paths.get(segDir, "inert.json")),
+      "a segment holding tombstone-hidden rows must not certify inertness")
+    val liveA = Seq((1L, "stream scan runs fast"), (3L, "merge stream windows"))
+      .toDF("doc_id", "text")
+    assert(ranked("merge stream") === twin(liveA, Seq("merge", "stream")))
+    assert(!ranked("merge").map(_._1).contains(2L))
+
+    coll.merge() // physically applies the tombstone; files linger
+    val merged = coll.toc.segments.head
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$base/${cfg.name}/segments/$merged", "inert.json")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/${cfg.name}/tombstones")))
+    assert(ranked("merge stream") === twin(liveA, Seq("merge", "stream")))
+    assert(!ranked("merge").map(_._1).contains(2L))
+
+    // revival after the merge: new flush is disjoint (merge dropped the
+    // key) and inert (revived row postdates the tombstone)
+    coll.insert(Seq((0L, 2L, Seq(0.5, 0.5), "merge revived"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    coll.flush()
+    val liveB = Seq((1L, "stream scan runs fast"),
+      (2L, "merge revived"), (3L, "merge stream windows"))
+      .toDF("doc_id", "text")
+    assert(ranked("merge stream") === twin(liveB, Seq("merge", "stream")))
+    assert(ranked("revived").map(_._1) === Seq(2L))
+  }
+
   test("rankedSearch analyzes the query with the index's stemmer; keyword fields match whole values") {
     val base = Files.createTempDirectory("graft_bm25_en").toString
     val cfg = CollectionConfig(
