@@ -188,6 +188,69 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("LeftAnti"), s"delete application lost its anti-join:\n$p")
   }
 
+  test("CDC diff is ONE tagged pass: no full_outer join of per-side aggregates") {
+    import org.apache.spark.sql.functions.col
+    import graft.core.{Collection, CollectionConfig}
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_onepassplan").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "onepassplan", numFeatures = 4, initialNumCentroids = 4))
+    def rows(ids: Seq[Long]) = ids.map(i =>
+      (0L, i, Seq(i.toDouble, i.toDouble, i.toDouble, i.toDouble)))
+      .toDF("user_id", "doc_id", "vector")
+    coll.insert(rows(0L until 8L)); coll.flush()               // v1
+    coll.insert(rows(8L until 10L))
+    coll.delete(rows(Seq(1L)).select("user_id", "doc_id")); coll.flush() // v2
+    val p = coll.changes(1L, 2L).queryExecution.executedPlan.toString
+    // round 17: both sides' newest live positions come out of a single
+    // per-key aggregate over side-tagged rows — a FullOuter join in this
+    // plan means the two-sided shape crept back (twice the segment scans)
+    assert(!p.contains("FullOuter"),
+      s"changes() regressed to the two-sided full_outer shape:\n$p")
+  }
+
+  test("fast-path snapshot plans: no newest-wins window, no tombstone anti-join") {
+    import graft.core.{AttrField, Collection, CollectionConfig}
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_fastplan").toString
+    val coll = Collection.create(spark, base, CollectionConfig(
+      name = "fastplan", numFeatures = 2, initialNumCentroids = 2,
+      attributeSchema = Seq(AttrField("content", "text", "none"))))
+    coll.insert(Seq(
+      (0L, 1L, Seq(1.0, 0.0), "stream scan runs"),
+      (0L, 2L, Seq(0.0, 1.0), "merge join hash"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    coll.delete(Seq((0L, 2L)).toDF("user_id", "doc_id"))
+    coll.flush()
+    coll.insert(Seq((0L, 3L, Seq(0.2, 0.8), "merge stream windows"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    coll.flush()
+    coll.merge() // applies the tombstone; its files linger on disk
+    coll.insert(Seq((0L, 4L, Seq(0.4, 0.6), "hash stream"))
+      .toDF("user_id", "doc_id", "vector", "content"))
+    coll.flush() // disjoint second segment: the multi-flush steady state
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(base, "fastplan", "tombstones")))
+    val snap = coll.snapshot()
+    // ranked retrieval: measured-unique + disjoint + tombstone-inert =>
+    // the per-key version window and the tombstone anti-joins are gone
+    val ranked = snap.rankedSearch("content", "merge stream", 5)
+      .queryExecution.executedPlan.toString
+    assert(!ranked.contains("Window") && !ranked.contains("row_number"),
+      s"fast-path rankedSearch kept a newest-wins window:\n$ranked")
+    assert(!ranked.contains("LeftAnti"),
+      s"fast-path rankedSearch kept a tombstone anti-join:\n$ranked")
+    // the key-set read: no aggregate at all — every physical row IS its
+    // key's newest live version
+    val live = snap.liveDocs.get.queryExecution.executedPlan.toString
+    assert(!live.contains("HashAggregate") && !live.contains("SortAggregate"),
+      s"fast-path liveDocs kept its per-key aggregate:\n$live")
+    assert(!live.contains("LeftAnti"),
+      s"fast-path liveDocs kept a tombstone anti-join:\n$live")
+  }
+
   test("adaptive filtered ANN, exact branch: semi-join + bounded top-k") {
     import org.apache.spark.sql.functions.col
     val spark2 = spark
